@@ -1,0 +1,95 @@
+"""Engine facade: the reference's upload->profile->ask->execute lifecycle
+(SURVEY.md §3 E1-E3) on Spark.
+
+Reference flow: POST /upload stores one pandas frame in a module global
+(upload.py:13-26); POST /query turns the question into SQL, validates it
+with a keyword blocklist, executes on a fresh DuckDB connection, and
+post-processes (query.py:13-66). Here:
+
+* the "catalog" is the Spark session catalog (temp views), multi-table;
+* validation is token + parsed-plan based (nlsql.validator);
+* execution is ``spark.sql`` -> Catalyst -> distributed;
+* the row cap is ``.limit(n)`` on the plan;
+* every reference HTTP-400 case (A21) is a typed exception.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import DataFrame, SparkSession
+
+from csv_query_engine_spark.io.readers import read_csv
+from csv_query_engine_spark.nlsql.llm import LLMPlanner, RuleBasedPlanner
+from csv_query_engine_spark.nlsql.validator import validate_sql
+from csv_query_engine_spark.postprocess import QueryResult, materialize
+from csv_query_engine_spark.profiler import ColumnInfo, profile
+
+DEFAULT_MAX_ROWS = 200  # reference MAX_ROWS_LIMIT default (config.py:9)
+
+
+class EngineError(ValueError):
+    """Base for the reference's HTTP-400 surface (A21)."""
+
+
+class NoDataUploadedError(EngineError):
+    pass
+
+
+class EmptyQuestionError(EngineError):
+    pass
+
+
+class QueryEngine:
+    """One engine per SparkSession; tables live in the session catalog."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        max_rows: int = DEFAULT_MAX_ROWS,
+        planner: LLMPlanner | None = None,
+        now: dt.date | None = None,
+    ):
+        self.spark = spark
+        self.max_rows = max_rows
+        self.now = now
+        self.planner = planner or RuleBasedPlanner(now=now)
+        self._profiles: dict[str, list[ColumnInfo]] = {}
+
+    # -- ingest (E1) ------------------------------------------------------
+
+    def upload_csv(self, path: str, table: str = "df", **options) -> list[ColumnInfo]:
+        df = read_csv(self.spark, path, **options)
+        return self.register(df, table)
+
+    def register(self, df: DataFrame, table: str = "df") -> list[ColumnInfo]:
+        cols = profile(df)
+        df.createOrReplaceTempView(table)
+        self._profiles[table] = cols
+        return cols
+
+    def columns(self, table: str = "df") -> list[ColumnInfo]:
+        if table not in self._profiles:
+            raise NoDataUploadedError(f"No table '{table}' uploaded yet")
+        return self._profiles[table]
+
+    # -- query (E2/E3) ----------------------------------------------------
+
+    def ask(self, question: str, table: str = "df", use_ai: bool = False) -> QueryResult:
+        """NL question -> SQL -> validate -> execute -> post-process."""
+        if table not in self._profiles:
+            raise NoDataUploadedError("Please upload a CSV file first")
+        if not question or not question.strip():
+            raise EmptyQuestionError("Question cannot be empty")
+        cols = self._profiles[table]
+        if use_ai:
+            sql = self.planner.generate(question, cols, table=table)
+        else:
+            sql = RuleBasedPlanner(now=self.now).generate(question, cols, table=table)
+        return self.sql(sql)
+
+    def sql(self, sql: str, collapse: bool = True) -> QueryResult:
+        """Validated pass-through execution (Tier B surface)."""
+        cleaned = validate_sql(sql, spark=self.spark)
+        df = self.spark.sql(cleaned)
+        return materialize(df, cleaned, limit=self.max_rows, collapse=collapse)

@@ -1,0 +1,105 @@
+"""End-to-end engine lifecycle: CSV upload -> profile -> NL question ->
+validated SQL -> distributed execution -> post-processed envelope.
+
+The golden flagship test reproduces the reference's canonical example
+(models.py:31-36): "Which services were affected in Mumbai last month?"
+-> Service/count rows.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+
+from csv_query_engine_spark.engine import (
+    EmptyQuestionError,
+    NoDataUploadedError,
+    QueryEngine,
+)
+from csv_query_engine_spark.io.readers import IngestError, read_csv
+from csv_query_engine_spark.nlsql.validator import UnsafeSQLError
+from csv_query_engine_spark.postprocess import collapse_duplicates, collapse_if_duplicated
+
+NOW = dt.date(2024, 2, 15)
+
+
+@pytest.fixture(scope="module")
+def incidents_csv(tmp_path_factory):
+    """FIXTURES.md A1: known Mumbai/last-month counts: Internet=15, Phone=8."""
+    p = tmp_path_factory.mktemp("data") / "incidents.csv"
+    rows = ["City,Service,incident_date,severity"]
+    rows += ["Mumbai,Internet,2024-01-%02d,3" % (d % 28 + 1) for d in range(15)]
+    rows += ["Mumbai,Phone,2024-01-%02d,2" % (d % 28 + 1) for d in range(8)]
+    rows += ["Delhi,Internet,2024-01-05,1"] * 4          # other city, in range
+    rows += ["Mumbai,Internet,2024-02-05,1"] * 6         # right city, out of range
+    p.write_text("\n".join(rows) + "\n")
+    return str(p)
+
+
+@pytest.fixture(scope="module")
+def engine(spark, incidents_csv):
+    eng = QueryEngine(spark, now=NOW)
+    eng.upload_csv(incidents_csv)
+    return eng
+
+
+def test_profile_on_upload(engine):
+    cols = {c.name: c for c in engine.columns()}
+    assert cols["City"].semantic_type == "city"
+    assert cols["Service"].semantic_type == "service"
+    assert cols["incident_date"].semantic_type == "date"
+    assert cols["severity"].type == "numeric"
+
+
+def test_golden_flagship(engine):
+    res = engine.ask("Which services were affected in Mumbai last month?")
+    got = {r["Service"]: r["count"] for r in res.rows}
+    assert got == {"Internet": 15, "Phone": 8}
+    assert res.execution_time > 0
+    assert res.sql.startswith("SELECT `Service`, COUNT(*) AS count")
+
+
+def test_select_star_collapses_duplicates(engine):
+    # "show everything" -> SELECT * ; the Delhi row repeats 4x and the
+    # out-of-range Mumbai row 6x -> dedup-collapse kicks in (A17/A18).
+    res = engine.ask("show all data")
+    assert res.collapsed
+    counts = {(r["City"], r["Service"], str(r["incident_date"]), r["severity"]): r["count"] for r in res.rows}
+    assert counts[("Delhi", "Internet", "2024-01-05", 1)] == 4
+    # sorted desc by count (A19)
+    assert res.rows[0]["count"] == 6
+
+
+def test_limit_enforced(spark):
+    eng = QueryEngine(spark, max_rows=5)
+    eng.register(spark.range(100).toDF("n"), "big")
+    res = eng.sql("SELECT n FROM big ORDER BY n")
+    assert res.row_count == 5
+
+
+def test_error_surface(engine, spark):
+    with pytest.raises(NoDataUploadedError):
+        QueryEngine(spark).ask("anything")
+    with pytest.raises(EmptyQuestionError):
+        engine.ask("   ")
+    with pytest.raises(UnsafeSQLError):
+        engine.sql("DROP TABLE df")
+    with pytest.raises(IngestError):
+        read_csv(spark, "/tmp/not_a_csv.txt")
+
+
+def test_collapse_keeps_null_keys(spark):
+    # Declared null-policy (SURVEY.md §2 A17): Spark keeps null group
+    # keys; the reference's pandas groupby dropped those rows.
+    df = spark.createDataFrame([("a",), ("a",), (None,), (None,)], "k string")
+    out = collapse_duplicates(df).collect()
+    got = {r["k"]: r["count"] for r in out}
+    assert got == {"a": 2, None: 2}
+
+
+def test_collapse_noop_when_unique(spark):
+    df = spark.range(5).toDF("n")
+    out, collapsed = collapse_if_duplicated(df)
+    assert not collapsed
+    assert out.count() == 5

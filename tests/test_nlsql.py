@@ -1,0 +1,114 @@
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+
+from csv_query_engine_spark.nlsql import (
+    UnsafeSQLError,
+    generate_sql_rule_based,
+    get_last_month_range,
+    quote_identifier,
+    strip_sql_fences,
+    validate_sql,
+)
+from csv_query_engine_spark.profiler import ColumnInfo
+
+COLS = [
+    ColumnInfo("City", "string", "city"),
+    ColumnInfo("Service", "string", "service"),
+    ColumnInfo("incident_date", "date", "date"),
+    ColumnInfo("severity", "numeric", "other"),
+]
+
+NOW = dt.date(2024, 2, 15)  # injectable clock -> last month = Jan 2024
+
+
+def test_flagship_grammar():
+    sql = generate_sql_rule_based(
+        "Which services were affected in Mumbai last month?", COLS, now=NOW
+    )
+    assert sql == (
+        "SELECT `Service`, COUNT(*) AS count FROM df"
+        " WHERE `City` = 'Mumbai'"
+        " AND `incident_date` >= '2024-01-01 00:00:00'"
+        " AND `incident_date` <= '2024-01-31 23:59:59'"
+        " GROUP BY `Service`"
+    )
+
+
+def test_select_star_default():
+    assert generate_sql_rule_based("show everything", COLS) == "SELECT * FROM df"
+
+
+def test_each_city_capitalized():
+    for city in ["mumbai", "delhi", "bangalore", "chennai", "kolkata", "hyderabad", "pune", "ahmedabad"]:
+        sql = generate_sql_rule_based(f"data for {city}", COLS)
+        assert f"`City` = '{city.capitalize()}'" in sql
+
+
+def test_which_requires_column_match():
+    # 'which' word not matching a column -> no group by (reference
+    # sql_generator.py:50-56 matches against column names only)
+    sql = generate_sql_rule_based("which foobar is best", COLS)
+    assert "GROUP BY" not in sql
+
+
+def test_last_month_range_boundaries():
+    assert get_last_month_range(dt.date(2024, 3, 31)) == ("2024-02-01 00:00:00", "2024-02-29 23:59:59")
+    assert get_last_month_range(dt.date(2024, 1, 1)) == ("2023-12-01 00:00:00", "2023-12-31 23:59:59")
+
+
+def test_quote_identifier():
+    assert quote_identifier("Column Name With Spaces") == "`Column Name With Spaces`"
+    assert quote_identifier("we`ird") == "`we``ird`"
+
+
+def test_strip_fences():
+    assert strip_sql_fences("```sql\nSELECT 1\n```") == "SELECT 1"
+    assert strip_sql_fences("```\nSELECT 1\n```") == "SELECT 1"
+    assert strip_sql_fences("SELECT 1") == "SELECT 1"
+
+
+# ------------------------------------------------------------- validator
+
+
+@pytest.mark.parametrize(
+    "bad",
+    [
+        "DROP TABLE df",
+        "INSERT INTO df VALUES (1)",
+        "SELECT 1; SELECT 2",
+        "CREATE TABLE x AS SELECT 1",
+        "UPDATE df SET a = 1",
+        "DELETE FROM df",
+        "",
+    ],
+)
+def test_validator_rejects(bad):
+    with pytest.raises(UnsafeSQLError):
+        validate_sql(bad)
+
+
+def test_validator_fixes_created_at_false_positive():
+    # Reference substring check rejects this legal query (SURVEY.md §2 A14).
+    sql = "SELECT created_at, updated_by FROM df WHERE created_at > '2024-01-01'"
+    assert validate_sql(sql) == sql
+
+
+def test_validator_ignores_keywords_in_literals_and_comments():
+    assert validate_sql("SELECT * FROM df WHERE note = 'please DROP me'")
+    assert validate_sql("SELECT * FROM df -- DROP TABLE hint\n")
+    assert validate_sql("SELECT `weird DELETE col` FROM df")
+
+
+def test_validator_strips_trailing_semicolon():
+    assert validate_sql("SELECT 1;") == "SELECT 1"
+
+
+def test_validator_plan_check(spark):
+    with pytest.raises(UnsafeSQLError):
+        validate_sql("EXPLAIN SELECT 1", spark=spark)
+    with pytest.raises(UnsafeSQLError):
+        validate_sql("SHOW TABLES", spark=spark)
+    assert validate_sql("WITH t AS (SELECT 1 AS a) SELECT * FROM t", spark=spark)

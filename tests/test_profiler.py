@@ -1,0 +1,55 @@
+from __future__ import annotations
+
+from csv_query_engine_spark.profiler import (
+    ColumnInfo,
+    detect_semantic_type,
+    profile,
+)
+
+
+def test_semantic_keyword_precedence():
+    # city keywords (reference csv_profiler.py:9-11)
+    for name in ["City", "user_location", "Place", "town", "state", "Country", "REGION", "area_code"]:
+        assert detect_semantic_type(name, ["x"]) == "city", name
+    # service keywords (csv_profiler.py:14-16)
+    for name in ["Service", "product_id", "type", "Category", "item", "name", "title"]:
+        assert detect_semantic_type(name, ["x"]) == "service", name
+    # date keywords (csv_profiler.py:19-21)
+    for name in ["date", "Time", "timestamp", "created", "updated", "occurred_on"]:
+        assert detect_semantic_type(name, ["x"]) == "date", name
+    # city beats service beats date when multiple match
+    assert detect_semantic_type("city_name", ["x"]) == "city"
+    assert detect_semantic_type("service_date", ["x"]) == "service"
+
+
+def test_content_probe_fixed_not_everything_is_a_date():
+    # The reference bug: errors='coerce' never raises, so plain strings
+    # were typed date (csv_profiler.py:44-50). Fixed via parse-rate.
+    assert detect_semantic_type("description", ["Mumbai", "Delhi", "hello"]) == "other"
+    assert detect_semantic_type("col_x", ["2024-01-01", "2024-02-03", "2024-10-10"]) == "date"
+    # below-threshold mix stays 'other'
+    mixed = ["2024-01-01", "garbage", "more garbage", "nope"]
+    assert detect_semantic_type("col_x", mixed) == "other"
+
+
+def test_profile_types(spark):
+    df = spark.createDataFrame(
+        [(1, "Mumbai", "Internet", "2024-01-05", 2.5, "free text")],
+        "id int, City string, Service string, incident_date string, severity double, description string",
+    )
+    cols = {c.name: c for c in profile(df)}
+    assert cols["id"].type == "numeric"
+    assert cols["severity"].type == "numeric"
+    assert cols["City"] == ColumnInfo("City", "string", "city")
+    assert cols["Service"].semantic_type == "service"
+    # string column whose values parse as dates -> type 'date'
+    assert cols["incident_date"].type == "date"
+    assert cols["incident_date"].semantic_type == "date"
+    assert cols["description"] == ColumnInfo("description", "string", "other")
+
+
+def test_profile_native_timestamp(spark):
+    df = spark.sql("SELECT TIMESTAMP '2024-01-01' AS created_at, 1 AS n")
+    cols = {c.name: c for c in profile(df)}
+    assert cols["created_at"].type == "date"
+    assert cols["created_at"].semantic_type == "date"
