@@ -1,0 +1,177 @@
+"""Embedding similarity search over an ``array<float>`` column
+(SURVEY.md §7 phase 6).
+
+* :func:`brute_force_topk` — exact cosine top-k: broadcast the query
+  set, score every (query, candidate) pair with built-in higher-order
+  functions (zip_with + aggregate: JVM-side, no Python), window top-k.
+  The correctness baseline; O(Q×N) scoring but embarrassingly parallel
+  and shuffle-free until the final per-query top-k.
+* :func:`lsh_bucket_topk` — the scale path: random-hyperplane signatures
+  (deterministic seeds), candidates restricted to matching buckets with
+  multi-probe (Hamming ≤ 1 bucket neighbors), exact rescoring inside the
+  bucket. Sub-linear candidate volume at 100 TB; approximate recall.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import math
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+
+def dot(u: Column, v: Column) -> Column:
+    """Dot product of two float arrays via zip_with + aggregate (left
+    fold in index order — deterministic)."""
+    return F.aggregate(
+        F.zip_with(u, v, lambda a, b: a.cast("double") * b.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def l2_norm(u: Column) -> Column:
+    return F.sqrt(F.aggregate(u, F.lit(0.0), lambda acc, x: acc + x.cast("double") * x.cast("double")))
+
+
+def cosine(u: Column, v: Column) -> Column:
+    """Cosine similarity; 0.0 for zero vectors."""
+    denom = l2_norm(u) * l2_norm(v)
+    return F.when(denom > 0, dot(u, v) / denom).otherwise(F.lit(0.0))
+
+
+def brute_force_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    rounding: int | None = None,
+) -> DataFrame:
+    """Exact top-k by cosine for each query vector.
+
+    ``queries``: (query_id_col, vec_col). The query side is broadcast —
+    at scale Q (queries) ≪ N (corpus), so every executor scores its local
+    corpus partitions against the full query set; the only shuffle is the
+    per-query top-k, bounded by Q×k rows after partial TakeOrdered."""
+    q = queries.select(F.col(query_id_col).alias("query_id"), F.col(vec_col).alias("q_vec"))
+    c = embeddings.select(F.col(id_col).alias("cand_id"), F.col(vec_col).alias("c_vec"))
+    score = cosine(F.col("q_vec"), F.col("c_vec"))
+    if rounding is not None:
+        # Round before ranking so sub-ulp float-order noise cannot flip
+        # ranks differently across engines/partitionings.
+        score = F.round(score, rounding)
+    scored = c.join(F.broadcast(q), F.col("cand_id") != F.col("query_id")).select(
+        "query_id", "cand_id", score.alias("cosine")
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("cosine"), "cand_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "cand_id", "cosine", "rank")
+    )
+
+
+def _hyperplanes(n_planes: int, dim: int) -> list[list[float]]:
+    """Deterministic pseudo-random unit hyperplanes: components derived
+    from md5 of (plane, coordinate) — reproducible across runs/processes
+    with no RNG state."""
+    planes = []
+    for p in range(n_planes):
+        vec = []
+        for d in range(dim):
+            h = int.from_bytes(hashlib.md5(f"{p}:{d}".encode()).digest()[:8], "big")
+            # map to (-1, 1)
+            vec.append((h / float(1 << 63)) - 1.0)
+        norm = math.sqrt(sum(x * x for x in vec)) or 1.0
+        planes.append([x / norm for x in vec])
+    return planes
+
+
+def signature_column(vec: Column, planes: list[list[float]]) -> Column:
+    """Random-hyperplane signature as an int bucket id (bit b = sign of
+    dot(vec, plane_b)). Pure built-ins: literal plane arrays + zip_with."""
+    sig = F.lit(0).cast("long")
+    for b, plane in enumerate(planes):
+        plane_col = F.array(*[F.lit(float(x)) for x in plane])
+        bit = F.when(dot(vec, plane_col) >= 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
+        sig = sig + (bit * F.lit(1 << b).cast("long"))
+    return sig
+
+
+def lsh_bucket_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_planes: int = 8,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    multiprobe_hamming: int = 1,
+) -> DataFrame:
+    """Approximate top-k: exact cosine rescoring restricted to candidates
+    whose hyperplane signature is within ``multiprobe_hamming`` bits of
+    the query's signature (multi-probe raises recall without touching
+    more than (1 + n_planes) buckets per query)."""
+    planes = _hyperplanes(n_planes, dim)
+    c = embeddings.select(
+        F.col(id_col).alias("cand_id"),
+        F.col(vec_col).alias("c_vec"),
+        signature_column(F.col(vec_col), planes).alias("c_sig"),
+    )
+    q = queries.select(
+        F.col(query_id_col).alias("query_id"),
+        F.col(vec_col).alias("q_vec"),
+        signature_column(F.col(vec_col), planes).alias("q_sig"),
+    )
+    # probe buckets: the query signature and its Hamming-1 neighbors
+    probes = [F.col("q_sig")]
+    if multiprobe_hamming >= 1:
+        probes += [F.col("q_sig").bitwiseXOR(F.lit(1 << b)) for b in range(n_planes)]
+    q_probed = q.select("query_id", "q_vec", F.explode(F.array(*probes)).alias("probe_sig"))
+
+    scored = (
+        c.join(F.broadcast(q_probed), (F.col("c_sig") == F.col("probe_sig")) & (F.col("cand_id") != F.col("query_id")))
+        .select("query_id", "cand_id", cosine(F.col("q_vec"), F.col("c_vec")).alias("cosine"))
+        .distinct()
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("cosine"), "cand_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "cand_id", "cosine", "rank")
+    )
+
+
+def embedding_near_dup_pairs(
+    embeddings: DataFrame,
+    threshold: float = 0.95,
+    n_planes: int = 12,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: signature-bucket blocking
+    (near-identical vectors collide with high probability), exact cosine
+    verification inside buckets."""
+    planes = _hyperplanes(n_planes, dim)
+    sigs = embeddings.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("vec"),
+        signature_column(F.col(vec_col), planes).alias("sig"),
+    )
+    return (
+        sigs.alias("x")
+        .join(sigs.alias("y"), ["sig"])
+        .filter(F.col("x.id") < F.col("y.id"))
+        .select(
+            F.col("x.id").alias("id_a"),
+            F.col("y.id").alias("id_b"),
+            cosine(F.col("x.vec"), F.col("y.vec")).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= threshold)
+    )

@@ -1,6 +1,284 @@
 """LLM-data-pipeline query registrations (dedup, similarity, text
-analysis) over documents/embeddings. Filled by csv_query_engine_spark.pipeline.
+analysis, multimodal) over the documents/embeddings tables.
+
+Oracle notes: the DuckDB SQL mirrors the Spark expressions term-by-term
+(same operation order) so double arithmetic is bit-identical; list ops
+map array_intersect/union <-> list_intersect/distinct(concat), and the
+Spark regex dialect (Java) vs DuckDB (RE2) differs only in escape
+syntax. LSH/SimHash/ANN variants are genuinely non-SQL-expressible and
+register without an oracle (driver runs the rows-only check); their
+correctness is asserted in tests against brute-force ground truth.
 """
 
-# Registrations are added in later milestones; importing this module must
-# stay cheap (no Spark session creation at import time).
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from csv_query_engine_spark.io.readers import load_tables
+from csv_query_engine_spark.pipeline import dedup as dd
+from csv_query_engine_spark.pipeline import multimodal as mm
+from csv_query_engine_spark.pipeline import similarity as sim
+from csv_query_engine_spark.pipeline import text as tx
+from csv_query_engine_spark.queries import register
+
+# SQL fragments mirroring pipeline.text (kept adjacent so drift is visible).
+_SQL_NORM = "trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))"
+_SQL_TOKS = f"string_split({_SQL_NORM}, ' ')"
+_SQL_NTOK = f"len({_SQL_TOKS})"
+
+
+def _sql_stopword_hits(sw: tuple[str, ...]) -> str:
+    lst = "[" + ", ".join(f"'{w}'" for w in sw) + "]"
+    return f"len(list_filter({_SQL_TOKS}, t -> list_contains({lst}, t)))"
+
+
+_SQL_PUNCT_RATIO = (
+    "CASE WHEN length(text) > 0 THEN "
+    "CAST(length(text) - length(regexp_replace(text, '[^a-zA-Z0-9\\s]', '', 'g')) AS DOUBLE)"
+    " / CAST(length(text) AS DOUBLE) ELSE 0.0 END"
+)
+
+_SQL_SW_RATIO = (
+    f"CASE WHEN {_SQL_NTOK} > 0 THEN "
+    f"CAST({_sql_stopword_hits(tx.STOPWORDS_EN)} AS DOUBLE) / CAST({_SQL_NTOK} AS DOUBLE) ELSE 0.0 END"
+)
+
+_SQL_MTL = (
+    f"CASE WHEN {_SQL_NTOK} > 0 THEN "
+    f"CAST(list_sum(list_transform({_SQL_TOKS}, t -> length(t))) AS DOUBLE) / CAST({_SQL_NTOK} AS DOUBLE)"
+    " ELSE 0.0 END"
+)
+
+_SQL_QUALITY = (
+    f"(least(CAST({_SQL_NTOK} AS DOUBLE) / 100.0, 1.0) * 0.3"
+    f" + (1.0 - least({_SQL_PUNCT_RATIO} * 4.0, 1.0)) * 0.3"
+    f" + least({_SQL_SW_RATIO} * 4.0, 1.0) * 0.2"
+    f" + (CASE WHEN {_SQL_MTL} >= 3.0 AND {_SQL_MTL} <= 10.0 THEN 1.0 ELSE 0.5 END) * 0.2)"
+)
+
+
+# ----------------------------------------------------------- text analysis
+
+
+@register(
+    "docs_text_stats_by_lang",
+    f"""
+    SELECT lang,
+           COUNT(*) AS count,
+           CAST(SUM({_SQL_NTOK}) AS DOUBLE) / COUNT(*) AS avg_tokens,
+           CAST(SUM(n_chars) AS DOUBLE) / COUNT(*) AS avg_chars,
+           CAST(SUM(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\s]'))) AS DOUBLE) / COUNT(*) AS avg_bpe_tokens
+    FROM documents
+    GROUP BY lang
+    ORDER BY lang
+    """,
+)
+def docs_text_stats_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token/char statistics per language tag — the budget query of a
+    training-data pipeline (how many tokens do we have, per slice).
+    Integer sums -> exact cross-engine averages."""
+    d = load_tables(spark, sf_dir, ("documents",))["documents"]
+    c = F.col("text")
+    return (
+        d.select("lang", tx.token_count(c).alias("nt"), F.col("n_chars"), tx.bpe_ish_token_count(c).alias("nb"))
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("count"),
+            (F.sum("nt").cast("double") / F.count(F.lit(1))).alias("avg_tokens"),
+            (F.sum("n_chars").cast("double") / F.count(F.lit(1))).alias("avg_chars"),
+            (F.sum("nb").cast("double") / F.count(F.lit(1))).alias("avg_bpe_tokens"),
+        )
+        .orderBy("lang")
+    )
+
+
+@register(
+    "docs_quality_scores",
+    f"""
+    SELECT doc_id,
+           {_SQL_NTOK} AS n_tokens,
+           {_SQL_PUNCT_RATIO} AS punct_ratio,
+           {_SQL_SW_RATIO} AS stopword_ratio,
+           {_SQL_QUALITY} AS quality_score
+    FROM documents
+    WHERE doc_id % 20 = 0
+    ORDER BY doc_id
+    """,
+)
+def docs_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document quality features + composite score (subset-gated for
+    the oracle compare; the operator itself is a full-scan map)."""
+    d = load_tables(spark, sf_dir, ("documents",))["documents"].filter(F.col("doc_id") % 20 == 0)
+    c = F.col("text")
+    return d.select(
+        "doc_id",
+        tx.token_count(c).alias("n_tokens"),
+        tx.punct_ratio(c).alias("punct_ratio"),
+        tx.stopword_ratio(c).alias("stopword_ratio"),
+        tx.quality_score(c).alias("quality_score"),
+    ).orderBy("doc_id")
+
+
+@register(
+    "docs_lang_id",
+    f"""
+    SELECT doc_id, lang,
+           CASE
+             WHEN length(regexp_replace(text, '[^\\x{{4e00}}-\\x{{9fff}}]', '', 'g')) > 0 THEN 'zh'
+             WHEN greatest({_sql_stopword_hits(tx.STOPWORDS_EN)}, {_sql_stopword_hits(tx.STOPWORDS_ES)},
+                           {_sql_stopword_hits(tx.STOPWORDS_DE)}, {_sql_stopword_hits(tx.STOPWORDS_FR)}) = 0 THEN 'unknown'
+             WHEN {_sql_stopword_hits(tx.STOPWORDS_EN)} = greatest({_sql_stopword_hits(tx.STOPWORDS_EN)}, {_sql_stopword_hits(tx.STOPWORDS_ES)}, {_sql_stopword_hits(tx.STOPWORDS_DE)}, {_sql_stopword_hits(tx.STOPWORDS_FR)}) THEN 'en'
+             WHEN {_sql_stopword_hits(tx.STOPWORDS_ES)} = greatest({_sql_stopword_hits(tx.STOPWORDS_EN)}, {_sql_stopword_hits(tx.STOPWORDS_ES)}, {_sql_stopword_hits(tx.STOPWORDS_DE)}, {_sql_stopword_hits(tx.STOPWORDS_FR)}) THEN 'es'
+             WHEN {_sql_stopword_hits(tx.STOPWORDS_DE)} = greatest({_sql_stopword_hits(tx.STOPWORDS_EN)}, {_sql_stopword_hits(tx.STOPWORDS_ES)}, {_sql_stopword_hits(tx.STOPWORDS_DE)}, {_sql_stopword_hits(tx.STOPWORDS_FR)}) THEN 'de'
+             ELSE 'fr'
+           END AS lang_pred
+    FROM documents
+    WHERE doc_id % 20 = 0
+    ORDER BY doc_id
+    """,
+)
+def docs_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic language ID (CJK char class, else stopword-set argmax)."""
+    d = load_tables(spark, sf_dir, ("documents",))["documents"].filter(F.col("doc_id") % 20 == 0)
+    return d.select("doc_id", "lang", tx.lang_id(F.col("text")).alias("lang_pred")).orderBy("doc_id")
+
+
+# ------------------------------------------------------------------ dedup
+
+
+@register(
+    "dedup_exact_docs",
+    f"""
+    SELECT md5({_SQL_NORM}) AS fingerprint,
+           MIN(doc_id) AS doc_id,
+           COUNT(*) AS n_copies
+    FROM documents
+    GROUP BY 1
+    ORDER BY fingerprint
+    """,
+)
+def dedup_exact_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup on the normalized-text md5 fingerprint; survivor =
+    min doc_id (deterministic, unlike dropDuplicates). One shuffle keyed
+    by digest — text itself never shuffles."""
+    d = load_tables(spark, sf_dir, ("documents",))["documents"]
+    return dd.exact_dedup_canonical(d).orderBy("fingerprint")
+
+
+@register(
+    "dedup_ngram_jaccard_pairs",
+    f"""
+    WITH grams AS (
+        SELECT doc_id AS id,
+               list_distinct(list_transform(
+                   range(0, greatest({_SQL_NTOK} - 2, 1)),
+                   i -> array_to_string(list_slice({_SQL_TOKS}, i + 1, i + 3), ' ')
+               )) AS g
+        FROM documents WHERE doc_id % 20 = 0
+    )
+    SELECT a.id AS id_a, b.id AS id_b,
+           CASE WHEN len(list_distinct(list_concat(a.g, b.g))) > 0
+                THEN CAST(len(list_intersect(a.g, b.g)) AS DOUBLE)
+                     / CAST(len(list_distinct(list_concat(a.g, b.g))) AS DOUBLE)
+                ELSE 0.0 END AS jaccard
+    FROM grams a JOIN grams b ON a.id < b.id
+    WHERE CASE WHEN len(list_distinct(list_concat(a.g, b.g))) > 0
+               THEN CAST(len(list_intersect(a.g, b.g)) AS DOUBLE)
+                    / CAST(len(list_distinct(list_concat(a.g, b.g))) AS DOUBLE)
+               ELSE 0.0 END >= 0.2
+    ORDER BY id_a, id_b
+    """,
+)
+def dedup_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact word-3-gram Jaccard pairs ≥ 0.2 on a doc subset — the
+    quadratic ground-truth dedup (the scale path is the LSH variant)."""
+    d = load_tables(spark, sf_dir, ("documents",))["documents"].filter(F.col("doc_id") % 20 == 0)
+    return dd.ngram_jaccard_pairs(d, n=3, threshold=0.2).orderBy("id_a", "id_b")
+
+
+@register("dedup_minhash_lsh_pairs", None)
+def dedup_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash LSH near-dup pairs (64 hashes, 16 bands, exact-Jaccard
+    verified ≥ 0.5). Non-SQL-expressible (engine-hash dependent);
+    precision/recall asserted against brute force in tests."""
+    d = load_tables(spark, sf_dir, ("documents",))["documents"]
+    return dd.minhash_lsh_pairs(d, threshold=0.5).orderBy("id_a", "id_b")
+
+
+@register("dedup_simhash_pairs", None)
+def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs (Hamming ≤ 3 over 64-bit signatures,
+    pigeonhole band blocking). Pandas-UDF signature computation."""
+    d = load_tables(spark, sf_dir, ("documents",))["documents"]
+    return dd.simhash_near_dup_pairs(d).orderBy("id_a", "id_b")
+
+
+# ------------------------------------------------------------- similarity
+
+
+@register(
+    "embedding_topk_bruteforce",
+    """
+    WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS q_vec
+               FROM embeddings WHERE vec_id % 100 = 0),
+         scored AS (
+           -- cosine computed explicitly in double (list_cosine_similarity
+           -- would run in float32 on a FLOAT[] column and drift)
+           SELECT q.query_id, e.vec_id AS cand_id,
+                  ROUND(
+                    CASE WHEN sqrt(list_dot_product(q.q_vec, q.q_vec))
+                              * sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[]))) > 0
+                         THEN list_dot_product(q.q_vec, CAST(e.embedding AS DOUBLE[]))
+                              / (sqrt(list_dot_product(q.q_vec, q.q_vec))
+                                 * sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[]))))
+                         ELSE 0.0 END, 4) AS cosine
+           FROM embeddings e JOIN q ON e.vec_id <> q.query_id
+         )
+    SELECT query_id, cand_id, cosine,
+           ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, cand_id) AS rank
+    FROM scored
+    QUALIFY rank <= 5
+    ORDER BY query_id, rank
+    """,
+)
+def embedding_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-5 for each query vector (vec_id % 100 == 0):
+    broadcast query side, JVM-side zip_with/aggregate dot products, then
+    per-query window top-k. Cosine rounded to 4 dp on both engines so
+    float-order noise cannot flip ranks differently."""
+    e = load_tables(spark, sf_dir, ("embeddings",))["embeddings"]
+    q = e.filter(F.col("vec_id") % 100 == 0).select(F.col("vec_id").alias("query_id"), F.col("embedding"))
+    out = sim.brute_force_topk(e, q, k=5, rounding=4)
+    return out.orderBy("query_id", "rank")
+
+
+@register("embedding_lsh_topk", None)
+def embedding_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed approximate top-k (random hyperplanes, multi-probe).
+    Approximate by construction -> no SQL oracle; recall vs brute force
+    asserted in tests."""
+    e = load_tables(spark, sf_dir, ("embeddings",))["embeddings"]
+    q = e.filter(F.col("vec_id") % 100 == 0).select(F.col("vec_id").alias("query_id"), F.col("embedding"))
+    return sim.lsh_bucket_topk(e, q, k=5).orderBy("query_id", "rank")
+
+
+@register("embedding_near_dup_pairs", None)
+def embedding_near_dup_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicates (signature blocking + exact
+    verification ≥ 0.95)."""
+    e = load_tables(spark, sf_dir, ("embeddings",))["embeddings"]
+    return sim.embedding_near_dup_pairs(e).orderBy("id_a", "id_b")
+
+
+# ------------------------------------------------------------- multimodal
+
+
+@register("multimodal_decode_features", None)
+def multimodal_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary media column -> Arrow-batched feature extraction
+    (mapInPandas). Decode itself is stubbed deterministically (no media
+    libs in this environment); the Spark plumbing is the real path."""
+    d = load_tables(spark, sf_dir, ("documents",))["documents"].filter(F.col("doc_id") % 20 == 0)
+    media = mm.attach_fake_media(d)
+    return mm.decode_media(media).orderBy("doc_id")

@@ -1,0 +1,172 @@
+"""Pipeline operator correctness beyond the SQL oracles: the approximate
+operators (MinHash LSH, SimHash, embedding LSH) are validated against
+brute-force ground truth computed on the small SF."""
+
+from __future__ import annotations
+
+import hashlib
+
+import pytest
+from pyspark.sql import functions as F
+
+from csv_query_engine_spark.io.readers import load_tables
+from csv_query_engine_spark.pipeline import dedup as dd
+from csv_query_engine_spark.pipeline import multimodal as mm
+from csv_query_engine_spark.pipeline import similarity as sim
+from csv_query_engine_spark.pipeline import text as tx
+from tests.conftest import SF_SMOKE
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return load_tables(spark, SF_SMOKE, ("documents",))["documents"]
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return load_tables(spark, SF_SMOKE, ("embeddings",))["embeddings"]
+
+
+# --------------------------------------------------------------- text ops
+
+
+def test_text_stats_basic(spark):
+    df = spark.createDataFrame([(1, "The cat and the dog!!"), (2, "")], "doc_id long, text string")
+    row = {r["doc_id"]: r for r in tx.with_text_stats(df).collect()}
+    assert row[1]["n_tokens"] == 5
+    assert row[1]["fingerprint"] == hashlib.md5(b"the cat and the dog").hexdigest()
+    assert 0.0 <= row[1]["quality_score"] <= 1.0
+    assert row[1]["lang_pred"] == "en"
+    assert row[2]["n_tokens"] == 1  # split('') -> [''] — documented edge
+
+
+def test_lang_id_rules(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "el perro y la casa en la calle"),
+            (3, "der Hund und die Katze auf dem Tisch ist"),
+            (4, "你好世界"),
+            (5, "zzz qqq xxx"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r["pred"] for r in df.select("doc_id", tx.lang_id(F.col("text")).alias("pred")).collect()}
+    assert got == {1: "en", 2: "es", 3: "de", 4: "zh", 5: "unknown"}
+
+
+# ------------------------------------------------------------------ dedup
+
+
+def test_exact_dedup_canonical(spark):
+    df = spark.createDataFrame(
+        [(1, "Hello World"), (2, "hello, world!"), (3, "different")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r["n_copies"] for r in dd.exact_dedup_canonical(df).collect()}
+    # normalization folds case/punct -> docs 1,2 are the same fingerprint
+    assert out == {1: 2, 3: 1}
+
+
+def _brute_force_jaccard_pairs(spark, docs, threshold):
+    pairs = dd.ngram_jaccard_pairs(docs, n=3, threshold=threshold)
+    return {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+
+
+def test_minhash_lsh_precision_and_recall(spark, docs):
+    subset = docs.filter(F.col("doc_id") % 5 == 0)  # 100 docs at sf0.001
+    truth_sets = (
+        subset.select(
+            F.col("doc_id").alias("id"), dd.char_shingles(F.col("text"), 5).alias("g")
+        )
+        .alias("a")
+        .join(
+            subset.select(F.col("doc_id").alias("id"), dd.char_shingles(F.col("text"), 5).alias("g")).alias("b"),
+            F.col("a.id") < F.col("b.id"),
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            dd.jaccard(F.col("a.g"), F.col("b.g")).alias("j"),
+        )
+        .filter(F.col("j") >= 0.5)
+    )
+    truth = {(r["id_a"], r["id_b"]) for r in truth_sets.collect()}
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in dd.minhash_lsh_pairs(subset, threshold=0.5).collect()
+    }
+    # verification step makes every emitted pair a true positive
+    assert got <= truth
+    # banded LSH @ (64 hashes, 16 bands) is near-total recall at j>=0.5
+    if truth:
+        assert len(got) / len(truth) >= 0.9
+
+
+def test_simhash_matches_python_reference(spark):
+    texts = ["the quick brown fox", "pack my box with five dozen jugs", "spark and duckdb"]
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)], "doc_id long, text string")
+    got = {
+        r["doc_id"]: r["sig"]
+        for r in df.select("doc_id", dd.simhash_column().alias("sig")).collect()
+    }
+    ref = dd._simhash64(texts)
+    for i in range(len(texts)):
+        assert got[i] == int(ref.iloc[i]), texts[i]
+
+
+def test_simhash_near_dup_finds_identical_docs(spark):
+    df = spark.createDataFrame(
+        [(1, "alpha beta gamma delta"), (2, "alpha beta gamma delta"), (3, "completely unrelated words here")],
+        "doc_id long, text string",
+    )
+    pairs = {(r["id_a"], r["id_b"]): r["hamming"] for r in dd.simhash_near_dup_pairs(df).collect()}
+    assert pairs.get((1, 2)) == 0
+    assert (1, 3) not in pairs and (2, 3) not in pairs
+
+
+# ------------------------------------------------------------- similarity
+
+
+def test_lsh_topk_finds_planted_neighbors(spark, emb):
+    # Uniform random vectors are LSH's worst case (all cosines ~equal),
+    # so recall is measured on PLANTED near-duplicates — the workload the
+    # operator exists for: queries are tiny perturbations of corpus
+    # vectors; the true nearest neighbor is the source vector.
+    q = (
+        emb.filter(F.col("vec_id") % 50 == 0)
+        .select(
+            (F.col("vec_id") + 1_000_000).alias("query_id"),
+            F.transform(F.col("embedding"), lambda x: x * F.lit(1.01) + F.lit(0.001)).alias("embedding"),
+        )
+    )
+    approx = sim.lsh_bucket_topk(emb, q, k=1)
+    hits = {r["query_id"] - 1_000_000: r["cand_id"] for r in approx.collect()}
+    planted = [r["vec_id"] for r in emb.filter(F.col("vec_id") % 50 == 0).select("vec_id").collect()]
+    found = sum(1 for v in planted if hits.get(v) == v)
+    assert found / len(planted) >= 0.9, f"planted-neighbor recall {found}/{len(planted)}"
+
+
+def test_cosine_self_similarity(spark, emb):
+    one = emb.limit(1).select(sim.cosine(F.col("embedding"), F.col("embedding")).alias("c"))
+    assert abs(one.collect()[0]["c"] - 1.0) < 1e-9
+
+
+# ------------------------------------------------------------- multimodal
+
+
+def test_multimodal_plumbing(spark, docs):
+    media = mm.attach_fake_media(docs.limit(20))
+    assert media.schema["media"].dataType.typeName() == "binary"
+    feats = mm.decode_media(media).collect()
+    assert len(feats) == 20
+    for r in feats:
+        assert r["n_bytes"] > 0
+        assert len(r["feature"]) == 8
+        assert abs(sum(r["feature"]) - 1.0) < 1e-3  # normalized histogram
+
+
+def test_multimodal_real_decode_is_stubbed(spark, docs):
+    media = mm.attach_fake_media(docs.limit(1))
+    with pytest.raises(NotImplementedError):
+        mm.decode_media(media, fake=False)
