@@ -1,4 +1,142 @@
-"""Streaming-analytics query registrations over the events table.
-Batch-equivalent forms registered with oracles; true streaming variants
-are exercised in tests/test_streaming.py.
+"""Streaming-analytics registrations: the BATCH twins of the streaming
+transforms in csv_query_engine_spark.streaming (identical window
+semantics, oracle-checkable in SQL). The stateful streaming execution
+path (watermarks, memory sink, availableNow) is exercised in
+tests/test_streaming.py against these same plans.
 """
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from csv_query_engine_spark.io.readers import load_tables
+from csv_query_engine_spark.queries import register
+from csv_query_engine_spark.queries.relational import exact_sum
+
+
+@register(
+    "events_hourly_counts",
+    """
+    SELECT CAST(time_bucket(INTERVAL '1 hour', ts) AS TIMESTAMP) AS window_start,
+           event_type,
+           COUNT(*) AS count,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+    FROM events
+    GROUP BY 1, 2
+    ORDER BY window_start, event_type
+    """,
+)
+def events_hourly_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour event-time windows (batch twin of
+    streaming.windowed_event_counts). Scale: partial agg per partition,
+    shuffle keyed by (window, type) — bounded output regardless of input."""
+    e = load_tables(spark, sf_dir, ("events",))["events"]
+    return (
+        e.groupBy(F.window("ts", "1 hour").alias("win"), "event_type")
+        .agg(F.count(F.lit(1)).alias("count"), exact_sum(F.col("value"), "sum_value"))
+        .select(F.col("win.start").alias("window_start"), "event_type", "count", "sum_value")
+        .orderBy("window_start", "event_type")
+    )
+
+
+@register(
+    "events_sliding_counts",
+    """
+    SELECT CAST(time_bucket(INTERVAL '30 minutes', ts) - o * INTERVAL '30 minutes' AS TIMESTAMP) AS window_start,
+           event_type,
+           COUNT(*) AS count
+    FROM events, UNNEST([0, 1]) AS t(o)
+    GROUP BY 1, 2
+    ORDER BY window_start, event_type
+    """,
+)
+def events_sliding_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding windows (1 hour length, 30 minute step): each event lands
+    in 2 windows. The oracle expresses the same thing by exploding the 2
+    candidate window starts per event."""
+    e = load_tables(spark, sf_dir, ("events",))["events"]
+    return (
+        e.groupBy(F.window("ts", "1 hour", "30 minutes").alias("win"), "event_type")
+        .agg(F.count(F.lit(1)).alias("count"))
+        .select(F.col("win.start").alias("window_start"), "event_type", "count")
+        .orderBy("window_start", "event_type")
+    )
+
+
+@register(
+    "events_sessionization",
+    """
+    WITH gaps AS (
+        SELECT user_id, ts,
+               CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                         > INTERVAL '30 minutes'
+                    OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                    THEN 1 ELSE 0 END AS new_session
+        FROM events
+    ),
+    sessions AS (
+        SELECT user_id, ts,
+               SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        FROM gaps
+    )
+    SELECT user_id,
+           CAST(MIN(ts) AS TIMESTAMP) AS session_start,
+           CAST(MAX(ts) + INTERVAL '30 minutes' AS TIMESTAMP) AS session_end,
+           COUNT(*) AS n_events
+    FROM sessions
+    GROUP BY user_id, session_id
+    ORDER BY user_id, session_start
+    """,
+)
+def events_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user session windows with a 30-minute inactivity gap (batch
+    F.session_window — same merge semantics the streaming path uses;
+    the oracle derives sessions with the classic lag-gap-cumsum idiom).
+    Session end = last event + gap, matching Spark's definition."""
+    e = load_tables(spark, sf_dir, ("events",))["events"]
+    return (
+        e.groupBy(F.session_window("ts", "30 minutes").alias("sw"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("sw.start").alias("session_start"),
+            F.col("sw.end").alias("session_end"),
+            "n_events",
+        )
+        .orderBy("user_id", "session_start")
+    )
+
+
+@register(
+    "events_user_activity_profile",
+    """
+    SELECT user_id,
+           COUNT(*) AS n_events,
+           COUNT(DISTINCT event_type) AS n_types,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value,
+           CAST(MIN(ts) AS TIMESTAMP) AS first_seen,
+           CAST(MAX(ts) AS TIMESTAMP) AS last_seen,
+           CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_purchases
+    FROM events
+    GROUP BY user_id
+    ORDER BY user_id
+    """,
+)
+def events_user_activity_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-entity activity rollup — the profile aggregation a streaming
+    pipeline materializes continuously; here the batch form."""
+    e = load_tables(spark, sf_dir, ("events",))["events"]
+    return (
+        e.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct("event_type").alias("n_types"),
+            exact_sum(F.col("value"), "total_value"),
+            F.min("ts").alias("first_seen"),
+            F.max("ts").alias("last_seen"),
+            F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0)).cast("bigint").alias("n_purchases"),
+        )
+        .orderBy("user_id")
+    )

@@ -1,0 +1,17 @@
+from csv_query_engine_spark.streaming.events import (
+    EVENTS_SCHEMA,
+    read_events_stream,
+    run_stream_to_memory,
+    sessionize_stream,
+    stream_dedup,
+    windowed_event_counts,
+)
+
+__all__ = [
+    "EVENTS_SCHEMA",
+    "read_events_stream",
+    "run_stream_to_memory",
+    "sessionize_stream",
+    "stream_dedup",
+    "windowed_event_counts",
+]

@@ -1,0 +1,114 @@
+"""Structured Streaming analytics over the events table (SURVEY.md §7
+phase 6 — the reference has zero streaming code, grep-verified
+SURVEY.md §1, so this is a net-new Spark-native extension).
+
+Design: streams are the same declarative plans as batch — watermarked
+event-time windows, session windows, and within-watermark dedup. Each
+streaming transform has a batch twin registered in queries/streaming_q.py
+with a DuckDB oracle (time_bucket / lag-gap sessionization), so the
+window *semantics* are oracle-checked even though the stateful execution
+path is exercised via the memory sink in tests.
+
+Scale: watermarks bound state; windowed aggregates shuffle on
+(window, key) with partial aggregation; dropDuplicatesWithinWatermark
+keeps only the watermark horizon in the state store.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+# events.parquet physical schema: ts is TIMESTAMP(NANOS) which Spark only
+# reads as long (see io.readers); the stream reader declares it long and
+# converts to a µs timestamp column immediately.
+EVENTS_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.LongType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
+def read_events_stream(spark: SparkSession, sf_dir: str, max_files_per_trigger: int | None = None) -> DataFrame:
+    """File-source stream over the events parquet (one file here; a
+    directory of arriving files in production — same plan)."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # The file source requires a directory; select just the events file
+    # out of the shared sf_dir with a glob filter.
+    reader = spark.readStream.schema(EVENTS_SCHEMA).option("pathGlobFilter", "events.parquet")
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    df = reader.parquet(sf_dir)
+    return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def windowed_event_counts(
+    events: DataFrame,
+    window: str = "1 hour",
+    slide: str | None = None,
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Watermarked tumbling/sliding event-time aggregation: count + value
+    sum per (window, event_type). Late data beyond the watermark is
+    dropped; state is bounded by watermark + window length."""
+    win = F.window("ts", window, slide) if slide else F.window("ts", window)
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(win.alias("win"), "event_type")
+        .agg(F.count(F.lit(1)).alias("count"), F.sum("value").alias("sum_value"))
+        .select(
+            F.col("win.start").alias("window_start"),
+            F.col("win.end").alias("window_end"),
+            "event_type",
+            "count",
+            "sum_value",
+        )
+    )
+
+
+def sessionize_stream(
+    events: DataFrame,
+    gap: str = "30 minutes",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Session windows per user: events within ``gap`` of each other
+    merge; a session closes when the watermark passes its end."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("sw"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"), F.sum("value").alias("sum_value"))
+        .select(
+            F.col("sw.start").alias("session_start"),
+            F.col("sw.end").alias("session_end"),
+            "user_id",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def stream_dedup(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
+    """Exactly-once event stream on event_id within the watermark horizon
+    (dropDuplicatesWithinWatermark keeps state only for the horizon —
+    unbounded-key dedup without unbounded state)."""
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(["event_id"])
+
+
+def run_stream_to_memory(stream_df: DataFrame, name: str, output_mode: str = "append") -> DataFrame:
+    """Drive a (file-backed) stream to completion synchronously via the
+    memory sink — the local test harness for streaming plans."""
+    q = (
+        stream_df.writeStream.outputMode(output_mode)
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return stream_df.sparkSession.sql(f"SELECT * FROM {name}")
