@@ -1,0 +1,75 @@
+#!/usr/bin/env python
+"""Benchmark harness: runs the engine's registered queries at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
+
+    {"metric": "...", "value": <total sec>, "unit": "sec",
+     "queries": {name: sec, ...}, "sf": 0.1}
+
+Each query is forced end-to-end with the noop sink (full computation,
+no driver collect bottleneck, all columns materialized).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from csv_query_engine_spark.queries import all_queries  # noqa: E402
+from csv_query_engine_spark.session import get_spark  # noqa: E402
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+# Headline set: every registered query. Override with BENCH_QUERIES=a,b,c.
+_only = os.environ.get("BENCH_QUERIES")
+ONLY = set(_only.split(",")) if _only else None
+
+
+def _sf_from_dir(d: str) -> float:
+    base = os.path.basename(d.rstrip("/"))
+    try:
+        return float(base.replace("sf", ""))
+    except ValueError:
+        return -1.0
+
+
+def main() -> None:
+    spark = get_spark(app_name="csv_query_engine_bench")
+    queries = all_queries()
+
+    # JVM/codegen warmup on the flagship query (untimed).
+    queries["flagship_region_nation_revenue"](spark, SF_DIR).write.mode("overwrite").format("noop").save()
+
+    timings: dict[str, float] = {}
+    for name, fn in sorted(queries.items()):
+        if ONLY is not None and name not in ONLY:
+            continue
+        start = time.perf_counter()
+        try:
+            df = fn(spark, SF_DIR)
+            df.write.mode("overwrite").format("noop").save()
+            timings[name] = round(time.perf_counter() - start, 3)
+        except Exception as exc:  # a failing query must not hide the rest
+            timings[name] = -1.0
+            print(f"BENCH ERROR {name}: {exc}", file=sys.stderr)
+
+    total = round(sum(t for t in timings.values() if t >= 0), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "engine_query_suite_sec",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": _sf_from_dir(SF_DIR),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

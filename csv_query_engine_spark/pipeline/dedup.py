@@ -26,6 +26,17 @@ from pyspark.sql import types as T
 
 from csv_query_engine_spark.pipeline.text import fingerprint, normalize_text, tokens
 
+def _spread(df: DataFrame) -> DataFrame:
+    """Repartition to the session's default parallelism before
+    compute-heavy per-row stages. A small parquet input arrives as ONE
+    partition (one task — measured 50s single-core for the sf0.1 shingle
+    stage); compute parallelism must not be inherited from scan layout.
+    At cluster scale this is a cheap round-robin of input rows, dwarfed
+    by the per-row work it parallelizes."""
+    sc = df.sparkSession.sparkContext
+    return df.repartition(sc.defaultParallelism)
+
+
 # --------------------------------------------------------------- exact
 
 
@@ -88,7 +99,7 @@ def ngram_jaccard_pairs(
     """All-pairs exact n-gram Jaccard ≥ threshold. QUADRATIC — meant for
     bounded candidate sets (a pre-filtered bucket, a sampled audit), not
     the full corpus; the corpus-scale path is :func:`minhash_lsh_pairs`."""
-    grams = df.select(F.col(id_col).alias("id"), token_ngrams(F.col(text_col), n).alias("grams"))
+    grams = _spread(df).select(F.col(id_col).alias("id"), token_ngrams(F.col(text_col), n).alias("grams"))
     a = grams.select(F.col("id").alias("id_a"), F.col("grams").alias("grams_a"))
     b = grams.select(F.col("id").alias("id_b"), F.col("grams").alias("grams_b"))
     return (
@@ -112,7 +123,7 @@ def minhash_signatures(
     shingle). Entirely JVM-side; one aggregation, no explode of the hash
     dimension (the K mins are K agg expressions over one exploded
     shingle stream)."""
-    sh = df.select(
+    sh = _spread(df).select(
         F.col(id_col).alias("id"),
         F.explode(char_shingles(F.col(text_col), shingle_k)).alias("sh"),
     )
@@ -162,7 +173,7 @@ def minhash_lsh_pairs(
         .distinct()
     )
 
-    grams = df.select(F.col(id_col).alias("gid"), char_shingles(F.col(text_col), shingle_k).alias("grams"))
+    grams = _spread(df).select(F.col(id_col).alias("gid"), char_shingles(F.col(text_col), shingle_k).alias("grams"))
     return (
         cand.join(grams.withColumnRenamed("gid", "id_a").withColumnRenamed("grams", "grams_a"), "id_a")
         .join(grams.withColumnRenamed("gid", "id_b").withColumnRenamed("grams", "grams_b"), "id_b")
@@ -253,7 +264,7 @@ def simhash_near_dup_pairs(
     within Hamming ≤ 3 must agree exactly on ≥1 band (pigeonhole), so a
     band-equality join finds all of them without the quadratic compare.
     """
-    sigs = df.select(F.col(id_col).alias("id"), simhash_column().alias("sig"))
+    sigs = _spread(df).select(F.col(id_col).alias("id"), simhash_column().alias("sig"))
     bands = sigs.select(
         "id",
         "sig",

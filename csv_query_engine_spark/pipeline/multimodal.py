@@ -93,4 +93,6 @@ def decode_media(df: DataFrame, id_col: str = "doc_id", fake: bool = True, featu
                 }
             )
 
-    return df.select(id_col, "media").mapInPandas(_decode, schema=FEATURE_SCHEMA)
+    # spread: decode parallelism must not inherit a single-file scan layout
+    spread = df.select(id_col, "media").repartition(df.sparkSession.sparkContext.defaultParallelism)
+    return spread.mapInPandas(_decode, schema=FEATURE_SCHEMA)

@@ -22,6 +22,13 @@ from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 
+def _spread(df: DataFrame) -> DataFrame:
+    """Decouple compute parallelism from scan layout (a single parquet
+    file scans as one partition; the per-row vector math must fan out)."""
+    sc = df.sparkSession.sparkContext
+    return df.repartition(sc.defaultParallelism)
+
+
 def dot(u: Column, v: Column) -> Column:
     """Dot product of two float arrays via zip_with + aggregate (left
     fold in index order — deterministic)."""
@@ -58,7 +65,7 @@ def brute_force_topk(
     corpus partitions against the full query set; the only shuffle is the
     per-query top-k, bounded by Q×k rows after partial TakeOrdered."""
     q = queries.select(F.col(query_id_col).alias("query_id"), F.col(vec_col).alias("q_vec"))
-    c = embeddings.select(F.col(id_col).alias("cand_id"), F.col(vec_col).alias("c_vec"))
+    c = _spread(embeddings).select(F.col(id_col).alias("cand_id"), F.col(vec_col).alias("c_vec"))
     score = cosine(F.col("q_vec"), F.col("c_vec"))
     if rounding is not None:
         # Round before ranking so sub-ulp float-order noise cannot flip
@@ -118,7 +125,7 @@ def lsh_bucket_topk(
     the query's signature (multi-probe raises recall without touching
     more than (1 + n_planes) buckets per query)."""
     planes = _hyperplanes(n_planes, dim)
-    c = embeddings.select(
+    c = _spread(embeddings).select(
         F.col(id_col).alias("cand_id"),
         F.col(vec_col).alias("c_vec"),
         signature_column(F.col(vec_col), planes).alias("c_sig"),
@@ -159,7 +166,7 @@ def embedding_near_dup_pairs(
     (near-identical vectors collide with high probability), exact cosine
     verification inside buckets."""
     planes = _hyperplanes(n_planes, dim)
-    sigs = embeddings.select(
+    sigs = _spread(embeddings).select(
         F.col(id_col).alias("id"),
         F.col(vec_col).alias("vec"),
         signature_column(F.col(vec_col), planes).alias("sig"),

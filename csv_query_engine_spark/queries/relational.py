@@ -248,16 +248,21 @@ def rollup_flag_status(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "cube_region_status",
     """
-    SELECT n_regionkey, o_orderstatus, COUNT(*) AS count
+    SELECT CAST(COALESCE(n_regionkey, -1) AS BIGINT) AS regionkey,
+           COALESCE(o_orderstatus, '<ALL>') AS orderstatus,
+           COUNT(*) AS count
     FROM orders o
     JOIN customer c ON o.o_custkey = c.c_custkey
     JOIN nation n ON c.c_nationkey = n.n_nationkey
     GROUP BY CUBE (n_regionkey, o_orderstatus)
-    ORDER BY n_regionkey NULLS FIRST, o_orderstatus NULLS FIRST
+    ORDER BY regionkey, orderstatus
     """,
 )
 def cube_region_status(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """CUBE over a join (Tier B grouping sets + broadcast dim join)."""
+    """CUBE over a join (Tier B grouping sets + broadcast dim join).
+    Subtotal-row NULL keys are coalesced to sentinels (-1 / '<ALL>') on
+    BOTH sides so the int key stays non-null (pandas would upcast a
+    nullable int64 grouping column to float64 and drift the value repr)."""
     t = load_tables(spark, sf_dir, ("orders", "customer", "nation"))
     joined = (
         t["orders"]
@@ -267,10 +272,12 @@ def cube_region_status(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         joined.cube("n_regionkey", "o_orderstatus")
         .agg(F.count(F.lit(1)).alias("count"))
-        .orderBy(
-            F.col("n_regionkey").asc_nulls_first(),
-            F.col("o_orderstatus").asc_nulls_first(),
+        .select(
+            F.coalesce(F.col("n_regionkey"), F.lit(-1)).cast("bigint").alias("regionkey"),
+            F.coalesce(F.col("o_orderstatus"), F.lit("<ALL>")).alias("orderstatus"),
+            "count",
         )
+        .orderBy("regionkey", "orderstatus")
     )
 
 
@@ -533,10 +540,10 @@ def topk_parts_per_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
     "window_lag_order_gaps",
     """
     SELECT o_custkey AS custkey, o_orderkey AS orderkey,
-           CAST(DATEDIFF('day',
+           CAST(COALESCE(DATEDIFF('day',
                 LAG(o_orderdate) OVER (PARTITION BY o_custkey
                                        ORDER BY o_orderdate, o_orderkey),
-                o_orderdate) AS BIGINT) AS days_since_prev
+                o_orderdate), -1) AS BIGINT) AS days_since_prev
     FROM orders
     WHERE o_custkey % 50 = 0
     ORDER BY custkey, orderkey
@@ -549,7 +556,11 @@ def window_lag_order_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         o.withColumn(
             "days_since_prev",
-            F.datediff(F.col("o_orderdate"), F.lag("o_orderdate").over(w)).cast("bigint"),
+            # COALESCE(-1) keeps the column non-null so neither side's
+            # pandas materialization upcasts BIGINT -> float64 (repr drift).
+            F.coalesce(
+                F.datediff(F.col("o_orderdate"), F.lag("o_orderdate").over(w)), F.lit(-1)
+            ).cast("bigint"),
         )
         .select(
             F.col("o_custkey").alias("custkey"),
