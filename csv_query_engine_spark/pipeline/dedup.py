@@ -63,20 +63,33 @@ def exact_dedup_canonical(df: DataFrame, text_col: str = "text", id_col: str = "
 
 def char_shingles(col: Column, k: int = 5) -> Column:
     """Distinct character k-grams of the normalized text (array<string>).
-    Pure built-ins: sequence + transform + substring, codegen'd."""
-    s = normalize_text(col)
-    n = F.greatest(F.length(s) - F.lit(k - 1), F.lit(1))
-    return F.array_distinct(F.transform(F.sequence(F.lit(1), n), lambda i: F.substring(s, i, k)))
+    Pure built-ins: sequence + transform + substring, codegen'd.
+
+    PERF: only pass a *materialized plain column* (pre-normalized via a
+    prior ``select``). Passing an expression tree inlines it into every
+    lambda element — measured 17× slower at sf0.1 because the regex
+    normalization re-ran once per shingle position. Use
+    :func:`shingled` for the safe two-step form."""
+    n = F.greatest(F.length(col) - F.lit(k - 1), F.lit(1))
+    return F.array_distinct(F.transform(F.sequence(F.lit(1), n), lambda i: F.substring(col, i, k)))
 
 
-def token_ngrams(col: Column, n: int = 3) -> Column:
-    """Distinct word n-grams (array<string>) of the normalized text."""
-    t = tokens(col)
-    cnt = F.greatest(F.size(t) - F.lit(n - 1), F.lit(1))
+def shingled(df: DataFrame, id_col: str, text_col: str, k: int = 5) -> DataFrame:
+    """(id, grams) with normalization materialized BEFORE shingling so
+    the regex runs once per row, not once per shingle position."""
+    norm = _spread(df).select(F.col(id_col).alias("id"), normalize_text(F.col(text_col)).alias("_s"))
+    return norm.select("id", char_shingles(F.col("_s"), k).alias("grams"))
+
+
+def token_ngrams(tok_col: Column, n: int = 3) -> Column:
+    """Distinct word n-grams (array<string>) from a *materialized* token
+    array column (same inlining hazard as :func:`char_shingles`: passing
+    the tokenizer expression would re-run it per n-gram position)."""
+    cnt = F.greatest(F.size(tok_col) - F.lit(n - 1), F.lit(1))
     return F.array_distinct(
         F.transform(
             F.sequence(F.lit(0), cnt - 1),
-            lambda i: F.concat_ws(" ", F.slice(t, i + 1, n)),
+            lambda i: F.concat_ws(" ", F.slice(tok_col, i + 1, n)),
         )
     )
 
@@ -99,7 +112,11 @@ def ngram_jaccard_pairs(
     """All-pairs exact n-gram Jaccard ≥ threshold. QUADRATIC — meant for
     bounded candidate sets (a pre-filtered bucket, a sampled audit), not
     the full corpus; the corpus-scale path is :func:`minhash_lsh_pairs`."""
-    grams = _spread(df).select(F.col(id_col).alias("id"), token_ngrams(F.col(text_col), n).alias("grams"))
+    grams = (
+        _spread(df)
+        .select(F.col(id_col).alias("id"), tokens(F.col(text_col)).alias("_toks"))
+        .select("id", token_ngrams(F.col("_toks"), n).alias("grams"))
+    )
     a = grams.select(F.col("id").alias("id_a"), F.col("grams").alias("grams_a"))
     b = grams.select(F.col("id").alias("id_b"), F.col("grams").alias("grams_b"))
     return (
@@ -112,6 +129,51 @@ def ngram_jaccard_pairs(
 # ------------------------------------------------------------ MinHash LSH
 
 
+def _in_bucket_pairs(ids: Column) -> Column:
+    """All i<j element pairs of a sorted array, as array<struct<id_a,id_b>>
+    (the in-bucket candidate enumeration for LSH blocking)."""
+    return F.flatten(
+        F.transform(
+            ids,
+            lambda x, i: F.transform(
+                F.slice(ids, i + F.lit(2), F.size(ids)),
+                lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
+            ),
+        )
+    )
+
+
+def minhash_with_grams(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 64,
+    shingle_k: int = 5,
+) -> DataFrame:
+    """(id, grams, sig): K minhash values per doc computed ENTIRELY
+    map-side — no explode, no shuffle. Each shingle gets one base
+    xxhash64(string); the j-th hash function is xxhash64(j, base) over
+    longs (cheap JVM rehash, no 64× string hashing); the K mins are
+    per-row ``array_min(transform(...))``.
+
+    vs the explode + groupBy(id) + 64-min-aggs formulation: that
+    shuffles |docs|×|shingles| rows and recomputes everything per
+    consumer branch; this is a pure projection Catalyst can pipeline.
+    """
+    base = shingled(df, id_col, text_col, shingle_k).select(
+        "id",
+        "grams",
+        F.transform("grams", lambda g: F.xxhash64(g)).alias("hashes"),
+    )
+    def _nth_hash(j: int):
+        # closure factory: a default-arg lambda would change the lambda's
+        # arity and make pyspark pass the element INDEX as the second arg
+        return lambda h: F.xxhash64(F.lit(j), h)
+
+    sig = F.array(*[F.array_min(F.transform("hashes", _nth_hash(j))) for j in range(num_hashes)])
+    return base.select("id", "grams", "hashes", sig.alias("sig"))
+
+
 def minhash_signatures(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -119,17 +181,8 @@ def minhash_signatures(
     num_hashes: int = 64,
     shingle_k: int = 5,
 ) -> DataFrame:
-    """K minhash values per doc: min over shingles of xxhash64(seed_j,
-    shingle). Entirely JVM-side; one aggregation, no explode of the hash
-    dimension (the K mins are K agg expressions over one exploded
-    shingle stream)."""
-    sh = _spread(df).select(
-        F.col(id_col).alias("id"),
-        F.explode(char_shingles(F.col(text_col), shingle_k)).alias("sh"),
-    )
-    aggs = [F.min(F.xxhash64(F.lit(j), F.col("sh"))).alias(f"h{j}") for j in range(num_hashes)]
-    sig = sh.groupBy("id").agg(*aggs)
-    return sig.select("id", F.array(*[F.col(f"h{j}") for j in range(num_hashes)]).alias("sig"))
+    """(id, sig) minhash signatures — see :func:`minhash_with_grams`."""
+    return minhash_with_grams(df, id_col, text_col, num_hashes, shingle_k).select("id", "sig")
 
 
 def minhash_lsh_pairs(
@@ -165,18 +218,35 @@ def minhash_lsh_pairs(
         ).alias("be"),
     ).select("id", F.col("be.band").alias("band"), F.col("be.bucket").alias("bucket"))
 
+    # Candidate pairs by grouping each (band, bucket) and enumerating
+    # in-bucket combinations — ONE aggregation instead of a self-join
+    # (a self-join evaluates the whole signature subtree twice). Bucket
+    # membership lists are bounded by design (an LSH bucket holding a
+    # large fraction of the corpus means the banding is mis-tuned, and
+    # the quadratic pair list — not its collect_list — is the problem).
     cand = (
-        band_entries.alias("x")
-        .join(band_entries.alias("y"), ["band", "bucket"])
-        .filter(F.col("x.id") < F.col("y.id"))
-        .select(F.col("x.id").alias("id_a"), F.col("y.id").alias("id_b"))
+        band_entries.groupBy("band", "bucket")
+        .agg(F.sort_array(F.collect_list("id")).alias("ids"))
+        .filter(F.size("ids") > 1)
+        .select(F.explode(_in_bucket_pairs(F.col("ids"))).alias("p"))
+        .select(F.col("p.id_a"), F.col("p.id_b"))
         .distinct()
     )
 
-    grams = _spread(df).select(F.col(id_col).alias("gid"), char_shingles(F.col(text_col), shingle_k).alias("grams"))
+    # _spread(cand): AQE coalesces the candidate shuffle to ~1 partition
+    # (231k two-long rows are a few MB), which would serialize the exact-
+    # Jaccard verification — by far the heaviest per-row stage. Round-
+    # robin the cheap id pairs BEFORE the joins attach the arrays.
+    #
+    # Verification runs on the HASHED shingle arrays (array<long>), not
+    # the strings: long intersect/union is several× cheaper, and a
+    # 64-bit collision inflating an intersection needs ~|A|·|B|/2^64 ≈
+    # 5e-15 odds at 300-shingle docs — numerically irrelevant.
+    grams = minhash_with_grams(df, id_col, text_col, num_hashes, shingle_k).select("id", "hashes")
     return (
-        cand.join(grams.withColumnRenamed("gid", "id_a").withColumnRenamed("grams", "grams_a"), "id_a")
-        .join(grams.withColumnRenamed("gid", "id_b").withColumnRenamed("grams", "grams_b"), "id_b")
+        _spread(cand)
+        .join(grams.select(F.col("id").alias("id_a"), F.col("hashes").alias("grams_a")), "id_a")
+        .join(grams.select(F.col("id").alias("id_b"), F.col("hashes").alias("grams_b")), "id_b")
         .select("id_a", "id_b", jaccard(F.col("grams_a"), F.col("grams_b")).alias("jaccard"))
         .filter(F.col("jaccard") >= threshold)
     )
@@ -200,19 +270,20 @@ def _simhash64(texts) -> "pd.Series":  # noqa: F821 - pandas imported lazily
     import numpy as np
     import pandas as pd
 
+    shifts = np.arange(64, dtype=np.uint64)
     out = np.zeros(len(texts), dtype=np.int64)
     for row, text in enumerate(texts):
         if not text:
             continue
-        counts = np.zeros(64, dtype=np.int64)
-        for tok in str(text).split():
-            h = int.from_bytes(hashlib.md5(tok.encode()).digest()[:8], "big")
-            for bit in range(64):
-                counts[bit] += 1 if (h >> bit) & 1 else -1
-        sig = 0
-        for bit in range(64):
-            if counts[bit] > 0:
-                sig |= 1 << bit
+        hs = np.fromiter(
+            (int.from_bytes(hashlib.md5(tok.encode()).digest()[:8], "big") for tok in str(text).split()),
+            dtype=np.uint64,
+        )
+        if hs.size == 0:
+            continue
+        # bit-position majority vote, vectorized: tokens × 64 bit lanes
+        ones = ((hs[:, None] >> shifts) & np.uint64(1)).sum(axis=0)
+        sig = int(((ones * 2 > hs.size).astype(np.uint64) << shifts).sum(dtype=np.uint64))
         # two's-complement into int64
         out[row] = sig - (1 << 64) if sig >= (1 << 63) else sig
     return pd.Series(out)
@@ -234,19 +305,19 @@ def simhash_column() -> Column:
         import pandas as pd
 
         texts = s.fillna("")
+        shifts = np.arange(64, dtype=np.uint64)
         out = np.zeros(len(texts), dtype=np.int64)
         for row, text in enumerate(texts):
             if not text:
                 continue
-            counts = np.zeros(64, dtype=np.int64)
-            for tok in str(text).split():
-                h = int.from_bytes(hashlib.md5(tok.encode()).digest()[:8], "big")
-                for bit in range(64):
-                    counts[bit] += 1 if (h >> bit) & 1 else -1
-            sig = 0
-            for bit in range(64):
-                if counts[bit] > 0:
-                    sig |= 1 << bit
+            hs = np.fromiter(
+                (int.from_bytes(hashlib.md5(tok.encode()).digest()[:8], "big") for tok in str(text).split()),
+                dtype=np.uint64,
+            )
+            if hs.size == 0:
+                continue
+            ones = ((hs[:, None] >> shifts) & np.uint64(1)).sum(axis=0)
+            sig = int(((ones * 2 > hs.size).astype(np.uint64) << shifts).sum(dtype=np.uint64))
             out[row] = sig - (1 << 64) if sig >= (1 << 63) else sig
         return pd.Series(out)
 
@@ -276,12 +347,30 @@ def simhash_near_dup_pairs(
         ).alias("be"),
     ).select("id", "sig", F.col("be.band").alias("band"), F.col("be.bucket").alias("bucket"))
 
-    hamming = F.bit_count(F.col("x.sig").bitwiseXOR(F.col("y.sig")))
-    return (
-        bands.alias("x")
-        .join(bands.alias("y"), ["band", "bucket"])
-        .filter(F.col("x.id") < F.col("y.id"))
-        .select(F.col("x.id").alias("id_a"), F.col("y.id").alias("id_b"), hamming.alias("hamming"))
-        .distinct()
-        .filter(F.col("hamming") <= max_hamming)
+    # In-bucket pair enumeration via one aggregation, carrying (id, sig)
+    # structs so Hamming verification needs NO join back to the
+    # signatures (a self-join would run the pandas-UDF signature stage
+    # twice AND shuffle it twice).
+    members = (
+        bands.groupBy("band", "bucket")
+        .agg(F.sort_array(F.collect_list(F.struct("id", "sig"))).alias("ms"))
+        .filter(F.size("ms") > 1)
     )
+    pairs = members.select(
+        F.explode(
+            F.flatten(
+                F.transform(
+                    F.col("ms"),
+                    lambda x, i: F.transform(
+                        F.slice(F.col("ms"), i + F.lit(2), F.size(F.col("ms"))),
+                        lambda y: F.struct(
+                            x["id"].alias("id_a"),
+                            y["id"].alias("id_b"),
+                            F.bit_count(x["sig"].bitwiseXOR(y["sig"])).alias("hamming"),
+                        ),
+                    ),
+                )
+            )
+        ).alias("p")
+    ).select("p.id_a", "p.id_b", "p.hamming")
+    return pairs.distinct().filter(F.col("hamming") <= max_hamming)

@@ -47,6 +47,11 @@ def _load() -> None:
     if _LOADED:
         return
     # Import for side effect: each module registers its queries.
-    from csv_query_engine_spark.queries import pipeline_q, relational, streaming_q  # noqa: F401
+    from csv_query_engine_spark.queries import (  # noqa: F401
+        pipeline_q,
+        relational,
+        streaming_q,
+        temporal_q,
+    )
 
     _LOADED = True

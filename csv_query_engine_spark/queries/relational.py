@@ -926,3 +926,39 @@ def correlated_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_above_brand_avg"))
         .orderBy("brand")
     )
+
+
+@register(
+    "percentiles_extprice_by_flag",
+    """
+    SELECT l_returnflag AS flag,
+           ROUND(quantile_cont(l_extendedprice, 0.5), 4) AS p50,
+           ROUND(quantile_cont(l_extendedprice, 0.9), 4) AS p90,
+           COUNT(*) AS count
+    FROM lineitem
+    GROUP BY flag
+    ORDER BY flag
+    """,
+)
+def percentiles_extprice_by_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact continuous percentiles (median / p90) per return flag
+    (Tier B aggregations row — ordered-set aggregates). Spark's
+    ``percentile`` and DuckDB's ``quantile_cont`` both use linear
+    interpolation (R type-7); outputs rounded to 4 decimals on both
+    sides to absorb last-ulp drift.
+
+    Scale: exact percentile needs the per-group value multiset — fine
+    for low-cardinality groups (3 flags); at high group counts switch to
+    ``approx_percentile`` (t-digest, mergeable map-side) — approx values
+    are engine-specific, hence not oracle-paired here.
+    """
+    li = load_tables(spark, sf_dir, ("lineitem",))["lineitem"]
+    return (
+        li.groupBy(F.col("l_returnflag").alias("flag"))
+        .agg(
+            F.round(F.expr("percentile(l_extendedprice, 0.5)"), 4).alias("p50"),
+            F.round(F.expr("percentile(l_extendedprice, 0.9)"), 4).alias("p90"),
+            F.count(F.lit(1)).alias("count"),
+        )
+        .orderBy("flag")
+    )

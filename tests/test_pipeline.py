@@ -75,13 +75,11 @@ def _brute_force_jaccard_pairs(spark, docs, threshold):
 
 def test_minhash_lsh_precision_and_recall(spark, docs):
     subset = docs.filter(F.col("doc_id") % 5 == 0)  # 100 docs at sf0.001
+    grams = dd.shingled(subset, "doc_id", "text", 5).withColumnRenamed("grams", "g")
     truth_sets = (
-        subset.select(
-            F.col("doc_id").alias("id"), dd.char_shingles(F.col("text"), 5).alias("g")
-        )
-        .alias("a")
+        grams.alias("a")
         .join(
-            subset.select(F.col("doc_id").alias("id"), dd.char_shingles(F.col("text"), 5).alias("g")).alias("b"),
+            grams.alias("b"),
             F.col("a.id") < F.col("b.id"),
         )
         .select(

@@ -1,0 +1,73 @@
+"""Unit semantics for the temporal join operators (ties, unmatched rows,
+inner vs left) on tiny inline frames; the oracle sweep covers scale."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from csv_query_engine_spark.operators.temporal import asof_join, range_join_banded
+
+
+def _ts(s: str) -> dt.datetime:
+    return dt.datetime.fromisoformat(s)
+
+
+def _frames(spark):
+    left = spark.createDataFrame(
+        [
+            (1, 10, _ts("2024-01-05 00:00:00")),  # after both orders
+            (2, 10, _ts("2024-01-02 00:00:00")),  # exactly at order B's time
+            (3, 10, _ts("2023-12-31 00:00:00")),  # before every order
+            (4, 20, _ts("2024-06-01 00:00:00")),  # key with no orders
+        ],
+        "event_id long, user_id long, ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [
+            (10, _ts("2024-01-01 00:00:00"), 100, 11.0),
+            (10, _ts("2024-01-02 00:00:00"), 200, 22.0),
+            (10, _ts("2024-01-02 00:00:00"), 201, 23.0),  # tie on ts
+        ],
+        "user_id long, o_date timestamp, okey long, price double",
+    )
+    return left, right
+
+
+def test_asof_inner_picks_latest_and_breaks_ties(spark):
+    left, right = _frames(spark)
+    out = asof_join(
+        left, right, on="user_id", left_ts="ts", right_ts="o_date",
+        value_cols=["okey", "price"], tiebreak_cols=["okey"], how="inner",
+    )
+    rows = {r.event_id: (r.okey, r.price) for r in out.collect()}
+    # event 1: latest order at-or-before is the ts-tie pair -> greatest okey wins
+    assert rows[1] == (201, 23.0)
+    # event 2: order at exactly ts qualifies (<= semantics), tie -> 201
+    assert rows[2] == (201, 23.0)
+    # events 3 (too early) and 4 (no key) dropped under inner
+    assert set(rows) == {1, 2}
+
+
+def test_asof_left_keeps_unmatched_with_nulls(spark):
+    left, right = _frames(spark)
+    out = asof_join(
+        left, right, on="user_id", left_ts="ts", right_ts="o_date",
+        value_cols=["okey"], tiebreak_cols=["okey"], how="left",
+    )
+    rows = {r.event_id: r.okey for r in out.collect()}
+    assert rows[3] is None and rows[4] is None and rows[1] == 201
+    assert len(rows) == 4
+
+
+def test_range_join_banded_half_open_interval(spark):
+    left, right = _frames(spark)
+    out = range_join_banded(
+        left, right, on="user_id", left_ts="ts",
+        right_start="o_date", right_end_expr="o_date + INTERVAL 4 DAYS",
+    )
+    pairs = {(r.event_id, r.okey) for r in out.select("event_id", "okey").collect()}
+    # event 1 (Jan 5): inside [Jan 1, Jan 5) is FALSE (half-open), inside
+    # [Jan 2, Jan 6) for both tie orders.
+    assert pairs == {(1, 200), (1, 201), (2, 100), (2, 200), (2, 201)}
