@@ -956,9 +956,16 @@ def percentiles_extprice_by_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         li.groupBy(F.col("l_returnflag").alias("flag"))
         .agg(
-            F.round(F.expr("percentile(l_extendedprice, 0.5)"), 4).alias("p50"),
-            F.round(F.expr("percentile(l_extendedprice, 0.9)"), 4).alias("p90"),
+            # one ordered-set pass for both quantiles (array form), not
+            # two independent sorts of the per-group multiset
+            F.expr("percentile(l_extendedprice, array(0.5, 0.9))").alias("_q"),
             F.count(F.lit(1)).alias("count"),
+        )
+        .select(
+            "flag",
+            F.round(F.col("_q")[0], 4).alias("p50"),
+            F.round(F.col("_q")[1], 4).alias("p90"),
+            "count",
         )
         .orderBy("flag")
     )
