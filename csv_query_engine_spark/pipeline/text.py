@@ -133,3 +133,38 @@ def with_text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
         lang_id(c).alias("lang_pred"),
         fingerprint(c).alias("fingerprint"),
     )
+
+
+def tfidf_top_terms(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    top_k: int = 5,
+) -> DataFrame:
+    """Top-K terms per document by tf·idf (idf = ln(N/df), round 6).
+
+    Scale: term frequencies are one shuffle on (doc, term); document
+    frequencies one shuffle on term (bounded by vocabulary size, with
+    map-side partial aggregation absorbing the stopword skew); the
+    corpus size N joins in as a broadcast scalar — no driver collect,
+    no global window.
+    """
+    from pyspark.sql import Window as W
+
+    toks = df.select(F.col(id_col).alias("id"), tokens(F.col(text_col)).alias("_toks"))
+    terms = toks.select("id", F.explode("_toks").alias("term")).filter(F.col("term") != "")
+    tf = terms.groupBy("id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("dfq"))
+    n_docs = df.select(F.count(F.lit(1)).alias("n_docs"))
+    w = W.partitionBy("id").orderBy(F.desc("tfidf"), "term")
+    return (
+        tf.join(dfreq, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn(
+            "tfidf",
+            F.round(F.col("tf") * F.log(F.col("n_docs").cast("double") / F.col("dfq").cast("double")), 6),
+        )
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= top_k)
+        .select(F.col("id").alias(id_col), "term", "tfidf", "rank")
+    )

@@ -282,3 +282,43 @@ def multimodal_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_tables(spark, sf_dir, ("documents",))["documents"].filter(F.col("doc_id") % 20 == 0)
     media = mm.attach_fake_media(d)
     return mm.decode_media(media).orderBy("doc_id")
+
+
+@register(
+    "docs_tfidf_top_terms",
+    f"""
+    WITH docs AS (
+        SELECT doc_id, {_SQL_TOKS} AS toks FROM documents WHERE doc_id % 10 = 0
+    ),
+    terms AS (
+        SELECT doc_id, unnest(toks) AS term FROM docs
+    ),
+    tf AS (
+        SELECT doc_id, term, COUNT(*) AS tf FROM terms WHERE term <> '' GROUP BY doc_id, term
+    ),
+    dfreq AS (
+        SELECT term, COUNT(*) AS dfq FROM tf GROUP BY term
+    ),
+    n AS (SELECT COUNT(*) AS n_docs FROM docs),
+    scored AS (
+        SELECT tf.doc_id, tf.term,
+               ROUND(tf.tf * ln(CAST(n.n_docs AS DOUBLE) / CAST(dfreq.dfq AS DOUBLE)), 6) AS tfidf
+        FROM tf, n
+        JOIN dfreq ON tf.term = dfreq.term
+    ),
+    ranked AS (
+        SELECT doc_id, term, tfidf,
+               ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term) AS rank
+        FROM scored
+    )
+    SELECT doc_id, term, tfidf, rank FROM ranked WHERE rank <= 5
+    ORDER BY doc_id, rank
+    """,
+)
+def docs_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 tf·idf terms per document (subset-gated): the classic
+    keyword-extraction / relevance primitive of a text pipeline.
+    idf = ln(N/df) computed identically (libm log over doubles) in both
+    engines; tfidf rounded to 6 before ranking so ordering is stable."""
+    d = load_tables(spark, sf_dir, ("documents",))["documents"].filter(F.col("doc_id") % 10 == 0)
+    return tx.tfidf_top_terms(d, top_k=5).orderBy("doc_id", "rank")

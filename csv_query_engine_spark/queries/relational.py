@@ -969,3 +969,39 @@ def percentiles_extprice_by_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("flag")
     )
+
+
+@register(
+    "window_rank_lead_quartile",
+    """
+    SELECT o_orderkey AS orderkey,
+           o_orderpriority AS priority,
+           DENSE_RANK() OVER w AS rnk,
+           NTILE(4) OVER w AS quartile,
+           CAST(COALESCE(LEAD(o_orderkey) OVER w, -1) AS BIGINT) AS next_orderkey,
+           FIRST_VALUE(o_orderkey) OVER w AS top_orderkey
+    FROM orders
+    WHERE o_custkey % 100 = 0
+    WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice DESC, o_orderkey)
+    ORDER BY priority, rnk, orderkey
+    """,
+)
+def window_rank_lead_quartile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dense_rank + ntile + lead + first_value over one window (Tier B
+    windows row). The ordering is made total (totalprice desc, orderkey)
+    so rank/ntile/lead agree across engines; LEAD at the partition edge
+    is coalesced to -1 to keep the BIGINT column non-null (pandas
+    upcast-to-float repr drift)."""
+    o = load_tables(spark, sf_dir, ("orders",))["orders"].filter(F.col("o_custkey") % 100 == 0)
+    w = W.partitionBy("o_orderpriority").orderBy(F.desc("o_totalprice"), "o_orderkey")
+    return (
+        o.select(
+            F.col("o_orderkey").alias("orderkey"),
+            F.col("o_orderpriority").alias("priority"),
+            F.dense_rank().over(w).alias("rnk"),
+            F.ntile(4).over(w).alias("quartile"),
+            F.coalesce(F.lead("o_orderkey").over(w), F.lit(-1)).cast("bigint").alias("next_orderkey"),
+            F.first("o_orderkey").over(w).alias("top_orderkey"),
+        )
+        .orderBy("priority", "rnk", "orderkey")
+    )
