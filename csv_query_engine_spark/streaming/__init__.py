@@ -2,6 +2,7 @@ from csv_query_engine_spark.streaming.events import (
     EVENTS_SCHEMA,
     read_events_stream,
     run_stream_to_memory,
+    running_user_totals,
     sessionize_stream,
     stream_dedup,
     windowed_event_counts,
@@ -11,6 +12,7 @@ __all__ = [
     "EVENTS_SCHEMA",
     "read_events_stream",
     "run_stream_to_memory",
+    "running_user_totals",
     "sessionize_stream",
     "stream_dedup",
     "windowed_event_counts",

@@ -100,6 +100,64 @@ def stream_dedup(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
     return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(["event_id"])
 
 
+def running_user_totals(events: DataFrame) -> DataFrame:
+    """Custom stateful operator via ``applyInPandasWithState``: per-user
+    running totals maintained across micro-batches (the batch twin —
+    oracle-checked — is queries/streaming_q.events_user_activity_profile).
+
+    Semantics: for every user seen in a micro-batch, update persistent
+    state (event count, value sum, batches-seen) and emit the new
+    running totals. This is the shape built-in windowed aggs cannot
+    express: arbitrary per-key state transition logic in Python, Arrow-
+    batched per group.
+
+    Scale: state lives in the state store keyed by user_id (shuffled
+    once per micro-batch on the grouping key); per-key state is O(1)
+    here so the store is bounded by the live-key cardinality, not the
+    stream length. The UDF body is self-contained so cloudpickle ships
+    it by value (workers cannot import this package).
+    """
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    out_schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType()),
+            T.StructField("n_events", T.LongType()),
+            T.StructField("total_value", T.DoubleType()),
+            T.StructField("n_batches", T.LongType()),
+        ]
+    )
+    state_schema = T.StructType(
+        [
+            T.StructField("n", T.LongType()),
+            T.StructField("total", T.DoubleType()),
+            T.StructField("batches", T.LongType()),
+        ]
+    )
+
+    def update(key, pdfs, state):
+        import pandas as pd
+
+        n, total, batches = state.get if state.exists else (0, 0.0, 0)
+        for pdf in pdfs:
+            n += len(pdf)
+            total += float(pdf["value"].fillna(0.0).sum())
+        batches += 1
+        state.update((n, total, batches))
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "n_events": [n],
+                "total_value": [total],
+                "n_batches": [batches],
+            }
+        )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        update, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
+    )
+
+
 def run_stream_to_memory(stream_df: DataFrame, name: str, output_mode: str = "append") -> DataFrame:
     """Drive a (file-backed) stream to completion synchronously via the
     memory sink — the local test harness for streaming plans."""

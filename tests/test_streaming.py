@@ -70,3 +70,43 @@ def test_stream_dedup_within_watermark(spark, tmp_path):
     n = out.count()
     n_distinct = out.select("event_id").distinct().count()
     assert n == n_distinct == 200
+
+
+def test_stateful_running_totals_across_batches(spark, tmp_path):
+    from csv_query_engine_spark.streaming import running_user_totals
+
+    # Two files -> with maxFilesPerTrigger=1 the state must carry the
+    # first batch's totals into the second.
+    src = spark.read.parquet(f"{SF_SMOKE}/events.parquet").limit(300)
+    half_a = src.filter(F.col("event_id") % 2 == 0)
+    half_b = src.filter(F.col("event_id") % 2 == 1)
+    d = str(tmp_path / "staged_events")
+    half_a.coalesce(1).write.mode("overwrite").parquet(d)
+    half_b.coalesce(1).write.mode("append").parquet(d)
+
+    stream = (
+        spark.readStream.schema(src.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(d)
+        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    )
+    out = run_stream_to_memory(running_user_totals(stream), "running_totals", output_mode="update")
+
+    # The memory sink accumulates every update; the LAST row per user is
+    # the final running total and must equal the batch aggregate.
+    rows = out.collect()
+    final = {}
+    for r in rows:  # memory sink preserves batch order
+        final[r["user_id"]] = r
+    batch = {
+        r["user_id"]: (r["n"], r["tot"])
+        for r in src.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("tot"))
+        .collect()
+    }
+    assert set(final) == set(batch)
+    for uid, r in final.items():
+        assert r["n_events"] == batch[uid][0]
+        assert abs(r["total_value"] - (batch[uid][1] or 0.0)) < 1e-9
+    # at least one user must have been updated in two separate batches
+    assert any(r["n_batches"] == 2 for r in final.values())
