@@ -322,3 +322,13 @@ def docs_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     engines; tfidf rounded to 6 before ranking so ordering is stable."""
     d = load_tables(spark, sf_dir, ("documents",))["documents"].filter(F.col("doc_id") % 10 == 0)
     return tx.tfidf_top_terms(d, top_k=5).orderBy("doc_id", "rank")
+
+
+@register("embedding_ivf_topk", None)
+def embedding_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF approximate top-k (learned centroids, nprobe cell probing,
+    exact in-cell rescoring). Approximate by construction -> no SQL
+    oracle; planted-neighbor recall asserted in tests."""
+    e = load_tables(spark, sf_dir, ("embeddings",))["embeddings"]
+    q = e.filter(F.col("vec_id") % 100 == 0).select(F.col("vec_id").alias("query_id"), F.col("embedding"))
+    return sim.ivf_topk(e, q, k=5).orderBy("query_id", "rank")

@@ -168,3 +168,20 @@ def test_multimodal_real_decode_is_stubbed(spark, docs):
     media = mm.attach_fake_media(docs.limit(1))
     with pytest.raises(NotImplementedError):
         mm.decode_media(media, fake=False)
+
+
+def test_ivf_topk_finds_planted_neighbors(spark, emb):
+    # Same planted-neighbor protocol as the LSH test: queries are tiny
+    # perturbations of corpus vectors; the source vector must surface.
+    q = (
+        emb.filter(F.col("vec_id") % 50 == 0)
+        .select(
+            (F.col("vec_id") + 1_000_000).alias("query_id"),
+            F.transform(F.col("embedding"), lambda x: x * F.lit(1.01) + F.lit(0.001)).alias("embedding"),
+        )
+    )
+    approx = sim.ivf_topk(emb, q, k=1, n_centroids=16, nprobe=3)
+    hits = {r["query_id"] - 1_000_000: r["cand_id"] for r in approx.collect()}
+    planted = [r["vec_id"] for r in emb.filter(F.col("vec_id") % 50 == 0).select("vec_id").collect()]
+    found = sum(1 for v in planted if hits.get(v) == v)
+    assert found / len(planted) >= 0.9, f"planted-neighbor recall {found}/{len(planted)}"
