@@ -1,0 +1,78 @@
+"""Physical-plan property tests: the scale-critical plan shapes
+(pushdown, column pruning, broadcast joins, partial aggregation) are
+asserted, not assumed — a regression that silently turns a broadcast
+join into a shuffle join or widens a pruned scan fails here long before
+it becomes a 100 TB incident."""
+
+from __future__ import annotations
+
+import contextlib
+import io
+import re
+
+from csv_query_engine_spark.queries import all_queries
+from tests.conftest import SF_SMOKE
+
+
+def _plan(spark, name: str) -> str:
+    df = all_queries()[name](spark, SF_SMOKE)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def _scan_block(plan: str, table: str) -> str:
+    """The formatted-explain node block for one parquet scan."""
+    blocks = re.split(r"\n\(\d+\) ", plan)
+    for b in blocks:
+        if f"{table}.parquet" in b:
+            return b
+    raise AssertionError(f"no parquet scan of {table} in plan:\n{plan}")
+
+
+def test_flagship_pushdown_pruning_broadcast(spark):
+    plan = _plan(spark, "flagship_region_nation_revenue")
+    # dimension joins broadcast, fact joins shuffle
+    assert "BroadcastHashJoin" in plan
+    # the date range reaches the orders parquet scan as a pushed filter
+    orders = _scan_block(plan, "orders")
+    assert "GreaterThanOrEqual(o_orderdate" in orders and "LessThan(o_orderdate" in orders
+    # the region equality reaches the region scan
+    region = _scan_block(plan, "region")
+    assert "EqualTo(r_name,ASIA)" in region
+    # lineitem scan is pruned to exactly the referenced columns
+    li = _scan_block(plan, "lineitem")
+    m = re.search(r"ReadSchema: struct<([^>]*)>", li)
+    cols = {c.split(":")[0] for c in m.group(1).split(",")}
+    assert cols == {"l_orderkey", "l_extendedprice", "l_discount"}
+
+
+def test_q1_partial_aggregation_and_pruning(spark):
+    plan = _plan(spark, "q1_pricing_summary")
+    # partial (map-side) + final HashAggregate pair around one exchange
+    assert plan.count("HashAggregate") >= 2
+    li = _scan_block(plan, "lineitem")
+    assert "LessThanOrEqual(l_shipdate" in li
+    # only the 7 referenced columns are read (of 11)
+    m = re.search(r"ReadSchema: struct<([^>]*)>", li)
+    assert len(m.group(1).split(",")) == 7
+
+
+def test_semi_join_stays_semi(spark):
+    plan = _plan(spark, "semi_join_customers_with_urgent")
+    assert "LeftSemi" in plan
+
+
+def test_small_dim_join_broadcasts(spark):
+    plan = _plan(spark, "q5_local_supplier_volume")
+    assert "BroadcastHashJoin" in plan
+
+
+def test_predicate_pushdown_in_like_between(spark):
+    plan = _plan(spark, "predicates_in_like_between")
+    orders = _scan_block(plan, "orders")
+    # IN, prefix-LIKE and BETWEEN bounds all reach the parquet scan
+    assert "In(o_orderstatus" in orders
+    assert "StringStartsWith(o_orderpriority" in orders
+    assert "GreaterThanOrEqual(o_totalprice" in orders and "LessThanOrEqual(o_totalprice" in orders

@@ -1,0 +1,68 @@
+"""Skew/co-location tools: salted join correctness and the no-exchange
+property of bucketed joins."""
+
+from __future__ import annotations
+
+import contextlib
+import io
+
+from pyspark.sql import functions as F
+
+from csv_query_engine_spark.operators.skew import (
+    read_bucketed_table,
+    salted_join,
+    write_bucketed,
+)
+
+
+def test_salted_join_matches_plain_join(spark):
+    left = spark.range(0, 10_000).select(
+        (F.col("id") % 5).alias("k"), F.col("id").alias("v")
+    )  # heavy 5-key skew
+    right = spark.createDataFrame([(i, f"r{i}") for i in range(5)], "k long, name string")
+    got = salted_join(left, right, "k", salt=4)
+    plain = left.join(right, "k")
+    assert got.count() == plain.count() == 10_000
+    g = {(r["k"], r["v"], r["name"]) for r in got.collect()}
+    p = {(r["k"], r["v"], r["name"]) for r in plain.collect()}
+    assert g == p
+
+
+def test_salted_left_join_keeps_unmatched(spark):
+    left = spark.createDataFrame([(1, "a"), (99, "b")], "k long, v string")
+    right = spark.createDataFrame([(1, "x")], "k long, name string")
+    rows = {r["k"]: r["name"] for r in salted_join(left, right, "k", how="left", salt=3).collect()}
+    assert rows == {1: "x", 99: None}
+
+
+def test_bucketed_join_has_no_shuffle(spark, tmp_path):
+    orders = spark.range(0, 5_000).select(
+        F.col("id").alias("o_key"), (F.col("id") % 7).alias("v")
+    )
+    lines = spark.range(0, 20_000).select(
+        (F.col("id") % 5_000).alias("o_key"), F.col("id").alias("line")
+    )
+    write_bucketed(orders, "t_orders_b", "o_key", 8, str(tmp_path / "ob"))
+    write_bucketed(lines, "t_lines_b", "o_key", 8, str(tmp_path / "lb"))
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        # disable auto-broadcast: these test tables are tiny, so Catalyst
+        # would broadcast and skip the bucketed path we're asserting
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        joined = read_bucketed_table(spark, "t_orders_b").join(
+            read_bucketed_table(spark, "t_lines_b"), "o_key"
+        )
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            joined.explain("formatted")
+        plan = buf.getvalue()
+        # both sides' bucketed scans satisfy the join's partitioning
+        # requirement -> sort-merge join with NO shuffle exchange
+        assert "SortMergeJoin" in plan, plan
+        assert "Exchange hashpartitioning" not in plan, plan
+        assert "Bucketed: true" in plan, plan
+        assert joined.count() == 20_000
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS t_orders_b")
+        spark.sql("DROP TABLE IF EXISTS t_lines_b")
