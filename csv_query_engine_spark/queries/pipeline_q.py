@@ -332,3 +332,55 @@ def embedding_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_tables(spark, sf_dir, ("embeddings",))["embeddings"]
     q = e.filter(F.col("vec_id") % 100 == 0).select(F.col("vec_id").alias("query_id"), F.col("embedding"))
     return sim.ivf_topk(e, q, k=5).orderBy("query_id", "rank")
+
+
+@register(
+    "docs_udtf_sentences",
+    """
+    SELECT doc_id,
+           CAST(u.idx AS INT) AS sentence_idx,
+           u.s AS sentence
+    FROM (
+        SELECT doc_id,
+               unnest(list_transform(regexp_split_to_array(text, '[.!?]+[ ]*'),
+                      (p, i) -> struct_pack(idx := i, s := trim(p)))) AS u
+        FROM documents WHERE doc_id % 50 = 0
+    )
+    WHERE u.s <> ''
+    ORDER BY doc_id, sentence_idx
+    """,
+)
+def docs_udtf_sentences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF (table function) coverage — SURVEY §2 Tier B UDF/UDTF
+    row: one input document row expands to N (sentence_idx, sentence)
+    rows via a lateral join. The UDTF body is self-contained so
+    cloudpickle ships it by value; the oracle reproduces the same split
+    with regexp_split_to_array + generate_series (1-based raw-part
+    indices, empty parts skipped on both sides).
+
+    Scale: UDTFs run Arrow-batched per partition like any Python worker
+    stage; the expansion is map-side (no shuffle) — the downstream sort
+    here exists only for the deterministic compare."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="sentence_idx int, sentence string")
+    class SplitSentences:
+        def eval(self, text: str):
+            import re as _re
+
+            parts = _re.split(r"[.!?]+[ ]*", text or "")
+            for i, p in enumerate(parts, 1):
+                p = p.strip()
+                if p:
+                    yield (i, p)
+
+    d = load_tables(spark, sf_dir, ("documents",))["documents"].filter(F.col("doc_id") % 50 == 0)
+    d.createOrReplaceTempView("_udtf_docs")
+    spark.udtf.register("split_sentences", SplitSentences)
+    return spark.sql(
+        """
+        SELECT d.doc_id, s.sentence_idx, s.sentence
+        FROM _udtf_docs d, LATERAL split_sentences(d.text) s
+        ORDER BY d.doc_id, s.sentence_idx
+        """
+    )
