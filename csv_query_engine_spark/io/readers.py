@@ -123,3 +123,9 @@ def _normalize_nanos(df: DataFrame) -> DataFrame:
                 # roundtrip would lose sub-µs exactness.
                 df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     return df
+
+
+def read_orc(spark: SparkSession, path: str) -> DataFrame:
+    """Columnar ORC source (same vectorized reader + pushdown class as
+    parquet; reference exposes only CSV — SURVEY.md §2 Tier B sources)."""
+    return spark.read.orc(path)

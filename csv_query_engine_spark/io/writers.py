@@ -36,3 +36,10 @@ def rows_json(df: DataFrame, limit: int | None = 200) -> list[dict]:
     if limit is not None:
         df = df.limit(limit)
     return [row.asDict(recursive=True) for row in df.collect()]
+
+
+def write_orc(df: DataFrame, path: str, mode: str = "overwrite", partition_by: list[str] | None = None) -> None:
+    w = df.write.mode(mode)
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.orc(path)

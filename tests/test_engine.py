@@ -103,3 +103,15 @@ def test_collapse_noop_when_unique(spark):
     out, collapsed = collapse_if_duplicated(df)
     assert not collapsed
     assert out.count() == 5
+
+
+def test_orc_roundtrip(spark, tmp_path):
+    from csv_query_engine_spark.io.readers import read_orc
+    from csv_query_engine_spark.io.writers import write_orc
+
+    src = spark.createDataFrame([(1, "a"), (2, "b")], "id long, s string")
+    p = str(tmp_path / "t.orc")
+    write_orc(src, p)
+    back = read_orc(spark, p)
+    assert back.schema == src.schema
+    assert {(r["id"], r["s"]) for r in back.collect()} == {(1, "a"), (2, "b")}
