@@ -224,10 +224,15 @@ def minhash_lsh_pairs(
     # membership lists are bounded by design (an LSH bucket holding a
     # large fraction of the corpus means the banding is mis-tuned, and
     # the quadratic pair list — not its collect_list — is the problem).
+    # _spread before pair enumeration: the bucket lists are few MB, so
+    # AQE coalesces the agg output to ~1 partition and the combination
+    # explode (quadratic in bucket size) would run serially.
     cand = (
-        band_entries.groupBy("band", "bucket")
-        .agg(F.sort_array(F.collect_list("id")).alias("ids"))
-        .filter(F.size("ids") > 1)
+        _spread(
+            band_entries.groupBy("band", "bucket")
+            .agg(F.sort_array(F.collect_list("id")).alias("ids"))
+            .filter(F.size("ids") > 1)
+        )
         .select(F.explode(_in_bucket_pairs(F.col("ids"))).alias("p"))
         .select(F.col("p.id_a"), F.col("p.id_b"))
         .distinct()
@@ -351,7 +356,7 @@ def simhash_near_dup_pairs(
     # structs so Hamming verification needs NO join back to the
     # signatures (a self-join would run the pandas-UDF signature stage
     # twice AND shuffle it twice).
-    members = (
+    members = _spread(
         bands.groupBy("band", "bucket")
         .agg(F.sort_array(F.collect_list(F.struct("id", "sig"))).alias("ms"))
         .filter(F.size("ms") > 1)
