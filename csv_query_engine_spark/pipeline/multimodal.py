@@ -96,3 +96,115 @@ def decode_media(df: DataFrame, id_col: str = "doc_id", fake: bool = True, featu
     # spread: decode parallelism must not inherit a single-file scan layout
     spread = df.select(id_col, "media").repartition(df.sparkSession.sparkContext.defaultParallelism)
     return spread.mapInPandas(_decode, schema=FEATURE_SCHEMA)
+
+
+RESIZED_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("media", T.BinaryType()),
+        T.StructField("meta", MEDIA_META_SCHEMA),
+    ]
+)
+
+FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("frame_idx", T.IntegerType()),
+        T.StructField("frame", T.BinaryType()),
+        T.StructField("n_bytes", T.LongType()),
+    ]
+)
+
+
+def resize_media(
+    df: DataFrame,
+    width: int,
+    height: int,
+    id_col: str = "doc_id",
+    fake: bool = True,
+) -> DataFrame:
+    """Resize pass over binary media (mapInPandas, same shape as a real
+    PIL/libvips stage). ``fake=True`` deterministically re-samples the
+    byte stream to width×height bytes (stride sampling — the plumbing
+    twin of pixel resampling) and rewrites the metadata struct;
+    ``fake=False`` is the real-codec path, stubbed in this environment.
+    """
+    if not fake:
+        raise NotImplementedError(
+            "Real resizing requires image libraries not present in this "
+            "environment; use fake=True for the deterministic stub."
+        )
+    target = int(width) * int(height)
+
+    def _resize(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            out_media, metas = [], []
+            for blob in pdf["media"]:
+                arr = np.frombuffer(bytes(blob), dtype=np.uint8) if blob is not None else np.array([], np.uint8)
+                if arr.size == 0:
+                    res = np.zeros(target, dtype=np.uint8)
+                else:
+                    idx = (np.arange(target, dtype=np.float64) * arr.size / target).astype(np.int64)
+                    res = arr[np.minimum(idx, arr.size - 1)]
+                out_media.append(res.tobytes())
+                metas.append(
+                    {"format": "fake/resized", "width": width, "height": height, "n_bytes": target}
+                )
+            yield pd.DataFrame(
+                {"doc_id": pdf[id_col].astype("int64"), "media": out_media, "meta": metas}
+            )
+
+    spread = df.select(id_col, "media").repartition(df.sparkSession.sparkContext.defaultParallelism)
+    return spread.mapInPandas(_resize, schema=RESIZED_SCHEMA)
+
+
+def sample_frames(
+    df: DataFrame,
+    frame_bytes: int = 256,
+    every_n: int = 4,
+    id_col: str = "doc_id",
+    fake: bool = True,
+) -> DataFrame:
+    """Frame sampling over binary video (1 row -> N frame rows via
+    mapInPandas — the expansion shape an ffmpeg keyframe extractor
+    produces). ``fake=True`` treats the blob as consecutive
+    ``frame_bytes``-sized frames and keeps every ``every_n``-th.
+
+    Scale: expansion is map-side; downstream per-frame work inherits
+    the spread partitioning, and frame rows carry (doc_id, frame_idx)
+    so a later groupBy(doc_id) re-collects without data loss.
+    """
+    if not fake:
+        raise NotImplementedError(
+            "Real frame extraction requires video libraries not present in "
+            "this environment; use fake=True for the deterministic stub."
+        )
+
+    def _frames(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            ids, idxs, frames, sizes = [], [], [], []
+            for doc_id, blob in zip(pdf[id_col], pdf["media"]):
+                data = bytes(blob) if blob is not None else b""
+                n_frames = max(len(data) // frame_bytes, 0)
+                for fi in range(0, n_frames, every_n):
+                    chunk = data[fi * frame_bytes : (fi + 1) * frame_bytes]
+                    ids.append(int(doc_id))
+                    idxs.append(fi)
+                    frames.append(chunk)
+                    sizes.append(len(chunk))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype="int64"),
+                    "frame_idx": pd.Series(idxs, dtype="int32"),
+                    "frame": frames,
+                    "n_bytes": pd.Series(sizes, dtype="int64"),
+                }
+            )
+
+    spread = df.select(id_col, "media").repartition(df.sparkSession.sparkContext.defaultParallelism)
+    return spread.mapInPandas(_frames, schema=FRAME_SCHEMA)

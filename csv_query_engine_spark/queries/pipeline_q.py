@@ -384,3 +384,14 @@ def docs_udtf_sentences(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY d.doc_id, s.sentence_idx
         """
     )
+
+
+@register("multimodal_frame_sample", None)
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video-style frame sampling plumbing (1 row -> N frame rows,
+    mapInPandas). Binary column derived deterministically from the
+    documents table; real codec stubbed (environment has no media
+    libs)."""
+    d = load_tables(spark, sf_dir, ("documents",))["documents"].filter(F.col("doc_id") % 20 == 0)
+    media = mm.attach_fake_media(d)
+    return mm.sample_frames(media, frame_bytes=64, every_n=2).drop("frame").orderBy("doc_id", "frame_idx")

@@ -185,3 +185,29 @@ def test_ivf_topk_finds_planted_neighbors(spark, emb):
     planted = [r["vec_id"] for r in emb.filter(F.col("vec_id") % 50 == 0).select("vec_id").collect()]
     found = sum(1 for v in planted if hits.get(v) == v)
     assert found / len(planted) >= 0.9, f"planted-neighbor recall {found}/{len(planted)}"
+
+
+def test_multimodal_resize_plumbing(spark, docs):
+    media = mm.attach_fake_media(docs.limit(10))
+    out = mm.resize_media(media, width=8, height=4).collect()
+    assert len(out) == 10
+    for r in out:
+        assert r["meta"]["width"] == 8 and r["meta"]["height"] == 4
+        assert len(r["media"]) == 32  # width*height bytes exactly
+    with pytest.raises(NotImplementedError):
+        mm.resize_media(media, 8, 4, fake=False)
+
+
+def test_multimodal_frame_sampling(spark, docs):
+    media = mm.attach_fake_media(docs.limit(5))
+    frames = mm.sample_frames(media, frame_bytes=64, every_n=2).collect()
+    assert frames, "documents are long enough to hold at least one 64B frame"
+    by_doc = {}
+    for r in frames:
+        by_doc.setdefault(r["doc_id"], []).append(r["frame_idx"])
+        assert 0 < r["n_bytes"] <= 64
+    for idxs in by_doc.values():
+        assert idxs == sorted(idxs)
+        assert all(i % 2 == 0 for i in idxs)  # every_n=2 keeps even frames
+    with pytest.raises(NotImplementedError):
+        mm.sample_frames(media, fake=False)
