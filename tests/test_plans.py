@@ -76,3 +76,13 @@ def test_predicate_pushdown_in_like_between(spark):
     assert "In(o_orderstatus" in orders
     assert "StringStartsWith(o_orderpriority" in orders
     assert "GreaterThanOrEqual(o_totalprice" in orders and "LessThanOrEqual(o_totalprice" in orders
+
+
+def test_asof_join_is_single_shuffle_no_join_operator(spark):
+    # the union-sort as-of strategy: NO join node (no quadratic pair
+    # space), exactly one hash shuffle on the key (plus the final
+    # presentation sort's range partitioning)
+    plan = _plan(spark, "asof_join_last_order_before_event")
+    assert "Join" not in plan, plan
+    assert plan.count("hashpartitioning(user_id") == 1, plan
+    assert "Window" in plan and "Union" in plan
