@@ -1005,3 +1005,117 @@ def window_rank_lead_quartile(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("priority", "rnk", "orderkey")
     )
+
+
+def _passthrough(spark: SparkSession, sf_dir: str, tables: tuple, sql: str) -> DataFrame:
+    """Tier B pass-through execution path: register temp views, gate the
+    SQL through the engine's validator (token + parsed-plan checks —
+    nlsql/validator.py), then spark.sql. The same route engine.QueryEngine
+    .sql() takes, exercised by the driver contract."""
+    from csv_query_engine_spark.nlsql.validator import validate_sql
+
+    t = load_tables(spark, sf_dir, tables)
+    for name, df in t.items():
+        df.createOrReplaceTempView(name)
+    return spark.sql(validate_sql(sql, spark=spark))
+
+
+@register(
+    "groupingsets_priority_status",
+    """
+    SELECT COALESCE(o_orderpriority, '<ALL>') AS priority,
+           COALESCE(o_orderstatus, '<ALL>') AS status,
+           COUNT(*) AS count
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus), ())
+    ORDER BY priority, status
+    """,
+)
+def groupingsets_priority_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS through the validated SQL pass-through
+    (Tier B grouping sets row; rollup/cube cover the DataFrame forms).
+    NULL set markers coalesced to sentinels on both sides."""
+    return _passthrough(
+        spark,
+        sf_dir,
+        ("orders",),
+        """
+        SELECT COALESCE(o_orderpriority, '<ALL>') AS priority,
+               COALESCE(o_orderstatus, '<ALL>') AS status,
+               COUNT(*) AS count
+        FROM orders
+        GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus), ())
+        ORDER BY priority, status
+        """,
+    )
+
+
+@register(
+    "exists_customers_with_open_high_value",
+    """
+    SELECT c.c_mktsegment AS segment, COUNT(*) AS n_customers
+    FROM customer c
+    WHERE EXISTS (
+        SELECT 1 FROM orders o
+        WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'O' AND o.o_totalprice > 150000
+    )
+    AND NOT EXISTS (
+        SELECT 1 FROM orders o2
+        WHERE o2.o_custkey = c.c_custkey AND o2.o_orderstatus = 'F' AND o2.o_totalprice < 5000
+    )
+    GROUP BY segment
+    ORDER BY segment
+    """,
+)
+def exists_customers_with_open_high_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated EXISTS / NOT EXISTS through the validated pass-through —
+    Catalyst decorrelates to semi/anti joins (the plan the DataFrame
+    semi/anti queries build explicitly)."""
+    return _passthrough(
+        spark,
+        sf_dir,
+        ("customer", "orders"),
+        """
+        SELECT c.c_mktsegment AS segment, COUNT(*) AS n_customers
+        FROM customer c
+        WHERE EXISTS (
+            SELECT 1 FROM orders o
+            WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'O' AND o.o_totalprice > 150000
+        )
+        AND NOT EXISTS (
+            SELECT 1 FROM orders o2
+            WHERE o2.o_custkey = c.c_custkey AND o2.o_orderstatus = 'F' AND o2.o_totalprice < 5000
+        )
+        GROUP BY segment
+        ORDER BY segment
+        """,
+    )
+
+
+@register(
+    "array_funcs_embeddings",
+    """
+    SELECT vec_id,
+           len(embedding) AS dim,
+           ROUND(CAST(embedding[1] AS DOUBLE), 6) AS first_val,
+           ROUND(CAST(list_max(embedding) AS DOUBLE), 6) AS max_val,
+           ROUND(CAST(list_sum(list_transform(list_slice(embedding, 1, 8),
+                 x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) AS DOUBLE), 6) AS head_energy
+    FROM embeddings
+    WHERE vec_id % 200 = 0
+    ORDER BY vec_id
+    """,
+)
+def array_funcs_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array-function surface over the embeddings column (Tier B scalar
+    functions row: size/element_at/array_max/slice/transform/aggregate).
+    Per-element float->double casts ordered identically on both sides."""
+    e = load_tables(spark, sf_dir, ("embeddings",))["embeddings"].filter(F.col("vec_id") % 200 == 0)
+    head_sq = F.transform(F.slice("embedding", 1, 8), lambda x: x.cast("double") * x.cast("double"))
+    return e.select(
+        "vec_id",
+        F.size("embedding").alias("dim"),
+        F.round(F.element_at("embedding", 1).cast("double"), 6).alias("first_val"),
+        F.round(F.array_max("embedding").cast("double"), 6).alias("max_val"),
+        F.round(F.aggregate(head_sq, F.lit(0.0), lambda a, x: a + x), 6).alias("head_energy"),
+    ).orderBy("vec_id")
