@@ -1,5 +1,6 @@
 from csv_query_engine_spark.streaming.events import (
     EVENTS_SCHEMA,
+    enrich_with_dim,
     read_events_stream,
     run_stream_to_memory,
     running_user_totals,
@@ -10,6 +11,7 @@ from csv_query_engine_spark.streaming.events import (
 
 __all__ = [
     "EVENTS_SCHEMA",
+    "enrich_with_dim",
     "read_events_stream",
     "run_stream_to_memory",
     "running_user_totals",

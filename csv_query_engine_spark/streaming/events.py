@@ -170,3 +170,14 @@ def run_stream_to_memory(stream_df: DataFrame, name: str, output_mode: str = "ap
     )
     q.awaitTermination()
     return stream_df.sparkSession.sql(f"SELECT * FROM {name}")
+
+
+def enrich_with_dim(stream: DataFrame, dim: DataFrame, on: str, how: str = "left") -> DataFrame:
+    """Stream-static dimension enrichment: each micro-batch joins against
+    the static side, broadcast per batch (no stream-side state).
+
+    Scale: the canonical pattern for attaching slowly-changing dimension
+    attributes to an event stream — keep the dim broadcast-sized or
+    pre-bucket both sides on the key; AQE does not replan streams, so
+    the static side's size discipline is the operator's contract."""
+    return stream.join(F.broadcast(dim), on, how)

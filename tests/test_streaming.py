@@ -110,3 +110,27 @@ def test_stateful_running_totals_across_batches(spark, tmp_path):
         assert abs(r["total_value"] - (batch[uid][1] or 0.0)) < 1e-9
     # at least one user must have been updated in two separate batches
     assert any(r["n_batches"] == 2 for r in final.values())
+
+
+def test_stream_static_dim_enrichment(spark):
+    from csv_query_engine_spark.streaming import enrich_with_dim
+
+    stream = read_events_stream(spark, SF_SMOKE)
+    users = (
+        spark.read.parquet(f"{SF_SMOKE}/customer.parquet")
+        .select(F.col("c_custkey").alias("user_id"), F.col("c_mktsegment").alias("segment"))
+    )
+    enriched = enrich_with_dim(stream, users, "user_id")
+    out = run_stream_to_memory(
+        enriched.groupBy("segment").count(), "seg_counts", output_mode="complete"
+    )
+    got = {r["segment"]: r["count"] for r in out.collect()}
+    batch_events = spark.read.parquet(f"{SF_SMOKE}/events.parquet")
+    expected = {
+        r["segment"]: r["count"]
+        for r in batch_events.join(F.broadcast(users), "user_id", "left")
+        .groupBy("segment")
+        .count()
+        .collect()
+    }
+    assert got == expected
