@@ -168,3 +168,26 @@ def tfidf_top_terms(
         .filter(F.col("rank") <= top_k)
         .select(F.col("id").alias(id_col), "term", "tfidf", "rank")
     )
+
+
+ROLLING_HASH_BASE = 31
+ROLLING_HASH_MOD = 2147483647  # 2^31 - 1 (Mersenne); products stay < 2^36, ANSI-safe
+ROLLING_HASH_SEED = 7
+
+
+def rolling_fingerprint(norm_col: Column) -> Column:
+    """Polynomial rolling hash (Rabin-Karp fold) of a *materialized*
+    normalized-text column: fold(acc*31 + charcode mod 2^31-1) over the
+    characters in order. Unlike the md5 fingerprint this is incremental
+    — the engine-side primitive a rolling/windowed content hash builds
+    on. Per-step modulus keeps every intermediate < 2^36, so ANSI-mode
+    arithmetic never overflows. Pure built-ins (sequence + aggregate)."""
+    codes = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.length(norm_col), F.lit(0))),
+        lambda i: F.ascii(F.substring(norm_col, i, 1)).cast("long"),
+    )
+    return F.aggregate(
+        codes,
+        F.lit(ROLLING_HASH_SEED).cast("long"),
+        lambda acc, c: F.pmod(acc * F.lit(ROLLING_HASH_BASE) + c, F.lit(ROLLING_HASH_MOD)),
+    )

@@ -395,3 +395,35 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_tables(spark, sf_dir, ("documents",))["documents"].filter(F.col("doc_id") % 20 == 0)
     media = mm.attach_fake_media(d)
     return mm.sample_frames(media, frame_bytes=64, every_n=2).drop("frame").orderBy("doc_id", "frame_idx")
+
+
+@register(
+    "docs_fingerprints",
+    f"""
+    WITH n AS (
+        SELECT doc_id, {_SQL_NORM} AS s FROM documents WHERE doc_id % 20 = 0
+    )
+    SELECT doc_id,
+           md5(s) AS fingerprint,
+           list_reduce(
+               list_prepend(CAST(7 AS BIGINT),
+                   list_transform(range(1, length(s) + 1),
+                                  i -> CAST(ord(substring(s, CAST(i AS INT), 1)) AS BIGINT))),
+               (a, c) -> (a * 31 + c) % 2147483647
+           ) AS rolling_fp
+    FROM n
+    ORDER BY doc_id
+    """,
+)
+def docs_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content fingerprints per document: md5 of the normalized text plus
+    the Rabin-Karp rolling hash (same 31/2^31-1 fold on both sides —
+    per-character codes extracted by index so element sequences are
+    bit-identical across engines)."""
+    d = load_tables(spark, sf_dir, ("documents",))["documents"].filter(F.col("doc_id") % 20 == 0)
+    norm = d.select("doc_id", tx.normalize_text(F.col("text")).alias("_s"))
+    return norm.select(
+        "doc_id",
+        F.md5(F.col("_s")).alias("fingerprint"),
+        tx.rolling_fingerprint(F.col("_s")).alias("rolling_fp"),
+    ).orderBy("doc_id")
