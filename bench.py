@@ -44,11 +44,20 @@ def main() -> None:
     # JVM/codegen warmup on the flagship query (untimed).
     queries["flagship_region_nation_revenue"](spark, SF_DIR).write.mode("overwrite").format("noop").save()
 
+    import gc
+
     timings: dict[str, float] = {}
     warm: dict[str, float] = {}
     for name, fn in sorted(queries.items()):
         if ONLY is not None and name not in ONLY:
             continue
+        # Release dead broadcast/shuffle blocks between queries: the
+        # ContextCleaner frees them only after GC notices the dropped
+        # references, and a large-heap driver GCs rarely — without this
+        # nudge, stale blocks accumulate across the suite and late
+        # queries degrade (measured: the heaviest query 12s -> 55s).
+        gc.collect()
+        spark.sparkContext._jvm.System.gc()
         try:
             # First run includes Spark's per-query fixed cost (plan +
             # whole-stage-codegen compile + scheduling); the second run

@@ -1119,3 +1119,26 @@ def array_funcs_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.array_max("embedding").cast("double"), 6).alias("max_val"),
         F.round(F.aggregate(head_sq, F.lit(0.0), lambda a, x: a + x), 6).alias("head_energy"),
     ).orderBy("vec_id")
+
+
+@register("sketch_approx_aggregates", None)
+def sketch_approx_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch aggregates per event_type: HyperLogLog++ distinct users and
+    t-digest value quantiles. Registered rows-only — sketch estimates
+    are engine-specific by construction; accuracy vs exact is asserted
+    in tests.
+
+    Scale: this IS the high-cardinality path — both sketches are fixed-
+    size and mergeable, so map-side partials stay bounded no matter how
+    many distinct users a partition holds (exact distinct would shuffle
+    every key). rsd=0.01 -> ~1.5 KB HLL registers per group."""
+    e = load_tables(spark, sf_dir, ("events",))["events"]
+    return (
+        e.groupBy("event_type")
+        .agg(
+            F.approx_count_distinct("user_id", rsd=0.01).alias("approx_users"),
+            F.percentile_approx("value", [0.5, 0.99], 10_000).alias("value_quantiles"),
+            F.count(F.lit(1)).alias("count"),
+        )
+        .orderBy("event_type")
+    )

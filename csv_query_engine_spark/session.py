@@ -68,6 +68,18 @@ def get_spark(
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.ui.enabled", os.environ.get("SPARK_GRAFT_UI", "false"))
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
+        # A long-lived session compiling hundreds of generated classes
+        # fills the default 240 MB JIT code cache, after which HotSpot
+        # disables compilation and every stage runs interpreted
+        # (measured: the heaviest query degraded 4x late in a 50-query
+        # suite). Size the cache for a query-suite workload.
+        .config(
+            "spark.driver.extraJavaOptions",
+            os.environ.get(
+                "SPARK_GRAFT_DRIVER_JAVA_OPTS",
+                "-XX:ReservedCodeCacheSize=1g -XX:+UseCodeCacheFlushing",
+            ),
+        )
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)

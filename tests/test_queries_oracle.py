@@ -23,3 +23,33 @@ def test_query_matches_oracle(spark, duck, name):
         assert df.count() >= 0
         return
     assert_results_match(df, duck.sql(oracle), name)
+
+
+def test_sketch_aggregates_close_to_exact(spark):
+    """Sketches have no cross-engine oracle; bound their error vs the
+    exact answers instead."""
+    from pyspark.sql import functions as F
+
+    from csv_query_engine_spark.io.readers import load_tables
+
+    got = {
+        r["event_type"]: r
+        for r in REGISTRY["sketch_approx_aggregates"][0](spark, SF_ORACLE).collect()
+    }
+    e = load_tables(spark, SF_ORACLE, ("events",))["events"]
+    exact = {
+        r["event_type"]: r
+        for r in e.groupBy("event_type").agg(F.countDistinct("user_id").alias("users")).collect()
+    }
+    assert set(got) == set(exact)
+    for k, r in got.items():
+        assert abs(r["approx_users"] - exact[k]["users"]) <= max(2, 0.05 * exact[k]["users"])
+        # the sketch guarantees RANK error, not value error (it returns a
+        # real element, no interpolation): check the returned value's
+        # actual rank is within eps of the requested quantile
+        n = e.filter(F.col("event_type") == k).count()
+        for target_q, approx_q in zip((0.5, 0.99), r["value_quantiles"]):
+            rank = (
+                e.filter((F.col("event_type") == k) & (F.col("value") <= approx_q)).count() / n
+            )
+            assert abs(rank - target_q) <= 0.02, (k, target_q, approx_q, rank)
