@@ -1,0 +1,76 @@
+"""Property-based tests (SURVEY.md §5 item 4, hypothesis-driven).
+
+Pure-Python properties run at full example counts; Spark-backed
+properties cap examples (a DataFrame round-trip per example) and
+disable deadlines (JVM warmup skews timing).
+"""
+
+from __future__ import annotations
+
+import random
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from csv_query_engine_spark.nlsql.generator import CITIES, generate_sql_rule_based
+from csv_query_engine_spark.nlsql.validator import validate_sql
+from csv_query_engine_spark.pipeline.dedup import _simhash64
+from csv_query_engine_spark.postprocess import collapse_duplicates
+
+COLS = [
+    {"name": "City", "type": "string", "semantic_type": "city"},
+    {"name": "Service", "type": "string", "semantic_type": "service"},
+    {"name": "date", "type": "date", "semantic_type": "date"},
+]
+
+
+@given(
+    prefix=st.sampled_from(["which service", "show all", "count rows", "what happened"]),
+    city=st.sampled_from(list(CITIES) + ["london"]),
+    last_month=st.booleans(),
+)
+@settings(max_examples=60)
+def test_rule_grammar_always_validates(prefix, city, last_month):
+    """Every sentence the rule grammar can emit passes the safety
+    validator — the generator can never produce SQL its own engine
+    rejects (A7-A15 composition)."""
+    q = f"{prefix} in {city}" + (" last month" if last_month else "")
+    sql = generate_sql_rule_based(q, COLS)
+    assert validate_sql(sql) == sql.rstrip(";")
+    assert sql.startswith("SELECT")
+
+
+@given(
+    tokens=st.lists(st.sampled_from(["alpha", "beta", "gamma", "delta", "eps"]), min_size=1, max_size=12),
+    seed=st.integers(0, 10_000),
+)
+@settings(max_examples=60, deadline=None)  # first call lazily imports numpy/pandas
+def test_simhash_is_token_order_invariant(tokens, seed):
+    """SimHash is a bag-of-tokens signature: shuffling token order never
+    changes the signature (the property band-blocking relies on)."""
+    shuffled = tokens[:]
+    random.Random(seed).shuffle(shuffled)
+    a = int(_simhash64([" ".join(tokens)]).iloc[0])
+    b = int(_simhash64([" ".join(shuffled)]).iloc[0])
+    assert a == b
+
+
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.sampled_from(["a", "b", None]),
+            st.sampled_from([1, 2, None]),
+        ),
+        min_size=1,
+        max_size=12,
+    )
+)
+@settings(max_examples=10, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_collapse_invariant_counts_preserved(spark, rows):
+    """A17 dedup-collapse invariant: sum(count) == input rows, even with
+    null group keys (the pandas NaN-dropping bug the rebuild fixes —
+    SURVEY.md §2 A17)."""
+    df = spark.createDataFrame(rows, "k string, v int")
+    out = collapse_duplicates(df).collect()
+    assert sum(r["count"] for r in out) == len(rows)
+    assert len(out) == df.distinct().count()
