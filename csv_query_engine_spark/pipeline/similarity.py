@@ -101,12 +101,46 @@ def _hyperplanes(n_planes: int, dim: int) -> list[list[float]]:
 
 def signature_column(vec: Column, planes: list[list[float]]) -> Column:
     """Random-hyperplane signature as an int bucket id (bit b = sign of
-    dot(vec, plane_b)). Pure built-ins: literal plane arrays + zip_with."""
+    dot(vec, plane_b)). Pure built-ins: literal plane arrays + zip_with.
+
+    Kept as the dependency-free reference; the hot paths use
+    :func:`signature_udf` — this form builds n_planes×dim literal nodes
+    (hundreds of py4j calls per plan) and folds interpreted per element.
+    """
     sig = F.lit(0).cast("long")
     for b, plane in enumerate(planes):
         plane_col = F.array(*[F.lit(float(x)) for x in plane])
         bit = F.when(dot(vec, plane_col) >= 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
         sig = sig + (bit * F.lit(1 << b).cast("long"))
+    return sig
+
+
+def signature_udf(planes: list[list[float]]):
+    """Arrow-batched signature computation: one numpy matmul per batch
+    against the plane matrix shipped in the closure (same justification
+    as IVF's :func:`_probe_udf`: the literal-array formulation is
+    expensive to even CONSTRUCT, and evaluates interpreted). Sign
+    convention matches :func:`signature_column` (>= 0 -> bit set); a
+    dot product within float rounding of zero could differ between the
+    two implementations, so a deployment must pick one consistently —
+    all in-repo operators use this one."""
+    import numpy as np
+
+    mat = np.asarray(planes, dtype=np.float64).T  # dim × n_planes
+    weights = (1 << np.arange(mat.shape[1], dtype=np.uint64)).astype(np.uint64)
+
+    @F.pandas_udf(T.LongType())
+    def sig(col):
+        import numpy as _np
+        import pandas as _pd
+
+        if len(col) == 0:
+            return _pd.Series([], dtype="int64")
+        m = _np.stack([_np.asarray(v, dtype=_np.float64) for v in col])
+        bits = (m @ mat) >= 0.0
+        out = (bits.astype(_np.uint64) * weights).sum(axis=1).astype(_np.int64)
+        return _pd.Series(out)
+
     return sig
 
 
@@ -126,15 +160,16 @@ def lsh_bucket_topk(
     the query's signature (multi-probe raises recall without touching
     more than (1 + n_planes) buckets per query)."""
     planes = _hyperplanes(n_planes, dim)
+    sig = signature_udf(planes)
     c = _spread(embeddings).select(
         F.col(id_col).alias("cand_id"),
         F.col(vec_col).alias("c_vec"),
-        signature_column(F.col(vec_col), planes).alias("c_sig"),
+        sig(F.col(vec_col)).alias("c_sig"),
     )
     q = queries.select(
         F.col(query_id_col).alias("query_id"),
         F.col(vec_col).alias("q_vec"),
-        signature_column(F.col(vec_col), planes).alias("q_sig"),
+        sig(F.col(vec_col)).alias("q_sig"),
     )
     # probe buckets: the query signature and its Hamming-1 neighbors
     probes = [F.col("q_sig")]
@@ -170,7 +205,7 @@ def embedding_near_dup_pairs(
     sigs = _spread(embeddings).select(
         F.col(id_col).alias("id"),
         F.col(vec_col).alias("vec"),
-        signature_column(F.col(vec_col), planes).alias("sig"),
+        signature_udf(planes)(F.col(vec_col)).alias("sig"),
     )
     return (
         sigs.alias("x")
