@@ -207,17 +207,33 @@ def embedding_near_dup_pairs(
         F.col(vec_col).alias("vec"),
         signature_udf(planes)(F.col(vec_col)).alias("sig"),
     )
-    return (
-        sigs.alias("x")
-        .join(sigs.alias("y"), ["sig"])
-        .filter(F.col("x.id") < F.col("y.id"))
-        .select(
-            F.col("x.id").alias("id_a"),
-            F.col("y.id").alias("id_b"),
-            cosine(F.col("x.vec"), F.col("y.vec")).alias("cosine"),
-        )
-        .filter(F.col("cosine") >= threshold)
+    # In-bucket pair enumeration via one aggregation instead of a
+    # self-join (which would run the signature UDF stage twice and
+    # shuffle the vectors twice). Bucket member lists are bounded by
+    # the signature granularity (n_planes bits).
+    members = _spread(
+        sigs.groupBy("sig")
+        .agg(F.sort_array(F.collect_list(F.struct("id", "vec"))).alias("ms"))
+        .filter(F.size("ms") > 1)
     )
+    pairs = members.select(
+        F.explode(
+            F.flatten(
+                F.transform(
+                    F.col("ms"),
+                    lambda x, i: F.transform(
+                        F.slice(F.col("ms"), i + F.lit(2), F.size(F.col("ms"))),
+                        lambda y: F.struct(
+                            x["id"].alias("id_a"),
+                            y["id"].alias("id_b"),
+                            cosine(x["vec"], y["vec"]).alias("cosine"),
+                        ),
+                    ),
+                )
+            )
+        ).alias("p")
+    ).select("p.id_a", "p.id_b", "p.cosine")
+    return pairs.filter(F.col("cosine") >= threshold)
 
 
 # ------------------------------------------------------------------- IVF
