@@ -1173,3 +1173,35 @@ def sketch_approx_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@register(
+    "unpivot_part_measures",
+    """
+    SELECT p_partkey, measure, val
+    FROM (
+        UNPIVOT (SELECT p_partkey,
+                        CAST(p_retailprice AS DOUBLE) AS retailprice,
+                        CAST(p_size AS DOUBLE) AS size
+                 FROM part WHERE p_partkey % 100 = 0)
+        ON retailprice, size INTO NAME measure VALUE val
+    )
+    ORDER BY p_partkey, measure
+    """,
+)
+def unpivot_part_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNPIVOT / melt (Tier B reshaping — the inverse of the pivot
+    query): wide measure columns to (measure, value) rows. Map-side
+    expansion, no shuffle except the presentation sort."""
+    p = load_tables(spark, sf_dir, ("part",))["part"].filter(F.col("p_partkey") % 100 == 0)
+    wide = p.select(
+        "p_partkey",
+        F.col("p_retailprice").cast("double").alias("retailprice"),
+        F.col("p_size").cast("double").alias("size"),
+    )
+    return wide.unpivot(
+        ids=["p_partkey"],
+        values=["retailprice", "size"],
+        variableColumnName="measure",
+        valueColumnName="val",
+    ).orderBy("p_partkey", "measure")
