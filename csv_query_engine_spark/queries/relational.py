@@ -1205,3 +1205,40 @@ def unpivot_part_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
         variableColumnName="measure",
         valueColumnName="val",
     ).orderBy("p_partkey", "measure")
+
+
+@register(
+    "window_range_frame_moving_sum",
+    """
+    SELECT o_custkey AS custkey, o_orderkey AS orderkey,
+           CAST(SUM(CAST(ROUND(ROUND(o_totalprice, 6) * 1000000, 0) AS BIGINT)) OVER (
+               PARTITION BY o_custkey
+               ORDER BY DATEDIFF('day', TIMESTAMP '1970-01-01', o_orderdate)
+               RANGE BETWEEN 90 PRECEDING AND CURRENT ROW
+           ) AS BIGINT) AS trailing_90d_micro
+    FROM orders
+    WHERE o_custkey % 100 = 0
+    ORDER BY custkey, orderkey
+    """,
+)
+def window_range_frame_moving_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE window frame (value-based, vs the row-based frames
+    elsewhere): trailing-90-day order total per customer, frame keyed on
+    days-since-epoch so date peers merge identically in both engines.
+    Output stays in exact fixed-point micros (BIGINT) — a windowed float
+    sum would drift by summation order across engines."""
+    o = load_tables(spark, sf_dir, ("orders",))["orders"].filter(F.col("o_custkey") % 100 == 0)
+    days = F.datediff(F.col("o_orderdate"), F.lit("1970-01-01").cast("date"))
+    w = (
+        W.partitionBy("o_custkey")
+        .orderBy(days)
+        .rangeBetween(-90, 0)
+    )
+    return (
+        o.select(
+            F.col("o_custkey").alias("custkey"),
+            F.col("o_orderkey").alias("orderkey"),
+            F.sum(_unscaled(F.col("o_totalprice"), 6)).over(w).cast("bigint").alias("trailing_90d_micro"),
+        )
+        .orderBy("custkey", "orderkey")
+    )
