@@ -1242,3 +1242,32 @@ def window_range_frame_moving_sum(spark: SparkSession, sf_dir: str) -> DataFrame
         )
         .orderBy("custkey", "orderkey")
     )
+
+
+@register(
+    "collect_priorities_per_segment",
+    """
+    SELECT c.c_mktsegment AS segment,
+           array_to_string(list_sort(list_distinct(list(o.o_orderpriority))), '|') AS priorities,
+           COUNT(*) AS n_orders
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    GROUP BY segment
+    ORDER BY segment
+    """,
+)
+def collect_priorities_per_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """collect_set aggregation (Tier B aggregations row) — distinct
+    priorities seen per market segment, sorted and string-joined so the
+    set compares deterministically across engines (array reprs differ).
+    Scale: collect_set state is bounded by the value domain (5
+    priorities), not group size."""
+    t = load_tables(spark, sf_dir, ("orders", "customer"))
+    j = t["orders"].join(t["customer"], F.col("o_custkey") == F.col("c_custkey"))
+    return (
+        j.groupBy(F.col("c_mktsegment").alias("segment"))
+        .agg(
+            F.concat_ws("|", F.array_sort(F.collect_set("o_orderpriority"))).alias("priorities"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+        .orderBy("segment")
+    )

@@ -115,3 +115,38 @@ def test_orc_roundtrip(spark, tmp_path):
     back = read_orc(spark, p)
     assert back.schema == src.schema
     assert {(r["id"], r["s"]) for r in back.collect()} == {(1, "a"), (2, "b")}
+
+
+def test_ask_with_pluggable_llm_planner(spark, engine):
+    """E3 path end-to-end with a fake LLM planner: generated SQL flows
+    through the same validator + execution + post-processing as the
+    rule path (reference query.py:33-36 use_ai switch)."""
+    from csv_query_engine_spark.engine import QueryEngine
+
+    class CannedPlanner:
+        def generate(self, question, columns, table="df"):
+            return "```sql\nSELECT `Service`, COUNT(*) AS count FROM df GROUP BY `Service`\n``` "
+
+    from csv_query_engine_spark.nlsql.llm import strip_sql_fences
+
+    class FencedPlanner(CannedPlanner):
+        def generate(self, question, columns, table="df"):
+            return strip_sql_fences(super().generate(question, columns, table))
+
+    eng2 = QueryEngine(spark, planner=FencedPlanner())
+    eng2._profiles["df"] = engine._profiles["df"]  # reuse registered view
+    res = eng2.ask("anything", use_ai=True)
+    got = {r["Service"]: r["count"] for r in res.rows}
+    assert got["Internet"] >= 15 and got["Phone"] >= 8
+
+
+def test_ask_ai_requires_api_key(spark, engine):
+    from csv_query_engine_spark.engine import QueryEngine
+    from csv_query_engine_spark.nlsql.llm import MissingAPIKeyError, OpenAIPlanner
+
+    eng2 = QueryEngine(spark, planner=OpenAIPlanner(api_key=""))
+    eng2._profiles["df"] = engine._profiles["df"]
+    import pytest as _pytest
+
+    with _pytest.raises(MissingAPIKeyError):
+        eng2.ask("which services", use_ai=True)
