@@ -1,0 +1,98 @@
+"""Deterministic sampling and dataset splitting for corpus curation.
+
+No reference code exists for this (the reference has no sampling; grep
+verified — SURVEY.md §7 phase 6 extension).  These are the
+train/val/test-assignment and subsampling primitives a 100 TB training
+pipeline needs, built on **content hashing instead of RNG** so the
+assignment is:
+
+* reproducible across runs, engines, and cluster sizes (no seed state,
+  no partition-order dependence — ``rand()`` is neither);
+* stable under data growth: a document keeps its split forever, so
+  re-running ingestion never leaks yesterday's train docs into test;
+* embarrassingly parallel: bucket assignment is a narrow per-row map
+  (md5 + modulo), no shuffle — at 100 TB it rides the scan.
+
+The hash is the first 8 hex chars of ``md5(salt || key)`` read as an
+unsigned 32-bit int.  Both Spark (``conv(x, 16, 10)``) and ANSI/DuckDB
+(``CAST('0x'||x AS BIGINT)``) evaluate it identically, which is what
+makes the oracle twins in queries/pipeline_q.py exact.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+__all__ = ["hash_bucket", "assign_split", "stratified_fixed_sample", "deterministic_sample"]
+
+
+def hash_bucket(key: Column, n_buckets: int = 100, salt: str = "split-") -> Column:
+    """Uniform deterministic bucket in ``[0, n_buckets)`` from a key column.
+
+    ``conv`` parses the 8-hex-char md5 prefix as an unsigned 32-bit value
+    (max 0xFFFFFFFF fits a long); the modulo is then bias-free to ~1e-8
+    for n_buckets ≤ 10^4.  Changing ``salt`` re-draws the assignment —
+    use distinct salts for independent decisions (split vs subsample) so
+    they don't correlate.
+    """
+    hex8 = F.substring(F.md5(F.concat(F.lit(salt), key.cast("string"))), 1, 8)
+    return (F.conv(hex8, 16, 10).cast("long") % n_buckets).alias("bucket")
+
+
+def assign_split(
+    key: Column,
+    boundaries: tuple[tuple[str, int], ...] = (("train", 80), ("val", 90), ("test", 100)),
+    n_buckets: int = 100,
+    salt: str = "split-",
+) -> Column:
+    """Label each row with its dataset split by hash bucket.
+
+    ``boundaries`` are (name, exclusive-upper-bucket) pairs in ascending
+    order; the default is the classic 80/10/10.  Pure per-row expression
+    — composes into any plan without a shuffle or a UDF.
+    """
+    b = hash_bucket(key, n_buckets, salt)
+    expr = F.when(b < boundaries[0][1], boundaries[0][0])
+    for name, upper in boundaries[1:-1]:
+        expr = expr.when(b < upper, name)
+    return expr.otherwise(boundaries[-1][0]).alias("split")
+
+
+def deterministic_sample(df: DataFrame, key: Column, fraction: float, salt: str = "sample-") -> DataFrame:
+    """Keep a deterministic ~``fraction`` of rows by hash threshold.
+
+    Unlike ``df.sample`` this is stable across runs and engines, and a
+    row's membership never changes as the corpus grows — the property
+    that makes incremental 100 TB re-ingestion idempotent.  Narrow op:
+    the filter pushes to the scan stage, no shuffle.
+    """
+    n = 1_000_000
+    return df.filter(hash_bucket(key, n, salt) < int(round(fraction * n)))
+
+
+def stratified_fixed_sample(
+    df: DataFrame,
+    stratum: str,
+    key: Column,
+    k: int,
+    salt: str = "strat-",
+) -> DataFrame:
+    """Exactly ``min(k, |stratum|)`` rows per stratum, chosen by smallest
+    content hash — a deterministic reservoir sample.
+
+    Implementation: rank by (md5-hash, key) within each stratum and keep
+    rank ≤ k; the key tiebreaker makes the order total, so the selection
+    is unique.  Adds ``sample_rank``.
+
+    Scale: one shuffle on ``stratum``.  Spark's window TopK does NOT
+    fully sort each stratum: rank-limit plans push a per-partition
+    ``WindowGroupLimit`` (top-k heap) before the shuffle, so a 10^9-row
+    stratum moves only ~k·partitions rows.  Skewed strata therefore cost
+    map-side work, not a giant sort.  For k in the millions prefer a
+    two-pass quantile-threshold on the hash instead.
+    """
+    h = F.md5(F.concat(F.lit(salt), key.cast("string")))
+    rank = F.row_number().over(W.partitionBy(stratum).orderBy(h, key))
+    return df.withColumn("sample_rank", rank).filter(F.col("sample_rank") <= k)

@@ -18,6 +18,7 @@ from pyspark.sql import functions as F
 from csv_query_engine_spark.io.readers import load_tables
 from csv_query_engine_spark.pipeline import dedup as dd
 from csv_query_engine_spark.pipeline import multimodal as mm
+from csv_query_engine_spark.pipeline import sampling as smp
 from csv_query_engine_spark.pipeline import similarity as sim
 from csv_query_engine_spark.pipeline import text as tx
 from csv_query_engine_spark.queries import register
@@ -427,3 +428,80 @@ def docs_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.md5(F.col("_s")).alias("fingerprint"),
         tx.rolling_fingerprint(F.col("_s")).alias("rolling_fp"),
     ).orderBy("doc_id")
+
+
+# ------------------------------------------------- sampling / split assignment
+
+_SQL_BUCKET = (
+    "CAST(concat('0x', substr(md5(concat('doc-', CAST(doc_id AS VARCHAR))), 1, 8))"
+    " AS BIGINT) % 100"
+)
+
+
+@register(
+    "docs_split_assignment",
+    f"""
+    SELECT split, lang, COUNT(*) AS count, CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+    FROM (
+        SELECT lang, n_chars,
+               CASE WHEN b < 80 THEN 'train'
+                    WHEN b < 90 THEN 'val'
+                    ELSE 'test' END AS split
+        FROM (SELECT lang, n_chars, {_SQL_BUCKET} AS b FROM documents)
+    )
+    GROUP BY split, lang
+    ORDER BY split, lang
+    """,
+)
+def docs_split_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 80/10/10 train/val/test assignment by content-hash
+    bucket of ``doc_id`` (pipeline/sampling.py) — no RNG, so the split is
+    reproducible across runs/engines and stable as the corpus grows.
+
+    Scale: the assignment is a narrow per-row map (md5 + modulo) that
+    rides the scan; the only shuffle is the tiny (split, lang) aggregate.
+    """
+    d = load_tables(spark, sf_dir, ("documents",))["documents"]
+    return (
+        d.select(
+            smp.assign_split(F.col("doc_id"), salt="doc-"),
+            "lang",
+            "n_chars",
+        )
+        .groupBy("split", "lang")
+        .agg(F.count(F.lit(1)).alias("count"), F.sum("n_chars").alias("sum_chars"))
+        .orderBy("split", "lang")
+    )
+
+
+@register(
+    "docs_stratified_sample",
+    """
+    SELECT doc_id, lang, sample_rank
+    FROM (
+        SELECT doc_id, lang,
+               ROW_NUMBER() OVER (
+                   PARTITION BY lang
+                   ORDER BY md5(concat('strat-', CAST(doc_id AS VARCHAR))), doc_id
+               ) AS sample_rank
+        FROM documents
+    )
+    WHERE sample_rank <= 25
+    ORDER BY lang, sample_rank
+    """,
+)
+def docs_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly min(25, |stratum|) docs per language, chosen by smallest
+    content hash — a deterministic per-stratum reservoir sample
+    (pipeline/sampling.py::stratified_fixed_sample).
+
+    Scale: one shuffle on ``lang``; Spark inserts a WindowGroupLimit
+    (per-partition top-k heap) below the shuffle, so huge strata move
+    only ~k rows per map partition, not the whole stratum.
+    """
+    d = load_tables(spark, sf_dir, ("documents",))["documents"]
+    return (
+        smp.stratified_fixed_sample(d, "lang", F.col("doc_id"), 25, salt="strat-")
+        .select("doc_id", "lang", "sample_rank")
+        .orderBy("lang", "sample_rank")
+    )

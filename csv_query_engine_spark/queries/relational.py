@@ -1271,3 +1271,47 @@ def collect_priorities_per_segment(spark: SparkSession, sf_dir: str) -> DataFram
         )
         .orderBy("segment")
     )
+
+
+@register(
+    "having_high_volume_customers",
+    f"""
+    SELECT c_custkey, c_name,
+           {_sql_exact_sum('l_quantity', 'sum_qty')},
+           COUNT(DISTINCT o_orderkey) AS n_orders
+    FROM lineitem
+    JOIN orders ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    GROUP BY c_custkey, c_name
+    HAVING CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) > 1500.0
+    ORDER BY sum_qty DESC, c_custkey
+    """,
+)
+def having_high_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUP BY + HAVING (TPC-H Q18 shape): customers whose total ordered
+    quantity exceeds a threshold — post-aggregation filtering, the one
+    WHERE-vs-HAVING distinction the Tier-B surface exposes.  The HAVING
+    predicate compares the exact sum, so the cut is identical across
+    engines even at the threshold boundary.
+
+    Scale: lineitem->orders shuffle on orderkey, aggregate on custkey
+    (partial+final), and only the surviving ~10% of customer groups join
+    back to the customer table — the HAVING filter shrinks the agg output
+    *before* the join, so customer-name lookup touches a small relation.
+    """
+    t = load_tables(spark, sf_dir, ("lineitem", "orders", "customer"))
+    agg = (
+        t["lineitem"]
+        .join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("o_custkey")
+        .agg(
+            exact_sum(F.col("l_quantity"), "sum_qty"),
+            F.countDistinct("o_orderkey").alias("n_orders"),
+        )
+        .filter(F.col("sum_qty") > 1500.0)
+    )
+    return (
+        agg.join(t["customer"], F.col("o_custkey") == F.col("c_custkey"))
+        .select("c_custkey", "c_name", "sum_qty", "n_orders")
+        .orderBy(F.desc("sum_qty"), "c_custkey")
+    )

@@ -211,3 +211,46 @@ def test_multimodal_frame_sampling(spark, docs):
         assert all(i % 2 == 0 for i in idxs)  # every_n=2 keeps even frames
     with pytest.raises(NotImplementedError):
         mm.sample_frames(media, fake=False)
+
+
+# ----------------------------------------------------------- sampling ops
+
+
+def test_assign_split_partitions_and_is_deterministic(docs):
+    from csv_query_engine_spark.pipeline import sampling as smp
+
+    labeled = docs.select("doc_id", smp.assign_split(F.col("doc_id"), salt="doc-"))
+    total = docs.count()
+    by_split = {r["split"]: r["n"] for r in labeled.groupBy("split").agg(F.count("*").alias("n")).collect()}
+    # every row gets exactly one label; fractions near 80/10/10
+    assert sum(by_split.values()) == total
+    assert by_split["train"] / total == pytest.approx(0.8, abs=0.1)
+    # a second run assigns identically (no RNG state)
+    again = docs.select("doc_id", smp.assign_split(F.col("doc_id"), salt="doc-"))
+    assert labeled.exceptAll(again).count() == 0
+
+
+def test_deterministic_sample_is_stable_and_sized(docs):
+    from csv_query_engine_spark.pipeline import sampling as smp
+
+    s1 = smp.deterministic_sample(docs, F.col("doc_id"), 0.2)
+    s2 = smp.deterministic_sample(docs, F.col("doc_id"), 0.2)
+    assert s1.select("doc_id").exceptAll(s2.select("doc_id")).count() == 0
+    frac = s1.count() / docs.count()
+    assert frac == pytest.approx(0.2, abs=0.12)
+    # membership is monotone in fraction: the 20% sample contains the 10% one
+    s_small = smp.deterministic_sample(docs, F.col("doc_id"), 0.1)
+    assert s_small.select("doc_id").exceptAll(s1.select("doc_id")).count() == 0
+
+
+def test_stratified_fixed_sample_exact_k_per_stratum(docs):
+    from csv_query_engine_spark.pipeline import sampling as smp
+
+    k = 7
+    samp = smp.stratified_fixed_sample(docs, "lang", F.col("doc_id"), k)
+    sizes = {r["lang"]: r["n"] for r in samp.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    strata = {r["lang"]: r["n"] for r in docs.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    assert sizes == {lang: min(k, n) for lang, n in strata.items()}
+    # ranks are 1..k without gaps inside each stratum
+    ranks = [r["sample_rank"] for r in samp.filter(F.col("lang") == "en").collect()]
+    assert sorted(ranks) == list(range(1, min(k, strata["en"]) + 1))
