@@ -1315,3 +1315,41 @@ def having_high_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("c_custkey", "c_name", "sum_qty", "n_orders")
         .orderBy(F.desc("sum_qty"), "c_custkey")
     )
+
+
+@register(
+    "window_distribution_funcs",
+    """
+    SELECT o_orderkey,
+           o_orderpriority AS priority,
+           PERCENT_RANK() OVER w AS pct_rank,
+           CUME_DIST() OVER w AS cume
+    FROM orders
+    WHERE o_custkey % 100 = 0
+    WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey)
+    ORDER BY priority, o_orderkey
+    """,
+)
+def window_distribution_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution window functions (Tier B windows): percent_rank and
+    cume_dist of each order's price within its priority class.  The
+    window ORDER BY carries the o_orderkey tiebreaker so ranks are
+    tie-free and both engines compute the identical (rank-1)/(n-1) and
+    rank/n ratios — exact in double, no epsilon needed.
+
+    Scale: one shuffle on the partition key; rank math is a single sort
+    per partition with no extra pass (cume_dist reuses the same sorted
+    run). Skewed priority classes fall under AQE's purview like any
+    window — 5 priorities means ~n/5 rows per class, uniform here.
+    """
+    o = load_tables(spark, sf_dir, ("orders",))["orders"].filter(F.col("o_custkey") % 100 == 0)
+    w = W.partitionBy("o_orderpriority").orderBy("o_totalprice", "o_orderkey")
+    return (
+        o.select(
+            "o_orderkey",
+            F.col("o_orderpriority").alias("priority"),
+            F.percent_rank().over(w).alias("pct_rank"),
+            F.cume_dist().over(w).alias("cume"),
+        )
+        .orderBy("priority", "o_orderkey")
+    )
