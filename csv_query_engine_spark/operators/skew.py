@@ -36,7 +36,21 @@ def salted_join(
     pass), rows of a hot key arriving from many input partitions spread
     across sub-keys. Output columns = left ∪ right minus the duplicate
     key, same as ``left.join(right, on, how)``.
+
+    ``how`` is restricted to join types where the ``salt``× replication
+    of the right side cannot surface in the output: inner/left/
+    left_semi/left_anti (every right row that matters is matched, so
+    replication only fans out matches the left side de-salts). For
+    right/full outer, an UNMATCHED right row would be emitted once per
+    salt replica — wrong — so those are rejected.
     """
+    allowed = {"inner", "left", "leftouter", "left_outer", "left_semi", "leftsemi", "left_anti", "leftanti"}
+    if how.lower() not in allowed:
+        raise ValueError(
+            f"salted_join supports inner/left/left_semi/left_anti, got {how!r}: "
+            "right/full-outer would emit each unmatched right row salt× (the "
+            "right side is replicated). Use AQE skew-join for outer variants."
+        )
     l_salted = left.withColumn("_salt", F.pmod(F.spark_partition_id(), F.lit(salt)))
     r_salted = right.withColumn(
         "_salt", F.explode(F.sequence(F.lit(0), F.lit(salt - 1)))

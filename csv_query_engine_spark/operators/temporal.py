@@ -42,6 +42,8 @@ def asof_join(
 
     Single shuffle on `on`; window pass is linear per partition.
     """
+    if how not in ("inner", "left"):
+        raise ValueError(f"asof_join supports how='inner' or 'left', got {how!r}")
     tiebreak_cols = tiebreak_cols or []
     out_cols = [c for c in left.columns]
 

@@ -193,6 +193,7 @@ def minhash_lsh_pairs(
     bands: int = 16,
     shingle_k: int = 5,
     threshold: float = 0.5,
+    max_bucket: int = 4096,
 ) -> DataFrame:
     """Near-duplicate pairs via banded MinHash LSH with exact-Jaccard
     verification of candidates.
@@ -201,7 +202,17 @@ def minhash_lsh_pairs(
     midpoint gives high recall for jaccard ≥ ~0.5 while keeping candidate
     volume near-linear. Verification joins shingle sets back, so emitted
     pairs are TRUE positives only (precision 1.0; recall < 1 is the
-    documented LSH trade)."""
+    documented LSH trade).
+
+    ``max_bucket`` is the degenerate-distribution guard: a mis-tuned band
+    or a pathological corpus (e.g. thousands of identical/near-empty
+    docs sharing one shingle set) would otherwise collapse into a single
+    bucket whose quadratic in-bucket explode straggles or OOMs one task.
+    Oversized buckets are dropped — recall inside them degrades (exact
+    dedup is the right tool for mass-identical docs), correctness of
+    emitted pairs does not. Identical docs still pair up as long as the
+    duplicate group stays under the cap (see the degenerate-corpus test).
+    """
     rows_per_band = num_hashes // bands
     sig = minhash_signatures(df, id_col, text_col, num_hashes, shingle_k)
 
@@ -220,10 +231,10 @@ def minhash_lsh_pairs(
 
     # Candidate pairs by grouping each (band, bucket) and enumerating
     # in-bucket combinations — ONE aggregation instead of a self-join
-    # (a self-join evaluates the whole signature subtree twice). Bucket
-    # membership lists are bounded by design (an LSH bucket holding a
-    # large fraction of the corpus means the banding is mis-tuned, and
-    # the quadratic pair list — not its collect_list — is the problem).
+    # (a self-join evaluates the whole signature subtree twice). At a
+    # sane tuning bucket lists stay small; max_bucket drops the
+    # degenerate ones rather than letting one quadratic explode own a
+    # task (see docstring).
     # _spread before pair enumeration: the bucket lists are few MB, so
     # AQE coalesces the agg output to ~1 partition and the combination
     # explode (quadratic in bucket size) would run serially.
@@ -231,7 +242,7 @@ def minhash_lsh_pairs(
         _spread(
             band_entries.groupBy("band", "bucket")
             .agg(F.sort_array(F.collect_list("id")).alias("ids"))
-            .filter(F.size("ids") > 1)
+            .filter((F.size("ids") > 1) & (F.size("ids") <= max_bucket))
         )
         .select(F.explode(_in_bucket_pairs(F.col("ids"))).alias("p"))
         .select(F.col("p.id_a"), F.col("p.id_b"))

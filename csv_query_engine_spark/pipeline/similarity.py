@@ -22,6 +22,8 @@ from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from csv_query_engine_spark.pipeline.dedup import _in_bucket_pairs
+
 
 def _spread(df: DataFrame) -> DataFrame:
     """Decouple compute parallelism from scan layout (a single parquet
@@ -193,47 +195,75 @@ def lsh_bucket_topk(
 def embedding_near_dup_pairs(
     embeddings: DataFrame,
     threshold: float = 0.95,
-    n_planes: int = 12,
+    n_planes: int = 64,
+    n_bands: int = 8,
     dim: int = 64,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    max_bucket: int = 4096,
 ) -> DataFrame:
-    """Embedding-cosine near-duplicate pairs: signature-bucket blocking
-    (near-identical vectors collide with high probability), exact cosine
-    verification inside buckets."""
+    """Embedding-cosine near-duplicate pairs: BANDED hyperplane-signature
+    blocking (SimHash-style — a pair is a candidate if ANY band of the
+    signature matches exactly), then exact cosine verification, so every
+    emitted pair is a true positive.
+
+    Scale design (vs the earlier single-12-bit-bucket form, which capped
+    the bucket space at 4096 and collect_list'ed (id, VECTOR) structs —
+    bucket payload grew linearly with corpus size):
+
+    * Buckets hold bare ids only; vectors are re-attached by two id
+      equi-joins on the (distinct, near-linear) candidate pairs, so no
+      aggregation buffer ever carries vector payloads.
+    * Banding keeps recall high while each band's exact-match granularity
+      (``n_planes // n_bands`` bits) bounds expected bucket size. With
+      the 8×8-bit default, a cosine-0.95 pair (bit-flip p≈0.10) matches
+      ≥1 band with prob ~0.99. Growing the corpus 100×: raise bits per
+      band (bucket count per band = 2^bits, so +7 bits per 100×) and add
+      bands to hold recall — the knobs trade candidate volume vs recall,
+      never correctness (verification is exact).
+    * ``max_bucket`` drops degenerate buckets (e.g. a zero-vector
+      cluster) instead of letting one quadratic explode straggle/OOM a
+      task; cost is recall inside the dropped bucket only, and legit
+      buckets at a sane tuning sit orders of magnitude below the cap.
+    """
+    band_bits = n_planes // n_bands
     planes = _hyperplanes(n_planes, dim)
-    sigs = _spread(embeddings).select(
-        F.col(id_col).alias("id"),
-        F.col(vec_col).alias("vec"),
-        signature_udf(planes)(F.col(vec_col)).alias("sig"),
-    )
-    # In-bucket pair enumeration via one aggregation instead of a
-    # self-join (which would run the signature UDF stage twice and
-    # shuffle the vectors twice). Bucket member lists are bounded by
-    # the signature granularity (n_planes bits).
-    members = _spread(
-        sigs.groupBy("sig")
-        .agg(F.sort_array(F.collect_list(F.struct("id", "vec"))).alias("ms"))
-        .filter(F.size("ms") > 1)
-    )
-    pairs = members.select(
+    vecs = _spread(embeddings).select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
+    sigs = vecs.select("id", signature_udf(planes)(F.col("vec")).alias("sig"))
+    mask = (1 << band_bits) - 1
+    bands = sigs.select(
+        "id",
         F.explode(
-            F.flatten(
-                F.transform(
-                    F.col("ms"),
-                    lambda x, i: F.transform(
-                        F.slice(F.col("ms"), i + F.lit(2), F.size(F.col("ms"))),
-                        lambda y: F.struct(
-                            x["id"].alias("id_a"),
-                            y["id"].alias("id_b"),
-                            cosine(x["vec"], y["vec"]).alias("cosine"),
-                        ),
-                    ),
+            F.array(*[
+                F.struct(
+                    F.lit(b).alias("band"),
+                    F.shiftrightunsigned("sig", b * band_bits).bitwiseAND(F.lit(mask)).alias("bucket"),
                 )
-            )
-        ).alias("p")
-    ).select("p.id_a", "p.id_b", "p.cosine")
-    return pairs.filter(F.col("cosine") >= threshold)
+                for b in range(n_bands)
+            ])
+        ).alias("be"),
+    ).select("id", F.col("be.band").alias("band"), F.col("be.bucket").alias("bucket"))
+
+    cand = (
+        _spread(
+            bands.groupBy("band", "bucket")
+            .agg(F.sort_array(F.collect_list("id")).alias("ids"))
+            .filter((F.size("ids") > 1) & (F.size("ids") <= max_bucket))
+        )
+        .select(F.explode(_in_bucket_pairs(F.col("ids"))).alias("p"))
+        .select(F.col("p.id_a"), F.col("p.id_b"))
+        .distinct()
+    )
+    # _spread(cand) before the vector joins: candidate id pairs are a few
+    # MB, AQE would coalesce them to ~1 partition and serialize the exact
+    # cosine verification (same trap as MinHash verification).
+    return (
+        _spread(cand)
+        .join(vecs.select(F.col("id").alias("id_a"), F.col("vec").alias("vec_a")), "id_a")
+        .join(vecs.select(F.col("id").alias("id_b"), F.col("vec").alias("vec_b")), "id_b")
+        .select("id_a", "id_b", cosine(F.col("vec_a"), F.col("vec_b")).alias("cosine"))
+        .filter(F.col("cosine") >= threshold)
+    )
 
 
 # ------------------------------------------------------------------- IVF

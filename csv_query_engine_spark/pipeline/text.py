@@ -181,13 +181,21 @@ def rolling_fingerprint(norm_col: Column) -> Column:
     characters in order. Unlike the md5 fingerprint this is incremental
     — the engine-side primitive a rolling/windowed content hash builds
     on. Per-step modulus keeps every intermediate < 2^36, so ANSI-mode
-    arithmetic never overflows. Pure built-ins (sequence + aggregate)."""
+    arithmetic never overflows. Pure built-ins (sequence + aggregate).
+
+    Empty text is special-cased to the bare seed: Spark's
+    sequence(1, 0) yields the DESCENDING array [1, 0] (not an empty
+    array like DuckDB/Postgres range), which would fold two phantom
+    zero-codes into the hash and diverge from the SQL oracle."""
     codes = F.transform(
-        F.sequence(F.lit(1), F.greatest(F.length(norm_col), F.lit(0))),
+        F.sequence(F.lit(1), F.length(norm_col)),
         lambda i: F.ascii(F.substring(norm_col, i, 1)).cast("long"),
     )
-    return F.aggregate(
+    folded = F.aggregate(
         codes,
         F.lit(ROLLING_HASH_SEED).cast("long"),
         lambda acc, c: F.pmod(acc * F.lit(ROLLING_HASH_BASE) + c, F.lit(ROLLING_HASH_MOD)),
     )
+    # NULL length makes the predicate NULL -> otherwise branch -> NULL
+    # (null-in-null-out, matching the SQL twin).
+    return F.when(F.length(norm_col) < 1, F.lit(ROLLING_HASH_SEED).cast("long")).otherwise(folded)

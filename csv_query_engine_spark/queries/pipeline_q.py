@@ -279,10 +279,22 @@ def embedding_near_dup_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 def multimodal_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary media column -> Arrow-batched feature extraction
     (mapInPandas). Decode itself is stubbed deterministically (no media
-    libs in this environment); the Spark plumbing is the real path."""
+    libs in this environment); the Spark plumbing is the real path.
+
+    The library function returns `feature array<float>`; the registered
+    query serializes it to a comma-joined string of rounded values — the
+    driver's canonicalizer sorts pandas frames and array cells are
+    unhashable there. The array form stays available via
+    pipeline.multimodal.decode_media."""
     d = load_tables(spark, sf_dir, ("documents",))["documents"].filter(F.col("doc_id") % 20 == 0)
     media = mm.attach_fake_media(d)
-    return mm.decode_media(media).orderBy("doc_id")
+    out = mm.decode_media(media)
+    feature_str = F.concat_ws(
+        ",", F.transform(F.col("feature"), lambda x: F.round(x.cast("double"), 6).cast("string"))
+    )
+    return out.select(
+        "doc_id", "n_bytes", F.round("byte_mean", 6).alias("byte_mean"), feature_str.alias("feature_csv")
+    ).orderBy("doc_id")
 
 
 @register(

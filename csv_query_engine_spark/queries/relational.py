@@ -1162,13 +1162,19 @@ def sketch_approx_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: this IS the high-cardinality path — both sketches are fixed-
     size and mergeable, so map-side partials stay bounded no matter how
     many distinct users a partition holds (exact distinct would shuffle
-    every key). rsd=0.01 -> ~1.5 KB HLL registers per group."""
+    every key). rsd=0.01 -> ~1.5 KB HLL registers per group.
+
+    Quantiles are projected to scalar p50/p99 columns (not an array):
+    the driver's result canonicalizer sorts pandas frames, and array
+    cells are unhashable there."""
     e = load_tables(spark, sf_dir, ("events",))["events"]
+    q = F.percentile_approx("value", [0.5, 0.99], 10_000)
     return (
         e.groupBy("event_type")
         .agg(
             F.approx_count_distinct("user_id", rsd=0.01).alias("approx_users"),
-            F.percentile_approx("value", [0.5, 0.99], 10_000).alias("value_quantiles"),
+            q.getItem(0).alias("p50"),
+            q.getItem(1).alias("p99"),
             F.count(F.lit(1)).alias("count"),
         )
         .orderBy("event_type")

@@ -68,16 +68,16 @@ def events_sliding_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     "events_sessionization",
     """
     WITH gaps AS (
-        SELECT user_id, ts,
+        SELECT user_id, ts, event_id,
                CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
-                         > INTERVAL '30 minutes'
+                         >= INTERVAL '30 minutes'
                     OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
                     THEN 1 ELSE 0 END AS new_session
         FROM events
     ),
     sessions AS (
         SELECT user_id, ts,
-               SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+               SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
                                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
         FROM gaps
     )
@@ -94,7 +94,11 @@ def events_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-user session windows with a 30-minute inactivity gap (batch
     F.session_window — same merge semantics the streaming path uses;
     the oracle derives sessions with the classic lag-gap-cumsum idiom).
-    Session end = last event + gap, matching Spark's definition."""
+    Session end = last event + gap, matching Spark's definition.
+    Spark's session window is end-EXCLUSIVE — an event exactly `gap`
+    after the previous one starts a NEW session — so the oracle's
+    new-session predicate is >= (not >), and its cumsum window orders by
+    (ts, event_id) so duplicate timestamps assign deterministically."""
     e = load_tables(spark, sf_dir, ("events",))["events"]
     return (
         e.groupBy(F.session_window("ts", "30 minutes").alias("sw"), "user_id")

@@ -55,6 +55,20 @@ def test_lang_id_rules(spark):
     assert got == {1: "en", 2: "es", 3: "de", 4: "zh", 5: "unknown"}
 
 
+def test_rolling_fingerprint_empty_text_is_seed(spark):
+    """Spark's sequence(1,0) is the DESCENDING [1,0], not empty — the
+    empty-text guard must return the bare seed (what DuckDB's empty
+    range folds to), and NULL must stay NULL."""
+    df = spark.createDataFrame([(1, "ab"), (2, ""), (3, None)], "doc_id long, s string")
+    got = {
+        r["doc_id"]: r["fp"]
+        for r in df.select("doc_id", tx.rolling_fingerprint(F.col("s")).alias("fp")).collect()
+    }
+    assert got[2] == tx.ROLLING_HASH_SEED
+    assert got[3] is None
+    assert got[1] == ((tx.ROLLING_HASH_SEED * 31 + ord("a")) * 31 + ord("b")) % tx.ROLLING_HASH_MOD
+
+
 # ------------------------------------------------------------------ dedup
 
 
@@ -99,6 +113,39 @@ def test_minhash_lsh_precision_and_recall(spark, docs):
     # banded LSH @ (64 hashes, 16 bands) is near-total recall at j>=0.5
     if truth:
         assert len(got) / len(truth) >= 0.9
+
+
+def test_minhash_lsh_degenerate_corpus_bucket_cap(spark):
+    """1000 identical docs collapse into ONE bucket per band; without the
+    max_bucket guard that is a 16×·C(1000,2) in-bucket explode on a
+    single task. With the cap the oversized buckets are dropped and the
+    job completes fast; small duplicate groups under the cap still pair."""
+    rows = [(i, "the same exact document text repeated everywhere") for i in range(1000)]
+    rows += [(10_000 + i, "a different small duplicate group of docs") for i in range(5)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    pairs = dd.minhash_lsh_pairs(df, threshold=0.5, max_bucket=500).collect()
+    got = {(r["id_a"], r["id_b"]) for r in pairs}
+    # the 1000-group is over the cap -> dropped (exact dedup is the tool
+    # for mass-identical docs); the 5-group pairs fully
+    assert got == {(10_000 + a, 10_000 + b) for a in range(5) for b in range(a + 1, 5)}
+
+
+def test_embedding_near_dup_pairs_banded(spark, emb):
+    """Planted near-identical vectors must surface as verified pairs;
+    banding blocks candidates, exact cosine guarantees precision."""
+    planted = emb.filter(F.col("vec_id") % 50 == 0)
+    dups = planted.select(
+        (F.col("vec_id") + 1_000_000).alias("vec_id"),
+        F.transform(F.col("embedding"), lambda x: x * F.lit(1.01) + F.lit(0.0001)).alias("embedding"),
+    )
+    corpus = emb.select("vec_id", "embedding").unionByName(dups)
+    out = sim.embedding_near_dup_pairs(corpus, threshold=0.95)
+    got = {(r["id_a"], r["id_b"]) for r in out.collect()}
+    want = {r["vec_id"] for r in planted.select("vec_id").collect()}
+    found = sum(1 for v in want if (v, v + 1_000_000) in got or (v + 1_000_000, v) in got)
+    assert found / len(want) >= 0.9, f"planted near-dup recall {found}/{len(want)}"
+    # precision: every emitted pair passed exact verification
+    assert all(r["cosine"] >= 0.95 for r in out.collect())
 
 
 def test_simhash_matches_python_reference(spark):

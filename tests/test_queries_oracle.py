@@ -48,7 +48,7 @@ def test_sketch_aggregates_close_to_exact(spark):
         # real element, no interpolation): check the returned value's
         # actual rank is within eps of the requested quantile
         n = e.filter(F.col("event_type") == k).count()
-        for target_q, approx_q in zip((0.5, 0.99), r["value_quantiles"]):
+        for target_q, approx_q in zip((0.5, 0.99), (r["p50"], r["p99"])):
             rank = (
                 e.filter((F.col("event_type") == k) & (F.col("value") <= approx_q)).count() / n
             )

@@ -35,6 +35,18 @@ def test_salted_left_join_keeps_unmatched(spark):
     assert rows == {1: "x", 99: None}
 
 
+def test_salted_join_rejects_outer_variants(spark):
+    """right/full outer would emit each unmatched right row salt× (the
+    right side is replicated) — must raise, not silently mis-count."""
+    import pytest
+
+    left = spark.createDataFrame([(1, "a")], "k long, v string")
+    right = spark.createDataFrame([(1, "x"), (2, "y")], "k long, name string")
+    for how in ("right", "full", "outer", "full_outer"):
+        with pytest.raises(ValueError, match="salted_join"):
+            salted_join(left, right, "k", how=how)
+
+
 def test_bucketed_join_has_no_shuffle(spark, tmp_path):
     orders = spark.range(0, 5_000).select(
         F.col("id").alias("o_key"), (F.col("id") % 7).alias("v")

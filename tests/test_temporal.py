@@ -61,6 +61,18 @@ def test_asof_left_keeps_unmatched_with_nulls(spark):
     assert len(rows) == 4
 
 
+def test_asof_rejects_unknown_how(spark):
+    import pytest
+
+    left, right = _frames(spark)
+    for how in ("right", "full", "lleft"):
+        with pytest.raises(ValueError, match="asof_join"):
+            asof_join(
+                left, right, on="user_id", left_ts="ts", right_ts="o_date",
+                value_cols=["okey"], how=how,
+            )
+
+
 def test_range_join_banded_half_open_interval(spark):
     left, right = _frames(spark)
     out = range_join_banded(
