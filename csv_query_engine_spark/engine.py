@@ -20,6 +20,7 @@ import datetime as dt
 from pyspark.sql import DataFrame, SparkSession
 
 from csv_query_engine_spark.io.readers import read_csv
+from csv_query_engine_spark.nlsql.dialect import duckdb_to_spark_sql
 from csv_query_engine_spark.nlsql.llm import LLMPlanner, RuleBasedPlanner
 from csv_query_engine_spark.nlsql.validator import validate_sql
 from csv_query_engine_spark.postprocess import QueryResult, materialize
@@ -86,10 +87,20 @@ class QueryEngine:
             sql = self.planner.generate(question, cols, table=table)
         else:
             sql = RuleBasedPlanner(now=self.now).generate(question, cols, table=table)
-        return self.sql(sql)
+        # Planner output goes through the DuckDB->Spark shim: a
+        # reference-style LLM emits DuckDB dialect ("ident" quoting,
+        # list_* calls — reference models.py:31-36); the shim is a no-op
+        # on the Spark dialect our planners produce (nlsql.dialect).
+        return self.sql(sql, dialect="duckdb")
 
-    def sql(self, sql: str, collapse: bool = True) -> QueryResult:
-        """Validated pass-through execution (Tier B surface)."""
+    def sql(self, sql: str, collapse: bool = True, dialect: str = "spark") -> QueryResult:
+        """Validated pass-through execution (Tier B surface).
+        ``dialect="duckdb"`` transpiles the documented DuckDB-isms
+        (double-quoted identifiers, list_* functions) before validation."""
+        if dialect == "duckdb":
+            sql = duckdb_to_spark_sql(sql)
+        elif dialect != "spark":
+            raise EngineError(f"Unknown SQL dialect {dialect!r}")
         cleaned = validate_sql(sql, spark=self.spark)
         df = self.spark.sql(cleaned)
         return materialize(df, cleaned, limit=self.max_rows, collapse=collapse)

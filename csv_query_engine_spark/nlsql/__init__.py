@@ -1,3 +1,4 @@
+from csv_query_engine_spark.nlsql.dialect import duckdb_to_spark_sql
 from csv_query_engine_spark.nlsql.generator import (
     generate_sql_rule_based,
     get_last_month_range,
@@ -10,6 +11,7 @@ __all__ = [
     "LLMPlanner",
     "RuleBasedPlanner",
     "UnsafeSQLError",
+    "duckdb_to_spark_sql",
     "generate_sql_rule_based",
     "get_last_month_range",
     "quote_identifier",

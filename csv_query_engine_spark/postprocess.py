@@ -42,11 +42,35 @@ def collapse_duplicates(df: DataFrame, count_col: str = "count") -> DataFrame:
     )
 
 
+def _collapse_probe(df: DataFrame, count_col: str = "count") -> tuple[DataFrame, bool, DataFrame | None]:
+    """One-pass conditional collapse: the all-columns count aggregate is
+    computed ONCE and persisted; the duplicate flag is probed from the
+    cached aggregate and the collapsed plan reuses it (A17+A18+A19 in a
+    single aggregation job instead of two). Returns (plan, collapsed,
+    cached) — the caller must unpersist ``cached`` after materializing."""
+    # Internal alias: the result may itself carry a `count` column (any
+    # GROUP BY ... COUNT(*) AS count query) and the probe filter must not
+    # be ambiguous. Renamed to the public name only on the collapse path.
+    tmp = "__collapse_n"
+    grouped = df.groupBy(*df.columns).agg(F.count(F.lit(1)).alias(tmp)).persist()
+    has_dup = grouped.filter(F.col(tmp) > 1).limit(1).count() > 0
+    if has_dup:
+        out = grouped.orderBy(F.desc(tmp), *df.columns).withColumnRenamed(tmp, count_col)
+        return out, True, grouped
+    grouped.unpersist()
+    return df, False, None
+
+
 def collapse_if_duplicated(df: DataFrame) -> tuple[DataFrame, bool]:
-    """The reference's conditional collapse (query.py:49-58)."""
-    if has_duplicate_rows(df):
-        return collapse_duplicates(df), True
-    return df, False
+    """The reference's conditional collapse (query.py:49-58). Probes via
+    the one-pass aggregate; the cache is dropped before returning so
+    direct callers own no persist lifecycle (:func:`materialize` uses
+    :func:`_collapse_probe` directly and keeps the cache warm through
+    its collect)."""
+    out, collapsed, cached = _collapse_probe(df)
+    if cached is not None:
+        cached.unpersist()
+    return out, collapsed
 
 
 @dataclass
@@ -69,11 +93,16 @@ def materialize(df: DataFrame, sql: str, limit: int | None = 200, collapse: bool
     measured around the action."""
     start = time.perf_counter()
     collapsed = False
-    if collapse:
-        df, collapsed = collapse_if_duplicated(df)
-    if limit is not None:
-        df = df.limit(limit)
-    rows = [r.asDict(recursive=True) for r in df.collect()]
+    cached = None
+    try:
+        if collapse:
+            df, collapsed, cached = _collapse_probe(df)
+        if limit is not None:
+            df = df.limit(limit)
+        rows = [r.asDict(recursive=True) for r in df.collect()]
+    finally:
+        if cached is not None:
+            cached.unpersist()
     elapsed = time.perf_counter() - start
     return QueryResult(
         sql=sql,

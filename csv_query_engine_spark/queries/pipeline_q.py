@@ -399,6 +399,71 @@ def docs_udtf_sentences(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "customer_order_gap_profile",
+    """
+    WITH o AS (
+        SELECT o_custkey, o_orderkey, o_orderdate,
+               LAG(o_orderdate) OVER (
+                   PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+               ) AS prev_d
+        FROM orders WHERE o_custkey % 10 = 0
+    )
+    SELECT o_custkey AS custkey,
+           COUNT(*) AS n_orders,
+           COALESCE(ROUND(AVG(CAST(DATEDIFF('day', prev_d, o_orderdate) AS DOUBLE)), 6), -1.0)
+               AS avg_gap_days,
+           COALESCE(CAST(MAX(DATEDIFF('day', prev_d, o_orderdate)) AS BIGINT), -1) AS max_gap_days
+    FROM o
+    GROUP BY o_custkey
+    ORDER BY custkey
+    """,
+)
+def customer_order_gap_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch grouped-map pandas UDF coverage (SURVEY §2 Tier B UDF/UDAF
+    row, the applyInPandas cell): per-customer order-cadence model —
+    mean/max day gaps between consecutive orders, computed inside a
+    per-group pandas frame. The semantics ARE SQL-expressible (that is
+    the point: it keeps a DuckDB oracle); the grouped-map form is the
+    coverage target, standing in for per-entity model fits (per-user
+    curves, per-key regressions) that are not.
+
+    Gap multiset depends only on the sorted order dates, so ties need
+    no ordering guarantee; single-order customers COALESCE to -1
+    sentinels on both sides (pandas would upcast nullable ints).
+
+    Scale: one shuffle on custkey; per-group state is that customer's
+    orders only (bounded); Arrow-batched both directions. The UDF body
+    is closure-self-contained — executors cannot import this package."""
+
+    def _profile(pdf):
+        import pandas as pd
+
+        d = pd.to_datetime(pdf["o_orderdate"]).sort_values()
+        gaps = d.diff().dt.days.dropna()
+        if len(gaps):
+            avg = round(float(gaps.mean()), 6)
+            mx = int(gaps.max())
+        else:
+            avg, mx = -1.0, -1
+        return pd.DataFrame(
+            {
+                "custkey": [int(pdf["o_custkey"].iloc[0])],
+                "n_orders": [len(pdf)],
+                "avg_gap_days": [avg],
+                "max_gap_days": [mx],
+            }
+        )
+
+    o = load_tables(spark, sf_dir, ("orders",))["orders"].filter(F.col("o_custkey") % 10 == 0)
+    return (
+        o.select("o_custkey", "o_orderdate")
+        .groupBy("o_custkey")
+        .applyInPandas(_profile, "custkey long, n_orders long, avg_gap_days double, max_gap_days long")
+        .orderBy("custkey")
+    )
+
+
 @register("multimodal_frame_sample", None)
 def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Video-style frame sampling plumbing (1 row -> N frame rows,

@@ -140,6 +140,30 @@ def test_ask_with_pluggable_llm_planner(spark, engine):
     assert got["Internet"] >= 15 and got["Phone"] >= 8
 
 
+def test_ask_with_duckdb_dialect_planner(spark, engine):
+    """A reference-style LLM that ignores the Spark prompt and emits the
+    reference's canonical DuckDB output (models.py:31-36) must still
+    execute: the dialect shim transpiles "ident" quoting before
+    validation. The exact documented string, untouched."""
+    from csv_query_engine_spark.engine import QueryEngine
+
+    class ReferenceStylePlanner:
+        def generate(self, question, columns, table="df"):
+            return (
+                'SELECT "Service", COUNT(*) as count FROM df '
+                "WHERE \"City\" = 'Mumbai' "
+                "AND \"incident_date\" >= '2024-01-01 00:00:00' "
+                "AND \"incident_date\" <= '2024-01-31 23:59:59' "
+                'GROUP BY "Service"'
+            )
+
+    eng2 = QueryEngine(spark, planner=ReferenceStylePlanner())
+    eng2._profiles["df"] = engine._profiles["df"]
+    res = eng2.ask("which services were affected in mumbai last month?", use_ai=True)
+    got = {r["Service"]: r["count"] for r in res.rows}
+    assert got == {"Internet": 15, "Phone": 8}
+
+
 def test_ask_ai_requires_api_key(spark, engine):
     from csv_query_engine_spark.engine import QueryEngine
     from csv_query_engine_spark.nlsql.llm import MissingAPIKeyError, OpenAIPlanner

@@ -1,0 +1,94 @@
+"""HTTP facade route tests: the reference's two endpoints and its 400
+surface (A21) exercised through the Flask test client — upload ->
+profile response, query -> result envelope, and every error case the
+reference maps to HTTP 400."""
+
+from __future__ import annotations
+
+import datetime as dt
+import io
+
+import pytest
+
+pytest.importorskip("flask")
+
+from csv_query_engine_spark.engine import QueryEngine
+from csv_query_engine_spark.http_api import create_app
+
+NOW = dt.date(2024, 2, 15)
+
+
+def _incidents_csv_bytes() -> bytes:
+    rows = ["City,Service,incident_date,severity"]
+    rows += ["Mumbai,Internet,2024-01-%02d,3" % (d % 28 + 1) for d in range(15)]
+    rows += ["Mumbai,Phone,2024-01-%02d,2" % (d % 28 + 1) for d in range(8)]
+    rows += ["Delhi,Internet,2024-01-05,1"] * 4
+    return ("\n".join(rows) + "\n").encode()
+
+
+@pytest.fixture(scope="module")
+def client(spark):
+    app = create_app(QueryEngine(spark, now=NOW))
+    app.config["TESTING"] = True
+    return app.test_client()
+
+
+def test_home_page(client):
+    r = client.get("/")
+    assert r.status_code == 200
+    assert b"upload" in r.data.lower()
+
+
+def test_query_before_upload_is_400(client):
+    r = client.post("/query", json={"question": "which services?"})
+    assert r.status_code == 400
+    assert "upload" in r.get_json()["detail"].lower()
+
+
+def test_upload_rejects_non_csv(client):
+    r = client.post(
+        "/upload",
+        data={"file": (io.BytesIO(b"x,y\n1,2\n"), "data.txt")},
+        content_type="multipart/form-data",
+    )
+    assert r.status_code == 400
+    assert r.get_json()["detail"] == "Only CSV files allowed"
+
+
+def test_upload_missing_file_is_400(client):
+    r = client.post("/upload", data={}, content_type="multipart/form-data")
+    assert r.status_code == 400
+
+
+def test_upload_then_flagship_query(client):
+    up = client.post(
+        "/upload",
+        data={"file": (io.BytesIO(_incidents_csv_bytes()), "incidents.csv")},
+        content_type="multipart/form-data",
+    )
+    assert up.status_code == 200
+    cols = {c["name"]: c for c in up.get_json()["columns"]}
+    assert cols["City"]["semantic_type"] == "city"
+    assert cols["incident_date"]["semantic_type"] == "date"
+
+    q = client.post(
+        "/query",
+        json={"question": "Which services were affected in Mumbai last month?", "use_ai": False},
+    )
+    assert q.status_code == 200
+    body = q.get_json()
+    got = {r["Service"]: r["count"] for r in body["rows"]}
+    assert got == {"Internet": 15, "Phone": 8}
+    assert body["sql"].startswith("SELECT `Service`, COUNT(*) AS count")
+    assert body["execution_time"] > 0
+
+
+def test_empty_question_is_400(client):
+    r = client.post("/query", json={"question": "   "})
+    assert r.status_code == 400
+    assert "question" in r.get_json()["detail"].lower()
+
+
+def test_query_missing_body_is_400(client):
+    r = client.post("/query", json={})
+    assert r.status_code == 400

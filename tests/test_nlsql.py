@@ -106,6 +106,50 @@ def test_validator_strips_trailing_semicolon():
     assert validate_sql("SELECT 1;") == "SELECT 1"
 
 
+# --------------------------------------------------------------- dialect
+
+
+def test_dialect_transpiles_reference_canonical_output():
+    from csv_query_engine_spark.nlsql import duckdb_to_spark_sql
+
+    # The exact shape the reference documents its LLM emitting
+    # (reference models.py:31-36): DuckDB double-quoted identifiers.
+    got = duckdb_to_spark_sql(
+        'SELECT "Service", COUNT(*) as count FROM df WHERE "City" = \'Mumbai\' GROUP BY "Service"'
+    )
+    assert got == (
+        "SELECT `Service`, COUNT(*) as count FROM df WHERE `City` = 'Mumbai' GROUP BY `Service`"
+    )
+
+
+def test_dialect_noop_on_spark_sql():
+    from csv_query_engine_spark.nlsql import duckdb_to_spark_sql
+
+    sql = "SELECT `Service`, COUNT(*) AS count FROM df WHERE note = 'a \"quoted\" word' -- \"c\"\n"
+    assert duckdb_to_spark_sql(sql) == sql
+
+
+def test_dialect_renames_list_functions_outside_literals():
+    from csv_query_engine_spark.nlsql import duckdb_to_spark_sql
+
+    got = duckdb_to_spark_sql(
+        "SELECT LIST_CONTAINS(tags, 'x'), list_transform(v, y -> y + 1), "
+        "mylist_contains(z), 'list_filter(a)' FROM df"
+    )
+    assert got == (
+        "SELECT array_contains(tags, 'x'), transform(v, y -> y + 1), "
+        "mylist_contains(z), 'list_filter(a)' FROM df"
+    )
+
+
+def test_dialect_identifier_escapes():
+    from csv_query_engine_spark.nlsql import duckdb_to_spark_sql
+
+    # "" -> literal " ; embedded backtick in the ident -> doubled
+    assert duckdb_to_spark_sql('SELECT "we""ird" FROM df') == 'SELECT `we"ird` FROM df'
+    assert duckdb_to_spark_sql('SELECT "a`b" FROM df') == "SELECT `a``b` FROM df"
+
+
 def test_validator_plan_check(spark):
     with pytest.raises(UnsafeSQLError):
         validate_sql("EXPLAIN SELECT 1", spark=spark)
