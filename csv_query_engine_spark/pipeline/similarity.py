@@ -196,7 +196,7 @@ def embedding_near_dup_pairs(
     embeddings: DataFrame,
     threshold: float = 0.95,
     n_planes: int = 64,
-    n_bands: int = 8,
+    n_bands: int = 4,
     dim: int = 64,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
@@ -214,13 +214,18 @@ def embedding_near_dup_pairs(
     * Buckets hold bare ids only; vectors are re-attached by two id
       equi-joins on the (distinct, near-linear) candidate pairs, so no
       aggregation buffer ever carries vector payloads.
-    * Banding keeps recall high while each band's exact-match granularity
-      (``n_planes // n_bands`` bits) bounds expected bucket size. With
-      the 8×8-bit default, a cosine-0.95 pair (bit-flip p≈0.10) matches
-      ≥1 band with prob ~0.99. Growing the corpus 100×: raise bits per
-      band (bucket count per band = 2^bits, so +7 bits per 100×) and add
-      bands to hold recall — the knobs trade candidate volume vs recall,
-      never correctness (verification is exact).
+    * Band granularity bounds RANDOM-pair candidate volume: uncorrelated
+      vectors collide on a b-bit band with prob 2^-b, so expected noise
+      candidates ≈ bands × N²/2^(b+1). The 4×16-bit default keeps that
+      ~N²/32k (a few hundred verify calls at N=5k; an 8×8-bit layout
+      measured ~N²/32 — 780k interpreted cosine folds at sf0.1).
+      Near-IDENTICAL vectors (bit-flip p ≲ 0.02) still match a band with
+      prob ≥ (1-p)^16 ≈ 0.72 each, ≥ 0.98 across 4 bands. Recall decays
+      toward the 0.95 threshold boundary (~0.5 for a pair at exactly
+      0.95) — the documented LSH trade; drop ``band width`` or verify
+      with a second rotated plane set when boundary recall matters more
+      than candidate volume. Growing the corpus 100×: +7 bits per band
+      (2^bits buckets per band) and add bands to hold recall.
     * ``max_bucket`` drops degenerate buckets (e.g. a zero-vector
       cluster) instead of letting one quadratic explode straggle/OOM a
       task; cost is recall inside the dropped bucket only, and legit

@@ -434,14 +434,26 @@ def customer_order_gap_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: one shuffle on custkey; per-group state is that customer's
     orders only (bounded); Arrow-batched both directions. The UDF body
-    is closure-self-contained — executors cannot import this package."""
+    is closure-self-contained — executors cannot import this package.
+
+    PERF (both measured at sf0.1): (a) dates are converted to epoch-day
+    ints JVM-side BEFORE the UDF — per-group ``pd.to_datetime`` over
+    Python date objects parses element-wise, ~2 ms/group; (b) the input
+    is EXPLICITLY hash-repartitioned on the group key — the rows feeding
+    the groupBy are a few hundred KB, so AQE coalesces the implicit
+    shuffle to ONE partition and the per-group Python stage runs serial
+    (the AQE-serializes-compute trap, see pipeline/dedup._spread); an
+    explicit repartition satisfies the clustering requirement (no second
+    exchange) and AQE does not coalesce user-specified partitioning.
+    10 s -> ~1 s."""
 
     def _profile(pdf):
+        import numpy as np
         import pandas as pd
 
-        d = pd.to_datetime(pdf["o_orderdate"]).sort_values()
-        gaps = d.diff().dt.days.dropna()
-        if len(gaps):
+        days = np.sort(pdf["order_day"].to_numpy())
+        gaps = np.diff(days)
+        if gaps.size:
             avg = round(float(gaps.mean()), 6)
             mx = int(gaps.max())
         else:
@@ -457,7 +469,8 @@ def customer_order_gap_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     o = load_tables(spark, sf_dir, ("orders",))["orders"].filter(F.col("o_custkey") % 10 == 0)
     return (
-        o.select("o_custkey", "o_orderdate")
+        o.select("o_custkey", F.datediff("o_orderdate", F.lit("1970-01-01")).alias("order_day"))
+        .repartition(spark.sparkContext.defaultParallelism, "o_custkey")
         .groupBy("o_custkey")
         .applyInPandas(_profile, "custkey long, n_orders long, avg_gap_days double, max_gap_days long")
         .orderBy("custkey")
