@@ -145,6 +145,99 @@ def docs_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select("doc_id", "lang", tx.lang_id(F.col("text")).alias("lang_pred")).orderBy("doc_id")
 
 
+@register(
+    "docs_repetition_stats",
+    f"""
+    WITH d AS (
+        SELECT doc_id, {_SQL_TOKS} AS toks FROM documents
+    ),
+    base AS (
+        SELECT doc_id, toks, len(toks) AS n_tokens,
+               CASE WHEN len(toks) >= 2
+                    THEN list_transform(range(1, len(toks)),
+                                        i -> array_to_string(list_slice(toks, i, i + 1), ' '))
+                    ELSE [] END AS bigrams
+        FROM d
+    ),
+    tok_top AS (
+        SELECT doc_id, MAX(c) AS max_tok FROM (
+            SELECT doc_id, g, COUNT(*) AS c
+            FROM (SELECT doc_id, unnest(toks) AS g FROM base) GROUP BY doc_id, g
+        ) GROUP BY doc_id
+    ),
+    bi_top AS (
+        SELECT doc_id, MAX(c) AS max_bi FROM (
+            SELECT doc_id, g, COUNT(*) AS c
+            FROM (SELECT doc_id, unnest(bigrams) AS g FROM base) GROUP BY doc_id, g
+        ) GROUP BY doc_id
+    )
+    SELECT base.doc_id,
+           CAST(base.n_tokens AS BIGINT) AS n_tokens,
+           ROUND(CAST(len(list_distinct(base.toks)) AS DOUBLE) / CAST(base.n_tokens AS DOUBLE), 6)
+               AS distinct_ratio,
+           ROUND(CAST(COALESCE(tok_top.max_tok, 0) AS DOUBLE) / CAST(base.n_tokens AS DOUBLE), 6)
+               AS top_token_frac,
+           CASE WHEN base.n_tokens >= 2
+                THEN ROUND(CAST(COALESCE(bi_top.max_bi, 0) AS DOUBLE)
+                           / CAST(base.n_tokens - 1 AS DOUBLE), 6)
+                ELSE 0.0 END AS top_bigram_frac
+    FROM base LEFT JOIN tok_top USING (doc_id) LEFT JOIN bi_top USING (doc_id)
+    ORDER BY doc_id
+    """,
+)
+def docs_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition/boilerplate signals per document
+    (pipeline.text.repetition_stats): type-token ratio plus top-token
+    and top-bigram mass fractions — the filters an LLM training pipeline
+    applies before dedup."""
+    d = load_tables(spark, sf_dir, ("documents",))["documents"]
+    return tx.repetition_stats(d).orderBy("doc_id")
+
+
+@register(
+    "docs_contamination_overlap",
+    f"""
+    WITH d AS (
+        SELECT doc_id, {_SQL_TOKS} AS toks FROM documents
+    ),
+    base AS (
+        SELECT doc_id,
+               list_distinct(CASE WHEN len(toks) >= 5
+                    THEN list_transform(range(1, len(toks) - 3),
+                                        i -> array_to_string(list_slice(toks, i, i + 4), ' '))
+                    ELSE [] END) AS grams
+        FROM d
+    ),
+    bench AS (
+        SELECT DISTINCT unnest(grams) AS g FROM base WHERE doc_id % 101 = 0
+    ),
+    corpus AS (SELECT * FROM base WHERE doc_id % 101 <> 0),
+    hits AS (
+        SELECT cg.doc_id, COUNT(bench.g) AS n_hit
+        FROM (SELECT doc_id, unnest(grams) AS g FROM corpus) cg
+        LEFT JOIN bench ON cg.g = bench.g
+        GROUP BY cg.doc_id
+    )
+    SELECT corpus.doc_id,
+           CAST(len(corpus.grams) AS BIGINT) AS n_grams,
+           CAST(COALESCE(hits.n_hit, 0) AS BIGINT) AS n_hit,
+           CASE WHEN len(corpus.grams) > 0
+                THEN ROUND(CAST(COALESCE(hits.n_hit, 0) AS DOUBLE)
+                           / CAST(len(corpus.grams) AS DOUBLE), 6)
+                ELSE 0.0 END AS contamination_frac
+    FROM corpus LEFT JOIN hits USING (doc_id)
+    ORDER BY doc_id
+    """,
+)
+def docs_contamination_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark-contamination scan (pipeline.text.contamination_overlap):
+    fraction of each training doc's distinct 5-grams found in the
+    held-out benchmark slice (doc_id % 101 == 0) — the eval-leak check
+    run before training."""
+    d = load_tables(spark, sf_dir, ("documents",))["documents"]
+    return tx.contamination_overlap(d).orderBy("doc_id")
+
+
 # ------------------------------------------------------------------ dedup
 
 

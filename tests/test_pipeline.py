@@ -55,6 +55,35 @@ def test_lang_id_rules(spark):
     assert got == {1: "en", 2: "es", 3: "de", 4: "zh", 5: "unknown"}
 
 
+def test_repetition_stats_hand_computed(spark):
+    df = spark.createDataFrame([(1, "a a a b"), (2, "x y")], "doc_id long, text string")
+    rows = {r["doc_id"]: r for r in tx.repetition_stats(df).collect()}
+    # doc1: tokens [a,a,a,b] -> distinct 2/4; top token a 3/4;
+    # bigrams ["a a","a a","a b"] -> top 2/3
+    assert rows[1]["n_tokens"] == 4
+    assert rows[1]["distinct_ratio"] == 0.5
+    assert rows[1]["top_token_frac"] == 0.75
+    assert abs(rows[1]["top_bigram_frac"] - round(2 / 3, 6)) < 1e-12
+    # doc2: single bigram "x y" -> 1/1
+    assert rows[2]["top_bigram_frac"] == 1.0
+
+
+def test_contamination_overlap_hand_computed(spark):
+    df = spark.createDataFrame(
+        [
+            (0, "a b c d e f"),          # benchmark doc (0 % 3 == 0)
+            (1, "a b c d e x y z w v"),  # 6 distinct 5-grams, one in bench
+            (2, "p q r s t u"),          # 2 grams, no overlap
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in tx.contamination_overlap(df, bench_mod=3).collect()}
+    assert set(out) == {1, 2}  # benchmark docs excluded from scoring
+    assert out[1]["n_grams"] == 6 and out[1]["n_hit"] == 1
+    assert out[1]["contamination_frac"] == round(1 / 6, 6)
+    assert out[2]["n_hit"] == 0 and out[2]["contamination_frac"] == 0.0
+
+
 def test_rolling_fingerprint_empty_text_is_seed(spark):
     """Spark's sequence(1,0) is the DESCENDING [1,0], not empty — the
     empty-text guard must return the bare seed (what DuckDB's empty
