@@ -194,6 +194,7 @@ def minhash_lsh_pairs(
     shingle_k: int = 5,
     threshold: float = 0.5,
     max_bucket: int = 4096,
+    est_margin: float | None = 0.15,
 ) -> DataFrame:
     """Near-duplicate pairs via banded MinHash LSH with exact-Jaccard
     verification of candidates.
@@ -212,6 +213,18 @@ def minhash_lsh_pairs(
     dedup is the right tool for mass-identical docs), correctness of
     emitted pairs does not. Identical docs still pair up as long as the
     duplicate group stays under the cap (see the degenerate-corpus test).
+
+    ``est_margin``: candidates are pre-screened with the MinHash
+    ESTIMATE (fraction of matching signature components — already
+    computed, 64 longs vs ~250-long hash arrays) and only pairs with
+    estimate ≥ threshold − est_margin pay the exact intersect/union.
+    A shared-vocabulary corpus floods the bands with j≈0.2–0.3
+    collisions (measured 310k candidates from 5k docs at sf0.1, exact
+    verification 3.5 s of a 5 s query); the estimate screen drops them
+    for ~4× less per-pair work. Miss risk: est is a mean of 64
+    Bernoulli(j) draws (σ≈0.0625), so a TRUE pair at exactly the
+    threshold clears threshold−0.15 with P≈0.99; set est_margin=None
+    to disable the screen and verify every candidate exactly.
     """
     rows_per_band = num_hashes // bands
     sig = minhash_signatures(df, id_col, text_col, num_hashes, shingle_k)
@@ -253,14 +266,33 @@ def minhash_lsh_pairs(
     # (231k two-long rows are a few MB), which would serialize the exact-
     # Jaccard verification — by far the heaviest per-row stage. Round-
     # robin the cheap id pairs BEFORE the joins attach the arrays.
-    #
-    # Verification runs on the HASHED shingle arrays (array<long>), not
-    # the strings: long intersect/union is several× cheaper, and a
+    survivors = _spread(cand)
+    if est_margin is not None:
+        # Estimate screen: fraction of equal signature components is an
+        # unbiased Jaccard estimator and the sig arrays are ~4× smaller
+        # than the shingle-hash arrays, so noise candidates (band
+        # collisions from shared vocabulary) die before the expensive
+        # exact intersect/union. See docstring for the miss-risk math.
+        est = F.aggregate(
+            F.zip_with("sig_a", "sig_b", lambda x, y: (x == y).cast("int")),
+            F.lit(0),
+            lambda acc, x: acc + x,
+        ).cast("double") / F.lit(float(num_hashes))
+        survivors = (
+            survivors
+            .join(sig.select(F.col("id").alias("id_a"), F.col("sig").alias("sig_a")), "id_a")
+            .join(sig.select(F.col("id").alias("id_b"), F.col("sig").alias("sig_b")), "id_b")
+            .filter(est >= F.lit(float(threshold - est_margin)))
+            .select("id_a", "id_b")
+        )
+
+    # Exact verification runs on the HASHED shingle arrays (array<long>),
+    # not the strings: long intersect/union is several× cheaper, and a
     # 64-bit collision inflating an intersection needs ~|A|·|B|/2^64 ≈
     # 5e-15 odds at 300-shingle docs — numerically irrelevant.
     grams = minhash_with_grams(df, id_col, text_col, num_hashes, shingle_k).select("id", "hashes")
     return (
-        _spread(cand)
+        survivors
         .join(grams.select(F.col("id").alias("id_a"), F.col("hashes").alias("grams_a")), "id_a")
         .join(grams.select(F.col("id").alias("id_b"), F.col("hashes").alias("grams_b")), "id_b")
         .select("id_a", "id_b", jaccard(F.col("grams_a"), F.col("grams_b")).alias("jaccard"))
