@@ -25,7 +25,13 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
-__all__ = ["hash_bucket", "assign_split", "stratified_fixed_sample", "deterministic_sample"]
+__all__ = [
+    "hash_bucket",
+    "assign_split",
+    "stratified_fixed_sample",
+    "deterministic_sample",
+    "token_budget_sample",
+]
 
 
 def hash_bucket(key: Column, n_buckets: int = 100, salt: str = "split-") -> Column:
@@ -96,3 +102,47 @@ def stratified_fixed_sample(
     h = F.md5(F.concat(F.lit(salt), key.cast("string")))
     rank = F.row_number().over(W.partitionBy(stratum).orderBy(h, key))
     return df.withColumn("sample_rank", rank).filter(F.col("sample_rank") <= k)
+
+
+def token_budget_sample(
+    df: DataFrame,
+    stratum: str,
+    key: Column,
+    weight: Column,
+    budget: int,
+    salt: str = "mix-",
+) -> DataFrame:
+    """Select documents per stratum up to a token budget — the "compose
+    a training mix" primitive (e.g. 2 B tokens per language with fixed
+    per-source ratios).
+
+    Rows are ordered within each stratum by (content hash, key) — a
+    deterministic uniform shuffle — and kept while the running sum of
+    ``weight`` (token count) stays ≤ ``budget``.  The first document
+    that would overflow the budget is dropped along with the rest of
+    its stratum's tail, so the selected set is a fixed, reproducible
+    function of content: re-ingestion, engine swaps, and corpus growth
+    never change a kept doc's membership ordering (new docs slot into
+    the hash order; membership changes only where the budget boundary
+    moves — the same stability class as :func:`stratified_fixed_sample`).
+
+    Adds ``cum_tokens`` (running total including the current row).
+
+    Scale: one shuffle on ``stratum`` + a per-stratum sort for the
+    running sum (no WindowGroupLimit shortcut exists for SUM frames).
+    For strata where even the sort is too big, run the two-pass variant
+    instead: quantile-sketch the per-row hash weighted by ``weight``,
+    pick the hash threshold whose prefix mass ≈ budget, and keep rows
+    below it — a narrow filter, no sort; this exact version is the
+    oracle-checkable ground truth for it.
+    """
+    h = F.md5(F.concat(F.lit(salt), key.cast("string")))
+    w = (
+        W.partitionBy(stratum)
+        .orderBy(h, key)
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return (
+        df.withColumn("cum_tokens", F.sum(weight).over(w))
+        .filter(F.col("cum_tokens") <= budget)
+    )

@@ -309,6 +309,108 @@ def contamination_overlap(
     )
 
 
+def duplicate_span_stats(
+    df: DataFrame,
+    n: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Corpus-wide duplicated-span statistics: for each document, how
+    many of its distinct word ``n``-grams ("spans") occur in at least
+    one OTHER document.  This is the distributed screen for exact
+    substring duplication (the suffix-array dedup of RefinedWeb/
+    Lee et al. 2021, "Deduplicating Training Data Makes Language
+    Models Better"): a high ``dup_frac`` doc is boilerplate or a
+    near-copy even when full-document fingerprints differ.
+
+    Scale: span rows are (id, gram) pairs — linear in corpus tokens,
+    built with the explode-index + codegen'd concat pattern (see
+    :func:`_ngram_rows`).  Two shuffles keyed by the gram: a distinct
+    and a per-gram doc-count with map-side partial aggregation; the
+    count table (gram -> n_docs) joins back to the span rows on the
+    same key, so AQE plans it shuffle-reuse-friendly.  At 100 TB key
+    both sides on ``xxhash64(gram)`` (8-byte shuffle rows) — raw
+    strings are kept here for cross-engine verifiability.
+    """
+    base = _spread(df.select(F.col(id_col).alias("id"), F.col(text_col).alias("_t"))).select(
+        "id", tokens(F.col("_t")).alias("toks")
+    )
+    spans = _ngram_rows(base, n).distinct()
+    span_docs = spans.groupBy("g").agg(F.count(F.lit(1)).alias("n_docs"))
+    stats = (
+        spans.join(span_docs, "g")
+        .groupBy("id")
+        .agg(
+            F.count(F.lit(1)).alias("n_spans"),
+            F.sum(F.when(F.col("n_docs") >= 2, 1).otherwise(0)).alias("n_dup"),
+        )
+    )
+    return (
+        base.select("id")
+        .join(stats, "id", "left")
+        .select(
+            F.col("id").alias(id_col),
+            F.coalesce(F.col("n_spans"), F.lit(0)).cast("long").alias("n_spans"),
+            F.coalesce(F.col("n_dup"), F.lit(0)).cast("long").alias("n_dup_spans"),
+            F.when(
+                F.coalesce(F.col("n_spans"), F.lit(0)) > 0,
+                F.round(
+                    F.coalesce(F.col("n_dup"), F.lit(0)).cast("double")
+                    / F.col("n_spans").cast("double"),
+                    6,
+                ),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("dup_frac"),
+        )
+    )
+
+
+# Gopher-style hard-filter thresholds (Rae et al. 2021 table A1 spirit,
+# tuned to the synthetic corpus so both verdicts occur).
+QF_MIN_TOKENS = 25
+QF_MAX_TOKENS = 120
+QF_MIN_MEAN_TOKEN_LEN = 3.0
+QF_MAX_MEAN_TOKEN_LEN = 10.0
+QF_MIN_STOPWORD_RATIO = 0.02
+QF_MIN_DISTINCT_RATIO = 0.30
+
+
+def quality_filter(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Hard quality-filter verdict per document — the boolean rule
+    composition a training pipeline applies before dedup (Gopher-rule
+    family): token-count window, mean-word-length window, minimum
+    stopword density (fluency proxy), minimum type-token ratio
+    (repetition screen).  Emits one flag column per rule plus the
+    conjunctive ``passes`` so downstream stages can both filter and
+    report per-rule rejection counts from the same scan.
+
+    Pure per-row ``pyspark.sql.functions`` expressions — codegen'd,
+    no shuffle, rides the scan at any scale.
+    """
+    c = F.col(text_col)
+    ntok = token_count(c)
+    mtl = mean_token_len(c)
+    swr = stopword_ratio(c)
+    dratio = F.when(
+        ntok > 0,
+        F.size(F.array_distinct(tokens(c))).cast("double") / ntok.cast("double"),
+    ).otherwise(F.lit(0.0))
+    ok_len = (ntok >= QF_MIN_TOKENS) & (ntok <= QF_MAX_TOKENS)
+    ok_mtl = (mtl >= QF_MIN_MEAN_TOKEN_LEN) & (mtl <= QF_MAX_MEAN_TOKEN_LEN)
+    ok_sw = swr >= QF_MIN_STOPWORD_RATIO
+    ok_distinct = dratio >= QF_MIN_DISTINCT_RATIO
+    return df.select(
+        F.col(id_col),
+        ntok.cast("long").alias("n_tokens"),
+        ok_len.alias("ok_token_count"),
+        ok_mtl.alias("ok_mean_token_len"),
+        ok_sw.alias("ok_stopword_ratio"),
+        ok_distinct.alias("ok_distinct_ratio"),
+        (ok_len & ok_mtl & ok_sw & ok_distinct).alias("passes"),
+    )
+
+
 ROLLING_HASH_BASE = 31
 ROLLING_HASH_MOD = 2147483647  # 2^31 - 1 (Mersenne); products stay < 2^36, ANSI-safe
 ROLLING_HASH_SEED = 7

@@ -238,6 +238,82 @@ def docs_contamination_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tx.contamination_overlap(d).orderBy("doc_id")
 
 
+_SQL_DRATIO = (
+    f"CASE WHEN {_SQL_NTOK} > 0 THEN "
+    f"CAST(len(list_distinct({_SQL_TOKS})) AS DOUBLE) / CAST({_SQL_NTOK} AS DOUBLE) ELSE 0.0 END"
+)
+
+
+@register(
+    "docs_quality_filter",
+    f"""
+    SELECT doc_id,
+           CAST({_SQL_NTOK} AS BIGINT) AS n_tokens,
+           ({_SQL_NTOK} >= 25 AND {_SQL_NTOK} <= 120) AS ok_token_count,
+           ({_SQL_MTL} >= 3.0 AND {_SQL_MTL} <= 10.0) AS ok_mean_token_len,
+           ({_SQL_SW_RATIO} >= 0.02) AS ok_stopword_ratio,
+           ({_SQL_DRATIO} >= 0.30) AS ok_distinct_ratio,
+           (({_SQL_NTOK} >= 25 AND {_SQL_NTOK} <= 120)
+            AND ({_SQL_MTL} >= 3.0 AND {_SQL_MTL} <= 10.0)
+            AND ({_SQL_SW_RATIO} >= 0.02)
+            AND ({_SQL_DRATIO} >= 0.30)) AS passes
+    FROM documents
+    ORDER BY doc_id
+    """,
+)
+def docs_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style hard quality filter (pipeline.text.quality_filter):
+    per-rule boolean flags + conjunctive verdict, so one scan serves
+    both the filter and the per-rule rejection report."""
+    d = load_tables(spark, sf_dir, ("documents",))["documents"]
+    return tx.quality_filter(d).orderBy("doc_id")
+
+
+@register(
+    "docs_duplicate_span_fraction",
+    f"""
+    WITH d AS (
+        SELECT doc_id, {_SQL_TOKS} AS toks FROM documents
+    ),
+    base AS (
+        SELECT doc_id,
+               list_distinct(CASE WHEN len(toks) >= 8
+                    THEN list_transform(range(1, len(toks) - 6),
+                                        i -> array_to_string(list_slice(toks, i, i + 7), ' '))
+                    ELSE [] END) AS spans
+        FROM d
+    ),
+    span_docs AS (
+        SELECT g, COUNT(*) AS n_docs
+        FROM (SELECT doc_id, unnest(spans) AS g FROM base) GROUP BY g
+    ),
+    stats AS (
+        SELECT s.doc_id, COUNT(*) AS n_spans,
+               SUM(CASE WHEN sd.n_docs >= 2 THEN 1 ELSE 0 END) AS n_dup
+        FROM (SELECT doc_id, unnest(spans) AS g FROM base) s
+        JOIN span_docs sd USING (g)
+        GROUP BY s.doc_id
+    )
+    SELECT base.doc_id,
+           CAST(COALESCE(stats.n_spans, 0) AS BIGINT) AS n_spans,
+           CAST(COALESCE(stats.n_dup, 0) AS BIGINT) AS n_dup_spans,
+           CASE WHEN COALESCE(stats.n_spans, 0) > 0
+                THEN ROUND(CAST(COALESCE(stats.n_dup, 0) AS DOUBLE)
+                           / CAST(stats.n_spans AS DOUBLE), 6)
+                ELSE 0.0 END AS dup_frac
+    FROM base LEFT JOIN stats USING (doc_id)
+    ORDER BY doc_id
+    """,
+)
+def docs_duplicate_span_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide duplicated-span screen (pipeline.text.
+    duplicate_span_stats): fraction of each doc's distinct 8-word spans
+    that occur in another document — the distributed approximation of
+    exact-substring dedup (Lee et al. 2021)."""
+    d = load_tables(spark, sf_dir, ("documents",))["documents"]
+    return tx.duplicate_span_stats(d, n=8).orderBy("doc_id")
+
+
 # ------------------------------------------------------------------ dedup
 
 
@@ -687,4 +763,53 @@ def docs_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         smp.stratified_fixed_sample(d, "lang", F.col("doc_id"), 25, salt="strat-")
         .select("doc_id", "lang", "sample_rank")
         .orderBy("lang", "sample_rank")
+    )
+
+
+@register(
+    "docs_token_budget_mix",
+    f"""
+    WITH d AS (
+        SELECT doc_id, lang, {_SQL_NTOK} AS n_tokens,
+               md5(concat('mix-', CAST(doc_id AS VARCHAR))) AS h
+        FROM documents
+    ),
+    w AS (
+        SELECT doc_id, lang, n_tokens,
+               SUM(n_tokens) OVER (
+                   PARTITION BY lang ORDER BY h, doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS cum_tokens
+        FROM d
+    )
+    SELECT doc_id, lang,
+           CAST(n_tokens AS BIGINT) AS n_tokens,
+           CAST(cum_tokens AS BIGINT) AS cum_tokens
+    FROM w
+    WHERE cum_tokens <= 1500
+    ORDER BY doc_id
+    """,
+)
+def docs_token_budget_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget training-mix selection (pipeline/sampling.py::
+    token_budget_sample): per-language, keep docs in deterministic
+    content-hash order while the running token total stays ≤ 1500 —
+    the "2 B tokens per language" mix-composition primitive, exact and
+    reproducible across engines.
+
+    Scale: one shuffle on ``lang`` + per-stratum sort; the docstring
+    documents the two-pass hash-threshold variant for strata too big
+    to sort.
+    """
+    d = load_tables(spark, sf_dir, ("documents",))["documents"]
+    base = d.select("doc_id", "lang", tx.token_count(F.col("text")).alias("n_tokens"))
+    return (
+        smp.token_budget_sample(base, "lang", F.col("doc_id"), F.col("n_tokens"), 1500, salt="mix-")
+        .select(
+            "doc_id",
+            "lang",
+            F.col("n_tokens").cast("long").alias("n_tokens"),
+            F.col("cum_tokens").cast("long").alias("cum_tokens"),
+        )
+        .orderBy("doc_id")
     )

@@ -330,3 +330,64 @@ def test_stratified_fixed_sample_exact_k_per_stratum(docs):
     # ranks are 1..k without gaps inside each stratum
     ranks = [r["sample_rank"] for r in samp.filter(F.col("lang") == "en").collect()]
     assert sorted(ranks) == list(range(1, min(k, strata["en"]) + 1))
+
+
+def test_token_budget_sample_prefix_and_budget(spark):
+    from csv_query_engine_spark.pipeline import sampling as smp
+
+    df = spark.createDataFrame(
+        [(i, "en" if i % 2 == 0 else "fr", 10 + i) for i in range(40)],
+        "doc_id long, lang string, n_tokens int",
+    )
+    out = smp.token_budget_sample(df, "lang", F.col("doc_id"), F.col("n_tokens"), 100)
+    rows = out.collect()
+    # budget respected per stratum (running total includes current row)
+    for lang in ("en", "fr"):
+        tot = sum(r["n_tokens"] for r in rows if r["lang"] == lang)
+        assert tot <= 100
+        assert max(r["cum_tokens"] for r in rows if r["lang"] == lang) == tot
+    # deterministic: identical selection on re-run
+    again = smp.token_budget_sample(df, "lang", F.col("doc_id"), F.col("n_tokens"), 100)
+    assert out.exceptAll(again).count() == 0
+    # prefix property: a larger budget only ADDS docs, never swaps them
+    bigger = smp.token_budget_sample(df, "lang", F.col("doc_id"), F.col("n_tokens"), 200)
+    assert out.select("doc_id").exceptAll(bigger.select("doc_id")).count() == 0
+
+
+def test_duplicate_span_stats_hand_computed(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "a b c d e f g h tail one"),   # shares the 8-span "a..h" with doc 2
+            (2, "a b c d e f g h tail two"),
+            (3, "p q r s t u v w x y"),        # unique spans
+            (4, "short doc"),                  # < 8 tokens -> zero spans
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in tx.duplicate_span_stats(df, n=8).collect()}
+    # docs 1/2: 3 distinct spans each; "a..h" and "b..tail" are shared,
+    # only the final span differs ("...tail one" vs "...tail two")
+    assert out[1]["n_spans"] == 3 and out[1]["n_dup_spans"] == 2
+    assert out[1]["dup_frac"] == round(2 / 3, 6)
+    assert out[2]["n_dup_spans"] == 2
+    assert out[3]["n_dup_spans"] == 0 and out[3]["dup_frac"] == 0.0
+    assert out[4]["n_spans"] == 0 and out[4]["dup_frac"] == 0.0
+
+
+def test_quality_filter_flags(spark):
+    good = "the cat and the dog sat on a mat with a hat and the bat ran to the " \
+           "yard while the sun was up and the wind was low and all was well here"
+    df = spark.createDataFrame(
+        [
+            (1, good),                         # passes every rule
+            (2, "word " * 10),                 # too short
+            (3, ("spark " * 40).strip()),      # degenerate repetition, no stopwords
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in tx.quality_filter(df).collect()}
+    assert out[1]["passes"] and all(
+        out[1][c] for c in ("ok_token_count", "ok_mean_token_len", "ok_stopword_ratio", "ok_distinct_ratio")
+    )
+    assert not out[2]["ok_token_count"] and not out[2]["passes"]
+    assert not out[3]["ok_stopword_ratio"] and not out[3]["ok_distinct_ratio"] and not out[3]["passes"]
