@@ -399,3 +399,45 @@ def ivf_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "cand_id", "cosine", "rank")
     )
+
+
+def label_centroids(
+    df: DataFrame,
+    label_col: str = "label",
+    vec_col: str = "embedding",
+    scale: int = 6,
+) -> DataFrame:
+    """Per-label elementwise mean vector in long form — one row per
+    (label, dim) with the centroid component.  The distributed vector
+    aggregate behind IVF/k-means training steps and per-cluster drift
+    stats, expressed with posexplode + groupBy: no UDF, no driver
+    collect (ivf_topk's Lloyd step keeps its own collect because it
+    must broadcast the result back; this is the query-surface form).
+
+    Components are summed as fixed-point longs quantized with the pure
+    IEEE-double expression ``floor(v·10^scale + 0.5)`` — NOT a decimal
+    cast: decimal rounding of a float32 disagrees between engines on
+    ~0.4% of elements (measured; Spark rounds the shortest decimal
+    repr HALF_UP, DuckDB's FLOAT→DECIMAL path ties differently), while
+    multiply/add/floor in double is bit-identical everywhere.  Same
+    envelope argument as queries/relational.exact_sum: |sum| < 9.2e12
+    at scale 6 — unit-norm float32 components keep per-(label,dim)
+    sums ≤ |group|, safe past 10^12 rows per label.
+
+    Scale: the explode is linear (N×dim rows of three small numeric
+    columns — the vector itself never shuffles as an array); one
+    shuffle on (label, dim) with map-side partial aggregation; output
+    is |labels|×dim rows.
+    """
+    v = F.col("_v").cast("double")
+    unscaled = F.floor(v * F.lit(float(10**scale)) + F.lit(0.5)).cast("long")
+    return (
+        _spread(df.select(F.col(label_col).alias("label"), F.col(vec_col).alias("_vec")))
+        .select("label", F.posexplode("_vec").alias("dim", "_v"))
+        .groupBy("label", "dim")
+        .agg(
+            (F.sum(unscaled).cast("double") / F.lit(float(10**scale)) / F.count(v)).alias("centroid"),
+            F.count(v).alias("n_vecs"),
+        )
+        .select("label", F.col("dim").cast("int").alias("dim"), "centroid", F.col("n_vecs").cast("long").alias("n_vecs"))
+    )

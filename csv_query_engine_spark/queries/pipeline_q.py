@@ -441,6 +441,31 @@ def embedding_near_dup_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim.embedding_near_dup_pairs(e).orderBy("id_a", "id_b")
 
 
+@register(
+    "embedding_centroids_by_label",
+    """
+    WITH e AS (
+        SELECT label, generate_subscripts(embedding, 1) - 1 AS dim, unnest(embedding) AS v
+        FROM embeddings
+    )
+    SELECT label, CAST(dim AS INT) AS dim,
+           CAST(SUM(CAST(FLOOR(CAST(v AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT)) AS DOUBLE)
+               / 1000000.0 / COUNT(v) AS centroid,
+           CAST(COUNT(v) AS BIGINT) AS n_vecs
+    FROM e
+    GROUP BY label, dim
+    ORDER BY label, dim
+    """,
+)
+def embedding_centroids_by_label(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label mean embedding in long (label, dim, centroid) form
+    (pipeline/similarity.py::label_centroids) — the distributed vector
+    aggregate behind cluster stats and IVF training, posexplode +
+    fixed-point exact sums, no UDF."""
+    e = load_tables(spark, sf_dir, ("embeddings",))["embeddings"]
+    return sim.label_centroids(e).orderBy("label", "dim")
+
+
 # ------------------------------------------------------------- multimodal
 
 

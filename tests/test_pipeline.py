@@ -221,6 +221,17 @@ def test_lsh_topk_finds_planted_neighbors(spark, emb):
     assert found / len(planted) >= 0.9, f"planted-neighbor recall {found}/{len(planted)}"
 
 
+def test_label_centroids_hand_computed(spark):
+    df = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (1, [0.0, 1.0]), (2, [2.0, 2.0])],
+        "label int, embedding array<float>",
+    )
+    out = {(r["label"], r["dim"]): r for r in sim.label_centroids(df).collect()}
+    assert out[(1, 0)]["centroid"] == 0.5 and out[(1, 1)]["centroid"] == 0.5
+    assert out[(2, 0)]["centroid"] == 2.0
+    assert out[(1, 0)]["n_vecs"] == 2 and out[(2, 1)]["n_vecs"] == 1
+
+
 def test_cosine_self_similarity(spark, emb):
     one = emb.limit(1).select(sim.cosine(F.col("embedding"), F.col("embedding")).alias("c"))
     assert abs(one.collect()[0]["c"] - 1.0) < 1e-9
