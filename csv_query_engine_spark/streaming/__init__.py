@@ -1,5 +1,5 @@
 from csv_query_engine_spark.streaming.events import (
-    EVENTS_SCHEMA,
+    ensure_event_time,
     enrich_with_dim,
     read_events_stream,
     run_stream_to_memory,
@@ -10,8 +10,8 @@ from csv_query_engine_spark.streaming.events import (
 )
 
 __all__ = [
-    "EVENTS_SCHEMA",
     "enrich_with_dim",
+    "ensure_event_time",
     "read_events_stream",
     "run_stream_to_memory",
     "running_user_totals",

@@ -20,32 +20,38 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-# events.parquet physical schema: ts is TIMESTAMP(NANOS) which Spark only
-# reads as long (see io.readers); the stream reader declares it long and
-# converts to a µs timestamp column immediately.
-EVENTS_SCHEMA = T.StructType(
-    [
-        T.StructField("event_id", T.LongType()),
-        T.StructField("ts", T.LongType()),
-        T.StructField("user_id", T.LongType()),
-        T.StructField("event_type", T.StringType()),
-        T.StructField("value", T.DoubleType()),
-        T.StructField("props", T.StringType()),
-    ]
-)
+def ensure_event_time(df: DataFrame, col: str = "ts") -> DataFrame:
+    """Normalize the event-time column to watermark-compatible TIMESTAMP
+    (local-tz). Harness generations have stored ``ts`` three ways:
+    TIMESTAMP(NANOS) — a nanosecond long under ``nanosAsLong`` — plain
+    TIMESTAMP(MICROS) (LTZ), and naive TIMESTAMP_NTZ. Watermarks reject
+    NTZ (EVENT_TIME_IS_NOT_ON_TIMESTAMP_TYPE); the session runs in UTC
+    (session.py), so the NTZ→LTZ cast maps wall time to the same instant
+    DuckDB reads for the batch oracles."""
+    dt = df.schema[col].dataType
+    if isinstance(dt, T.LongType):
+        return df.withColumn(col, F.timestamp_micros(F.expr(f"{col} div 1000")))
+    if isinstance(dt, T.TimestampNTZType):
+        return df.withColumn(col, F.col(col).cast("timestamp"))
+    return df
 
 
 def read_events_stream(spark: SparkSession, sf_dir: str, max_files_per_trigger: int | None = None) -> DataFrame:
     """File-source stream over the events parquet (one file here; a
-    directory of arriving files in production — same plan)."""
+    directory of arriving files in production — same plan).
+
+    The stream schema is taken from the file footer via a batch read
+    (streams cannot infer schemas themselves); ``ts`` is normalized to
+    a watermarkable TIMESTAMP whatever its physical encoding — see
+    :func:`ensure_event_time`."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     # The file source requires a directory; select just the events file
     # out of the shared sf_dir with a glob filter.
-    reader = spark.readStream.schema(EVENTS_SCHEMA).option("pathGlobFilter", "events.parquet")
+    schema = spark.read.option("pathGlobFilter", "events.parquet").parquet(sf_dir).schema
+    reader = spark.readStream.schema(schema).option("pathGlobFilter", "events.parquet")
     if max_files_per_trigger:
         reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
-    df = reader.parquet(sf_dir)
-    return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return ensure_event_time(reader.parquet(sf_dir))
 
 
 def windowed_event_counts(

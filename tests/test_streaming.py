@@ -12,6 +12,7 @@ from csv_query_engine_spark.queries.streaming_q import (
     events_sessionization,
 )
 from csv_query_engine_spark.streaming import (
+    ensure_event_time,
     read_events_stream,
     run_stream_to_memory,
     sessionize_stream,
@@ -61,10 +62,7 @@ def test_stream_dedup_within_watermark(spark, tmp_path):
     src.write.mode("overwrite").parquet(d)
     src.write.mode("append").parquet(d)
 
-    stream = (
-        spark.readStream.schema(src.schema).parquet(d)
-        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    )
+    stream = ensure_event_time(spark.readStream.schema(src.schema).parquet(d))
     deduped = stream_dedup(stream, watermark="1 hour")
     out = run_stream_to_memory(deduped, "dedup_events", output_mode="append")
     n = out.count()
@@ -84,11 +82,8 @@ def test_stateful_running_totals_across_batches(spark, tmp_path):
     half_a.coalesce(1).write.mode("overwrite").parquet(d)
     half_b.coalesce(1).write.mode("append").parquet(d)
 
-    stream = (
-        spark.readStream.schema(src.schema)
-        .option("maxFilesPerTrigger", "1")
-        .parquet(d)
-        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    stream = ensure_event_time(
+        spark.readStream.schema(src.schema).option("maxFilesPerTrigger", "1").parquet(d)
     )
     out = run_stream_to_memory(running_user_totals(stream), "running_totals", output_mode="update")
 
