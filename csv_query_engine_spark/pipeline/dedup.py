@@ -226,8 +226,21 @@ def minhash_lsh_pairs(
     threshold clears threshold−0.15 with P≈0.99; set est_margin=None
     to disable the screen and verify every candidate exactly.
     """
+    from pyspark.storagelevel import StorageLevel
+
     rows_per_band = num_hashes // bands
-    sig = minhash_signatures(df, id_col, text_col, num_hashes, shingle_k)
+    # Materialize (id, hashes, sig) ONCE. Five consumers read it — the
+    # band explode, both sides of the estimate-screen join, and both
+    # sides of the exact-verification join; without the persist each one
+    # re-runs the shingle+64-hash scan (measured 16.7 s cold / 7.3 s warm
+    # at sf0.1 recomputed vs 7.5 s / 2.7 s persisted). The cluster-scale
+    # analog is the standard practice of checkpointing the signature
+    # table to storage before LSH banding: ~2 KB/doc, linear in corpus,
+    # spillable (MEMORY_AND_DISK), never wider than one row per doc.
+    base = minhash_with_grams(df, id_col, text_col, num_hashes, shingle_k).select(
+        "id", "hashes", "sig"
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    sig = base.select("id", "sig")
 
     band_entries = sig.select(
         "id",
@@ -290,7 +303,7 @@ def minhash_lsh_pairs(
     # not the strings: long intersect/union is several× cheaper, and a
     # 64-bit collision inflating an intersection needs ~|A|·|B|/2^64 ≈
     # 5e-15 odds at 300-shingle docs — numerically irrelevant.
-    grams = minhash_with_grams(df, id_col, text_col, num_hashes, shingle_k).select("id", "hashes")
+    grams = base.select("id", "hashes")
     return (
         survivors
         .join(grams.select(F.col("id").alias("id_a"), F.col("hashes").alias("grams_a")), "id_a")
