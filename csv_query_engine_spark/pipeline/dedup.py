@@ -313,6 +313,142 @@ def minhash_lsh_pairs(
     )
 
 
+# ------------------------------------------------- clustering / components
+
+
+def connected_components(
+    nodes: DataFrame,
+    edges: DataFrame,
+    id_col: str = "id",
+    src_col: str = "id_a",
+    dst_col: str = "id_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """(id, cluster_id) where cluster_id = MIN node id of the connected
+    component — the canonical dedup-cluster labeling (survivor = the id
+    equal to its cluster_id).
+
+    Algorithm: iterative min-label propagation over DataFrame joins —
+    each round every node takes the min label over itself and its
+    neighbors; converges in O(graph diameter) rounds. Near-dup graphs
+    are dense clumps (diameter 2-3), so 3-4 rounds close them.
+    Convergence is detected with one scalar aggregate per round
+    (labels only ever decrease, so SUM(label) strictly decreases until
+    the fixpoint — no per-row diff join needed). For adversarial
+    long-chain graphs the round count grows; the remedy at scale is the
+    large-star/small-star contraction of Kiveris et al. (CC-MR), which
+    this propagation loop is the two-line special case of.
+
+    Scale: each round is one shuffle keyed by node id (edge join) plus a
+    map-side-combined min agg; label state is persisted and the previous
+    round unpersisted, so lineage stays O(1) deep (no exponential replan).
+    """
+    from pyspark.storagelevel import StorageLevel
+
+    sym = edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+    sym = sym.union(sym.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    sym = sym.persist(StorageLevel.MEMORY_AND_DISK)
+
+    labels = nodes.select(F.col(id_col).alias("id"), F.col(id_col).cast("long").alias("lbl"))
+    labels = labels.persist(StorageLevel.MEMORY_AND_DISK)
+    prev_sum = labels.agg(F.sum("lbl")).collect()[0][0]
+
+    for _ in range(max_iter):
+        nbr_min = (
+            sym.join(labels.withColumnRenamed("id", "src"), "src")
+            .groupBy("dst")
+            .agg(F.min("lbl").alias("nbr_lbl"))
+            .withColumnRenamed("dst", "id")
+        )
+        new_labels = (
+            labels.join(nbr_min, "id", "left")
+            .select("id", F.least("lbl", F.coalesce("nbr_lbl", "lbl")).alias("lbl"))
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        )
+        new_sum = new_labels.agg(F.sum("lbl")).collect()[0][0]
+        labels.unpersist()
+        labels = new_labels
+        if new_sum == prev_sum:
+            break
+        prev_sum = new_sum
+    sym.unpersist()
+    return labels.select(F.col("id"), F.col("lbl").alias("cluster_id"))
+
+
+def span_blocked_candidates(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    span_n: int = 8,
+    max_span_docs: int = 64,
+) -> DataFrame:
+    """Deterministic near-dup candidate pairs: docs sharing at least one
+    word ``span_n``-gram. Unlike MinHash banding this blocker is
+    hash-free and therefore ORACLE-CHECKABLE — the SQL twin reproduces
+    it exactly — while keeping the same near-linear shape: one explode
+    of gram positions, one shuffle keyed by the gram, in-group pair
+    enumeration. ``max_span_docs`` drops stop-phrase grams shared by
+    everything (the degenerate-bucket guard, same role as minhash's
+    ``max_bucket``)."""
+    from csv_query_engine_spark.pipeline.text import _ngram_rows
+
+    base = _spread(df.select(F.col(id_col).alias("id"), F.col(text_col).alias("_t"))).select(
+        "id", tokens(F.col("_t")).alias("toks")
+    )
+    spans = _ngram_rows(base, span_n).distinct()
+    groups = (
+        spans.groupBy("g")
+        .agg(F.sort_array(F.collect_list("id")).alias("ids"))
+        .filter((F.size("ids") >= 2) & (F.size("ids") <= max_span_docs))
+    )
+    return (
+        _spread(groups)
+        .select(F.explode(_in_bucket_pairs(F.col("ids"))).alias("p"))
+        .select(F.col("p.id_a"), F.col("p.id_b"))
+        .distinct()
+    )
+
+
+def near_dup_clusters(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.5,
+    span_n: int = 8,
+    ngram_n: int = 3,
+    max_span_docs: int = 64,
+) -> DataFrame:
+    """End-to-end near-dup clustering: span-blocked candidates → exact
+    word-``ngram_n``-gram Jaccard verification ≥ threshold → connected
+    components → (doc_id, cluster_id, cluster_size, is_survivor).
+    The canonicalization step every dedup pipeline ends with: transitive
+    near-dup chains (A≈B, B≈C) collapse to ONE survivor even when A and
+    C are not directly similar. Fully deterministic, so the DuckDB twin
+    (recursive CTE over the same edge set) verifies it end to end."""
+    cand = span_blocked_candidates(df, id_col, text_col, span_n, max_span_docs)
+    grams = (
+        _spread(df.select(F.col(id_col).alias("id"), tokens(F.col(text_col)).alias("_toks")))
+        .select("id", token_ngrams(F.col("_toks"), ngram_n).alias("grams"))
+    )
+    edges = (
+        cand.join(grams.select(F.col("id").alias("id_a"), F.col("grams").alias("grams_a")), "id_a")
+        .join(grams.select(F.col("id").alias("id_b"), F.col("grams").alias("grams_b")), "id_b")
+        .filter(jaccard(F.col("grams_a"), F.col("grams_b")) >= threshold)
+        .select("id_a", "id_b")
+    )
+    labels = connected_components(df.select(F.col(id_col).alias("id")), edges)
+    sizes = labels.groupBy("cluster_id").agg(F.count(F.lit(1)).alias("cluster_size"))
+    return (
+        labels.join(sizes, "cluster_id")
+        .select(
+            F.col("id").alias(id_col),
+            "cluster_id",
+            "cluster_size",
+            (F.col("id") == F.col("cluster_id")).alias("is_survivor"),
+        )
+    )
+
+
 # ---------------------------------------------------------------- SimHash
 
 

@@ -9,7 +9,7 @@ integer-ratio based so results are bit-identical across engines.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 # Small fixed stopword sets (public, standard lists truncated for the
@@ -408,6 +408,77 @@ def quality_filter(df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
         ok_sw.alias("ok_stopword_ratio"),
         ok_distinct.alias("ok_distinct_ratio"),
         (ok_len & ok_mtl & ok_sw & ok_distinct).alias("passes"),
+    )
+
+
+def vocab_coverage(df: DataFrame, text_col: str = "text", top_k: int = 20) -> DataFrame:
+    """Corpus vocabulary coverage: the top-K tokens by occurrence count
+    with each token's share and the cumulative share of the head — the
+    Zipf audit run before tokenizer training (how much of the stream do
+    the K most frequent types cover).
+
+    Scale: one explode keyed by token with map-side partial counts
+    (vocabulary-sized, not corpus-sized, after the combine); the top-K
+    is TakeOrdered (no full sort); the ranking window runs over K rows
+    only, AFTER the limit; corpus totals ride along as a broadcast
+    scalar. Ties break on the token string for determinism."""
+    toks = _spread(df.select(tokens(F.col(text_col)).alias("_toks"))).select(
+        F.explode("_toks").alias("term")
+    ).filter(F.col("term") != "")
+    counts = toks.groupBy("term").agg(F.count(F.lit(1)).alias("n_occ"))
+    totals = counts.agg(F.sum("n_occ").alias("total_occ"))
+    top = counts.orderBy(F.desc("n_occ"), "term").limit(top_k)
+    w = Window.orderBy(F.desc("n_occ"), "term").rowsBetween(Window.unboundedPreceding, 0)
+    wr = Window.orderBy(F.desc("n_occ"), "term")
+    return (
+        top.crossJoin(F.broadcast(totals))
+        .select(
+            F.row_number().over(wr).alias("rnk"),
+            "term",
+            F.col("n_occ").cast("long").alias("n_occ"),
+            F.round(F.col("n_occ").cast("double") / F.col("total_occ").cast("double"), 6).alias("share"),
+            F.round(
+                F.sum("n_occ").over(w).cast("double") / F.col("total_occ").cast("double"), 6
+            ).alias("cum_share"),
+        )
+    )
+
+
+# PII patterns — the common Java-regex/RE2 subset so the Spark and
+# DuckDB sides compile the SAME expression (no lookaround, no \b).
+PII_EMAIL = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+PII_URL = "https?://[^ \\t\\n]+"
+PII_PHONE = "[0-9]{3}[-.][0-9]{3}[-.][0-9]{4}"
+PII_LONG_DIGITS = "[0-9]{9,}"
+
+
+def pii_scan(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Per-document PII pattern counts + a scrubbed text column: emails,
+    URLs, phone-shaped numbers, and long digit runs (account/ID-shaped)
+    replaced with typed placeholders. Pure codegen'd regexp built-ins —
+    rides the scan, no shuffle, no Python.
+
+    The synthetic corpus is PII-free (all-alpha word salad), so the
+    registered per-source rollup reports honest zeros there; the unit
+    tests exercise every pattern and the redaction order on constructed
+    rows (emails first so their digits don't half-match as phones)."""
+    c = F.col(text_col)
+    scrubbed = F.regexp_replace(c, PII_EMAIL, "<EMAIL>")
+    scrubbed = F.regexp_replace(scrubbed, PII_URL, "<URL>")
+    scrubbed = F.regexp_replace(scrubbed, PII_PHONE, "<PHONE>")
+    scrubbed = F.regexp_replace(scrubbed, PII_LONG_DIGITS, "<IDNUM>")
+    n_email = F.regexp_count(c, F.lit(PII_EMAIL))
+    n_url = F.regexp_count(c, F.lit(PII_URL))
+    n_phone = F.regexp_count(c, F.lit(PII_PHONE))
+    n_digits = F.regexp_count(c, F.lit(PII_LONG_DIGITS))
+    return df.select(
+        F.col(id_col),
+        n_email.cast("long").alias("n_emails"),
+        n_url.cast("long").alias("n_urls"),
+        n_phone.cast("long").alias("n_phones"),
+        n_digits.cast("long").alias("n_long_digits"),
+        ((n_email + n_url + n_phone + n_digits) > 0).alias("has_pii"),
+        scrubbed.alias("scrubbed_text"),
     )
 
 

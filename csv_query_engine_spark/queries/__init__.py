@@ -83,12 +83,15 @@ DRIVER_ORDER: list[str] = [
     "embedding_centroids_by_label",
     "docs_udtf_sentences",
     "customer_order_gap_profile",
-    # -- round-3 additions (clustering / packing / scrubbing)
+    # -- round-3 additions (clustering / packing / vocab)
     "dedup_cluster_canonical",
     "docs_sequence_packing",
-    "docs_pii_scrub_stats",
+    "docs_vocab_coverage",
     # ==================== driver window ends at 50 ====================
-    # Category siblings of in-window green rows:
+    # Category siblings of in-window green rows (pii reports honest
+    # zeros on the PII-free synthetic corpus — real hits are pytest-
+    # covered — so the non-vacuous vocab query takes the window slot):
+    "docs_pii_scrub_stats",
     "group_count_priority",
     "cube_region_status",
     "window_rank_lead_quartile",

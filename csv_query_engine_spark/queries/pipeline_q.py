@@ -838,3 +838,184 @@ def docs_token_budget_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# ------------------------------------------- clustering / packing / scrub
+
+_SQL_BPE = "len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\s]'))"
+
+
+@register(
+    "dedup_cluster_canonical",
+    f"""
+    WITH RECURSIVE d AS (
+        SELECT doc_id AS id, {_SQL_TOKS} AS toks FROM documents
+    ),
+    spans AS (
+        SELECT id, unnest(list_distinct(CASE WHEN len(toks) >= 8
+            THEN list_transform(range(1, len(toks) - 6),
+                                i -> array_to_string(list_slice(toks, i, i + 7), ' '))
+            ELSE [] END)) AS g
+        FROM d
+    ),
+    good_spans AS (
+        SELECT g FROM spans GROUP BY g HAVING COUNT(*) BETWEEN 2 AND 64
+    ),
+    cand AS (
+        SELECT DISTINCT a.id AS id_a, b.id AS id_b
+        FROM spans a JOIN good_spans USING (g) JOIN spans b USING (g)
+        WHERE a.id < b.id
+    ),
+    grams AS (
+        SELECT id,
+               list_distinct(list_transform(
+                   range(0, greatest(len(toks) - 2, 1)),
+                   i -> array_to_string(list_slice(toks, i + 1, i + 3), ' '))) AS gr
+        FROM d
+    ),
+    edges AS (
+        SELECT id_a, id_b
+        FROM cand
+        JOIN grams ga ON ga.id = cand.id_a
+        JOIN grams gb ON gb.id = cand.id_b
+        WHERE CASE WHEN len(list_distinct(list_concat(ga.gr, gb.gr))) > 0
+                   THEN CAST(len(list_intersect(ga.gr, gb.gr)) AS DOUBLE)
+                        / CAST(len(list_distinct(list_concat(ga.gr, gb.gr))) AS DOUBLE)
+                   ELSE 0.0 END >= 0.5
+    ),
+    sym AS (
+        SELECT id_a AS src, id_b AS dst FROM edges
+        UNION ALL
+        SELECT id_b AS src, id_a AS dst FROM edges
+    ),
+    reach(id, lbl) AS (
+        SELECT id, id FROM d
+        UNION
+        SELECT s.dst, r.lbl FROM reach r JOIN sym s ON s.src = r.id
+    ),
+    comp AS (SELECT id, MIN(lbl) AS cluster_id FROM reach GROUP BY id),
+    sizes AS (SELECT cluster_id, COUNT(*) AS cluster_size FROM comp GROUP BY cluster_id)
+    SELECT comp.id AS doc_id,
+           CAST(comp.cluster_id AS BIGINT) AS cluster_id,
+           CAST(sizes.cluster_size AS BIGINT) AS cluster_size,
+           (comp.id = comp.cluster_id) AS is_survivor
+    FROM comp JOIN sizes USING (cluster_id)
+    ORDER BY doc_id
+    """,
+)
+def dedup_cluster_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup clustering with canonical survivors (pipeline.dedup.
+    near_dup_clusters): span-blocked candidates → exact 3-gram Jaccard
+    edges ≥ 0.5 → connected components via iterative min-label
+    propagation → per-doc (cluster_id, cluster_size, is_survivor).
+    The transitive-closure step every dedup pipeline ends with; the
+    DuckDB twin replays the same edge set through a recursive CTE."""
+    d = load_tables(spark, sf_dir, ("documents",))["documents"]
+    return dd.near_dup_clusters(d).orderBy("doc_id")
+
+
+@register(
+    "docs_sequence_packing",
+    f"""
+    WITH base AS (
+        SELECT doc_id, CAST({_SQL_BPE} AS BIGINT) AS n FROM documents
+    ),
+    cum AS (
+        SELECT doc_id, n,
+               CAST(COALESCE(SUM(n) OVER (ORDER BY doc_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS s
+        FROM base
+    )
+    SELECT doc_id,
+           n AS n_tokens,
+           s AS start_offset,
+           s // 2048 AS pack_id,
+           s % 2048 AS offset_in_pack,
+           ((s + greatest(n, 1) - 1) // 2048) > (s // 2048) AS spans_boundary
+    FROM cum
+    ORDER BY doc_id
+    """,
+)
+def docs_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-and-split sequence packing (pipeline.packing.
+    sequence_packing): lay the corpus out in id order as one token
+    stream cut into 2048-token training sequences; per doc the global
+    start offset, home pack, in-pack offset, and boundary-straddle flag.
+    The prefix sum is hierarchical (bucket subtotals + tiny cumsum +
+    within-bucket window) — no global single-partition window."""
+    d = load_tables(spark, sf_dir, ("documents",))["documents"]
+    from csv_query_engine_spark.pipeline.packing import sequence_packing
+
+    return sequence_packing(d).orderBy("doc_id")
+
+
+@register(
+    "docs_vocab_coverage",
+    f"""
+    WITH toks AS (SELECT unnest({_SQL_TOKS}) AS term FROM documents),
+    counts AS (
+        SELECT term, COUNT(*) AS n_occ FROM toks WHERE term <> '' GROUP BY term
+    ),
+    tot AS (SELECT CAST(SUM(n_occ) AS BIGINT) AS total_occ FROM counts),
+    top AS (
+        SELECT term, CAST(n_occ AS BIGINT) AS n_occ
+        FROM counts ORDER BY n_occ DESC, term LIMIT 20
+    )
+    SELECT CAST(ROW_NUMBER() OVER (ORDER BY n_occ DESC, term) AS INT) AS rnk,
+           term,
+           n_occ,
+           ROUND(CAST(n_occ AS DOUBLE) / CAST(total_occ AS DOUBLE), 6) AS share,
+           ROUND(CAST(SUM(n_occ) OVER (ORDER BY n_occ DESC, term
+                 ROWS UNBOUNDED PRECEDING) AS DOUBLE) / CAST(total_occ AS DOUBLE), 6) AS cum_share
+    FROM top, tot
+    ORDER BY rnk
+    """,
+)
+def docs_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary head coverage (pipeline.text.vocab_coverage):
+    top-20 tokens by occurrence with per-token and cumulative share —
+    the Zipf audit run before tokenizer training."""
+    d = load_tables(spark, sf_dir, ("documents",))["documents"]
+    return tx.vocab_coverage(d, top_k=20).orderBy("rnk")
+
+
+@register(
+    "docs_pii_scrub_stats",
+    f"""
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN len(regexp_extract_all(text, '{tx.PII_EMAIL}'))
+                        + len(regexp_extract_all(text, '{tx.PII_URL}'))
+                        + len(regexp_extract_all(text, '{tx.PII_PHONE}'))
+                        + len(regexp_extract_all(text, '{tx.PII_LONG_DIGITS}')) > 0
+                    THEN 1 ELSE 0 END) AS BIGINT) AS docs_with_pii,
+           CAST(SUM(len(regexp_extract_all(text, '{tx.PII_EMAIL}'))) AS BIGINT) AS n_emails,
+           CAST(SUM(len(regexp_extract_all(text, '{tx.PII_URL}'))) AS BIGINT) AS n_urls,
+           CAST(SUM(len(regexp_extract_all(text, '{tx.PII_PHONE}'))) AS BIGINT) AS n_phones,
+           CAST(SUM(len(regexp_extract_all(text, '{tx.PII_LONG_DIGITS}'))) AS BIGINT) AS n_long_digits
+    FROM documents
+    GROUP BY source
+    ORDER BY source
+    """,
+)
+def docs_pii_scrub_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source PII rollup (pipeline.text.pii_scan): doc counts,
+    docs with any hit, and per-pattern totals. The synthetic corpus is
+    PII-free, so this reports honest zeros here; the unit tests exercise
+    every pattern and the redaction order on constructed rows."""
+    d = load_tables(spark, sf_dir, ("documents",))["documents"]
+    scanned = tx.pii_scan(d)
+    return (
+        d.select("doc_id", "source")
+        .join(scanned, "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.when(F.col("has_pii"), 1).otherwise(0)).cast("long").alias("docs_with_pii"),
+            F.sum("n_emails").alias("n_emails"),
+            F.sum("n_urls").alias("n_urls"),
+            F.sum("n_phones").alias("n_phones"),
+            F.sum("n_long_digits").alias("n_long_digits"),
+        )
+        .orderBy("source")
+    )

@@ -1,0 +1,127 @@
+"""Round-3 pipeline operators: connected-components clustering,
+sequence packing, vocabulary coverage, PII scan."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from csv_query_engine_spark.pipeline.dedup import connected_components, near_dup_clusters
+from csv_query_engine_spark.pipeline.packing import sequence_packing
+from csv_query_engine_spark.pipeline.text import pii_scan, vocab_coverage
+
+
+def _labels(spark, edges, n_nodes, **kw):
+    nodes = spark.createDataFrame([(i,) for i in range(n_nodes)], "id long")
+    e = spark.createDataFrame(edges, "id_a long, id_b long")
+    return {
+        r["id"]: r["cluster_id"]
+        for r in connected_components(nodes, e, **kw).collect()
+    }
+
+
+def test_connected_components_basic(spark):
+    got = _labels(spark, [(1, 2), (2, 3), (5, 6)], 8)
+    assert got == {0: 0, 1: 1, 2: 1, 3: 1, 4: 4, 5: 5, 6: 5, 7: 7}
+
+
+def test_connected_components_long_chain(spark):
+    # A 7-node path given in the worst (descending) direction: the min
+    # label must flow the whole diameter, taking several rounds.
+    edges = [(i + 1, i) for i in range(6)]
+    got = _labels(spark, edges, 7)
+    assert set(got.values()) == {0}
+
+
+def test_connected_components_no_edges(spark):
+    got = _labels(spark, [], 4)
+    assert got == {i: i for i in range(4)}
+
+
+def test_near_dup_clusters_planted(spark):
+    base = "the quick brown fox jumps over the lazy dog again and again every day " * 3
+    rows = [
+        (0, base),
+        (1, base + " tail"),  # near-dup of 0
+        (2, base + " tail two"),  # near-dup of 0 and 1
+        (3, "completely different text about spark shuffles and parquet readers here"),
+        (4, "another unrelated document mentioning tokenizers embeddings and lsh"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in near_dup_clusters(df).collect()}
+    assert len(out) == 5
+    assert out[0]["cluster_id"] == out[1]["cluster_id"] == out[2]["cluster_id"] == 0
+    assert out[0]["cluster_size"] == 3
+    assert out[0]["is_survivor"] and not out[1]["is_survivor"]
+    assert out[3]["cluster_id"] == 3 and out[3]["cluster_size"] == 1
+    assert out[4]["is_survivor"]
+
+
+def test_sequence_packing_layout(spark):
+    # Known BPE-ish token counts: "a b c" -> 3 tokens, etc.
+    rows = [(i, " ".join(["tok"] * n)) for i, n in enumerate([5, 3, 0, 10, 7])]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    # bucket_size=2 exercises the hierarchical prefix sum across buckets.
+    out = {r["doc_id"]: r for r in sequence_packing(df, seq_len=8, bucket_size=2).collect()}
+    starts = [out[i]["start_offset"] for i in range(5)]
+    assert starts == [0, 5, 8, 8, 18]
+    assert [out[i]["pack_id"] for i in range(5)] == [0, 0, 1, 1, 2]
+    assert [out[i]["offset_in_pack"] for i in range(5)] == [0, 5, 0, 0, 2]
+    # doc1 occupies [5,8) -> fits pack 0 exactly; doc3 occupies [8,18) ->
+    # crosses the 16 boundary; empty doc2 never spans.
+    assert [out[i]["spans_boundary"] for i in range(5)] == [False, False, False, True, True]
+
+
+def test_sequence_packing_matches_naive_cumsum(spark):
+    import itertools
+
+    counts = [4, 9, 1, 0, 16, 2, 8, 5, 3, 11]
+    rows = [(i, " ".join(["w"] * n)) for i, n in enumerate(counts)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r["start_offset"] for r in sequence_packing(df, bucket_size=3).collect()}
+    naive = [0, *itertools.accumulate(counts)][:-1]
+    assert [out[i] for i in range(10)] == naive
+
+
+def test_vocab_coverage_counts_and_shares(spark):
+    rows = [(0, "aa aa aa bb bb cc"), (1, "aa bb dd")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = vocab_coverage(df, top_k=3).orderBy("rnk").collect()
+    assert [(r["term"], r["n_occ"]) for r in out] == [("aa", 4), ("bb", 3), ("cc", 1)]
+    # 9 total occurrences; cc ties dd on count -> term breaks the tie.
+    assert out[0]["share"] == round(4 / 9, 6)
+    assert out[-1]["cum_share"] == round(8 / 9, 6)
+    assert all(a["cum_share"] <= b["cum_share"] for a, b in zip(out, out[1:]))
+
+
+def test_pii_scan_patterns_and_redaction(spark):
+    rows = [
+        (0, "contact me at jane.doe+x@example.co.uk or on 555-123-4567"),
+        (1, "see https://example.com/a?b=1 and account 1234567890123"),
+        (2, "a perfectly clean sentence with no identifiers at all"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in pii_scan(df).collect()}
+    assert out[0]["n_emails"] == 1 and out[0]["n_phones"] == 1 and out[0]["has_pii"]
+    assert "<EMAIL>" in out[0]["scrubbed_text"] and "<PHONE>" in out[0]["scrubbed_text"]
+    assert "jane" not in out[0]["scrubbed_text"]
+    assert out[1]["n_urls"] == 1 and out[1]["n_long_digits"] == 1
+    assert "<URL>" in out[1]["scrubbed_text"] and "<IDNUM>" in out[1]["scrubbed_text"]
+    assert not out[2]["has_pii"]
+    assert out[2]["scrubbed_text"] == rows[2][1]
+
+
+def test_registry_window_is_oracle_bearing(spark):
+    """The driver checks exactly the first 50 queries() entries — they
+    must ALL carry oracles, cover the new round-3 ops, and the full
+    DRIVER_ORDER must stay in one-to-one sync with the registry."""
+    from csv_query_engine_spark.queries import DRIVER_ORDER, all_oracles, all_queries
+
+    qs = all_queries()
+    oracles = all_oracles()
+    names = list(qs)
+    assert names == DRIVER_ORDER, "registry and DRIVER_ORDER out of sync"
+    window = names[:50]
+    missing = [n for n in window if n not in oracles]
+    assert not missing, f"non-oracle queries inside the driver window: {missing}"
+    for new in ("dedup_cluster_canonical", "docs_sequence_packing", "docs_vocab_coverage"):
+        assert new in window
