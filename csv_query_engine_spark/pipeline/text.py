@@ -67,22 +67,56 @@ def alpha_ratio(col: Column) -> Column:
     return F.when(total > 0, alpha.cast("double") / total.cast("double")).otherwise(F.lit(0.0))
 
 
-def stopword_hits(col: Column, stopwords: tuple[str, ...]) -> Column:
-    """Number of tokens that are in the given stopword set."""
+def stopword_hits_t(toks: Column, stopwords: tuple[str, ...]) -> Column:
+    """Number of tokens (of a MATERIALIZED token-array column) in the
+    given stopword set.
+
+    PERF: like the shingle helpers, only pass a plain column that a
+    prior ``select`` materialized. Passing ``tokens(text)`` as an
+    expression tree inlines the regex normalization + split into every
+    per-row evaluation of every consumer — with 4 language sets plus
+    ratio/length stats that re-ran tokenization ~8× per row (measured:
+    the quality-filter scan 3.7 s → see ``quality_filter``)."""
     sw = F.array(*[F.lit(s) for s in stopwords])
-    return F.size(F.filter(tokens(col), lambda t: F.array_contains(sw, t)))
+    return F.size(F.filter(toks, lambda t: F.array_contains(sw, t)))
+
+
+def stopword_hits(col: Column, stopwords: tuple[str, ...]) -> Column:
+    """Text-column convenience form of :func:`stopword_hits_t` (single
+    use only — hot paths materialize the tokens first)."""
+    return stopword_hits_t(tokens(col), stopwords)
+
+
+def stopword_ratio_t(toks: Column, stopwords: tuple[str, ...] = STOPWORDS_EN) -> Column:
+    n = F.size(toks)
+    return F.when(n > 0, stopword_hits_t(toks, stopwords).cast("double") / n.cast("double")).otherwise(F.lit(0.0))
 
 
 def stopword_ratio(col: Column, stopwords: tuple[str, ...] = STOPWORDS_EN) -> Column:
-    n = token_count(col)
-    return F.when(n > 0, stopword_hits(col, stopwords).cast("double") / n.cast("double")).otherwise(F.lit(0.0))
+    return stopword_ratio_t(tokens(col), stopwords)
+
+
+def mean_token_len_t(toks: Column) -> Column:
+    n = F.size(toks)
+    total = F.aggregate(toks, F.lit(0), lambda acc, x: acc + F.length(x))
+    return F.when(n > 0, total.cast("double") / n.cast("double")).otherwise(F.lit(0.0))
 
 
 def mean_token_len(col: Column) -> Column:
-    t = tokens(col)
-    n = F.size(t)
-    total = F.aggregate(t, F.lit(0), lambda acc, x: acc + F.length(x))
-    return F.when(n > 0, total.cast("double") / n.cast("double")).otherwise(F.lit(0.0))
+    return mean_token_len_t(tokens(col))
+
+
+def quality_score_t(col: Column, toks: Column) -> Column:
+    """Composite quality from the raw text column (punctuation) plus a
+    materialized token array (everything else) — see
+    :func:`quality_score` for semantics."""
+    n_tok = F.size(toks).cast("double")
+    len_score = F.least(n_tok / F.lit(100.0), F.lit(1.0))
+    punct_score = F.lit(1.0) - F.least(punct_ratio(col) * F.lit(4.0), F.lit(1.0))
+    sw_score = F.least(stopword_ratio_t(toks) * F.lit(4.0), F.lit(1.0))
+    mtl = mean_token_len_t(toks)
+    wordlen_score = F.when((mtl >= 3.0) & (mtl <= 10.0), F.lit(1.0)).otherwise(F.lit(0.5))
+    return (len_score * F.lit(0.3) + punct_score * F.lit(0.3) + sw_score * F.lit(0.2) + wordlen_score * F.lit(0.2))
 
 
 def quality_score(col: Column) -> Column:
@@ -90,24 +124,18 @@ def quality_score(col: Column) -> Column:
     length, low punctuation noise, some stopwords (fluent prose), and
     plausible mean word length. Deterministic double arithmetic only —
     mirrored exactly by the SQL oracle."""
-    n_tok = token_count(col).cast("double")
-    len_score = F.least(n_tok / F.lit(100.0), F.lit(1.0))
-    punct_score = F.lit(1.0) - F.least(punct_ratio(col) * F.lit(4.0), F.lit(1.0))
-    sw_score = F.least(stopword_ratio(col) * F.lit(4.0), F.lit(1.0))
-    mtl = mean_token_len(col)
-    wordlen_score = F.when((mtl >= 3.0) & (mtl <= 10.0), F.lit(1.0)).otherwise(F.lit(0.5))
-    return (len_score * F.lit(0.3) + punct_score * F.lit(0.3) + sw_score * F.lit(0.2) + wordlen_score * F.lit(0.2))
+    return quality_score_t(col, tokens(col))
 
 
-def lang_id(col: Column) -> Column:
-    """Heuristic language ID: CJK characters -> 'zh'; otherwise the
-    language whose stopword set hits the most tokens (ties broken
-    en > es > de > fr); no hits at all -> 'unknown'."""
+def lang_id_t(col: Column, toks: Column) -> Column:
+    """Heuristic language ID from the raw text (CJK class) and a
+    materialized token array (stopword argmax) — the hot-path form;
+    see :func:`stopword_hits_t` for why toks must be materialized."""
     cjk = F.length(F.regexp_replace(col, "[^\\u4e00-\\u9fff]", ""))
-    en = stopword_hits(col, STOPWORDS_EN)
-    es = stopword_hits(col, STOPWORDS_ES)
-    de = stopword_hits(col, STOPWORDS_DE)
-    fr = stopword_hits(col, STOPWORDS_FR)
+    en = stopword_hits_t(toks, STOPWORDS_EN)
+    es = stopword_hits_t(toks, STOPWORDS_ES)
+    de = stopword_hits_t(toks, STOPWORDS_DE)
+    fr = stopword_hits_t(toks, STOPWORDS_FR)
     best = F.greatest(en, es, de, fr)
     return (
         F.when(cjk > 0, F.lit("zh"))
@@ -119,6 +147,13 @@ def lang_id(col: Column) -> Column:
     )
 
 
+def lang_id(col: Column) -> Column:
+    """Heuristic language ID: CJK characters -> 'zh'; otherwise the
+    language whose stopword set hits the most tokens (ties broken
+    en > es > de > fr); no hits at all -> 'unknown'."""
+    return lang_id_t(col, tokens(col))
+
+
 def fingerprint(col: Column) -> Column:
     """Deterministic document fingerprint: md5 of the normalized text.
     md5 is identical across engines, so fingerprint-based dedup is
@@ -127,18 +162,22 @@ def fingerprint(col: Column) -> Column:
 
 
 def with_text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
-    """Convenience: attach the full stat column set to a documents frame."""
+    """Convenience: attach the full stat column set to a documents frame.
+    Tokenization is materialized ONCE (prior select) and every stat
+    reads the plain array column — see :func:`stopword_hits_t`."""
     c = F.col(text_col)
-    return df.select(
-        "*",
-        token_count(c).alias("n_tokens"),
+    staged = df.select("*", tokens(c).alias("__toks"))
+    t = F.col("__toks")
+    return staged.select(
+        *df.columns,
+        F.size(t).alias("n_tokens"),
         bpe_ish_token_count(c).alias("n_bpe_tokens"),
         punct_ratio(c).alias("punct_ratio"),
         alpha_ratio(c).alias("alpha_ratio"),
-        stopword_ratio(c).alias("stopword_ratio"),
-        mean_token_len(c).alias("mean_token_len"),
-        quality_score(c).alias("quality_score"),
-        lang_id(c).alias("lang_pred"),
+        stopword_ratio_t(t).alias("stopword_ratio"),
+        mean_token_len_t(t).alias("mean_token_len"),
+        quality_score_t(c, t).alias("quality_score"),
+        lang_id_t(c, t).alias("lang_pred"),
         fingerprint(c).alias("fingerprint"),
     )
 
@@ -385,22 +424,36 @@ def quality_filter(df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
     conjunctive ``passes`` so downstream stages can both filter and
     report per-rule rejection counts from the same scan.
 
-    Pure per-row ``pyspark.sql.functions`` expressions — codegen'd,
-    no shuffle, rides the scan at any scale.
+    PERF — explode + keyed aggregation, NOT per-row array lambdas: the
+    array-HOF form (filter/aggregate over the token array) is
+    interpreted (~50 µs/element, the CLAUDE.md trap) — measured
+    ~21 core-ms PER ROW for the 4-rule composite at sf0.1. Exploding
+    token rows turns every rule into codegen'd scalar ops (IN-list,
+    length, count) with map-side partial aggregation; tokens of a doc
+    stay in their partition post-spread, so the shuffle carries one
+    combined row per doc. split() always yields ≥1 element (the empty
+    string for empty text), so every doc survives the groupBy and the
+    ratios keep their HOF-form values bit-exactly.
     """
-    c = F.col(text_col)
-    ntok = token_count(c)
-    mtl = mean_token_len(c)
-    swr = stopword_ratio(c)
-    dratio = F.when(
-        ntok > 0,
-        F.size(F.array_distinct(tokens(c))).cast("double") / ntok.cast("double"),
-    ).otherwise(F.lit(0.0))
+    tok_rows = _spread(df.select(F.col(id_col), F.col(text_col))).select(
+        F.col(id_col), F.explode(tokens(F.col(text_col))).alias("__tok")
+    )
+    tok = F.col("__tok")
+    agg = tok_rows.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("__ntok"),
+        F.sum(F.length(tok)).alias("__totlen"),
+        F.countDistinct(tok).alias("__ndist"),
+        F.sum(F.when(tok.isin(*STOPWORDS_EN), 1).otherwise(0)).alias("__sw"),
+    )
+    ntok = F.col("__ntok")
+    mtl = F.when(ntok > 0, F.col("__totlen").cast("double") / ntok.cast("double")).otherwise(F.lit(0.0))
+    swr = F.when(ntok > 0, F.col("__sw").cast("double") / ntok.cast("double")).otherwise(F.lit(0.0))
+    dratio = F.when(ntok > 0, F.col("__ndist").cast("double") / ntok.cast("double")).otherwise(F.lit(0.0))
     ok_len = (ntok >= QF_MIN_TOKENS) & (ntok <= QF_MAX_TOKENS)
     ok_mtl = (mtl >= QF_MIN_MEAN_TOKEN_LEN) & (mtl <= QF_MAX_MEAN_TOKEN_LEN)
     ok_sw = swr >= QF_MIN_STOPWORD_RATIO
     ok_distinct = dratio >= QF_MIN_DISTINCT_RATIO
-    return df.select(
+    return agg.select(
         F.col(id_col),
         ntok.cast("long").alias("n_tokens"),
         ok_len.alias("ok_token_count"),

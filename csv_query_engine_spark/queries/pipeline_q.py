@@ -112,12 +112,14 @@ def docs_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     the oracle compare; the operator itself is a full-scan map)."""
     d = load_tables(spark, sf_dir, ("documents",))["documents"].filter(F.col("doc_id") % 20 == 0)
     c = F.col("text")
-    return d.select(
+    staged = tx._spread(d.select("doc_id", "text")).select("doc_id", c, tx.tokens(c).alias("__toks"))
+    t = F.col("__toks")
+    return staged.select(
         "doc_id",
-        tx.token_count(c).alias("n_tokens"),
+        F.size(t).alias("n_tokens"),
         tx.punct_ratio(c).alias("punct_ratio"),
-        tx.stopword_ratio(c).alias("stopword_ratio"),
-        tx.quality_score(c).alias("quality_score"),
+        tx.stopword_ratio_t(t).alias("stopword_ratio"),
+        tx.quality_score_t(c, t).alias("quality_score"),
     ).orderBy("doc_id")
 
 
@@ -140,9 +142,16 @@ def docs_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def docs_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Heuristic language ID (CJK char class, else stopword-set argmax)."""
+    """Heuristic language ID (CJK char class, else stopword-set argmax).
+    Tokens are materialized in a prior select so the 4 stopword scans
+    share one tokenization (see pipeline.text.stopword_hits_t)."""
     d = load_tables(spark, sf_dir, ("documents",))["documents"].filter(F.col("doc_id") % 20 == 0)
-    return d.select("doc_id", "lang", tx.lang_id(F.col("text")).alias("lang_pred")).orderBy("doc_id")
+    staged = tx._spread(d.select("doc_id", "lang", "text")).select(
+        "doc_id", "lang", F.col("text"), tx.tokens(F.col("text")).alias("__toks")
+    )
+    return staged.select(
+        "doc_id", "lang", tx.lang_id_t(F.col("text"), F.col("__toks")).alias("lang_pred")
+    ).orderBy("doc_id")
 
 
 @register(
