@@ -249,16 +249,20 @@ def repetition_stats(df: DataFrame, id_col: str = "doc_id", text_col: str = "tex
     base = _spread(df.select(F.col(id_col).alias("id"), F.col(text_col).alias("_t"))).select(
         "id", tokens(F.col("_t")).alias("toks")
     ).select("id", "toks", F.size("toks").alias("n_tokens"))
+    # Group on 8-byte hashes of the exploded grams instead of the
+    # strings — same shuffle-shrink trick as duplicate_span_stats; the
+    # max-count result is hash-insensitive up to within-doc collisions
+    # (P ≈ 1e-14/doc at ~1e3 grams).
     tok_top = (
         base.select("id", F.explode("toks").alias("g"))
-        .groupBy("id", "g")
+        .groupBy("id", F.xxhash64("g").alias("g"))
         .agg(F.count(F.lit(1)).alias("c"))
         .groupBy("id")
         .agg(F.max("c").alias("max_tok"))
     )
     bi_top = (
         _ngram_rows(base, 2)
-        .groupBy("id", "g")
+        .groupBy("id", F.xxhash64("g").alias("g"))
         .agg(F.count(F.lit(1)).alias("c"))
         .groupBy("id")
         .agg(F.max("c").alias("max_bi"))
@@ -374,7 +378,15 @@ def duplicate_span_stats(
     base = _spread(df.select(F.col(id_col).alias("id"), F.col(text_col).alias("_t"))).select(
         "id", tokens(F.col("_t")).alias("toks")
     )
-    spans = _ngram_rows(base, n).distinct()
+    # Shuffle 8-byte gram hashes, not ~50-char strings (the 100 TB key
+    # design the earlier rounds documented; now the implementation).
+    # Both shuffle legs and the join key shrink ~6×. Collision math: a
+    # cross-doc xxhash64 collision inflates one doc's n_dup (P ≈
+    # |grams|²/2^65 ≈ 2e-7 at 3M distinct grams); a within-doc collision
+    # deflates n_spans (P ≈ 1e-14/doc) — both far below the oracle's
+    # practical noise floor and flagged here for the 10^12-gram regime
+    # (switch to a 128-bit digest there).
+    spans = _ngram_rows(base, n).select("id", F.xxhash64("g").alias("g")).distinct()
     span_docs = spans.groupBy("g").agg(F.count(F.lit(1)).alias("n_docs"))
     stats = (
         spans.join(span_docs, "g")

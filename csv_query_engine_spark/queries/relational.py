@@ -1300,19 +1300,27 @@ def having_high_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     predicate compares the exact sum, so the cut is identical across
     engines even at the threshold boundary.
 
-    Scale: lineitem->orders shuffle on orderkey, aggregate on custkey
-    (partial+final), and only the surviving ~10% of customer groups join
-    back to the customer table — the HAVING filter shrinks the agg output
-    *before* the join, so customer-name lookup touches a small relation.
+    Scale: lineitem pre-aggregates per orderkey FIRST (its natural join
+    key, so the partial sums collapse ~4 lineitems/order before anything
+    shuffles wide), which also turns COUNT(DISTINCT o_orderkey) into a
+    plain COUNT — no distinct-expand double shuffle. The per-order sums
+    carry the exact-sum unscaled-long buffer so two-level summation stays
+    bit-identical to the one-level form. HAVING shrinks the agg output
+    *before* the customer join, so the name lookup touches the surviving
+    ~10% of groups.
     """
     t = load_tables(spark, sf_dir, ("lineitem", "orders", "customer"))
+    per_order = t["lineitem"].groupBy("l_orderkey").agg(
+        F.sum(_unscaled(F.col("l_quantity"), 6)).alias("__qty_u")
+    )
     agg = (
-        t["lineitem"]
-        .join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
+        per_order.join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
         .groupBy("o_custkey")
         .agg(
-            exact_sum(F.col("l_quantity"), "sum_qty"),
-            F.countDistinct("o_orderkey").alias("n_orders"),
+            (F.sum("__qty_u").cast("decimal(38,6)") / F.lit(10**6).cast("decimal(12,0)"))
+            .cast("double")
+            .alias("sum_qty"),
+            F.count(F.lit(1)).alias("n_orders"),
         )
         .filter(F.col("sum_qty") > 1500.0)
     )
