@@ -72,6 +72,15 @@ def main() -> None:
             timings.setdefault(name, -1.0)
             warm.setdefault(name, -1.0)
             print(f"BENCH ERROR {name}: {exc}", file=sys.stderr)
+        finally:
+            # Drop every cached block the query pair persisted (the
+            # dedup/ANN queries materialize signature tables): stale
+            # cache entries from earlier queries otherwise pile up and
+            # evict/churn later queries' working sets — measured ~2×
+            # inflation on the heavy tail of a 71-query suite. Cleared
+            # AFTER the warm run so the warm number keeps legitimate
+            # within-query cache reuse.
+            spark.catalog.clearCache()
 
     total = round(sum(t for t in timings.values() if t >= 0), 3)
     total_warm = round(sum(t for t in warm.values() if t >= 0), 3)
