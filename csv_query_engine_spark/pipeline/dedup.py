@@ -353,7 +353,14 @@ def connected_components(
 
     sym = edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
     sym = sym.union(sym.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
-    sym = sym.persist(StorageLevel.MEMORY_AND_DISK)
+    # localCheckpoint, not persist: every loop iteration's logical plan
+    # would otherwise embed the WHOLE upstream edge pipeline (span
+    # blocking + Jaccard verification here) — each convergence action
+    # then re-pays analysis/optimization of that subtree, and a cache
+    # miss re-pays its execution. Checkpointing truncates the lineage to
+    # the materialized edge rows (tiny: one row per near-dup pair), so
+    # iteration plans are trivial. Eager so the cost lands once, here.
+    sym = sym.localCheckpoint(eager=True)
 
     labels = nodes.select(F.col(id_col).alias("id"), F.col(id_col).cast("long").alias("lbl"))
     labels = labels.persist(StorageLevel.MEMORY_AND_DISK)
@@ -377,7 +384,6 @@ def connected_components(
         if new_sum == prev_sum:
             break
         prev_sum = new_sum
-    sym.unpersist()
     return labels.select(F.col("id"), F.col("lbl").alias("cluster_id"))
 
 
