@@ -309,15 +309,18 @@ def contamination_overlap(
     KB-MB), so its distinct gram set broadcasts; the corpus side is one
     explode of gram positions (linear in tokens, codegen'd gram build —
     see :func:`_ngram_rows`) + a distinct + a broadcast left join +
-    per-doc partial aggregation — no shuffle of corpus text. The join
-    key here is the raw gram string for cross-engine verifiability; a
-    100 TB deployment keys on xxhash64(gram) instead (8-byte shuffle
-    rows; both sides Spark, so engine-specific hashing is fine — same
-    trick as dedup.minhash verification)."""
+    per-doc partial aggregation — no shuffle of corpus text. Both sides
+    key on xxhash64(gram) (8-byte rows; both sides Spark, so
+    engine-specific hashing is fine — same trick as dedup.minhash
+    verification); only the hit/gram COUNTS surface, so the SQL oracle
+    still matches exactly up to negligible collision odds."""
     base = _spread(df.select(F.col(id_col).alias("id"), F.col(text_col).alias("_t"))).select(
         "id", tokens(F.col("_t")).alias("toks")
     )
-    grams = _ngram_rows(base, n).distinct()  # distinct n-grams per doc
+    # Hash grams to 8-byte keys before the distinct and the broadcast
+    # join (same shuffle-shrink + broadcast-shrink rationale and
+    # collision math as duplicate_span_stats).
+    grams = _ngram_rows(base, n).select("id", F.xxhash64("g").alias("g")).distinct()
     bench_grams = (
         grams.filter(F.col("id") % bench_mod == 0).select("g").distinct().withColumn("hit", F.lit(1))
     )

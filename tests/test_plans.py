@@ -86,3 +86,43 @@ def test_asof_join_is_single_shuffle_no_join_operator(spark):
     assert "Join" not in plan, plan
     assert plan.count("hashpartitioning(user_id") == 1, plan
     assert "Window" in plan and "Union" in plan
+
+
+def test_sequence_packing_no_global_window(spark):
+    """The prefix sum must stay hierarchical: the only window running
+    over the full corpus is partitioned by the id-range bucket; the
+    unpartitioned cumsum runs over the tiny bucket table AFTER its
+    aggregation, and the bucket offsets broadcast back."""
+    plan = _plan(spark, "docs_sequence_packing")
+    assert "BroadcastHashJoin" in plan, f"bucket offsets must broadcast back:\n{plan}"
+    # The corpus rows shuffle by bucket for the within-bucket window —
+    # a whole-corpus unpartitioned window would shuffle to a single
+    # partition instead.
+    assert re.search(r"hashpartitioning\(bucket", plan), f"no bucket-keyed exchange:\n{plan}"
+
+
+def test_vocab_coverage_takeordered_not_full_sort(spark):
+    """Top-K selection must be TakeOrdered (per-partition heads merged),
+    never a global sort of the vocabulary."""
+    plan = _plan(spark, "docs_vocab_coverage")
+    assert "TakeOrderedAndProject" in plan, f"top-k fell back to a global sort:\n{plan}"
+
+
+def test_quality_filter_partial_aggregation(spark):
+    """The exploded token rows must combine map-side: partial + final
+    HashAggregate pairs around the doc-keyed exchange."""
+    plan = _plan(spark, "docs_quality_filter")
+    assert plan.count("HashAggregate") >= 2
+    docs = _scan_block(plan, "documents")
+    m = re.search(r"ReadSchema: struct<([^>]*)>", docs)
+    cols = {c.split(":")[0] for c in m.group(1).split(",")}
+    assert cols == {"doc_id", "text"}, f"scan not pruned: {cols}"
+
+
+def test_cluster_candidates_prune_documents_scan(spark):
+    """The clustering query reads only (doc_id, text) from the corpus."""
+    plan = _plan(spark, "dedup_cluster_canonical")
+    docs = _scan_block(plan, "documents")
+    m = re.search(r"ReadSchema: struct<([^>]*)>", docs)
+    cols = {c.split(":")[0] for c in m.group(1).split(",")}
+    assert cols <= {"doc_id", "text"}, f"scan not pruned: {cols}"
