@@ -111,6 +111,7 @@ DRIVER_ORDER: list[str] = [
     "embedding_lsh_topk",
     "embedding_near_dup_pairs",
     "embedding_ivf_topk",
+    "embedding_quantized_topk",
     "sketch_approx_aggregates",
     "multimodal_decode_features",
     "multimodal_frame_sample",

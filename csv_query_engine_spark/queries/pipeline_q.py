@@ -1028,3 +1028,14 @@ def docs_pii_scrub_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@register("embedding_quantized_topk", None)
+def embedding_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Int8 scalar-quantized approximate top-k with exact rescoring
+    (pipeline.similarity.quantized_topk) — the SQ8 bandwidth scale path.
+    Approximate shortlist -> no SQL oracle; recall vs brute force
+    asserted in tests."""
+    e = load_tables(spark, sf_dir, ("embeddings",))["embeddings"]
+    q = e.filter(F.col("vec_id") % 100 == 0).select(F.col("vec_id").alias("query_id"), F.col("embedding"))
+    return sim.quantized_topk(e, q, k=5, rounding=6).orderBy("query_id", "rank")

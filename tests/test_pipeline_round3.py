@@ -125,3 +125,42 @@ def test_registry_window_is_oracle_bearing(spark):
     assert not missing, f"non-oracle queries inside the driver window: {missing}"
     for new in ("dedup_cluster_canonical", "docs_sequence_packing", "docs_vocab_coverage"):
         assert new in window
+
+
+def test_quantized_topk_recall_vs_bruteforce(spark):
+    from csv_query_engine_spark.io.readers import load_tables
+    from csv_query_engine_spark.pipeline.similarity import brute_force_topk, quantized_topk
+
+    e = load_tables(spark, "/root/testdata/sf0.001", ("embeddings",), register=False)["embeddings"]
+    q = e.filter(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding")
+    )
+    exact = {
+        (r["query_id"], r["cand_id"]) for r in brute_force_topk(e, q, k=5).collect()
+    }
+    approx = {
+        (r["query_id"], r["cand_id"]) for r in quantized_topk(e, q, k=5).collect()
+    }
+    assert len(approx) == len(exact)
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.9, f"quantized recall {recall:.2f} vs brute force"
+
+
+def test_quantized_topk_scores_are_exact_for_hits(spark):
+    """Every emitted (query, cand) score must equal the exact cosine —
+    quantization may only affect WHICH candidates surface, not scores."""
+    from csv_query_engine_spark.io.readers import load_tables
+    from csv_query_engine_spark.pipeline.similarity import brute_force_topk, quantized_topk
+
+    e = load_tables(spark, "/root/testdata/sf0.001", ("embeddings",), register=False)["embeddings"]
+    q = e.filter(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding")
+    )
+    exact = {
+        (r["query_id"], r["cand_id"]): r["cosine"]
+        for r in brute_force_topk(e, q, k=15).collect()
+    }
+    for r in quantized_topk(e, q, k=5).collect():
+        key = (r["query_id"], r["cand_id"])
+        if key in exact:
+            assert abs(r["cosine"] - exact[key]) < 1e-12
