@@ -583,3 +583,87 @@ def simhash_near_dup_pairs(
         ).alias("p")
     ).select("p.id_a", "p.id_b", "p.hamming")
     return pairs.distinct().filter(F.col("hamming") <= max_hamming)
+
+
+def incremental_dedup(
+    incoming: DataFrame,
+    corpus: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.5,
+    span_n: int = 8,
+    ngram_n: int = 3,
+    max_span_docs: int = 64,
+) -> DataFrame:
+    """Admission screen for an incoming batch against an existing
+    corpus — the shape every continuously-fed training pipeline runs
+    (new crawl slice vs what's already ingested): per incoming doc a
+    verdict ``admit`` / ``exact_dup`` / ``near_dup`` plus the existing
+    doc it duplicates (−1 when admitted).
+
+    * exact: md5 fingerprint equality (dup_of = min matching corpus id).
+    * near: shares a word ``span_n``-gram with a corpus doc AND exact
+      word-``ngram_n``-gram Jaccard ≥ threshold (dup_of = min such id,
+      ties broken by id). Same deterministic blocker as
+      :func:`near_dup_clusters`, restricted to incoming×corpus pairs.
+    * precedence: exact > near > admit.
+
+    Scale: the incoming batch is small relative to the corpus by
+    construction, so its fingerprint and span sets broadcast; corpus
+    text is touched only by the gram explode (linear, spread) and only
+    grams that collide with an incoming span enter the candidate join.
+    Nothing quadratic in the corpus, no corpus self-pairs.
+    """
+    inc = _spread(incoming.select(F.col(id_col).alias("id"), F.col(text_col).alias("_t")))
+    cor = _spread(corpus.select(F.col(id_col).alias("id"), F.col(text_col).alias("_t")))
+
+    # exact: fingerprint equi-join, min corpus id per fingerprint
+    inc_fp = inc.select("id", fingerprint(F.col("_t")).alias("fp"))
+    cor_fp = cor.select(F.col("id").alias("cid"), fingerprint(F.col("_t")).alias("fp"))
+    exact = (
+        inc_fp.join(cor_fp.groupBy("fp").agg(F.min("cid").alias("exact_of")), "fp")
+        .select("id", "exact_of")
+    )
+
+    # near: span-blocked incoming×corpus candidates, exact-Jaccard verify
+    from csv_query_engine_spark.pipeline.text import _ngram_rows
+
+    inc_toks = inc.select("id", tokens(F.col("_t")).alias("toks"))
+    cor_toks = cor.select("id", tokens(F.col("_t")).alias("toks"))
+    inc_spans = _ngram_rows(inc_toks, span_n).distinct()
+    cor_spans = _ngram_rows(cor_toks, span_n).distinct()
+    span_caps = cor_spans.groupBy("g").agg(F.count(F.lit(1)).alias("n_docs"))
+    cand = (
+        inc_spans.withColumnRenamed("id", "id_in")
+        .join(cor_spans.withColumnRenamed("id", "id_cor"), "g")
+        .join(span_caps.filter(F.col("n_docs") <= max_span_docs), "g")
+        .select("id_in", "id_cor")
+        .distinct()
+    )
+    inc_grams = inc_toks.select(
+        F.col("id").alias("id_in"), token_ngrams(F.col("toks"), ngram_n).alias("grams_in")
+    )
+    cor_grams = cor_toks.select(
+        F.col("id").alias("id_cor"), token_ngrams(F.col("toks"), ngram_n).alias("grams_cor")
+    )
+    near = (
+        cand.join(inc_grams, "id_in")
+        .join(cor_grams, "id_cor")
+        .filter(jaccard(F.col("grams_in"), F.col("grams_cor")) >= threshold)
+        .groupBy(F.col("id_in").alias("id"))
+        .agg(F.min("id_cor").alias("near_of"))
+    )
+
+    return (
+        inc.select("id")
+        .join(exact, "id", "left")
+        .join(near, "id", "left")
+        .select(
+            F.col("id").alias(id_col),
+            F.when(F.col("exact_of").isNotNull(), F.lit("exact_dup"))
+            .when(F.col("near_of").isNotNull(), F.lit("near_dup"))
+            .otherwise(F.lit("admit"))
+            .alias("verdict"),
+            F.coalesce(F.col("exact_of"), F.col("near_of"), F.lit(-1)).cast("long").alias("dup_of"),
+        )
+    )

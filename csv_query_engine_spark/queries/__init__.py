@@ -104,6 +104,7 @@ DRIVER_ORDER: list[str] = [
     "docs_duplicate_span_fraction",
     "docs_stratified_sample",
     "dedup_ngram_jaccard_pairs",
+    "dedup_incremental_admission",
     # Rows-only ops (no SQL-expressible oracle; pytest covers recall/
     # precision/planted-neighbor properties):
     "dedup_minhash_lsh_pairs",

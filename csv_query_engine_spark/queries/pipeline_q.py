@@ -1039,3 +1039,81 @@ def embedding_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_tables(spark, sf_dir, ("embeddings",))["embeddings"]
     q = e.filter(F.col("vec_id") % 100 == 0).select(F.col("vec_id").alias("query_id"), F.col("embedding"))
     return sim.quantized_topk(e, q, k=5, rounding=6).orderBy("query_id", "rank")
+
+
+@register(
+    "dedup_incremental_admission",
+    f"""
+    WITH d AS (
+        SELECT doc_id AS id, {_SQL_TOKS} AS toks, md5({_SQL_NORM}) AS fp
+        FROM documents
+    ),
+    inc AS (SELECT * FROM d WHERE id % 5 = 0),
+    cor AS (SELECT * FROM d WHERE id % 5 <> 0),
+    exact AS (
+        SELECT i.id, MIN(c.id) AS exact_of
+        FROM inc i JOIN cor c ON i.fp = c.fp
+        GROUP BY i.id
+    ),
+    spans_inc AS (
+        SELECT id, unnest(list_distinct(CASE WHEN len(toks) >= 8
+            THEN list_transform(range(1, len(toks) - 6),
+                                i -> array_to_string(list_slice(toks, i, i + 7), ' '))
+            ELSE [] END)) AS g
+        FROM inc
+    ),
+    spans_cor AS (
+        SELECT id, unnest(list_distinct(CASE WHEN len(toks) >= 8
+            THEN list_transform(range(1, len(toks) - 6),
+                                i -> array_to_string(list_slice(toks, i, i + 7), ' '))
+            ELSE [] END)) AS g
+        FROM cor
+    ),
+    span_caps AS (SELECT g, COUNT(*) AS n_docs FROM spans_cor GROUP BY g),
+    cand AS (
+        SELECT DISTINCT si.id AS id_in, sc.id AS id_cor
+        FROM spans_inc si
+        JOIN spans_cor sc USING (g)
+        JOIN span_caps USING (g)
+        WHERE span_caps.n_docs <= 64
+    ),
+    grams AS (
+        SELECT id,
+               list_distinct(list_transform(
+                   range(0, greatest(len(toks) - 2, 1)),
+                   i -> array_to_string(list_slice(toks, i + 1, i + 3), ' '))) AS gr
+        FROM d
+    ),
+    near AS (
+        SELECT cand.id_in AS id, MIN(cand.id_cor) AS near_of
+        FROM cand
+        JOIN grams gi ON gi.id = cand.id_in
+        JOIN grams gc ON gc.id = cand.id_cor
+        WHERE CASE WHEN len(list_distinct(list_concat(gi.gr, gc.gr))) > 0
+                   THEN CAST(len(list_intersect(gi.gr, gc.gr)) AS DOUBLE)
+                        / CAST(len(list_distinct(list_concat(gi.gr, gc.gr))) AS DOUBLE)
+                   ELSE 0.0 END >= 0.5
+        GROUP BY cand.id_in
+    )
+    SELECT i.id AS doc_id,
+           CASE WHEN e.exact_of IS NOT NULL THEN 'exact_dup'
+                WHEN n.near_of IS NOT NULL THEN 'near_dup'
+                ELSE 'admit' END AS verdict,
+           CAST(COALESCE(e.exact_of, n.near_of, -1) AS BIGINT) AS dup_of
+    FROM inc i
+    LEFT JOIN exact e ON e.id = i.id
+    LEFT JOIN near n ON n.id = i.id
+    ORDER BY doc_id
+    """,
+)
+def dedup_incremental_admission(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch-incremental dedup admission (pipeline.dedup.
+    incremental_dedup): the incoming slice (doc_id % 5 == 0) screened
+    against the already-ingested corpus — exact fingerprint match, then
+    span-blocked near-dup with exact-Jaccard verification; per-doc
+    verdict + the duplicated corpus id. The continuously-fed pipeline
+    shape: nothing quadratic in the corpus, incoming side broadcasts."""
+    d = load_tables(spark, sf_dir, ("documents",))["documents"]
+    inc = d.filter(F.col("doc_id") % 5 == 0)
+    cor = d.filter(F.col("doc_id") % 5 != 0)
+    return dd.incremental_dedup(inc, cor).orderBy("doc_id")

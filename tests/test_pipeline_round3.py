@@ -164,3 +164,25 @@ def test_quantized_topk_scores_are_exact_for_hits(spark):
         key = (r["query_id"], r["cand_id"])
         if key in exact:
             assert abs(r["cosine"] - exact[key]) < 1e-12
+
+
+def test_incremental_dedup_verdicts(spark):
+    from csv_query_engine_spark.pipeline.dedup import incremental_dedup
+
+    base = "the quick brown fox jumps over the lazy dog again and again every day " * 3
+    corpus = spark.createDataFrame(
+        [(1, base), (2, "some other corpus document about window functions and joins here")],
+        "doc_id long, text string",
+    )
+    incoming = spark.createDataFrame(
+        [
+            (10, base),            # exact dup of 1
+            (11, base + " tail"),  # near dup of 1
+            (12, "entirely novel content mentioning broadcast thresholds and shuffles"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in incremental_dedup(incoming, corpus).collect()}
+    assert out[10]["verdict"] == "exact_dup" and out[10]["dup_of"] == 1
+    assert out[11]["verdict"] == "near_dup" and out[11]["dup_of"] == 1
+    assert out[12]["verdict"] == "admit" and out[12]["dup_of"] == -1
