@@ -32,7 +32,10 @@ FEATURE_SCHEMA = T.StructType(
         T.StructField("doc_id", T.LongType()),
         T.StructField("n_bytes", T.LongType()),
         T.StructField("byte_mean", T.DoubleType()),
-        T.StructField("feature", T.ArrayType(T.FloatType())),
+        # double, not float: the fake features are exact integer ratios
+        # (residue-class counts / n_bytes) and the oracle twin computes
+        # them in SQL doubles — float32 would drift the 6th decimal.
+        T.StructField("feature", T.ArrayType(T.DoubleType())),
     ]
 )
 
@@ -79,7 +82,7 @@ def decode_media(df: DataFrame, id_col: str = "doc_id", fake: bool = True, featu
                 arr = np.frombuffer(bytes(blob), dtype=np.uint8) if blob is not None else np.array([], np.uint8)
                 sizes.append(int(arr.size))
                 means.append(float(arr.mean()) if arr.size else 0.0)
-                hist = np.zeros(feature_dim, dtype=np.float32)
+                hist = np.zeros(feature_dim, dtype=np.float64)
                 if arr.size:
                     np.add.at(hist, arr % feature_dim, 1.0)
                     hist /= arr.size

@@ -105,6 +105,7 @@ DRIVER_ORDER: list[str] = [
     "docs_stratified_sample",
     "dedup_ngram_jaccard_pairs",
     "dedup_incremental_admission",
+    "multimodal_decode_features",
     # Rows-only ops (no SQL-expressible oracle; pytest covers recall/
     # precision/planted-neighbor properties):
     "dedup_minhash_lsh_pairs",
@@ -114,7 +115,6 @@ DRIVER_ORDER: list[str] = [
     "embedding_ivf_topk",
     "embedding_quantized_topk",
     "sketch_approx_aggregates",
-    "multimodal_decode_features",
     "multimodal_frame_sample",
 ]
 

@@ -478,25 +478,51 @@ def embedding_centroids_by_label(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ------------------------------------------------------------- multimodal
 
 
-@register("multimodal_decode_features", None)
+_SQL_BYTE_CODES = "list_transform(range(1, CAST(length(text) AS INT) + 1), i -> ascii(text[i]))"
+
+
+def _sql_residue_frac(k: int) -> str:
+    return (
+        f"ROUND(CASE WHEN length(text) > 0 THEN "
+        f"CAST(len(list_filter({_SQL_BYTE_CODES}, c -> c % 8 = {k})) AS DOUBLE)"
+        f" / length(text) ELSE 0.0 END, 6) AS f{k}"
+    )
+
+
+@register(
+    "multimodal_decode_features",
+    f"""
+    SELECT doc_id,
+           CAST(length(text) AS BIGINT) AS n_bytes,
+           ROUND(CASE WHEN length(text) > 0 THEN
+                 CAST(list_sum({_SQL_BYTE_CODES}) AS DOUBLE) / length(text)
+                 ELSE 0.0 END, 6) AS byte_mean,
+           {", ".join(_sql_residue_frac(k) for k in range(8))}
+    FROM documents
+    WHERE doc_id % 20 = 0
+    ORDER BY doc_id
+    """,
+)
 def multimodal_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary media column -> Arrow-batched feature extraction
-    (mapInPandas). Decode itself is stubbed deterministically (no media
-    libs in this environment); the Spark plumbing is the real path.
-
-    The library function returns `feature array<float>`; the registered
-    query serializes it to a comma-joined string of rounded values — the
-    driver's canonicalizer sorts pandas frames and array cells are
-    unhashable there. The array form stays available via
-    pipeline.multimodal.decode_media."""
+    (mapInPandas). The real codec path stays stubbed (no media libs in
+    this environment); the deterministic fake (byte statistics + folded
+    residue histogram, float64) is itself ORACLE-CHECKED — the SQL twin
+    recomputes the same integer ratios over the character codes, exact
+    because the corpus is pure ASCII (verified: octet_length == length
+    for every doc; the Spark side operates on actual bytes and stays
+    correct beyond ASCII). The feature array is flattened to scalar
+    f0..f7 doubles — the driver's canonicalizer sorts pandas frames and
+    array cells are unhashable there; the array form stays available
+    via pipeline.multimodal.decode_media."""
     d = load_tables(spark, sf_dir, ("documents",))["documents"].filter(F.col("doc_id") % 20 == 0)
     media = mm.attach_fake_media(d)
     out = mm.decode_media(media)
-    feature_str = F.concat_ws(
-        ",", F.transform(F.col("feature"), lambda x: F.round(x.cast("double"), 6).cast("string"))
-    )
     return out.select(
-        "doc_id", "n_bytes", F.round("byte_mean", 6).alias("byte_mean"), feature_str.alias("feature_csv")
+        "doc_id",
+        "n_bytes",
+        F.round("byte_mean", 6).alias("byte_mean"),
+        *[F.round(F.get("feature", k), 6).alias(f"f{k}") for k in range(8)],
     ).orderBy("doc_id")
 
 
