@@ -106,6 +106,7 @@ DRIVER_ORDER: list[str] = [
     "dedup_ngram_jaccard_pairs",
     "dedup_incremental_admission",
     "multimodal_decode_features",
+    "multimodal_frame_sample",
     # Rows-only ops (no SQL-expressible oracle; pytest covers recall/
     # precision/planted-neighbor properties):
     "dedup_minhash_lsh_pairs",
@@ -115,7 +116,6 @@ DRIVER_ORDER: list[str] = [
     "embedding_ivf_topk",
     "embedding_quantized_topk",
     "sketch_approx_aggregates",
-    "multimodal_frame_sample",
 ]
 
 

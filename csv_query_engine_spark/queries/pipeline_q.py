@@ -706,12 +706,27 @@ def customer_order_gap_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("multimodal_frame_sample", None)
+@register(
+    "multimodal_frame_sample",
+    """
+    WITH b AS (
+        SELECT doc_id, length(text) // 64 AS n_frames
+        FROM documents WHERE doc_id % 20 = 0
+    )
+    SELECT doc_id,
+           CAST(unnest(range(0, CAST(n_frames AS INT), 2)) AS INT) AS frame_idx,
+           CAST(64 AS BIGINT) AS n_bytes
+    FROM b
+    ORDER BY doc_id, frame_idx
+    """,
+)
 def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Video-style frame sampling plumbing (1 row -> N frame rows,
     mapInPandas). Binary column derived deterministically from the
     documents table; real codec stubbed (environment has no media
-    libs)."""
+    libs). The fake chunking (consecutive 64-byte frames, every 2nd
+    kept, full frames only) is oracle-checked over the frame INDEX
+    stream — ASCII corpus, so byte offsets equal char offsets."""
     d = load_tables(spark, sf_dir, ("documents",))["documents"].filter(F.col("doc_id") % 20 == 0)
     media = mm.attach_fake_media(d)
     return mm.sample_frames(media, frame_bytes=64, every_n=2).drop("frame").orderBy("doc_id", "frame_idx")
