@@ -74,3 +74,68 @@ def test_collapse_invariant_counts_preserved(spark, rows):
     out = collapse_duplicates(df).collect()
     assert sum(r["count"] for r in out) == len(rows)
     assert len(out) == df.distinct().count()
+
+
+@given(
+    edges=st.lists(
+        st.tuples(st.integers(0, 14), st.integers(0, 14)).filter(lambda p: p[0] != p[1]),
+        max_size=20,
+    ),
+)
+@settings(max_examples=15, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_connected_components_matches_union_find(spark, edges):
+    """Distributed min-label propagation must agree with a driver-side
+    union-find on arbitrary small graphs (cycles, self-merges, isolated
+    nodes, duplicate edges)."""
+    from csv_query_engine_spark.pipeline.dedup import connected_components
+
+    n = 15
+    parent = list(range(n))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    expected = {i: find(i) for i in range(n)}
+
+    nodes = spark.createDataFrame([(i,) for i in range(n)], "id long")
+    e = spark.createDataFrame(edges, "id_a long, id_b long") if edges else (
+        spark.createDataFrame([], "id_a long, id_b long")
+    )
+    got = {r["id"]: r["cluster_id"] for r in connected_components(nodes, e).collect()}
+    assert got == expected
+
+
+@given(
+    counts=st.lists(st.integers(0, 50), min_size=1, max_size=12),
+    seq_len=st.integers(4, 64),
+    bucket_size=st.integers(1, 5),
+)
+@settings(max_examples=15, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_sequence_packing_stream_invariants(spark, counts, seq_len, bucket_size):
+    """Start offsets must be the exclusive prefix sum in id order for
+    ANY bucket size (the hierarchical decomposition is an
+    implementation detail), and in-pack geometry must be consistent."""
+    from csv_query_engine_spark.pipeline.packing import sequence_packing
+
+    rows = [(i, " ".join(["w"] * c)) for i, c in enumerate(counts)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r["doc_id"]: r
+        for r in sequence_packing(df, seq_len=seq_len, bucket_size=bucket_size).collect()
+    }
+    acc = 0
+    for i, c in enumerate(counts):
+        r = out[i]
+        assert r["start_offset"] == acc
+        assert r["pack_id"] == acc // seq_len
+        assert r["offset_in_pack"] == acc % seq_len
+        end = acc + max(c, 1) - 1
+        assert r["spans_boundary"] == (end // seq_len > acc // seq_len)
+        acc += c
