@@ -27,14 +27,16 @@ from pyspark.sql import types as T
 from csv_query_engine_spark.pipeline.text import fingerprint, normalize_text, tokens
 
 def _spread(df: DataFrame) -> DataFrame:
-    """Repartition to the session's default parallelism before
-    compute-heavy per-row stages. A small parquet input arrives as ONE
-    partition (one task — measured 50s single-core for the sf0.1 shingle
-    stage); compute parallelism must not be inherited from scan layout.
-    At cluster scale this is a cheap round-robin of input rows, dwarfed
-    by the per-row work it parallelizes."""
-    sc = df.sparkSession.sparkContext
-    return df.repartition(sc.defaultParallelism)
+    """Decouple compute parallelism from scan layout: a single-file
+    scan arrives as ONE partition and serializes the per-row stages
+    (measured 50 s single-core for the sf0.1 shingle stage). Only
+    under-partitioned inputs repartition — an input already at session
+    parallelism (the 100 TB case: thousands of scan splits) passes
+    through, avoiding a pointless full shuffle of the raw rows."""
+    p = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= p:
+        return df
+    return df.repartition(p)
 
 
 # --------------------------------------------------------------- exact

@@ -18,6 +18,16 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+
+def _spread(df: DataFrame) -> DataFrame:
+    """Decode parallelism must not inherit a single-file scan layout;
+    already-parallel inputs (the 100 TB many-split case) pass through —
+    see pipeline.text._spread."""
+    p = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= p:
+        return df
+    return df.repartition(p)
+
 MEDIA_META_SCHEMA = T.StructType(
     [
         T.StructField("format", T.StringType()),
@@ -97,7 +107,7 @@ def decode_media(df: DataFrame, id_col: str = "doc_id", fake: bool = True, featu
             )
 
     # spread: decode parallelism must not inherit a single-file scan layout
-    spread = df.select(id_col, "media").repartition(df.sparkSession.sparkContext.defaultParallelism)
+    spread = _spread(df.select(id_col, "media"))
     return spread.mapInPandas(_decode, schema=FEATURE_SCHEMA)
 
 
@@ -160,7 +170,7 @@ def resize_media(
                 {"doc_id": pdf[id_col].astype("int64"), "media": out_media, "meta": metas}
             )
 
-    spread = df.select(id_col, "media").repartition(df.sparkSession.sparkContext.defaultParallelism)
+    spread = _spread(df.select(id_col, "media"))
     return spread.mapInPandas(_resize, schema=RESIZED_SCHEMA)
 
 
@@ -209,5 +219,5 @@ def sample_frames(
                 }
             )
 
-    spread = df.select(id_col, "media").repartition(df.sparkSession.sparkContext.defaultParallelism)
+    spread = _spread(df.select(id_col, "media"))
     return spread.mapInPandas(_frames, schema=FRAME_SCHEMA)

@@ -26,10 +26,16 @@ from csv_query_engine_spark.pipeline.dedup import _in_bucket_pairs
 
 
 def _spread(df: DataFrame) -> DataFrame:
-    """Decouple compute parallelism from scan layout (a single parquet
-    file scans as one partition; the per-row vector math must fan out)."""
-    sc = df.sparkSession.sparkContext
-    return df.repartition(sc.defaultParallelism)
+    """Decouple compute parallelism from scan layout: a single-file
+    scan arrives as ONE partition and serializes the per-row stages
+    (measured 50 s single-core for the sf0.1 shingle stage). Only
+    under-partitioned inputs repartition — an input already at session
+    parallelism (the 100 TB case: thousands of scan splits) passes
+    through, avoiding a pointless full shuffle of the raw rows."""
+    p = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= p:
+        return df
+    return df.repartition(p)
 
 
 def dot(u: Column, v: Column) -> Column:

@@ -22,10 +22,18 @@ STOPWORDS_FR = ("le", "la", "les", "de", "et", "ou", "en", "est", "un", "une", "
 
 def _spread(df: DataFrame) -> DataFrame:
     """Round-robin to the session's parallelism before per-row explode/
-    tokenize stages: a single-file parquet scan is ONE partition, and a
-    serial regex+explode over the whole corpus dominates wall-clock
-    (measured 25 s for repetition stats at sf0.1 -> ~2 s spread)."""
-    return df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+    tokenize stages — but ONLY when the scan is under-partitioned. A
+    single-file parquet scan is ONE partition, and a serial regex+
+    explode over the whole corpus dominates wall-clock (measured 25 s
+    for repetition stats at sf0.1 -> ~2 s spread). At 100 TB the scan
+    already yields thousands of input splits and an unconditional
+    repartition would shuffle the entire raw corpus for nothing, so a
+    frame that is already at least session-parallel passes through
+    untouched."""
+    p = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= p:
+        return df
+    return df.repartition(p)
 
 
 def normalize_text(col: Column) -> Column:

@@ -186,3 +186,33 @@ def test_incremental_dedup_verdicts(spark):
     assert out[10]["verdict"] == "exact_dup" and out[10]["dup_of"] == 1
     assert out[11]["verdict"] == "near_dup" and out[11]["dup_of"] == 1
     assert out[12]["verdict"] == "admit" and out[12]["dup_of"] == -1
+
+
+def test_spread_is_identity_for_parallel_inputs(spark):
+    """_spread must NOT reshuffle an input that is already at session
+    parallelism — at 100 TB the scan arrives with thousands of splits
+    and an unconditional repartition would shuffle the raw corpus."""
+    from csv_query_engine_spark.pipeline.text import _spread
+
+    p = spark.sparkContext.defaultParallelism
+    wide = spark.range(1000).repartition(p + 4)
+    assert _spread(wide) is wide
+    narrow = spark.range(1000).coalesce(1)
+    assert _spread(narrow).rdd.getNumPartitions() == p
+
+
+def test_queries_survive_multifile_layout(spark, tmp_path):
+    """Results must be layout-independent: the same documents data split
+    across 8 parquet files (the realistic many-split scan) must produce
+    byte-identical results to the single-file harness layout."""
+    from csv_query_engine_spark.queries import all_queries
+
+    src = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    multi_dir = tmp_path / "documents.parquet"
+    src.repartition(8).write.mode("overwrite").parquet(str(multi_dir))
+
+    qs = all_queries()
+    for name in ("docs_quality_filter", "dedup_exact_docs", "docs_vocab_coverage", "docs_sequence_packing"):
+        single = [tuple(r) for r in qs[name](spark, "/root/testdata/sf0.001").collect()]
+        multi = [tuple(r) for r in qs[name](spark, str(tmp_path)).collect()]
+        assert multi == single, f"{name} changed under multi-file layout"
