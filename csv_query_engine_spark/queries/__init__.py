@@ -107,6 +107,7 @@ DRIVER_ORDER: list[str] = [
     "dedup_incremental_admission",
     "multimodal_decode_features",
     "multimodal_frame_sample",
+    "docs_dataset_card",
     # Rows-only ops (no SQL-expressible oracle; pytest covers recall/
     # precision/planted-neighbor properties):
     "dedup_minhash_lsh_pairs",

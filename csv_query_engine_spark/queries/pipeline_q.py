@@ -1158,3 +1158,59 @@ def dedup_incremental_admission(spark: SparkSession, sf_dir: str) -> DataFrame:
     inc = d.filter(F.col("doc_id") % 5 == 0)
     cor = d.filter(F.col("doc_id") % 5 != 0)
     return dd.incremental_dedup(inc, cor).orderBy("doc_id")
+
+
+_SQL_QF_PASSES = (
+    f"(({_SQL_NTOK} >= 25 AND {_SQL_NTOK} <= 120)"
+    f" AND ({_SQL_MTL} >= 3.0 AND {_SQL_MTL} <= 10.0)"
+    f" AND ({_SQL_SW_RATIO} >= 0.02)"
+    f" AND ({_SQL_DRATIO} >= 0.30))"
+)
+
+
+@register(
+    "docs_dataset_card",
+    f"""
+    WITH q AS (
+        SELECT doc_id, lang, source,
+               {_SQL_NTOK} AS ntok,
+               md5({_SQL_NORM}) AS fp,
+               {_SQL_QF_PASSES} AS passes
+        FROM documents
+    )
+    SELECT lang, source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(ntok) AS BIGINT) AS n_tokens,
+           CAST(SUM(CASE WHEN passes THEN 1 ELSE 0 END) AS BIGINT) AS n_quality_pass,
+           ROUND(CAST(SUM(CASE WHEN passes THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*), 6) AS pass_rate,
+           CAST(COUNT(DISTINCT fp) AS BIGINT) AS n_unique_fingerprints,
+           CAST(COUNT(*) - COUNT(DISTINCT fp) AS BIGINT) AS dup_excess
+    FROM q
+    GROUP BY lang, source
+    ORDER BY lang, source
+    """,
+)
+def docs_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dataset-card rollup — the one-query corpus summary a training
+    run is gated on, composing the pipeline primitives: per
+    (lang, source) slice the doc and token budget, hard-quality-filter
+    pass rate, and exact-dup excess (docs minus distinct fingerprints).
+    One shuffle keyed by the slice after per-doc map-side stats; the
+    distinct-fingerprint count uses Spark's two-phase distinct agg."""
+    d = load_tables(spark, sf_dir, ("documents",))["documents"]
+    qf = tx.quality_filter(d)
+    meta = d.select("doc_id", "lang", "source", tx.fingerprint(F.col("text")).alias("fp"))
+    n_pass = F.sum(F.when(F.col("passes"), 1).otherwise(0))
+    return (
+        meta.join(qf, "doc_id")
+        .groupBy("lang", "source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("n_tokens"),
+            n_pass.cast("long").alias("n_quality_pass"),
+            F.round(n_pass.cast("double") / F.count(F.lit(1)), 6).alias("pass_rate"),
+            F.countDistinct("fp").alias("n_unique_fingerprints"),
+            (F.count(F.lit(1)) - F.countDistinct("fp")).alias("dup_excess"),
+        )
+        .orderBy("lang", "source")
+    )
