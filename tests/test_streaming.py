@@ -129,3 +129,41 @@ def test_stream_static_dim_enrichment(spark):
         .collect()
     }
     assert got == expected
+
+
+def test_stream_checkpoint_restart_no_reprocess(spark, tmp_path):
+    """Restart recovery: a second run over the SAME checkpoint must pick
+    up only files that arrived since the first run — already-committed
+    source files are not reprocessed and the file sink is not
+    double-appended (exactly-once across restarts). Uses a stateless
+    transform: a WATERMARKED operator would (correctly) drop the
+    second batch as late data, since the checkpoint also persists the
+    advanced watermark — that semantics is covered by the dedup test."""
+    src = spark.read.parquet(f"{SF_SMOKE}/events.parquet").limit(300)
+    half_a = src.filter(F.col("event_id") % 2 == 0)
+    half_b = src.filter(F.col("event_id") % 2 == 1)
+    staged = str(tmp_path / "staged")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    half_a.coalesce(1).write.mode("overwrite").parquet(staged)
+
+    def run_once():
+        stream = ensure_event_time(spark.readStream.schema(src.schema).parquet(staged))
+        q = (
+            stream.select("event_id", "ts", "event_type", "value")
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    run_once()
+    assert spark.read.parquet(out).count() == half_a.count()
+
+    half_b.coalesce(1).write.mode("append").parquet(staged)
+    run_once()
+    result = spark.read.parquet(out)
+    assert result.count() == 300  # 450 would mean half_a was reprocessed
+    assert result.select("event_id").distinct().count() == 300
