@@ -69,16 +69,16 @@ DRIVER_ORDER: list[str] = [
     "events_hourly_counts",
     "events_sliding_counts",
     "events_sessionization",
-    "events_user_activity_profile",
     # -- LLM-pipeline: text analysis / dedup / sampling / embeddings / UDF
     "docs_lang_id",
     "docs_quality_filter",
     "docs_repetition_stats",
     "docs_tfidf_top_terms",
-    "docs_fingerprints",
     "dedup_exact_docs",
     "docs_split_assignment",
     "docs_token_budget_mix",
+    "dedup_incremental_admission",
+    "docs_dataset_card",
     "embedding_topk_bruteforce",
     "embedding_centroids_by_label",
     "docs_udtf_sentences",
@@ -92,6 +92,8 @@ DRIVER_ORDER: list[str] = [
     # zeros on the PII-free synthetic corpus — real hits are pytest-
     # covered — so the non-vacuous vocab query takes the window slot):
     "docs_pii_scrub_stats",
+    "docs_fingerprints",
+    "events_user_activity_profile",
     "group_count_priority",
     "cube_region_status",
     "window_rank_lead_quartile",
@@ -104,10 +106,8 @@ DRIVER_ORDER: list[str] = [
     "docs_duplicate_span_fraction",
     "docs_stratified_sample",
     "dedup_ngram_jaccard_pairs",
-    "dedup_incremental_admission",
     "multimodal_decode_features",
     "multimodal_frame_sample",
-    "docs_dataset_card",
     # Rows-only ops (no SQL-expressible oracle; pytest covers recall/
     # precision/planted-neighbor properties):
     "dedup_minhash_lsh_pairs",

@@ -123,7 +123,13 @@ def test_registry_window_is_oracle_bearing(spark):
     window = names[:50]
     missing = [n for n in window if n not in oracles]
     assert not missing, f"non-oracle queries inside the driver window: {missing}"
-    for new in ("dedup_cluster_canonical", "docs_sequence_packing", "docs_vocab_coverage"):
+    for new in (
+        "dedup_cluster_canonical",
+        "docs_sequence_packing",
+        "docs_vocab_coverage",
+        "dedup_incremental_admission",
+        "docs_dataset_card",
+    ):
         assert new in window
 
 
