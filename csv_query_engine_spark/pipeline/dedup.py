@@ -642,12 +642,15 @@ def incremental_dedup(
         .select("id_in", "id_cor")
         .distinct()
     )
-    inc_grams = inc_toks.select(
-        F.col("id").alias("id_in"), token_ngrams(F.col("toks"), ngram_n).alias("grams_in")
-    )
-    cor_grams = cor_toks.select(
-        F.col("id").alias("id_cor"), token_ngrams(F.col("toks"), ngram_n).alias("grams_cor")
-    )
+    # Build the (interpreted-HOF) gram arrays ONLY for docs that appear
+    # in a candidate pair — a semi-join first, so the per-element array
+    # construction cost scales with candidates, not the corpus.
+    inc_grams = inc_toks.join(
+        cand.select(F.col("id_in").alias("id")).distinct(), "id", "leftsemi"
+    ).select(F.col("id").alias("id_in"), token_ngrams(F.col("toks"), ngram_n).alias("grams_in"))
+    cor_grams = cor_toks.join(
+        cand.select(F.col("id_cor").alias("id")).distinct(), "id", "leftsemi"
+    ).select(F.col("id").alias("id_cor"), token_ngrams(F.col("toks"), ngram_n).alias("grams_cor"))
     near = (
         cand.join(inc_grams, "id_in")
         .join(cor_grams, "id_cor")
