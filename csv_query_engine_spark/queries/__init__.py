@@ -95,6 +95,7 @@ DRIVER_ORDER: list[str] = [
     "docs_fingerprints",
     "events_user_activity_profile",
     "group_count_priority",
+    "q10_returned_item_report",
     "cube_region_status",
     "window_rank_lead_quartile",
     "scalar_date_funcs",

@@ -1367,3 +1367,46 @@ def window_distribution_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("priority", "o_orderkey")
     )
+
+
+@register(
+    "q10_returned_item_report",
+    f"""
+    SELECT c.c_custkey, c.c_name, {_sql_exact_sum(REVENUE, 'revenue')},
+           n.n_name AS nation, c.c_acctbal
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    WHERE o.o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o.o_orderdate < TIMESTAMP '1996-04-01'
+      AND l.l_returnflag = 'R'
+    GROUP BY c.c_custkey, c.c_name, n.n_name, c.c_acctbal
+    ORDER BY revenue DESC, c.c_custkey
+    LIMIT 20
+    """,
+)
+def q10_returned_item_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 (returned-item report): customers who returned the most
+    revenue in a quarter. Classic fact-fact join + small-dim broadcast +
+    grouped exact-sum + top-k with a unique-key tiebreaker under LIMIT.
+
+    Scale: the date filter pushes to the orders scan and the returnflag
+    filter to the lineitem scan before either shuffles; nation
+    broadcasts; top-20 is TakeOrdered, never a global sort."""
+    t = load_tables(spark, sf_dir, ("customer", "orders", "lineitem", "nation"))
+    o = t["orders"].filter(
+        (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1996-04-01")
+    )
+    li = t["lineitem"].filter(F.col("l_returnflag") == "R")
+    return (
+        t["customer"]
+        .join(o, F.col("c_custkey") == F.col("o_custkey"))
+        .join(li, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(F.broadcast(t["nation"]), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("c_custkey", "c_name", F.col("n_name").alias("nation"), "c_acctbal")
+        .agg(exact_sum(_revenue_col(), "revenue"))
+        .select("c_custkey", "c_name", "revenue", "nation", "c_acctbal")
+        .orderBy(F.desc("revenue"), "c_custkey")
+        .limit(20)
+    )
