@@ -97,10 +97,14 @@ def token_ngrams(tok_col: Column, n: int = 3) -> Column:
 
 
 def jaccard(a: Column, b: Column) -> Column:
-    """Exact Jaccard similarity of two string arrays (deterministic
-    integer ratio -> bit-identical across engines)."""
+    """Exact Jaccard similarity of two DUPLICATE-FREE arrays
+    (deterministic integer ratio -> bit-identical across engines).
+    |A∪B| is derived as |A|+|B|−|A∩B| instead of materializing
+    ``array_union`` — half the per-pair set work (measured on the
+    23k-pair sf0.1 verify stage); every call site passes
+    ``array_distinct``-produced arrays, which the identity requires."""
     inter = F.size(F.array_intersect(a, b))
-    union = F.size(F.array_union(a, b))
+    union = F.size(a) + F.size(b) - inter
     return F.when(union > 0, inter.cast("double") / union.cast("double")).otherwise(F.lit(0.0))
 
 
@@ -152,28 +156,86 @@ def minhash_with_grams(
     num_hashes: int = 64,
     shingle_k: int = 5,
 ) -> DataFrame:
-    """(id, grams, sig): K minhash values per doc computed ENTIRELY
-    map-side — no explode, no shuffle. Each shingle gets one base
-    xxhash64(string); the j-th hash function is xxhash64(j, base) over
-    longs (cheap JVM rehash, no 64× string hashing); the K mins are
-    per-row ``array_min(transform(...))``.
+    """(id, grams, hashes, sig): ``num_hashes``-slot MinHash signature
+    per doc via ONE-PERMUTATION HASHING (Li, Owen, Zhang 2012) with
+    deterministic densification — each shingle is hashed ONCE
+    (xxhash64), the hash's top log2(K) bits pick a signature slot, and
+    each slot keeps its minimum. Empty slots (short docs) borrow
+    deterministically from the doc's non-empty minima, so two docs with
+    identical shingle sets always get identical signatures (the property
+    LSH banding needs).
 
-    vs the explode + groupBy(id) + 64-min-aggs formulation: that
-    shuffles |docs|×|shingles| rows and recomputes everything per
-    consumer branch; this is a pure projection Catalyst can pipeline.
+    Why OPH and not K independent hash functions: the K-rehash form
+    costs O(K·|shingles|) hash evaluations per doc — measured ~6 s of
+    the sf0.1 signature stage as an interpreted 64× higher-order-
+    function loop (and the explode + 64-min-aggs alternative is worse:
+    64 aggregate columns push HashAggregate off whole-stage codegen,
+    measured 57 s). OPH is O(|shingles|): one explode keyed by (id,
+    slot) with a codegen'd map-side-combined MIN, then a ≤K-row
+    assembly per doc. At 100 TB that is a 64× reduction in hash
+    compute for the same s-curve behavior (OPH's slot-collision
+    fraction is an unbiased Jaccard estimator, same as classic
+    MinHash).
+
+    ``num_hashes`` must be a power of two (slot = top bits of the
+    hash).
     """
-    base = shingled(df, id_col, text_col, shingle_k).select(
+    from pyspark.storagelevel import StorageLevel
+
+    base = _hashed_shingles(df, id_col, text_col, shingle_k).persist(StorageLevel.MEMORY_AND_DISK)
+    return base.join(_oph_signatures(base, num_hashes), "id").select(
+        "id", "grams", "hashes", "sig"
+    )
+
+
+def _hashed_shingles(
+    df: DataFrame, id_col: str, text_col: str, shingle_k: int
+) -> DataFrame:
+    """(id, grams, hashes): distinct shingles and their xxhash64s —
+    the shared input of the OPH signature build and the exact-Jaccard
+    verification."""
+    return shingled(df, id_col, text_col, shingle_k).select(
         "id",
         "grams",
         F.transform("grams", lambda g: F.xxhash64(g)).alias("hashes"),
     )
-    def _nth_hash(j: int):
-        # closure factory: a default-arg lambda would change the lambda's
-        # arity and make pyspark pass the element INDEX as the second arg
-        return lambda h: F.xxhash64(F.lit(j), h)
 
-    sig = F.array(*[F.array_min(F.transform("hashes", _nth_hash(j))) for j in range(num_hashes)])
-    return base.select("id", "grams", "hashes", sig.alias("sig"))
+
+def _oph_signatures(hashed: DataFrame, num_hashes: int) -> DataFrame:
+    """(id, sig) one-permutation-hashing signatures from a
+    (id, hashes) table — see :func:`minhash_with_grams` for the
+    algorithm and the measured rationale. ``hashed`` is consumed once
+    (one explode); callers with multiple consumers persist it."""
+    bits = (num_hashes - 1).bit_length()
+    if num_hashes != 1 << bits:
+        raise ValueError(f"num_hashes must be a power of two, got {num_hashes}")
+
+    # One pass: explode the per-doc hash array, slot by the top bits,
+    # MIN per (id, slot). Explode rows stay in the doc's partition, so
+    # the partial aggregate combines to ≤K rows per doc map-side — the
+    # shuffle carries O(docs × K) longs, independent of shingle count.
+    slot_mins = (
+        hashed.select("id", F.explode("hashes").alias("gh"))
+        .groupBy("id", F.shiftrightunsigned("gh", 64 - bits).alias("slot"))
+        .agg(F.min("gh").alias("mh"))
+    )
+    # Assemble the K-array per doc; sort_array orders by slot, so the
+    # map lookup below is deterministic. Densify empty slots by
+    # borrowing the (slot mod n_filled)-th non-empty minimum — a
+    # function of the doc's own minima only, hence reproducible across
+    # engines and identical for identical shingle sets.
+    bm = F.map_from_entries(F.sort_array(F.collect_list(F.struct("slot", "mh"))))
+    vals = F.map_values(F.col("_bm"))
+    sig = F.transform(
+        F.sequence(F.lit(0), F.lit(num_hashes - 1)),
+        # try_element_at: ANSI mode makes plain element_at raise on a
+        # missing map key; NULL (-> densify via coalesce) is the point.
+        lambda j: F.coalesce(
+            F.try_element_at(F.col("_bm"), j.cast("long")),
+            F.element_at(vals, F.pmod(j, F.size(vals)) + 1),
+        ),
+    )
+    return slot_mins.groupBy("id").agg(bm.alias("_bm")).select("id", sig.alias("sig"))
 
 
 def minhash_signatures(
@@ -228,21 +290,29 @@ def minhash_lsh_pairs(
     threshold clears threshold−0.15 with P≈0.99; set est_margin=None
     to disable the screen and verify every candidate exactly.
     """
-    from pyspark.storagelevel import StorageLevel
-
     rows_per_band = num_hashes // bands
-    # Materialize (id, hashes, sig) ONCE. Five consumers read it — the
-    # band explode, both sides of the estimate-screen join, and both
-    # sides of the exact-verification join; without the persist each one
-    # re-runs the shingle+64-hash scan (measured 16.7 s cold / 7.3 s warm
-    # at sf0.1 recomputed vs 7.5 s / 2.7 s persisted). The cluster-scale
+    # Materialize the two shared tables ONCE. The hash table feeds the
+    # signature build and both sides of the exact-verification join;
+    # the signature table feeds the band explode and both sides of the
+    # estimate-screen join — without the persists each consumer re-runs
+    # the shingle scan (measured 16.7 s cold / 7.3 s warm at sf0.1
+    # recomputed vs 7.5 s / 2.7 s materialized). The cluster-scale
     # analog is the standard practice of checkpointing the signature
     # table to storage before LSH banding: ~2 KB/doc, linear in corpus,
     # spillable (MEMORY_AND_DISK), never wider than one row per doc.
-    base = minhash_with_grams(df, id_col, text_col, num_hashes, shingle_k).select(
-        "id", "hashes", "sig"
-    ).persist(StorageLevel.MEMORY_AND_DISK)
-    sig = base.select("id", "sig")
+    # persist, NOT localCheckpoint: the SQL columnar cache (compressed
+    # batches + codegen'd InMemoryTableScan) is what makes the re-reads
+    # cheap — the row-based checkpoint store measured 2× slower at
+    # sf0.1. CACHE LIFETIME IS CALLER-OWNED: the blocks live until the
+    # frame is GC'd, spark.catalog.clearCache(), or eviction — callers
+    # running many dedup passes in one session should clearCache
+    # between them (bench.py does).
+    from pyspark.storagelevel import StorageLevel
+
+    hashed = _hashed_shingles(df, id_col, text_col, shingle_k).select("id", "hashes").persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    sig = _oph_signatures(hashed, num_hashes).persist(StorageLevel.MEMORY_AND_DISK)
 
     band_entries = sig.select(
         "id",
@@ -305,7 +375,7 @@ def minhash_lsh_pairs(
     # not the strings: long intersect/union is several× cheaper, and a
     # 64-bit collision inflating an intersection needs ~|A|·|B|/2^64 ≈
     # 5e-15 odds at 300-shingle docs — numerically irrelevant.
-    grams = base.select("id", "hashes")
+    grams = hashed
     return (
         survivors
         .join(grams.select(F.col("id").alias("id_a"), F.col("hashes").alias("grams_a")), "id_a")
@@ -342,8 +412,9 @@ def connected_components(
     this propagation loop is the two-line special case of.
 
     Scale: each round is one shuffle keyed by node id (edge join) plus a
-    map-side-combined min agg; label state is persisted and the previous
-    round unpersisted, so lineage stays O(1) deep (no exponential replan).
+    map-side-combined min agg; label state is localCheckpoint'd every
+    round, so plan depth stays O(1) (see the in-loop comment for the
+    measured exponential-replan failure of the persist-only form).
     At very low dup incidence the loop could instead run over only
     edge-touched nodes (singletons bypass via anti-join, ~100× less
     state at 1% incidence); measured at sf0.1 the extra pre-loop edge
@@ -351,27 +422,47 @@ def connected_components(
     the simple full-node form is kept and the restriction is left as the
     documented knob for corpora where the loop state dominates.
     """
-    from pyspark.storagelevel import StorageLevel
+    # localCheckpoint BEFORE symmetrizing, not after: the union's two
+    # legs each embed the upstream edge pipeline (span blocking +
+    # Jaccard verification here), so a post-union checkpoint executes
+    # that pipeline twice — once per leg (measured: the whole
+    # span-block+verify stage ran 2× in dedup_cluster_canonical).
+    # Checkpointing the directed edges first materializes the pipeline
+    # ONCE; the union then reads the checkpointed rows twice, which is
+    # free. localCheckpoint, not persist: every loop iteration's logical
+    # plan would otherwise embed the whole upstream subtree — each
+    # convergence action re-pays its analysis/optimization, and a cache
+    # miss re-pays its execution. Lineage truncates to the materialized
+    # edge rows (tiny: one row per near-dup pair). Eager so the cost
+    # lands once, here.
+    e0 = edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst")).localCheckpoint(
+        eager=True
+    )
+    sym = e0.union(e0.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
 
-    sym = edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
-    sym = sym.union(sym.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
-    # localCheckpoint, not persist: every loop iteration's logical plan
-    # would otherwise embed the WHOLE upstream edge pipeline (span
-    # blocking + Jaccard verification here) — each convergence action
-    # then re-pays analysis/optimization of that subtree, and a cache
-    # miss re-pays its execution. Checkpointing truncates the lineage to
-    # the materialized edge rows (tiny: one row per near-dup pair), so
-    # iteration plans are trivial. Eager so the cost lands once, here.
-    sym = sym.localCheckpoint(eager=True)
-
-    labels = nodes.select(F.col(id_col).alias("id"), F.col(id_col).cast("long").alias("lbl"))
-    labels = labels.persist(StorageLevel.MEMORY_AND_DISK)
+    # Lazy checkpoints throughout the loop: the convergence aggregate is
+    # the action that materializes each round's labels, so every round
+    # stays ONE job (eager would add a second materialization job per
+    # round — measured +~50% on shallow graphs that close in 2 rounds).
+    labels = nodes.select(
+        F.col(id_col).alias("id"), F.col(id_col).cast("long").alias("lbl")
+    ).localCheckpoint(eager=False)
     prev_sum = labels.agg(F.sum("lbl")).collect()[0][0]
 
     # One propagation round per convergence action. (Measured at sf0.1:
     # batching two rounds per action — bigger two-shuffle plan per
     # collect — costs more than the saved driver round-trip on the
     # shallow near-dup graphs this closes in 1-2 rounds.)
+    #
+    # Each round's labels MUST be localCheckpoint'd, not persisted:
+    # persist caches the rows but keeps the logical plan, and this plan
+    # references the previous labels TWICE (the edge join and the left
+    # join), so plan size DOUBLES per round — analysis/optimization cost
+    # goes exponential even with every byte cached (measured on an
+    # 8-round graph: rounds 0-3 ≈ 2 s, round 5 ≈ 21 s, round 7 ≈ 139 s
+    # of pure driver-side planning). Checkpointing truncates each
+    # round's plan to a scan of the materialized (id, lbl) rows — O(1)
+    # plan depth, constant ~1 s rounds on the same graph.
     for _ in range(max_iter):
         nbr_min = (
             sym.join(labels.withColumnRenamed("id", "src"), "src")
@@ -382,15 +473,133 @@ def connected_components(
         new_labels = (
             labels.join(nbr_min, "id", "left")
             .select("id", F.least("lbl", F.coalesce("nbr_lbl", "lbl")).alias("lbl"))
-            .persist(StorageLevel.MEMORY_AND_DISK)
+            .localCheckpoint(eager=False)
         )
         new_sum = new_labels.agg(F.sum("lbl")).collect()[0][0]
-        labels.unpersist()
         labels = new_labels
         if new_sum == prev_sum:
+            converged = True
             break
         prev_sum = new_sum
+    else:
+        converged = False
+    if not converged:
+        # Truncated propagation must not be mistaken for a converged
+        # clustering: a label that needs > max_iter hops (adversarial
+        # long-chain graph) would otherwise silently diverge from the
+        # recursive-CTE oracle. The scale remedy is
+        # :func:`connected_components_star` (O(log n) rounds).
+        import warnings
+
+        warnings.warn(
+            f"connected_components: label propagation did not converge in "
+            f"{max_iter} rounds (graph diameter exceeds max_iter); labels are "
+            f"incomplete. Use connected_components_star for high-diameter graphs.",
+            RuntimeWarning,
+            stacklevel=2,
+        )
+    # The returned frame reads the final round's checkpointed rows — a
+    # self-contained O(1)-depth plan; checkpoint blocks are released on
+    # GC, so repeated library calls don't accumulate cached state.
     return labels.select(F.col("id"), F.col("lbl").alias("cluster_id"))
+
+
+def _canonical_undirected(e: DataFrame) -> DataFrame:
+    """Distinct (src>dst) representation of an edge set, self-loops
+    dropped — the normal form both star operations emit and consume."""
+    return (
+        e.select(
+            F.greatest("src", "dst").alias("src"),
+            F.least("src", "dst").alias("dst"),
+        )
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+
+
+def connected_components_star(
+    nodes: DataFrame,
+    edges: DataFrame,
+    id_col: str = "id",
+    src_col: str = "id_a",
+    dst_col: str = "id_b",
+    max_iter: int = 50,
+) -> DataFrame:
+    """(id, cluster_id) by alternating large-star / small-star
+    contraction (Kiveris et al., "Connected Components in MapReduce and
+    Beyond") — same output contract as :func:`connected_components`
+    (cluster_id = MIN node id of the component) but converging in
+    O(log n) rounds instead of O(diameter), which is the remedy for
+    adversarial long-chain graphs where min-label propagation needs one
+    round per hop.
+
+    * large-star: every node u connects each strictly-larger neighbor to
+      m(u) = min(Γ(u) ∪ {u}) — hooks big ids onto small ones without
+      ever increasing any edge's minimum, so the component min is
+      preserved.
+    * small-star: every node u connects its ≤-neighbors (and itself) to
+      the minimum of that closed down-neighborhood — flattens chains
+      into stars.
+
+    Each round is two keyed shuffles (groupBy u) over the current edge
+    set; edge rows only ever shrink toward the star form (u, min). The
+    per-round edge set is localCheckpoint'd so lineage stays O(1) deep,
+    and convergence is one scalar aggregate (count + xxhash64 sum of
+    the canonical edge set — a changed set collides with probability
+    ~2^-64). On a 2 000-node path graph this closes in 7 rounds where
+    propagation needs 2 000 (see tests/test_dedup.py property tests).
+    """
+    mins = F.least(F.min("dst"), F.first("src")).alias("m")
+
+    def _large_star(sym: DataFrame) -> DataFrame:
+        m = sym.groupBy("src").agg(mins)
+        return _canonical_undirected(
+            sym.join(m, "src").filter(F.col("dst") > F.col("src")).select(
+                F.col("dst").alias("src"), F.col("m").alias("dst")
+            )
+        )
+
+    def _small_star(und: DataFrame) -> DataFrame:
+        # und is canonical (src > dst): dst IS the ≤-neighborhood of src.
+        m = und.groupBy("src").agg(mins)
+        j = und.join(m, "src")
+        to_min = j.select(F.col("dst").alias("src"), F.col("m").alias("dst"))
+        self_edge = m.select("src", F.col("m").alias("dst"))
+        return _canonical_undirected(to_min.union(self_edge))
+
+    # Lazy checkpoint: the signature aggregate below is the action that
+    # materializes each round's edge set — one job per round.
+    cur = _canonical_undirected(
+        edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+    ).localCheckpoint(eager=False)
+
+    def _sig(e: DataFrame):
+        # decimal accumulator: summing random 64-bit hashes overflows a
+        # long (ANSI mode raises); decimal(38,0) holds ~10^19 edge rows.
+        row = e.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.xxhash64("src", "dst").cast("decimal(38,0)")).alias("h"),
+        ).collect()[0]
+        return (row[0], row[1])
+
+    prev = _sig(cur)
+    for _ in range(max_iter):
+        sym = cur.union(cur.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        nxt = _small_star(_large_star(sym)).localCheckpoint(eager=False)
+        sig = _sig(nxt)
+        cur = nxt
+        if sig == prev:
+            break
+        prev = sig
+
+    # Fixpoint is a star forest: every remaining edge points a node at
+    # its component min. Nodes with no edges are their own cluster.
+    member = cur.groupBy("src").agg(F.min("dst").alias("cluster_id")).withColumnRenamed("src", "id")
+    return (
+        nodes.select(F.col(id_col).alias("id"))
+        .join(member, "id", "left")
+        .select("id", F.coalesce("cluster_id", F.col("id").cast("long")).alias("cluster_id"))
+    )
 
 
 def span_blocked_candidates(
@@ -435,6 +644,7 @@ def near_dup_clusters(
     span_n: int = 8,
     ngram_n: int = 3,
     max_span_docs: int = 64,
+    algorithm: str = "propagation",
 ) -> DataFrame:
     """End-to-end near-dup clustering: span-blocked candidates → exact
     word-``ngram_n``-gram Jaccard verification ≥ threshold → connected
@@ -442,7 +652,12 @@ def near_dup_clusters(
     The canonicalization step every dedup pipeline ends with: transitive
     near-dup chains (A≈B, B≈C) collapse to ONE survivor even when A and
     C are not directly similar. Fully deterministic, so the DuckDB twin
-    (recursive CTE over the same edge set) verifies it end to end."""
+    (recursive CTE over the same edge set) verifies it end to end.
+
+    ``algorithm``: ``"propagation"`` (min-label, O(diameter) rounds —
+    right for the shallow clumps real near-dup graphs form) or
+    ``"star"`` (large-star/small-star contraction, O(log n) rounds —
+    the adversarial-long-chain remedy; property-tested equivalent)."""
     cand = span_blocked_candidates(df, id_col, text_col, span_n, max_span_docs)
     grams = (
         _spread(df.select(F.col(id_col).alias("id"), tokens(F.col(text_col)).alias("_toks")))
@@ -454,7 +669,8 @@ def near_dup_clusters(
         .filter(jaccard(F.col("grams_a"), F.col("grams_b")) >= threshold)
         .select("id_a", "id_b")
     )
-    labels = connected_components(df.select(F.col(id_col).alias("id")), edges)
+    cc = connected_components_star if algorithm == "star" else connected_components
+    labels = cc(df.select(F.col(id_col).alias("id")), edges)
     sizes = labels.groupBy("cluster_id").agg(F.count(F.lit(1)).alias("cluster_size"))
     return (
         labels.join(sizes, "cluster_id")
@@ -634,8 +850,25 @@ def incremental_dedup(
     # near: span-blocked incoming×corpus candidates, exact-Jaccard verify
     from csv_query_engine_spark.pipeline.text import _ngram_rows
 
-    inc_toks = inc.select("id", tokens(F.col("_t")).alias("toks"))
-    cor_toks = cor.select("id", tokens(F.col("_t")).alias("toks"))
+    # Materialize the multi-consumer subtrees ONCE (the persist-once
+    # invariant): each token table feeds its span explode AND its gram
+    # build (2 consumers), and ``cand`` feeds two leftsemi prunes plus
+    # the verify join (3 consumers) — un-materialized, the span-explode
+    # pipeline re-ran ~3× and this was the heaviest query in the suite
+    # (14.3 s in-suite warm; ~2× isolated-vs-in-suite spread from the
+    # recompute paying differently under cache pressure). persist (SQL
+    # columnar cache), not localCheckpoint: compressed batches +
+    # codegen'd InMemoryTableScan measured ~2× faster for repeated
+    # scans of array-heavy rows. Cache lifetime is caller-owned (see
+    # minhash_lsh_pairs).
+    from pyspark.storagelevel import StorageLevel
+
+    inc_toks = inc.select("id", tokens(F.col("_t")).alias("toks")).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    cor_toks = cor.select("id", tokens(F.col("_t")).alias("toks")).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
     inc_spans = _ngram_rows(inc_toks, span_n).distinct()
     cor_spans = _ngram_rows(cor_toks, span_n).distinct()
     span_caps = cor_spans.groupBy("g").agg(F.count(F.lit(1)).alias("n_docs"))
@@ -645,6 +878,7 @@ def incremental_dedup(
         .join(span_caps.filter(F.col("n_docs") <= max_span_docs), "g")
         .select("id_in", "id_cor")
         .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     # Build the (interpreted-HOF) gram arrays ONLY for docs that appear
     # in a candidate pair — a semi-join first, so the per-element array

@@ -482,6 +482,19 @@ def quantized_topk(
     import numpy as np
 
     qrows = queries.select(F.col(query_id_col), F.col(vec_col)).collect()
+    if not qrows:
+        # np.stack([]) raises an opaque ValueError before any Spark work;
+        # an empty query set has a well-defined answer — no matches.
+        spark = embeddings.sparkSession
+        schema = T.StructType(
+            [
+                T.StructField("query_id", queries.schema[query_id_col].dataType),
+                T.StructField("cand_id", embeddings.schema[id_col].dataType),
+                T.StructField("cosine", T.DoubleType()),
+                T.StructField("rank", T.IntegerType()),
+            ]
+        )
+        return spark.createDataFrame([], schema)
     q_ids = [r[0] for r in qrows]
     qmat = np.stack([np.asarray(r[1], dtype=np.float64) for r in qrows])
     qscale = np.abs(qmat).max(axis=1, keepdims=True) / 127.0
@@ -508,16 +521,18 @@ def quantized_topk(
         return _pd.Series(list(sims))
 
     c = _spread(embeddings).select(F.col(id_col).alias("cand_id"), F.col(vec_col).alias("c_vec"))
+    qid_map = F.array(*[F.lit(i) for i in q_ids])
+    # Drop self-matches BEFORE the shortlist cut: each query's own vector
+    # scores ~1.0 and would otherwise burn one of the k×oversample
+    # shortlist slots — an undocumented recall tax at low oversample.
     scored = c.select(
         "cand_id", "c_vec", F.posexplode(approx_scores(F.col("c_vec"))).alias("q_idx", "approx")
-    )
+    ).filter(F.get(qid_map, F.col("q_idx")) != F.col("cand_id"))
     w = W.partitionBy("q_idx").orderBy(F.desc("approx"), "cand_id")
-    qid_map = F.array(*[F.lit(i) for i in q_ids])
     shortlist = (
         scored.withColumn("shortlist_rank", F.row_number().over(w))
         .filter(F.col("shortlist_rank") <= k * oversample)
         .select(F.get(qid_map, F.col("q_idx")).alias("query_id"), "cand_id", "c_vec")
-        .filter(F.col("query_id") != F.col("cand_id"))
     )
     q = queries.select(F.col(query_id_col).alias("query_id"), F.col(vec_col).alias("q_vec"))
     score = cosine(F.col("q_vec"), F.col("c_vec"))

@@ -9,7 +9,7 @@ integer-ratio based so results are bit-identical across engines.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 # Small fixed stopword sets (public, standard lists truncated for the
@@ -456,10 +456,15 @@ def quality_filter(df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
     stay in their partition post-spread, so the shuffle carries one
     combined row per doc. split() always yields ≥1 element (the empty
     string for empty text), so every doc survives the groupBy and the
-    ratios keep their HOF-form values bit-exactly.
+    ratios keep their HOF-form values bit-exactly. NULL text is
+    coalesced to '' BEFORE tokenizing: tokens(NULL) is NULL and a null
+    array explodes to zero rows, which would silently drop the document
+    from the verdict table (and from everything inner-joining on it) —
+    with the coalesce, NULL behaves exactly like empty text: one row,
+    zeroed stats, every rule failed.
     """
     tok_rows = _spread(df.select(F.col(id_col), F.col(text_col))).select(
-        F.col(id_col), F.explode(tokens(F.col(text_col))).alias("__tok")
+        F.col(id_col), F.explode(tokens(F.coalesce(F.col(text_col), F.lit("")))).alias("__tok")
     )
     tok = F.col("__tok")
     agg = tok_rows.groupBy(id_col).agg(
@@ -504,17 +509,32 @@ def vocab_coverage(df: DataFrame, text_col: str = "text", top_k: int = 20) -> Da
     counts = toks.groupBy("term").agg(F.count(F.lit(1)).alias("n_occ"))
     totals = counts.agg(F.sum("n_occ").alias("total_occ"))
     top = counts.orderBy(F.desc("n_occ"), "term").limit(top_k)
-    w = Window.orderBy(F.desc("n_occ"), "term").rowsBetween(Window.unboundedPreceding, 0)
-    wr = Window.orderBy(F.desc("n_occ"), "term")
+    # Rank + running share over the K-row head via a triangular
+    # broadcast self-join (count/sum of rows at-or-before each row in
+    # the (n_occ desc, term) total order) instead of an unpartitioned
+    # window: O(K²) pairs on a 20-row table, fully parallel, and no
+    # single-task WindowExec stage (whose "no partition defined"
+    # warning would cry wolf on every run of a 70-query suite). The
+    # term tiebreak makes the order strict, so the at-or-before count
+    # IS row_number.
+    before = (F.col("b.n_occ") > F.col("a.n_occ")) | (
+        (F.col("b.n_occ") == F.col("a.n_occ")) & (F.col("b.term") <= F.col("a.term"))
+    )
+    ranked = (
+        top.alias("a")
+        .join(F.broadcast(top.alias("b")), before)
+        .groupBy(F.col("a.term").alias("term"), F.col("a.n_occ").alias("n_occ"))
+        .agg(F.count(F.lit(1)).alias("rnk"), F.sum("b.n_occ").alias("cum_occ"))
+    )
     return (
-        top.crossJoin(F.broadcast(totals))
+        ranked.crossJoin(F.broadcast(totals))
         .select(
-            F.row_number().over(wr).alias("rnk"),
+            F.col("rnk").cast("int").alias("rnk"),
             "term",
             F.col("n_occ").cast("long").alias("n_occ"),
             F.round(F.col("n_occ").cast("double") / F.col("total_occ").cast("double"), 6).alias("share"),
             F.round(
-                F.sum("n_occ").over(w).cast("double") / F.col("total_occ").cast("double"), 6
+                F.col("cum_occ").cast("double") / F.col("total_occ").cast("double"), 6
             ).alias("cum_share"),
         )
     )

@@ -1,0 +1,182 @@
+"""Round-4 fixes: star-contraction connected components, propagation
+truncation warning, NULL-text quality filter, quantized-topk edge cases,
+materialize-once plan shapes for incremental dedup / clustering, and the
+fully-partitioned sequence-packing prefix sum."""
+
+from __future__ import annotations
+
+import contextlib
+import io
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from csv_query_engine_spark.pipeline.dedup import (
+    connected_components,
+    connected_components_star,
+    near_dup_clusters,
+)
+
+
+def _cc(spark, fn, edges, n_nodes, **kw):
+    nodes = spark.createDataFrame([(i,) for i in range(n_nodes)], "id long")
+    e = spark.createDataFrame(edges, "id_a long, id_b long") if edges else spark.createDataFrame(
+        [], "id_a long, id_b long"
+    )
+    return {r["id"]: r["cluster_id"] for r in fn(nodes, e, **kw).collect()}
+
+
+def _reference_cc(edges, n_nodes):
+    """Driver-side union-find oracle."""
+    parent = list(range(n_nodes))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {i: find(i) for i in range(n_nodes)}
+
+
+def test_star_cc_basic(spark):
+    got = _cc(spark, connected_components_star, [(1, 2), (2, 3), (5, 6)], 8)
+    assert got == {0: 0, 1: 1, 2: 1, 3: 1, 4: 4, 5: 5, 6: 5, 7: 7}
+
+
+def test_star_cc_no_edges(spark):
+    assert _cc(spark, connected_components_star, [], 4) == {i: i for i in range(4)}
+
+
+def test_star_cc_long_chain_closes_in_log_rounds(spark):
+    """A 300-node path — the adversarial case for min-label propagation
+    (300 rounds) — must close under star contraction's O(log n) bound
+    (max_iter=12 ≫ log2(300) ≈ 8 but ≪ the diameter)."""
+    edges = [(i + 1, i) for i in range(299)]
+    got = _cc(spark, connected_components_star, edges, 300, max_iter=12)
+    assert set(got.values()) == {0}
+
+
+@pytest.mark.parametrize("seed", [7, 23, 61])
+def test_star_cc_matches_propagation_on_random_graphs(spark, seed):
+    rng = random.Random(seed)
+    n = 60
+    edges = [
+        (rng.randrange(n), rng.randrange(n))
+        for _ in range(rng.randrange(10, 45))
+    ]
+    edges = [(a, b) for a, b in edges if a != b]
+    want = _reference_cc(edges, n)
+    star = _cc(spark, connected_components_star, edges, n)
+    prop = _cc(spark, connected_components, edges, n)
+    assert star == want
+    assert prop == want
+
+
+def test_propagation_warns_when_truncated(spark):
+    """Hitting max_iter before the fixpoint must be loud: truncated
+    labels silently diverging from the oracle was the failure mode."""
+    edges = [(i + 1, i) for i in range(9)]
+    with pytest.warns(RuntimeWarning, match="did not converge"):
+        got = _cc(spark, connected_components, edges, 10, max_iter=2)
+    # and the labels really are incomplete — that's what the warning is for
+    assert set(got.values()) != {0}
+
+
+def test_near_dup_clusters_star_matches_propagation(spark):
+    base = "the quick brown fox jumps over the lazy dog again and again every day " * 3
+    rows = [
+        (0, base),
+        (1, base + " tail"),
+        (2, base + " tail two"),
+        (3, "completely different text about spark shuffles and parquet readers here"),
+        (4, "another unrelated document mentioning tokenizers embeddings and lsh"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    prop = {r["doc_id"]: (r["cluster_id"], r["cluster_size"], r["is_survivor"])
+            for r in near_dup_clusters(df).collect()}
+    star = {r["doc_id"]: (r["cluster_id"], r["cluster_size"], r["is_survivor"])
+            for r in near_dup_clusters(df, algorithm="star").collect()}
+    assert star == prop
+
+
+def test_quality_filter_null_text_emits_row(spark):
+    """NULL text must not vanish from the verdict table (explode of a
+    null token array emits no rows without the coalesce)."""
+    from csv_query_engine_spark.pipeline.text import quality_filter
+
+    df = spark.createDataFrame(
+        [(1, None), (2, ""), (3, "the and of a quick brown fox " * 5)],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in quality_filter(df).collect()}
+    assert set(out) == {1, 2, 3}
+    # NULL behaves exactly like empty text: one empty token, all rules fail
+    for doc in (1, 2):
+        assert out[doc]["n_tokens"] == 1
+        assert not out[doc]["passes"]
+
+
+def test_quantized_topk_empty_query_set(spark):
+    from csv_query_engine_spark.pipeline.similarity import quantized_topk
+
+    emb = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.0, 1.0])], "vec_id long, embedding array<double>"
+    )
+    q = spark.createDataFrame([], "query_id long, embedding array<double>")
+    out = quantized_topk(emb, q, k=2)
+    assert out.count() == 0
+    assert [f.name for f in out.schema.fields] == ["query_id", "cand_id", "cosine", "rank"]
+
+
+def test_quantized_topk_self_excluded_before_shortlist(spark):
+    """At oversample=1 the query's own vector must not burn the single
+    shortlist slot — its exact twin has to surface as the neighbor."""
+    from csv_query_engine_spark.pipeline.similarity import quantized_topk
+
+    emb = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [1.0, 0.0]), (3, [0.0, 1.0])],
+        "vec_id long, embedding array<double>",
+    )
+    q = emb.filter(F.col("vec_id") == 1).withColumnRenamed("vec_id", "query_id")
+    out = quantized_topk(emb, q, k=1, oversample=1).collect()
+    assert len(out) == 1 and out[0]["cand_id"] == 2 and out[0]["cosine"] == pytest.approx(1.0)
+
+
+def _formatted_plan(df) -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def test_sequence_packing_plan_has_no_single_partition_stage(spark):
+    """Every window in the hierarchical prefix sum is partitioned; the
+    top-level cumsum is a triangular broadcast join — nothing may force
+    an Exchange SinglePartition (the one-task stage that dies at scale)."""
+    from csv_query_engine_spark.pipeline.packing import sequence_packing
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    plan = _formatted_plan(sequence_packing(docs))
+    assert "SinglePartition" not in plan, plan
+
+
+def test_incremental_dedup_materializes_shared_subtrees(spark):
+    """The candidate table and both token tables are persisted, so every
+    consumer reads the columnar cache (InMemoryTableScan) instead of
+    re-deriving the span-gram explode — cand has 3 consumers and each
+    token table 2, so the cache scans must outnumber the subtrees."""
+    from csv_query_engine_spark.pipeline.dedup import incremental_dedup
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    inc = docs.filter(F.col("doc_id") % 10 == 0)
+    cor = docs.filter(F.col("doc_id") % 10 != 0)
+    out = incremental_dedup(inc, cor)
+    plan = _formatted_plan(out)
+    assert plan.count("InMemoryTableScan") >= 5, plan
+    spark.catalog.clearCache()

@@ -120,9 +120,19 @@ def test_quality_filter_partial_aggregation(spark):
 
 
 def test_cluster_candidates_prune_documents_scan(spark):
-    """The clustering query reads only (doc_id, text) from the corpus."""
-    plan = _plan(spark, "dedup_cluster_canonical")
-    docs = _scan_block(plan, "documents")
-    m = re.search(r"ReadSchema: struct<([^>]*)>", docs)
+    """The clustering pipeline reads only (doc_id, text) from the
+    corpus. Asserted on the span-blocking subtree directly: the final
+    query's plan is lineage-truncated (the connected-components result
+    is checkpointed), so the scan only appears pre-checkpoint."""
+    from csv_query_engine_spark.pipeline.dedup import span_blocked_candidates
+
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    df = span_blocked_candidates(docs)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    plan = buf.getvalue()
+    docs_scan = _scan_block(plan, "documents")
+    m = re.search(r"ReadSchema: struct<([^>]*)>", docs_scan)
     cols = {c.split(":")[0] for c in m.group(1).split(",")}
     assert cols <= {"doc_id", "text"}, f"scan not pruned: {cols}"
