@@ -129,3 +129,55 @@ def read_orc(spark: SparkSession, path: str) -> DataFrame:
     """Columnar ORC source (same vectorized reader + pushdown class as
     parquet; reference exposes only CSV — SURVEY.md §2 Tier B sources)."""
     return spark.read.orc(path)
+
+
+def read_jdbc(
+    spark: SparkSession,
+    url: str,
+    table: str,
+    partition_column: str | None = None,
+    lower_bound: int | None = None,
+    upper_bound: int | None = None,
+    num_partitions: int | None = None,
+    predicates: list[str] | None = None,
+    **options: str,
+) -> DataFrame:
+    """JDBC source (SURVEY.md §2 Tier B sources; the reference has no
+    database ingest — its one source is the uploaded CSV).
+
+    Scale contract: a bare ``spark.read.jdbc(url, table)`` issues ONE
+    query through ONE task — useless beyond toy tables. Callers must
+    pick a parallelism strategy:
+
+    * ``partition_column`` + ``lower_bound``/``upper_bound`` +
+      ``num_partitions`` — Spark ranges the numeric/date column into
+      that many bounded queries (the standard path; pick an indexed,
+      roughly-uniform column);
+    * ``predicates`` — one arbitrary WHERE clause per partition, for
+      sources where no single column ranges well.
+
+    Filters and column pruning push into the remote database as SQL
+    (``PushedFilters`` on the JDBC scan node), so the usual
+    declare-then-prune style applies unchanged. Requires the
+    database's JDBC driver jar on the Spark classpath
+    (``spark.jars``); the test suite round-trips against the Derby
+    driver Spark bundles, including ranged and predicate-partitioned
+    reads (tests/test_engine.py::test_jdbc_roundtrip_derby).
+    """
+    if partition_column is not None:
+        if lower_bound is None or upper_bound is None or num_partitions is None:
+            raise IngestError(
+                "partition_column requires lower_bound, upper_bound and num_partitions"
+            )
+        return spark.read.jdbc(
+            url,
+            table,
+            column=partition_column,
+            lowerBound=lower_bound,
+            upperBound=upper_bound,
+            numPartitions=num_partitions,
+            properties=dict(options),
+        )
+    if predicates is not None:
+        return spark.read.jdbc(url, table, predicates=predicates, properties=dict(options))
+    return spark.read.jdbc(url, table, properties=dict(options))

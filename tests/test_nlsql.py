@@ -156,3 +156,34 @@ def test_validator_plan_check(spark):
     with pytest.raises(UnsafeSQLError):
         validate_sql("SHOW TABLES", spark=spark)
     assert validate_sql("WITH t AS (SELECT 1 AS a) SELECT * FROM t", spark=spark)
+
+
+def test_live_llm_contract():
+    """Opt-in live round-trip for the network planner (reference A12):
+    set SPARK_GRAFT_LLM_TEST=1 with OPENAI_API_KEY (and optionally
+    OPENAI_MODEL) to pin the request/response contract against a real
+    endpoint — prompt embeds the column triples and the last-month
+    range, response comes back fence-stripped as one SELECT the
+    validator accepts. Skips cleanly offline (no network in CI)."""
+    import os
+
+    import pytest as _pytest
+
+    if os.environ.get("SPARK_GRAFT_LLM_TEST") != "1":
+        _pytest.skip("live LLM contract test is opt-in (SPARK_GRAFT_LLM_TEST=1)")
+    if not os.environ.get("OPENAI_API_KEY"):
+        _pytest.skip("OPENAI_API_KEY not set")
+    _pytest.importorskip("openai")
+
+    from csv_query_engine_spark.nlsql.llm import OpenAIPlanner
+    from csv_query_engine_spark.nlsql.validator import validate_sql
+
+    columns = [
+        {"name": "city", "type": "string", "semantic_type": "categorical"},
+        {"name": "amount", "type": "double", "semantic_type": "numeric"},
+        {"name": "created_at", "type": "date", "semantic_type": "datetime"},
+    ]
+    sql = OpenAIPlanner().generate("total amount by city", columns, table="df")
+    assert sql.upper().lstrip().startswith("SELECT")
+    assert "df" in sql
+    validate_sql(sql)  # must be a clean single SELECT

@@ -129,8 +129,13 @@ def test_registry_window_is_oracle_bearing(spark):
         "docs_vocab_coverage",
         "dedup_incremental_admission",
         "docs_dataset_card",
+        "q10_returned_item_report",
     ):
         assert new in window
+    # the rotated-out sibling keeps 3 in-window family rows
+    assert "window_distribution_funcs" not in window
+    assert {"window_lag_order_gaps", "window_running_revenue",
+            "window_range_frame_moving_sum"} <= set(window)
 
 
 def test_quantized_topk_recall_vs_bruteforce(spark):
