@@ -610,19 +610,35 @@ def span_blocked_candidates(
     max_span_docs: int = 64,
 ) -> DataFrame:
     """Deterministic near-dup candidate pairs: docs sharing at least one
-    word ``span_n``-gram. Unlike MinHash banding this blocker is
-    hash-free and therefore ORACLE-CHECKABLE — the SQL twin reproduces
-    it exactly — while keeping the same near-linear shape: one explode
-    of gram positions, one shuffle keyed by the gram, in-group pair
-    enumeration. ``max_span_docs`` drops stop-phrase grams shared by
-    everything (the degenerate-bucket guard, same role as minhash's
-    ``max_bucket``)."""
-    from csv_query_engine_spark.pipeline.text import _ngram_rows
-
+    word ``span_n``-gram — the same near-linear shape as MinHash
+    banding (one explode of gram positions, one shuffle keyed by the
+    gram, in-group pair enumeration) but reproducible by the SQL twin,
+    because bucket membership is gram EQUALITY (the twin groups by the
+    gram string; this side keys the shuffle on xxhash64(gram), which
+    preserves equality groups — see :func:`_span_candidates_from_toks`
+    for the collision math). ``max_span_docs`` drops stop-phrase grams
+    shared by everything (the degenerate-bucket guard, same role as
+    minhash's ``max_bucket``)."""
     base = _spread(df.select(F.col(id_col).alias("id"), F.col(text_col).alias("_t"))).select(
         "id", tokens(F.col("_t")).alias("toks")
     )
-    spans = _ngram_rows(base, span_n).distinct()
+    return _span_candidates_from_toks(base, span_n, max_span_docs)
+
+
+def _span_candidates_from_toks(
+    toks: DataFrame, span_n: int, max_span_docs: int
+) -> DataFrame:
+    """Span-blocked candidate pairs from a materialized (id, toks)
+    table. The shuffle keys on xxhash64 of the span gram, not the
+    string — 8 bytes instead of ~50, the text.py gram-key pattern. A
+    collision only MERGES two buckets (never splits), so no candidate
+    is lost; the only behavioral risk is a merged bucket crossing
+    ``max_span_docs`` and being dropped, needing two distinct spans of
+    the ~4e5-gram corpus to collide: P ≈ (4e5)²/2/2^64 ≈ 4e-9, and
+    exact verification culls any spurious pair a merge adds."""
+    from csv_query_engine_spark.pipeline.text import _ngram_rows
+
+    spans = _ngram_rows(toks, span_n).select("id", F.xxhash64("g").alias("g")).distinct()
     groups = (
         spans.groupBy("g")
         .agg(F.sort_array(F.collect_list("id")).alias("ids"))
@@ -658,10 +674,33 @@ def near_dup_clusters(
     right for the shallow clumps real near-dup graphs form) or
     ``"star"`` (large-star/small-star contraction, O(log n) rounds —
     the adversarial-long-chain remedy; property-tested equivalent)."""
-    cand = span_blocked_candidates(df, id_col, text_col, span_n, max_span_docs)
+    from pyspark.storagelevel import StorageLevel
+
+    from csv_query_engine_spark.pipeline.text import _ngram_rows
+
+    # The token table feeds both the span blocker and the gram build;
+    # the gram table feeds both sides of the verify join — persist each
+    # once (persist-once invariant; cache lifetime caller-owned, see
+    # minhash_lsh_pairs). The gram arrays are built by exploding the
+    # position index and aggregating hashed grams (codegen'd concat_ws +
+    # xxhash64 + map-side collect_set), NOT by a per-row transform()
+    # over slices — the interpreted-HOF trap _ngram_rows documents.
+    # Verification runs on the hashed arrays: long intersects are
+    # several× cheaper than string intersects and a collision inflating
+    # one intersection is ~|A|·|B|/2^64 ≈ 5e-15 — the same trade
+    # minhash_lsh_pairs documents. Sub-``ngram_n`` docs have no grams
+    # and drop out of the verify join, which is sound: they cannot
+    # share a ``span_n``-gram either, so they are never candidates.
+    toks = _spread(df.select(F.col(id_col).alias("id"), tokens(F.col(text_col)).alias("toks"))).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    cand = _span_candidates_from_toks(toks, span_n, max_span_docs)
     grams = (
-        _spread(df.select(F.col(id_col).alias("id"), tokens(F.col(text_col)).alias("_toks")))
-        .select("id", token_ngrams(F.col("_toks"), ngram_n).alias("grams"))
+        _ngram_rows(toks, ngram_n)
+        .select("id", F.xxhash64("g").alias("gh"))
+        .groupBy("id")
+        .agg(F.collect_set("gh").alias("grams"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     edges = (
         cand.join(grams.select(F.col("id").alias("id_a"), F.col("grams").alias("grams_a")), "id_a")
@@ -765,46 +804,52 @@ def simhash_near_dup_pairs(
     Blocking: split the 64-bit signature into 4×16-bit bands; any pair
     within Hamming ≤ 3 must agree exactly on ≥1 band (pigeonhole), so a
     band-equality join finds all of them without the quadratic compare.
+
+    Shape: id-only buckets + a join BACK to the persisted signature
+    table for Hamming verification. The struct-carrying alternative
+    (collect (id, sig) structs per bucket so no join is needed) was
+    measured SLOWER — 3.0-3.9 s vs 1.8-2.1 s warm at sf0.1 — because
+    the struct collect_list + nested flatten/transform explode costs
+    more than two hash joins against a cached one-long-per-doc table;
+    the persist also guarantees the pandas-UDF signature stage runs
+    exactly once. Cache lifetime is caller-owned (see
+    minhash_lsh_pairs).
     """
-    sigs = _spread(df).select(F.col(id_col).alias("id"), simhash_column().alias("sig"))
+    from pyspark.storagelevel import StorageLevel
+
+    sigs = _spread(df).select(F.col(id_col).alias("id"), simhash_column().alias("sig")).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
     bands = sigs.select(
         "id",
-        "sig",
         F.explode(
             F.array(*[
                 F.struct(F.lit(b).alias("band"), F.shiftrightunsigned("sig", b * 16).bitwiseAND(F.lit(0xFFFF)).alias("bucket"))
                 for b in range(4)
             ])
         ).alias("be"),
-    ).select("id", "sig", F.col("be.band").alias("band"), F.col("be.bucket").alias("bucket"))
+    ).select("id", F.col("be.band").alias("band"), F.col("be.bucket").alias("bucket"))
 
-    # In-bucket pair enumeration via one aggregation, carrying (id, sig)
-    # structs so Hamming verification needs NO join back to the
-    # signatures (a self-join would run the pandas-UDF signature stage
-    # twice AND shuffle it twice).
-    members = _spread(
-        bands.groupBy("band", "bucket")
-        .agg(F.sort_array(F.collect_list(F.struct("id", "sig"))).alias("ms"))
-        .filter(F.size("ms") > 1)
+    cand = (
+        _spread(
+            bands.groupBy("band", "bucket")
+            .agg(F.sort_array(F.collect_list("id")).alias("ids"))
+            .filter(F.size("ids") > 1)
+        )
+        .select(F.explode(_in_bucket_pairs(F.col("ids"))).alias("p"))
+        .select(F.col("p.id_a"), F.col("p.id_b"))
+        .distinct()
     )
-    pairs = members.select(
-        F.explode(
-            F.flatten(
-                F.transform(
-                    F.col("ms"),
-                    lambda x, i: F.transform(
-                        F.slice(F.col("ms"), i + F.lit(2), F.size(F.col("ms"))),
-                        lambda y: F.struct(
-                            x["id"].alias("id_a"),
-                            y["id"].alias("id_b"),
-                            F.bit_count(x["sig"].bitwiseXOR(y["sig"])).alias("hamming"),
-                        ),
-                    ),
-                )
-            )
-        ).alias("p")
-    ).select("p.id_a", "p.id_b", "p.hamming")
-    return pairs.distinct().filter(F.col("hamming") <= max_hamming)
+    return (
+        cand.join(sigs.select(F.col("id").alias("id_a"), F.col("sig").alias("sig_a")), "id_a")
+        .join(sigs.select(F.col("id").alias("id_b"), F.col("sig").alias("sig_b")), "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b"))).alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+    )
 
 
 def incremental_dedup(
@@ -869,8 +914,10 @@ def incremental_dedup(
     cor_toks = cor.select("id", tokens(F.col("_t")).alias("toks")).persist(
         StorageLevel.MEMORY_AND_DISK
     )
-    inc_spans = _ngram_rows(inc_toks, span_n).distinct()
-    cor_spans = _ngram_rows(cor_toks, span_n).distinct()
+    # Span join keyed on xxhash64(gram) — 8-byte keys, same collision
+    # math as _span_candidates_from_toks.
+    inc_spans = _ngram_rows(inc_toks, span_n).select("id", F.xxhash64("g").alias("g")).distinct()
+    cor_spans = _ngram_rows(cor_toks, span_n).select("id", F.xxhash64("g").alias("g")).distinct()
     span_caps = cor_spans.groupBy("g").agg(F.count(F.lit(1)).alias("n_docs"))
     cand = (
         inc_spans.withColumnRenamed("id", "id_in")
@@ -880,15 +927,30 @@ def incremental_dedup(
         .distinct()
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    # Build the (interpreted-HOF) gram arrays ONLY for docs that appear
-    # in a candidate pair — a semi-join first, so the per-element array
-    # construction cost scales with candidates, not the corpus.
-    inc_grams = inc_toks.join(
-        cand.select(F.col("id_in").alias("id")).distinct(), "id", "leftsemi"
-    ).select(F.col("id").alias("id_in"), token_ngrams(F.col("toks"), ngram_n).alias("grams_in"))
-    cor_grams = cor_toks.join(
-        cand.select(F.col("id_cor").alias("id")).distinct(), "id", "leftsemi"
-    ).select(F.col("id").alias("id_cor"), token_ngrams(F.col("toks"), ngram_n).alias("grams_cor"))
+    # Build hashed gram arrays (explode-index + codegen'd concat_ws +
+    # collect_set — not the interpreted per-row transform) ONLY for docs
+    # that appear in a candidate pair: a semi-join first, so the gram
+    # build scales with candidates, not the corpus.
+    inc_grams = (
+        _ngram_rows(
+            inc_toks.join(cand.select(F.col("id_in").alias("id")).distinct(), "id", "leftsemi"),
+            ngram_n,
+        )
+        .select("id", F.xxhash64("g").alias("gh"))
+        .groupBy("id")
+        .agg(F.collect_set("gh").alias("grams_in"))
+        .withColumnRenamed("id", "id_in")
+    )
+    cor_grams = (
+        _ngram_rows(
+            cor_toks.join(cand.select(F.col("id_cor").alias("id")).distinct(), "id", "leftsemi"),
+            ngram_n,
+        )
+        .select("id", F.xxhash64("g").alias("gh"))
+        .groupBy("id")
+        .agg(F.collect_set("gh").alias("grams_cor"))
+        .withColumnRenamed("id", "id_cor")
+    )
     near = (
         cand.join(inc_grams, "id_in")
         .join(cor_grams, "id_cor")
