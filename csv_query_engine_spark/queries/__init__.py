@@ -112,6 +112,19 @@ DRIVER_ORDER: list[str] = [
     "dedup_ngram_jaccard_pairs",
     "multimodal_decode_features",
     "multimodal_frame_sample",
+    # Extended TPC-H-adapted coverage (round 4, queries/tpch_extra.py);
+    # oracle-bearing but past-window — the window keeps one green row
+    # per category and these are relational-core siblings:
+    "q4_priority_late_ship",
+    "q6_forecast_revenue",
+    "q7_nation_trade_volume",
+    "q8_market_share",
+    "q9_profit_proxy",
+    "q14_promo_revenue_share",
+    "q15_top_supplier",
+    "q17_small_quantity_revenue",
+    "q18_volume_customers",
+    "q19_disjunctive_revenue",
     # Rows-only ops (no SQL-expressible oracle; pytest covers recall/
     # precision/planted-neighbor properties):
     "dedup_minhash_lsh_pairs",
@@ -163,6 +176,7 @@ def _load() -> None:
         relational,
         streaming_q,
         temporal_q,
+        tpch_extra,
     )
 
     _LOADED = True

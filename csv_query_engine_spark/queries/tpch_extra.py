@@ -1,0 +1,515 @@
+"""Extended TPC-H-adapted coverage (round 4).
+
+The harness star schema carries no ``partsupp`` table and its lineitem
+has no commit/receipt dates or ship modes, so the classics that depend
+on them (Q2/Q11/Q12/Q16/Q20/Q21) are re-targeted onto the columns that
+exist; each query keeps the plan SHAPE the original exercises —
+EXISTS-semi-join (Q4), tight scan-side filter conjunction (Q6),
+bidirectional nation-pair volume (Q7), conditional market share (Q8),
+profit decomposition (Q9), promo share (Q14), argmax-by-group via a
+scalar subquery (Q15), per-group correlated threshold (Q17), HAVING
+top-N (Q18), and disjunctive multi-column predicates (Q19).
+
+Determinism follows queries/relational.py: exact-sum fixed-point
+aggregation, identical aliases on both sides, unique-key tiebreakers
+under LIMIT, ratios computed from exact sums (identical doubles in →
+identical double out) and rounded on both sides.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from csv_query_engine_spark.io.readers import load_tables
+from csv_query_engine_spark.queries import register
+from csv_query_engine_spark.queries.relational import (
+    REVENUE,
+    _revenue_col,
+    _sql_exact_sum,
+    exact_sum,
+)
+
+
+@register(
+    "q4_priority_late_ship",
+    """
+    SELECT o.o_orderpriority AS priority,
+           CAST(COUNT(*) AS BIGINT) AS order_count
+    FROM orders o
+    WHERE o.o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o.o_orderdate < TIMESTAMP '1996-04-01'
+      AND EXISTS (
+            SELECT 1 FROM lineitem l
+            WHERE l.l_orderkey = o.o_orderkey
+              AND l.l_shipdate > o.o_orderdate + INTERVAL 30 DAY
+          )
+    GROUP BY o.o_orderpriority
+    ORDER BY priority
+    """,
+)
+def q4_priority_late_ship(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape (order priority checking): quarter of orders that
+    had at least one lineitem shipped >30 days after ordering (the
+    commit-date lateness test re-targeted to ship lag), counted per
+    priority.
+
+    Scale: the date filter pushes into the orders scan; the EXISTS is a
+    LeftSemi hash join on l_orderkey (no row multiplication, lineitem
+    never aggregated); count is partial+final over 5 groups."""
+    t = load_tables(spark, sf_dir, ("orders", "lineitem"))
+    o = t["orders"].filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    late = t["lineitem"].select("l_orderkey", "l_shipdate")
+    return (
+        o.join(
+            late,
+            (F.col("l_orderkey") == F.col("o_orderkey"))
+            & (F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS")),
+            "leftsemi",
+        )
+        .groupBy(F.col("o_orderpriority").alias("priority"))
+        .agg(F.count(F.lit(1)).alias("order_count"))
+        .orderBy("priority")
+    )
+
+
+@register(
+    "q6_forecast_revenue",
+    f"""
+    SELECT {_sql_exact_sum('l_extendedprice * l_discount', 'revenue')}
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate < TIMESTAMP '1997-01-01'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    """,
+)
+def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 (forecasting revenue change): one tight conjunction of
+    range predicates and a single global sum — the purest pushdown test.
+
+    Scale: every predicate reaches the parquet scan (min/max row-group
+    skipping does the heavy lifting at 100 TB); no shuffle except the
+    single-row final aggregate."""
+    t = load_tables(spark, sf_dir, ("lineitem",))
+    return (
+        t["lineitem"]
+        .filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(exact_sum(F.col("l_extendedprice") * F.col("l_discount"), "revenue"))
+    )
+
+
+@register(
+    "q7_nation_trade_volume",
+    f"""
+    SELECT sn.n_name AS supp_nation,
+           cn.n_name AS cust_nation,
+           CAST(EXTRACT(YEAR FROM l.l_shipdate) AS INTEGER) AS l_year,
+           {_sql_exact_sum(REVENUE, 'revenue')}
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    JOIN nation sn ON s.s_nationkey = sn.n_nationkey
+    JOIN nation cn ON c.c_nationkey = cn.n_nationkey
+    WHERE ((sn.n_name = 'NATION_1' AND cn.n_name = 'NATION_2')
+        OR (sn.n_name = 'NATION_2' AND cn.n_name = 'NATION_1'))
+      AND l.l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l.l_shipdate < TIMESTAMP '1998-01-01'
+    GROUP BY sn.n_name, cn.n_name, l_year
+    ORDER BY supp_nation, cust_nation, l_year
+    """,
+)
+def q7_nation_trade_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 (volume shipping): bidirectional trade volume between a
+    nation pair by ship year.
+
+    Scale: supplier(100 rows)+nation broadcast onto lineitem (no
+    shuffle for the supplier side); customer joins through orders on
+    their keys; the pair filter is applied to the broadcast dimensions
+    BEFORE the join so non-matching lineitems die at the probe; group
+    count is tiny (2 directions × years)."""
+    t = load_tables(spark, sf_dir, ("lineitem", "orders", "customer", "supplier", "nation"))
+    sn = t["nation"].select(F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation"))
+    cn = t["nation"].select(F.col("n_nationkey").alias("cn_key"), F.col("n_name").alias("cust_nation"))
+    supp = t["supplier"].join(F.broadcast(sn), F.col("s_nationkey") == F.col("sn_key")).select(
+        "s_suppkey", "supp_nation"
+    )
+    cust = t["customer"].join(F.broadcast(cn), F.col("c_nationkey") == F.col("cn_key")).select(
+        "c_custkey", "cust_nation"
+    )
+    li = t["lineitem"].filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    pair = (
+        (F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2")
+    ) | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
+    return (
+        li.join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .filter(pair)
+        .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year"))
+        .agg(exact_sum(_revenue_col(), "revenue"))
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )
+
+
+@register(
+    "q8_market_share",
+    f"""
+    WITH region_sales AS (
+        SELECT CAST(EXTRACT(YEAR FROM o.o_orderdate) AS INTEGER) AS o_year,
+               CASE WHEN sn.n_name = 'NATION_3' THEN l.l_extendedprice * (1 - l.l_discount) ELSE 0.0 END AS nat_rev,
+               l.l_extendedprice * (1 - l.l_discount) AS all_rev
+        FROM lineitem l
+        JOIN orders o ON l.l_orderkey = o.o_orderkey
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN nation cn ON c.c_nationkey = cn.n_nationkey
+        JOIN region r ON cn.n_regionkey = r.r_regionkey
+        JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        JOIN nation sn ON s.s_nationkey = sn.n_nationkey
+        WHERE r.r_name = 'ASIA'
+          AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+          AND o.o_orderdate < TIMESTAMP '1998-01-01'
+    )
+    SELECT o_year,
+           ROUND({_sql_exact_sum('nat_rev', 'x').replace(' AS x', '')}
+                 / {_sql_exact_sum('all_rev', 'y').replace(' AS y', '')}, 6) AS mkt_share
+    FROM region_sales
+    GROUP BY o_year
+    ORDER BY o_year
+    """,
+)
+def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 (national market share): NATION_3-supplied fraction of
+    revenue sold into ASIA customers, by order year — the conditional-
+    aggregate-ratio shape.
+
+    Scale: one pass computes both the conditional and total sums (no
+    second scan, no self-join); the ratio divides two exact sums, so it
+    is deterministic across partitionings; all dimensions broadcast."""
+    t = load_tables(
+        spark, sf_dir, ("lineitem", "orders", "customer", "supplier", "nation", "region")
+    )
+    cust_region = (
+        t["customer"]
+        .join(
+            F.broadcast(
+                t["nation"].join(
+                    F.broadcast(t["region"].filter(F.col("r_name") == "ASIA")),
+                    F.col("n_regionkey") == F.col("r_regionkey"),
+                )
+            ),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .select("c_custkey")
+    )
+    supp_nation = (
+        t["supplier"]
+        .join(
+            F.broadcast(t["nation"].select(F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation"))),
+            F.col("s_nationkey") == F.col("sn_key"),
+        )
+        .select("s_suppkey", "supp_nation")
+    )
+    o = t["orders"].filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    rev = _revenue_col()
+    nat_rev = F.when(F.col("supp_nation") == "NATION_3", rev).otherwise(F.lit(0.0))
+    return (
+        t["lineitem"]
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(cust_region, F.col("o_custkey") == F.col("c_custkey"), "leftsemi")
+        .join(F.broadcast(supp_nation), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy(F.year("o_orderdate").alias("o_year"))
+        .agg(
+            exact_sum(nat_rev, "_nat"),
+            exact_sum(rev, "_all"),
+        )
+        .select("o_year", F.round(F.col("_nat") / F.col("_all"), 6).alias("mkt_share"))
+        .orderBy("o_year")
+    )
+
+
+@register(
+    "q9_profit_proxy",
+    f"""
+    SELECT sn.n_name AS nation,
+           CAST(EXTRACT(YEAR FROM o.o_orderdate) AS INTEGER) AS o_year,
+           {_sql_exact_sum('l.l_extendedprice * (1 - l.l_discount) - 0.6 * p.p_retailprice * l.l_quantity', 'profit')}
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    JOIN part p ON l.l_partkey = p.p_partkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    JOIN nation sn ON s.s_nationkey = sn.n_nationkey
+    WHERE p.p_type = 'PROMO'
+    GROUP BY sn.n_name, o_year
+    ORDER BY nation, o_year DESC
+    """,
+)
+def q9_profit_proxy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape (product-type profit): profit per supplier nation
+    and year over one part type, with 0.6×retail price standing in for
+    the missing ps_supplycost.
+
+    Scale: part filtered to one type BEFORE its broadcast (probe-side
+    rows for other types die at the join); supplier+nation broadcast;
+    the only big shuffle is lineitem→orders on the order key."""
+    t = load_tables(spark, sf_dir, ("lineitem", "orders", "part", "supplier", "nation"))
+    p = t["part"].filter(F.col("p_type") == "PROMO").select("p_partkey", "p_retailprice")
+    sn = (
+        t["supplier"]
+        .join(
+            F.broadcast(t["nation"].select(F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("nation"))),
+            F.col("s_nationkey") == F.col("sn_key"),
+        )
+        .select("s_suppkey", "nation")
+    )
+    profit = _revenue_col() - F.lit(0.6) * F.col("p_retailprice") * F.col("l_quantity")
+    return (
+        t["lineitem"]
+        .join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(sn), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("nation", F.year("o_orderdate").alias("o_year"))
+        .agg(exact_sum(profit, "profit"))
+        .orderBy("nation", F.desc("o_year"))
+    )
+
+
+@register(
+    "q14_promo_revenue_share",
+    f"""
+    SELECT CAST(EXTRACT(MONTH FROM l.l_shipdate) AS INTEGER) AS ship_month,
+           ROUND(100.0 * {_sql_exact_sum("CASE WHEN p.p_type = 'PROMO' THEN l.l_extendedprice * (1 - l.l_discount) ELSE 0.0 END", 'x').replace(' AS x', '')}
+                 / {_sql_exact_sum(REVENUE, 'y').replace(' AS y', '')}, 6) AS promo_share
+    FROM lineitem l
+    JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE l.l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l.l_shipdate < TIMESTAMP '1997-01-01'
+    GROUP BY ship_month
+    ORDER BY ship_month
+    """,
+)
+def q14_promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 (promotion effect): percentage of revenue from PROMO
+    parts per ship month.
+
+    Scale: part broadcasts; conditional + total sums in ONE aggregation
+    pass; date filter pushes into the lineitem scan."""
+    t = load_tables(spark, sf_dir, ("lineitem", "part"))
+    li = t["lineitem"].filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    rev = _revenue_col()
+    promo = F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0.0))
+    return (
+        li.join(F.broadcast(t["part"].select("p_partkey", "p_type")), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy(F.month("l_shipdate").alias("ship_month"))
+        .agg(exact_sum(promo, "_promo"), exact_sum(rev, "_all"))
+        .select(
+            "ship_month",
+            F.round(F.lit(100.0) * F.col("_promo") / F.col("_all"), 6).alias("promo_share"),
+        )
+        .orderBy("ship_month")
+    )
+
+
+@register(
+    "q15_top_supplier",
+    f"""
+    WITH supplier_revenue AS (
+        SELECT l.l_suppkey AS s_suppkey, {_sql_exact_sum(REVENUE, 'total_revenue')}
+        FROM lineitem l
+        WHERE l.l_shipdate >= TIMESTAMP '1996-01-01'
+          AND l.l_shipdate < TIMESTAMP '1996-04-01'
+        GROUP BY l.l_suppkey
+    )
+    SELECT s.s_suppkey, s.s_name, r.total_revenue
+    FROM supplier s
+    JOIN supplier_revenue r ON s.s_suppkey = r.s_suppkey
+    WHERE r.total_revenue = (SELECT MAX(total_revenue) FROM supplier_revenue)
+    ORDER BY s.s_suppkey
+    """,
+)
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 (top supplier): suppliers whose quarter revenue equals
+    the maximum — the argmax-via-scalar-subquery shape (returns ALL
+    tied maxima, which a LIMIT 1 would not).
+
+    Scale: one partial+final aggregation per supplier (100 groups); the
+    max is a broadcast scalar joined back — no window over the full
+    supplier table, no second lineitem scan (the per-supplier table
+    feeds both the max and the final join from one persisted 100-row
+    frame... at this size Catalyst just recomputes the tiny agg; the
+    exact sums make both evaluations bit-identical, so the equality
+    join is safe)."""
+    t = load_tables(spark, sf_dir, ("lineitem", "supplier"))
+    rev = (
+        t["lineitem"]
+        .filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+        )
+        .groupBy(F.col("l_suppkey").alias("s_suppkey"))
+        .agg(exact_sum(_revenue_col(), "total_revenue"))
+    )
+    best = rev.agg(F.max("total_revenue").alias("_best"))
+    return (
+        t["supplier"].select("s_suppkey", "s_name")
+        .join(rev, "s_suppkey")
+        .join(F.broadcast(best), F.col("total_revenue") == F.col("_best"))
+        .select("s_suppkey", "s_name", "total_revenue")
+        .orderBy("s_suppkey")
+    )
+
+
+@register(
+    "q17_small_quantity_revenue",
+    """
+    SELECT CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) / 7.0 AS avg_yearly
+    FROM lineitem l
+    JOIN part p ON l.l_partkey = p.p_partkey
+    JOIN (
+        SELECT l_partkey,
+               0.5 * (CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*)) AS half_avg_qty
+        FROM lineitem GROUP BY l_partkey
+    ) t ON l.l_partkey = t.l_partkey
+    WHERE p.p_brand = 'Brand#1' AND l.l_quantity < t.half_avg_qty
+    """,
+)
+def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 (small-quantity-order revenue): revenue from lineitems
+    under half their part's average quantity, for one brand — the
+    per-group correlated threshold shape.
+
+    Scale: the per-part average is a partial+final aggregate joined
+    back on the part key (NOT a correlated subquery per row); the
+    threshold is built from an exact decimal sum so both engines
+    compare against the bit-identical double; the brand filter prunes
+    via the broadcast part dimension before the expensive join."""
+    t = load_tables(spark, sf_dir, ("lineitem", "part"))
+    li = t["lineitem"]
+    half_avg = (
+        li.groupBy("l_partkey")
+        .agg(
+            (
+                F.lit(0.5)
+                * (
+                    (F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("double"))
+                    / F.count(F.lit(1))
+                )
+            ).alias("half_avg_qty")
+        )
+    )
+    brand = t["part"].filter(F.col("p_brand") == "Brand#1").select("p_partkey")
+    return (
+        li.join(F.broadcast(brand), F.col("l_partkey") == F.col("p_partkey"))
+        .join(half_avg, "l_partkey")
+        .filter(F.col("l_quantity") < F.col("half_avg_qty"))
+        .agg(
+            (F.sum(F.col("l_extendedprice").cast("decimal(18,6)")).cast("double") / F.lit(7.0)).alias(
+                "avg_yearly"
+            )
+        )
+    )
+
+
+@register(
+    "q18_volume_customers",
+    """
+    SELECT c.c_name, c.c_custkey, o.o_orderkey,
+           CAST(o.o_orderdate AS TIMESTAMP) AS o_orderdate,
+           o.o_totalprice,
+           CAST(SUM(CAST(l.l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    WHERE o.o_orderkey IN (
+        SELECT l_orderkey FROM lineitem GROUP BY l_orderkey
+        HAVING SUM(CAST(l_quantity AS DECIMAL(18,2))) > 220
+    )
+    GROUP BY c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate, o.o_totalprice
+    ORDER BY o.o_totalprice DESC, o.o_orderkey
+    LIMIT 20
+    """,
+)
+def q18_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 (large-volume customers): orders whose total quantity
+    exceeds a threshold, with their customers, top 20 by price.
+
+    Scale: the HAVING pre-aggregate runs once on lineitem (partial+
+    final on the order key) and semi-joins orders BEFORE the customer
+    join, so only qualifying orders shuffle; top-20 is TakeOrdered
+    with the order key as tiebreaker."""
+    t = load_tables(spark, sf_dir, ("customer", "orders", "lineitem"))
+    li = t["lineitem"]
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("_q"))
+        .filter(F.col("_q") > 220)
+        .select("l_orderkey")
+    )
+    return (
+        t["orders"]
+        .join(big.withColumnRenamed("l_orderkey", "o_orderkey"), "o_orderkey", "leftsemi")
+        .join(t["customer"], F.col("o_custkey") == F.col("c_custkey"))
+        .join(li.select("l_orderkey", "l_quantity"), F.col("o_orderkey") == F.col("l_orderkey"))
+        .groupBy("c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
+        .agg(F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("double").alias("sum_qty"))
+        .orderBy(F.desc("o_totalprice"), "o_orderkey")
+        .limit(20)
+    )
+
+
+@register(
+    "q19_disjunctive_revenue",
+    f"""
+    SELECT {_sql_exact_sum(REVENUE, 'revenue')}
+    FROM lineitem l
+    JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE (p.p_brand = 'Brand#1' AND p.p_size BETWEEN 1 AND 15
+           AND l.l_quantity BETWEEN 1 AND 20)
+       OR (p.p_brand = 'Brand#2' AND p.p_size BETWEEN 1 AND 30
+           AND l.l_quantity BETWEEN 10 AND 35)
+       OR (p.p_brand = 'Brand#3' AND p.p_size BETWEEN 1 AND 50
+           AND l.l_quantity BETWEEN 20 AND 50)
+    """,
+)
+def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 (discounted revenue): three disjunctive brand/size/
+    quantity branches over the part join — the OR-of-conjunctions
+    shape optimizers historically mishandled.
+
+    Scale: the common part subset (union of the three brand/size
+    envelopes) is derivable, so the brand predicate pushes into the
+    broadcast part scan; the residual disjunction evaluates at the
+    join — one pass, no union of three scans."""
+    t = load_tables(spark, sf_dir, ("lineitem", "part"))
+    p = t["part"].select("p_partkey", "p_brand", "p_size")
+    q = F.col("l_quantity")
+    cond = (
+        ((F.col("p_brand") == "Brand#1") & F.col("p_size").between(1, 15) & q.between(1, 20))
+        | ((F.col("p_brand") == "Brand#2") & F.col("p_size").between(1, 30) & q.between(10, 35))
+        | ((F.col("p_brand") == "Brand#3") & F.col("p_size").between(1, 50) & q.between(20, 50))
+    )
+    return (
+        t["lineitem"]
+        .join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .filter(cond)
+        .agg(exact_sum(_revenue_col(), "revenue"))
+    )
