@@ -540,6 +540,56 @@ def vocab_coverage(df: DataFrame, text_col: str = "text", top_k: int = 20) -> Da
     )
 
 
+def char_entropy_stats(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """(id, n_chars_norm, distinct_chars, char_entropy): Shannon
+    entropy (nats) of the normalized-character distribution per
+    document — the language-model-free perplexity proxy quality
+    pipelines use to flag binary junk (entropy too high) and degenerate
+    repetition (too low).
+
+    Determinism: entropy = ln(n) − Σ c·ln(c) / n. EVERY ln-derived term
+    is rounded to 6 decimals before any further arithmetic — the JVM
+    and C math libraries disagree by ≤1 ulp on ln(), and an unrounded
+    term lets that ulp reach the final 6-decimal rounding boundary
+    (observed: 2.729468 vs 2.729467 on a 21-char doc). Pre-rounding at
+    1e-6 absorbs the ulp (flip risk per term ≈ ulp/1e-6 ≈ 2e-9); the Σ
+    then uses the exact-sum fixed-point pattern so summation order
+    cannot drift the double. The ≤5e-7-per-term rounding bias is
+    orders below what a quality threshold can see.
+
+    Scale: explode of character POSITIONS (one int per char) with the
+    per-(doc, char) count combined map-side — the shuffle carries at
+    most |alphabet| rows per doc per partition, not the characters.
+    Empty/NULL text yields one empty-string char: n=1, entropy 0."""
+    from csv_query_engine_spark.queries.relational import exact_sum
+
+    base = _spread(df.select(F.col(id_col), F.col(text_col))).select(
+        F.col(id_col), normalize_text(F.coalesce(F.col(text_col), F.lit(""))).alias("_n")
+    )
+    chars = (
+        base.select(
+            F.col(id_col),
+            "_n",
+            F.explode(F.sequence(F.lit(1), F.greatest(F.length("_n"), F.lit(1)))).alias("i"),
+        )
+        .select(F.col(id_col), F.expr("substring(_n, i, 1)").alias("ch"))
+    )
+    counts = chars.groupBy(id_col, "ch").agg(F.count(F.lit(1)).alias("cnt"))
+    c = F.col("cnt").cast("double")
+    per_doc = counts.groupBy(id_col).agg(
+        F.sum("cnt").alias("_n_chars"),
+        F.count(F.lit(1)).alias("_n_distinct"),
+        exact_sum(F.round(c * F.log(c), 6), "_clnc", scale=6),
+    )
+    n = F.col("_n_chars").cast("double")
+    return per_doc.select(
+        F.col(id_col),
+        F.col("_n_chars").cast("long").alias("n_chars_norm"),
+        F.col("_n_distinct").cast("long").alias("distinct_chars"),
+        F.round(F.round(F.log(n), 6) - F.col("_clnc") / n, 6).alias("char_entropy"),
+    )
+
+
 # PII patterns — the common Java-regex/RE2 subset so the Spark and
 # DuckDB sides compile the SAME expression (no lookaround, no \b).
 PII_EMAIL = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"

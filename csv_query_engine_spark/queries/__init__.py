@@ -125,6 +125,11 @@ DRIVER_ORDER: list[str] = [
     "q17_small_quantity_revenue",
     "q18_volume_customers",
     "q19_disjunctive_revenue",
+    # Round-4 pipeline additions (chunking / sharding / entropy):
+    "docs_chunk_windows",
+    "docs_shard_assignment",
+    "docs_char_entropy",
+    "events_conversion_attribution",
     # Rows-only ops (no SQL-expressible oracle; pytest covers recall/
     # precision/planted-neighbor properties):
     "dedup_minhash_lsh_pairs",

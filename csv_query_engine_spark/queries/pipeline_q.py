@@ -1214,3 +1214,102 @@ def docs_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang", "source")
     )
+
+
+# ----------------------------------------------- chunking / sharding / entropy
+
+
+@register(
+    "docs_chunk_windows",
+    f"""
+    WITH base AS (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents),
+    ex AS (
+        SELECT doc_id, toks,
+               unnest(generate_series(0, (greatest(len(toks) - 32, 0) + 23) // 24)) AS chunk_idx
+        FROM base
+    )
+    SELECT doc_id,
+           CAST(chunk_idx AS INTEGER) AS chunk_idx,
+           CAST(chunk_idx * 24 AS BIGINT) AS start_tok,
+           CAST(LEAST(32, len(toks) - chunk_idx * 24) AS BIGINT) AS n_tokens,
+           array_to_string(toks[chunk_idx * 24 + 1 : chunk_idx * 24 + 32], ' ') AS chunk_text
+    FROM ex
+    ORDER BY doc_id, chunk_idx
+    """,
+)
+def docs_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping retrieval chunks (32-token windows every 24 tokens)
+    per document — see pipeline.chunking.chunk_documents for the
+    one-pass, shuffle-free layout argument."""
+    from csv_query_engine_spark.pipeline.chunking import chunk_documents
+
+    d = load_tables(spark, sf_dir, ("documents",))["documents"]
+    return chunk_documents(d, chunk_tokens=32, stride=24).orderBy("doc_id", "chunk_idx")
+
+
+@register(
+    "docs_shard_assignment",
+    """
+    WITH base AS (
+        SELECT doc_id,
+               CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\s]')) AS BIGINT) AS n_tokens,
+               CAST('0x' || substr(md5('shard-' || CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) AS hkey
+        FROM documents
+    ),
+    laid AS (
+        SELECT doc_id, n_tokens,
+               COALESCE(SUM(n_tokens) OVER (
+                   ORDER BY hkey, doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS s
+        FROM base
+    )
+    SELECT doc_id, n_tokens,
+           CAST(s // 4096 AS BIGINT) AS shard_id,
+           CAST(s % 4096 AS BIGINT) AS offset_in_shard
+    FROM laid
+    ORDER BY doc_id
+    """,
+)
+def docs_shard_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash-ordered token-budgeted shard layout — the oracle reproduces
+    it with ONE global window (fine for DuckDB at oracle scale); the
+    Spark side uses the fully-partitioned hierarchical prefix sum
+    (pipeline.chunking.shard_assignment)."""
+    from csv_query_engine_spark.pipeline.chunking import shard_assignment
+
+    d = load_tables(spark, sf_dir, ("documents",))["documents"]
+    return shard_assignment(d).orderBy("doc_id")
+
+
+@register(
+    "docs_char_entropy",
+    f"""
+    WITH base AS (SELECT doc_id, {_SQL_NORM} AS norm FROM documents),
+    pos AS (
+        SELECT doc_id, norm,
+               unnest(generate_series(1, greatest(length(norm), 1))) AS i
+        FROM base
+    ),
+    counts AS (
+        SELECT doc_id, substr(norm, CAST(i AS INTEGER), 1) AS ch, COUNT(*) AS cnt
+        FROM pos GROUP BY doc_id, ch
+    )
+    SELECT doc_id,
+           CAST(SUM(cnt) AS BIGINT) AS n_chars_norm,
+           CAST(COUNT(*) AS BIGINT) AS distinct_chars,
+           ROUND(
+               ROUND(ln(CAST(SUM(cnt) AS DOUBLE)), 6)
+               - CAST(SUM(CAST(ROUND(CAST(cnt AS DOUBLE) * ln(CAST(cnt AS DOUBLE)), 6) AS DECIMAL(18,6))) AS DOUBLE)
+                 / CAST(SUM(cnt) AS DOUBLE),
+               6) AS char_entropy
+    FROM counts
+    GROUP BY doc_id
+    ORDER BY doc_id
+    """,
+)
+def docs_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document character-distribution entropy (the model-free
+    perplexity proxy) — see pipeline.text.char_entropy_stats for the
+    exact-sum determinism story."""
+    d = load_tables(spark, sf_dir, ("documents",))["documents"]
+    return tx.char_entropy_stats(d).orderBy("doc_id")

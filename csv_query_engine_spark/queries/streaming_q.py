@@ -144,3 +144,55 @@ def events_user_activity_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+@register(
+    "events_conversion_attribution",
+    """
+    WITH v AS (
+        SELECT user_id, event_id AS view_id, ts AS view_ts
+        FROM events WHERE event_type = 'view'
+    ),
+    p AS (
+        SELECT user_id, event_id AS purchase_id, ts AS purchase_ts,
+               value AS purchase_value
+        FROM events WHERE event_type = 'purchase'
+    )
+    SELECT v.user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           CAST(COUNT(DISTINCT v.view_id) AS BIGINT) AS n_converting_views,
+           CAST(SUM(date_diff('second', view_ts, purchase_ts)) AS BIGINT) AS sum_delay_s,
+           CAST(SUM(CAST(purchase_value AS DECIMAL(18,6))) AS DOUBLE) AS attributed_value
+    FROM v JOIN p
+      ON v.user_id = p.user_id
+     AND purchase_ts >= view_ts
+     AND purchase_ts <= view_ts + INTERVAL 60 MINUTE
+    GROUP BY v.user_id
+    ORDER BY v.user_id
+    """,
+)
+def events_conversion_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of streaming.conversion_join (stream-stream interval
+    join), rolled up per user: pair count, converting views, total
+    view→purchase delay (integer seconds — exact cross-engine), and
+    attributed purchase value (exact sum).
+
+    Scale: an interval self-join keyed by user — shuffles both sides on
+    user_id once; the time predicate is evaluated at the join, and the
+    per-user pair space is bounded by activity × horizon, the same
+    bound the streaming state store relies on."""
+    from csv_query_engine_spark.streaming.events import conversion_join
+
+    e = load_tables(spark, sf_dir, ("events",))["events"]
+    pairs = conversion_join(e, e)
+    delay_s = F.unix_timestamp("purchase_ts") - F.unix_timestamp("view_ts")
+    return (
+        pairs.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.countDistinct("view_id").alias("n_converting_views"),
+            F.sum(delay_s).cast("bigint").alias("sum_delay_s"),
+            exact_sum(F.col("purchase_value"), "attributed_value"),
+        )
+        .orderBy("user_id")
+    )

@@ -1,4 +1,5 @@
 from csv_query_engine_spark.streaming.events import (
+    conversion_join,
     ensure_event_time,
     enrich_with_dim,
     read_events_stream,
@@ -10,6 +11,7 @@ from csv_query_engine_spark.streaming.events import (
 )
 
 __all__ = [
+    "conversion_join",
     "enrich_with_dim",
     "ensure_event_time",
     "read_events_stream",

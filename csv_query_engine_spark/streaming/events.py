@@ -164,6 +164,57 @@ def running_user_totals(events: DataFrame) -> DataFrame:
     )
 
 
+def conversion_join(
+    views: DataFrame,
+    purchases: DataFrame,
+    horizon_minutes: int = 60,
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """STREAM-STREAM interval join: each 'view' event paired with every
+    'purchase' by the same user within ``horizon_minutes`` after it —
+    the attribution/conversion join (click→purchase) every event
+    pipeline runs.
+
+    State bounding (the stream-stream contract): BOTH sides carry a
+    watermark and the join condition bounds purchase_ts to
+    [view_ts, view_ts + horizon], so Spark can expire a buffered view
+    once the purchase-side watermark passes view_ts + horizon, and a
+    buffered purchase once the view-side watermark passes purchase_ts.
+    Without the time bound the state store would grow with the stream.
+
+    Pass the same source twice for a self-join stream (two independent
+    readStream plans); the batch twin with the DuckDB oracle is
+    queries/streaming_q.events_conversion_attribution.
+    """
+    v = (
+        views.filter(F.col("event_type") == "view")
+        .withWatermark("ts", watermark)
+        .select(
+            "user_id",
+            F.col("event_id").alias("view_id"),
+            F.col("ts").alias("view_ts"),
+        )
+    )
+    p = (
+        purchases.filter(F.col("event_type") == "purchase")
+        .withWatermark("ts", watermark)
+        .select(
+            F.col("user_id").alias("p_user_id"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("purchase_ts"),
+            F.col("value").alias("purchase_value"),
+        )
+    )
+    cond = (
+        (F.col("user_id") == F.col("p_user_id"))
+        & (F.col("purchase_ts") >= F.col("view_ts"))
+        & (F.col("purchase_ts") <= F.col("view_ts") + F.expr(f"INTERVAL {horizon_minutes} MINUTES"))
+    )
+    return v.join(p, cond).select(
+        "user_id", "view_id", "purchase_id", "view_ts", "purchase_ts", "purchase_value"
+    )
+
+
 def run_stream_to_memory(stream_df: DataFrame, name: str, output_mode: str = "append") -> DataFrame:
     """Drive a (file-backed) stream to completion synchronously via the
     memory sink — the local test harness for streaming plans."""

@@ -180,3 +180,64 @@ def test_incremental_dedup_materializes_shared_subtrees(spark):
     plan = _formatted_plan(out)
     assert plan.count("InMemoryTableScan") >= 5, plan
     spark.catalog.clearCache()
+
+
+def test_chunk_documents_layout(spark):
+    from csv_query_engine_spark.pipeline.chunking import chunk_documents
+
+    text = "t0 t1 t2 t3 t4 t5 t6 t7 t8 t9"  # 10 tokens
+    df = spark.createDataFrame([(1, text), (2, "short")], "doc_id long, text string")
+    out = {(r["doc_id"], r["chunk_idx"]): r for r in
+           chunk_documents(df, chunk_tokens=4, stride=3).collect()}
+    # doc 1: extra=6, ceil(6/3)=2 -> 3 chunks at starts 0,3,6
+    assert {(k[0], k[1]) for k in out} == {(1, 0), (1, 1), (1, 2), (2, 0)}
+    assert out[(1, 0)]["chunk_text"] == "t0 t1 t2 t3"
+    assert out[(1, 1)]["chunk_text"] == "t3 t4 t5 t6"
+    assert out[(1, 2)]["chunk_text"] == "t6 t7 t8 t9"
+    assert out[(1, 2)]["start_tok"] == 6 and out[(1, 2)]["n_tokens"] == 4
+    assert out[(2, 0)]["chunk_text"] == "short" and out[(2, 0)]["n_tokens"] == 1
+    # full coverage: every token index falls inside >=1 chunk
+    covered = set()
+    for (d, _), r in out.items():
+        if d == 1:
+            covered |= set(range(r["start_tok"], r["start_tok"] + r["n_tokens"]))
+    assert covered == set(range(10))
+
+
+def test_shard_assignment_properties(spark):
+    from csv_query_engine_spark.pipeline.chunking import shard_assignment
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    rows = shard_assignment(docs, shard_tokens=1000).collect()
+    assert len(rows) == docs.count()
+    # offsets always inside the budget; shard ids contiguous from 0
+    assert all(0 <= r["offset_in_shard"] < 1000 for r in rows)
+    shard_ids = sorted({r["shard_id"] for r in rows})
+    assert shard_ids[0] == 0 and shard_ids == list(range(len(shard_ids)))
+    # deterministic: second run identical
+    again = shard_assignment(docs, shard_tokens=1000).collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
+
+
+def test_shard_assignment_plan_no_single_partition(spark):
+    from csv_query_engine_spark.pipeline.chunking import shard_assignment
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    plan = _formatted_plan(shard_assignment(docs))
+    assert "SinglePartition" not in plan, plan
+
+
+def test_char_entropy_known_values(spark):
+    import math
+
+    from csv_query_engine_spark.pipeline.text import char_entropy_stats
+
+    df = spark.createDataFrame(
+        [(1, "aaaa"), (2, "abab"), (3, ""), (4, None)], "doc_id long, text string"
+    )
+    out = {r["doc_id"]: r for r in char_entropy_stats(df).collect()}
+    assert out[1]["char_entropy"] == 0.0 and out[1]["distinct_chars"] == 1
+    assert out[2]["char_entropy"] == pytest.approx(math.log(2), abs=1e-5)
+    # empty and NULL both produce the 1-char sentinel row, entropy 0
+    for d in (3, 4):
+        assert out[d]["n_chars_norm"] == 1 and out[d]["char_entropy"] == 0.0

@@ -136,3 +136,32 @@ def test_cluster_candidates_prune_documents_scan(spark):
     m = re.search(r"ReadSchema: struct<([^>]*)>", docs_scan)
     cols = {c.split(":")[0] for c in m.group(1).split(",")}
     assert cols <= {"doc_id", "text"}, f"scan not pruned: {cols}"
+
+
+def test_q4_exists_stays_semi_join(spark):
+    plan = _plan(spark, "q4_priority_late_ship")
+    assert "LeftSemi" in plan, plan
+
+
+def test_q6_predicates_reach_scan(spark):
+    plan = _plan(spark, "q6_forecast_revenue")
+    li = _scan_block(plan, "lineitem")
+    assert "GreaterThanOrEqual(l_shipdate" in li and "LessThan(l_shipdate" in li
+    assert "GreaterThanOrEqual(l_discount" in li and "LessThanOrEqual(l_discount" in li
+    assert "LessThan(l_quantity" in li
+    # only the 4 referenced columns are read
+    m = re.search(r"ReadSchema: struct<([^>]*)>", li)
+    cols = {c.split(":")[0] for c in m.group(1).split(",")}
+    assert cols == {"l_shipdate", "l_discount", "l_quantity", "l_extendedprice"}, cols
+
+
+def test_q19_part_side_broadcasts(spark):
+    plan = _plan(spark, "q19_disjunctive_revenue")
+    assert "BroadcastHashJoin" in plan, plan
+
+
+def test_conversion_join_no_cartesian(spark):
+    """The interval self-join must key on user_id (hash join), never a
+    cartesian with a time filter."""
+    plan = _plan(spark, "events_conversion_attribution")
+    assert "Cartesian" not in plan and "BroadcastNestedLoop" not in plan, plan

@@ -167,3 +167,23 @@ def test_stream_checkpoint_restart_no_reprocess(spark, tmp_path):
     result = spark.read.parquet(out)
     assert result.count() == 300  # 450 would mean half_a was reprocessed
     assert result.select("event_id").distinct().count() == 300
+
+
+def test_stream_stream_conversion_join_matches_batch(spark):
+    """Two watermarked streams over the same file source interval-join
+    (view -> purchase within 1 hour per user); the appended pairs must
+    equal the batch join's pair set exactly."""
+    from csv_query_engine_spark.streaming import conversion_join
+
+    v_stream = read_events_stream(spark, SF_SMOKE)
+    p_stream = read_events_stream(spark, SF_SMOKE)
+    joined = conversion_join(v_stream, p_stream)
+    assert joined.isStreaming
+    out = run_stream_to_memory(joined, "conv_pairs", output_mode="append")
+    got = {(r["view_id"], r["purchase_id"]) for r in out.collect()}
+
+    from csv_query_engine_spark.io.readers import load_tables
+
+    e = load_tables(spark, SF_SMOKE, ("events",))["events"]
+    want = {(r["view_id"], r["purchase_id"]) for r in conversion_join(e, e).collect()}
+    assert got == want and len(want) > 0
