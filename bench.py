@@ -81,6 +81,16 @@ def main() -> None:
             # AFTER the warm run so the warm number keeps legitimate
             # within-query cache reuse.
             spark.catalog.clearCache()
+            # clearCache only clears the SQL cache: localCheckpoint
+            # blocks (the iterative connected-components rounds, edge
+            # tables) live as persistent RDDs until the driver GCs the
+            # Python/JVM references. Unpersist them explicitly so the
+            # checkpoint store can't grow across an 89-query suite.
+            jsc = spark.sparkContext._jsc.sc()
+            for rdd in spark.sparkContext._jvm.scala.collection.JavaConverters.mapAsJavaMap(
+                jsc.getPersistentRDDs()
+            ).values():
+                rdd.unpersist(False)
 
     total = round(sum(t for t in timings.values() if t >= 0), 3)
     total_warm = round(sum(t for t in warm.values() if t >= 0), 3)
