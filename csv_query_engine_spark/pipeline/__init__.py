@@ -5,9 +5,13 @@ no reference code — these extend the engine for the 100 TB use case):
                       fingerprinting, vocab coverage, PII scrubbing,
                       repetition/contamination/dup-span screens (all
                       JVM-side built-ins)
-* :mod:`dedup`      — exact, n-gram Jaccard, MinHash LSH, SimHash,
-                      connected-components clustering, incremental
+* :mod:`dedup`      — exact, n-gram Jaccard, MinHash LSH (one-
+                      permutation hashing), SimHash, connected-
+                      components clustering (min-label propagation +
+                      large-star/small-star contraction), incremental
                       batch admission
+* :mod:`chunking`   — overlapping retrieval chunks and deterministic
+                      token-budgeted training-shard layout
 * :mod:`similarity` — embedding cosine top-k (brute force, LSH-bucketed,
                       IVF, int8-quantized with exact rescoring),
                       banded near-dup pairs, per-label centroids

@@ -48,6 +48,12 @@ def chunk_documents(
     """
     if stride <= 0 or chunk_tokens <= 0:
         raise ValueError("chunk_tokens and stride must be positive")
+    if stride > chunk_tokens:
+        # stride > chunk leaves coverage gaps AND lets the final window
+        # start past the end of short documents (empty chunk) — caught
+        # by the hypothesis coverage property. Full coverage and
+        # non-empty windows hold exactly when stride ≤ chunk.
+        raise ValueError(f"stride ({stride}) must be <= chunk_tokens ({chunk_tokens})")
     base = _spread(df.select(F.col(id_col).alias("id"), F.col(text_col).alias("_t"))).select(
         "id", tokens(F.col("_t")).alias("toks")
     )

@@ -583,14 +583,28 @@ def connected_components_star(
         return (row[0], row[1])
 
     prev = _sig(cur)
+    converged = False
     for _ in range(max_iter):
         sym = cur.union(cur.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
         nxt = _small_star(_large_star(sym)).localCheckpoint(eager=False)
         sig = _sig(nxt)
         cur = nxt
         if sig == prev:
+            converged = True
             break
         prev = sig
+    if not converged:
+        # O(log n) convergence makes this unreachable for any graph the
+        # default max_iter admits, but truncation must never be silent
+        # (same contract as connected_components).
+        import warnings
+
+        warnings.warn(
+            f"connected_components_star: edge set still changing after "
+            f"{max_iter} rounds; labels may be incomplete.",
+            RuntimeWarning,
+            stacklevel=2,
+        )
 
     # Fixpoint is a star forest: every remaining edge points a node at
     # its component min. Nodes with no edges are their own cluster.

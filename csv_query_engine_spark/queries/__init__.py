@@ -39,25 +39,26 @@ DRIVER_ORDER: list[str] = [
     "q5_local_supplier_volume",
     "dedup_collapse_returnflags",
     "distinct_agg_customers",
-    "stats_acctbal_by_segment",
     "percentiles_extprice_by_flag",
     "having_high_volume_customers",
-    "collect_priorities_per_segment",
     "rollup_flag_status",
-    "groupingsets_priority_status",
     "pivot_status_by_segment",
     "join_kinds_outer",
     "semi_join_customers_with_urgent",
     "anti_join_parts_never_ordered",
-    "self_join_reorder_rate",
-    "exists_customers_with_open_high_value",
     "correlated_scalar_subquery",
     "topk_parts_per_brand",
     "setops_segment_overlap",
     "predicates_in_like_between",
-    "scalar_string_funcs",
     "json_props_extract",
     "array_funcs_embeddings",
+    # Round-4 rotations IN: the window slots of six category siblings
+    # (stats_acctbal/collect_priorities/groupingsets — the aggregation
+    # family keeps 6 rows; self_join/exists — joins keep 4;
+    # scalar_string — scalar fns keep predicates+json+array) now carry
+    # the round-4 capabilities so CORRECTNESS_r04 exercises them:
+    "q6_forecast_revenue",
+    "q7_nation_trade_volume",
     "window_lag_order_gaps",
     "window_running_revenue",
     "window_range_frame_moving_sum",
@@ -90,6 +91,11 @@ DRIVER_ORDER: list[str] = [
     "dedup_cluster_canonical",
     "docs_sequence_packing",
     "docs_vocab_coverage",
+    # -- round-4 additions (chunking / sharding / entropy / stream-stream)
+    "docs_chunk_windows",
+    "docs_shard_assignment",
+    "docs_char_entropy",
+    "events_conversion_attribution",
     # ==================== driver window ends at 50 ====================
     # Category siblings of in-window green rows (pii reports honest
     # zeros on the PII-free synthetic corpus — real hits are pytest-
@@ -98,6 +104,12 @@ DRIVER_ORDER: list[str] = [
     "docs_fingerprints",
     "events_user_activity_profile",
     "group_count_priority",
+    "stats_acctbal_by_segment",
+    "collect_priorities_per_segment",
+    "groupingsets_priority_status",
+    "self_join_reorder_rate",
+    "exists_customers_with_open_high_value",
+    "scalar_string_funcs",
     "window_distribution_funcs",
     "cube_region_status",
     "window_rank_lead_quartile",
@@ -113,11 +125,9 @@ DRIVER_ORDER: list[str] = [
     "multimodal_decode_features",
     "multimodal_frame_sample",
     # Extended TPC-H-adapted coverage (round 4, queries/tpch_extra.py);
-    # oracle-bearing but past-window — the window keeps one green row
-    # per category and these are relational-core siblings:
+    # oracle-bearing but past-window — relational-core siblings of the
+    # in-window classics (q6/q7 rotated INTO the window above):
     "q4_priority_late_ship",
-    "q6_forecast_revenue",
-    "q7_nation_trade_volume",
     "q8_market_share",
     "q9_profit_proxy",
     "q14_promo_revenue_share",
@@ -125,11 +135,6 @@ DRIVER_ORDER: list[str] = [
     "q17_small_quantity_revenue",
     "q18_volume_customers",
     "q19_disjunctive_revenue",
-    # Round-4 pipeline additions (chunking / sharding / entropy):
-    "docs_chunk_windows",
-    "docs_shard_assignment",
-    "docs_char_entropy",
-    "events_conversion_attribution",
     # Rows-only ops (no SQL-expressible oracle; pytest covers recall/
     # precision/planted-neighbor properties):
     "dedup_minhash_lsh_pairs",

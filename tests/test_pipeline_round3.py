@@ -130,12 +130,28 @@ def test_registry_window_is_oracle_bearing(spark):
         "dedup_incremental_admission",
         "docs_dataset_card",
         "q10_returned_item_report",
+        # round-4 rotations
+        "q6_forecast_revenue",
+        "q7_nation_trade_volume",
+        "docs_chunk_windows",
+        "docs_shard_assignment",
+        "docs_char_entropy",
+        "events_conversion_attribution",
     ):
         assert new in window
-    # the rotated-out sibling keeps 3 in-window family rows
+    # rotated-out siblings' families keep in-window rows
     assert "window_distribution_funcs" not in window
     assert {"window_lag_order_gaps", "window_running_revenue",
             "window_range_frame_moving_sum"} <= set(window)
+    for out, kept in [
+        ("stats_acctbal_by_segment", "percentiles_extprice_by_flag"),
+        ("collect_priorities_per_segment", "having_high_volume_customers"),
+        ("groupingsets_priority_status", "rollup_flag_status"),
+        ("self_join_reorder_rate", "join_kinds_outer"),
+        ("exists_customers_with_open_high_value", "correlated_scalar_subquery"),
+        ("scalar_string_funcs", "predicates_in_like_between"),
+    ]:
+        assert out not in window and kept in window, (out, kept)
 
 
 def test_quantized_topk_recall_vs_bruteforce(spark):

@@ -241,3 +241,11 @@ def test_char_entropy_known_values(spark):
     # empty and NULL both produce the 1-char sentinel row, entropy 0
     for d in (3, 4):
         assert out[d]["n_chars_norm"] == 1 and out[d]["char_entropy"] == 0.0
+
+
+def test_chunk_documents_rejects_gap_stride(spark):
+    from csv_query_engine_spark.pipeline.chunking import chunk_documents
+
+    df = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="stride"):
+        chunk_documents(df, chunk_tokens=2, stride=3)

@@ -139,3 +139,77 @@ def test_sequence_packing_stream_invariants(spark, counts, seq_len, bucket_size)
         end = acc + max(c, 1) - 1
         assert r["spans_boundary"] == (end // seq_len > acc // seq_len)
         acc += c
+
+
+@given(
+    n_tokens=st.integers(0, 40),
+    chunk=st.integers(1, 12),
+    stride=st.integers(1, 12),
+)
+@settings(max_examples=12, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_chunking_covers_every_token_exactly(spark, n_tokens, chunk, stride):
+    """Every token index of every document falls in ≥1 chunk; chunk
+    starts advance by exactly `stride`; the final chunk never runs past
+    the document (the layout invariants downstream indexers rely on)."""
+    from csv_query_engine_spark.pipeline.chunking import chunk_documents
+
+    stride = min(stride, chunk)  # the operator enforces stride <= chunk
+    text = " ".join(f"t{i}" for i in range(n_tokens))
+    df = spark.createDataFrame([(0, text)], "doc_id long, text string")
+    rows = sorted(
+        chunk_documents(df, chunk_tokens=chunk, stride=stride).collect(),
+        key=lambda r: r["chunk_idx"],
+    )
+    # tokens('') is [''] -> one token even for empty text
+    n_eff = max(n_tokens, 1)
+    covered = set()
+    for i, r in enumerate(rows):
+        assert r["chunk_idx"] == i
+        assert r["start_tok"] == i * stride
+        assert 1 <= r["n_tokens"] <= chunk
+        assert r["start_tok"] + r["n_tokens"] <= n_eff
+        covered |= set(range(r["start_tok"], r["start_tok"] + r["n_tokens"]))
+    assert covered == set(range(n_eff))
+
+
+@given(
+    star=st.booleans(),
+    seed=st.integers(0, 10_000),
+)
+@settings(max_examples=10, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_star_and_propagation_agree_with_union_find(spark, star, seed):
+    """Both connected-components algorithms match a driver-side
+    union-find on random graphs (the star variant's O(log n) rounds
+    must not change the labeling)."""
+    from csv_query_engine_spark.pipeline.dedup import (
+        connected_components,
+        connected_components_star,
+    )
+
+    rng = random.Random(seed)
+    n = rng.randrange(5, 40)
+    edges = [(rng.randrange(n), rng.randrange(n)) for _ in range(rng.randrange(0, 2 * n))]
+    edges = [(a, b) for a, b in edges if a != b]
+    parent = list(range(n))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    want = {i: find(i) for i in range(n)}
+
+    nodes = spark.createDataFrame([(i,) for i in range(n)], "id long")
+    e = (
+        spark.createDataFrame(edges, "id_a long, id_b long")
+        if edges
+        else spark.createDataFrame([], "id_a long, id_b long")
+    )
+    fn = connected_components_star if star else connected_components
+    got = {r["id"]: r["cluster_id"] for r in fn(nodes, e).collect()}
+    assert got == want
