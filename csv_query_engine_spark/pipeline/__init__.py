@@ -24,3 +24,53 @@ no reference code — these extend the engine for the 100 TB use case):
                       stubbed: no media libs in this environment; the
                       deterministic fakes are oracle-checked)
 """
+
+from __future__ import annotations
+
+import contextlib
+from collections.abc import Iterator
+
+from pyspark.sql import SparkSession
+
+
+@contextlib.contextmanager
+def cache_scope(spark: SparkSession) -> Iterator[None]:
+    """Bound the cache lifetime of pipeline operators to a scope.
+
+    Several operators persist multi-consumer intermediates (minhash
+    signature tables, cluster token/gram tables, simhash signatures) and
+    document that CACHE LIFETIME IS CALLER-OWNED — the blocks otherwise
+    live until GC, clearCache, or eviction. Wrapping calls in this scope
+    releases, on exit, every cached table AND persistent RDD (the
+    localCheckpoint blocks of the iterative operators — which
+    ``spark.catalog.clearCache()`` alone does NOT touch) that was
+    created inside the scope, leaving anything persisted before it
+    untouched. Measured: letting these accumulate across an 89-query
+    run inflated the suite ~33% through memory/GC churn (BASELINE.md
+    round 4).
+
+        with cache_scope(spark):
+            pairs = minhash_lsh_pairs(docs).collect()
+        # signature-table blocks released here
+    """
+    sc = spark.sparkContext
+    jvm = sc._jvm
+    jsc = sc._jsc.sc()
+
+    def _persistent_ids() -> set[int]:
+        return {
+            int(rid)
+            for rid in jvm.scala.collection.JavaConverters.mapAsJavaMap(
+                jsc.getPersistentRDDs()
+            ).keys()
+        }
+
+    before = _persistent_ids()
+    try:
+        yield
+    finally:
+        for rid, rdd in jvm.scala.collection.JavaConverters.mapAsJavaMap(
+            jsc.getPersistentRDDs()
+        ).items():
+            if int(rid) not in before:
+                rdd.unpersist(False)

@@ -305,8 +305,8 @@ def minhash_lsh_pairs(
     # cheap — the row-based checkpoint store measured 2× slower at
     # sf0.1. CACHE LIFETIME IS CALLER-OWNED: the blocks live until the
     # frame is GC'd, spark.catalog.clearCache(), or eviction — callers
-    # running many dedup passes in one session should clearCache
-    # between them (bench.py does).
+    # running many dedup passes in one session should wrap calls in
+    # pipeline.cache_scope(spark) (or clearCache, as bench.py does).
     from pyspark.storagelevel import StorageLevel
 
     hashed = _hashed_shingles(df, id_col, text_col, shingle_k).select("id", "hashes").persist(

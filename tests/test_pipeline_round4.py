@@ -249,3 +249,40 @@ def test_chunk_documents_rejects_gap_stride(spark):
     df = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
     with pytest.raises(ValueError, match="stride"):
         chunk_documents(df, chunk_tokens=2, stride=3)
+
+
+def test_cache_scope_releases_only_inner_blocks(spark):
+    """cache_scope must unpersist what the scope created (SQL cache AND
+    checkpoint RDD blocks) while leaving pre-existing persists alone."""
+    from csv_query_engine_spark.pipeline import cache_scope
+    from csv_query_engine_spark.pipeline.dedup import minhash_lsh_pairs
+
+    jsc = spark.sparkContext._jsc.sc()
+
+    def n_persistent():
+        return jsc.getPersistentRDDs().size()
+
+    outer = spark.createDataFrame([(i,) for i in range(10)], "x long").persist()
+    outer.count()
+    base = n_persistent()
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").limit(50)
+    with cache_scope(spark):
+        minhash_lsh_pairs(docs).count()
+        assert n_persistent() > base
+    assert n_persistent() == base  # inner blocks gone
+    assert outer.count() == 10  # outer persist untouched
+    outer.unpersist()
+
+
+def test_incremental_dedup_empty_sides(spark):
+    from csv_query_engine_spark.pipeline.dedup import incremental_dedup
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").limit(20)
+    empty = docs.filter("doc_id < 0")
+    # empty incoming -> empty verdict table with the right schema
+    out = incremental_dedup(empty, docs)
+    assert out.count() == 0
+    assert [f.name for f in out.schema.fields] == ["doc_id", "verdict", "dup_of"]
+    # empty corpus -> everything admits
+    out2 = incremental_dedup(docs, empty).collect()
+    assert len(out2) == 20 and all(r["verdict"] == "admit" and r["dup_of"] == -1 for r in out2)
