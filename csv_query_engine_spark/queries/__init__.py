@@ -135,6 +135,9 @@ DRIVER_ORDER: list[str] = [
     "q17_small_quantity_revenue",
     "q18_volume_customers",
     "q19_disjunctive_revenue",
+    # End-to-end cleaning funnel (round 4; composition of quality filter
+    # + exact dedup + token accounting — oracle-bearing, past-window):
+    "docs_clean_corpus_funnel",
     # Rows-only ops (no SQL-expressible oracle; pytest covers recall/
     # precision/planted-neighbor properties):
     "dedup_minhash_lsh_pairs",

@@ -1313,3 +1313,86 @@ def docs_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact-sum determinism story."""
     d = load_tables(spark, sf_dir, ("documents",))["documents"]
     return tx.char_entropy_stats(d).orderBy("doc_id")
+
+
+_SQL_PASSES = (
+    f"(({_SQL_NTOK} >= 25 AND {_SQL_NTOK} <= 120)"
+    f" AND ({_SQL_MTL} >= 3.0 AND {_SQL_MTL} <= 10.0)"
+    f" AND ({_SQL_SW_RATIO} >= 0.02)"
+    f" AND ({_SQL_DRATIO} >= 0.30))"
+)
+
+
+@register(
+    "docs_clean_corpus_funnel",
+    f"""
+    WITH base AS (
+        SELECT doc_id, lang,
+               md5({_SQL_NORM}) AS fp,
+               CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\s]')) AS BIGINT) AS tk,
+               {_SQL_PASSES} AS passes
+        FROM documents
+    ),
+    keep AS (
+        SELECT fp, MIN(doc_id) AS keep_id FROM base WHERE passes GROUP BY fp
+    )
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN passes THEN 1 ELSE 0 END) AS BIGINT) AS n_pass_quality,
+           CAST(SUM(CASE WHEN passes AND b.doc_id = k.keep_id THEN 1 ELSE 0 END) AS BIGINT) AS n_final,
+           CAST(SUM(CASE WHEN passes AND b.doc_id = k.keep_id THEN tk ELSE 0 END) AS BIGINT) AS tokens_final
+    FROM base b LEFT JOIN keep k USING (fp)
+    GROUP BY lang
+    ORDER BY lang
+    """,
+)
+def docs_clean_corpus_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """END-TO-END cleaning funnel per language — the composition every
+    training-data pipeline reports: raw docs → Gopher-rule quality pass
+    → exact-dedup survivors among the passing docs → final BPE-ish token
+    budget. One query shows how the operators compose (quality_filter +
+    fingerprint dedup + token accounting) and that the composition stays
+    oracle-checkable.
+
+    Scale: the per-doc table (fingerprint + token count + verdict) is
+    built once and PERSISTED — it feeds both the survivor min-agg and
+    the final rollup join, and without the persist the regex-heavy
+    projections plus the quality explode-aggregate re-ran per consumer
+    (measured 12-17 s → 1.5 s warm at sf0.1, with _spread decoupling
+    the per-row regex work from the single-file scan layout).
+    Survivorship is a min-agg keyed by the 16-byte digest over passing
+    docs only, joined back on the digest. No text moves after the map
+    side; output is |langs| rows. Cache lifetime caller-owned (see
+    pipeline.cache_scope)."""
+    from pyspark.storagelevel import StorageLevel
+
+    d = load_tables(spark, sf_dir, ("documents",))["documents"]
+    qf = tx.quality_filter(d).select("doc_id", "passes")
+    base = (
+        tx._spread(d.select("doc_id", "lang", "text"))
+        .select(
+            "doc_id",
+            "lang",
+            tx.fingerprint(F.col("text")).alias("fp"),
+            tx.bpe_ish_token_count(F.col("text")).cast("long").alias("tk"),
+        )
+        .join(qf, "doc_id")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    keep = (
+        base.filter(F.col("passes"))
+        .groupBy("fp")
+        .agg(F.min("doc_id").alias("keep_id"))
+    )
+    is_final = F.col("passes") & (F.col("doc_id") == F.col("keep_id"))
+    return (
+        base.join(keep, "fp", "left")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.when(F.col("passes"), 1).otherwise(0)).cast("bigint").alias("n_pass_quality"),
+            F.sum(F.when(is_final, 1).otherwise(0)).cast("bigint").alias("n_final"),
+            F.sum(F.when(is_final, F.col("tk")).otherwise(0)).cast("bigint").alias("tokens_final"),
+        )
+        .orderBy("lang")
+    )
