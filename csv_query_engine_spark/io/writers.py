@@ -43,3 +43,25 @@ def write_orc(df: DataFrame, path: str, mode: str = "overwrite", partition_by: l
     if partition_by:
         w = w.partitionBy(*partition_by)
     w.orc(path)
+
+
+def write_jdbc(
+    df: DataFrame,
+    url: str,
+    table: str,
+    mode: str = "append",
+    batchsize: int = 10_000,
+    num_partitions: int | None = None,
+    **options: str,
+) -> None:
+    """JDBC sink (pairs with readers.read_jdbc). Parallelism contract:
+    each PARTITION opens one connection and writes ``batchsize``-row
+    batches, so the write concurrency IS the partition count — cap it
+    with ``num_partitions`` (coalesce) so a wide DataFrame doesn't open
+    hundreds of connections against the database; raise ``batchsize``
+    for round-trip-dominated links. The Derby round-trip test
+    (tests/test_engine.py) exercises this path."""
+    if num_partitions is not None:
+        df = df.coalesce(num_partitions)
+    opts = {"batchsize": str(batchsize), **options}
+    df.write.mode(mode).jdbc(url, table, properties=opts)

@@ -183,13 +183,16 @@ def test_jdbc_roundtrip_derby(spark, tmp_path):
     unbounded scan through one task)."""
     from csv_query_engine_spark.io.readers import read_jdbc
 
+    from csv_query_engine_spark.io.writers import write_jdbc
+
     url = f"jdbc:derby:{tmp_path}/jdbcdb;create=true"
     src = spark.createDataFrame(
         [(i, f"name_{i}", i * 10) for i in range(100)], "id int, name string, amount int"
     )
-    src.write.jdbc(url, "people", mode="overwrite", properties={
-        "driver": "org.apache.derby.jdbc.EmbeddedDriver"
-    })
+    write_jdbc(
+        src, url, "people", mode="overwrite", num_partitions=2,
+        driver="org.apache.derby.jdbc.EmbeddedDriver",
+    )
 
     whole = read_jdbc(spark, url, "people", driver="org.apache.derby.jdbc.EmbeddedDriver")
     assert whole.count() == 100
