@@ -116,3 +116,66 @@ def range_join_banded(
         & (left[left_ts] < r["_band_end"])
     )
     return left.join(r, cond).drop(r[on]).drop("_band_end")
+
+
+def resample_with_ffill(
+    events: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    bucket: str = "6 hours",
+) -> DataFrame:
+    """Per-key time-grid resampling with forward fill — the temporal
+    alignment step feature pipelines run before joining event streams
+    to models: bucket each key's events onto a fixed grid spanning that
+    key's own [first, last] bucket, aggregate per cell, and carry the
+    last observed aggregate forward across empty cells.
+
+    Output: (key, grid_ts, n_events, bucket_value, filled_value) —
+    ``bucket_value`` is the cell's exact value sum (NULL-sentinel-free:
+    0.0 in empty cells is WRONG for forward-fill semantics, so empty
+    cells carry NULL there) and ``filled_value`` is the last non-null
+    bucket_value at or before the cell.
+
+    Scale: per-key min/max is one map-side-combined aggregate; the grid
+    explode emits span/bucket rows per key (bounded, no global
+    sequence); the left join and the forward-fill window are both keyed
+    and partitioned by the key — no single-task stage, no cross joins.
+    The window's ``last(ignorenulls)`` over an ordered frame is the
+    linear one-pass fill; rows-unbounded-preceding keeps it streaming-
+    friendly (no full-partition buffering).
+    """
+    from csv_query_engine_spark.queries.relational import exact_sum
+
+    b = F.window(ts_col, bucket).getField("start")
+    per_cell = (
+        events.groupBy(F.col(key_col).alias("key"), b.alias("grid_ts"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            # exact fixed-point sum: summation order cannot drift the
+            # double, so the forward-filled values are oracle-stable
+            exact_sum(F.col(value_col), "bucket_value"),
+        )
+    )
+    step = F.expr(f"INTERVAL {bucket}")
+    spans = per_cell.groupBy("key").agg(
+        F.min("grid_ts").alias("_lo"), F.max("grid_ts").alias("_hi")
+    )
+    grid = spans.select(
+        "key", F.explode(F.sequence(F.col("_lo"), F.col("_hi"), step)).alias("grid_ts")
+    )
+    w = (
+        W.partitionBy("key")
+        .orderBy("grid_ts")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return (
+        grid.join(per_cell, ["key", "grid_ts"], "left")
+        .select(
+            F.col("key").alias(key_col),
+            "grid_ts",
+            F.coalesce("n_events", F.lit(0)).cast("long").alias("n_events"),
+            "bucket_value",
+            F.last("bucket_value", ignorenulls=True).over(w).alias("filled_value"),
+        )
+    )

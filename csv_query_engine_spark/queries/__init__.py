@@ -138,6 +138,8 @@ DRIVER_ORDER: list[str] = [
     # End-to-end cleaning funnel (round 4; composition of quality filter
     # + exact dedup + token accounting — oracle-bearing, past-window):
     "docs_clean_corpus_funnel",
+    # Per-key time-grid resampling + forward fill (round 4):
+    "events_resample_ffill",
     # Rows-only ops (no SQL-expressible oracle; pytest covers recall/
     # precision/planted-neighbor properties):
     "dedup_minhash_lsh_pairs",

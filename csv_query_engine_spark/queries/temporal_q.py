@@ -121,3 +121,48 @@ def range_join_shipments_within_month(spark: SparkSession, sf_dir: str) -> DataF
         )
         .orderBy("priority")
     )
+
+
+@register(
+    "events_resample_ffill",
+    """
+    WITH cells AS (
+        SELECT user_id AS key,
+               CAST(time_bucket(INTERVAL '6 hours', ts) AS TIMESTAMP) AS grid_ts,
+               COUNT(*) AS n_events,
+               CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS bucket_value
+        FROM events GROUP BY 1, 2
+    ),
+    spans AS (SELECT key, MIN(grid_ts) AS lo, MAX(grid_ts) AS hi FROM cells GROUP BY key),
+    grid AS (
+        SELECT key, unnest(generate_series(lo, hi, INTERVAL '6 hours')) AS grid_ts FROM spans
+    )
+    SELECT g.key AS user_id,
+           CAST(g.grid_ts AS TIMESTAMP) AS grid_ts,
+           CAST(COALESCE(c.n_events, 0) AS BIGINT) AS n_events,
+           COALESCE(c.bucket_value, -1.0) AS bucket_value,
+           LAST_VALUE(c.bucket_value IGNORE NULLS) OVER (
+               PARTITION BY g.key ORDER BY g.grid_ts
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled_value
+    FROM grid g LEFT JOIN cells c ON g.key = c.key AND g.grid_ts = c.grid_ts
+    ORDER BY user_id, grid_ts
+    """,
+)
+def events_resample_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user 6-hour grid resampling with forward fill
+    (operators.temporal.resample_with_ffill) — the temporal alignment
+    every feature pipeline runs before joining event-derived features.
+    Empty grid cells report the -1.0 sentinel for their own bucket sum
+    (NULL on both engines would drift the pandas repr) and carry the
+    last observed bucket value forward."""
+    e = load_tables(spark, sf_dir, ("events",))["events"]
+    from csv_query_engine_spark.operators.temporal import resample_with_ffill
+
+    out = resample_with_ffill(e)
+    return out.select(
+        "user_id",
+        "grid_ts",
+        "n_events",
+        F.coalesce("bucket_value", F.lit(-1.0)).alias("bucket_value"),
+        "filled_value",
+    ).orderBy("user_id", "grid_ts")

@@ -83,3 +83,28 @@ def test_range_join_banded_half_open_interval(spark):
     # event 1 (Jan 5): inside [Jan 1, Jan 5) is FALSE (half-open), inside
     # [Jan 2, Jan 6) for both tie orders.
     assert pairs == {(1, 200), (1, 201), (2, 100), (2, 200), (2, 201)}
+
+
+def test_resample_ffill_semantics(spark):
+    """Gap cells appear on the grid with n_events=0, keep a NULL bucket
+    sum, and carry the LAST observed bucket value forward."""
+    import datetime as dt
+
+    from csv_query_engine_spark.operators.temporal import resample_with_ffill
+
+    t0 = dt.datetime(2024, 1, 1, 0, 30)
+    rows = [
+        (1, t0, 10.0),                                  # cell 00:00
+        (1, t0 + dt.timedelta(hours=1), 5.0),           # cell 00:00 (same 6h bucket)
+        (1, t0 + dt.timedelta(hours=13), 2.0),          # cell 12:00 — 06:00 is a gap
+        (2, t0, 7.0),                                   # single-cell key
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp, value double")
+    out = {(r["user_id"], r["grid_ts"].hour): r for r in resample_with_ffill(df).collect()}
+    assert set(out) == {(1, 0), (1, 6), (1, 12), (2, 0)}
+    assert out[(1, 0)]["n_events"] == 2 and out[(1, 0)]["bucket_value"] == 15.0
+    gap = out[(1, 6)]
+    assert gap["n_events"] == 0 and gap["bucket_value"] is None
+    assert gap["filled_value"] == 15.0          # carried forward across the gap
+    assert out[(1, 12)]["filled_value"] == 2.0  # new observation resets the fill
+    assert out[(2, 0)]["filled_value"] == 7.0
