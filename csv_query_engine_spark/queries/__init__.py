@@ -140,6 +140,9 @@ DRIVER_ORDER: list[str] = [
     "docs_clean_corpus_funnel",
     # Per-key time-grid resampling + forward fill (round 4):
     "events_resample_ffill",
+    # Distribution profiling + deterministic statistics (round 4):
+    "histogram_order_totals",
+    "corr_qty_price_by_flag",
     # Rows-only ops (no SQL-expressible oracle; pytest covers recall/
     # precision/planted-neighbor properties):
     "dedup_minhash_lsh_pairs",

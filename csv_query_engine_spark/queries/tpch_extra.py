@@ -28,6 +28,7 @@ from csv_query_engine_spark.queries.relational import (
     _revenue_col,
     _sql_exact_sum,
     exact_sum,
+    exact_sum_decimal,
 )
 
 
@@ -513,3 +514,100 @@ def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(cond)
         .agg(exact_sum(_revenue_col(), "revenue"))
     )
+
+
+@register(
+    "histogram_order_totals",
+    """
+    SELECT CAST(LEAST(FLOOR(o_totalprice / 50000), 9) AS INTEGER) AS bucket,
+           CAST(LEAST(FLOOR(o_totalprice / 50000), 9) * 50000 AS BIGINT) AS lo,
+           CAST((LEAST(FLOOR(o_totalprice / 50000), 9) + 1) * 50000 AS BIGINT) AS hi,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS sum_totalprice
+    FROM orders
+    GROUP BY 1, 2, 3
+    ORDER BY bucket
+    """,
+)
+def histogram_order_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equal-width histogram of order value (10 × 50k buckets, top
+    bucket open-ended) — the distribution-profiling aggregate every
+    data-quality report runs. Buckets come from plain integer
+    arithmetic (floor-div of the truncated price), not an engine
+    histogram function, so both engines bucket identically.
+
+    Scale: one scan, map-side partial aggregation to ≤10 groups —
+    output size is constant regardless of input. Bucketing FLOORs the
+    double quotient explicitly: a double→BIGINT cast ROUNDS in DuckDB
+    but truncates in Spark, which flipped a boundary row at sf0.1."""
+    orders = load_tables(spark, sf_dir, ("orders",))["orders"]
+    b = F.least(F.floor(F.col("o_totalprice") / F.lit(50000)), F.lit(9)).cast("int")
+    return (
+        orders
+        .groupBy(
+            b.alias("bucket"),
+            (b.cast("bigint") * 50000).alias("lo"),
+            ((b.cast("bigint") + 1) * 50000).alias("hi"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            exact_sum(F.col("o_totalprice"), "sum_totalprice"),
+        )
+        .orderBy("bucket")
+    )
+
+
+@register(
+    "corr_qty_price_by_flag",
+    """
+    WITH s AS (
+        SELECT l_returnflag,
+               COUNT(*) AS n,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sx,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) AS sy,
+               CAST(SUM(CAST(l_quantity * l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) AS sxy,
+               CAST(SUM(CAST(l_quantity * l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sxx,
+               CAST(SUM(CAST(l_extendedprice * l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) AS syy
+        FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT l_returnflag,
+           CAST(n AS BIGINT) AS n,
+           ROUND((n * sxy - sx * sy)
+                 / (SQRT(n * sxx - sx * sx) * SQRT(n * syy - sy * sy)), 6) AS corr_qty_price
+    FROM s
+    ORDER BY l_returnflag
+    """,
+)
+def corr_qty_price_by_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson correlation of quantity vs extended price per return
+    flag, built from EXACT-SUM components (Σx, Σy, Σxy, Σx², Σy² as
+    fixed-point decimals) instead of the engines' streaming covariance
+    aggregates — those accumulate doubles in partition order and drift
+    between engines/partitionings; the component form is bit-stable, so
+    a statistics aggregate can be oracle-hash-checked like any other.
+
+    Scale: one scan, five map-side-combined sums per group — the same
+    shuffle profile as a plain SUM."""
+    li = load_tables(spark, sf_dir, ("lineitem",))["lineitem"]
+    q, p = F.col("l_quantity"), F.col("l_extendedprice")
+    s = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        exact_sum(q, "sx"),
+        exact_sum(p, "sy"),
+        exact_sum(q * p, "sxy"),
+        exact_sum(q * q, "sxx"),
+        # p² per-row values reach ~1e10 — the long-buffered exact_sum's
+        # |group sum| < 9.2e12 envelope would overflow, so the decimal-
+        # buffered variant carries this component.
+        exact_sum_decimal(p * p, "syy"),
+    )
+    n = F.col("n").cast("double")
+    corr = (n * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        F.sqrt(n * F.col("sxx") - F.col("sx") * F.col("sx"))
+        * F.sqrt(n * F.col("syy") - F.col("sy") * F.col("sy"))
+    )
+    return s.select(
+        "l_returnflag",
+        F.col("n").cast("bigint").alias("n"),
+        F.round(corr, 6).alias("corr_qty_price"),
+    ).orderBy("l_returnflag")

@@ -253,23 +253,33 @@ def test_chunk_documents_rejects_gap_stride(spark):
 
 def test_cache_scope_releases_only_inner_blocks(spark):
     """cache_scope must unpersist what the scope created (SQL cache AND
-    checkpoint RDD blocks) while leaving pre-existing persists alone."""
+    checkpoint RDD blocks) while leaving pre-existing persists alone.
+    Compared by RDD-ID SETS, not counts: in a shared session the
+    ContextCleaner may concurrently collect unrelated earlier blocks,
+    which made count-based assertions flaky."""
     from csv_query_engine_spark.pipeline import cache_scope
     from csv_query_engine_spark.pipeline.dedup import minhash_lsh_pairs
 
+    jvm = spark.sparkContext._jvm
     jsc = spark.sparkContext._jsc.sc()
 
-    def n_persistent():
-        return jsc.getPersistentRDDs().size()
+    def persistent_ids():
+        return {
+            int(rid)
+            for rid in jvm.scala.collection.JavaConverters.mapAsJavaMap(
+                jsc.getPersistentRDDs()
+            ).keys()
+        }
 
     outer = spark.createDataFrame([(i,) for i in range(10)], "x long").persist()
     outer.count()
-    base = n_persistent()
+    before = persistent_ids()
     docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").limit(50)
     with cache_scope(spark):
         minhash_lsh_pairs(docs).count()
-        assert n_persistent() > base
-    assert n_persistent() == base  # inner blocks gone
+        inner_new = persistent_ids() - before
+        assert inner_new, "scope created no persistent blocks?"
+    assert not (persistent_ids() & inner_new), "inner blocks survived the scope"
     assert outer.count() == 10  # outer persist untouched
     outer.unpersist()
 
