@@ -165,3 +165,29 @@ def test_conversion_join_no_cartesian(spark):
     cartesian with a time filter."""
     plan = _plan(spark, "events_conversion_attribution")
     assert "Cartesian" not in plan and "BroadcastNestedLoop" not in plan, plan
+
+
+def test_resample_windows_all_keyed(spark):
+    """The resample grid explode, left join and fill window are all
+    partitioned by the key — no single-task stage, no cross join."""
+    plan = _plan(spark, "events_resample_ffill")
+    assert "SinglePartition" not in plan, plan
+    assert "Cartesian" not in plan and "BroadcastNestedLoop" not in plan, plan
+
+
+def test_histogram_is_one_scan_partial_agg(spark):
+    """Constant-size output: one orders scan with map-side partial
+    aggregation — no join, no shuffle wider than the <=10 groups."""
+    plan = _plan(spark, "histogram_order_totals")
+    # formatted explain names each node once in the tree and once in the
+    # details section — count detail headers for the true node count
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1, plan
+    assert "Join" not in plan, plan
+    assert plan.count("HashAggregate") >= 2, plan
+
+
+def test_corr_components_partial_agg_no_join(spark):
+    plan = _plan(spark, "corr_qty_price_by_flag")
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1, plan
+    assert "Join" not in plan, plan
+    assert plan.count("HashAggregate") >= 2, plan
