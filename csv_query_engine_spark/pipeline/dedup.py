@@ -24,19 +24,8 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from csv_query_engine_spark.pipeline.common import spread as _spread
 from csv_query_engine_spark.pipeline.text import fingerprint, normalize_text, tokens
-
-def _spread(df: DataFrame) -> DataFrame:
-    """Decouple compute parallelism from scan layout: a single-file
-    scan arrives as ONE partition and serializes the per-row stages
-    (measured 50 s single-core for the sf0.1 shingle stage). Only
-    under-partitioned inputs repartition — an input already at session
-    parallelism (the 100 TB case: thousands of scan splits) passes
-    through, avoiding a pointless full shuffle of the raw rows."""
-    p = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() >= p:
-        return df
-    return df.repartition(p)
 
 
 # --------------------------------------------------------------- exact

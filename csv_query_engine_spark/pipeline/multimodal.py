@@ -19,14 +19,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 
-def _spread(df: DataFrame) -> DataFrame:
-    """Decode parallelism must not inherit a single-file scan layout;
-    already-parallel inputs (the 100 TB many-split case) pass through —
-    see pipeline.text._spread."""
-    p = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() >= p:
-        return df
-    return df.repartition(p)
+from csv_query_engine_spark.pipeline.common import spread as _spread
 
 MEDIA_META_SCHEMA = T.StructType(
     [

@@ -22,20 +22,8 @@ from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from csv_query_engine_spark.pipeline.common import spread as _spread
 from csv_query_engine_spark.pipeline.dedup import _in_bucket_pairs
-
-
-def _spread(df: DataFrame) -> DataFrame:
-    """Decouple compute parallelism from scan layout: a single-file
-    scan arrives as ONE partition and serializes the per-row stages
-    (measured 50 s single-core for the sf0.1 shingle stage). Only
-    under-partitioned inputs repartition — an input already at session
-    parallelism (the 100 TB case: thousands of scan splits) passes
-    through, avoiding a pointless full shuffle of the raw rows."""
-    p = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() >= p:
-        return df
-    return df.repartition(p)
 
 
 def dot(u: Column, v: Column) -> Column:
@@ -239,7 +227,23 @@ def embedding_near_dup_pairs(
     """
     band_bits = n_planes // n_bands
     planes = _hyperplanes(n_planes, dim)
-    vecs = _spread(embeddings).select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
+    # Materialize the shared vector table ONCE (same discipline as
+    # minhash_lsh_pairs, dedup.py:312-315): `vecs` feeds the signature
+    # UDF scan AND both exact-verification joins (3 consumers) — without
+    # the persist the embeddings scan + _spread re-run per consumer and
+    # the pandas-UDF signature subtree is re-planned under the candidate
+    # joins (this was the slowest, highest-variance suite entry:
+    # 3.3→15.5→2.6 s across runs at sf0.1). `sigs` has one consumer
+    # (the band explode) so it is deliberately NOT persisted.
+    # MEMORY_AND_DISK: one row per vector, linear in corpus, spillable.
+    # CACHE LIFETIME IS CALLER-OWNED — wrap in pipeline.cache_scope.
+    from pyspark.storagelevel import StorageLevel
+
+    vecs = (
+        _spread(embeddings)
+        .select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
     sigs = vecs.select("id", signature_udf(planes)(F.col("vec")).alias("sig"))
     mask = (1 << band_bits) - 1
     bands = sigs.select(
@@ -255,6 +259,14 @@ def embedding_near_dup_pairs(
         ).alias("be"),
     ).select("id", F.col("be.band").alias("band"), F.col("be.bucket").alias("bucket"))
 
+    # One shuffle does pair-dedup AND verify-stage spreading: an explicit
+    # hash repartition on the pair key satisfies dropDuplicates'
+    # clustering requirement (no second exchange), and the fixed
+    # partition count keeps AQE from coalescing the few-MB pair set to
+    # ~1 partition and serializing the exact cosine verification (the
+    # earlier `.distinct()` + `_spread(cand)` form paid an extra shuffle
+    # + stage for the same result).
+    p = embeddings.sparkSession.sparkContext.defaultParallelism
     cand = (
         _spread(
             bands.groupBy("band", "bucket")
@@ -263,14 +275,11 @@ def embedding_near_dup_pairs(
         )
         .select(F.explode(_in_bucket_pairs(F.col("ids"))).alias("p"))
         .select(F.col("p.id_a"), F.col("p.id_b"))
-        .distinct()
+        .repartition(p, "id_a", "id_b")
+        .dropDuplicates()
     )
-    # _spread(cand) before the vector joins: candidate id pairs are a few
-    # MB, AQE would coalesce them to ~1 partition and serialize the exact
-    # cosine verification (same trap as MinHash verification).
     return (
-        _spread(cand)
-        .join(vecs.select(F.col("id").alias("id_a"), F.col("vec").alias("vec_a")), "id_a")
+        cand.join(vecs.select(F.col("id").alias("id_a"), F.col("vec").alias("vec_a")), "id_a")
         .join(vecs.select(F.col("id").alias("id_b"), F.col("vec").alias("vec_b")), "id_b")
         .select("id_a", "id_b", cosine(F.col("vec_a"), F.col("vec_b")).alias("cosine"))
         .filter(F.col("cosine") >= threshold)

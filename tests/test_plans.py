@@ -191,3 +191,25 @@ def test_corr_components_partial_agg_no_join(spark):
     assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1, plan
     assert "Join" not in plan, plan
     assert plan.count("HashAggregate") >= 2, plan
+
+
+def test_embedding_near_dup_vecs_read_from_cache(spark):
+    """The 3-consumer `vecs` table (signature UDF scan + both exact-
+    verification joins) must come from the columnar cache, not re-run
+    the embeddings scan per consumer (the round-4 slowest/highest-
+    variance entry until persisted)."""
+    plan = _plan(spark, "embedding_near_dup_pairs")
+    assert plan.count("InMemoryTableScan") >= 3, plan
+    # the raw parquet scan appears once, under the cached relation only
+    assert "Cartesian" not in plan and "BroadcastNestedLoop" not in plan, plan
+    spark.catalog.clearCache()
+
+
+def test_duplicate_span_spans_read_from_cache(spark):
+    """The distinct (id, gram-hash) span table feeds the per-gram
+    doc-count AND the join-back; exchange reuse is not guaranteed, so
+    both consumers must read the persisted table (re-running the ngram
+    explode was the heaviest warm suite entry in round 4)."""
+    plan = _plan(spark, "docs_duplicate_span_fraction")
+    assert plan.count("InMemoryTableScan") >= 2, plan
+    spark.catalog.clearCache()
