@@ -17,6 +17,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from csv_query_engine_spark.pipeline.packing import exclusive_bucket_offsets
 from csv_query_engine_spark.pipeline.text import _spread, bpe_ish_token_count, tokens
 
 DEFAULT_CHUNK_TOKENS = 128
@@ -94,10 +95,13 @@ def shard_assignment(
     Scale: the running sum uses the same fully-partitioned hierarchy as
     sequence_packing, keyed by the hash's high bits instead of the id
     range (uniform by construction): per-bucket subtotals (map-side
-    combined) → per-superbucket subtotals → triangular broadcast join
-    for superbucket offsets → windows partitioned by superbucket and
-    bucket. No single-task stage; the oracle reproduces the layout with
-    one (tiny, oracle-side-only) global window.
+    combined) → the shared three-level exclusive prefix sum
+    (:func:`~csv_query_engine_spark.pipeline.packing.
+    exclusive_bucket_offsets` — triangular join only on the
+    k/sb_factor² top table) → a window partitioned by bucket. No
+    single-task stage, no quadratic term in the bucket count; the
+    oracle reproduces the layout with one (tiny, oracle-side-only)
+    global window.
     """
     h = F.conv(F.substring(F.md5(F.concat(F.lit(salt), F.col("id").cast("string"))), 1, 8), 16, 10).cast(
         "long"
@@ -110,21 +114,11 @@ def shard_assignment(
         # contiguous in hash order, so within-bucket order + bucket
         # offsets compose to the global hash order.
         .withColumn("bucket", F.expr(f"hkey div {(1 << 32) // n_buckets}"))
-        .withColumn("sb", F.expr(f"bucket div {sb_factor}"))
     )
 
-    bucket_totals = base.groupBy("sb", "bucket").agg(F.sum("n_tokens").alias("btok"))
-    sb_totals = bucket_totals.groupBy("sb").agg(F.sum("btok").alias("sbtok"))
-    lower = sb_totals.select(F.col("sb").alias("sb_lo"), F.col("sbtok").alias("sbtok_lo"))
-    sb_offsets = (
-        sb_totals.join(F.broadcast(lower), F.col("sb_lo") < F.col("sb"), "left")
-        .groupBy("sb")
-        .agg(F.coalesce(F.sum("sbtok_lo"), F.lit(0)).alias("sb_off"))
-    )
-    w_bucket = Window.partitionBy("sb").orderBy("bucket").rowsBetween(Window.unboundedPreceding, -1)
-    bucket_offsets = bucket_totals.join(F.broadcast(sb_offsets), "sb").select(
-        "bucket",
-        (F.col("sb_off") + F.coalesce(F.sum("btok").over(w_bucket), F.lit(0))).alias("bucket_off"),
+    bucket_totals = base.groupBy("bucket").agg(F.sum("n_tokens").alias("btok"))
+    bucket_offsets = exclusive_bucket_offsets(
+        bucket_totals, "bucket", "btok", "bucket_off", fan=sb_factor
     )
 
     w_in = (

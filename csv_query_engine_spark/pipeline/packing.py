@@ -13,17 +13,14 @@ every window PARTITIONED — no stage funnels the corpus (or any
 corpus-proportional table) through one task:
 
 1. per-bucket subtotals (``id div bucket_size``), map-side combined;
-2. per-superbucket subtotals (``bucket div sb_factor``) — a tiny table,
-   |corpus| / (bucket_size × sb_factor) rows (~38 k at 10^10 docs with
-   the defaults);
-3. exclusive cumsum over superbuckets via a TRIANGULAR self-join
-   (sum of strictly-smaller superbuckets) instead of an unpartitioned
-   window: O(k²) pairs on the tiny table, but broadcastable, fully
-   parallel, and free of the single-task WindowExec the unpartitioned
-   form forces (Spark's "No Partition Defined for Window" warning);
-4. bucket offsets: window over ``btok`` PARTITIONED BY superbucket
-   (≤ sb_factor rows per task);
-5. doc offsets: window over ``n_tokens`` PARTITIONED BY bucket
+2. a THREE-level exclusive prefix sum over the bucket table
+   (:func:`exclusive_bucket_offsets`): two partitioned grouping/window
+   levels of fan-out ``sb_factor`` and a triangular broadcast self-join
+   only on the top |corpus|/(bucket_size × sb_factor²) -row table —
+   ~10 rows at 10^10 docs, so the quadratic term is gone while every
+   stage stays partitioned (no single-task WindowExec, no Spark
+   "No Partition Defined for Window" warning);
+3. doc offsets: window over ``n_tokens`` PARTITIONED BY bucket
    (≤ bucket_size rows per task, after the broadcast join of offsets).
 
 The id-range bucketing keys every window by a prefix of ``id``, so
@@ -38,6 +35,58 @@ from pyspark.sql import functions as F
 from csv_query_engine_spark.pipeline.text import bpe_ish_token_count
 
 DEFAULT_SEQ_LEN = 2048
+
+
+def exclusive_bucket_offsets(
+    bucket_totals: DataFrame,
+    key: str,
+    val: str,
+    out: str,
+    fan: int = 4096,
+) -> DataFrame:
+    """Exclusive prefix sum over a (key, val) totals table with EVERY
+    stage partitioned — the hierarchical cumsum both packing operators
+    share.
+
+    Two grouping levels above the input (``g1 = key div fan``,
+    ``g2 = g1 div fan``) and a triangular broadcast join ONLY on the
+    tiny g2 table: the quadratic term is O((k/fan²)²) — ~10 rows at
+    1.6e8 buckets (10^10 docs at bucket_size 64), where the previous
+    single-level form left O((k/fan)²) ≈ 7×10^8 broadcast-nested-loop
+    comparisons at that scale. Below g2, both refinement steps are
+    windows partitioned by the parent group (≤ fan rows per task), so
+    no stage funnels a corpus-proportional table through one task.
+
+    Returns (key, out) with ``out`` = sum of ``val`` over all strictly
+    smaller keys.
+    """
+    g1c, g2c, g1tok, g2tok = "_g1", "_g2", "_g1tok", "_g2tok"
+    lvl1 = bucket_totals.withColumn(g1c, F.expr(f"{key} div {fan}"))
+    g1_totals = lvl1.groupBy(g1c).agg(F.sum(val).alias(g1tok)).withColumn(
+        g2c, F.expr(f"{g1c} div {fan}")
+    )
+    g2_totals = g1_totals.groupBy(g2c).agg(F.sum(g1tok).alias(g2tok))
+
+    # Triangular exclusive cumsum on the k/fan² -row top table: avoids
+    # the single-task unpartitioned WindowExec however small the table.
+    lower = g2_totals.select(F.col(g2c).alias("_lo"), F.col(g2tok).alias("_lotok"))
+    g2_offsets = (
+        g2_totals.join(F.broadcast(lower), F.col("_lo") < F.col(g2c), "left")
+        .groupBy(g2c)
+        .agg(F.coalesce(F.sum("_lotok"), F.lit(0)).alias("_g2off"))
+    )
+
+    w_g1 = Window.partitionBy(g2c).orderBy(g1c).rowsBetween(Window.unboundedPreceding, -1)
+    g1_offsets = g1_totals.join(F.broadcast(g2_offsets), g2c).select(
+        g1c,
+        (F.col("_g2off") + F.coalesce(F.sum(g1tok).over(w_g1), F.lit(0))).alias("_g1off"),
+    )
+
+    w_key = Window.partitionBy(g1c).orderBy(key).rowsBetween(Window.unboundedPreceding, -1)
+    return lvl1.join(F.broadcast(g1_offsets), g1c).select(
+        key,
+        (F.col("_g1off") + F.coalesce(F.sum(val).over(w_key), F.lit(0))).alias(out),
+    )
 
 
 def sequence_packing(
@@ -60,29 +109,9 @@ def sequence_packing(
         bpe_ish_token_count(F.col(text_col)).cast("long").alias("n_tokens"),
     ).withColumn("bucket", F.expr(f"id div {bucket_size}"))
 
-    bucket_totals = base.groupBy("bucket").agg(F.sum("n_tokens").alias("btok")).withColumn(
-        "sb", F.expr(f"bucket div {sb_factor}")
-    )
-    sb_totals = bucket_totals.groupBy("sb").agg(F.sum("btok").alias("sbtok"))
-
-    # Exclusive cumsum over the tiny superbucket table WITHOUT a window:
-    # left-join every superbucket to the strictly-smaller ones and sum.
-    # Quadratic in #superbuckets, but that count is |corpus|/(bucket_size
-    # × sb_factor) — the join is broadcast-sized and fully parallel,
-    # where an unpartitioned window would be one task however small.
-    lower = sb_totals.select(F.col("sb").alias("sb_lo"), F.col("sbtok").alias("sbtok_lo"))
-    sb_offsets = (
-        sb_totals.join(F.broadcast(lower), F.col("sb_lo") < F.col("sb"), "left")
-        .groupBy("sb")
-        .agg(F.coalesce(F.sum("sbtok_lo"), F.lit(0)).alias("sb_off"))
-    )
-
-    w_bucket = (
-        Window.partitionBy("sb").orderBy("bucket").rowsBetween(Window.unboundedPreceding, -1)
-    )
-    bucket_offsets = bucket_totals.join(F.broadcast(sb_offsets), "sb").select(
-        "bucket",
-        (F.col("sb_off") + F.coalesce(F.sum("btok").over(w_bucket), F.lit(0))).alias("bucket_off"),
+    bucket_totals = base.groupBy("bucket").agg(F.sum("n_tokens").alias("btok"))
+    bucket_offsets = exclusive_bucket_offsets(
+        bucket_totals, "bucket", "btok", "bucket_off", fan=sb_factor
     )
 
     w_in = Window.partitionBy("bucket").orderBy("id").rowsBetween(Window.unboundedPreceding, -1)

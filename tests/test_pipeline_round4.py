@@ -296,3 +296,28 @@ def test_incremental_dedup_empty_sides(spark):
     # empty corpus -> everything admits
     out2 = incremental_dedup(docs, empty).collect()
     assert len(out2) == 20 and all(r["verdict"] == "admit" and r["dup_of"] == -1 for r in out2)
+
+
+def test_exclusive_bucket_offsets_three_level_hierarchy(spark):
+    """The shared hierarchical prefix sum: exact exclusive cumsum with a
+    tiny fan (forcing BOTH grouping levels to be non-trivial), and the
+    triangular broadcast-nested-loop join appears exactly ONCE — at the
+    top k/fan^2 table only, so the quadratic term cannot reappear at a
+    lower level."""
+    from csv_query_engine_spark.pipeline.packing import exclusive_bucket_offsets
+
+    import re
+
+    totals = [(b, (b * 37) % 11 + 1) for b in range(100)]
+    df = spark.createDataFrame(totals, "bucket long, btok long")
+    out = exclusive_bucket_offsets(df, "bucket", "btok", "off", fan=4)
+    # plan BEFORE the action: post-execution AQE explain appends the
+    # Initial Plan section and double-counts nodes
+    plan = _formatted_plan(out)
+    assert len(re.findall(r"\(\d+\) BroadcastNestedLoopJoin", plan)) == 1, plan
+    assert "SinglePartition" not in plan, plan
+    got = {r["bucket"]: r["off"] for r in out.collect()}
+    run = 0
+    for b, v in totals:
+        assert got[b] == run, f"bucket {b}: {got[b]} != {run}"
+        run += v
