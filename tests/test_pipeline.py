@@ -251,10 +251,53 @@ def test_multimodal_plumbing(spark, docs):
         assert abs(sum(r["feature"]) - 1.0) < 1e-3  # normalized histogram
 
 
-def test_multimodal_real_decode_is_stubbed(spark, docs):
+def test_multimodal_real_decode_rejects_unknown_format(spark, docs):
+    # fake media is raw text bytes — not PPM/BMP; the REAL parser must
+    # refuse it rather than produce garbage features
     media = mm.attach_fake_media(docs.limit(1))
-    with pytest.raises(NotImplementedError):
-        mm.decode_media(media, fake=False)
+    with pytest.raises(Exception, match="unsupported media format"):
+        mm.decode_media(media, fake=False).collect()
+
+
+def test_real_ppm_encode_decode_round_trip(spark, docs):
+    import numpy as np
+
+    media = mm.ppm_encode(docs.limit(20))
+    out = {r["doc_id"]: r for r in mm.decode_media(media, fake=False).collect()}
+    assert len(out) == 20
+    for i, r in out.items():
+        w, h = 16 + i % 16, 8 + i % 8
+        assert (r["width"], r["height"]) == (w, h)
+        assert r["n_bytes"] == w * h * 3  # decoded PIXEL bytes, not blob bytes
+        px = (i * 31 + 7 * np.arange(w * h * 3, dtype=np.int64)) % 256
+        assert abs(r["byte_mean"] - px.mean()) < 1e-9
+        assert abs(r["feature"][3] - (px % 8 == 3).mean()) < 1e-9
+
+
+def test_real_bmp_decode(spark):
+    import struct
+
+    import numpy as np
+
+    # hand-built 3x2 24-bit bottom-up BMP with 4-byte row padding;
+    # logical RGB pixels are 1..18 in raster order
+    wid, hei = 3, 2
+    stride = (wid * 3 + 3) & ~3
+    off, pxsize = 54, stride * hei
+    hdr = (
+        b"BM"
+        + struct.pack("<IHHI", off + pxsize, 0, 0, off)
+        + struct.pack("<IiiHHIIiiII", 40, wid, hei, 1, 24, 0, pxsize, 2835, 2835, 0, 0)
+    )
+    top = bytes([3, 2, 1, 6, 5, 4, 9, 8, 7]) + b"\x00" * (stride - 9)
+    bot = bytes([12, 11, 10, 15, 14, 13, 18, 17, 16]) + b"\x00" * (stride - 9)
+    blob = hdr + bot + top  # bottom row stored first
+    df = spark.createDataFrame([(1, bytearray(blob))], "doc_id long, media binary")
+    r = mm.decode_media(df, fake=False).collect()[0]
+    assert (r["width"], r["height"], r["n_bytes"]) == (3, 2, 18)
+    expected = np.arange(1, 19)
+    assert abs(r["byte_mean"] - expected.mean()) < 1e-9
+    assert abs(r["feature"][0] - (expected % 8 == 0).mean()) < 1e-9
 
 
 def test_ivf_topk_finds_planted_neighbors(spark, emb):
@@ -281,8 +324,25 @@ def test_multimodal_resize_plumbing(spark, docs):
     for r in out:
         assert r["meta"]["width"] == 8 and r["meta"]["height"] == 4
         assert len(r["media"]) == 32  # width*height bytes exactly
-    with pytest.raises(NotImplementedError):
-        mm.resize_media(media, 8, 4, fake=False)
+
+
+def test_real_ppm_resize_nearest_neighbor(spark, docs):
+    import numpy as np
+
+    media = mm.ppm_encode(docs.limit(5))
+    resized = mm.resize_media(media, width=4, height=2, fake=False)
+    # the output is itself a valid PPM: decode it with the REAL parser
+    out = {r["doc_id"]: r for r in mm.decode_media(resized, fake=False).collect()}
+    assert len(out) == 5
+    for i, r in out.items():
+        assert (r["width"], r["height"], r["n_bytes"]) == (4, 2, 24)
+        # expected NN sample of the closed-form source image
+        sw, sh = 16 + i % 16, 8 + i % 8
+        src = ((i * 31 + 7 * np.arange(sw * sh * 3, dtype=np.int64)) % 256).reshape(sh, sw, 3)
+        yi = np.minimum((np.arange(2) * sh) // 2, sh - 1)
+        xi = np.minimum((np.arange(4) * sw) // 4, sw - 1)
+        exp = src[yi][:, xi].reshape(-1)
+        assert abs(r["byte_mean"] - exp.mean()) < 1e-9
 
 
 def test_multimodal_frame_sampling(spark, docs):
@@ -296,8 +356,25 @@ def test_multimodal_frame_sampling(spark, docs):
     for idxs in by_doc.values():
         assert idxs == sorted(idxs)
         assert all(i % 2 == 0 for i in idxs)  # every_n=2 keeps even frames
-    with pytest.raises(NotImplementedError):
-        mm.sample_frames(media, fake=False)
+
+
+def test_real_ppm_stream_frame_sampling(spark):
+    import numpy as np
+
+    # a 5-frame concatenated-PPM "video" (image2pipe layout), frames of
+    # DIFFERENT sizes so boundary math must come from the parsed headers
+    frames = []
+    for fi in range(5):
+        w, h = 2 + fi, 2
+        px = ((fi * 11 + np.arange(w * h * 3)) % 256).astype(np.uint8)
+        frames.append(f"P6\n{w} {h}\n255\n".encode() + px.tobytes())
+    blob = b"".join(frames)
+    df = spark.createDataFrame([(7, bytearray(blob))], "doc_id long, media binary")
+    out = sorted(mm.sample_frames(df, every_n=2, fake=False).collect(), key=lambda r: r["frame_idx"])
+    assert [r["frame_idx"] for r in out] == [0, 2, 4]
+    for r in out:
+        fi = r["frame_idx"]
+        assert bytes(r["frame"]) == frames[fi]  # re-emitted standalone PPM
 
 
 # ----------------------------------------------------------- sampling ops
