@@ -196,3 +196,60 @@ def events_conversion_attribution(spark: SparkSession, sf_dir: str) -> DataFrame
         )
         .orderBy("user_id")
     )
+
+
+@register(
+    "events_view_conversion_flags",
+    """
+    WITH v AS (
+        SELECT user_id, event_id AS view_id, ts AS view_ts
+        FROM events WHERE event_type = 'view'
+    ),
+    p AS (
+        SELECT user_id, event_id AS purchase_id, ts AS purchase_ts,
+               value AS purchase_value
+        FROM events WHERE event_type = 'purchase'
+    )
+    SELECT v.user_id, v.view_id,
+           CAST(COUNT(p.purchase_id) AS BIGINT) AS n_purchases,
+           (COUNT(p.purchase_id) > 0) AS converted,
+           CAST(COALESCE(MIN(date_diff('second', view_ts, purchase_ts)), -1) AS BIGINT)
+               AS first_delay_s,
+           CAST(COALESCE(SUM(CAST(purchase_value AS DECIMAL(18,6))), 0) AS DOUBLE)
+               AS attributed_value
+    FROM v LEFT JOIN p
+      ON v.user_id = p.user_id
+     AND purchase_ts >= view_ts
+     AND purchase_ts <= view_ts + INTERVAL 60 MINUTE
+    GROUP BY v.user_id, v.view_id
+    ORDER BY v.user_id, v.view_id
+    """,
+)
+def events_view_conversion_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of streaming.conversion_join(how='left_outer') — the
+    OUTER half of the attribution contract: every view emits, converted
+    or not (null purchase columns rolled up to n_purchases=0 /
+    first_delay_s=-1 / attributed_value=0.0; sentinels COALESCEd on
+    both sides per the nullable-numeric invariant).
+
+    Scale: same user-keyed interval join as the inner twin — one
+    shuffle per side on user_id; outer rows add no pair-space growth
+    (at most one null-extended row per view). In the streaming form the
+    unmatched view emits exactly when the watermark proves no purchase
+    can still arrive (state expiry), which is the same row this batch
+    plan produces eagerly."""
+    from csv_query_engine_spark.streaming.events import conversion_join
+
+    e = load_tables(spark, sf_dir, ("events",))["events"]
+    pairs = conversion_join(e, e, how="left_outer")
+    delay_s = F.unix_timestamp("purchase_ts") - F.unix_timestamp("view_ts")
+    return (
+        pairs.groupBy("user_id", "view_id")
+        .agg(
+            F.count("purchase_id").alias("n_purchases"),
+            (F.count("purchase_id") > 0).alias("converted"),
+            F.coalesce(F.min(delay_s), F.lit(-1)).cast("bigint").alias("first_delay_s"),
+            exact_sum(F.coalesce(F.col("purchase_value"), F.lit(0.0)), "attributed_value"),
+        )
+        .orderBy("user_id", "view_id")
+    )

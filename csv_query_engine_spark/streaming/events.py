@@ -169,6 +169,7 @@ def conversion_join(
     purchases: DataFrame,
     horizon_minutes: int = 60,
     watermark: str = "2 hours",
+    how: str = "inner",
 ) -> DataFrame:
     """STREAM-STREAM interval join: each 'view' event paired with every
     'purchase' by the same user within ``horizon_minutes`` after it —
@@ -182,13 +183,36 @@ def conversion_join(
     buffered purchase once the view-side watermark passes purchase_ts.
     Without the time bound the state store would grow with the stream.
 
+    ``how="left_outer"`` is the other half of the attribution contract:
+    views that never convert DO emit, with null purchase columns — in
+    streaming mode only once the watermark passes ``view_ts + horizon``
+    (the row is provably unmatched then; rows still inside the horizon
+    at query end stay in state and are not emitted — the correct
+    at-most-once-and-only-when-final semantics), in batch mode
+    immediately. The batch twin with the DuckDB oracle is
+    queries/streaming_q.events_view_conversion_flags.
+
     Pass the same source twice for a self-join stream (two independent
-    readStream plans); the batch twin with the DuckDB oracle is
+    readStream plans); the inner batch twin with the DuckDB oracle is
     queries/streaming_q.events_conversion_attribution.
     """
+    if how not in ("inner", "left_outer"):
+        raise ValueError(f"how must be 'inner' or 'left_outer', got {how!r}")
+    # Watermark BEFORE the event_type filter so that, where the filter
+    # is NOT pushable below the watermark node, every event advances the
+    # per-stream watermark. CONTRACT (measured here): for pushable
+    # sources (parquet/file streams) Catalyst still pushes the
+    # event_type predicate into the scan, so a side whose event type
+    # stops arriving (e.g. no more purchases) freezes its per-stream
+    # watermark, the global watermark (min across streams) stalls with
+    # it, and outer-join state is never evicted — unmatched views are
+    # then never emitted. Production attribution streams must keep both
+    # event types flowing (heartbeats) or set
+    # spark.sql.streaming.multipleWatermarkPolicy=max (weaker lateness
+    # guarantee). The test exercises the trickling-purchases case.
     v = (
-        views.filter(F.col("event_type") == "view")
-        .withWatermark("ts", watermark)
+        views.withWatermark("ts", watermark)
+        .filter(F.col("event_type") == "view")
         .select(
             "user_id",
             F.col("event_id").alias("view_id"),
@@ -196,8 +220,8 @@ def conversion_join(
         )
     )
     p = (
-        purchases.filter(F.col("event_type") == "purchase")
-        .withWatermark("ts", watermark)
+        purchases.withWatermark("ts", watermark)
+        .filter(F.col("event_type") == "purchase")
         .select(
             F.col("user_id").alias("p_user_id"),
             F.col("event_id").alias("purchase_id"),
@@ -210,7 +234,7 @@ def conversion_join(
         & (F.col("purchase_ts") >= F.col("view_ts"))
         & (F.col("purchase_ts") <= F.col("view_ts") + F.expr(f"INTERVAL {horizon_minutes} MINUTES"))
     )
-    return v.join(p, cond).select(
+    return v.join(p, cond, how).select(
         "user_id", "view_id", "purchase_id", "view_ts", "purchase_ts", "purchase_value"
     )
 

@@ -187,3 +187,66 @@ def test_stream_stream_conversion_join_matches_batch(spark):
     e = load_tables(spark, SF_SMOKE, ("events",))["events"]
     want = {(r["view_id"], r["purchase_id"]) for r in conversion_join(e, e).collect()}
     assert got == want and len(want) > 0
+
+
+def test_stream_stream_left_outer_emits_unmatched_after_watermark(spark, tmp_path):
+    """The outer half of the attribution contract: a view with no
+    purchase inside the horizon must EMIT (null purchase columns) once
+    the watermark passes view_ts + horizon — and not before. Two files
+    drive two micro-batches; the second carries much-later timestamps
+    to push the watermark past the first batch's horizon."""
+    import datetime as dt
+
+    from csv_query_engine_spark.streaming import conversion_join
+
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+    rows1 = [
+        # user 1: view converts 10 minutes later
+        (101, 1, "view", t0, 0.0),
+        (201, 1, "purchase", t0 + dt.timedelta(minutes=10), 5.0),
+        # user 2: view never converts
+        (102, 2, "view", t0, 0.0),
+    ]
+    # batch 2, three days later, advances the watermark far past
+    # t0 + horizon; state eviction (and therefore outer emission) runs
+    # in the batch AFTER the watermark update, so batch 3 exists to
+    # flush batch 1's unmatched view. Purchases keep trickling (the
+    # operator's documented watermark contract: the event_type filter is
+    # pushed into the scan, so a side with NO arriving purchases would
+    # stall the min-watermark). The late events themselves stay in
+    # state / match nothing (correctly unemitted).
+    t1 = t0 + dt.timedelta(days=3)
+    rows2 = [(103, 3, "view", t1, 0.0), (202, 93, "purchase", t1, 1.0)]
+    rows3 = [
+        (104, 4, "view", t1 + dt.timedelta(days=3), 0.0),
+        (203, 94, "purchase", t1 + dt.timedelta(days=3), 1.0),
+    ]
+    schema = "event_id long, user_id long, event_type string, ts timestamp, value double"
+    src = str(tmp_path / "stream_src")
+    for rows in (rows1, rows2, rows3):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode("append").parquet(src)
+
+    def one_file_stream():
+        return ensure_event_time(
+            spark.readStream.schema(spark.read.parquet(src).schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src)
+        )
+
+    joined = conversion_join(
+        one_file_stream(), one_file_stream(), horizon_minutes=60,
+        watermark="10 minutes", how="left_outer",
+    )
+    assert joined.isStreaming
+    out = run_stream_to_memory(joined, "conv_outer", output_mode="append").collect()
+    by_view = {r["view_id"]: r for r in out}
+    # converting view pairs with its purchase
+    assert by_view[101]["purchase_id"] == 201
+    assert by_view[101]["purchase_value"] == 5.0
+    # non-converting view EMITS with nulls after watermark expiry
+    assert 102 in by_view, f"unmatched view never emitted: {out}"
+    assert by_view[102]["purchase_id"] is None
+    assert by_view[102]["purchase_ts"] is None
+    # the last batch's view is still inside its horizon at query end ->
+    # stays in state, not emitted
+    assert 104 not in by_view
