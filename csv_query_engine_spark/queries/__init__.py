@@ -38,40 +38,41 @@ DRIVER_ORDER: list[str] = [
     "q3_shipping_priority",
     "q5_local_supplier_volume",
     "dedup_collapse_returnflags",
-    "distinct_agg_customers",
     "percentiles_extprice_by_flag",
-    "having_high_volume_customers",
     "rollup_flag_status",
-    "pivot_status_by_segment",
     "join_kinds_outer",
-    "semi_join_customers_with_urgent",
     "anti_join_parts_never_ordered",
     "correlated_scalar_subquery",
-    "topk_parts_per_brand",
     "setops_segment_overlap",
-    "predicates_in_like_between",
     "json_props_extract",
     "array_funcs_embeddings",
-    # Round-4 rotations IN: the window slots of six category siblings
-    # (stats_acctbal/collect_priorities/groupingsets — the aggregation
-    # family keeps 6 rows; self_join/exists — joins keep 4;
-    # scalar_string — scalar fns keep predicates+json+array) now carry
-    # the round-4 capabilities so CORRECTNESS_r04 exercises them:
+    # Round-5 rotations IN (per round-4 verdict #5): the eight TPC-H
+    # classics added in round 4 — oracle-green locally but never
+    # driver-certified — take the window slots of eight multi-round-
+    # green category siblings (distinct_agg/having/pivot — aggregation
+    # keeps q1+rollup+percentiles+dedup_collapse; semi_join — q4 is the
+    # LeftSemi shape; topk_parts — q3/q10/q15/q18 are top-k;
+    # window_running — lag+range-frame stay; predicates_in_like —
+    # q19's disjunctive predicate pushdown; events_sliding — hourly+
+    # sessionization+conversion stay):
+    "q4_priority_late_ship",
     "q6_forecast_revenue",
     "q7_nation_trade_volume",
+    "q8_market_share",
+    "q9_profit_proxy",
+    "q14_promo_revenue_share",
+    "q15_top_supplier",
+    "q17_small_quantity_revenue",
+    "q18_volume_customers",
+    "q19_disjunctive_revenue",
     "window_lag_order_gaps",
-    "window_running_revenue",
     "window_range_frame_moving_sum",
-    # q10 (flagship-class multi-join aggregate) holds the window slot of
-    # window_distribution_funcs, whose family keeps 3 other in-window
-    # rows (lag / running / range-frame) — rotated per round-3 verdict.
     "q10_returned_item_report",
     # -- temporal joins
     "asof_join_last_order_before_event",
     "range_join_shipments_within_month",
     # -- streaming batch twins
     "events_hourly_counts",
-    "events_sliding_counts",
     "events_sessionization",
     # -- LLM-pipeline: text analysis / dedup / sampling / embeddings / UDF
     "docs_lang_id",
@@ -97,6 +98,16 @@ DRIVER_ORDER: list[str] = [
     "docs_char_entropy",
     "events_conversion_attribution",
     # ==================== driver window ends at 50 ====================
+    # Rotated OUT in round 5 (multiple green driver rounds each; their
+    # capability families stay in-window — see the rotation note above):
+    "distinct_agg_customers",
+    "having_high_volume_customers",
+    "pivot_status_by_segment",
+    "semi_join_customers_with_urgent",
+    "topk_parts_per_brand",
+    "window_running_revenue",
+    "predicates_in_like_between",
+    "events_sliding_counts",
     # Category siblings of in-window green rows (pii reports honest
     # zeros on the PII-free synthetic corpus — real hits are pytest-
     # covered — so the non-vacuous vocab query takes the window slot):
@@ -124,17 +135,6 @@ DRIVER_ORDER: list[str] = [
     "dedup_ngram_jaccard_pairs",
     "multimodal_decode_features",
     "multimodal_frame_sample",
-    # Extended TPC-H-adapted coverage (round 4, queries/tpch_extra.py);
-    # oracle-bearing but past-window — relational-core siblings of the
-    # in-window classics (q6/q7 rotated INTO the window above):
-    "q4_priority_late_ship",
-    "q8_market_share",
-    "q9_profit_proxy",
-    "q14_promo_revenue_share",
-    "q15_top_supplier",
-    "q17_small_quantity_revenue",
-    "q18_volume_customers",
-    "q19_disjunctive_revenue",
     # End-to-end cleaning funnel (round 4; composition of quality filter
     # + exact dedup + token accounting — oracle-bearing, past-window):
     "docs_clean_corpus_funnel",
@@ -143,6 +143,10 @@ DRIVER_ORDER: list[str] = [
     # Distribution profiling + deterministic statistics (round 4):
     "histogram_order_totals",
     "corr_qty_price_by_flag",
+    # Round-5 additions (both oracle-bearing): the outer half of the
+    # stream-stream attribution contract, and the REAL PPM decode path:
+    "events_view_conversion_flags",
+    "media_ppm_decode_stats",
     # Rows-only ops (no SQL-expressible oracle; pytest covers recall/
     # precision/planted-neighbor properties):
     "dedup_minhash_lsh_pairs",
