@@ -78,3 +78,51 @@ def test_bucketed_join_has_no_shuffle(spark, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
         spark.sql("DROP TABLE IF EXISTS t_orders_b")
         spark.sql("DROP TABLE IF EXISTS t_lines_b")
+
+
+def test_aqe_skew_join_splits_hot_partition(spark):
+    """AQE's own skew handling (spark.sql.adaptive.skewJoin): a
+    shuffle sort-merge join with one hot key must come out of adaptive
+    replanning with the skewed partition SPLIT — SortMergeJoin(skew=
+    true) over an 'AQEShuffleRead … skewed' reader — with no manual
+    salting.
+
+    When each tool wins (the division of labor this suite documents):
+    AQE handles skewed BATCH shuffle joins automatically at runtime
+    from actual partition sizes — prefer it there (zero code, exact
+    stats). salted_join remains necessary where AQE cannot act: stream-
+    static joins (no adaptive replanning of streams), skewed
+    AGGREGATIONS (skewJoin only rewrites joins), and keys so hot a
+    single right-side match-set still overwhelms one task after
+    splitting. The bucketed tables cover the third regime: repeated
+    joins where the shuffle itself is the cost."""
+    confs = {
+        # test-scale thresholds: the hot partition is ~5 MB, production
+        # defaults (256 MB) would never fire at fixture size
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "128KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "32KB",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",  # force SMJ
+    }
+    prev = {k: spark.conf.get(k) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        # 300k of 400k rows land on key 0 -> one shuffle partition is
+        # >100x the median
+        left = spark.range(0, 400_000).select(
+            F.when(F.col("id") < 300_000, F.lit(0)).otherwise(F.col("id") % 100).alias("k"),
+            F.col("id").alias("v"),
+        )
+        right = spark.range(0, 101).select(F.col("id").alias("k"), (F.col("id") * 2).alias("w"))
+        joined = left.join(right, "k")
+        assert joined.count() == 400_000  # correctness unaffected by the split
+        joined.collect()  # finalize THIS plan instance adaptively
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "isFinalPlan=true" in plan, plan
+        assert "SortMergeJoin(skew=true)" in plan, plan
+        assert "skewed" in plan, plan  # AQEShuffleRead split the hot partition
+    finally:
+        for k, v in prev.items():
+            spark.conf.set(k, v)
