@@ -147,6 +147,18 @@ DRIVER_ORDER: list[str] = [
     # stream-stream attribution contract, and the REAL PPM decode path:
     "events_view_conversion_flags",
     "media_ppm_decode_stats",
+    # Round-5: the remaining eight classic TPC-H plan shapes (schema-
+    # adapted — see queries/tpch_extra.py round-5 section). All oracle-
+    # bearing, past-window (their plan-shape families are in-window via
+    # the round-4 classics):
+    "q2_min_cost_supplier",
+    "q11_important_parts",
+    "q12_ship_lag_priority",
+    "q13_customer_order_distribution",
+    "q16_supplier_part_variety",
+    "q20_dominant_part_suppliers",
+    "q21_sole_late_shipper",
+    "q22_dormant_customer_balance",
     # Rows-only ops (no SQL-expressible oracle; pytest covers recall/
     # precision/planted-neighbor properties):
     "dedup_minhash_lsh_pairs",

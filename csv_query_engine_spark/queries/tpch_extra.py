@@ -1,4 +1,5 @@
-"""Extended TPC-H-adapted coverage (round 4).
+"""Extended TPC-H-adapted coverage (rounds 4-5): all 22 classic plan
+shapes (Q1/Q3/Q5/Q10 live in queries/relational.py).
 
 The harness star schema carries no ``partsupp`` table and its lineitem
 has no commit/receipt dates or ship modes, so the classics that depend
@@ -8,7 +9,13 @@ EXISTS-semi-join (Q4), tight scan-side filter conjunction (Q6),
 bidirectional nation-pair volume (Q7), conditional market share (Q8),
 profit decomposition (Q9), promo share (Q14), argmax-by-group via a
 scalar subquery (Q15), per-group correlated threshold (Q17), HAVING
-top-N (Q18), and disjunctive multi-column predicates (Q19).
+top-N (Q18), disjunctive multi-column predicates (Q19); and (round 5)
+correlated-MIN-joined-back snowflake (Q2), group-vs-global HAVING
+fraction (Q11), conditional-sum pivot on a derived class (Q12),
+outer-join-with-predicate double aggregation (Q13), distinct-count
+with NOT-IN blacklist (Q16), nested-IN volume-share threshold (Q20),
+EXISTS + correlated NOT EXISTS on the same fact (Q21), and scalar-AVG
+subquery + anti-join country rollup (Q22).
 
 Determinism follows queries/relational.py: exact-sum fixed-point
 aggregation, identical aliases on both sides, unique-key tiebreakers
@@ -27,6 +34,7 @@ from csv_query_engine_spark.queries.relational import (
     REVENUE,
     _revenue_col,
     _sql_exact_sum,
+    _unscaled,
     exact_sum,
     exact_sum_decimal,
 )
@@ -611,3 +619,513 @@ def corr_qty_price_by_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n").cast("bigint").alias("n"),
         F.round(corr, 6).alias("corr_qty_price"),
     ).orderBy("l_returnflag")
+
+
+# ---------------------------------------------------------------- round 5
+#
+# The remaining eight classic shapes (Q2/Q11/Q12/Q13/Q16/Q20/Q21/Q22),
+# re-targeted onto the harness schema (no partsupp / ship modes /
+# commit+receipt dates — lineitem serves as the part-supplier fact and
+# ship lag serves as the lateness signal).  With these, all 22 classic
+# TPC-H plan shapes have an oracle-paired query in the registry.
+
+
+@register(
+    "q2_min_cost_supplier",
+    """
+    SELECT DISTINCT s.s_acctbal, s.s_name, n.n_name, p.p_partkey, p.p_name,
+           l.l_extendedprice AS min_price
+    FROM part p
+    JOIN lineitem l ON l.l_partkey = p.p_partkey
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    WHERE p.p_size BETWEEN 1 AND 15 AND p.p_type = 'ECONOMY' AND r.r_name = 'ASIA'
+      AND l.l_extendedprice = (
+          SELECT MIN(l2.l_extendedprice)
+          FROM lineitem l2
+          JOIN supplier s2 ON s2.s_suppkey = l2.l_suppkey
+          JOIN nation n2 ON s2.s_nationkey = n2.n_nationkey
+          JOIN region r2 ON n2.n_regionkey = r2.r_regionkey
+          WHERE l2.l_partkey = p.p_partkey AND r2.r_name = 'ASIA')
+    ORDER BY s.s_acctbal DESC, n.n_name, s.s_name, p.p_partkey
+    LIMIT 100
+    """,
+)
+def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape (minimum-cost supplier): for each qualifying part,
+    the supplier(s) in one region that shipped it at the minimum price —
+    the correlated-MIN-joined-back shape with a 4-dimension snowflake
+    and an ordered LIMIT.  lineitem stands in for partsupp; the stored
+    l_extendedprice double is the "supplycost", so the MIN and the
+    equality join are bit-exact in both engines (no summation).
+
+    Scale: the region->nation->supplier chain is a broadcast dimension
+    (130 rows) pruned BEFORE touching lineitem; the per-part MIN is a
+    partial+final aggregate on l_partkey joined back (one lineitem
+    shuffle, not a per-row subquery); the part filter prunes via a
+    broadcast; DISTINCT collapses price-tied duplicate lineitems; the
+    ordering carries (s_name, p_partkey) so LIMIT 100 cuts on a unique
+    key."""
+    t = load_tables(spark, sf_dir, ("part", "lineitem", "supplier", "nation", "region"))
+    dim = (
+        t["supplier"]
+        .join(t["nation"], F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(
+            t["region"].filter(F.col("r_name") == "ASIA"),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .select("s_suppkey", "s_acctbal", "s_name", "n_name")
+    )
+    li = t["lineitem"].join(
+        F.broadcast(dim), F.col("l_suppkey") == F.col("s_suppkey")
+    ).select("l_partkey", "l_extendedprice", "s_acctbal", "s_name", "n_name")
+    best = li.groupBy("l_partkey").agg(F.min("l_extendedprice").alias("_min_price"))
+    parts = (
+        t["part"]
+        .filter(
+            (F.col("p_size") >= 1) & (F.col("p_size") <= 15) & (F.col("p_type") == "ECONOMY")
+        )
+        .select("p_partkey", "p_name")
+    )
+    return (
+        li.join(F.broadcast(parts), F.col("l_partkey") == F.col("p_partkey"))
+        .join(best, "l_partkey")
+        .filter(F.col("l_extendedprice") == F.col("_min_price"))
+        .select(
+            "s_acctbal",
+            "s_name",
+            "n_name",
+            "p_partkey",
+            "p_name",
+            F.col("l_extendedprice").alias("min_price"),
+        )
+        .distinct()
+        .orderBy(F.desc("s_acctbal"), "n_name", "s_name", "p_partkey")
+        .limit(100)
+    )
+
+
+@register(
+    "q11_important_parts",
+    f"""
+    SELECT l.l_partkey AS p_partkey,
+           {_sql_exact_sum(REVENUE, 'part_value')}
+    FROM lineitem l
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    WHERE n.n_name = 'NATION_1'
+    GROUP BY l.l_partkey
+    HAVING CAST(SUM(CAST({REVENUE} AS DECIMAL(18,6))) AS DOUBLE) > (
+        SELECT 0.001 * CAST(SUM(CAST({REVENUE} AS DECIMAL(18,6))) AS DOUBLE)
+        FROM lineitem l2
+        JOIN supplier s2 ON l2.l_suppkey = s2.s_suppkey
+        JOIN nation n2 ON s2.s_nationkey = n2.n_nationkey
+        WHERE n2.n_name = 'NATION_1')
+    ORDER BY part_value DESC, p_partkey
+    """,
+)
+def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape (important stock): per-part revenue through one
+    nation's suppliers, kept only when it exceeds a fraction of the
+    global total — group agg HAVING > scalar-subquery-of-the-same-agg.
+
+    Scale: ONE shuffled aggregation on l_partkey produces the per-part
+    table; the global threshold is its single-row re-aggregate joined
+    by broadcast (never a second lineitem scan — the grouped table is
+    ~200k rows max at any SF).  Determinism: the group sums are kept as
+    unscaled fixed-point longs and the global total is the decimal sum
+    of those longs — both the per-part doubles and the threshold are
+    then bit-identical to DuckDB's decimal arithmetic, so the HAVING
+    comparison never straddles a rounding boundary."""
+    t = load_tables(spark, sf_dir, ("lineitem", "supplier", "nation"))
+    dim = (
+        t["supplier"]
+        .join(
+            t["nation"].filter(F.col("n_name") == "NATION_1"),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("s_suppkey")
+    )
+    per_part = (
+        t["lineitem"]
+        .join(F.broadcast(dim), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy(F.col("l_partkey").alias("p_partkey"))
+        .agg(F.sum(_unscaled(_revenue_col(), 6)).alias("_u"))
+    )
+    total = per_part.agg(
+        (
+            F.lit(0.001)
+            * (
+                F.sum(F.col("_u").cast("decimal(38,0)"))
+                / F.lit(10**6).cast("decimal(12,0)")
+            ).cast("double")
+        ).alias("_threshold")
+    )
+    part_value = (
+        (F.col("_u").cast("decimal(38,6)") / F.lit(10**6).cast("decimal(12,0)"))
+        .cast("double")
+        .alias("part_value")
+    )
+    return (
+        per_part.select("p_partkey", part_value)
+        .join(F.broadcast(total), F.col("part_value") > F.col("_threshold"))
+        .select("p_partkey", "part_value")
+        .orderBy(F.desc("part_value"), "p_partkey")
+    )
+
+
+@register(
+    "q12_ship_lag_priority",
+    """
+    SELECT CASE WHEN l.l_shipdate <= o.o_orderdate + INTERVAL 30 DAY
+                THEN 'FAST' ELSE 'SLOW' END AS ship_class,
+           CAST(SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(SUM(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+    FROM orders o
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE l.l_shipdate >= TIMESTAMP '1997-01-01'
+      AND l.l_shipdate < TIMESTAMP '1998-01-01'
+    GROUP BY ship_class
+    ORDER BY ship_class
+    """,
+)
+def q12_ship_lag_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape (shipping modes and order priority): lineitems
+    bucketed into shipping classes (ship lag stands in for the absent
+    l_shipmode), with urgent-vs-other order counts pivoted into two
+    conditional sums per class.
+
+    Scale: the year filter pushes into the lineitem scan; one shuffle
+    join on the order key (orders side carries only key+priority+date);
+    the CASE sums partial-aggregate map-side into 2 groups."""
+    t = load_tables(spark, sf_dir, ("orders", "lineitem"))
+    li = t["lineitem"].filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    urgent = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        t["orders"]
+        .select("o_orderkey", "o_orderdate", "o_orderpriority")
+        .join(li.select("l_orderkey", "l_shipdate"), F.col("l_orderkey") == F.col("o_orderkey"))
+        .withColumn(
+            "ship_class",
+            F.when(
+                F.col("l_shipdate") <= F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS"),
+                F.lit("FAST"),
+            ).otherwise(F.lit("SLOW")),
+        )
+        .groupBy("ship_class")
+        .agg(
+            F.sum(F.when(urgent, 1).otherwise(0)).cast("bigint").alias("high_line_count"),
+            F.sum(F.when(~urgent, 1).otherwise(0)).cast("bigint").alias("low_line_count"),
+        )
+        .orderBy("ship_class")
+    )
+
+
+@register(
+    "q13_customer_order_distribution",
+    """
+    SELECT c_count, CAST(COUNT(*) AS BIGINT) AS custdist
+    FROM (
+        SELECT c.c_custkey, CAST(COUNT(o.o_orderkey) AS BIGINT) AS c_count
+        FROM customer c
+        LEFT OUTER JOIN orders o
+          ON c.c_custkey = o.o_custkey AND o.o_orderpriority <> '1-URGENT'
+        GROUP BY c.c_custkey
+    ) t
+    GROUP BY c_count
+    ORDER BY custdist DESC, c_count DESC
+    """,
+)
+def q13_customer_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 (customer distribution): how many customers placed k
+    qualifying orders, for each k — the LEFT-OUTER-join-with-predicate
+    + double aggregation shape (COUNT(col) must NOT count the null
+    rows the outer join produces for order-less customers).
+
+    Scale: the join predicate filters the orders side BEFORE the join
+    (pushed as a scan filter, not a post-join filter); first agg
+    shuffles on c_custkey, second on the (tiny, ≤ max-orders-) c_count
+    domain; both partial-aggregate map-side."""
+    t = load_tables(spark, sf_dir, ("customer", "orders"))
+    o = t["orders"].filter(F.col("o_orderpriority") != "1-URGENT").select(
+        "o_custkey", "o_orderkey"
+    )
+    per_cust = (
+        t["customer"]
+        .select("c_custkey")
+        .join(o, F.col("c_custkey") == F.col("o_custkey"), "left_outer")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").cast("bigint").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("custdist"))
+        .orderBy(F.desc("custdist"), F.desc("c_count"))
+    )
+
+
+@register(
+    "q16_supplier_part_variety",
+    """
+    SELECT p.p_brand, p.p_type, p.p_size,
+           CAST(COUNT(DISTINCT l.l_suppkey) AS BIGINT) AS supplier_cnt
+    FROM lineitem l
+    JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE p.p_brand <> 'Brand#1'
+      AND p.p_type <> 'PROMO'
+      AND p.p_size IN (1, 5, 9, 14, 19, 23, 36, 45)
+      AND l.l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+    GROUP BY p.p_brand, p.p_type, p.p_size
+    ORDER BY supplier_cnt DESC, p.p_brand, p.p_type, p.p_size
+    """,
+)
+def q16_supplier_part_variety(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape (parts/supplier relationship): distinct-supplier
+    counts per part attribute triple, excluding a NOT-IN blacklist of
+    suppliers (negative balance stands in for the complaint-comment
+    scan).  lineitem serves as the part-supplier bridge.
+
+    Scale: the blacklist is a broadcast null-safe anti-join (6 rows —
+    NOT IN must anti-match, never shuffle); the part triple filter
+    prunes via the broadcast part dimension; COUNT(DISTINCT) expands to
+    a two-level aggregate on (triple, suppkey) — partial distinct
+    map-side, so the shuffle carries deduplicated pairs only."""
+    t = load_tables(spark, sf_dir, ("lineitem", "part", "supplier"))
+    bad = t["supplier"].filter(F.col("s_acctbal") < 0).select("s_suppkey")
+    parts = t["part"].filter(
+        (F.col("p_brand") != "Brand#1")
+        & (F.col("p_type") != "PROMO")
+        & (F.col("p_size").isin(1, 5, 9, 14, 19, 23, 36, 45))
+    )
+    return (
+        t["lineitem"]
+        .select("l_partkey", "l_suppkey")
+        .join(F.broadcast(bad), F.col("l_suppkey") == F.col("s_suppkey"), "left_anti")
+        .join(F.broadcast(parts), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.count_distinct(F.col("l_suppkey")).cast("bigint").alias("supplier_cnt"))
+        .orderBy(F.desc("supplier_cnt"), "p_brand", "p_type", "p_size")
+    )
+
+
+@register(
+    "q20_dominant_part_suppliers",
+    """
+    SELECT s.s_name, s.s_acctbal
+    FROM supplier s
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    WHERE n.n_name = 'NATION_1'
+      AND s.s_suppkey IN (
+          SELECT sp.l_suppkey
+          FROM (
+              SELECT l.l_suppkey, l.l_partkey,
+                     CAST(SUM(CAST(l.l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS supp_qty
+              FROM lineitem l
+              JOIN part p ON l.l_partkey = p.p_partkey
+              WHERE p.p_name LIKE 'red%'
+                AND l.l_shipdate >= TIMESTAMP '1997-01-01'
+                AND l.l_shipdate < TIMESTAMP '1998-01-01'
+              GROUP BY l.l_suppkey, l.l_partkey
+          ) sp
+          JOIN (
+              SELECT l2.l_partkey,
+                     CAST(SUM(CAST(l2.l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS part_qty
+              FROM lineitem l2
+              WHERE l2.l_shipdate >= TIMESTAMP '1997-01-01'
+                AND l2.l_shipdate < TIMESTAMP '1998-01-01'
+              GROUP BY l2.l_partkey
+          ) pt ON sp.l_partkey = pt.l_partkey
+          WHERE sp.supp_qty > 0.3 * pt.part_qty)
+    ORDER BY s.s_name
+    """,
+)
+def q20_dominant_part_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape (potential part promotion): suppliers in one
+    nation who shipped more than a 30% share of some 'red%' part's
+    yearly volume — nested IN over a correlated per-(supplier, part)
+    aggregate compared against a per-part aggregate (availqty>half-
+    sum-of-qty re-targeted to volume share, partsupp absent).
+
+    Scale: both aggregates are partial+final shuffles on (supp, part)
+    and (part); the share comparison is a shuffle join on l_partkey of
+    two already-aggregated (small) tables; the IN collapses to a
+    LeftSemi against the ≤100-row supplier dimension; exact decimal
+    sums on both sides make the 0.3× threshold comparison bit-stable."""
+    t = load_tables(spark, sf_dir, ("supplier", "nation", "lineitem", "part"))
+    year = (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp")) & (
+        F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp")
+    )
+    red = t["part"].filter(F.col("p_name").like("red%")).select("p_partkey")
+    sp = (
+        t["lineitem"]
+        .filter(year)
+        .join(F.broadcast(red), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("double").alias("supp_qty"))
+    )
+    pt = (
+        t["lineitem"]
+        .filter(year)
+        .groupBy(F.col("l_partkey").alias("pt_partkey"))
+        .agg(F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("double").alias("part_qty"))
+    )
+    dominant = (
+        sp.join(pt, F.col("l_partkey") == F.col("pt_partkey"))
+        .filter(F.col("supp_qty") > F.lit(0.3) * F.col("part_qty"))
+        .select("l_suppkey")
+    )
+    return (
+        t["supplier"]
+        .join(
+            F.broadcast(t["nation"].filter(F.col("n_name") == "NATION_1")),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .join(dominant, F.col("s_suppkey") == F.col("l_suppkey"), "leftsemi")
+        .select("s_name", "s_acctbal")
+        .orderBy("s_name")
+    )
+
+
+@register(
+    "q21_sole_late_shipper",
+    """
+    SELECT s.s_name, CAST(COUNT(*) AS BIGINT) AS numwait
+    FROM supplier s
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    JOIN lineitem l1 ON s.s_suppkey = l1.l_suppkey
+    JOIN orders o ON o.o_orderkey = l1.l_orderkey
+    WHERE o.o_orderstatus = 'F'
+      AND n.n_regionkey = 2
+      AND l1.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+      AND EXISTS (
+            SELECT 1 FROM lineitem l2
+            WHERE l2.l_orderkey = l1.l_orderkey
+              AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (
+            SELECT 1 FROM lineitem l3
+            WHERE l3.l_orderkey = l1.l_orderkey
+              AND l3.l_suppkey <> l1.l_suppkey
+              AND l3.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
+    GROUP BY s.s_name
+    ORDER BY numwait DESC, s.s_name
+    LIMIT 25
+    """,
+)
+def q21_sole_late_shipper(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 (suppliers who kept orders waiting): count, per
+    supplier in one region, the late lineitems of finished multi-
+    supplier orders where that supplier was the ONLY late one — the
+    EXISTS + correlated NOT EXISTS over the same fact table (ship lag
+    >60d stands in for receipt-after-commit).
+
+    Scale: the base joins shuffle on the order key once; the EXISTS is
+    a LeftSemi and the NOT EXISTS a LeftAnti against key-pruned
+    lineitem projections on the same key (co-partitioned — AQE reuses
+    the exchange); the supplier dimension broadcasts; top-25 is
+    TakeOrdered with s_name as the unique tiebreaker."""
+    t = load_tables(spark, sf_dir, ("supplier", "nation", "lineitem", "orders"))
+    supp = (
+        t["supplier"]
+        .join(
+            F.broadcast(t["nation"].filter(F.col("n_regionkey") == 2)),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("s_suppkey", "s_name")
+    )
+    base = (
+        t["lineitem"]
+        .select("l_orderkey", "l_suppkey", "l_shipdate")
+        .join(
+            t["orders"].filter(F.col("o_orderstatus") == "F").select("o_orderkey", "o_orderdate"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .filter(F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+    )
+    other = t["lineitem"].select(
+        F.col("l_orderkey").alias("x_orderkey"),
+        F.col("l_suppkey").alias("x_suppkey"),
+        F.col("l_shipdate").alias("x_shipdate"),
+    )
+    return (
+        base.join(
+            other,
+            (F.col("x_orderkey") == F.col("l_orderkey"))
+            & (F.col("x_suppkey") != F.col("l_suppkey")),
+            "leftsemi",
+        )
+        .join(
+            other,
+            (F.col("x_orderkey") == F.col("l_orderkey"))
+            & (F.col("x_suppkey") != F.col("l_suppkey"))
+            & (F.col("x_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")),
+            "left_anti",
+        )
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("numwait"))
+        .orderBy(F.desc("numwait"), "s_name")
+        .limit(25)
+    )
+
+
+@register(
+    "q22_dormant_customer_balance",
+    """
+    SELECT cntrycode, CAST(COUNT(*) AS BIGINT) AS numcust,
+           CAST(SUM(CAST(c_acctbal AS DECIMAL(18,6))) AS DOUBLE) AS totacctbal
+    FROM (
+        SELECT CAST(c.c_nationkey % 10 AS INTEGER) AS cntrycode, c.c_acctbal
+        FROM customer c
+        WHERE c.c_acctbal > (
+                SELECT CAST(SUM(CAST(c2.c_acctbal AS DECIMAL(18,6))) AS DOUBLE)
+                       / COUNT(c2.c_acctbal)
+                FROM customer c2 WHERE c2.c_acctbal > 0.0)
+          AND NOT EXISTS (
+                SELECT 1 FROM orders o
+                WHERE o.o_custkey = c.c_custkey
+                  AND o.o_orderdate >= TIMESTAMP '2000-01-01')
+    ) t
+    GROUP BY cntrycode
+    ORDER BY cntrycode
+    """,
+)
+def q22_dormant_customer_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape (global sales opportunity): above-average-balance
+    customers with no recent orders, bucketed by country code — scalar
+    AVG subquery + NOT EXISTS anti-join (nationkey%10 stands in for the
+    phone prefix; "no orders since 2000" for "no orders ever", which is
+    vacuous on this data).
+
+    Scale: the average is a single-row broadcast (exact-avg on both
+    sides so the > comparison is bit-stable); the anti-join's orders
+    side is date-pruned at the scan before shuffling on o_custkey;
+    final agg has ≤10 groups."""
+    t = load_tables(spark, sf_dir, ("customer", "orders"))
+    cust = t["customer"]
+    avg_bal = cust.filter(F.col("c_acctbal") > 0.0).agg(
+        (
+            (
+                F.sum(F.col("c_acctbal").cast("decimal(18,6)")).cast("double")
+            )
+            / F.count("c_acctbal")
+        ).alias("_avg")
+    )
+    recent = t["orders"].filter(
+        F.col("o_orderdate") >= F.lit("2000-01-01").cast("timestamp")
+    ).select("o_custkey")
+    return (
+        cust.join(F.broadcast(avg_bal), F.col("c_acctbal") > F.col("_avg"))
+        .join(recent, F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+        .groupBy((F.col("c_nationkey") % 10).cast("integer").alias("cntrycode"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("numcust"),
+            exact_sum_decimal(F.col("c_acctbal"), "totacctbal"),
+        )
+        .orderBy("cntrycode")
+    )

@@ -139,17 +139,34 @@ def test_registry_window_is_oracle_bearing(spark):
         "events_conversion_attribution",
     ):
         assert new in window
+    # Round-5 rotations: the eight round-4 TPC-H classics took the slots
+    # of eight multi-round-green siblings (queries/__init__.py rotation
+    # note); every capability family keeps at least one in-window row.
+    for new in (
+        "q4_priority_late_ship",
+        "q8_market_share",
+        "q9_profit_proxy",
+        "q14_promo_revenue_share",
+        "q15_top_supplier",
+        "q17_small_quantity_revenue",
+        "q18_volume_customers",
+        "q19_disjunctive_revenue",
+    ):
+        assert new in window
     # rotated-out siblings' families keep in-window rows
     assert "window_distribution_funcs" not in window
-    assert {"window_lag_order_gaps", "window_running_revenue",
-            "window_range_frame_moving_sum"} <= set(window)
+    assert {"window_lag_order_gaps", "window_range_frame_moving_sum"} <= set(window)
     for out, kept in [
         ("stats_acctbal_by_segment", "percentiles_extprice_by_flag"),
-        ("collect_priorities_per_segment", "having_high_volume_customers"),
+        ("collect_priorities_per_segment", "q18_volume_customers"),  # HAVING shape
         ("groupingsets_priority_status", "rollup_flag_status"),
         ("self_join_reorder_rate", "join_kinds_outer"),
         ("exists_customers_with_open_high_value", "correlated_scalar_subquery"),
-        ("scalar_string_funcs", "predicates_in_like_between"),
+        ("window_running_revenue", "window_range_frame_moving_sum"),
+        ("predicates_in_like_between", "q19_disjunctive_revenue"),
+        ("semi_join_customers_with_urgent", "q4_priority_late_ship"),
+        ("topk_parts_per_brand", "q3_shipping_priority"),
+        ("events_sliding_counts", "events_hourly_counts"),
     ]:
         assert out not in window and kept in window, (out, kept)
 
