@@ -213,3 +213,59 @@ def test_duplicate_span_spans_read_from_cache(spark):
     plan = _plan(spark, "docs_duplicate_span_fraction")
     assert plan.count("InMemoryTableScan") >= 2, plan
     spark.catalog.clearCache()
+
+
+def test_q2_all_dims_broadcast_no_cartesian(spark):
+    """Q2's snowflake (region->nation->supplier, part) must broadcast
+    onto lineitem; the correlated MIN decorrelates to an agg join-back,
+    never a per-row subquery or cartesian."""
+    plan = _plan(spark, "q2_min_cost_supplier")
+    assert plan.count("BroadcastHashJoin") >= 3, plan
+    assert "Cartesian" not in plan, plan
+    assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_q11_grouped_table_read_from_cache(spark):
+    """The per-part aggregate feeds the global threshold AND the output
+    (2 consumers): both must read the persisted table — without it the
+    lineitem scan + broadcast join + shuffle re-run per consumer."""
+    plan = _plan(spark, "q11_important_parts")
+    assert plan.count("InMemoryTableScan") >= 2, plan
+    assert len(re.findall(r"\(\d+\) Scan parquet .*lineitem", plan)) <= 1, plan
+    spark.catalog.clearCache()
+
+
+def test_q13_orders_aggregate_before_join(spark):
+    """The decorrelated Q13: orders aggregate on o_custkey BEFORE the
+    outer join (the join's right side is one row per active customer,
+    not raw order rows) and the priority filter reaches the scan."""
+    plan = _plan(spark, "q13_customer_order_distribution")
+    orders = _scan_block(plan, "orders")
+    assert "Not(EqualTo(o_orderpriority" in orders, orders
+    # partial+final agg pairs: orders pre-agg + final distribution agg
+    assert plan.count("HashAggregate") >= 4, plan
+
+
+def test_q16_blacklist_is_broadcast_anti_join(spark):
+    plan = _plan(spark, "q16_supplier_part_variety")
+    assert "LeftAnti" in plan and "BroadcastHashJoin" in plan, plan
+    # distinct-count expands to a two-level aggregate (partial distinct
+    # map-side), so >= 4 HashAggregate nodes
+    assert plan.count("HashAggregate") >= 4, plan
+
+
+def test_q21_exists_and_not_exists_join_types(spark):
+    plan = _plan(spark, "q21_sole_late_shipper")
+    assert "LeftSemi" in plan and "LeftAnti" in plan, plan
+    assert "Cartesian" not in plan, plan
+    assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_q22_anti_join_scan_pruned(spark):
+    plan = _plan(spark, "q22_dormant_customer_balance")
+    assert "LeftAnti" in plan, plan
+    orders = _scan_block(plan, "orders")
+    assert "GreaterThanOrEqual(o_orderdate" in orders, orders
+    m = re.search(r"ReadSchema: struct<([^>]*)>", orders)
+    cols = {c.split(":")[0] for c in m.group(1).split(",")}
+    assert cols == {"o_custkey", "o_orderdate"}, cols
