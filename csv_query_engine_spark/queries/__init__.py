@@ -159,6 +159,10 @@ DRIVER_ORDER: list[str] = [
     "q20_dominant_part_suppliers",
     "q21_sole_late_shipper",
     "q22_dormant_customer_balance",
+    # Round-5: write-side dimension maintenance (operators/merge.py) —
+    # type-1 MERGE upsert and type-2 SCD history, both oracle-bearing:
+    "merge_upsert_customer_refresh",
+    "scd2_customer_segment_history",
     # Rows-only ops (no SQL-expressible oracle; pytest covers recall/
     # precision/planted-neighbor properties):
     "dedup_minhash_lsh_pairs",
@@ -206,6 +210,7 @@ def _load() -> None:
         return
     # Import for side effect: each module registers its queries.
     from csv_query_engine_spark.queries import (  # noqa: F401
+        merge_q,
         pipeline_q,
         relational,
         streaming_q,

@@ -1,0 +1,135 @@
+"""Registry queries for the MERGE / SCD2 operators (operators/merge.py).
+
+Both queries are fully SQL-expressible, so they carry DuckDB oracles:
+the type-1 merge is a CASE projection + UNION of the insert set; the
+type-2 history is the UNION of closed-out rows, new open versions and
+untouched rows.  NULL valid_to (open version) is COALESCEd to the
+2200-01-01 sentinel on BOTH sides (CLAUDE.md nullable-output rule).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from csv_query_engine_spark.io.readers import load_tables
+from csv_query_engine_spark.operators.merge import merge_upsert, scd2_apply
+from csv_query_engine_spark.queries import register
+from csv_query_engine_spark.queries.relational import exact_sum
+
+
+@register(
+    "merge_upsert_customer_refresh",
+    """
+    SELECT c_custkey, c_name, c_nationkey,
+           CASE WHEN c_acctbal < 0.0 THEN 0.0 ELSE c_acctbal END AS c_acctbal,
+           c_mktsegment
+    FROM customer
+    UNION ALL
+    SELECT 1000000 + n_nationkey, 'Customer#NEW_' || CAST(n_nationkey AS VARCHAR),
+           n_nationkey, 0.0, 'NEW'
+    FROM nation
+    ORDER BY c_custkey
+    """,
+)
+def merge_upsert_customer_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Type-1 MERGE: a change set that (a) resets negative customer
+    balances to zero and (b) inserts one synthetic onboarding customer
+    per nation, applied to the customer dimension in one upsert.
+
+    Scale: ONE full-outer shuffle join on c_custkey resolves update /
+    insert / carry-through column-wise (operators/merge.py) — the plan
+    a Delta/Iceberg MERGE compiles to, with no per-row lookups; the
+    update set is built from a pushed-down scan filter and the insert
+    set from the 25-row nation dim."""
+    t = load_tables(spark, sf_dir, ("customer", "nation"))
+    cust = t["customer"]
+    updates = cust.filter(F.col("c_acctbal") < 0.0).select(
+        "c_custkey",
+        "c_name",
+        "c_nationkey",
+        F.lit(0.0).alias("c_acctbal"),
+        "c_mktsegment",
+    )
+    inserts = t["nation"].select(
+        (F.lit(1000000) + F.col("n_nationkey")).alias("c_custkey"),
+        F.concat(F.lit("Customer#NEW_"), F.col("n_nationkey").cast("string")).alias("c_name"),
+        F.col("n_nationkey").alias("c_nationkey"),
+        F.lit(0.0).alias("c_acctbal"),
+        F.lit("NEW").alias("c_mktsegment"),
+    )
+    merged = merge_upsert(cust, updates.unionByName(inserts), ["c_custkey"])
+    return merged.orderBy("c_custkey")
+
+
+@register(
+    "scd2_customer_segment_history",
+    """
+    WITH big AS (
+        SELECT o_custkey
+        FROM orders
+        WHERE o_orderdate >= TIMESTAMP '2000-01-01'
+        GROUP BY o_custkey
+        HAVING CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) > 1200000.0
+    )
+    SELECT c.c_custkey, c.c_mktsegment AS segment,
+           TIMESTAMP '1995-01-01' AS valid_from,
+           TIMESTAMP '2000-01-01' AS valid_to,
+           FALSE AS is_current
+    FROM customer c JOIN big b ON c.c_custkey = b.o_custkey
+    WHERE c.c_mktsegment <> 'PREMIUM'
+    UNION ALL
+    SELECT c.c_custkey, 'PREMIUM', TIMESTAMP '2000-01-01',
+           TIMESTAMP '2200-01-01', TRUE
+    FROM customer c JOIN big b ON c.c_custkey = b.o_custkey
+    WHERE c.c_mktsegment <> 'PREMIUM'
+    UNION ALL
+    SELECT c.c_custkey, c.c_mktsegment, TIMESTAMP '1995-01-01',
+           TIMESTAMP '2200-01-01', TRUE
+    FROM customer c
+    WHERE c.c_custkey NOT IN (SELECT o_custkey FROM big)
+       OR c.c_mktsegment = 'PREMIUM'
+    ORDER BY c_custkey, valid_from
+    """,
+)
+def scd2_customer_segment_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Type-2 SCD: customers whose post-2000 spend crosses a threshold
+    move to the PREMIUM segment effective 2000-01-01; the dimension
+    history closes their original version at that date and opens a new
+    one, leaving everyone else untouched.
+
+    Scale: the change set is a partial+final aggregate on o_custkey
+    with an exact-sum threshold (bit-stable vs the oracle); scd2_apply
+    is one full-outer shuffle join on the key plus unions — no windows
+    over the dimension, no collect.  The no-op path (already-PREMIUM
+    changes collapse to nothing) keeps re-application idempotent."""
+    t = load_tables(spark, sf_dir, ("customer", "orders"))
+    dim = t["customer"].select(
+        "c_custkey",
+        "c_mktsegment",
+        F.lit("1995-01-01").cast("timestamp").alias("valid_from"),
+        F.lit(None).cast("timestamp").alias("valid_to"),
+        F.lit(True).alias("is_current"),
+    )
+    changes = (
+        t["orders"]
+        .filter(F.col("o_orderdate") >= F.lit("2000-01-01").cast("timestamp"))
+        .groupBy("o_custkey")
+        .agg(exact_sum(F.col("o_totalprice"), "_spend"))
+        .filter(F.col("_spend") > 1200000.0)
+        .select(
+            F.col("o_custkey").alias("c_custkey"),
+            F.lit("PREMIUM").alias("c_mktsegment"),
+            F.lit("2000-01-01").cast("timestamp").alias("change_ts"),
+        )
+    )
+    hist = scd2_apply(
+        dim, changes, ["c_custkey"], ["c_mktsegment"], "change_ts"
+    )
+    return hist.select(
+        "c_custkey",
+        F.col("c_mktsegment").alias("segment"),
+        "valid_from",
+        F.coalesce(F.col("valid_to"), F.lit("2200-01-01").cast("timestamp")).alias("valid_to"),
+        "is_current",
+    ).orderBy("c_custkey", "valid_from")

@@ -1,0 +1,119 @@
+"""Unit tests for operators/merge.py: MERGE upsert resolution paths and
+SCD2 versioning semantics on small synthetic frames (the registry
+queries cover the oracle-checked end-to-end paths)."""
+
+from __future__ import annotations
+
+import datetime
+
+from pyspark.sql import functions as F
+
+from csv_query_engine_spark.operators.merge import merge_upsert, scd2_apply
+
+
+def _ts(s):
+    return datetime.datetime.fromisoformat(s)
+
+
+def test_merge_upsert_update_insert_carry(spark):
+    target = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0)], "k int, name string, v double"
+    )
+    source = spark.createDataFrame(
+        [(2, "B", 99.0), (4, "d", 40.0)], "k int, name string, v double"
+    )
+    got = {r["k"]: r for r in merge_upsert(target, source, ["k"]).collect()}
+    assert set(got) == {1, 2, 3, 4}
+    assert got[1]["name"] == "a" and got[1]["v"] == 10.0  # carry-through
+    assert got[2]["name"] == "B" and got[2]["v"] == 99.0  # updated
+    assert got[4]["name"] == "d" and got[4]["v"] == 40.0  # inserted
+
+
+def test_merge_upsert_partial_update_cols(spark):
+    target = spark.createDataFrame([(1, "a", 10.0)], "k int, name string, v double")
+    source = spark.createDataFrame([(1, "Z", 99.0)], "k int, name string, v double")
+    row = merge_upsert(target, source, ["k"], update_cols=["v"]).collect()[0]
+    assert row["name"] == "a" and row["v"] == 99.0  # only v listed
+
+
+def test_merge_upsert_source_dedup_is_key_unique(spark):
+    target = spark.createDataFrame([(1, 0.0)], "k int, v double")
+    source = spark.createDataFrame([(1, 5.0), (1, 5.0)], "k int, v double")
+    out = merge_upsert(target, source, ["k"]).collect()
+    assert len(out) == 1 and out[0]["v"] == 5.0
+
+
+def _dim(spark, rows):
+    return spark.createDataFrame(
+        rows, "k int, attr string, valid_from timestamp, valid_to timestamp, is_current boolean"
+    )
+
+
+def test_scd2_change_closes_and_opens(spark):
+    dim = _dim(spark, [(1, "x", _ts("1995-01-01"), None, True)])
+    changes = spark.createDataFrame(
+        [(1, "y", _ts("2000-01-01"))], "k int, attr string, change_ts timestamp"
+    )
+    hist = scd2_apply(dim, changes, ["k"], ["attr"], "change_ts")
+    rows = sorted(hist.collect(), key=lambda r: (r["valid_from"]))
+    assert len(rows) == 2
+    closed, opened = rows
+    assert closed["attr"] == "x" and closed["valid_to"] == _ts("2000-01-01")
+    assert closed["is_current"] is False
+    assert opened["attr"] == "y" and opened["valid_from"] == _ts("2000-01-01")
+    assert opened["valid_to"] is None and opened["is_current"] is True
+
+
+def test_scd2_noop_change_is_idempotent(spark):
+    dim = _dim(spark, [(1, "x", _ts("1995-01-01"), None, True)])
+    changes = spark.createDataFrame(
+        [(1, "x", _ts("2000-01-01"))], "k int, attr string, change_ts timestamp"
+    )
+    rows = scd2_apply(dim, changes, ["k"], ["attr"], "change_ts").collect()
+    assert len(rows) == 1 and rows[0]["is_current"] is True
+    assert rows[0]["valid_to"] is None
+
+
+def test_scd2_new_key_inserts_open_row(spark):
+    dim = _dim(spark, [(1, "x", _ts("1995-01-01"), None, True)])
+    changes = spark.createDataFrame(
+        [(2, "z", _ts("2001-06-01"))], "k int, attr string, change_ts timestamp"
+    )
+    rows = {r["k"]: r for r in scd2_apply(dim, changes, ["k"], ["attr"], "change_ts").collect()}
+    assert rows[2]["valid_from"] == _ts("2001-06-01") and rows[2]["is_current"] is True
+
+
+def test_scd2_latest_change_wins_and_history_passthrough(spark):
+    dim = _dim(
+        spark,
+        [
+            (1, "x0", _ts("1990-01-01"), _ts("1995-01-01"), False),  # closed history
+            (1, "x", _ts("1995-01-01"), None, True),
+        ],
+    )
+    changes = spark.createDataFrame(
+        [(1, "mid", _ts("1999-01-01")), (1, "late", _ts("2000-01-01"))],
+        "k int, attr string, change_ts timestamp",
+    )
+    hist = scd2_apply(dim, changes, ["k"], ["attr"], "change_ts")
+    rows = sorted(hist.collect(), key=lambda r: r["valid_from"])
+    assert [r["attr"] for r in rows] == ["x0", "x", "late"]
+    assert rows[1]["valid_to"] == _ts("2000-01-01")  # closed at the LATEST change
+    assert hist.filter(F.col("is_current")).count() == 1
+
+
+def test_scd2_no_udf_no_cartesian(spark):
+    import contextlib
+    import io
+
+    dim = _dim(spark, [(1, "x", _ts("1995-01-01"), None, True)])
+    changes = spark.createDataFrame(
+        [(1, "y", _ts("2000-01-01"))], "k int, attr string, change_ts timestamp"
+    )
+    df = scd2_apply(dim, changes, ["k"], ["attr"], "change_ts")
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    plan = buf.getvalue()
+    assert "Cartesian" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
