@@ -163,6 +163,8 @@ DRIVER_ORDER: list[str] = [
     # type-1 MERGE upsert and type-2 SCD history, both oracle-bearing:
     "merge_upsert_customer_refresh",
     "scd2_customer_segment_history",
+    # Round-5: one-pass declarative data-quality gate (pipeline/validation.py):
+    "orders_quality_constraints",
     # Rows-only ops (no SQL-expressible oracle; pytest covers recall/
     # precision/planted-neighbor properties):
     "dedup_minhash_lsh_pairs",

@@ -1457,3 +1457,70 @@ def media_ppm_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("byte_mean", 6).alias("byte_mean"),
         *[F.round(F.get("feature", k), 6).alias(f"f{k}") for k in range(8)],
     ).orderBy("doc_id")
+
+
+@register(
+    "orders_quality_constraints",
+    """
+    SELECT *, metric >= threshold AS passed FROM (
+        SELECT 'completeness(o_custkey)' AS check_name,
+               CAST(COUNT(o_custkey) AS DOUBLE) / COUNT(*) AS metric,
+               CAST(1.0 AS DOUBLE) AS threshold
+        FROM orders
+        UNION ALL
+        SELECT 'uniqueness(o_orderkey)',
+               CAST(COUNT(DISTINCT o_orderkey) AS DOUBLE) / COUNT(*), CAST(1.0 AS DOUBLE)
+        FROM orders
+        UNION ALL
+        SELECT 'range(o_totalprice)[0.0,10000000.0]',
+               CAST(SUM(CASE WHEN o_totalprice BETWEEN 0.0 AND 10000000.0
+                             THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*),
+               CAST(0.999 AS DOUBLE)
+        FROM orders
+        UNION ALL
+        SELECT 'accepted(o_orderstatus){O,F,P}',
+               CAST(SUM(CASE WHEN o_orderstatus IN ('O','F','P')
+                             THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*),
+               CAST(1.0 AS DOUBLE)
+        FROM orders
+        UNION ALL
+        SELECT 'pattern(o_orderpriority)^[1-5]-',
+               CAST(SUM(CASE WHEN regexp_matches(o_orderpriority, '^[1-5]-')
+                             THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*),
+               CAST(1.0 AS DOUBLE)
+        FROM orders
+        UNION ALL
+        SELECT 'completeness(o_orderdate)',
+               CAST(COUNT(o_orderdate) AS DOUBLE) / COUNT(*), CAST(1.0 AS DOUBLE)
+        FROM orders
+    ) ORDER BY check_name
+    """,
+)
+def orders_quality_constraints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deequ-style declarative quality gate over the orders feed: six
+    constraints (completeness ×2, key uniqueness, price range, status
+    domain, priority pattern) evaluated in ONE aggregation pass
+    (pipeline/validation.py — the oracle necessarily re-states them as
+    six scans, which is exactly the per-rule cost the operator exists
+    to avoid).
+
+    Scale: one scan, map-side partial aggregation; the uniqueness rule
+    adds a COUNT(DISTINCT) Expand (single pass, documented); verdict
+    explode is a codegen'd stack over a one-row frame. approx=True
+    swaps HLL++ for the distinct count at corpus scale."""
+    from csv_query_engine_spark.pipeline.validation import Check, check_constraints
+
+    o = load_tables(spark, sf_dir, ("orders",))["orders"]
+    checks = [
+        Check("completeness", "o_custkey", 1.0),
+        Check("uniqueness", "o_orderkey", 1.0),
+        Check("range", "o_totalprice", 0.999, lo=0.0, hi=10000000.0),
+        Check("accepted", "o_orderstatus", 1.0, values=("O", "F", "P")),
+        Check("pattern", "o_orderpriority", 1.0, regex="^[1-5]-"),
+        Check("completeness", "o_orderdate", 1.0),
+    ]
+    return (
+        check_constraints(o, checks)
+        .withColumnRenamed("constraint", "check_name")
+        .orderBy("check_name")
+    )

@@ -1,0 +1,71 @@
+"""Unit tests for pipeline/validation.py: one-pass compilation, null
+semantics, and the approx (HLL++) scale path."""
+
+from __future__ import annotations
+
+import contextlib
+import io
+import re
+
+from csv_query_engine_spark.pipeline.validation import Check, check_constraints
+
+
+def _checks():
+    return [
+        Check("completeness", "a", 1.0),
+        Check("uniqueness", "a", 1.0),
+        Check("range", "b", 0.5, lo=0.0, hi=10.0),
+        Check("accepted", "c", 0.9, values=("x", "y")),
+        Check("pattern", "c", 0.9, regex="^[xy]$"),
+    ]
+
+
+def test_all_constraints_one_scan(spark, tmp_path):
+    df = spark.createDataFrame(
+        [(1, 5.0, "x"), (2, 50.0, "y"), (None, 5.0, "z")], "a int, b double, c string"
+    )
+    p = str(tmp_path / "t.parquet")
+    df.write.mode("overwrite").parquet(p)
+    out = check_constraints(spark.read.parquet(p), _checks())
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        out.explain("formatted")
+    plan = buf.getvalue()
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1, plan
+    assert "Join" not in plan and "BatchEvalPython" not in plan, plan
+
+
+def test_metrics_and_null_semantics(spark):
+    df = spark.createDataFrame(
+        [(1, 5.0, "x"), (2, 50.0, "y"), (None, None, "z"), (2, 5.0, None)],
+        "a int, b double, c string",
+    )
+    rows = {r["constraint"]: r for r in check_constraints(df, _checks()).collect()}
+    assert rows["completeness(a)"]["metric"] == 0.75
+    # uniqueness: 2 distinct non-null of 4 rows
+    assert rows["uniqueness(a)"]["metric"] == 0.5
+    # range: nulls FAIL the predicate (2 of 4 in range)
+    assert rows["range(b)[0.0,10.0]"]["metric"] == 0.5
+    assert rows["accepted(c){x,y}"]["metric"] == 0.5
+    assert rows["pattern(c)^[xy]$"]["metric"] == 0.5
+    assert rows["completeness(a)"]["passed"] is False
+    assert rows["range(b)[0.0,10.0]"]["passed"] is True
+
+
+def test_approx_uses_hll_no_expand(spark):
+    df = spark.createDataFrame([(i % 7, float(i)) for i in range(100)], "a int, b double")
+    checks = [Check("uniqueness", "a", 0.01), Check("uniqueness", "b", 0.01)]
+    exact = check_constraints(df, checks)
+    approx = check_constraints(df, checks, approx=True)
+
+    def plan_of(d):
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            d.explain("formatted")
+        return buf.getvalue()
+
+    # two exact distincts need the Expand pass; HLL++ sketches don't
+    assert "Expand" in plan_of(exact)
+    assert "Expand" not in plan_of(approx)
+    got = {r["constraint"]: r["metric"] for r in approx.collect()}
+    assert abs(got["uniqueness(a)"] - 0.07) < 0.01
