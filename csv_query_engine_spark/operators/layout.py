@@ -1,0 +1,85 @@
+"""Z-order (Morton curve) data layout for multi-dimensional file
+skipping.
+
+At 100 TB the dominant cost of a selective query is the scan, and the
+dominant scan optimization is *not reading files at all*: parquet
+min/max footer stats (or a table format's file-level stats) prune any
+file whose range cannot match.  A layout sorted on ONE column gives
+perfect pruning on that column and none on any other; interleaving the
+bits of two columns (the Morton / Z-order curve, the same technique
+behind Delta's OPTIMIZE ZORDER BY) bounds BOTH dimensions within every
+file, so range predicates on either column — or both — skip most of
+the table.
+
+Everything here is codegen'd integer bit arithmetic on DataFrame
+columns (shifts/masks/ORs — no UDF), so assigning the curve position
+is a map-only pass; the per-file stats table is one partial+final
+aggregate on the file id.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def morton_code(a: Column, b: Column, bits: int = 12) -> Column:
+    """Interleave the low `bits` bits of two non-negative integer
+    columns: bit i of `a` lands at position 2i, bit i of `b` at 2i+1.
+    Pure shifts/masks — whole-stage-codegen'd, no UDF."""
+    parts = []
+    for i in range(bits):
+        parts.append(F.shiftleft(F.shiftright(a.cast("long"), i).bitwiseAND(F.lit(1)), 2 * i))
+        parts.append(
+            F.shiftleft(F.shiftright(b.cast("long"), i).bitwiseAND(F.lit(1)), 2 * i + 1)
+        )
+    return reduce(lambda x, y: x.bitwiseOR(y), parts)
+
+
+def sql_morton(a: str, b: str, bits: int = 12) -> str:
+    """The identical interleave as ANSI SQL (DuckDB-runnable) — used by
+    oracle twins so both engines compute bit-equal curve positions."""
+    parts = []
+    for i in range(bits):
+        parts.append(f"((({a} >> {i}) & 1) << {2 * i})")
+        parts.append(f"((({b} >> {i}) & 1) << {2 * i + 1})")
+    return "(" + " | ".join(parts) + ")"
+
+
+def zorder_file_assignment(
+    df: DataFrame,
+    a: Column,
+    b: Column,
+    bits: int = 12,
+    n_files: int = 64,
+) -> DataFrame:
+    """Assign each row a target file id by its Morton position: the top
+    log2(n_files) bits of the 2*bits-bit curve index.  `a`/`b` must
+    already be scaled into [0, 2^bits) (modulo or min-max integer
+    scaling — exact integer ops so any engine agrees).  Writing with
+    ``partitionBy/repartitionByRange(file_id)`` then materializes the
+    physical layout; this operator computes the assignment and is the
+    unit the stats/pruning math runs on."""
+    shift = 2 * bits - (n_files - 1).bit_length()
+    return df.withColumn("_z", morton_code(a, b, bits)).withColumn(
+        "file_id", F.shiftright(F.col("_z"), shift)
+    )
+
+
+def layout_stats(assigned: DataFrame, stat_cols: list[str]) -> DataFrame:
+    """Per-file footer-style statistics: row count + min/max of each
+    listed column.  One partial+final aggregate on file_id."""
+    aggs = [F.count(F.lit(1)).cast("bigint").alias("n_rows")]
+    for c in stat_cols:
+        aggs.append(F.min(c).alias(f"min_{c}"))
+        aggs.append(F.max(c).alias(f"max_{c}"))
+    return assigned.groupBy("file_id").agg(*aggs)
+
+
+def prunable_files(stats: DataFrame, col: str, lo, hi) -> Column:
+    """Predicate over the stats table: True when a file CANNOT contain
+    rows with `col` in [lo, hi] — the file-skipping decision a scan
+    planner makes from footer stats."""
+    return (F.col(f"max_{col}") < F.lit(lo)) | (F.col(f"min_{col}") > F.lit(hi))

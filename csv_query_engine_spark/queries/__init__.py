@@ -165,6 +165,8 @@ DRIVER_ORDER: list[str] = [
     "scd2_customer_segment_history",
     # Round-5: one-pass declarative data-quality gate (pipeline/validation.py):
     "orders_quality_constraints",
+    # Round-5: Z-order layout + per-file skipping stats (operators/layout.py):
+    "orders_zorder_layout_stats",
     # Rows-only ops (no SQL-expressible oracle; pytest covers recall/
     # precision/planted-neighbor properties):
     "dedup_minhash_lsh_pairs",

@@ -1524,3 +1524,54 @@ def orders_quality_constraints(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumnRenamed("constraint", "check_name")
         .orderBy("check_name")
     )
+
+
+def _zorder_oracle() -> str:
+    from csv_query_engine_spark.operators.layout import sql_morton
+
+    return f"""
+    WITH z AS (
+        SELECT CAST(o_custkey % 4096 AS BIGINT) AS cust_bucket,
+               CAST(date_diff('day', TIMESTAMP '1995-01-01', o_orderdate) % 4096 AS BIGINT)
+                   AS day_bucket
+        FROM orders
+    )
+    SELECT CAST({sql_morton('cust_bucket', 'day_bucket', 12)} >> 18 AS BIGINT) AS file_id,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           MIN(cust_bucket) AS min_cust_bucket, MAX(cust_bucket) AS max_cust_bucket,
+           MIN(day_bucket) AS min_day_bucket, MAX(day_bucket) AS max_day_bucket
+    FROM z
+    GROUP BY 1
+    ORDER BY file_id
+    """
+
+
+@register("orders_zorder_layout_stats", _zorder_oracle())
+def orders_zorder_layout_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton) layout of the orders fact on (customer, order
+    day): every row gets a curve position from bit-interleaving the two
+    bucketed dimensions, files are the top curve bits, and the output
+    is the per-file footer-stats table (row count + min/max of BOTH
+    dims) a scan planner prunes against — the Delta OPTIMIZE ZORDER BY
+    primitive rebuilt on plain DataFrame bit arithmetic
+    (operators/layout.py).
+
+    Scale: curve assignment is a map-only codegen'd pass (shifts/
+    masks/ORs, no UDF); the stats table is one partial+final aggregate
+    on file_id (64 groups). The DuckDB twin recomputes the identical
+    interleave via sql_morton — bit-equal positions or the hash breaks.
+    tests/test_layout.py quantifies the pruning win: range predicates
+    on EITHER dimension skip most files, where a single-column sort
+    prunes only its own column."""
+    from csv_query_engine_spark.operators.layout import layout_stats, zorder_file_assignment
+
+    o = load_tables(spark, sf_dir, ("orders",))["orders"].select(
+        (F.col("o_custkey") % 4096).cast("long").alias("cust_bucket"),
+        (
+            F.datediff(F.col("o_orderdate"), F.lit("1995-01-01").cast("timestamp")) % 4096
+        ).cast("long").alias("day_bucket"),
+    )
+    assigned = zorder_file_assignment(
+        o, F.col("cust_bucket"), F.col("day_bucket"), bits=12, n_files=64
+    )
+    return layout_stats(assigned, ["cust_bucket", "day_bucket"]).orderBy("file_id")

@@ -1,0 +1,99 @@
+"""Unit tests for operators/layout.py: Morton interleave correctness
+and the multi-dimensional file-skipping win over a single-column sort."""
+
+from __future__ import annotations
+
+import contextlib
+import io
+import re
+
+from pyspark.sql import functions as F
+
+from csv_query_engine_spark.operators.layout import (
+    layout_stats,
+    morton_code,
+    prunable_files,
+    sql_morton,
+    zorder_file_assignment,
+)
+
+
+def test_morton_interleave_known_values(spark):
+    df = spark.createDataFrame([(0, 0), (1, 0), (0, 1), (3, 5), (4095, 4095)], "a long, b long")
+    got = [r["z"] for r in df.select(morton_code(F.col("a"), F.col("b")).alias("z")).collect()]
+
+    def ref(a, b):
+        z = 0
+        for i in range(12):
+            z |= ((a >> i) & 1) << (2 * i)
+            z |= ((b >> i) & 1) << (2 * i + 1)
+        return z
+
+    assert got == [ref(a, b) for a, b in [(0, 0), (1, 0), (0, 1), (3, 5), (4095, 4095)]]
+
+
+def test_sql_morton_matches_column_form(spark):
+    import duckdb
+
+    pairs = [(a * 97 % 4096, a * 31 % 4096) for a in range(500)]
+    df = spark.createDataFrame(pairs, "a long, b long")
+    got = [
+        r["z"]
+        for r in df.select(morton_code(F.col("a"), F.col("b")).alias("z"))
+        .orderBy("a", "b")
+        .collect()
+    ]
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t(a BIGINT, b BIGINT)")
+    con.executemany("INSERT INTO t VALUES (?, ?)", pairs)
+    want = [r[0] for r in con.execute(
+        f"SELECT {sql_morton('a', 'b', 12)} FROM t ORDER BY a, b"
+    ).fetchall()]
+    assert got == want
+
+
+def test_zorder_prunes_both_dims_linear_prunes_one(spark):
+    """The point of the curve: a 64-file Z-order layout lets range
+    predicates on EITHER dimension skip >=50% of files; the same data
+    sorted by dimension A alone prunes nothing for a B-range query."""
+    n = 64 * 64
+    rows = [((i * 2654435761) % 4096, (i * 40503) % 4096) for i in range(n)]
+    df = spark.createDataFrame(rows, "a long, b long")
+
+    z = layout_stats(
+        zorder_file_assignment(df, F.col("a"), F.col("b"), bits=12, n_files=64),
+        ["a", "b"],
+    )
+    lo, hi = 1000, 1255  # a 1/16-wide range in either dim
+    total = z.count()
+    za = z.filter(prunable_files(z, "a", lo, hi)).count()
+    zb = z.filter(prunable_files(z, "b", lo, hi)).count()
+    assert za / total >= 0.5, f"z-order pruned only {za}/{total} files on dim a"
+    assert zb / total >= 0.5, f"z-order pruned only {zb}/{total} files on dim b"
+
+    # linear layout: sort by a, 64 equal files
+    lin = (
+        df.withColumn(
+            "file_id", F.floor(F.col("a") * 64 / 4096).cast("long")
+        )
+        .groupBy("file_id")
+        .agg(F.min("b").alias("min_b"), F.max("b").alias("max_b"))
+    )
+    lb = lin.filter((F.col("max_b") < lo) | (F.col("min_b") > hi)).count()
+    assert lb == 0, "a-sorted layout should not prune b-range queries on uniform data"
+
+
+def test_assignment_is_map_only_no_udf(spark, tmp_path):
+    df = spark.createDataFrame([(1, 2)], "a long, b long")
+    p = str(tmp_path / "t.parquet")
+    df.write.mode("overwrite").parquet(p)
+    out = zorder_file_assignment(
+        spark.read.parquet(p), F.col("a"), F.col("b"), bits=12, n_files=64
+    )
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        out.explain("formatted")
+    plan = buf.getvalue()
+    assert "Exchange" not in plan, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, plan
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1
