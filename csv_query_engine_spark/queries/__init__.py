@@ -169,6 +169,7 @@ DRIVER_ORDER: list[str] = [
     "orders_zorder_layout_stats",
     # Rows-only ops (no SQL-expressible oracle; pytest covers recall/
     # precision/planted-neighbor properties):
+    "docs_benchmark_decontamination",
     "dedup_minhash_lsh_pairs",
     "dedup_simhash_pairs",
     "embedding_lsh_topk",

@@ -1575,3 +1575,53 @@ def orders_zorder_layout_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         o, F.col("cust_bucket"), F.col("day_bucket"), bits=12, n_files=64
     )
     return layout_stats(assigned, ["cust_bucket", "day_bucket"]).orderBy("file_id")
+
+
+@register("docs_benchmark_decontamination", None)
+def docs_benchmark_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination screen: a Bloom filter built over a
+    'benchmark' slice of the corpus (every 97th doc's text) flags
+    possibly-contaminated training docs in a MAP-ONLY probe pass —
+    no corpus shuffle (pipeline/decontam.py), zero false negatives,
+    fpp-bounded false positives.  Output compares the screen against
+    the exact semi-join per source: flagged >= exact always holds.
+
+    Rows-only: xxhash64 isn't ANSI-SQL-expressible; the FP/FN contract
+    is pinned by tests/test_decontam.py instead.
+
+    Scale: the filter is sized from the BENCHMARK set (small by
+    definition); the corpus side is one codegen'd pass + a 25-row-ish
+    aggregation. The count() sizing action scans only the benchmark
+    slice."""
+    from csv_query_engine_spark.pipeline.decontam import (
+        bloom_build,
+        bloom_pack,
+        bloom_params,
+        bloom_probe,
+    )
+
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    bench = docs.filter(F.col("doc_id") % 97 == 0).select("text")
+    m, k = bloom_params(max(bench.count(), 1), fpp=0.001)
+    packed = bloom_pack(bloom_build(bench, "text", m, k), m)
+    flagged = bloom_probe(docs.select("doc_id", "source", "text"), "text", packed, m, k)
+    exact = docs.join(
+        bench.select(F.col("text").alias("_bt")).distinct(),
+        F.col("text") == F.col("_bt"),
+        "leftsemi",
+    ).groupBy("source").agg(F.count(F.lit(1)).cast("bigint").alias("n_exact"))
+    return (
+        flagged.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum(F.when(F.col("maybe_member"), 1).otherwise(0)).cast("bigint").alias("n_flagged"),
+        )
+        .join(exact, "source", "left")
+        .select(
+            "source",
+            "n_docs",
+            "n_flagged",
+            F.coalesce(F.col("n_exact"), F.lit(0).cast("bigint")).alias("n_exact"),
+        )
+        .orderBy("source")
+    )
