@@ -660,3 +660,55 @@ def rolling_fingerprint(norm_col: Column) -> Column:
     # NULL length makes the predicate NULL -> otherwise branch -> NULL
     # (null-in-null-out, matching the SQL twin).
     return F.when(F.length(norm_col) < 1, F.lit(ROLLING_HASH_SEED).cast("long")).otherwise(folded)
+
+
+def unigram_lm_scores(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Corpus-statistics language-model quality score: each document's
+    mean unigram surprisal −ln(c_t / N) under the corpus's own unigram
+    distribution (c_t = corpus count of token t, N = total tokens).
+    Low scores flag boilerplate/repetitive text, high scores flag
+    near-random text — the cheap statistical stand-in for perplexity
+    filtering in a training-data pipeline.
+
+    Plan: ONE token explode (persisted once — it feeds the count
+    aggregation AND the join-back, the CLAUDE.md 2-consumer rule),
+    counts aggregated on the 8-byte xxhash64 of the token (the repo's
+    hashed-gram-key convention: the string never shuffles; a 64-bit
+    collision would merge two term counts — P ≈ V²/2⁶⁵, ~1e-12 at
+    V=10⁴ — and only counts surface); the total N is a broadcast
+    scalar; per-token surprisal is rounded to 6 decimals and summed
+    with the exact fixed-point pattern so the per-doc mean is
+    bit-stable across engines (ln itself agrees libm-to-libm — the
+    tfidf oracle pins that)."""
+    from pyspark.storagelevel import StorageLevel
+
+    tok = (
+        _spread(df.select(F.col(id_col).alias("id"), tokens(F.col(text_col)).alias("_toks")))
+        .select("id", F.explode("_toks").alias("_t"))
+        .filter(F.col("_t") != "")
+        .select("id", F.xxhash64("_t").alias("_h"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    counts = tok.groupBy("_h").agg(F.count(F.lit(1)).alias("_c"))
+    total = counts.agg(F.sum("_c").alias("_n"))
+    surprisal = F.round(-F.log(F.col("_c") / F.col("_n")), 6)
+    scored = (
+        tok.join(counts, "_h")
+        .crossJoin(F.broadcast(total))
+        .groupBy("id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
+            F.sum(F.rint(surprisal * F.lit(1e6)).cast("long")).alias("_su"),
+        )
+    )
+    return scored.select(
+        F.col("id").alias(id_col),
+        "n_tokens",
+        F.round(
+            (F.col("_su").cast("decimal(38,6)") / F.lit(10**6).cast("decimal(12,0)")).cast(
+                "double"
+            )
+            / F.col("n_tokens"),
+            6,
+        ).alias("lm_score"),
+    )

@@ -167,6 +167,8 @@ DRIVER_ORDER: list[str] = [
     "orders_quality_constraints",
     # Round-5: Z-order layout + per-file skipping stats (operators/layout.py):
     "orders_zorder_layout_stats",
+    # Round-5: corpus-statistics LM quality scoring (text.unigram_lm_scores):
+    "docs_unigram_lm_scores",
     # Rows-only ops (no SQL-expressible oracle; pytest covers recall/
     # precision/planted-neighbor properties):
     "docs_benchmark_decontamination",

@@ -1625,3 +1625,35 @@ def docs_benchmark_decontamination(spark: SparkSession, sf_dir: str) -> DataFram
         )
         .orderBy("source")
     )
+
+
+@register(
+    "docs_unigram_lm_scores",
+    f"""
+    WITH tok AS (
+        SELECT id, t FROM (
+            SELECT doc_id AS id, unnest({_SQL_TOKS}) AS t FROM documents
+        ) WHERE t <> ''
+    ),
+    counts AS (SELECT t, COUNT(*) AS c FROM tok GROUP BY t),
+    n AS (SELECT SUM(c) AS n FROM counts),
+    per AS (
+        SELECT tok.id,
+               ROUND(-ln(CAST(counts.c AS DOUBLE) / CAST(n.n AS DOUBLE)), 6) AS s
+        FROM tok JOIN counts ON tok.t = counts.t, n
+    )
+    SELECT id AS doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           ROUND(CAST(SUM(CAST(s AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*), 6) AS lm_score
+    FROM per GROUP BY id ORDER BY doc_id
+    """,
+)
+def docs_unigram_lm_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mean unigram surprisal per document under the corpus's own
+    unigram distribution (pipeline/text.py::unigram_lm_scores) — the
+    statistical perplexity stand-in for LM-quality filtering.
+
+    Scale: one persisted token explode feeding both the count agg and
+    the join-back; token keys shuffle as 8-byte hashes; the per-doc
+    mean uses the exact fixed-point sum so it hash-matches DuckDB."""
+    d = load_tables(spark, sf_dir, ("documents",))["documents"]
+    return tx.unigram_lm_scores(d).orderBy("doc_id")
