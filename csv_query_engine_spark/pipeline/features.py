@@ -1,0 +1,106 @@
+"""Feature-hashing (hashing-trick) vectorization of text.
+
+The classic fixed-width featurizer for ML over unbounded vocabularies:
+token t contributes sign(t) ∈ {−1, +1} to feature index h(t) mod d —
+no vocabulary dictionary to build, broadcast, or keep consistent across
+a 100 TB corpus, and collisions are unbiased in expectation because of
+the sign hash (Weinberger et al., ICML 2009).
+
+Implementation is the repo's cross-engine md5 recipe
+(pipeline/sampling.py): index and sign come from the first 8 hex chars
+of salted md5 digests, so DuckDB reproduces the vectors bit-for-bit and
+the operator is oracle-checkable — unlike xxhash64, which has no ANSI
+twin.  Values are signed integer counts: no floating point anywhere.
+
+Plan shape: one token explode → ONE partial+final aggregation on
+(id, feature) → a second tiny conditional-sum aggregation over the
+≤ d rows per document that widens to scalar f0..f{d-1} columns (scalar
+columns because driver-side canonicalizers can't hash array cells; the
+d-column agg runs over the pre-aggregated table, NOT the exploded
+tokens — the 64-agg-columns-over-the-fact trap documented in CLAUDE.md
+does not apply at that size)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from csv_query_engine_spark.pipeline.common import spread as _spread
+from csv_query_engine_spark.pipeline.text import tokens
+
+
+def _hash32(col, salt: str):
+    hex8 = F.substring(F.md5(F.concat(F.lit(salt), col)), 1, 8)
+    return F.conv(hex8, 16, 10).cast("long")
+
+
+def feature_hash_vectors(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_features: int = 8,
+    salt: str = "fh-",
+    sign_salt: str = "fhs-",
+) -> DataFrame:
+    """One row per document: `id_col`, n_tokens, and f0..f{d-1} signed
+    hashed-count features (bigint)."""
+    tok = (
+        _spread(df.select(F.col(id_col).alias("id"), tokens(F.col(text_col)).alias("_toks")))
+        .select("id", F.explode("_toks").alias("_t"))
+        .filter(F.col("_t") != "")
+    )
+    hashed = tok.select(
+        "id",
+        (_hash32(F.col("_t"), salt) % n_features).alias("_f"),
+        F.when(_hash32(F.col("_t"), sign_salt) % 2 == 0, F.lit(1))
+        .otherwise(F.lit(-1))
+        .alias("_s"),
+    )
+    narrow = hashed.groupBy("id", "_f").agg(
+        F.count(F.lit(1)).alias("_n"), F.sum("_s").alias("_v")
+    )
+    wide = narrow.groupBy("id").agg(
+        F.sum("_n").cast("bigint").alias("n_tokens"),
+        *[
+            F.coalesce(
+                F.sum(F.when(F.col("_f") == k, F.col("_v"))), F.lit(0)
+            )
+            .cast("bigint")
+            .alias(f"f{k}")
+            for k in range(n_features)
+        ],
+    )
+    return wide.withColumnRenamed("id", id_col)
+
+
+def sql_feature_hash(
+    table: str,
+    sql_toks: str,
+    id_col: str = "doc_id",
+    n_features: int = 8,
+    salt: str = "fh-",
+    sign_salt: str = "fhs-",
+) -> str:
+    """DuckDB twin of :func:`feature_hash_vectors` over `table` whose
+    tokens come from the `sql_toks` expression."""
+    h = f"CAST('0x' || substring(md5('{salt}' || t), 1, 8) AS BIGINT)"
+    s = f"CAST('0x' || substring(md5('{sign_salt}' || t), 1, 8) AS BIGINT)"
+    feats = ",\n           ".join(
+        f"CAST(COALESCE(SUM(CASE WHEN _f = {k} THEN _s END), 0) AS BIGINT) AS f{k}"
+        for k in range(n_features)
+    )
+    return f"""
+    WITH tok AS (
+        SELECT id, t FROM (
+            SELECT {id_col} AS id, unnest({sql_toks}) AS t FROM {table}
+        ) WHERE t <> ''
+    ),
+    hashed AS (
+        SELECT id, {h} % {n_features} AS _f,
+               CASE WHEN {s} % 2 = 0 THEN 1 ELSE -1 END AS _s
+        FROM tok
+    )
+    SELECT id AS {id_col}, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           {feats}
+    FROM hashed GROUP BY id ORDER BY {id_col}
+    """

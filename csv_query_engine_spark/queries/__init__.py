@@ -169,6 +169,8 @@ DRIVER_ORDER: list[str] = [
     "orders_zorder_layout_stats",
     # Round-5: corpus-statistics LM quality scoring (text.unigram_lm_scores):
     "docs_unigram_lm_scores",
+    # Round-5: hashing-trick vectorization (pipeline/features.py):
+    "docs_feature_hash_vectors",
     # Rows-only ops (no SQL-expressible oracle; pytest covers recall/
     # precision/planted-neighbor properties):
     "docs_benchmark_decontamination",

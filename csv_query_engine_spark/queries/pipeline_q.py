@@ -1657,3 +1657,26 @@ def docs_unigram_lm_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     mean uses the exact fixed-point sum so it hash-matches DuckDB."""
     d = load_tables(spark, sf_dir, ("documents",))["documents"]
     return tx.unigram_lm_scores(d).orderBy("doc_id")
+
+
+def _feature_hash_oracle() -> str:
+    from csv_query_engine_spark.pipeline.features import sql_feature_hash
+
+    return sql_feature_hash("documents", _SQL_TOKS)
+
+
+@register("docs_feature_hash_vectors", _feature_hash_oracle())
+def docs_feature_hash_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashing-trick vectorization (pipeline/features.py): fixed-width
+    signed hashed-count features per document with NO vocabulary
+    dictionary — the featurizer that stays consistent across corpus
+    shards by construction.
+
+    Scale: one explode + one narrow (id, feature) aggregation; the
+    widening conditional sums run over <= d rows per doc. md5-based
+    index/sign hashes make the vectors bit-equal in DuckDB (integer
+    counts — no floats anywhere)."""
+    from csv_query_engine_spark.pipeline.features import feature_hash_vectors
+
+    d = load_tables(spark, sf_dir, ("documents",))["documents"]
+    return feature_hash_vectors(d).orderBy("doc_id")
