@@ -173,6 +173,8 @@ DRIVER_ORDER: list[str] = [
     "docs_feature_hash_vectors",
     # Round-5: cohort retention triangle over the events stream:
     "events_cohort_retention",
+    # Round-5: oracle-paired iterative PageRank (operators/graph.py):
+    "graph_pagerank_trade_network",
     # Rows-only ops (no SQL-expressible oracle; pytest covers recall/
     # precision/planted-neighbor properties):
     "docs_benchmark_decontamination",

@@ -1147,3 +1147,44 @@ def q22_dormant_customer_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cntrycode")
     )
+
+
+def _pagerank_oracle() -> str:
+    from csv_query_engine_spark.operators.graph import sql_pagerank
+
+    return sql_pagerank(
+        """SELECT DISTINCT o.o_custkey AS c, 1000000 + l.l_suppkey AS s
+           FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey"""
+    )
+
+
+@register("graph_pagerank_trade_network", _pagerank_oracle())
+def graph_pagerank_trade_network(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank over the customer-supplier trade graph (nodes =
+    customers ∪ suppliers, edges = symmetrized distinct order
+    relationships): 4 power iterations with damping 0.85
+    (operators/graph.py) — the iterative-algorithm family's
+    ORACLE-PAIRED member (connected components' recursive-CTE twin can
+    only check the fixpoint; here every intermediate iteration is
+    bit-equal across engines via per-step fixed-point rounding).
+
+    Scale: the edge list dedups map-side before symmetrizing; edges ×
+    degrees persist once and every iteration is one co-partitioned
+    join + one exact-sum aggregation on the node key — rank state
+    stays one row per node."""
+    from csv_query_engine_spark.operators.graph import pagerank
+
+    t = load_tables(spark, sf_dir, ("orders", "lineitem"))
+    pairs = (
+        t["orders"]
+        .join(t["lineitem"], F.col("o_orderkey") == F.col("l_orderkey"))
+        .select(
+            F.col("o_custkey").alias("c"),
+            (F.lit(1000000) + F.col("l_suppkey")).alias("s"),
+        )
+        .distinct()
+    )
+    edges = pairs.select(F.col("c").alias("src"), F.col("s").alias("dst")).unionByName(
+        pairs.select(F.col("s").alias("src"), F.col("c").alias("dst"))
+    )
+    return pagerank(edges, iterations=4, damping=0.85).orderBy("node")
