@@ -146,3 +146,47 @@ def token_budget_sample(
         df.withColumn("cum_tokens", F.sum(weight).over(w))
         .filter(F.col("cum_tokens") <= budget)
     )
+
+
+def temperature_mix_weights(
+    df: DataFrame,
+    stratum: str,
+    weight: Column,
+    alpha: float = 0.7,
+    budget: int | None = None,
+) -> DataFrame:
+    """Temperature-based mixture weights over strata (sources/langs):
+    share_i ∝ m_i^alpha where m_i is the stratum's total weight (token
+    mass).  alpha=1 reproduces natural proportions, alpha→0 uniform —
+    the standard multilingual/source re-balancing rule for training
+    mixes (e.g. the mBERT/XLM-R exponential-smoothing recipe).
+
+    Cross-engine exactness: the masses are exact long sums; m^alpha is
+    one libm pow per STRATUM (a handful of values — the tfidf-ln
+    precedent); each powered mass is quantized with IEEE-only
+    FLOOR(x*1e6 + 0.5) (never engine ROUND — CLAUDE.md) and the
+    denominator is the exact long sum of the quantized values, so
+    shares are identical double divisions.  With ``budget`` set, adds
+    the integer token allocation FLOOR(budget * share).
+
+    Scale: one partial+final aggregate on the stratum key; the share
+    normalization is a broadcast of the one-row total."""
+    masses = df.groupBy(stratum).agg(
+        F.sum(weight.cast("long")).alias("stratum_mass")
+    )
+    q = masses.withColumn(
+        "_q",
+        F.floor(F.pow(F.col("stratum_mass").cast("double"), F.lit(alpha)) * F.lit(1e6) + F.lit(0.5)),
+    )
+    denom = q.agg(F.sum("_q").alias("_d"))
+    out = q.crossJoin(F.broadcast(denom)).select(
+        stratum,
+        F.col("stratum_mass"),
+        (F.col("_q") / F.col("_d")).alias("mix_share"),
+        *(
+            [F.floor(F.lit(float(budget)) * (F.col("_q") / F.col("_d"))).cast("bigint").alias("target_tokens")]
+            if budget is not None
+            else []
+        ),
+    )
+    return out

@@ -175,6 +175,8 @@ DRIVER_ORDER: list[str] = [
     "events_cohort_retention",
     # Round-5: oracle-paired iterative PageRank (operators/graph.py):
     "graph_pagerank_trade_network",
+    # Round-5: temperature-smoothed source mixing (sampling.py):
+    "docs_temperature_mix",
     # Rows-only ops (no SQL-expressible oracle; pytest covers recall/
     # precision/planted-neighbor properties):
     "docs_benchmark_decontamination",

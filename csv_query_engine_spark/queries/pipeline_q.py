@@ -1680,3 +1680,40 @@ def docs_feature_hash_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load_tables(spark, sf_dir, ("documents",))["documents"]
     return feature_hash_vectors(d).orderBy("doc_id")
+
+
+@register(
+    "docs_temperature_mix",
+    f"""
+    WITH m AS (
+        SELECT source, CAST(SUM({_SQL_NTOK}) AS BIGINT) AS stratum_mass
+        FROM documents GROUP BY source
+    ),
+    q AS (
+        SELECT source, stratum_mass,
+               CAST(FLOOR(POW(CAST(stratum_mass AS DOUBLE), 0.7) * 1e6 + 0.5) AS BIGINT)
+                   AS _q
+        FROM m
+    ),
+    d AS (SELECT CAST(SUM(_q) AS BIGINT) AS _d FROM q)
+    SELECT q.source, q.stratum_mass,
+           q._q / d._d AS mix_share,
+           CAST(FLOOR(100000.0 * (q._q / d._d)) AS BIGINT) AS target_tokens
+    FROM q, d
+    ORDER BY source
+    """,
+)
+def docs_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-smoothed source mixture (alpha=0.7): per-source
+    token masses re-balanced by m^alpha and normalized — the standard
+    multilingual/source re-weighting rule for composing a training mix,
+    with the integer token allocation under a 100k budget
+    (pipeline/sampling.py::temperature_mix_weights).
+
+    Scale: one aggregate on source + a one-row broadcast; the powered
+    masses quantize via IEEE-only FLOOR so shares are exact double
+    divisions in both engines."""
+    d = load_tables(spark, sf_dir, ("documents",))["documents"]
+    return smp.temperature_mix_weights(
+        d, "source", tx.token_count(F.col("text")), alpha=0.7, budget=100000
+    ).orderBy("source")
