@@ -250,3 +250,48 @@ def test_stream_stream_left_outer_emits_unmatched_after_watermark(spark, tmp_pat
     # the last batch's view is still inside its horizon at query end ->
     # stays in state, not emitted
     assert 104 not in by_view
+
+
+def test_foreachbatch_merge_upsert_sink(spark, tmp_path):
+    """CDC-apply sink: each micro-batch of change records merge-upserts
+    into a parquet target via foreachBatch — the streaming half of the
+    operators/merge.py contract (batch order preserved, read-modify-
+    write with lineage cut before the overwrite)."""
+    import time
+
+    from csv_query_engine_spark.operators.merge import merge_upsert
+
+    target = str(tmp_path / "target")
+    src = str(tmp_path / "incoming")
+    (tmp_path / "incoming").mkdir()
+    spark.createDataFrame([(1, "a"), (2, "b")], "k int, v string").coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(target)
+    # two change files with distinct mtimes -> two ordered micro-batches
+    spark.createDataFrame([(2, "B2"), (3, "c")], "k int, v string").coalesce(1).write.parquet(
+        src + "/f1"
+    )
+    time.sleep(1.1)
+    spark.createDataFrame([(3, "C3"), (4, "d")], "k int, v string").coalesce(1).write.parquet(
+        src + "/f2"
+    )
+
+    def apply_batch(batch_df, _bid):
+        cur = batch_df.sparkSession.read.parquet(target)
+        # localCheckpoint cuts lineage to the target files so the
+        # overwrite below cannot invalidate its own input scan
+        merged = merge_upsert(cur, batch_df, ["k"]).localCheckpoint()
+        merged.write.mode("overwrite").parquet(target)
+
+    stream = (
+        spark.readStream.schema("k int, v string")
+        .option("maxFilesPerTrigger", 1)
+        .option("latestFirst", "false")
+        .parquet(src + "/*")
+    )
+    q = stream.writeStream.foreachBatch(apply_batch).trigger(availableNow=True).option(
+        "checkpointLocation", str(tmp_path / "ckpt")
+    ).start()
+    q.awaitTermination(120)
+    got = {r["k"]: r["v"] for r in spark.read.parquet(target).collect()}
+    assert got == {1: "a", 2: "B2", 3: "C3", 4: "d"}, got
