@@ -213,3 +213,74 @@ def test_star_and_propagation_agree_with_union_find(spark, star, seed):
     fn = connected_components_star if star else connected_components
     got = {r["id"]: r["cluster_id"] for r in fn(nodes, e).collect()}
     assert got == want
+
+
+# ----------------------------------------------------- merge_upsert model
+
+
+@settings(
+    max_examples=15, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture]
+)
+@given(
+    target=st.dictionaries(st.integers(0, 20), st.integers(0, 100), max_size=15),
+    source=st.dictionaries(st.integers(0, 25), st.integers(0, 100), max_size=15),
+)
+def test_merge_upsert_matches_dict_model(spark, target, source):
+    """merge_upsert == Python dict.update: matched keys take source
+    values, unmatched source keys insert, target-only keys survive."""
+    from csv_query_engine_spark.operators.merge import merge_upsert
+
+    t = spark.createDataFrame(
+        [(k, v) for k, v in target.items()] or [(None, None)], "k int, v int"
+    ).filter("k IS NOT NULL")
+    s = spark.createDataFrame(
+        [(k, v) for k, v in source.items()] or [(None, None)], "k int, v int"
+    ).filter("k IS NOT NULL")
+    got = {r["k"]: r["v"] for r in merge_upsert(t, s, ["k"]).collect()}
+    want = dict(target)
+    want.update(source)
+    assert got == want
+
+
+@settings(
+    max_examples=10, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture]
+)
+@given(
+    changes=st.lists(
+        st.tuples(st.integers(0, 6), st.integers(0, 3), st.integers(1, 50)),
+        min_size=1,
+        max_size=12,
+    )
+)
+def test_scd2_current_rows_match_latest_wins_model(spark, changes):
+    """After applying a random change batch to an empty dimension, the
+    open rows must equal the latest-change-per-key model and each key
+    has exactly one current row."""
+    import datetime
+
+    from pyspark.sql import functions as F
+
+    from csv_query_engine_spark.operators.merge import scd2_apply
+
+    dim = spark.createDataFrame(
+        [], "k int, attr string, valid_from timestamp, valid_to timestamp, is_current boolean"
+    )
+    rows = [
+        (k, f"a{a}", datetime.datetime(2020, 1, 1) + datetime.timedelta(days=d))
+        for (k, a, d) in changes
+    ]
+    ch = spark.createDataFrame(rows, "k int, attr string, change_ts timestamp")
+    out = scd2_apply(dim, ch, ["k"], ["attr"], "change_ts")
+    cur = {r["k"]: r["attr"] for r in out.filter(F.col("is_current")).collect()}
+    # model: per key, the change with the max ts wins; ties on ts pick
+    # the same row row_number picks — restrict the property to keys
+    # whose max ts is unique to stay implementation-agnostic
+    by_key = {}
+    for k, a, d in changes:
+        by_key.setdefault(k, []).append((d, a))
+    for k, lst in by_key.items():
+        mx = max(d for d, _ in lst)
+        winners = {a for d, a in lst if d == mx}
+        if len(winners) == 1:
+            assert cur[k] == f"a{next(iter(winners))}", (k, lst, cur)
+    assert out.filter(F.col("is_current")).groupBy("k").count().filter("count > 1").count() == 0
