@@ -269,3 +269,32 @@ def test_q22_anti_join_scan_pruned(spark):
     m = re.search(r"ReadSchema: struct<([^>]*)>", orders)
     cols = {c.split(":")[0] for c in m.group(1).split(",")}
     assert cols == {"o_custkey", "o_orderdate"}, cols
+
+
+def test_unigram_lm_token_table_read_from_cache(spark):
+    """The token explode feeds the count aggregation AND the join-back
+    (2 consumers): both must read the persisted table."""
+    plan = _plan(spark, "docs_unigram_lm_scores")
+    assert plan.count("InMemoryTableScan") >= 2, plan
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) <= 1, plan
+    spark.catalog.clearCache()
+
+
+def test_zorder_stats_single_scan_no_join(spark):
+    """Curve assignment is map-only: one scan, no join, partial+final
+    aggregation over the 64 file groups."""
+    plan = _plan(spark, "orders_zorder_layout_stats")
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1, plan
+    assert "Join" not in plan, plan
+    assert plan.count("HashAggregate") >= 2, plan
+
+
+def test_pagerank_no_cartesian_no_python(spark):
+    """Four unrolled iterations: every join is keyed (no cartesian) and
+    the whole computation stays JVM-side."""
+    plan = _plan(spark, "graph_pagerank_trade_network")
+    assert "Cartesian" not in plan, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, plan
+    # edge+degree table is persisted once and read per iteration
+    assert plan.count("InMemoryTableScan") >= 4, plan
+    spark.catalog.clearCache()
