@@ -975,3 +975,76 @@ def incremental_dedup(
             F.coalesce(F.col("exact_of"), F.col("near_of"), F.lit(-1)).cast("long").alias("dup_of"),
         )
     )
+
+
+# --------------------------------------------- AllPairs prefix filtering
+
+
+def allpairs_jaccard_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """EXACT n-gram Jaccard pairs ≥ threshold via prefix filtering
+    (AllPairs — Bayardo, Ma & Srikant, WWW'07): the third member of the
+    similarity-join family — same exact output as the quadratic
+    :func:`ngram_jaccard_pairs` (it shares that query's DuckDB oracle),
+    same pruned pair space as :func:`minhash_lsh_pairs` but with zero
+    false negatives and no signature tuning.
+
+    The filter: order every doc's gram set by GLOBAL gram frequency
+    (rarest first — the canonical order that minimizes candidate
+    fan-out); J(A,B) ≥ t implies |A∩B| ≥ ceil(t·|A|), so any
+    qualifying pair must collide inside each side's first
+    |A| − ceil(t·|A|) + 1 grams.  Only those prefix grams enter the
+    candidate self-join — frequent grams (the quadratic killers) sit at
+    the suffix end and never generate candidates.
+
+    Plan: the hashed distinct-gram table persists once (4 consumers:
+    frequency counts, doc sizes, prefix ranks, verification arrays);
+    prefix ranking is an id-partitioned window (never unpartitioned);
+    the candidate join keys on the 8-byte gram hash (repo convention —
+    collision odds documented at minhash_with_grams) and dedups on
+    (id_a, id_b); verification joins the persisted hashed-gram arrays
+    and keeps exact-Jaccard survivors.  At corpus scale the win over
+    the quadratic form is the prefix cut; against LSH it trades the
+    banded shuffle for exactness."""
+    from pyspark.sql import Window as W
+    from pyspark.storagelevel import StorageLevel
+
+    g = (
+        _spread(df)
+        .select(F.col(id_col).alias("id"), tokens(F.col(text_col)).alias("_toks"))
+        .select("id", F.explode(token_ngrams(F.col("_toks"), n)).alias("_g"))
+        .select("id", F.xxhash64("_g").alias("gh"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    cnt = g.groupBy("gh").agg(F.count(F.lit(1)).alias("_c"))
+    sizes = g.groupBy("id").agg(F.count(F.lit(1)).alias("_sz"))
+    prefix_len = F.col("_sz") - F.ceil(F.lit(threshold) * F.col("_sz")) + 1
+    ranked = (
+        g.join(cnt, "gh")
+        .join(sizes, "id")  # id-keyed, co-partitioned with the window below
+        .withColumn(
+            "_rk",
+            F.row_number().over(W.partitionBy("id").orderBy(F.col("_c"), F.col("gh"))),
+        )
+        .filter(F.col("_rk") <= prefix_len)
+        .select("id", "gh")
+    )
+    cand = (
+        ranked.select(F.col("id").alias("id_a"), "gh")
+        .join(ranked.select(F.col("id").alias("id_b"), "gh"), "gh")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    arrays = g.groupBy("id").agg(F.collect_set("gh").alias("_ga"))
+    return (
+        cand.join(arrays.select(F.col("id").alias("id_a"), F.col("_ga").alias("_gaa")), "id_a")
+        .join(arrays.select(F.col("id").alias("id_b"), F.col("_ga").alias("_gab")), "id_b")
+        .select("id_a", "id_b", jaccard(F.col("_gaa"), F.col("_gab")).alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+    )

@@ -177,6 +177,9 @@ DRIVER_ORDER: list[str] = [
     "graph_pagerank_trade_network",
     # Round-5: temperature-smoothed source mixing (sampling.py):
     "docs_temperature_mix",
+    # Round-5: exact prefix-filtered similarity join (AllPairs) — its
+    # oracle IS the brute-force pair join, so completeness is hash-checked:
+    "dedup_allpairs_jaccard",
     # Rows-only ops (no SQL-expressible oracle; pytest covers recall/
     # precision/planted-neighbor properties):
     "docs_benchmark_decontamination",

@@ -1717,3 +1717,39 @@ def docs_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     return smp.temperature_mix_weights(
         d, "source", tx.token_count(F.col("text")), alpha=0.7, budget=100000
     ).orderBy("source")
+
+
+@register(
+    "dedup_allpairs_jaccard",
+    f"""
+    WITH grams AS (
+        SELECT doc_id AS id,
+               list_distinct(list_transform(
+                   range(0, greatest({_SQL_NTOK} - 2, 1)),
+                   i -> array_to_string(list_slice({_SQL_TOKS}, i + 1, i + 3), ' ')
+               )) AS g
+        FROM documents WHERE doc_id % 20 = 0
+    )
+    SELECT a.id AS id_a, b.id AS id_b,
+           CASE WHEN len(list_distinct(list_concat(a.g, b.g))) > 0
+                THEN CAST(len(list_intersect(a.g, b.g)) AS DOUBLE)
+                     / CAST(len(list_distinct(list_concat(a.g, b.g))) AS DOUBLE)
+                ELSE 0.0 END AS jaccard
+    FROM grams a JOIN grams b ON a.id < b.id
+    WHERE CASE WHEN len(list_distinct(list_concat(a.g, b.g))) > 0
+               THEN CAST(len(list_intersect(a.g, b.g)) AS DOUBLE)
+                    / CAST(len(list_distinct(list_concat(a.g, b.g))) AS DOUBLE)
+               ELSE 0.0 END >= 0.5
+    ORDER BY id_a, id_b
+    """,
+)
+def dedup_allpairs_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT prefix-filtered similarity join (AllPairs, Bayardo et al.
+    WWW'07) — the third dedup-family member: exact output (the oracle
+    is the BRUTE-FORCE pair join, so any false negative from the prefix
+    filter breaks the hash), LSH-like pruned candidate space (only
+    rarest-prefix gram collisions generate pairs; frequent grams never
+    fan out). dedup.allpairs_jaccard_pairs docstring carries the
+    completeness bound."""
+    d = load_tables(spark, sf_dir, ("documents",))["documents"].filter(F.col("doc_id") % 20 == 0)
+    return dd.allpairs_jaccard_pairs(d, n=3, threshold=0.5).orderBy("id_a", "id_b")

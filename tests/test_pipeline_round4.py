@@ -385,3 +385,39 @@ def test_token_budget_approx_no_corpus_sort(spark, tmp_path):
 
     assert len(re.findall(r"\(\d+\) Window", plan)) <= 1, plan
     assert "BroadcastHashJoin" in plan, plan
+
+
+def test_allpairs_equals_bruteforce_with_planted_neardups(spark):
+    """The prefix filter must lose NOTHING: planted near-duplicate pairs
+    and random chaff produce identical (pair, jaccard) sets from the
+    AllPairs form and the quadratic ground truth, while the candidate
+    stage prunes the pair space."""
+    from pyspark.sql import functions as F
+
+    from csv_query_engine_spark.pipeline.dedup import (
+        allpairs_jaccard_pairs,
+        ngram_jaccard_pairs,
+    )
+
+    base = "the quick brown fox jumps over the lazy dog near the river bank today"
+    rows = []
+    for i in range(30):
+        words = base.split()
+        words[i % len(words)] = f"w{i}"
+        rows.append((i, " ".join(words)))  # near-dups of each other
+    for i in range(30, 90):
+        rows.append((i, " ".join(f"tok{i}_{j}" for j in range(15))))  # chaff
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    exact = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(df, threshold=0.3).collect()
+    }
+    fast = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in allpairs_jaccard_pairs(df, threshold=0.3).collect()
+    }
+    assert exact, "test corpus must contain qualifying pairs"
+    assert fast == exact, (
+        len(exact), len(fast), set(exact) ^ set(fast)
+    )
+    spark.catalog.clearCache()
