@@ -40,21 +40,23 @@ def feature_hash_vectors(
     text_col: str = "text",
     n_features: int = 8,
     salt: str = "fh-",
-    sign_salt: str = "fhs-",
 ) -> DataFrame:
     """One row per document: `id_col`, n_tokens, and f0..f{d-1} signed
-    hashed-count features (bigint)."""
+    hashed-count features (bigint).  ONE md5 per token: the low bit is
+    the sign, the remaining 31 bits the feature index — independent
+    bits of the same digest, half the hash cost of a second salted
+    digest (the per-token hash IS the hot-path cost here)."""
     tok = (
         _spread(df.select(F.col(id_col).alias("id"), tokens(F.col(text_col)).alias("_toks")))
         .select("id", F.explode("_toks").alias("_t"))
         .filter(F.col("_t") != "")
     )
-    hashed = tok.select(
+    # materialize the digest once; the two consumers below then read a
+    # plain column (the repo's materialize-before-reuse rule)
+    hashed = tok.select("id", _hash32(F.col("_t"), salt).alias("_h")).select(
         "id",
-        (_hash32(F.col("_t"), salt) % n_features).alias("_f"),
-        F.when(_hash32(F.col("_t"), sign_salt) % 2 == 0, F.lit(1))
-        .otherwise(F.lit(-1))
-        .alias("_s"),
+        (F.shiftright(F.col("_h"), 1) % n_features).alias("_f"),
+        F.when(F.col("_h") % 2 == 0, F.lit(1)).otherwise(F.lit(-1)).alias("_s"),
     )
     narrow = hashed.groupBy("id", "_f").agg(
         F.count(F.lit(1)).alias("_n"), F.sum("_s").alias("_v")
@@ -79,12 +81,11 @@ def sql_feature_hash(
     id_col: str = "doc_id",
     n_features: int = 8,
     salt: str = "fh-",
-    sign_salt: str = "fhs-",
 ) -> str:
     """DuckDB twin of :func:`feature_hash_vectors` over `table` whose
-    tokens come from the `sql_toks` expression."""
+    tokens come from the `sql_toks` expression (same single digest,
+    same low-bit sign / high-bits index split)."""
     h = f"CAST('0x' || substring(md5('{salt}' || t), 1, 8) AS BIGINT)"
-    s = f"CAST('0x' || substring(md5('{sign_salt}' || t), 1, 8) AS BIGINT)"
     feats = ",\n           ".join(
         f"CAST(COALESCE(SUM(CASE WHEN _f = {k} THEN _s END), 0) AS BIGINT) AS f{k}"
         for k in range(n_features)
@@ -96,9 +97,9 @@ def sql_feature_hash(
         ) WHERE t <> ''
     ),
     hashed AS (
-        SELECT id, {h} % {n_features} AS _f,
-               CASE WHEN {s} % 2 = 0 THEN 1 ELSE -1 END AS _s
-        FROM tok
+        SELECT id, (_h >> 1) % {n_features} AS _f,
+               CASE WHEN _h % 2 = 0 THEN 1 ELSE -1 END AS _s
+        FROM (SELECT id, {h} AS _h FROM tok)
     )
     SELECT id AS {id_col}, CAST(COUNT(*) AS BIGINT) AS n_tokens,
            {feats}
