@@ -180,6 +180,8 @@ DRIVER_ORDER: list[str] = [
     # Round-5: exact prefix-filtered similarity join (AllPairs) — its
     # oracle IS the brute-force pair join, so completeness is hash-checked:
     "dedup_allpairs_jaccard",
+    # Round-5: REAL compressed-image decode (stdlib zlib PNG round-trip):
+    "media_png_decode_stats",
     # Rows-only ops (no SQL-expressible oracle; pytest covers recall/
     # precision/planted-neighbor properties):
     "docs_benchmark_decontamination",

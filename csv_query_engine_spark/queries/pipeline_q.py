@@ -1753,3 +1753,56 @@ def dedup_allpairs_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     completeness bound."""
     d = load_tables(spark, sf_dir, ("documents",))["documents"].filter(F.col("doc_id") % 20 == 0)
     return dd.allpairs_jaccard_pairs(d, n=3, threshold=0.5).orderBy("id_a", "id_b")
+
+
+@register(
+    "media_png_decode_stats",
+    """
+    WITH px AS (
+        SELECT doc_id,
+               (16 + doc_id % 16) AS w,
+               (8 + doc_id % 8) AS h,
+               unnest(range(0, (16 + doc_id % 16) * (8 + doc_id % 8) * 3)) AS p
+        FROM documents WHERE doc_id % 10 = 5
+    ),
+    v AS (
+        SELECT doc_id, w, h, (doc_id * 31 + 7 * p) % 256 AS v FROM px
+    )
+    SELECT doc_id,
+           CAST(MAX(w) AS INT) AS width,
+           CAST(MAX(h) AS INT) AS height,
+           CAST(COUNT(*) AS BIGINT) AS n_pixel_bytes,
+           ROUND(CAST(SUM(v) AS DOUBLE) / COUNT(*), 6) AS byte_mean,
+           ROUND(CAST(SUM(CASE WHEN v % 8 = 0 THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*), 6) AS f0,
+           ROUND(CAST(SUM(CASE WHEN v % 8 = 1 THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*), 6) AS f1,
+           ROUND(CAST(SUM(CASE WHEN v % 8 = 2 THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*), 6) AS f2,
+           ROUND(CAST(SUM(CASE WHEN v % 8 = 3 THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*), 6) AS f3,
+           ROUND(CAST(SUM(CASE WHEN v % 8 = 4 THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*), 6) AS f4,
+           ROUND(CAST(SUM(CASE WHEN v % 8 = 5 THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*), 6) AS f5,
+           ROUND(CAST(SUM(CASE WHEN v % 8 = 6 THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*), 6) AS f6,
+           ROUND(CAST(SUM(CASE WHEN v % 8 = 7 THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*), 6) AS f7
+    FROM v GROUP BY doc_id ORDER BY doc_id
+    """,
+)
+def media_png_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL COMPRESSED-image decode, oracle-checked end-to-end:
+    png_encode emits genuine PNGs (zlib-DEFLATE IDAT, CRC'd chunks)
+    whose pixels follow the closed form (doc_id*31 + 7*p) mod 256;
+    decode_media(fake=False) REALLY inflates and unfilters them
+    (_make_image_parser: all five PNG scanline filters), and the
+    statistics run over the DECODED pixels. The DuckDB twin recomputes
+    them from the closed form — any DEFLATE, chunk-walk, or unfilter
+    bug breaks the hash. Extends the round-5 real-codec path from
+    uncompressed (PPM/BMP) to a genuinely compressed format with zero
+    external dependencies."""
+    d = load_tables(spark, sf_dir, ("documents",))["documents"].filter(F.col("doc_id") % 10 == 5)
+    media = mm.png_encode(d)
+    out = mm.decode_media(media, fake=False)
+    return out.select(
+        "doc_id",
+        "width",
+        "height",
+        F.col("n_bytes").alias("n_pixel_bytes"),
+        F.round("byte_mean", 6).alias("byte_mean"),
+        *[F.round(F.get("feature", k), 6).alias(f"f{k}") for k in range(8)],
+    ).orderBy("doc_id")

@@ -479,3 +479,92 @@ def test_quality_filter_flags(spark):
     )
     assert not out[2]["ok_token_count"] and not out[2]["passes"]
     assert not out[3]["ok_stopword_ratio"] and not out[3]["ok_distinct_ratio"] and not out[3]["passes"]
+
+
+def test_png_parser_all_filter_types():
+    """Hand-built 2x2 RGB PNGs, one per scanline filter type (the
+    encoder only emits filter 0): the parser must reconstruct the same
+    pixels a reference spec-following unfilter produces."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    from csv_query_engine_spark.pipeline.multimodal import _make_image_parser
+
+    parse = _make_image_parser()
+
+    def chunk(typ, payload):
+        return (
+            struct.pack(">I", len(payload))
+            + typ
+            + payload
+            + struct.pack(">I", zlib.crc32(typ + payload) & 0xFFFFFFFF)
+        )
+
+    def build_png(filtered_rows):
+        raw = b"".join(bytes([f]) + bytes(line) for f, line in filtered_rows)
+        return (
+            b"\x89PNG\r\n\x1a\n"
+            + chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 2, 8, 2, 0, 0, 0))
+            + chunk(b"IDAT", zlib.compress(raw))
+            + chunk(b"IEND", b"")
+        )
+
+    target = [[10, 20, 30, 40, 50, 60], [15, 25, 35, 45, 55, 65]]  # 2x2 RGB
+
+    def paeth(a, b, c):
+        p = a + b - c
+        pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+        return a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+
+    def filter_row(f, row, prev):
+        out = []
+        for x, v in enumerate(row):
+            a = row[x - 3] if x >= 3 else 0
+            b = prev[x]
+            c = prev[x - 3] if x >= 3 else 0
+            pred = {0: 0, 1: a, 2: b, 3: (a + b) // 2, 4: paeth(a, b, c)}[f]
+            out.append((v - pred) % 256)
+        return out
+
+    for f in range(5):
+        rows = [
+            (f, filter_row(f, target[0], [0] * 6)),
+            (f, filter_row(f, target[1], target[0])),
+        ]
+        fmt, w, h, px, consumed = parse(build_png(rows), np)
+        assert (fmt, w, h) == ("image/png", 2, 2)
+        assert px.tolist() == target[0] + target[1], (f, px.tolist())
+        assert consumed == len(build_png(rows))
+
+
+def test_png_parser_rejects_unsupported():
+    import struct
+    import zlib
+
+    import numpy as np
+    import pytest as _pt
+
+    from csv_query_engine_spark.pipeline.multimodal import _make_image_parser
+
+    parse = _make_image_parser()
+
+    def chunk(typ, payload):
+        return (
+            struct.pack(">I", len(payload))
+            + typ
+            + payload
+            + struct.pack(">I", zlib.crc32(typ + payload) & 0xFFFFFFFF)
+        )
+
+    # grayscale (color type 0) must be refused, not mis-decoded
+    bad = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 2, 8, 0, 0, 0, 0))
+        + chunk(b"IEND", b"")
+    )
+    with _pt.raises(ValueError, match="only 8-bit RGB"):
+        parse(bad, np)
+    with _pt.raises(ValueError, match="truncated PNG"):
+        parse(b"\x89PNG\r\n\x1a\n" + chunk(b"IDAT", b"xx"), np)
