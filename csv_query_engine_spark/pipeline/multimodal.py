@@ -484,3 +484,127 @@ def sample_frames(
 
     spread = _spread(df.select(id_col, "media"))
     return spread.mapInPandas(_frames, schema=FRAME_SCHEMA)
+
+
+# ------------------------------------------------------------------ audio
+
+AUDIO_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("n_samples", T.LongType()),
+        T.StructField("sample_rate", T.IntegerType()),
+        T.StructField("amp_mean", T.DoubleType()),
+        T.StructField("amp_rms", T.DoubleType()),
+        T.StructField("zero_cross_rate", T.DoubleType()),
+    ]
+)
+
+
+def wav_encode(df: DataFrame, id_col: str = "doc_id", sample_rate: int = 8000) -> DataFrame:
+    """Emit a REAL RIFF/WAVE file (PCM 16-bit mono) per row with
+    closed-form samples ``s[k] = ((doc_id*37 + 11*k) mod 4096) − 2048``
+    over ``256 + doc_id%256`` samples — the audio member of the real-
+    codec family (PPM/BMP/PNG images, concatenated-PPM video): any WAV
+    reader plays these, and the closed form lets the DuckDB oracle
+    recompute the decoded-sample statistics without a RIFF parser."""
+
+    def _enc(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:  # noqa: F821
+        import struct
+
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            blobs, metas = [], []
+            for doc_id in pdf[id_col]:
+                i = int(doc_id)
+                n = 256 + i % 256
+                s = (((i * 37 + 11 * np.arange(n, dtype=np.int64)) % 4096) - 2048).astype(
+                    "<i2"
+                )
+                data = s.tobytes()
+                fmt = struct.pack("<HHIIHH", 1, 1, sample_rate, sample_rate * 2, 2, 16)
+                blob = (
+                    b"RIFF"
+                    + struct.pack("<I", 4 + 8 + len(fmt) + 8 + len(data))
+                    + b"WAVE"
+                    + b"fmt "
+                    + struct.pack("<I", len(fmt))
+                    + fmt
+                    + b"data"
+                    + struct.pack("<I", len(data))
+                    + data
+                )
+                blobs.append(blob)
+                metas.append(
+                    {"format": "audio/wav", "width": n, "height": 1, "n_bytes": len(blob)}
+                )
+            yield pd.DataFrame({"doc_id": pdf[id_col].astype("int64"), "media": blobs, "meta": metas})
+
+    spread = _spread(df.select(id_col))
+    return spread.mapInPandas(_enc, schema=RESIZED_SCHEMA)
+
+
+def decode_audio(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """REAL RIFF/WAVE decode (PCM 16-bit mono, stdlib-only chunk walk)
+    + per-clip features: sample count, rate, mean amplitude, RMS, and
+    zero-crossing rate — computed over the DECODED samples with exact
+    integer sums so the closed-form oracle hash-matches.
+
+    Scale: Arrow-batched mapInPandas like the image path; features are
+    O(samples) numpy; no shuffle."""
+
+    def _dec(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:  # noqa: F821
+        import math
+        import struct
+
+        import numpy as np
+        import pandas as pd
+
+        def parse_wav(data):
+            if len(data) < 12 or data[:4] != b"RIFF" or data[8:12] != b"WAVE":
+                raise ValueError("not a RIFF/WAVE file")
+            i, rate, bits, channels, samples = 12, None, None, None, None
+            while i + 8 <= len(data):
+                typ = data[i : i + 4]
+                ln = int.from_bytes(data[i + 4 : i + 8], "little")
+                body = data[i + 8 : i + 8 + ln]
+                if typ == b"fmt ":
+                    fmt_code, channels, rate = struct.unpack("<HHI", body[:8])
+                    bits = struct.unpack("<H", body[14:16])[0]
+                    if fmt_code != 1 or channels != 1 or bits != 16:
+                        raise ValueError(
+                            f"only PCM16 mono supported (fmt={fmt_code}, ch={channels}, bits={bits})"
+                        )
+                elif typ == b"data":
+                    samples = np.frombuffer(body, dtype="<i2")
+                i += 8 + ln + (ln & 1)  # RIFF chunks pad to even
+            if rate is None or samples is None:
+                raise ValueError("truncated WAV (missing fmt/data chunk)")
+            return rate, samples
+
+        for pdf in batches:
+            ns, rates, means, rmss, zcrs = [], [], [], [], []
+            for blob in pdf["media"]:
+                rate, s = parse_wav(bytes(blob))
+                v = s.astype(np.int64)
+                n = int(v.size)
+                ns.append(n)
+                rates.append(rate)
+                means.append(float(int(v.sum())) / n if n else 0.0)
+                rmss.append(math.sqrt(float(int((v * v).sum())) / n) if n else 0.0)
+                zc = int(((v[:-1] * v[1:]) < 0).sum()) if n > 1 else 0
+                zcrs.append(float(zc) / (n - 1) if n > 1 else 0.0)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col].astype("int64"),
+                    "n_samples": pd.Series(ns, dtype="int64"),
+                    "sample_rate": pd.Series(rates, dtype="int32"),
+                    "amp_mean": pd.Series(means, dtype="float64"),
+                    "amp_rms": pd.Series(rmss, dtype="float64"),
+                    "zero_cross_rate": pd.Series(zcrs, dtype="float64"),
+                }
+            )
+
+    spread = _spread(df.select(id_col, "media"))
+    return spread.mapInPandas(_dec, schema=AUDIO_SCHEMA)

@@ -182,6 +182,8 @@ DRIVER_ORDER: list[str] = [
     "dedup_allpairs_jaccard",
     # Round-5: REAL compressed-image decode (stdlib zlib PNG round-trip):
     "media_png_decode_stats",
+    # Round-5: REAL audio decode (RIFF/WAVE PCM16 round-trip):
+    "media_wav_decode_stats",
     # Rows-only ops (no SQL-expressible oracle; pytest covers recall/
     # precision/planted-neighbor properties):
     "docs_benchmark_decontamination",

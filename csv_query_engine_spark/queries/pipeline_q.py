@@ -1806,3 +1806,52 @@ def media_png_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("byte_mean", 6).alias("byte_mean"),
         *[F.round(F.get("feature", k), 6).alias(f"f{k}") for k in range(8)],
     ).orderBy("doc_id")
+
+
+@register(
+    "media_wav_decode_stats",
+    """
+    WITH k AS (
+        SELECT doc_id,
+               (256 + doc_id % 256) AS n,
+               unnest(range(0, 256 + doc_id % 256)) AS k
+        FROM documents WHERE doc_id % 10 = 3
+    ),
+    s AS (
+        SELECT doc_id, n, k,
+               ((doc_id * 37 + 11 * k) % 4096) - 2048 AS v,
+               CASE WHEN k + 1 < n
+                    THEN ((doc_id * 37 + 11 * (k + 1)) % 4096) - 2048
+               END AS v_next
+        FROM k
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_samples,
+           CAST(8000 AS INT) AS sample_rate,
+           ROUND(CAST(SUM(v) AS DOUBLE) / COUNT(*), 6) AS amp_mean,
+           ROUND(SQRT(CAST(SUM(v * v) AS DOUBLE) / COUNT(*)), 6) AS amp_rms,
+           ROUND(CAST(SUM(CASE WHEN v * v_next < 0 THEN 1 ELSE 0 END) AS DOUBLE)
+                 / (COUNT(*) - 1), 6) AS zero_cross_rate
+    FROM s GROUP BY doc_id ORDER BY doc_id
+    """,
+)
+def media_wav_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio decode, oracle-checked end-to-end: wav_encode emits
+    genuine RIFF/WAVE PCM16 files with closed-form samples;
+    decode_audio REALLY walks the RIFF chunks and computes mean/RMS/
+    zero-crossing-rate over the DECODED samples (exact integer sums →
+    identical doubles). The DuckDB twin recomputes from the closed
+    form — any header, endianness, or chunk-padding bug breaks the
+    hash. Completes the real-codec family: image (PPM/BMP/PNG), audio
+    (WAV), video (concatenated-PPM frames)."""
+    d = load_tables(spark, sf_dir, ("documents",))["documents"].filter(F.col("doc_id") % 10 == 3)
+    media = mm.wav_encode(d)
+    out = mm.decode_audio(media)
+    return out.select(
+        "doc_id",
+        "n_samples",
+        "sample_rate",
+        F.round("amp_mean", 6).alias("amp_mean"),
+        F.round("amp_rms", 6).alias("amp_rms"),
+        F.round("zero_cross_rate", 6).alias("zero_cross_rate"),
+    ).orderBy("doc_id")
