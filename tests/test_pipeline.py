@@ -568,3 +568,50 @@ def test_png_parser_rejects_unsupported():
         parse(bad, np)
     with _pt.raises(ValueError, match="truncated PNG"):
         parse(b"\x89PNG\r\n\x1a\n" + chunk(b"IDAT", b"xx"), np)
+
+
+def test_frame_sample_real_mixed_ppm_png_stream(spark):
+    """The real frame walker must handle a concatenated stream that
+    mixes PPM and PNG frames (the shared parser reports per-frame
+    consumed bytes), re-emitting every frame as a standalone PPM."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    from csv_query_engine_spark.pipeline import multimodal as mm
+
+    def ppm_frame(val, w=4, h=2):
+        px = bytes([(val + i) % 256 for i in range(w * h * 3)])
+        return f"P6\n{w} {h}\n255\n".encode() + px, px
+
+    def png_frame(val, w=4, h=2):
+        def chunk(typ, payload):
+            return (
+                struct.pack(">I", len(payload))
+                + typ
+                + payload
+                + struct.pack(">I", zlib.crc32(typ + payload) & 0xFFFFFFFF)
+            )
+
+        px = bytes([(val + i) % 256 for i in range(w * h * 3)])
+        raw = b"".join(b"\x00" + px[y * w * 3 : (y + 1) * w * 3] for y in range(h))
+        blob = (
+            b"\x89PNG\r\n\x1a\n"
+            + chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0))
+            + chunk(b"IDAT", zlib.compress(raw))
+            + chunk(b"IEND", b"")
+        )
+        return blob, px
+
+    f0, p0 = ppm_frame(10)
+    f1, p1 = png_frame(50)
+    f2, p2 = ppm_frame(90)
+    stream = f0 + f1 + f2
+    df = spark.createDataFrame([(7, bytearray(stream))], "doc_id long, media binary")
+    rows = sorted(
+        mm.sample_frames(df, every_n=1, fake=False).collect(), key=lambda r: r["frame_idx"]
+    )
+    assert [r["frame_idx"] for r in rows] == [0, 1, 2]
+    header = b"P6\n4 2\n255\n"
+    assert [bytes(r["frame"]) for r in rows] == [header + p0, header + p1, header + p2]
