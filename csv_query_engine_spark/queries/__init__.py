@@ -184,6 +184,8 @@ DRIVER_ORDER: list[str] = [
     "media_png_decode_stats",
     # Round-5: REAL audio decode (RIFF/WAVE PCM16 round-trip):
     "media_wav_decode_stats",
+    # Round-5: ordered multi-step funnel (sequential-pattern shape):
+    "events_funnel_steps",
     # Rows-only ops (no SQL-expressible oracle; pytest covers recall/
     # precision/planted-neighbor properties):
     "docs_benchmark_decontamination",

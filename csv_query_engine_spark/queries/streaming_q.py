@@ -305,3 +305,76 @@ def events_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count_distinct("user_id").cast("bigint").alias("n_users"))
         .orderBy("cohort_week", "offset_weeks")
     )
+
+
+@register(
+    "events_funnel_steps",
+    """
+    WITH v AS (
+        SELECT user_id, MIN(ts) AS t1 FROM events
+        WHERE event_type = 'view' GROUP BY user_id
+    ),
+    c AS (
+        SELECT v.user_id, MIN(e.ts) AS t2
+        FROM v JOIN events e
+          ON e.user_id = v.user_id AND e.event_type = 'click' AND e.ts > v.t1
+        GROUP BY v.user_id
+    ),
+    p AS (
+        SELECT c.user_id, MIN(e.ts) AS t3
+        FROM c JOIN events e
+          ON e.user_id = c.user_id AND e.event_type = 'purchase' AND e.ts > c.t2
+        GROUP BY c.user_id
+    )
+    SELECT step, n_users FROM (
+        SELECT '1_view' AS step, CAST(COUNT(*) AS BIGINT) AS n_users FROM v
+        UNION ALL
+        SELECT '2_click_after_view', CAST(COUNT(*) AS BIGINT) FROM c
+        UNION ALL
+        SELECT '3_purchase_after_click', CAST(COUNT(*) AS BIGINT) FROM p
+    ) ORDER BY step
+    """,
+)
+def events_funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered multi-step funnel (view → click → purchase, each step
+    STRICTLY after the previous step's first completion): the
+    sequential-pattern shape (MATCH_RECOGNIZE-lite) that sessionization
+    and the pairwise conversion join don't cover.
+
+    Scale: each step is a per-user MIN aggregate chained through a join
+    keyed on user_id — every stage aligns on the same key, so the whole
+    funnel is one user-partitioned pipeline (AQE reuses the exchange);
+    step counts are single-row aggregates. Cross-engine safety: only
+    counts surface, so the ns-vs-µs timestamp encodings can't drift the
+    hash."""
+    e = load_tables(spark, sf_dir, ("events",))["events"]
+
+    def first_after(prev: DataFrame, etype: str, prev_t: str, out_t: str) -> DataFrame:
+        ev = e.filter(F.col("event_type") == etype).select("user_id", "ts")
+        return (
+            prev.join(ev, "user_id")
+            .filter(F.col("ts") > F.col(prev_t))
+            .groupBy("user_id")
+            .agg(F.min("ts").alias(out_t))
+        )
+
+    v = (
+        e.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    c = first_after(v, "click", "t1", "t2")
+    p = first_after(c, "purchase", "t2", "t3")
+    counts = [
+        v.agg(F.count(F.lit(1)).cast("bigint").alias("n_users")).select(
+            F.lit("1_view").alias("step"), "n_users"
+        ),
+        c.agg(F.count(F.lit(1)).cast("bigint").alias("n_users")).select(
+            F.lit("2_click_after_view").alias("step"), "n_users"
+        ),
+        p.agg(F.count(F.lit(1)).cast("bigint").alias("n_users")).select(
+            F.lit("3_purchase_after_click").alias("step"), "n_users"
+        ),
+    ]
+    out = counts[0].unionByName(counts[1]).unionByName(counts[2])
+    return out.orderBy("step")
