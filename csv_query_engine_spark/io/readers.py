@@ -181,3 +181,29 @@ def read_jdbc(
     if predicates is not None:
         return spark.read.jdbc(url, table, predicates=predicates, properties=dict(options))
     return spark.read.jdbc(url, table, properties=dict(options))
+
+
+def read_binary_files(
+    spark: SparkSession,
+    path: str,
+    glob: str | None = None,
+    recursive: bool = False,
+) -> DataFrame:
+    """Binary-file source (``binaryFile`` format): one row per file with
+    (path, modificationTime, length, content) — the ingest path that
+    feeds raw media files (images/audio/video blobs) into the
+    multimodal pipeline (pipeline/multimodal.decode_media /
+    decode_audio operate on exactly this ``content`` column).
+
+    Scale: the source lists files driver-side but reads content in
+    executors, splitting the file LIST across tasks (content itself is
+    never splittable — one file, one task); pair it with
+    ``spark.sql.files.maxPartitionBytes`` sizing and the `_spread`
+    helpers downstream so a few huge files don't serialize the decode
+    stage. ``pathGlobFilter`` prunes by name BEFORE content is read."""
+    r = spark.read.format("binaryFile")
+    if glob:
+        r = r.option("pathGlobFilter", glob)
+    if recursive:
+        r = r.option("recursiveFileLookup", "true")
+    return r.load(path)
