@@ -207,3 +207,50 @@ def read_binary_files(
     if recursive:
         r = r.option("recursiveFileLookup", "true")
     return r.load(path)
+
+
+def read_text_corpus(
+    spark: SparkSession,
+    path: str,
+    whole_files: bool = False,
+    glob: str | None = None,
+) -> DataFrame:
+    """Plain-text corpus ingest (``text`` format) normalized to the
+    documents-table shape: (doc_id, source, text).
+
+    ``whole_files=False`` (default): one document per LINE, doc_id =
+    xxhash64(file, line) — splittable, the right mode for one-doc-per-
+    line corpus dumps (the JSONL-without-JSON case).
+    ``whole_files=True``: one document per FILE (``wholetext``), doc_id
+    = xxhash64(file) — for directories of .txt files; like binaryFile,
+    a whole file is one task, so compact many tiny files first.
+
+    Scale: both modes read in executors with the file list split
+    across tasks; ``pathGlobFilter`` prunes by name before any bytes
+    are read; the hash ids are content-address stable (re-ingest gives
+    identical ids — the property downstream dedup/split assignment
+    relies on)."""
+    from pyspark.sql import functions as F
+
+    r = spark.read.format("text")
+    if whole_files:
+        r = r.option("wholetext", "true")
+    if glob:
+        r = r.option("pathGlobFilter", glob)
+    df = r.load(path).select(
+        F.col("value").alias("text"),
+        F.input_file_name().alias("source"),
+    )
+    if whole_files:
+        key = F.xxhash64("source")
+    else:
+        # line ids must be stable per (file, line content, occurrence) —
+        # monotonically_increasing_id is partition-dependent, so hash
+        # the content and disambiguate equal lines by occurrence count
+        from pyspark.sql import Window as W
+
+        occ = F.row_number().over(W.partitionBy("source", "text").orderBy(F.lit(1)))
+        df = df.withColumn("_occ", occ)
+        key = F.xxhash64("source", "text", "_occ")
+    out = df.select(key.alias("doc_id"), "source", "text")
+    return out

@@ -276,3 +276,24 @@ def test_binary_file_source_feeds_real_media_decode(spark, tmp_path):
     for doc in (1, 2):
         assert out[doc]["width"] == 2 and out[doc]["height"] == 2
         assert out[doc]["n_bytes"] == 12  # decoded pixel bytes, not file bytes
+
+
+def test_text_corpus_source_line_and_file_modes(spark, tmp_path):
+    from csv_query_engine_spark.io.readers import read_text_corpus
+
+    (tmp_path / "a.txt").write_text("alpha doc one\nbeta doc two\nalpha doc one\n")
+    (tmp_path / "b.txt").write_text("gamma whole file\nsecond line\n")
+    (tmp_path / "skip.log").write_text("excluded\n")
+
+    lines = read_text_corpus(spark, str(tmp_path), glob="*.txt")
+    rows = lines.collect()
+    assert len(rows) == 5  # 3 + 2, .log pruned
+    assert len({r["doc_id"] for r in rows}) == 5  # duplicate lines get distinct ids
+    # re-ingest gives identical ids (content-address stability)
+    again = {r["doc_id"] for r in read_text_corpus(spark, str(tmp_path), glob="*.txt").collect()}
+    assert again == {r["doc_id"] for r in rows}
+
+    whole = read_text_corpus(spark, str(tmp_path), whole_files=True, glob="*.txt")
+    wrows = {r["source"].rsplit("/", 1)[-1]: r["text"] for r in whole.collect()}
+    assert set(wrows) == {"a.txt", "b.txt"}
+    assert wrows["b.txt"] == "gamma whole file\nsecond line\n"
