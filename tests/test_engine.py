@@ -297,3 +297,42 @@ def test_text_corpus_source_line_and_file_modes(spark, tmp_path):
     wrows = {r["source"].rsplit("/", 1)[-1]: r["text"] for r in whole.collect()}
     assert set(wrows) == {"a.txt", "b.txt"}
     assert wrows["b.txt"] == "gamma whole file\nsecond line\n"
+
+
+def test_dynamic_partition_overwrite_preserves_untouched_partitions(spark, tmp_path):
+    """The incremental-backfill write pattern at scale: with
+    partitionOverwriteMode=dynamic, overwriting a partitioned table
+    replaces ONLY the partitions present in the incoming frame; static
+    mode (the default) would wipe the rest. Also pins partition pruning
+    on the read side."""
+    import contextlib
+    import io
+
+    from pyspark.sql import functions as F
+
+    from csv_query_engine_spark.io.writers import write_parquet
+
+    p = str(tmp_path / "t")
+    base = spark.createDataFrame(
+        [("2024-01-01", 1), ("2024-01-02", 2), ("2024-01-03", 3)], "day string, v int"
+    )
+    write_parquet(base, p, partition_by=["day"])
+    backfill = spark.createDataFrame([("2024-01-02", 20)], "day string, v int")
+    old = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "STATIC")
+    try:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        write_parquet(backfill, p, partition_by=["day"])
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", old)
+    # partition-column type inference reads `day` back as DATE
+    got = {str(r["day"]): r["v"] for r in spark.read.parquet(p).collect()}
+    assert got == {"2024-01-01": 1, "2024-01-02": 20, "2024-01-03": 3}
+
+    # partition pruning: a day-equality filter must reach the scan as a
+    # partition filter, not a data filter
+    q = spark.read.parquet(p).filter(F.col("day") == "2024-01-03")
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        q.explain("formatted")
+    plan = buf.getvalue()
+    assert "PartitionFilters" in plan and "2024-01-03" in plan, plan
