@@ -248,3 +248,41 @@ def token_budget_sample_approx(
         .filter(F.col("_bkt") <= F.col("_max_bkt"))
         .drop("_bkt", "_max_bkt")
     )
+
+
+def weighted_sample_topk(
+    df: DataFrame,
+    stratum: str,
+    key: Column,
+    weight: Column,
+    k: int,
+    salt: str = "ws-",
+) -> DataFrame:
+    """Deterministic weighted sampling WITHOUT replacement, k per
+    stratum (Efraimidis-Spirakis A-ES): each row draws u from its
+    content hash and ranks by u^(1/w) — the top-k so ranked is a
+    weighted sample without replacement, here derandomized by sourcing
+    u from md5 like every sampler in this module (re-ingestion and
+    engine swaps reproduce the selection).
+
+    Cross-engine: u = (hash32+1)/2^32 is exact in both engines; the
+    pow is one libm call per row (the tfidf-ln precedent); the ranking
+    key is FLOOR-quantized to 1e-12 (IEEE-only — CLAUDE.md) with the
+    row key as tiebreaker, so even a boundary collision orders
+    identically in both engines.
+
+    Scale: hash + pow ride the scan; per-stratum top-k is a window
+    rank on the stratum key (WindowGroupLimit pushes the filter into
+    the sort at execution) — one shuffle."""
+    hex8 = F.substring(F.md5(F.concat(F.lit(salt), key.cast("string"))), 1, 8)
+    u = (F.conv(hex8, 16, 10).cast("double") + F.lit(1.0)) / F.lit(4294967296.0)
+    es_key = F.floor(F.pow(u, F.lit(1.0) / weight.cast("double")) * F.lit(1e12))
+    rank = F.row_number().over(
+        W.partitionBy(stratum).orderBy(F.col("_es").desc(), key)
+    )
+    return (
+        df.withColumn("_es", es_key)
+        .withColumn("sample_rank", rank)
+        .filter(F.col("sample_rank") <= k)
+        .drop("_es")
+    )

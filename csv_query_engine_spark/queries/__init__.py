@@ -186,6 +186,8 @@ DRIVER_ORDER: list[str] = [
     "media_wav_decode_stats",
     # Round-5: ordered multi-step funnel (sequential-pattern shape):
     "events_funnel_steps",
+    # Round-5: Efraimidis-Spirakis weighted sampling (sampling.py):
+    "docs_weighted_sample",
     # Rows-only ops (no SQL-expressible oracle; pytest covers recall/
     # precision/planted-neighbor properties):
     "docs_benchmark_decontamination",

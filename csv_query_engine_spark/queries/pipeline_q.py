@@ -1855,3 +1855,50 @@ def media_wav_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("amp_rms", 6).alias("amp_rms"),
         F.round("zero_cross_rate", 6).alias("zero_cross_rate"),
     ).orderBy("doc_id")
+
+
+@register(
+    "docs_weighted_sample",
+    f"""
+    WITH d AS (
+        SELECT doc_id, lang, {_SQL_NTOK} AS n_tokens,
+               CAST('0x' || substring(md5('ws-' || CAST(doc_id AS VARCHAR)), 1, 8)
+                    AS BIGINT) AS h32
+        FROM documents
+    ),
+    keyed AS (
+        SELECT doc_id, lang, n_tokens,
+               FLOOR(POW((CAST(h32 AS DOUBLE) + 1.0) / 4294967296.0,
+                         1.0 / CAST(n_tokens AS DOUBLE)) * 1e12) AS es
+        FROM d
+    ),
+    ranked AS (
+        SELECT doc_id, lang, n_tokens,
+               ROW_NUMBER() OVER (PARTITION BY lang ORDER BY es DESC, doc_id)
+                   AS sample_rank
+        FROM keyed
+    )
+    SELECT doc_id, lang, CAST(n_tokens AS BIGINT) AS n_tokens,
+           CAST(sample_rank AS BIGINT) AS sample_rank
+    FROM ranked WHERE sample_rank <= 5
+    ORDER BY lang, sample_rank
+    """,
+)
+def docs_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-weighted sampling without replacement, 5 docs per
+    language (Efraimidis-Spirakis A-ES, derandomized via content
+    hashes — pipeline/sampling.py::weighted_sample_topk): longer docs
+    are proportionally likelier, selection is reproducible across
+    engines and re-ingestion."""
+    d = load_tables(spark, sf_dir, ("documents",))["documents"]
+    base = d.select("doc_id", "lang", tx.token_count(F.col("text")).alias("n_tokens"))
+    return (
+        smp.weighted_sample_topk(base, "lang", F.col("doc_id"), F.col("n_tokens"), 5)
+        .select(
+            "doc_id",
+            "lang",
+            F.col("n_tokens").cast("bigint").alias("n_tokens"),
+            F.col("sample_rank").cast("bigint").alias("sample_rank"),
+        )
+        .orderBy("lang", "sample_rank")
+    )
