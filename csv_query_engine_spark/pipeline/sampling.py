@@ -31,6 +31,9 @@ __all__ = [
     "stratified_fixed_sample",
     "deterministic_sample",
     "token_budget_sample",
+    "token_budget_sample_approx",
+    "temperature_mix_weights",
+    "weighted_sample_topk",
 ]
 
 
