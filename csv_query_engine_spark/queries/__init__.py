@@ -188,6 +188,9 @@ DRIVER_ORDER: list[str] = [
     "events_funnel_steps",
     # Round-5: Efraimidis-Spirakis weighted sampling (sampling.py):
     "docs_weighted_sample",
+    # Round-5: train/test contamination audit (fingerprint × split;
+    # honest zeros on the dup-free harness corpus — planted-leak pytest):
+    "docs_split_leakage_audit",
     # Rows-only ops (no SQL-expressible oracle; pytest covers recall/
     # precision/planted-neighbor properties):
     "docs_benchmark_decontamination",

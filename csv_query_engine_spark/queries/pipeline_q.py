@@ -1902,3 +1902,69 @@ def docs_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang", "sample_rank")
     )
+
+
+@register(
+    "docs_split_leakage_audit",
+    f"""
+    WITH labeled AS (
+        SELECT doc_id,
+               md5({_SQL_NORM}) AS fp,
+               CASE WHEN {_SQL_BUCKET} < 80 THEN 'train'
+                    WHEN {_SQL_BUCKET} < 90 THEN 'val'
+                    ELSE 'test' END AS split
+        FROM documents
+    ),
+    groups AS (
+        SELECT fp,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(COUNT(DISTINCT split) AS BIGINT) AS n_splits,
+               CAST(SUM(CASE WHEN split = 'train' THEN 1 ELSE 0 END) AS BIGINT) AS n_train,
+               CAST(SUM(CASE WHEN split = 'test' THEN 1 ELSE 0 END) AS BIGINT) AS n_test
+        FROM labeled GROUP BY fp
+        HAVING COUNT(*) > 1
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS dup_groups,
+           CAST(COALESCE(SUM(CASE WHEN n_splits > 1 THEN 1 ELSE 0 END), 0) AS BIGINT)
+               AS leaking_groups,
+           CAST(COALESCE(SUM(n_train * n_test), 0) AS BIGINT) AS train_test_pairs
+    FROM groups
+    """,
+)
+def docs_split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/test contamination audit — the composition check every
+    training pipeline needs before a split ships: exact-duplicate
+    groups (md5 fingerprint) crossed with the hash-bucket split
+    assignment; reports duplicate groups, groups spanning >1 split,
+    and the number of leaking train×test duplicate pairs (honest zeros
+    when dedup-before-split did its job).
+
+    Scale: fingerprint + split label ride the scan (narrow maps); ONE
+    shuffle on the 16-byte digest aggregates per-group split counts;
+    the report is a single-row re-aggregate. The near-dup version of
+    this audit swaps the fingerprint for near_dup_clusters' cluster_id
+    — same shape."""
+    d = load_tables(spark, sf_dir, ("documents",))["documents"]
+    labeled = d.select(
+        tx.fingerprint(F.col("text")).alias("fp"),
+        smp.assign_split(F.col("doc_id"), salt="doc-"),
+    )
+    groups = (
+        labeled.groupBy("fp")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.count_distinct("split").cast("bigint").alias("n_splits"),
+            F.sum(F.when(F.col("split") == "train", 1).otherwise(0)).cast("bigint").alias("n_train"),
+            F.sum(F.when(F.col("split") == "test", 1).otherwise(0)).cast("bigint").alias("n_test"),
+        )
+        .filter(F.col("n_docs") > 1)
+    )
+    return groups.agg(
+        F.count(F.lit(1)).cast("bigint").alias("dup_groups"),
+        F.coalesce(
+            F.sum(F.when(F.col("n_splits") > 1, 1).otherwise(0)), F.lit(0)
+        ).cast("bigint").alias("leaking_groups"),
+        F.coalesce(F.sum(F.col("n_train") * F.col("n_test")), F.lit(0))
+        .cast("bigint")
+        .alias("train_test_pairs"),
+    )

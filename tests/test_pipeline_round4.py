@@ -421,3 +421,56 @@ def test_allpairs_equals_bruteforce_with_planted_neardups(spark):
         len(exact), len(fast), set(exact) ^ set(fast)
     )
     spark.catalog.clearCache()
+
+
+def test_split_leakage_audit_counts_planted_leaks(spark):
+    """The harness corpus has no exact duplicates (the registry query
+    reports honest zeros there), so the counting paths are pinned on a
+    planted corpus: duplicate groups that span train/test must surface
+    as leaking groups with the right pair count."""
+    import hashlib
+
+    from csv_query_engine_spark.queries import REGISTRY  # noqa: F401  (query twin)
+
+    def bucket(doc_id):
+        h = hashlib.md5(f"doc-{doc_id}".encode()).hexdigest()[:8]
+        return int(h, 16) % 100
+
+    train_ids = [i for i in range(200) if bucket(i) < 80]
+    test_ids = [i for i in range(200) if bucket(i) >= 90]
+    rows = [
+        (train_ids[0], "dup text one"),
+        (test_ids[0], "dup text one"),      # leaking pair
+        (train_ids[1], "dup text two"),
+        (train_ids[2], "dup text two"),     # dup group inside train only
+        (test_ids[1], "unique text here"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    from pyspark.sql import functions as F
+
+    from csv_query_engine_spark.pipeline import sampling as smp
+    from csv_query_engine_spark.pipeline import text as tx
+
+    labeled = df.select(
+        tx.fingerprint(F.col("text")).alias("fp"),
+        smp.assign_split(F.col("doc_id"), salt="doc-"),
+    )
+    groups = (
+        labeled.groupBy("fp")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.count_distinct("split").alias("n_splits"),
+            F.sum(F.when(F.col("split") == "train", 1).otherwise(0)).alias("n_train"),
+            F.sum(F.when(F.col("split") == "test", 1).otherwise(0)).alias("n_test"),
+        )
+        .filter(F.col("n_docs") > 1)
+    )
+    row = groups.agg(
+        F.count(F.lit(1)).alias("dup_groups"),
+        F.sum(F.when(F.col("n_splits") > 1, 1).otherwise(0)).alias("leaking_groups"),
+        F.sum(F.col("n_train") * F.col("n_test")).alias("train_test_pairs"),
+    ).collect()[0]
+    assert row["dup_groups"] == 2
+    assert row["leaking_groups"] == 1
+    assert row["train_test_pairs"] == 1
