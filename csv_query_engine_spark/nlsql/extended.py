@@ -1,0 +1,140 @@
+"""Schema-driven NL->SQL grammar — the beyond-reference extension of
+A5-A11 (reference sql_generator.py:42-78 stops at which-X / city /
+last-month over one hard-coded schema).
+
+Same design rules as the base grammar (nlsql/generator.py): pure
+deterministic regex + profiled-schema lookup, no network, backtick
+quoting, injectable clock, output always a single SELECT that passes
+nlsql.validator.  The added patterns are the ones the reference's own
+canonical questions imply but its grammar can't parse:
+
+* ``count``/``how many`` ............ COUNT(*)
+* ``average|avg|mean|total|sum|min|max <numcol>``
+                                     aggregate over a numeric column
+* ``by|per <col>`` .................. GROUP BY
+* ``top N`` ......................... ORDER BY <metric> DESC LIMIT N
+                                     (count or the parsed aggregate;
+                                     group key tiebreaks the ordering)
+* ``<col> is|equals <value>`` ....... equality filter (value taken
+                                     verbatim from the question)
+* ``last month`` .................... inherited range rule (A9)
+
+Column words fold trailing-'s' plurals exactly like the base grammar's
+which-X rule, so "orders per priority" resolves against an ``order``
+or ``orders`` column either way.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import re
+
+from csv_query_engine_spark.nlsql.generator import (
+    get_last_month_range,
+    quote_identifier,
+)
+
+_AGG_WORDS = {
+    "average": "AVG",
+    "avg": "AVG",
+    "mean": "AVG",
+    "total": "SUM",
+    "sum": "SUM",
+    "min": "MIN",
+    "minimum": "MIN",
+    "max": "MAX",
+    "maximum": "MAX",
+}
+
+_NUM_TYPES = {"int", "bigint", "double", "float", "decimal", "long", "integer", "number"}
+
+
+def generate_sql_extended(
+    question: str,
+    columns: list[dict] | list,
+    table: str = "df",
+    now: dt.date | None = None,
+) -> str:
+    """NL -> one Spark-SQL SELECT using the extended schema-driven
+    grammar. ``columns`` is profiler output (name/type/semantic_type)."""
+
+    def _get(c, k):
+        return c[k] if isinstance(c, dict) else getattr(c, k)
+
+    q = question.lower()
+    names = {_get(c, "name").lower(): _get(c, "name") for c in columns}
+    types = {_get(c, "name").lower(): str(_get(c, "type")).lower() for c in columns}
+
+    def resolve(word: str) -> str | None:
+        folds = [word, word.rstrip("s"), word + "s"]
+        if word.endswith("ies"):
+            folds.append(word[:-3] + "y")  # priorities -> priority
+        for w in folds:
+            if w in names:
+                return names[w]
+        return None
+
+    # aggregate over a numeric column
+    agg_fn = agg_col = None
+    for m in re.finditer(r"\b(average|avg|mean|total|sum|minimum|min|maximum|max)\b(?: of)? (\w+)", q):
+        col = resolve(m.group(2))
+        if col is not None and any(t in types[col.lower()] for t in _NUM_TYPES):
+            agg_fn, agg_col = _AGG_WORDS[m.group(1)], col
+            break
+
+    # grouping key
+    group_col = None
+    for m in re.finditer(r"\b(?:by|per)\b (\w+)", q):
+        col = resolve(m.group(1))
+        if col is not None and col != agg_col:
+            group_col = col
+            break
+
+    wants_count = bool(re.search(r"\bcount\b|\bhow many\b", q))
+
+    # top-N
+    topm = re.search(r"\btop (\d+)\b", q)
+
+    # equality filters: column word followed by is/equals/= value; the
+    # value is taken VERBATIM from the original question's token
+    where: list[str] = []
+    for m in re.finditer(r"(\w+) (?:is|equals|=) '?([\w.-]+)'?", question, re.IGNORECASE):
+        col = resolve(m.group(1).lower())
+        if col is not None and col not in (agg_col,):
+            where.append(f"{quote_identifier(col)} = '{m.group(2)}'")
+
+    # inherited last-month range (A9)
+    date_cols = [
+        _get(c, "name") for c in columns if _get(c, "semantic_type") == "date"
+    ]
+    if "last month" in q and date_cols:
+        start, end = get_last_month_range(now)
+        d = quote_identifier(date_cols[0])
+        where.append(f"{d} >= '{start}' AND {d} <= '{end}'")
+
+    # assemble
+    select_parts: list[str] = []
+    order_metric = None
+    if group_col is not None:
+        select_parts.append(quote_identifier(group_col))
+    if agg_fn is not None:
+        alias = f"{agg_fn.lower()}_{agg_col}"
+        select_parts.append(f"{agg_fn}({quote_identifier(agg_col)}) AS {quote_identifier(alias)}")
+        order_metric = quote_identifier(alias)
+    if wants_count or (group_col is not None and agg_fn is None):
+        select_parts.append("COUNT(*) AS `count`")
+        if order_metric is None:
+            order_metric = "`count`"
+    if not select_parts:
+        select_parts = ["*"]
+
+    tbl = table if table.isidentifier() else quote_identifier(table)
+    sql = f"SELECT {', '.join(select_parts)} FROM {tbl}"
+    if where:
+        sql += " WHERE " + " AND ".join(where)
+    if group_col is not None and (agg_fn is not None or wants_count or topm):
+        sql += f" GROUP BY {quote_identifier(group_col)}"
+    if topm and order_metric is not None:
+        tie = f", {quote_identifier(group_col)}" if group_col is not None else ""
+        sql += f" ORDER BY {order_metric} DESC{tie} LIMIT {int(topm.group(1))}"
+    return sql

@@ -187,3 +187,76 @@ def test_live_llm_contract():
     assert sql.upper().lstrip().startswith("SELECT")
     assert "df" in sql
     validate_sql(sql)  # must be a clean single SELECT
+
+
+# ------------------------------------------- extended schema-driven grammar
+
+ORDERS_COLS = [
+    {"name": "o_orderkey", "type": "bigint", "semantic_type": "id"},
+    {"name": "o_custkey", "type": "bigint", "semantic_type": "id"},
+    {"name": "o_orderstatus", "type": "string", "semantic_type": "category"},
+    {"name": "o_totalprice", "type": "double", "semantic_type": "amount"},
+    {"name": "o_orderdate", "type": "timestamp", "semantic_type": "date"},
+    {"name": "o_orderpriority", "type": "string", "semantic_type": "category"},
+]
+
+
+def test_extended_agg_by_group():
+    from csv_query_engine_spark.nlsql.extended import generate_sql_extended
+
+    sql = generate_sql_extended(
+        "total o_totalprice by o_orderpriority", ORDERS_COLS, table="orders"
+    )
+    assert sql == (
+        "SELECT `o_orderpriority`, SUM(`o_totalprice`) AS `sum_o_totalprice` "
+        "FROM orders GROUP BY `o_orderpriority`"
+    )
+
+
+def test_extended_topn_count_with_filter():
+    from csv_query_engine_spark.nlsql.extended import generate_sql_extended
+
+    sql = generate_sql_extended(
+        "top 3 count of orders per o_orderstatus where o_orderpriority is 1-URGENT",
+        ORDERS_COLS,
+        table="orders",
+    )
+    assert sql == (
+        "SELECT `o_orderstatus`, COUNT(*) AS `count` FROM orders "
+        "WHERE `o_orderpriority` = '1-URGENT' "
+        "GROUP BY `o_orderstatus` "
+        "ORDER BY `count` DESC, `o_orderstatus` LIMIT 3"
+    )
+
+
+def test_extended_sql_executes_and_validates(spark):
+    """Generated SQL must pass the validator and produce the same rows
+    as the hand-written equivalent on the harness tables."""
+    from csv_query_engine_spark.io.readers import load_tables
+    from csv_query_engine_spark.nlsql.extended import generate_sql_extended
+    from csv_query_engine_spark.nlsql.validator import validate_sql
+
+    t = load_tables(spark, "/root/testdata/sf0.001", ("orders",))
+    t["orders"].createOrReplaceTempView("orders")
+    sql = generate_sql_extended(
+        "average o_totalprice per o_orderstatus", ORDERS_COLS, table="orders"
+    )
+    validate_sql(sql, spark)
+    got = {r[0]: r[1] for r in spark.sql(sql).collect()}
+    want = {
+        r[0]: r[1]
+        for r in spark.sql(
+            "SELECT o_orderstatus, AVG(o_totalprice) FROM orders GROUP BY o_orderstatus"
+        ).collect()
+    }
+    assert got == want
+
+
+def test_extended_plural_fold_and_unknown_words_ignored():
+    from csv_query_engine_spark.nlsql.extended import generate_sql_extended
+
+    cols = [{"name": "priority", "type": "string", "semantic_type": "category"}]
+    sql = generate_sql_extended("how many rows per priorities", cols, table="t")
+    assert sql == "SELECT `priority`, COUNT(*) AS `count` FROM t GROUP BY `priority`"
+    # nothing parseable -> SELECT *
+    assert generate_sql_extended("tell me things", cols, table="t") == "SELECT * FROM t"
