@@ -37,13 +37,27 @@ class LLMPlanner(Protocol):
 
 
 class RuleBasedPlanner:
-    """Deterministic planner — the offline default."""
+    """Deterministic planner — the offline default.
+
+    Reference-grammar rules (A5-A11) take priority so reference-pattern
+    questions produce byte-identical SQL; when they parse NOTHING (the
+    bare ``SELECT * FROM t`` fallback) the schema-driven extended
+    grammar (nlsql/extended.py: count/agg/group/top-N/equality) gets a
+    chance before giving up — still deterministic, still offline."""
 
     def __init__(self, now: dt.date | None = None):
         self.now = now
 
     def generate(self, question: str, columns: list, table: str = "df") -> str:
-        return generate_sql_rule_based(question, columns, table=table, now=self.now)
+        sql = generate_sql_rule_based(question, columns, table=table, now=self.now)
+        base_star = sql.startswith("SELECT * FROM") and " WHERE " not in sql
+        if base_star:
+            from csv_query_engine_spark.nlsql.extended import generate_sql_extended
+
+            ext = generate_sql_extended(question, columns, table=table, now=self.now)
+            if not ext.startswith("SELECT * FROM"):
+                return ext
+        return sql
 
 
 class OpenAIPlanner:

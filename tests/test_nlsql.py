@@ -260,3 +260,18 @@ def test_extended_plural_fold_and_unknown_words_ignored():
     assert sql == "SELECT `priority`, COUNT(*) AS `count` FROM t GROUP BY `priority`"
     # nothing parseable -> SELECT *
     assert generate_sql_extended("tell me things", cols, table="t") == "SELECT * FROM t"
+
+
+def test_planner_falls_back_to_extended_grammar(spark):
+    """End-to-end through the engine facade: a question the reference
+    grammar can't parse resolves via the extended grammar; reference-
+    pattern questions keep their reference-exact SQL."""
+    from csv_query_engine_spark.nlsql.llm import RuleBasedPlanner
+
+    p = RuleBasedPlanner()
+    ext = p.generate("total o_totalprice by o_orderpriority", ORDERS_COLS, table="orders")
+    assert "SUM(`o_totalprice`)" in ext and "GROUP BY `o_orderpriority`" in ext
+    # reference which-X path unchanged (base grammar wins)
+    cols = [{"name": "Service", "type": "string", "semantic_type": "service"}]
+    base = p.generate("which services failed", cols)
+    assert base == "SELECT `Service`, COUNT(*) AS count FROM df GROUP BY `Service`"
