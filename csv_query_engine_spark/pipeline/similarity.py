@@ -556,3 +556,142 @@ def quantized_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "cand_id", "cosine", "rank")
     )
+
+
+# -------------------------------------------------- product quantization
+
+
+def _pq_codebooks(
+    embeddings: DataFrame,
+    m: int,
+    n_codes: int,
+    dim: int,
+    id_col: str,
+    vec_col: str,
+) -> list[list[list[float]]]:
+    """Per-subspace codebooks: deterministic smallest-hash seeds + one
+    distributed Lloyd refinement per subspace (the IVF recipe applied
+    to each dim/m-wide slice). Driver holds m × n_codes × dim/m floats
+    — the PQ index's entire driver footprint."""
+    d_sub = dim // m
+    books = []
+    for j in range(m):
+        sliced = embeddings.select(
+            F.col(id_col).alias(id_col),
+            F.slice(F.col(vec_col), j * d_sub + 1, d_sub).alias("_sub"),
+        )
+        seeds = _centroid_seeds(sliced, n_codes, id_col, "_sub")
+        books.append(_refine_centroids(_spread(sliced), seeds, id_col, "_sub"))
+    return books
+
+
+def pq_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    m: int = 4,
+    n_codes: int = 16,
+    oversample: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Approximate top-k via PRODUCT QUANTIZATION with asymmetric
+    distance computation (Jégou, Douze & Schmid, PAMI 2011 — the
+    FAISS-PQ scale path) + exact rescoring of the oversampled
+    shortlist: the fourth ANN family member next to brute force,
+    hyperplane LSH, and IVF, and the highest-compression one — each
+    corpus vector stores as m code bytes (64-float vectors compress
+    512 B → 4 B at m=4).
+
+    Per subspace j the vector slice quantizes to its nearest of
+    ``n_codes`` learned centroids; a query builds an m × n_codes
+    lookup table of exact sub-inner-products, and a candidate's
+    approximate cosine is Σⱼ LUT[j][codeⱼ] / (‖q‖·‖x̂‖) with the
+    reconstruction norm ‖x̂‖ from the per-code norm table (subspaces
+    are orthogonal slices, so the squared norms add).
+
+    Scale: codebook training is m bounded Lloyd passes; encoding +
+    ADC scoring is ONE Arrow-batched pandas UDF over the corpus
+    (codebooks + query LUTs ship in the closure — Q ≪ N, the SQ8
+    contract); shortlist and exact-rescore stages are identical to
+    :func:`quantized_topk`. Recall is governed by (m, n_codes,
+    oversample) — the planted-neighbor pytest pins it."""
+    import numpy as np
+
+    qrows = queries.select(F.col(query_id_col), F.col(vec_col)).collect()
+    if not qrows:
+        spark = embeddings.sparkSession
+        schema = T.StructType(
+            [
+                T.StructField("query_id", queries.schema[query_id_col].dataType),
+                T.StructField("cand_id", embeddings.schema[id_col].dataType),
+                T.StructField("cosine", T.DoubleType()),
+                T.StructField("rank", T.IntegerType()),
+            ]
+        )
+        return spark.createDataFrame([], schema)
+    first = embeddings.select(F.size(F.col(vec_col)).alias("d")).first()
+    dim = int(first["d"])
+    if dim % m != 0:
+        raise ValueError(f"embedding dim {dim} not divisible by m={m}")
+    d_sub = dim // m
+    books = _pq_codebooks(embeddings, m, n_codes, dim, id_col, vec_col)
+    cb = np.asarray(books, dtype=np.float64)  # (m, n_codes, d_sub)
+    cb_norm2 = (cb**2).sum(axis=2)  # (m, n_codes)
+
+    q_ids = [r[0] for r in qrows]
+    qmat = np.stack([np.asarray(r[1], dtype=np.float64) for r in qrows])  # (Q, dim)
+    q_norms = np.sqrt((qmat**2).sum(axis=1))
+    q_norms[q_norms == 0.0] = 1.0
+    # LUT[q, j, c] = <q_sub_j, cb[j][c]>
+    qsub = qmat.reshape(len(q_ids), m, d_sub)
+    lut = np.einsum("qjd,jcd->qjc", qsub, cb)
+
+    @F.pandas_udf(T.ArrayType(T.DoubleType()))
+    def adc_scores(col):
+        import numpy as _np
+        import pandas as _pd
+
+        if len(col) == 0:
+            return _pd.Series([], dtype="object")
+        x = _np.stack([_np.asarray(v, dtype=_np.float64) for v in col])  # (B, dim)
+        xs = x.reshape(len(x), m, d_sub)
+        codes = _np.empty((len(x), m), dtype=_np.int64)
+        recon2 = _np.zeros(len(x), dtype=_np.float64)
+        for j in range(m):
+            # ||sub - c||^2 = ||sub||^2 - 2 sub·c + ||c||^2; ||sub||^2 is
+            # constant per row for the argmin
+            d2 = -2.0 * (xs[:, j, :] @ cb[j].T) + cb_norm2[j]
+            codes[:, j] = _np.argmin(d2, axis=1)
+            recon2 += cb_norm2[j][codes[:, j]]
+        recon = _np.sqrt(recon2)
+        recon[recon == 0.0] = 1.0
+        # scores[b, q] = sum_j lut[q, j, codes[b, j]]
+        sims = _np.zeros((len(x), len(q_ids)), dtype=_np.float64)
+        for j in range(m):
+            sims += lut[:, j, codes[:, j]].T  # (Q, B).T
+        sims /= _np.outer(recon, q_norms)
+        return _pd.Series(list(sims))
+
+    c = _spread(embeddings).select(F.col(id_col).alias("cand_id"), F.col(vec_col).alias("c_vec"))
+    qid_map = F.array(*[F.lit(i) for i in q_ids])
+    scored = c.select(
+        "cand_id", "c_vec", F.posexplode(adc_scores(F.col("c_vec"))).alias("q_idx", "approx")
+    ).filter(F.get(qid_map, F.col("q_idx")) != F.col("cand_id"))
+    w = W.partitionBy("q_idx").orderBy(F.desc("approx"), "cand_id")
+    shortlist = (
+        scored.withColumn("shortlist_rank", F.row_number().over(w))
+        .filter(F.col("shortlist_rank") <= k * oversample)
+        .select(F.get(qid_map, F.col("q_idx")).alias("query_id"), "cand_id", "c_vec")
+    )
+    q = queries.select(F.col(query_id_col).alias("query_id"), F.col(vec_col).alias("q_vec"))
+    rescored = shortlist.join(F.broadcast(q), "query_id").select(
+        "query_id", "cand_id", cosine(F.col("q_vec"), F.col("c_vec")).alias("cosine")
+    )
+    w2 = W.partitionBy("query_id").orderBy(F.desc("cosine"), "cand_id")
+    return (
+        rescored.withColumn("rank", F.row_number().over(w2))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "cand_id", "cosine", "rank")
+    )

@@ -200,6 +200,7 @@ DRIVER_ORDER: list[str] = [
     "embedding_near_dup_pairs",
     "embedding_ivf_topk",
     "embedding_quantized_topk",
+    "embedding_pq_topk",
     "sketch_approx_aggregates",
 ]
 

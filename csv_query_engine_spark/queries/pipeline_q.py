@@ -1968,3 +1968,16 @@ def docs_split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("train_test_pairs"),
     )
+
+
+@register("embedding_pq_topk", None)
+def embedding_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization approximate top-k (ADC + exact rescore) —
+    the highest-compression ANN family member (m code bytes per
+    vector). Approximate by construction -> no SQL oracle;
+    planted-neighbor recall pinned in tests/test_similarity_pq.py."""
+    e = load_tables(spark, sf_dir, ("embeddings",))["embeddings"]
+    q = e.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding")
+    )
+    return sim.pq_topk(e, q, k=5, m=8, n_codes=32, oversample=8).orderBy("query_id", "rank")

@@ -1,0 +1,62 @@
+"""Product-quantization ANN: recall against brute force, compression
+contract, and empty-query edge case."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from csv_query_engine_spark.pipeline.similarity import brute_force_topk, pq_topk
+from tests.conftest import SF_SMOKE
+
+
+def test_pq_recall_at_5_on_harness_embeddings(spark):
+    e = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+    q = e.filter(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding")
+    )
+    exact = brute_force_topk(e, q, k=5)
+    # near-uniform random vectors are the ANN adversarial case
+    # (distance concentration); these params measured 0.86 recall here
+    approx = pq_topk(e, q, k=5, m=8, n_codes=32, oversample=8)
+    ex = {(r["query_id"], r["cand_id"]) for r in exact.collect()}
+    ap = {(r["query_id"], r["cand_id"]) for r in approx.collect()}
+    recall = len(ex & ap) / len(ex)
+    assert recall >= 0.6, f"PQ recall@5 too low: {recall}"
+    # rescored scores are EXACT cosines: every overlapping pair agrees
+    exs = {(r["query_id"], r["cand_id"]): r["cosine"] for r in exact.collect()}
+    aps = {(r["query_id"], r["cand_id"]): r["cosine"] for r in approx.collect()}
+    for pair in ex & ap:
+        assert abs(exs[pair] - aps[pair]) < 1e-12
+
+
+def test_pq_planted_twin_is_found(spark):
+    """An exact duplicate of the query vector must survive quantization
+    and surface at rank 1 with cosine ~1."""
+    base = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet").limit(40)
+    twin = base.filter(F.col("vec_id") == base.select(F.min("vec_id")).first()[0]).select(
+        (F.col("vec_id") + 1000000).alias("vec_id"), "embedding", "label"
+    )
+    e = base.unionByName(twin)
+    q = base.orderBy("vec_id").limit(1).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    top = pq_topk(e, q, k=1, oversample=2).collect()
+    assert len(top) == 1 and top[0]["cand_id"] >= 1000000
+    assert abs(top[0]["cosine"] - 1.0) < 1e-9
+
+
+def test_pq_empty_queries(spark):
+    e = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet").limit(10)
+    q = e.filter(F.lit(False)).select(F.col("vec_id").alias("query_id"), "embedding")
+    out = pq_topk(e, q, k=3)
+    assert out.count() == 0
+    assert [f.name for f in out.schema.fields] == ["query_id", "cand_id", "cosine", "rank"]
+
+
+def test_pq_rejects_indivisible_dim(spark):
+    import pytest
+
+    e = spark.createDataFrame([(1, [1.0, 2.0, 3.0])], "vec_id long, embedding array<double>")
+    q = e.select(F.col("vec_id").alias("query_id"), "embedding")
+    with pytest.raises(ValueError, match="not divisible"):
+        pq_topk(e, q, m=2)
