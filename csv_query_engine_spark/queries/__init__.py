@@ -191,6 +191,8 @@ DRIVER_ORDER: list[str] = [
     # Round-5: train/test contamination audit (fingerprint × split;
     # honest zeros on the dup-free harness corpus — planted-leak pytest):
     "docs_split_leakage_audit",
+    # Round-5: distribution-threshold anomaly screen (p99 join-back):
+    "events_value_anomalies",
     # Rows-only ops (no SQL-expressible oracle; pytest covers recall/
     # precision/planted-neighbor properties):
     "docs_benchmark_decontamination",

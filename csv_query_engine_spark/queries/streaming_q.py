@@ -378,3 +378,49 @@ def events_funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
     ]
     out = counts[0].unionByName(counts[1]).unionByName(counts[2])
     return out.orderBy("step")
+
+
+@register(
+    "events_value_anomalies",
+    """
+    WITH th AS (
+        SELECT event_type, ROUND(quantile_cont(value, 0.99), 4) AS p99
+        FROM events GROUP BY event_type
+    )
+    SELECT e.event_type, th.p99,
+           CAST(COUNT(*) AS BIGINT) AS n_total,
+           CAST(SUM(CASE WHEN e.value > th.p99 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_anomalies
+    FROM events e JOIN th ON e.event_type = th.event_type
+    GROUP BY e.event_type, th.p99
+    ORDER BY e.event_type
+    """,
+)
+def events_value_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-threshold anomaly screen: events whose value
+    exceeds their type's p99, counted per type — the
+    learn-threshold-then-filter shape (the percentile is computed from
+    the data, joined back, and applied as a predicate) that static
+    range checks (orders_quality_constraints) can't express.
+
+    Scale: exact per-type percentile over 5 low-cardinality groups
+    (the documented approx_percentile switch applies at high group
+    counts); the 5-row threshold table broadcasts back onto the scan;
+    the comparison uses the ROUND(4)-identical threshold on both
+    engines so the boundary never drifts."""
+    e = load_tables(spark, sf_dir, ("events",))["events"]
+    th = e.groupBy("event_type").agg(
+        F.round(F.expr("percentile(value, 0.99)"), 4).alias("p99")
+    )
+    return (
+        e.join(F.broadcast(th), "event_type")
+        .groupBy("event_type", "p99")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_total"),
+            F.sum(F.when(F.col("value") > F.col("p99"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_anomalies"),
+        )
+        .select("event_type", "p99", "n_total", "n_anomalies")
+        .orderBy("event_type")
+    )
