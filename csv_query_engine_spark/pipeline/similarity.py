@@ -695,3 +695,37 @@ def pq_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "cand_id", "cosine", "rank")
     )
+
+
+def quantize_for_storage(
+    df: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> DataFrame:
+    """SQ8 storage form of an embedding table: per-vector scale +
+    array<tinyint> codes (q = rint(127·x/max|x|)) — the ~4× smaller
+    parquet the 100 TB corpus actually stores; :func:`quantized_topk`'s
+    score math is exactly what runs over it.  Pure codegen'd built-ins
+    (transform here is the cold storage path, not a per-query hot
+    loop)."""
+    scale = F.greatest(
+        F.array_max(F.transform(F.col(vec_col), lambda x: F.abs(x))), F.lit(1e-30)
+    ) / F.lit(127.0)
+    # materialize scale BEFORE the codes transform: an inlined expression
+    # re-evaluates per array element inside HOF lambdas (CLAUDE.md trap)
+    staged = df.select(F.col(id_col), F.col(vec_col), scale.alias("scale"))
+    return staged.select(
+        F.col(id_col),
+        F.col("scale"),
+        F.transform(
+            F.col(vec_col), lambda x: F.rint(x / F.col("scale")).cast("tinyint")
+        ).alias("codes"),
+    )
+
+
+def dequantize(df: DataFrame, id_col: str = "vec_id") -> DataFrame:
+    """Reconstruct float vectors from the SQ8 storage form (x̂ = scale·q)."""
+    return df.select(
+        F.col(id_col),
+        F.transform(
+            F.col("codes"), lambda q: q.cast("double") * F.col("scale")
+        ).alias("embedding"),
+    )

@@ -60,3 +60,36 @@ def test_pq_rejects_indivisible_dim(spark):
     q = e.select(F.col("vec_id").alias("query_id"), "embedding")
     with pytest.raises(ValueError, match="not divisible"):
         pq_topk(e, q, m=2)
+
+
+def test_sq8_storage_roundtrip_smaller_and_recall_preserved(spark, tmp_path):
+    """The storage half of the SQ8 contract: the int8 parquet is
+    materially smaller than the float64 original, and top-k over the
+    reconstructed vectors matches the exact top-k almost everywhere."""
+    import pathlib
+
+    from csv_query_engine_spark.pipeline.similarity import (
+        dequantize,
+        quantize_for_storage,
+    )
+
+    e = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet").select("vec_id", "embedding")
+    p_f = str(tmp_path / "full")
+    p_q = str(tmp_path / "sq8")
+    e.coalesce(1).write.mode("overwrite").parquet(p_f)
+    quantize_for_storage(e).coalesce(1).write.mode("overwrite").parquet(p_q)
+
+    def size(p):
+        return sum(f.stat().st_size for f in pathlib.Path(p).glob("*.parquet"))
+
+    assert size(p_q) * 2.5 < size(p_f), (size(p_q), size(p_f))
+
+    recon = dequantize(spark.read.parquet(p_q))
+    q = e.filter(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = {(r["query_id"], r["cand_id"]) for r in brute_force_topk(e, q, k=5).collect()}
+    approx = {
+        (r["query_id"], r["cand_id"]) for r in brute_force_topk(recon, q, k=5).collect()
+    }
+    assert len(exact & approx) / len(exact) >= 0.9
