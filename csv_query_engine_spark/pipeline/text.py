@@ -712,3 +712,64 @@ def unigram_lm_scores(df: DataFrame, id_col: str = "doc_id", text_col: str = "te
             6,
         ).alias("lm_score"),
     )
+
+
+def bigram_lm_scores(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Conditional bigram surprisal: mean −ln(c(w₁w₂)/c(w₁·)) per doc
+    under the corpus's own bigram/unigram-prefix statistics — the
+    next-token-predictability upgrade of :func:`unigram_lm_scores`
+    (low = formulaic/templated text, high = unpredictable transitions;
+    together the two scores separate "rare words" from "rare
+    transitions").  c(w₁·) counts w₁ as a PREFIX (bigram occurrences),
+    so every conditional is a proper probability.
+
+    Plan: one token explode with the NEXT token attached via a doc-
+    partitioned lead window (persisted once — count aggregation + join-
+    back consumers); bigram keys shuffle as single xxhash64(w₁, w₂)
+    longs and prefix counts aggregate from the SAME bigram table
+    (grouped on the w₁ hash — no second corpus pass); surprisal rounds
+    to 6 and sums through the exact fixed-point pattern like the
+    unigram form."""
+    from pyspark.sql import Window as W
+    from pyspark.storagelevel import StorageLevel
+
+    tok = (
+        _spread(df.select(F.col(id_col).alias("id"), tokens(F.col(text_col)).alias("_toks")))
+        .select("id", F.posexplode("_toks").alias("_pos", "_t"))
+        .filter(F.col("_t") != "")
+    )
+    big = (
+        tok.withColumn(
+            "_nxt", F.lead("_t").over(W.partitionBy("id").orderBy("_pos"))
+        )
+        .filter(F.col("_nxt").isNotNull())
+        .select(
+            "id",
+            F.xxhash64("_t").alias("_h1"),
+            F.xxhash64("_t", "_nxt").alias("_h12"),
+        )
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    pair_counts = big.groupBy("_h1", "_h12").agg(F.count(F.lit(1)).alias("_c12"))
+    prefix_counts = pair_counts.groupBy("_h1").agg(F.sum("_c12").alias("_c1"))
+    counts = pair_counts.join(prefix_counts, "_h1").select("_h12", "_c12", "_c1")
+    surprisal = F.round(-F.log(F.col("_c12") / F.col("_c1")), 6)
+    scored = (
+        big.join(counts, "_h12")
+        .groupBy("id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_bigrams"),
+            F.sum(F.rint(surprisal * F.lit(1e6)).cast("long")).alias("_su"),
+        )
+    )
+    return scored.select(
+        F.col("id").alias(id_col),
+        "n_bigrams",
+        F.round(
+            (F.col("_su").cast("decimal(38,6)") / F.lit(10**6).cast("decimal(12,0)")).cast(
+                "double"
+            )
+            / F.col("n_bigrams"),
+            6,
+        ).alias("bigram_lm_score"),
+    )

@@ -193,6 +193,8 @@ DRIVER_ORDER: list[str] = [
     "docs_split_leakage_audit",
     # Round-5: distribution-threshold anomaly screen (p99 join-back):
     "events_value_anomalies",
+    # Round-5: conditional bigram surprisal (text.bigram_lm_scores):
+    "docs_bigram_lm_scores",
     # Rows-only ops (no SQL-expressible oracle; pytest covers recall/
     # precision/planted-neighbor properties):
     "docs_benchmark_decontamination",

@@ -1981,3 +1981,53 @@ def embedding_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("query_id"), F.col("embedding")
     )
     return sim.pq_topk(e, q, k=5, m=8, n_codes=32, oversample=8).orderBy("query_id", "rank")
+
+
+@register(
+    "docs_bigram_lm_scores",
+    f"""
+    WITH tok AS (
+        SELECT id, pos, t FROM (
+            SELECT doc_id AS id,
+                   generate_subscripts(toks, 1) AS pos,
+                   unnest(toks) AS t
+            FROM (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents)
+        ) WHERE t <> ''
+    ),
+    big AS (
+        SELECT a.id, a.t AS w1, b.t AS w2
+        FROM tok a JOIN tok b ON a.id = b.id AND b.pos = a.pos + 1
+        WHERE b.t <> ''
+    ),
+    pair_counts AS (
+        SELECT w1, w2, COUNT(*) AS c12 FROM big GROUP BY w1, w2
+    ),
+    prefix_counts AS (
+        SELECT w1, SUM(c12) AS c1 FROM pair_counts GROUP BY w1
+    ),
+    per AS (
+        SELECT big.id,
+               ROUND(-ln(CAST(pc.c12 AS DOUBLE) / CAST(pf.c1 AS DOUBLE)), 6) AS s
+        FROM big
+        JOIN pair_counts pc ON big.w1 = pc.w1 AND big.w2 = pc.w2
+        JOIN prefix_counts pf ON big.w1 = pf.w1
+    )
+    SELECT id AS doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+           ROUND(CAST(SUM(CAST(s AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*), 6)
+               AS bigram_lm_score
+    FROM per GROUP BY id ORDER BY doc_id
+    """,
+)
+def docs_bigram_lm_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mean conditional bigram surprisal per document under the
+    corpus's own bigram statistics (pipeline/text.py::bigram_lm_scores)
+    — next-token predictability, separating rare-word documents from
+    rare-transition documents when read next to the unigram score.
+
+    Adjacency agreement: the Spark side pairs via lead() after
+    dropping empty tokens, the SQL side joins raw positions pos+1 —
+    these coincide because the tokenizer cannot emit interior empties
+    (normalize collapses runs of whitespace before the single-space
+    split), so an empty token only ever appears alone for blank text."""
+    d = load_tables(spark, sf_dir, ("documents",))["documents"]
+    return tx.bigram_lm_scores(d).orderBy("doc_id")
