@@ -195,6 +195,8 @@ DRIVER_ORDER: list[str] = [
     "events_value_anomalies",
     # Round-5: conditional bigram surprisal (text.bigram_lm_scores):
     "docs_bigram_lm_scores",
+    # Round-5: SCD2 read side — as-of dimension reconstruction:
+    "scd2_snapshot_asof",
     # Rows-only ops (no SQL-expressible oracle; pytest covers recall/
     # precision/planted-neighbor properties):
     "docs_benchmark_decontamination",

@@ -133,3 +133,88 @@ def scd2_customer_segment_history(spark: SparkSession, sf_dir: str) -> DataFrame
         F.coalesce(F.col("valid_to"), F.lit("2200-01-01").cast("timestamp")).alias("valid_to"),
         "is_current",
     ).orderBy("c_custkey", "valid_from")
+
+
+@register(
+    "scd2_snapshot_asof",
+    """
+    WITH big AS (
+        SELECT o_custkey
+        FROM orders
+        WHERE o_orderdate >= TIMESTAMP '2000-01-01'
+        GROUP BY o_custkey
+        HAVING CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) > 1200000.0
+    ),
+    hist AS (
+        SELECT c.c_custkey, c.c_mktsegment AS segment,
+               TIMESTAMP '1995-01-01' AS valid_from,
+               TIMESTAMP '2000-01-01' AS valid_to
+        FROM customer c JOIN big b ON c.c_custkey = b.o_custkey
+        WHERE c.c_mktsegment <> 'PREMIUM'
+        UNION ALL
+        SELECT c.c_custkey, 'PREMIUM', TIMESTAMP '2000-01-01', NULL
+        FROM customer c JOIN big b ON c.c_custkey = b.o_custkey
+        WHERE c.c_mktsegment <> 'PREMIUM'
+        UNION ALL
+        SELECT c.c_custkey, c.c_mktsegment, TIMESTAMP '1995-01-01', NULL
+        FROM customer c
+        WHERE c.c_custkey NOT IN (SELECT o_custkey FROM big)
+           OR c.c_mktsegment = 'PREMIUM'
+    ),
+    snap AS (
+        SELECT CAST(t.as_of AS TIMESTAMP) AS as_of, h.segment
+        FROM (VALUES (TIMESTAMP '1999-06-01'), (TIMESTAMP '2000-06-01')) t(as_of)
+        JOIN hist h
+          ON h.valid_from <= t.as_of AND (h.valid_to IS NULL OR h.valid_to > t.as_of)
+    )
+    SELECT as_of, segment, CAST(COUNT(*) AS BIGINT) AS n_customers
+    FROM snap GROUP BY as_of, segment
+    ORDER BY as_of, segment
+    """,
+)
+def scd2_snapshot_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The READ side of the SCD2 contract: reconstruct the dimension AS
+    OF two instants — before the 2000-01-01 segment change (original
+    segments) and after (movers counted under PREMIUM) — from the same
+    versioned history scd2_customer_segment_history builds. Per-segment
+    membership counts at each as-of date.
+
+    Scale: the as-of predicate (valid_from <= t < valid_to) is a
+    broadcast-join of the 2-row instant table against the history —
+    at a real SF the history parquet is partitioned by is_current so
+    current-snapshot queries prune to the open partition; both
+    snapshots here read the history once."""
+    t = load_tables(spark, sf_dir, ("customer", "orders"))
+    dim = t["customer"].select(
+        "c_custkey",
+        "c_mktsegment",
+        F.lit("1995-01-01").cast("timestamp").alias("valid_from"),
+        F.lit(None).cast("timestamp").alias("valid_to"),
+        F.lit(True).alias("is_current"),
+    )
+    changes = (
+        t["orders"]
+        .filter(F.col("o_orderdate") >= F.lit("2000-01-01").cast("timestamp"))
+        .groupBy("o_custkey")
+        .agg(exact_sum(F.col("o_totalprice"), "_spend"))
+        .filter(F.col("_spend") > 1200000.0)
+        .select(
+            F.col("o_custkey").alias("c_custkey"),
+            F.lit("PREMIUM").alias("c_mktsegment"),
+            F.lit("2000-01-01").cast("timestamp").alias("change_ts"),
+        )
+    )
+    hist = scd2_apply(dim, changes, ["c_custkey"], ["c_mktsegment"], "change_ts")
+    as_of = spark.createDataFrame(
+        [("1999-06-01",), ("2000-06-01",)], "asof_s string"
+    ).select(F.col("asof_s").cast("timestamp").alias("as_of"))
+    return (
+        hist.join(
+            F.broadcast(as_of),
+            (F.col("valid_from") <= F.col("as_of"))
+            & (F.col("valid_to").isNull() | (F.col("valid_to") > F.col("as_of"))),
+        )
+        .groupBy("as_of", F.col("c_mktsegment").alias("segment"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_customers"))
+        .orderBy("as_of", "segment")
+    )
