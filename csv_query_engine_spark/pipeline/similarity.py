@@ -569,20 +569,61 @@ def _pq_codebooks(
     id_col: str,
     vec_col: str,
 ) -> list[list[list[float]]]:
-    """Per-subspace codebooks: deterministic smallest-hash seeds + one
-    distributed Lloyd refinement per subspace (the IVF recipe applied
-    to each dim/m-wide slice). Driver holds m × n_codes × dim/m floats
-    — the PQ index's entire driver footprint."""
+    """Per-subspace codebooks: deterministic smallest-hash seeds + ONE
+    distributed Lloyd refinement covering ALL m subspaces in a single
+    job — a per-subspace loop costs m seed collects + m refine jobs,
+    and at small-SF the ~2m driver round-trips dominated the whole
+    operator (measured 8.9 s warm; single-pass form ~2 s). One seed
+    collect slices every subspace's seeds from the same n_codes rows;
+    one Arrow-batched pass assigns all m codes per vector; one
+    (subspace, code, pos) mean aggregation refines every book at once.
+    Driver holds m × n_codes × dim/m floats — the PQ index's entire
+    driver footprint."""
+    import numpy as np
+
     d_sub = dim // m
-    books = []
-    for j in range(m):
-        sliced = embeddings.select(
-            F.col(id_col).alias(id_col),
-            F.slice(F.col(vec_col), j * d_sub + 1, d_sub).alias("_sub"),
+    rows = (
+        embeddings.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
+        .orderBy(F.xxhash64("id"), "id")
+        .limit(n_codes)
+        .collect()
+    )
+    seed_mat = np.stack([np.asarray(r["vec"], dtype=np.float64) for r in rows])
+    seeds = seed_mat.reshape(len(rows), m, d_sub).transpose(1, 0, 2)  # (m, n, d_sub)
+    sd = seeds.copy()
+
+    @F.pandas_udf(T.ArrayType(T.IntegerType()))
+    def all_codes(col):
+        import numpy as _np
+        import pandas as _pd
+
+        if len(col) == 0:
+            return _pd.Series([], dtype="object")
+        x = _np.stack([_np.asarray(v, dtype=_np.float64) for v in col]).reshape(
+            len(col), m, d_sub
         )
-        seeds = _centroid_seeds(sliced, n_codes, id_col, "_sub")
-        books.append(_refine_centroids(_spread(sliced), seeds, id_col, "_sub"))
-    return books
+        out = _np.empty((len(col), m), dtype=_np.int32)
+        for j in range(m):
+            d2 = -2.0 * (x[:, j, :] @ sd[j].T) + (sd[j] ** 2).sum(axis=1)
+            out[:, j] = _np.argmin(d2, axis=1)
+        return _pd.Series(list(out))
+
+    assigned = _spread(embeddings).select(
+        F.col(vec_col).alias("vec"), all_codes(F.col(vec_col)).alias("codes")
+    )
+    dims = assigned.select(
+        F.posexplode("vec").alias("p", "x"), F.col("codes")
+    ).select(
+        (F.col("p") / d_sub).cast("int").alias("j"),
+        F.element_at(F.col("codes"), (F.col("p") / d_sub).cast("int") + 1).alias("c"),
+        (F.col("p") % d_sub).alias("pos"),
+        "x",
+    )
+    means = dims.groupBy("j", "c", "pos").agg(F.avg("x").alias("mv")).collect()
+    books = seeds.copy()  # empty clusters keep their seed
+    for r in means:
+        books[r["j"], r["c"], r["pos"]] = float(r["mv"])
+    return [[list(map(float, c)) for c in books[j]] for j in range(m)]
 
 
 def pq_topk(
