@@ -197,6 +197,9 @@ DRIVER_ORDER: list[str] = [
     "docs_bigram_lm_scores",
     # Round-5: SCD2 read side — as-of dimension reconstruction:
     "scd2_snapshot_asof",
+    # Round-5: triangle counting (degree-ordered orientation) over the
+    # part co-occurrence graph — the bounded-join graph family member:
+    "graph_triangle_part_cooccurrence",
     # Rows-only ops (no SQL-expressible oracle; pytest covers recall/
     # precision/planted-neighbor properties):
     "docs_benchmark_decontamination",

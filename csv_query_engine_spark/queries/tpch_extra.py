@@ -1188,3 +1188,70 @@ def graph_pagerank_trade_network(spark: SparkSession, sf_dir: str) -> DataFrame:
         pairs.select(F.col("s").alias("src"), F.col("c").alias("dst"))
     )
     return pagerank(edges, iterations=4, damping=0.85).orderBy("node")
+
+
+@register(
+    "graph_triangle_part_cooccurrence",
+    """
+    WITH op AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+    e AS (SELECT a.p AS x, b.p AS y
+          FROM op a JOIN op b ON a.o = b.o AND a.p < b.p
+          GROUP BY a.p, b.p),
+    tris AS (SELECT e1.x AS a, e1.y AS b, e2.y AS c
+             FROM e e1
+             JOIN e e2 ON e1.y = e2.x
+             JOIN e e3 ON e1.x = e3.x AND e2.y = e3.y),
+    corners AS (
+        SELECT a AS node FROM tris
+        UNION ALL SELECT b FROM tris
+        UNION ALL SELECT c FROM tris),
+    per_node AS (SELECT node, COUNT(*) AS tri_count FROM corners GROUP BY node),
+    total AS (SELECT CAST(COUNT(*) AS BIGINT) AS total_triangles FROM tris)
+    SELECT p.node AS p_partkey, p.tri_count, t.total_triangles
+    FROM per_node p CROSS JOIN total t
+    ORDER BY p.tri_count DESC, p.node
+    LIMIT 20
+    """,
+)
+def graph_triangle_part_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle counting over the part co-occurrence graph (parts are
+    adjacent when some order contains both): top-20 parts by triangle
+    participation plus the global triangle count — the third graph-
+    analytics family member next to connected components (data-
+    dependent loop) and PageRank (fixed unroll); triangle counting is
+    the bounded-join shape (no iteration at all).
+
+    Scale: per-order pair enumeration is an equi-join on l_orderkey
+    with both sides' per-key multiplicity bounded by order size (<=7
+    lineitems), so it cannot quadratic-blow on a key; the enumeration
+    itself uses the degree-ordered orientation in
+    operators/graph.triangle_count, which caps the wedge join at
+    O(m^1.5) regardless of hub degrees.  The oracle states the naive
+    a<b<c form — same triangle set, different (non-scale-safe) plan.
+    Top-20 via TakeOrdered with the (count, id) tiebreaker; the global
+    count joins back as a 1-row broadcast."""
+    from csv_query_engine_spark.operators.graph import triangle_count
+
+    li = load_tables(spark, sf_dir, ("lineitem",))["lineitem"]
+    op = li.select(
+        F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")
+    ).distinct()
+    right = op.select(F.col("o"), F.col("p").alias("p2"))
+    edges = (
+        op.join(right, "o")
+        .filter(F.col("p") < F.col("p2"))
+        .select(F.col("p").alias("x"), F.col("p2").alias("y"))
+        .distinct()
+    )
+    per_node = triangle_count(edges)
+    total = per_node.agg(
+        (F.sum("tri_count") / F.lit(3)).cast("bigint").alias("total_triangles")
+    )
+    return (
+        per_node.join(F.broadcast(total))
+        .select(
+            F.col("node").alias("p_partkey"), F.col("tri_count"), F.col("total_triangles")
+        )
+        .orderBy(F.col("tri_count").desc(), F.col("p_partkey"))
+        .limit(20)
+    )

@@ -32,3 +32,39 @@ def test_deterministic_across_runs_and_partitionings(spark):
     r1 = sorted(map(tuple, pagerank(e1).collect()))
     r2 = sorted(map(tuple, pagerank(e2).collect()))
     assert r1 == r2, "fixed-point rounding must make ranks partitioning-independent"
+
+
+def test_triangle_count_known_graph(spark):
+    """K4 on {0..3} plus a pendant edge (3,4): K4 has 4 triangles, each
+    node of K4 sits in exactly 3 of them, the pendant node in none."""
+    from itertools import combinations
+
+    from csv_query_engine_spark.operators.graph import triangle_count
+
+    pairs = list(combinations(range(4), 2)) + [(3, 4)]
+    edges = spark.createDataFrame(pairs, "x long, y long")
+    rows = {r["node"]: r["tri_count"] for r in triangle_count(edges).collect()}
+    assert rows == {0: 3, 1: 3, 2: 3, 3: 3}
+    assert sum(rows.values()) // 3 == 4
+
+
+def test_triangle_count_skew_hub_and_brute_force(spark):
+    """Hub-and-ring graph vs a brute-force reference: the degree-ordered
+    orientation must not change counts, only bound the wedge join."""
+    from itertools import combinations
+
+    from csv_query_engine_spark.operators.graph import triangle_count
+
+    n = 24
+    ring = [(i, (i + 1) % n) for i in range(n)]
+    hub = [(i, n) for i in range(n)]  # node n connected to everyone
+    pairs = sorted({(min(a, b), max(a, b)) for a, b in ring + hub})
+    adj = set(pairs)
+    expect: dict[int, int] = {}
+    for a, b, c in combinations(range(n + 1), 3):
+        if ((a, b) in adj) and ((b, c) in adj) and ((a, c) in adj):
+            for v in (a, b, c):
+                expect[v] = expect.get(v, 0) + 1
+    edges = spark.createDataFrame(pairs, "x long, y long").repartition(7)
+    rows = {r["node"]: r["tri_count"] for r in triangle_count(edges).collect()}
+    assert rows == expect
