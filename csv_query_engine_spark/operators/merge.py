@@ -169,3 +169,128 @@ def scd2_apply(
         ]
     )
     return closed_rows.unionByName(kept_or_closed).unionByName(opened)
+
+
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    key_cols: list[str],
+    compare_cols: list[str] | None = None,
+) -> DataFrame:
+    """CDC extraction between two snapshots of the same table: one row
+    per *changed* key — ``change_type`` in ('insert', 'delete',
+    'update'), ``changed_cols`` the sorted list of differing columns
+    (empty for insert/delete), plus the new-side values (NULL on
+    delete).  Unchanged keys produce nothing, so emitting the diff of
+    two near-identical 100 TB snapshots is output-proportional.
+
+    The read half of the maintenance trio (merge_upsert / scd2_apply
+    write, this extracts): diff(old, new) applied back to `old` via
+    merge_upsert reproduces `new`.
+
+    One full-outer shuffle join on the key (co-partitioned storage
+    makes it shuffle-free); change classification is column-wise
+    null-safe comparison, all codegen'd — no UDFs."""
+    compare_cols = (
+        [c for c in new.columns if c in old.columns and c not in key_cols]
+        if compare_cols is None
+        else compare_cols
+    )
+    o = old.select(
+        *[F.col(c).alias(f"_o_{c}") for c in key_cols + compare_cols],
+        F.lit(True).alias("_o_present"),
+    )
+    n = new.select(
+        *key_cols, *compare_cols, F.lit(True).alias("_n_present")
+    )
+    cond = None
+    for k in key_cols:
+        clause = F.col(k).eqNullSafe(F.col(f"_o_{k}"))
+        cond = clause if cond is None else (cond & clause)
+    j = n.join(o, cond, "full_outer")
+    has_old = F.col("_o_present").isNotNull()
+    has_new = F.col("_n_present").isNotNull()
+    diffs = F.array_compact(
+        F.array(
+            *[
+                F.when(~F.col(c).eqNullSafe(F.col(f"_o_{c}")), F.lit(c))
+                for c in sorted(compare_cols)
+            ]
+        )
+    )
+    change = (
+        F.when(~has_old, F.lit("insert"))
+        .when(~has_new, F.lit("delete"))
+        .when(F.size(diffs) > 0, F.lit("update"))
+    )
+    return (
+        j.withColumn("change_type", change)
+        .filter(F.col("change_type").isNotNull())
+        .select(
+            *[F.coalesce(F.col(k), F.col(f"_o_{k}")).alias(k) for k in key_cols],
+            F.col("change_type"),
+            F.when(F.col("change_type") == "update", diffs)
+            .otherwise(F.array().cast("array<string>"))
+            .alias("changed_cols"),
+            *compare_cols,
+        )
+    )
+
+
+def refresh_aggregate(
+    state: DataFrame,
+    delta_state: DataFrame,
+    key_cols: list[str],
+    sum_cols: list[str],
+    count_col: str = "n",
+) -> DataFrame:
+    """Incremental materialized-aggregate maintenance: merge a delta
+    batch's aggregate state into the standing state without touching
+    the base data.  Both inputs hold (key_cols..., count_col,
+    *sum_cols) where each sum column is an UNSCALED fixed-point LONG
+    (see :func:`aggregate_state`, which builds one from raw rows).
+
+    Because the buffers are longs, merge is plain long addition —
+    associative and commutative — so state ⊕ agg(delta) is BIT-EQUAL
+    to agg(base ∪ delta): refreshing incrementally forever can never
+    drift from a full recompute.  That property is what the oracle
+    checks.  Keys whose merged count reaches zero (retraction deltas)
+    drop out of the state.
+
+    Scale: agg(delta) is a partial+final aggregate on the delta only
+    (the 100 TB base is never re-read) and the merge is a key-
+    partitioned union-aggregate; with the state bucketed on the key
+    the merge is shuffle-free on the state side."""
+    merged = (
+        state.unionByName(delta_state)
+        .groupBy(*key_cols)
+        .agg(
+            F.sum(count_col).alias(count_col),
+            *[F.sum(c).alias(c) for c in sum_cols],
+        )
+        .filter(F.col(count_col) > 0)
+    )
+    return merged
+
+
+def aggregate_state(
+    rows: DataFrame,
+    key_cols: list[str],
+    sum_cols: dict[str, "F.Column"],
+    count_col: str = "n",
+    scale: int = 6,
+    sign: int = 1,
+) -> DataFrame:
+    """Build the grouped-aggregate state ``refresh_aggregate`` merges:
+    per-key row count plus each measure as a SUM of unscaled fixed-
+    point longs (exact, order-independent — the merge-associativity
+    contract).  ``sign=-1`` builds a RETRACTION state: merging it
+    cancels previously-admitted rows exactly (long arithmetic), which
+    is how deletes flow through incremental maintenance."""
+    from csv_query_engine_spark.queries.relational import _unscaled
+
+    s = F.lit(sign).cast("long")
+    return rows.groupBy(*key_cols).agg(
+        (s * F.count(F.lit(1))).alias(count_col),
+        *[F.sum(s * _unscaled(e, scale)).alias(c) for c, e in sum_cols.items()],
+    )

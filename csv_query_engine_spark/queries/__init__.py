@@ -200,6 +200,12 @@ DRIVER_ORDER: list[str] = [
     # Round-5: triangle counting (degree-ordered orientation) over the
     # part co-occurrence graph — the bounded-join graph family member:
     "graph_triangle_part_cooccurrence",
+    # Round-5: CDC snapshot diff — the read half of the maintenance
+    # trio (merge_upsert/scd2 write, this extracts):
+    "customer_snapshot_cdc_diff",
+    # Round-5: incremental materialized-aggregate refresh with exact
+    # long-buffer merge (delta + retraction, never re-reads the base):
+    "orders_incremental_agg_refresh",
     # Rows-only ops (no SQL-expressible oracle; pytest covers recall/
     # precision/planted-neighbor properties):
     "docs_benchmark_decontamination",

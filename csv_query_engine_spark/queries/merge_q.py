@@ -218,3 +218,149 @@ def scd2_snapshot_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_customers"))
         .orderBy("as_of", "segment")
     )
+
+
+@register(
+    "customer_snapshot_cdc_diff",
+    """
+    WITH old AS (
+        SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
+        FROM customer WHERE c_custkey % 13 <> 0
+    ),
+    new AS (
+        SELECT c_custkey, c_name, c_nationkey,
+               CASE WHEN c_custkey % 10 = 0 THEN c_acctbal + 100.0
+                    ELSE c_acctbal END AS c_acctbal,
+               CASE WHEN c_custkey % 9 = 0 THEN 'MOVED'
+                    ELSE c_mktsegment END AS c_mktsegment
+        FROM customer WHERE c_custkey % 17 <> 0
+    )
+    SELECT COALESCE(n.c_custkey, o.c_custkey) AS c_custkey,
+           CASE WHEN o.c_custkey IS NULL THEN 'insert'
+                WHEN n.c_custkey IS NULL THEN 'delete'
+                ELSE 'update' END AS change_type,
+           CASE WHEN o.c_custkey IS NULL OR n.c_custkey IS NULL THEN ''
+                ELSE CONCAT_WS(',',
+                    CASE WHEN n.c_acctbal IS DISTINCT FROM o.c_acctbal
+                         THEN 'c_acctbal' END,
+                    CASE WHEN n.c_mktsegment IS DISTINCT FROM o.c_mktsegment
+                         THEN 'c_mktsegment' END,
+                    CASE WHEN n.c_name IS DISTINCT FROM o.c_name
+                         THEN 'c_name' END,
+                    CASE WHEN n.c_nationkey IS DISTINCT FROM o.c_nationkey
+                         THEN 'c_nationkey' END)
+           END AS changed_cols_csv,
+           COALESCE(n.c_acctbal, -99999.0) AS c_acctbal,
+           COALESCE(n.c_mktsegment, '') AS c_mktsegment
+    FROM new n FULL OUTER JOIN old o ON n.c_custkey = o.c_custkey
+    WHERE o.c_custkey IS NULL OR n.c_custkey IS NULL
+       OR n.c_acctbal IS DISTINCT FROM o.c_acctbal
+       OR n.c_mktsegment IS DISTINCT FROM o.c_mktsegment
+       OR n.c_name IS DISTINCT FROM o.c_name
+       OR n.c_nationkey IS DISTINCT FROM o.c_nationkey
+    ORDER BY c_custkey
+    """,
+)
+def customer_snapshot_cdc_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC extraction between two deterministic snapshots of the
+    customer dimension (operators/merge.snapshot_diff): keys dropped
+    from the new snapshot surface as deletes, keys absent from the old
+    as inserts, attribute drift as updates with the sorted changed-
+    column list.  Completes the maintenance trio — snapshot_diff
+    applied back via merge_upsert reproduces the new snapshot
+    (property-tested in tests/test_merge.py).
+
+    Scale: one full-outer key join, output proportional to the CHANGE
+    volume, never the snapshot size.  changed_cols surfaces as a
+    comma-joined string (cross-engine array reprs differ); nullable
+    delete-side outputs COALESCE to sentinels on both sides
+    (CLAUDE.md)."""
+    from csv_query_engine_spark.operators.merge import snapshot_diff
+
+    cust = load_tables(spark, sf_dir, ("customer",))["customer"]
+    old = cust.filter(F.col("c_custkey") % 13 != 0)
+    new = cust.filter(F.col("c_custkey") % 17 != 0).select(
+        "c_custkey",
+        "c_name",
+        "c_nationkey",
+        F.when(F.col("c_custkey") % 10 == 0, F.col("c_acctbal") + F.lit(100.0))
+        .otherwise(F.col("c_acctbal"))
+        .alias("c_acctbal"),
+        F.when(F.col("c_custkey") % 9 == 0, F.lit("MOVED"))
+        .otherwise(F.col("c_mktsegment"))
+        .alias("c_mktsegment"),
+    )
+    d = snapshot_diff(old, new, ["c_custkey"])
+    return d.select(
+        "c_custkey",
+        "change_type",
+        F.array_join(F.col("changed_cols"), ",").alias("changed_cols_csv"),
+        F.coalesce(F.col("c_acctbal"), F.lit(-99999.0)).alias("c_acctbal"),
+        F.coalesce(F.col("c_mktsegment"), F.lit("")).alias("c_mktsegment"),
+    ).orderBy("c_custkey")
+
+
+@register(
+    "orders_incremental_agg_refresh",
+    """
+    SELECT o_orderpriority,
+           CAST(DATE_TRUNC('year', o_orderdate) AS TIMESTAMP) AS order_year,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS total_price
+    FROM orders
+    WHERE NOT (o_orderpriority = '5-LOW' AND o_orderdate < TIMESTAMP '1996-01-01')
+    GROUP BY o_orderpriority, order_year
+    ORDER BY o_orderpriority, order_year
+    """,
+)
+def orders_incremental_agg_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental materialized-view maintenance
+    (operators/merge.aggregate_state / refresh_aggregate): the standing
+    per-(priority, year) order aggregate is refreshed by merging (a) a
+    late-arriving delta batch (1997+ orders) and (b) a retraction
+    batch (low-priority pre-1996 orders withdrawn) — the base rows are
+    never re-read.  Because state buffers are unscaled fixed-point
+    longs, merge is associative long addition, so the incrementally-
+    maintained state is BIT-EQUAL to the full recompute the oracle
+    runs — the invariant that makes incremental refresh trustworthy
+    at 100 TB (re-aggregating the base would be the whole point lost).
+
+    Scale: each state build is one partial+final agg over only its
+    batch; the merge aggregates the tiny key-space union.  State
+    cardinality = |priorities| × |years|, trivially broadcastable."""
+    from csv_query_engine_spark.operators.merge import aggregate_state, refresh_aggregate
+
+    orders = load_tables(spark, sf_dir, ("orders",))["orders"]
+    keyed = orders.select(
+        "o_orderpriority",
+        F.date_trunc("year", F.col("o_orderdate")).alias("order_year"),
+        "o_totalprice",
+        "o_orderdate",
+    )
+    cutoff = F.lit("1997-01-01").cast("timestamp")
+    keys = ["o_orderpriority", "order_year"]
+    sums = {"price_u": F.col("o_totalprice")}
+    base = aggregate_state(keyed.filter(F.col("o_orderdate") < cutoff), keys, sums)
+    delta = aggregate_state(keyed.filter(F.col("o_orderdate") >= cutoff), keys, sums)
+    retract = aggregate_state(
+        keyed.filter(
+            (F.col("o_orderpriority") == "5-LOW")
+            & (F.col("o_orderdate") < F.lit("1996-01-01").cast("timestamp"))
+        ),
+        keys,
+        sums,
+        sign=-1,
+    )
+    state = refresh_aggregate(base, delta, keys, ["price_u"])
+    state = refresh_aggregate(state, retract, keys, ["price_u"])
+    return state.select(
+        "o_orderpriority",
+        "order_year",
+        F.col("n"),
+        (
+            F.col("price_u").cast("decimal(38,6)")
+            / F.lit(10**6).cast("decimal(12,0)")
+        )
+        .cast("double")
+        .alias("total_price"),
+    ).orderBy("o_orderpriority", "order_year")

@@ -117,3 +117,57 @@ def test_scd2_no_udf_no_cartesian(spark):
     plan = buf.getvalue()
     assert "Cartesian" not in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_snapshot_diff_classifies_and_roundtrips(spark):
+    from csv_query_engine_spark.operators.merge import snapshot_diff
+
+    old = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0), (4, "d", 40.0)],
+        "k int, name string, v double",
+    )
+    new = spark.createDataFrame(
+        # 1 unchanged, 2 value-changed, 3 deleted, 5 inserted
+        [(1, "a", 10.0), (2, "b", 99.0), (4, "D", 41.0), (5, "e", 50.0)],
+        "k int, name string, v double",
+    )
+    d = snapshot_diff(old, new, ["k"])
+    rows = {r["k"]: r for r in d.collect()}
+    assert set(rows) == {2, 3, 4, 5}  # unchanged key 1 emits nothing
+    assert rows[2]["change_type"] == "update" and rows[2]["changed_cols"] == ["v"]
+    assert rows[4]["changed_cols"] == ["name", "v"]  # sorted col list
+    assert rows[3]["change_type"] == "delete" and rows[3]["v"] is None
+    assert rows[5]["change_type"] == "insert" and rows[5]["changed_cols"] == []
+    # diff applied back to old reproduces new: upsert the non-deletes,
+    # anti-join the deletes.
+    upserts = d.filter(F.col("change_type") != "delete").select("k", "name", "v")
+    deletes = d.filter(F.col("change_type") == "delete").select("k")
+    rebuilt = merge_upsert(old, upserts, ["k"]).join(deletes, "k", "left_anti")
+    assert sorted(map(tuple, rebuilt.collect())) == sorted(map(tuple, new.collect()))
+
+
+def test_refresh_aggregate_merge_equals_full_recompute(spark):
+    """state(base) ⊕ state(delta) must be BIT-equal to state(base ∪
+    delta) for any split — the associativity contract; and retraction
+    cancels exactly, dropping emptied keys."""
+    from csv_query_engine_spark.operators.merge import aggregate_state, refresh_aggregate
+
+    rows = [(i % 5, float(i) * 0.7 + 0.01) for i in range(100)]
+    df = spark.createDataFrame(rows, "g int, v double")
+    base, delta = df.filter("v < 35"), df.filter("v >= 35")
+    full = aggregate_state(df, ["g"], {"v_u": F.col("v")})
+    merged = refresh_aggregate(
+        aggregate_state(base, ["g"], {"v_u": F.col("v")}),
+        aggregate_state(delta, ["g"], {"v_u": F.col("v")}),
+        ["g"],
+        ["v_u"],
+    )
+    assert sorted(map(tuple, merged.collect())) == sorted(map(tuple, full.collect()))
+    # retract group 0 entirely: its key must vanish from the state
+    retract = aggregate_state(
+        df.filter("g = 0"), ["g"], {"v_u": F.col("v")}, sign=-1
+    )
+    after = refresh_aggregate(merged, retract, ["g"], ["v_u"])
+    got = sorted(map(tuple, after.collect()))
+    want = sorted(t for t in map(tuple, full.collect()) if t[0] != 0)
+    assert got == want
