@@ -206,6 +206,9 @@ DRIVER_ORDER: list[str] = [
     # Round-5: incremental materialized-aggregate refresh with exact
     # long-buffer merge (delta + retraction, never re-reads the base):
     "orders_incremental_agg_refresh",
+    # Round-5: SymSpell deletion-neighborhood fuzzy join over the token
+    # dictionary — exact result, hash-matched against the brute force:
+    "docs_token_typo_pairs",
     # Rows-only ops (no SQL-expressible oracle; pytest covers recall/
     # precision/planted-neighbor properties):
     "docs_benchmark_decontamination",

@@ -2031,3 +2031,60 @@ def docs_bigram_lm_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     split), so an empty token only ever appears alone for blank text."""
     d = load_tables(spark, sf_dir, ("documents",))["documents"]
     return tx.bigram_lm_scores(d).orderBy("doc_id")
+
+
+@register(
+    "docs_token_typo_pairs",
+    f"""
+    WITH tok AS (
+        SELECT t AS token, CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM (SELECT unnest({_SQL_TOKS}) AS t FROM documents)
+        WHERE t <> ''
+        GROUP BY t
+    )
+    SELECT a.token AS tok_a, b.token AS tok_b,
+           CAST(levenshtein(a.token, b.token) AS INTEGER) AS dist,
+           a.cnt AS count_a, b.cnt AS count_b
+    FROM tok a JOIN tok b ON a.token < b.token
+    WHERE levenshtein(a.token, b.token) <= 2
+    ORDER BY tok_a, tok_b
+    """,
+)
+def docs_token_typo_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typo/variant canonicalization over the corpus token dictionary:
+    every unordered token pair within Levenshtein distance 2, with
+    corpus frequencies — the fuzzy-match primitive behind spell-
+    normalization and entity resolution (pipeline/fuzzy.py).
+
+    Scale: the corpus collapses to its DISTINCT-token dictionary with
+    one count aggregate (the only step that sees the 100 TB); pair
+    discovery is SymSpell deletion-neighborhood blocking — an equi-
+    join on deletion variants, O(|dict|·L²) rows, NOT the O(|dict|²)
+    brute force the oracle runs — plus an exact levenshtein verify,
+    so the result is exact and hash-matches the quadratic twin.
+    Frequencies join back via broadcast (dictionary ≪ corpus)."""
+    from csv_query_engine_spark.pipeline import fuzzy as fz
+
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    counts = (
+        docs.select(F.explode(tx.tokens(F.col("text"))).alias("token"))
+        .filter(F.col("token") != "")
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .persist()
+    )
+    pairs = fz.fuzzy_pairs(counts, "token", max_dist=2)
+    ca = counts.select(F.col("token").alias("tok_a"), F.col("cnt").alias("count_a"))
+    cb = counts.select(F.col("token").alias("tok_b"), F.col("cnt").alias("count_b"))
+    return (
+        pairs.join(F.broadcast(ca), "tok_a")
+        .join(F.broadcast(cb), "tok_b")
+        .select(
+            "tok_a",
+            "tok_b",
+            F.col("dist").cast("integer").alias("dist"),
+            "count_a",
+            "count_b",
+        )
+        .orderBy("tok_a", "tok_b")
+    )
