@@ -220,6 +220,10 @@ DRIVER_ORDER: list[str] = [
     "embedding_quantized_topk",
     "embedding_pq_topk",
     "sketch_approx_aggregates",
+    # Round-5: distributed BPE tokenizer training + encoding — the
+    # merge loop is iterative argmax state (no SQL oracle); locked to a
+    # pure-Python Sennrich reference in tests/test_bpe.py:
+    "docs_bpe_subword_tokens",
 ]
 
 

@@ -2088,3 +2088,42 @@ def docs_token_typo_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("tok_a", "tok_b")
     )
+
+
+@register("docs_bpe_subword_tokens", None)
+def docs_bpe_subword_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed BPE tokenizer training + encoding end-to-end
+    (pipeline/bpe.py): learn a merge table from the corpus word
+    dictionary, encode every distinct word, and roll up corpus subword
+    frequencies — the tokenizer-training half of an LLM data pipeline.
+
+    No SQL oracle: the merge loop is iterative argmax state, not
+    expressible in one DuckDB query; tests/test_bpe.py instead locks
+    the algorithm to a pure-Python Sennrich reference (identical
+    merges, counts, tie-breaks, encodings).
+
+    Scale: the ONLY corpus-scale step is the one word-count aggregate;
+    the merge loop and the encoder run on the distinct-word dictionary
+    (~10^7-10^8 rows web-scale, distributed, localCheckpoint'ed per
+    round), and per-round driver traffic is exactly one argmax row.
+    Corpus subword counts come from the dictionary itself (freq ×
+    occurrences-in-word), so the 100 TB text is read exactly once."""
+    from csv_query_engine_spark.pipeline import bpe
+
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    words = (
+        docs.select(F.explode(tx.tokens(F.col("text"))).alias("word"))
+        .filter(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .persist()
+    )
+    merges = bpe.learn_bpe(words, num_merges=10)
+    encoded = bpe.encode_words(words, [(l, r) for l, r, _ in merges])
+    return (
+        encoded.join(words, "word")
+        .select(F.explode("subwords").alias("subword"), F.col("freq"))
+        .groupBy("subword")
+        .agg(F.sum("freq").cast("long").alias("n_tokens"))
+        .orderBy(F.col("n_tokens").desc(), "subword")
+    )
