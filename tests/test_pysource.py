@@ -1,0 +1,66 @@
+"""io/pysource.py: the custom Python DataSource must generate
+bit-reproducible rows, push doc_id predicates into partition pruning
+(the filter disappears from the optimized plan), and hand unsupported
+predicates back to Spark unchanged."""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql.datasource import StringStartsWith
+
+from csv_query_engine_spark.io.pysource import EqualTo, SyntheticDocsReader, register
+
+
+@pytest.fixture(scope="module")
+def docs_reader(spark):
+    register(spark)
+    return lambda **opts: spark.read.format("synthetic_docs").options(**opts).load()
+
+
+def test_deterministic_and_complete(docs_reader):
+    a = sorted(map(tuple, docs_reader(n_docs=300).collect()))
+    b = sorted(map(tuple, docs_reader(n_docs=300).collect()))
+    assert a == b
+    assert len(a) == 300
+    assert [r[0] for r in a] == list(range(300))
+    # different seed -> different corpus, same ids
+    c = sorted(map(tuple, docs_reader(n_docs=300, seed=7).collect()))
+    assert [r[0] for r in c] == list(range(300))
+    assert a != c
+
+
+def test_range_pushdown_correct_and_absorbed(docs_reader, spark):
+    df = docs_reader(n_docs=500)
+    pushed = df.filter("doc_id >= 100 AND doc_id < 150")
+    want = [t for t in sorted(map(tuple, df.collect())) if 100 <= t[0] < 150]
+    assert sorted(map(tuple, pushed.collect())) == want
+    # the accepted predicate is applied INSIDE the source: no Filter
+    # node survives optimization
+    optimized = pushed._jdf.queryExecution().optimizedPlan().toString()
+    assert "Filter" not in optimized
+
+
+def test_equality_probe_prunes_to_one_partition():
+    r = SyntheticDocsReader({"n_docs": "1000", "rows_per_partition": "100"})
+    assert len(r.partitions()) == 10
+    assert list(r.pushFilters([EqualTo(("doc_id",), 42)])) == []
+    parts = r.partitions()
+    assert len(parts) == 1 and (parts[0].start, parts[0].end) == (42, 43)
+
+
+def test_unsupported_filter_handed_back_and_still_applied(docs_reader):
+    r = SyntheticDocsReader({"n_docs": "100"})
+    unsupported = list(r.pushFilters([StringStartsWith(("lang",), "e")]))
+    assert len(unsupported) == 1  # returned to Spark, not silently dropped
+    df = docs_reader(n_docs=200)
+    got = {t[0] for t in df.filter("lang = 'en'").collect()}
+    want = {t[0] for t in df.collect() if t[2] == "en"}
+    assert got == want and got  # Spark applied it post-scan
+
+
+def test_contradictory_range_fully_prunes(docs_reader):
+    assert docs_reader(n_docs=100).filter("doc_id < 0").count() == 0
+    assert (
+        docs_reader(n_docs=100).filter("doc_id > 90 AND doc_id <= 60").count() == 0
+    )
