@@ -1,6 +1,9 @@
-"""Custom Python DataSource (PySpark 4 ``pyspark.sql.datasource`` API):
+"""Custom Python DataSources (PySpark 4 ``pyspark.sql.datasource`` API):
 a deterministic synthetic document-corpus generator with doc_id filter
-pushdown and partition pruning.
+pushdown and partition pruning (``synthetic_docs``), a partition-planned
+replayable micro-batch event stream (``synthetic_events``), and a
+two-phase-commit JSONL shard sink (``jsonl_shards``) — the batch-read,
+stream-read, and batch-write thirds of the Python source API.
 
 The reference ingests CSV files only (reference main.py upload path);
 this source extends the engine's source family (csv/parquet/json/orc/
@@ -41,6 +44,8 @@ from collections.abc import Iterator
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
+    DataSourceStreamReader,
+    DataSourceWriter,
     EqualTo,
     Filter,
     GreaterThan,
@@ -49,6 +54,7 @@ from pyspark.sql.datasource import (
     IsNotNull,
     LessThan,
     LessThanOrEqual,
+    WriterCommitMessage,
 )
 
 _SOURCES = ("web", "books", "wiki", "code", "news")
@@ -135,6 +141,142 @@ class SyntheticDocsDataSource(DataSource):
         return SyntheticDocsReader(self.options)
 
 
+class _BatchRange(InputPartition):
+    def __init__(self, start: int, end: int):
+        self.start, self.end = start, end
+
+
+class SyntheticEventsStreamReader(DataSourceStreamReader):
+    """Partition-planned micro-batch stream of deterministic events.
+
+    Offsets are plain event counters (``{"offset": n}``); each batch
+    covers ``[start, end)`` where ``latestOffset`` advances by
+    ``rows_per_batch`` per poll, and ``partitions()`` splits the id
+    interval into fixed-size ranges read IN PARALLEL on executors —
+    unlike :class:`SimpleDataSourceStreamReader`, nothing is generated
+    on the driver, so batch size scales with the cluster, not the
+    driver.  Replaying any offset range reproduces identical bytes
+    (rows derive from (seed, event_id) hashes), which is exactly the
+    contract Structured Streaming's checkpoint recovery assumes of a
+    replayable source."""
+
+    def __init__(self, options):
+        self.rows_per_batch = int(options.get("rows_per_batch", 100))
+        self.rows_per_partition = int(options.get("rows_per_partition", 25))
+        self.max_offset = int(options.get("max_offset", 10**15))
+        self.seed = int(options.get("seed", 0))
+        self._current = 0
+
+    def initialOffset(self) -> dict:
+        return {"offset": 0}
+
+    def latestOffset(self) -> dict:
+        self._current = min(self._current + self.rows_per_batch, self.max_offset)
+        return {"offset": self._current}
+
+    def partitions(self, start: dict, end: dict):
+        lo, hi, step = start["offset"], end["offset"], self.rows_per_partition
+        if hi <= lo:
+            return [_BatchRange(0, 0)]
+        return [_BatchRange(s, min(s + step, hi)) for s in range(lo, hi, step)]
+
+    def read(self, partition: _BatchRange) -> Iterator[tuple]:
+        seed = self.seed
+        for event_id in range(partition.start, partition.end):
+            h = hashlib.md5(f"ev:{seed}:{event_id}".encode()).digest()
+            yield (
+                event_id,
+                int.from_bytes(h[:2], "big") % 100,  # user_id
+                ("view", "click", "purchase")[h[2] % 3],
+                int.from_bytes(h[3:5], "big"),  # value
+            )
+
+    def commit(self, end: dict) -> None:
+        pass  # nothing buffered: every range is re-derivable
+
+    def stop(self) -> None:
+        pass
+
+
+class SyntheticEventsDataSource(DataSource):
+    """``spark.readStream.format("synthetic_events")`` — deterministic
+    replayable event micro-batches; options: rows_per_batch,
+    rows_per_partition, max_offset, seed."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "synthetic_events"
+
+    def schema(self) -> str:
+        return "event_id BIGINT NOT NULL, user_id INT NOT NULL, event_type STRING NOT NULL, value INT NOT NULL"
+
+    def streamReader(self, schema) -> SyntheticEventsStreamReader:
+        return SyntheticEventsStreamReader(self.options)
+
+
+class _ShardCommit(WriterCommitMessage):
+    def __init__(self, tmp_path: str, rows: int):
+        self.tmp_path, self.rows = tmp_path, rows
+
+
+class JsonlShardWriter(DataSourceWriter):
+    """Two-phase-commit JSONL sink: each task writes a private
+    ``.tmp-<uuid>`` shard and reports it in its commit message; the
+    driver's ``commit()`` renames every shard into place only after ALL
+    tasks succeeded, and ``abort()`` deletes the orphans — so a failed
+    or speculatively-duplicated task never leaves a partial shard
+    visible.  This is the same visibility protocol Spark's file sinks
+    use (task temp dir + driver-side job commit), expressed through the
+    Python writer API."""
+
+    def __init__(self, options):
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("jsonl_shards sink requires option 'path'")
+
+    def write(self, iterator) -> _ShardCommit:
+        import json
+        import os
+        import uuid
+
+        os.makedirs(self.path, exist_ok=True)
+        tmp = os.path.join(self.path, f".tmp-{uuid.uuid4().hex}.jsonl")
+        n = 0
+        with open(tmp, "w") as f:
+            for row in iterator:
+                f.write(json.dumps(row.asDict()) + "\n")
+                n += 1
+        return _ShardCommit(tmp, n)
+
+    def commit(self, messages) -> None:
+        import os
+
+        for i, m in enumerate(m for m in messages if m is not None):
+            final = os.path.join(self.path, f"shard-{i:05d}.jsonl")
+            os.replace(m.tmp_path, final)
+
+    def abort(self, messages) -> None:
+        import os
+
+        for m in messages:
+            if m is not None and os.path.exists(m.tmp_path):
+                os.remove(m.tmp_path)
+
+
+class JsonlShardSink(DataSource):
+    """``df.write.format("jsonl_shards").option("path", dir)`` —
+    two-phase-commit JSONL shards (local/shared filesystem)."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "jsonl_shards"
+
+    def writer(self, schema, overwrite: bool) -> JsonlShardWriter:
+        if overwrite:
+            raise ValueError("jsonl_shards supports append mode only")
+        return JsonlShardWriter(self.options)
+
+
 def register(spark) -> None:
     """Register the source, shipping THIS module by value so executors
     never import the package (CLAUDE.md worker-shipping invariant)."""
@@ -147,3 +289,5 @@ def register(spark) -> None:
     # REFUSES to plan a reader that implements pushFilters()
     spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
     spark.dataSource.register(SyntheticDocsDataSource)
+    spark.dataSource.register(SyntheticEventsDataSource)
+    spark.dataSource.register(JsonlShardSink)
