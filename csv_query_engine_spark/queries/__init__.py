@@ -209,6 +209,9 @@ DRIVER_ORDER: list[str] = [
     # Round-5: SymSpell deletion-neighborhood fuzzy join over the token
     # dictionary — exact result, hash-matched against the brute force:
     "docs_token_typo_pairs",
+    # Round-5: VARIANT-typed semi-structured access (parse_json once,
+    # typed variant_get paths, try_variant_get null on absent path):
+    "json_props_variant",
     # Rows-only ops (no SQL-expressible oracle; pytest covers recall/
     # precision/planted-neighbor properties):
     "docs_benchmark_decontamination",

@@ -841,6 +841,53 @@ def json_props_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "json_props_variant",
+    """
+    SELECT event_type,
+           CAST(FLOOR(CAST(props->>'$.k' AS BIGINT) / 25) AS BIGINT) AS k_bucket,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(props->>'$.k' AS BIGINT)) AS BIGINT) AS sum_k,
+           CAST(SUM(CASE WHEN props->>'$.missing' IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_missing_path
+    FROM events
+    GROUP BY event_type, k_bucket
+    ORDER BY event_type, k_bucket
+    """,
+)
+def json_props_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured access through Spark 4's VARIANT type: the props
+    JSON is parsed ONCE into a variant (`parse_json`), then fields come
+    out via typed `variant_get` / `try_variant_get` paths — the
+    open-schema ingestion shape (parse once, bind types per query)
+    that replaces per-field `get_json_object` string re-parsing.
+
+    Scale: variant parse is one codegen'd pass per row; every
+    subsequent path access reads the decoded binary, so wide queries
+    touching many fields don't multiply parse cost the way chained
+    get_json_object calls do.  `try_variant_get` on an absent path
+    yields NULL (counted per group) instead of failing the batch."""
+    e = load_tables(spark, sf_dir, ("events",))["events"]
+    v = F.parse_json(F.col("props"))
+    k = F.variant_get(v, "$.k", "bigint")
+    missing = F.try_variant_get(v, "$.missing", "string")
+    return (
+        e.select(
+            "event_type",
+            k.alias("k"),
+            F.floor(k / F.lit(25)).cast("bigint").alias("k_bucket"),
+            missing.alias("m"),
+        )
+        .groupBy("event_type", "k_bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("k").cast("bigint").alias("sum_k"),
+            F.sum(F.when(F.col("m").isNull(), 1).otherwise(0)).cast("bigint").alias("n_missing_path"),
+        )
+        .orderBy("event_type", "k_bucket")
+    )
+
+
+@register(
     "predicates_in_like_between",
     """
     SELECT o_orderkey, o_orderstatus, o_orderpriority, o_totalprice
