@@ -164,6 +164,80 @@ def running_user_totals(events: DataFrame) -> DataFrame:
     )
 
 
+def stateful_type_profiles(events: DataFrame) -> DataFrame:
+    """Custom stateful operator via ``transformWithStateInPandas``
+    (the Spark 4 arbitrary-state API that supersedes
+    ``applyInPandasWithState``): per-user profiles maintained across
+    micro-batches with TWO typed state primitives — a ValueState for
+    the running (n_events, total_value) pair and a MapState keyed by
+    event_type for per-type counts.  Each batch emits the user's
+    updated profile: event count, value total, distinct-type count,
+    and the (alphabetically first) modal event type.
+
+    Versus applyInPandasWithState (running_user_totals above): state
+    is a set of named, individually-typed stores rather than one
+    tuple, MapState gives per-subkey point updates (no
+    read-modify-write of a whole blob), and the same processor can
+    register timers (not used here — timeMode="None" keeps this test
+    deterministic).  Requires the RocksDB state store provider; the
+    caller sets ``spark.sql.streaming.stateStore.providerClass``.
+
+    Scale: state is keyed by user_id (one shuffle per micro-batch);
+    per-user state is O(#event_types) — bounded — and RocksDB keeps
+    the store off-heap and incrementally checkpointed, which is the
+    point of the new API at 100 TB stream volumes.  The processor
+    class is defined in-function so cloudpickle ships it by value
+    (workers cannot import this package)."""
+    from pyspark.sql.streaming.stateful_processor import StatefulProcessor
+
+    out_schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType()),
+            T.StructField("n_events", T.LongType()),
+            T.StructField("total_value", T.DoubleType()),
+            T.StructField("n_types", T.LongType()),
+            T.StructField("top_type", T.StringType()),
+        ]
+    )
+
+    class Profile(StatefulProcessor):
+        def init(self, handle):
+            self._totals = handle.getValueState("totals", "n BIGINT, total DOUBLE")
+            self._by_type = handle.getMapState("by_type", "t STRING", "c BIGINT")
+
+        def handleInputRows(self, key, rows, timerValues):
+            import pandas as pd
+
+            n, total = (self._totals.get() or (0, 0.0)) if self._totals.exists() else (0, 0.0)
+            for pdf in rows:
+                n += len(pdf)
+                total += float(pdf["value"].fillna(0.0).sum())
+                for t, c in pdf.groupby("event_type").size().items():
+                    prev = self._by_type.getValue((t,)) if self._by_type.containsKey((t,)) else None
+                    self._by_type.updateValue((t,), (int(prev[0] if prev else 0) + int(c),))
+            self._totals.update((n, total))
+            counts = [(t[0], c[0]) for t, c in self._by_type.iterator()]
+            top = max(counts, key=lambda tc: (tc[1], -ord(tc[0][0]) * 0))  # max count
+            # deterministic tie-break: highest count, then first name
+            best = sorted(counts, key=lambda tc: (-tc[1], tc[0]))[0][0]
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]],
+                    "n_events": [n],
+                    "total_value": [total],
+                    "n_types": [len(counts)],
+                    "top_type": [best],
+                }
+            )
+
+        def close(self):
+            pass
+
+    return events.groupBy("user_id").transformWithStateInPandas(
+        Profile(), out_schema, "Update", "None"
+    )
+
+
 def conversion_join(
     views: DataFrame,
     purchases: DataFrame,
