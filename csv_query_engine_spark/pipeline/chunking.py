@@ -16,6 +16,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
 
 from csv_query_engine_spark.pipeline.packing import exclusive_bucket_offsets
 from csv_query_engine_spark.pipeline.text import _spread, bpe_ish_token_count, tokens
@@ -81,8 +82,8 @@ def shard_assignment(
     text_col: str = "text",
     shard_tokens: int = DEFAULT_SHARD_TOKENS,
     salt: str = "shard-",
-    n_buckets: int = 4096,
-    sb_factor: int = 64,
+    n_buckets: int | None = None,
+    sb_factor: int | None = None,
 ) -> DataFrame:
     """(id, n_tokens, shard_id, offset_in_shard): documents laid out in
     a DETERMINISTIC pseudo-random order (md5 of the salted id — the
@@ -102,18 +103,42 @@ def shard_assignment(
     single-task stage, no quadratic term in the bucket count; the
     oracle reproduces the layout with one (tiny, oracle-side-only)
     global window.
+
+    ``n_buckets``/``sb_factor`` default to auto-sizing from the corpus
+    row count N (hash keys are uniform, so N rows spread evenly):
+    fan = :func:`~csv_query_engine_spark.pipeline.packing.auto_fan`(N)
+    and n_buckets = ceil(N / fan) keep EVERY hierarchy level ≤ ~N^(1/4)
+    rows per task at any N. The sizing count() doubles as the action
+    that materializes the persisted ``base``, so auto mode costs no
+    extra corpus pass; the layout is knob-independent (global hash
+    order), so explicit knobs remain for tests.
+
+    ``base`` (corpus tokenize + count + hash) feeds BOTH the
+    bucket-totals aggregate and the final offset join — persisted once
+    (MEMORY_AND_DISK; CALLER-OWNED lifetime, pipeline.cache_scope /
+    clearCache) so the corpus scan and bpe_ish_token_count run once.
     """
+    from csv_query_engine_spark.pipeline.packing import auto_fan
+
     h = F.conv(F.substring(F.md5(F.concat(F.lit(salt), F.col("id").cast("string"))), 1, 8), 16, 10).cast(
         "long"
     )
-    base = (
+    counted = (
         _spread(df.select(F.col(id_col).alias("id"), F.col(text_col).alias("_t")))
         .select("id", bpe_ish_token_count(F.col("_t")).cast("long").alias("n_tokens"))
         .withColumn("hkey", h)
-        # 32-bit hash → top bits pick the bucket: bucket ranges are
-        # contiguous in hash order, so within-bucket order + bucket
-        # offsets compose to the global hash order.
-        .withColumn("bucket", F.expr(f"hkey div {(1 << 32) // n_buckets}"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    if n_buckets is None or sb_factor is None:
+        n = counted.count()
+        fan = auto_fan(n)
+        sb_factor = sb_factor if sb_factor is not None else fan
+        n_buckets = n_buckets if n_buckets is not None else max(1, -(-n // fan))
+    # 32-bit hash → top bits pick the bucket: bucket ranges are
+    # contiguous in hash order, so within-bucket order + bucket
+    # offsets compose to the global hash order.
+    base = counted.withColumn(
+        "bucket", F.expr(f"hkey div {max(1, (1 << 32) // n_buckets)}")
     )
 
     bucket_totals = base.groupBy("bucket").agg(F.sum("n_tokens").alias("btok"))

