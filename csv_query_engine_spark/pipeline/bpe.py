@@ -7,8 +7,10 @@ halves follow the dictionary contract (pipeline/fuzzy.py): the only
 corpus-scale step is ONE word-count aggregate; everything iterative
 runs on the distinct-word table weighted by frequency, which is what
 makes 100 TB feasible — web-scale corpora have ~10⁷-10⁸ distinct
-words, so the vocab table stays distributed (never collected), while
-per-round driver traffic is exactly one argmax row.
+words.  When the dictionary fits the driver (the common case) the merge
+loop itself runs in-memory with ZERO Spark jobs per merge (`learn_bpe`
+collects the bounded dictionary once); past that bound the loop stays
+distributed with one argmax row of driver traffic per round.
 
 Learning loop (per merge round):
 - pair counts: posexplode the symbol arrays + codegen'd try_element_at —
@@ -75,22 +77,104 @@ def _merge_pair_udf(left: str, right: str):
     return merge_pair
 
 
+def _learn_bpe_driver(
+    word_freqs: list[tuple[str, int]], num_merges: int
+) -> list[tuple[str, str, int]]:
+    """Classic in-memory incremental Sennrich loop (zero Spark jobs per
+    merge): maintain exact freq-weighted adjacent-pair counts plus a
+    pair→word index, and on each merge touch ONLY the words that
+    contain the winning pair (subtract their old pair contributions,
+    apply the greedy non-overlapping merge, add the new ones back).
+    Identical semantics to the distributed loop: same per-position pair
+    counts, same (count desc, left, right) tie-break, same greedy
+    left-to-right merge, same stops-when-fully-merged condition."""
+    from collections import defaultdict
+
+    vocab: list[tuple[list[str], int]] = [
+        (list(w) + [END], int(f)) for w, f in word_freqs
+    ]
+    stats: dict[tuple[str, str], int] = defaultdict(int)
+    indices: dict[tuple[str, str], set[int]] = defaultdict(set)
+    for wi, (seq, freq) in enumerate(vocab):
+        for i in range(len(seq) - 1):
+            p = (seq[i], seq[i + 1])
+            stats[p] += freq
+            indices[p].add(wi)
+
+    merges: list[tuple[str, str, int]] = []
+    for _ in range(num_merges):
+        best = None
+        for p, c in stats.items():
+            if c <= 0:
+                continue
+            k = (-c, p[0], p[1])
+            if best is None or k < best[0]:
+                best = (k, p, c)
+        if best is None:
+            break
+        (left, right), cnt = best[1], best[2]
+        merges.append((left, right, cnt))
+        merged = left + right
+        for wi in list(indices[(left, right)]):
+            seq, freq = vocab[wi]
+            for i in range(len(seq) - 1):
+                p = (seq[i], seq[i + 1])
+                stats[p] -= freq
+                indices[p].discard(wi)
+            out, i, n = [], 0, len(seq)
+            while i < n:
+                if i + 1 < n and seq[i] == left and seq[i + 1] == right:
+                    out.append(merged)
+                    i += 2
+                else:
+                    out.append(seq[i])
+                    i += 1
+            vocab[wi] = (out, freq)
+            for i in range(len(out) - 1):
+                p = (out[i], out[i + 1])
+                stats[p] += freq
+                indices[p].add(wi)
+    return merges
+
+
 def learn_bpe(
-    words: DataFrame, num_merges: int, rows_per_partition: int = 65536
+    words: DataFrame,
+    num_merges: int,
+    rows_per_partition: int = 65536,
+    driver_max_words: int = 5_000_000,
 ) -> list[tuple[str, str, int]]:
     """Learn `num_merges` BPE merges from a (word, freq) dictionary.
     Returns [(left, right, pair_count), ...] in merge order.  Stops
     early when no adjacent pair remains.
 
-    Loop-state partitioning is sized to the DICTIONARY (one count job,
-    amortized over every round): the state is re-scanned `num_merges`
-    times, so inheriting the corpus aggregate's partition count makes
-    each round pay scheduling + Python-worker fan-out for mostly-empty
-    tasks (16 rounds × 32 near-empty partitions measured 18 s warm at
-    sf0.1; sized to 1 partition the same loop is ~2 s).  At 10⁸ distinct
-    words the same rule yields ~1.5k partitions of ~65k words — bounded
-    merge-UDF batches on a 1000-core cluster."""
+    Job-count bound (the scale-killer is rounds, not data): a production
+    vocabulary is 30k-100k merges, and one Spark job per merge is hours
+    of pure scheduling at ANY data size.  The distinct-word dictionary
+    is bounded (~10⁷-10⁸ rows at web scale) independent of corpus size,
+    so when it fits the driver (`n ≤ driver_max_words`, the common
+    case) we collect it ONCE and run the classic incremental in-memory
+    merge loop — zero Spark jobs per merge, total jobs O(1) in
+    `num_merges`.  The distributed per-round loop below remains the
+    fallback for dictionaries past the driver bound (and is forced in
+    tests via `driver_max_words=0`); encoding stays distributed either
+    way (`encode_words` joins the bounded merge table back to the
+    corpus).
+
+    Distributed-loop state partitioning is sized to the DICTIONARY (one
+    count job, amortized over every round): the state is re-scanned
+    `num_merges` times, so inheriting the corpus aggregate's partition
+    count makes each round pay scheduling + Python-worker fan-out for
+    mostly-empty tasks (16 rounds × 32 near-empty partitions measured
+    18 s warm at sf0.1; sized to 1 partition the same loop is ~2 s).
+    At 10⁸ distinct words the same rule yields ~1.5k partitions of ~65k
+    words — bounded merge-UDF batches on a 1000-core cluster."""
     n = words.count()
+    if n <= driver_max_words:
+        collected = [
+            (r["word"], int(r["freq"]))
+            for r in words.select("word", "freq").collect()
+        ]
+        return _learn_bpe_driver(collected, num_merges)
     parts = max(1, -(-n // rows_per_partition))
     # Lazy checkpoints throughout the loop (CLAUDE.md): each round's
     # argmax TakeOrdered is the single materializing action — one job

@@ -97,3 +97,28 @@ def test_encode_no_merges_is_chars(spark):
     df = spark.createDataFrame([("hi",)], "word string")
     [row] = encode_words(df, []).collect()
     assert list(row["subwords"]) == ["h", "i", END]
+
+
+def test_distributed_fallback_matches_reference(spark):
+    """`driver_max_words=0` forces the distributed per-round loop; it
+    must produce byte-identical merges/counts/tie-breaks to both the
+    reference and the (default) driver-side incremental loop."""
+    words = spark.createDataFrame(list(FREQS.items()), "word string, freq long")
+    got = learn_bpe(words, 25, driver_max_words=0)
+    assert got == _ref_learn(FREQS, 25)
+    assert got == learn_bpe(words, 25)
+
+
+def test_driver_path_jobs_do_not_scale_with_merges(spark):
+    """Round-6 fix: a production vocabulary is 30k-100k merges, so the
+    job count must be O(1) in num_merges (dictionary collected once,
+    classic incremental in-memory loop), not one-job-per-merge."""
+    rows = [(w * k, f + k) for w, f in FREQS.items() for k in (1, 2, 3)]
+    words = spark.createDataFrame(rows, "word string, freq long")
+    st = spark.sparkContext.statusTracker()
+    before = len(st.getJobIdsForGroup())
+    got = learn_bpe(words, 64)
+    jobs = len(st.getJobIdsForGroup()) - before
+    assert len(got) >= 30  # enough rounds that 1:1 scaling would show
+    assert jobs <= 6, jobs  # count + collect (+AQE), NOT >= num_merges
+    assert got == _ref_learn(dict(rows), 64)
