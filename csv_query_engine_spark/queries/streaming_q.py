@@ -344,9 +344,15 @@ def events_funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: each step is a per-user MIN aggregate chained through a join
     keyed on user_id — every stage aligns on the same key, so the whole
     funnel is one user-partitioned pipeline (AQE reuses the exchange);
-    step counts are single-row aggregates. Cross-engine safety: only
-    counts surface, so the ns-vs-µs timestamp encodings can't drift the
-    hash."""
+    step counts are single-row aggregates. The per-user step tables `v`
+    and `c` each feed TWO consumers (the next step's join AND their own
+    count) — persisted once (tiny per-user tables; caller-owned
+    lifetime per the repo persist convention) so the funnel reads the
+    events table exactly three times, once per step filter, instead of
+    six. Cross-engine safety: only counts surface, so the ns-vs-µs
+    timestamp encodings can't drift the hash."""
+    from pyspark.storagelevel import StorageLevel
+
     e = load_tables(spark, sf_dir, ("events",))["events"]
 
     def first_after(prev: DataFrame, etype: str, prev_t: str, out_t: str) -> DataFrame:
@@ -362,8 +368,9 @@ def events_funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
         e.filter(F.col("event_type") == "view")
         .groupBy("user_id")
         .agg(F.min("ts").alias("t1"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    c = first_after(v, "click", "t1", "t2")
+    c = first_after(v, "click", "t1", "t2").persist(StorageLevel.MEMORY_AND_DISK)
     p = first_after(c, "purchase", "t2", "t3")
     counts = [
         v.agg(F.count(F.lit(1)).cast("bigint").alias("n_users")).select(
