@@ -27,9 +27,17 @@ the per-round localCheckpoint rule for convergence loops
 (dedup.connected_components) is not needed here; the bounded unroll is
 the documented contract.
 
-Edges must be directed and deduplicated; every node must have at least
-one out-edge (symmetrized graphs satisfy this — dangling-mass
-redistribution is out of scope and documented)."""
+Edges must be directed and deduplicated.  Dangling nodes (no
+out-edges — e.g. pure sinks in a directed purchase graph) are handled
+with the standard uniform redistribution: each iteration adds ONE
+one-row aggregate (the dangling rank mass, quantized once globally so
+every node receives the identical share) broadcast into the rank
+update, keeping the whole computation oracle-pairable.  The rank state
+is referenced twice per round (contribution join + dangling anti-join),
+so the logical plan doubles per iteration — bounded and fine at the
+documented small fixed unroll (2⁴ small subtrees at the default 4);
+a data-dependent convergence variant would need the per-round
+localCheckpoint rule instead (dedup.connected_components)."""
 
 from __future__ import annotations
 
@@ -40,12 +48,30 @@ from pyspark.storagelevel import StorageLevel
 
 def pagerank(edges: DataFrame, iterations: int = 4, damping: float = 0.85) -> DataFrame:
     """(node, pagerank) after `iterations` power steps over directed
-    `edges` (src, dst).  The edge+degree table feeds every iteration —
-    persisted once (CLAUDE.md multi-consumer rule)."""
-    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
-    e = edges.join(deg, "src").persist(StorageLevel.MEMORY_AND_DISK)
-    nodes = edges.select(F.col("src").alias("node")).distinct().persist(
+    `edges` (src, dst), with the standard dangling-mass redistribution:
+    nodes = src ∪ dst, and each round the rank mass sitting on nodes
+    with no out-edges is shared uniformly (quantized ONCE globally —
+    `_dsh` — so every node receives the bit-identical share) inside the
+    damping term: r'(v) = (1−d)/N + d·(Σ contrib(v) + D/N).  On graphs
+    with no dangling nodes this reduces bit-exactly to the plain update
+    (D = 0, and long + 0 cannot perturb the double division), so
+    symmetrized-graph oracles are unchanged.
+
+    The edge+degree table, the degree table (out-node set for the
+    anti-join), and the node set feed every iteration — each persisted
+    once (CLAUDE.md multi-consumer rule); the dangling sum is a one-row
+    broadcast, never a per-round collect (the whole unroll stays one
+    Spark job)."""
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg")).persist(
         StorageLevel.MEMORY_AND_DISK
+    )
+    e = edges.join(deg, "src").persist(StorageLevel.MEMORY_AND_DISK)
+    outs = deg.select(F.col("src").alias("node"))
+    nodes = (
+        edges.select(F.col("src").alias("node"))
+        .unionByName(edges.select(F.col("dst").alias("node")))
+        .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     n = nodes.count()  # bounded driver scalar: one long
 
@@ -60,8 +86,33 @@ def pagerank(edges: DataFrame, iterations: int = 4, damping: float = 0.85) -> Da
             F.col("dst"),
             quant((F.col("_ru") / F.lit(1e9)) / F.col("deg")).alias("_cu"),
         )
-        r = contrib.groupBy(F.col("dst").alias("node")).agg(
-            quant(base + F.lit(damping) * (F.sum("_cu") / F.lit(1e9))).alias("_ru")
+        csum = contrib.groupBy(F.col("dst").alias("node")).agg(
+            F.sum("_cu").alias("_cs")
+        )
+        dang = (
+            r.join(outs, "node", "left_anti")
+            .agg(F.coalesce(F.sum("_ru"), F.lit(0)).cast("long").alias("_du"))
+            .select(
+                quant((F.col("_du") / F.lit(1e9)) / F.lit(float(n))).alias("_dsh")
+            )
+        )
+        r = (
+            nodes.join(csum, "node", "left")
+            .crossJoin(F.broadcast(dang))  # 1-row broadcast, not cartesian
+            .select(
+                "node",
+                quant(
+                    base
+                    + F.lit(damping)
+                    * (
+                        (
+                            F.coalesce(F.col("_cs"), F.lit(0).cast("long"))
+                            + F.col("_dsh")
+                        )
+                        / F.lit(1e9)
+                    )
+                ).alias("_ru"),
+            )
         )
     return r.select("node", (F.col("_ru") / F.lit(1e9)).alias("pagerank"))
 
@@ -71,15 +122,24 @@ def sql_pagerank(
 ) -> str:
     """DuckDB twin: the same fixed power iteration unrolled into CTEs.
     `pairs_cte` must define a relation ``pairs(c, s)`` of distinct
-    undirected node pairs; edges are its symmetrization."""
+    undirected node pairs; edges are its symmetrization.
+
+    Literal hazard (measured: 6/1600 node ranks off by 1e-9 at sf0.01):
+    DuckDB evaluates ``(1 - 0.85)`` in DECIMAL — exactly 0.15, whose
+    double is 1 ulp BELOW Python's ``1.0 - 0.85`` — so the base term
+    must be emitted as the Python-computed double literal
+    (``CAST(repr(1.0 - damping) AS DOUBLE)``), matching Spark's
+    ``F.lit(1.0 - damping)`` bit-for-bit; otherwise the FLOOR
+    quantization flips on boundary values probabilistically."""
     d = repr(damping)
+    base = repr(1.0 - damping)
     its = []
     prev = "r0"
     for i in range(1, iterations + 1):
         its.append(
             f"""r{i} AS (
         SELECT e.dst AS node,
-               CAST(FLOOR(((1 - {d}) / (SELECT n FROM nn)
+               CAST(FLOOR((CAST({base} AS DOUBLE) / (SELECT n FROM nn)
                            + {d} * (CAST(SUM(CAST(FLOOR((r._ru / 1e9) / e.deg * 1e9 + 0.5)
                                                   AS BIGINT)) AS BIGINT) / 1e9))
                           * 1e9 + 0.5) AS BIGINT) AS _ru
@@ -100,6 +160,63 @@ def sql_pagerank(
     e AS (SELECT edges.src, edges.dst, deg.deg
           FROM edges JOIN deg ON edges.src = deg.src),
     nodes AS (SELECT DISTINCT src AS node FROM edges),
+    nn AS (SELECT COUNT(*) AS n FROM nodes),
+    r0 AS (SELECT node, CAST(FLOOR(1.0 / (SELECT n FROM nn) * 1e9 + 0.5) AS BIGINT)
+                   AS _ru
+           FROM nodes),
+    {unrolled}
+    SELECT node, _ru / 1e9 AS pagerank FROM {prev} ORDER BY node
+    """
+
+
+def sql_pagerank_directed(
+    edges_cte: str, iterations: int = 4, damping: float = 0.85
+) -> str:
+    """DuckDB twin of the GENERAL (dangling-aware) power iteration:
+    `edges_cte` must define a relation ``dedges(src, dst)`` of distinct
+    DIRECTED edges — sinks allowed.  Mirrors :func:`pagerank`
+    expression-for-expression: per-round dangling sum (NOT EXISTS
+    against the out-degree table) quantized once via the same FLOOR
+    form, added to the per-node contribution sum inside the damping
+    term over the full src ∪ dst node set.  The base term uses the
+    Python-computed double literal (see :func:`sql_pagerank` — DuckDB's
+    DECIMAL ``(1 - d)`` is 1 ulp off Spark's ``F.lit(1.0 - d)``)."""
+    d = repr(damping)
+    base = repr(1.0 - damping)
+    its = []
+    prev = "r0"
+    for i in range(1, iterations + 1):
+        its.append(
+            f"""d{i} AS (
+        SELECT CAST(FLOOR(((CAST(COALESCE(SUM(r._ru), 0) AS BIGINT) / 1e9)
+                           / (SELECT n FROM nn)) * 1e9 + 0.5) AS BIGINT) AS dsh
+        FROM {prev} r
+        WHERE NOT EXISTS (SELECT 1 FROM deg WHERE deg.src = r.node)
+    ),
+    r{i} AS (
+        SELECT nd.node,
+               CAST(FLOOR((CAST({base} AS DOUBLE) / (SELECT n FROM nn)
+                           + {d} * ((COALESCE(c.cs, 0) + (SELECT dsh FROM d{i}))
+                                    / 1e9))
+                          * 1e9 + 0.5) AS BIGINT) AS _ru
+        FROM nodes nd LEFT JOIN (
+            SELECT e.dst AS node,
+                   CAST(SUM(CAST(FLOOR((r._ru / 1e9) / e.deg * 1e9 + 0.5)
+                                 AS BIGINT)) AS BIGINT) AS cs
+            FROM e JOIN {prev} r ON e.src = r.node
+            GROUP BY e.dst
+        ) c ON nd.node = c.node
+    )"""
+        )
+        prev = f"r{i}"
+    unrolled = ",\n    ".join(its)
+    return f"""
+    WITH dedges AS ({edges_cte}),
+    deg AS (SELECT src, COUNT(*) AS deg FROM dedges GROUP BY src),
+    e AS (SELECT dedges.src, dedges.dst, deg.deg
+          FROM dedges JOIN deg ON dedges.src = deg.src),
+    nodes AS (SELECT DISTINCT node FROM (
+        SELECT src AS node FROM dedges UNION ALL SELECT dst FROM dedges)),
     nn AS (SELECT COUNT(*) AS n FROM nodes),
     r0 AS (SELECT node, CAST(FLOOR(1.0 / (SELECT n FROM nn) * 1e9 + 0.5) AS BIGINT)
                    AS _ru

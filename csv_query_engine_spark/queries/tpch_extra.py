@@ -1190,6 +1190,44 @@ def graph_pagerank_trade_network(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pagerank(edges, iterations=4, damping=0.85).orderBy("node")
 
 
+def _pagerank_directed_oracle() -> str:
+    from csv_query_engine_spark.operators.graph import sql_pagerank_directed
+
+    return sql_pagerank_directed(
+        """SELECT DISTINCT o.o_custkey AS src, 1000000 + l.l_suppkey AS dst
+           FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey"""
+    )
+
+
+@register("graph_pagerank_directed_purchases", _pagerank_directed_oracle())
+def graph_pagerank_directed_purchases(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank over the DIRECTED customer→supplier purchase graph —
+    every supplier is a pure sink (no out-edges), so this is the
+    dangling-mass member of the iterative family: each round the rank
+    mass stranded on sinks is redistributed uniformly (operators/
+    graph.pagerank), and the DuckDB twin (sql_pagerank_directed)
+    replays the identical quantized arithmetic including the per-round
+    dangling aggregate — every intermediate iteration stays bit-equal.
+
+    Scale: same co-partitioned join + agg per iteration as the
+    symmetrized member; the dangling term adds one one-row aggregate
+    per round, broadcast into the update (never a per-round driver
+    collect — the whole unroll is still one job)."""
+    from csv_query_engine_spark.operators.graph import pagerank
+
+    t = load_tables(spark, sf_dir, ("orders", "lineitem"))
+    edges = (
+        t["orders"]
+        .join(t["lineitem"], F.col("o_orderkey") == F.col("l_orderkey"))
+        .select(
+            F.col("o_custkey").alias("src"),
+            (F.lit(1000000) + F.col("l_suppkey")).alias("dst"),
+        )
+        .distinct()
+    )
+    return pagerank(edges, iterations=4, damping=0.85).orderBy("node")
+
+
 @register(
     "graph_triangle_part_cooccurrence",
     """

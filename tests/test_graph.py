@@ -68,3 +68,56 @@ def test_triangle_count_skew_hub_and_brute_force(spark):
     edges = spark.createDataFrame(pairs, "x long, y long").repartition(7)
     rows = {r["node"]: r["tri_count"] for r in triangle_count(edges).collect()}
     assert rows == expect
+
+
+def _ref_pagerank_dangling(edges, iterations=4, damping=0.85):
+    """Pure-Python mirror of pagerank() including dangling
+    redistribution, with the identical FLOOR quantization."""
+    import math
+    from collections import Counter
+
+    srcs = {s for s, _ in edges}
+    nodes = sorted(srcs | {d for _, d in edges})
+    n = len(nodes)
+    deg = Counter(s for s, _ in edges)
+
+    def q(x):
+        return math.floor(x * 1e9 + 0.5)
+
+    r = {v: q(1.0 / n) for v in nodes}
+    base = (1.0 - damping) / n
+    for _ in range(iterations):
+        cs = {v: 0 for v in nodes}
+        for s, d in edges:
+            cs[d] += q((r[s] / 1e9) / deg[s])
+        du = sum(r[v] for v in nodes if v not in srcs)
+        dsh = q((du / 1e9) / n)
+        r = {v: q(base + damping * ((cs[v] + dsh) / 1e9)) for v in nodes}
+    return {v: r[v] / 1e9 for v in nodes}
+
+
+def test_dangling_mass_redistributed_on_sink_graph(spark):
+    """Directed chain into a sink plus a feeder star: without the
+    dangling term the sink's mass would leak every round and total rank
+    would decay; with it, mass is conserved and the Spark ranks equal
+    the quantized pure-Python reference bit-for-bit."""
+    edges = [(0, 1), (1, 2), (3, 2), (4, 2), (0, 2)]  # node 2: pure sink
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {r["node"]: r["pagerank"] for r in pagerank(df, iterations=5).collect()}
+    want = _ref_pagerank_dangling(edges, iterations=5)
+    assert got == want
+    assert abs(sum(got.values()) - 1.0) < 1e-6, sum(got.values())
+    # isolated-source nodes (3, 4: no in-edges) still receive base +
+    # dangling share, never drop out of the rank table
+    assert got[3] == got[4] > 0
+
+
+def test_dangling_noop_on_symmetrized_graph(spark):
+    """On a graph with no sinks the dangling term is exactly zero:
+    ranks must equal the pre-redistribution reference (mass-conserved
+    star results from test_rank_mass_conserved_and_hub_wins)."""
+    pairs = [(0, i) for i in range(1, 10)]
+    edges = _sym_edges(spark, pairs)
+    sym = [(a, b) for a, b in pairs] + [(b, a) for a, b in pairs]
+    got = {r["node"]: r["pagerank"] for r in pagerank(edges, iterations=6).collect()}
+    assert got == _ref_pagerank_dangling(sym, iterations=6)
