@@ -6,6 +6,7 @@ from csv_query_engine_spark.streaming.events import (
     run_stream_to_memory,
     running_user_totals,
     sessionize_stream,
+    stateful_type_profiles,
     stream_dedup,
     windowed_event_counts,
 )
@@ -18,6 +19,7 @@ __all__ = [
     "run_stream_to_memory",
     "running_user_totals",
     "sessionize_stream",
+    "stateful_type_profiles",
     "stream_dedup",
     "windowed_event_counts",
 ]

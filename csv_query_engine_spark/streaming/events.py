@@ -217,7 +217,6 @@ def stateful_type_profiles(events: DataFrame) -> DataFrame:
                     self._by_type.updateValue((t,), (int(prev[0] if prev else 0) + int(c),))
             self._totals.update((n, total))
             counts = [(t[0], c[0]) for t, c in self._by_type.iterator()]
-            top = max(counts, key=lambda tc: (tc[1], -ord(tc[0][0]) * 0))  # max count
             # deterministic tie-break: highest count, then first name
             best = sorted(counts, key=lambda tc: (-tc[1], tc[0]))[0][0]
             yield pd.DataFrame(
