@@ -230,9 +230,17 @@ class JsonlShardWriter(DataSourceWriter):
     Python writer API."""
 
     def __init__(self, options):
+        import uuid
+
         self.path = options.get("path")
         if not self.path:
             raise ValueError("jsonl_shards sink requires option 'path'")
+        # One writer instance is built on the driver per write job: a
+        # per-job component in the FINAL shard names keeps successive
+        # appends to the same directory from os.replace()-ing each
+        # other's shard-00000.jsonl etc. (silent data loss in an
+        # append-only sink).
+        self.job_id = uuid.uuid4().hex[:12]
 
     def write(self, iterator) -> _ShardCommit:
         import json
@@ -252,7 +260,7 @@ class JsonlShardWriter(DataSourceWriter):
         import os
 
         for i, m in enumerate(m for m in messages if m is not None):
-            final = os.path.join(self.path, f"shard-{i:05d}.jsonl")
+            final = os.path.join(self.path, f"shard-{self.job_id}-{i:05d}.jsonl")
             os.replace(m.tmp_path, final)
 
     def abort(self, messages) -> None:

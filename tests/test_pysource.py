@@ -122,4 +122,25 @@ def test_jsonl_shard_sink_abort_removes_tmp(tmp_path):
     w2 = JsonlShardWriter({"path": str(tmp_path / "ab")})
     m2 = w2.write(iter([Row(a=3)]))
     w2.commit([m2, None])
-    assert sorted(os.listdir(tmp_path / "ab")) == ["shard-00000.jsonl"]
+    files = sorted(os.listdir(tmp_path / "ab"))
+    assert len(files) == 1 and files[0].startswith(f"shard-{w2.job_id}-")
+
+
+def test_jsonl_shard_sink_append_does_not_clobber(docs_reader, spark, tmp_path):
+    """Two successive append jobs to the same directory must keep BOTH
+    jobs' shards: final names carry a per-job component, so a second
+    append can never os.replace() the first job's shard-00000 etc.
+    (the silent-loss bug: shards were numbered from 0 every job)."""
+    import os
+
+    out = str(tmp_path / "appends")
+    a = docs_reader(n_docs=60)
+    b = docs_reader(n_docs=40, seed=5)
+    a.write.format("jsonl_shards").option("path", out).mode("append").save()
+    n_first = len(os.listdir(out))
+    b.write.format("jsonl_shards").option("path", out).mode("append").save()
+    files = sorted(os.listdir(out))
+    assert len(files) > n_first, files  # first job's shards survived
+    back = spark.read.json(os.path.join(out, "shard-*.jsonl"))
+    assert back.count() == 100
+    assert back.select("doc_id", "source", "lang", "text").distinct().count() == 100
