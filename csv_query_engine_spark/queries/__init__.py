@@ -36,70 +36,101 @@ DRIVER_ORDER: list[str] = [
     "flagship_region_nation_revenue",
     "q1_pricing_summary",
     "q3_shipping_priority",
-    "q5_local_supplier_volume",
     "dedup_collapse_returnflags",
     "percentiles_extprice_by_flag",
     "rollup_flag_status",
-    "join_kinds_outer",
-    "anti_join_parts_never_ordered",
-    "correlated_scalar_subquery",
     "setops_segment_overlap",
     "json_props_extract",
     "array_funcs_embeddings",
-    # Round-5 rotations IN (per round-4 verdict #5): the eight TPC-H
-    # classics added in round 4 — oracle-green locally but never
-    # driver-certified — take the window slots of eight multi-round-
-    # green category siblings (distinct_agg/having/pivot — aggregation
-    # keeps q1+rollup+percentiles+dedup_collapse; semi_join — q4 is the
-    # LeftSemi shape; topk_parts — q3/q10/q15/q18 are top-k;
-    # window_running — lag+range-frame stay; predicates_in_like —
-    # q19's disjunctive predicate pushdown; events_sliding — hourly+
-    # sessionization+conversion stay):
+    # Round-6 rotations IN (per round-5 verdict #3): the entire round-5
+    # surface — 8 remaining TPC-H shapes, the maintenance trio
+    # (MERGE/SCD2 write+read/CDC/incremental refresh), quality gate,
+    # Z-order, both graph ops, AllPairs, SymSpell, funnel, LM scores —
+    # was oracle-green locally but never driver-certified; it takes the
+    # slots of 22 multi-round-green siblings whose families keep
+    # in-window rows (mapping pinned in tests/test_pipeline_round3.py::
+    # test_registry_window_is_oracle_bearing).
+    "q2_min_cost_supplier",
+    "q9_profit_proxy",
+    "q11_important_parts",
+    "q12_ship_lag_priority",
+    "q13_customer_order_distribution",
+    "q16_supplier_part_variety",
+    "q19_disjunctive_revenue",
+    "q20_dominant_part_suppliers",
+    "q21_sole_late_shipper",
+    "q22_dormant_customer_balance",
+    "window_range_frame_moving_sum",
+    # -- temporal joins
+    "asof_join_last_order_before_event",
+    "range_join_shipments_within_month",
+    # -- streaming batch twins + event analytics
+    "events_hourly_counts",
+    "events_conversion_attribution",
+    "events_funnel_steps",
+    # -- write-side maintenance (MERGE / SCD2 write+read / CDC / refresh)
+    "merge_upsert_customer_refresh",
+    "scd2_customer_segment_history",
+    "scd2_snapshot_asof",
+    "customer_snapshot_cdc_diff",
+    "orders_incremental_agg_refresh",
+    # -- declarative quality gate + physical layout
+    "orders_quality_constraints",
+    "orders_zorder_layout_stats",
+    # -- iterative graph family
+    "graph_pagerank_trade_network",
+    "graph_triangle_part_cooccurrence",
+    # -- LLM-pipeline: text analysis / dedup / sampling / embeddings / UDF
+    "docs_lang_id",
+    "docs_quality_filter",
+    "dedup_exact_docs",
+    "docs_split_assignment",
+    "embedding_topk_bruteforce",
+    "docs_udtf_sentences",
+    "customer_order_gap_profile",
+    "dedup_cluster_canonical",
+    "docs_sequence_packing",
+    "docs_vocab_coverage",
+    "docs_chunk_windows",
+    "docs_shard_assignment",
+    "dedup_allpairs_jaccard",
+    "docs_token_typo_pairs",
+    "docs_unigram_lm_scores",
+    "docs_bigram_lm_scores",
+    # ==================== driver window ends at 50 ====================
+    # Rotated OUT in round 6 (certified green in r5 and earlier; their
+    # capability families stay in-window — outer joins via q13, anti/
+    # NOT-EXISTS via q22, correlated scalars via q2, semi/EXISTS via
+    # q20+q21, selective-scan agg via q19, snowflake joins via q9,
+    # agg+global-threshold via q11, conditional agg via q12, top-k via
+    # q3, window frames via range_frame, text stats via quality_filter,
+    # term scoring via the LM queries, gram-blocked dedup via AllPairs,
+    # corpus profiling via vocab_coverage, embedding math via
+    # topk_bruteforce, hash sampling via split_assignment, windowed
+    # streaming via hourly + conversion_attribution):
+    "q5_local_supplier_volume",
+    "join_kinds_outer",
+    "anti_join_parts_never_ordered",
+    "correlated_scalar_subquery",
     "q4_priority_late_ship",
     "q6_forecast_revenue",
     "q7_nation_trade_volume",
     "q8_market_share",
-    "q9_profit_proxy",
+    "q10_returned_item_report",
     "q14_promo_revenue_share",
     "q15_top_supplier",
     "q17_small_quantity_revenue",
     "q18_volume_customers",
-    "q19_disjunctive_revenue",
     "window_lag_order_gaps",
-    "window_range_frame_moving_sum",
-    "q10_returned_item_report",
-    # -- temporal joins
-    "asof_join_last_order_before_event",
-    "range_join_shipments_within_month",
-    # -- streaming batch twins
-    "events_hourly_counts",
     "events_sessionization",
-    # -- LLM-pipeline: text analysis / dedup / sampling / embeddings / UDF
-    "docs_lang_id",
-    "docs_quality_filter",
     "docs_repetition_stats",
     "docs_tfidf_top_terms",
-    "dedup_exact_docs",
-    "docs_split_assignment",
-    "docs_token_budget_mix",
     "dedup_incremental_admission",
     "docs_dataset_card",
-    "embedding_topk_bruteforce",
     "embedding_centroids_by_label",
-    "docs_udtf_sentences",
-    "customer_order_gap_profile",
-    # -- round-3 additions (clustering / packing / vocab)
-    "dedup_cluster_canonical",
-    "docs_sequence_packing",
-    "docs_vocab_coverage",
-    # -- round-4 additions (chunking / sharding / entropy / stream-stream)
-    "docs_chunk_windows",
-    "docs_shard_assignment",
+    "docs_token_budget_mix",
     "docs_char_entropy",
-    "events_conversion_attribution",
-    # ==================== driver window ends at 50 ====================
-    # Rotated OUT in round 5 (multiple green driver rounds each; their
-    # capability families stay in-window — see the rotation note above):
+    # Rotated OUT in round 5 (multiple green driver rounds each):
     "distinct_agg_customers",
     "having_high_volume_customers",
     "pivot_status_by_segment",
@@ -147,71 +178,19 @@ DRIVER_ORDER: list[str] = [
     # stream-stream attribution contract, and the REAL PPM decode path:
     "events_view_conversion_flags",
     "media_ppm_decode_stats",
-    # Round-5: the remaining eight classic TPC-H plan shapes (schema-
-    # adapted — see queries/tpch_extra.py round-5 section). All oracle-
-    # bearing, past-window (their plan-shape families are in-window via
-    # the round-4 classics):
-    "q2_min_cost_supplier",
-    "q11_important_parts",
-    "q12_ship_lag_priority",
-    "q13_customer_order_distribution",
-    "q16_supplier_part_variety",
-    "q20_dominant_part_suppliers",
-    "q21_sole_late_shipper",
-    "q22_dormant_customer_balance",
-    # Round-5: write-side dimension maintenance (operators/merge.py) —
-    # type-1 MERGE upsert and type-2 SCD history, both oracle-bearing:
-    "merge_upsert_customer_refresh",
-    "scd2_customer_segment_history",
-    # Round-5: one-pass declarative data-quality gate (pipeline/validation.py):
-    "orders_quality_constraints",
-    # Round-5: Z-order layout + per-file skipping stats (operators/layout.py):
-    "orders_zorder_layout_stats",
-    # Round-5: corpus-statistics LM quality scoring (text.unigram_lm_scores):
-    "docs_unigram_lm_scores",
-    # Round-5: hashing-trick vectorization (pipeline/features.py):
+    # Round-5, past-window (oracle-verified locally at sf0.01+sf0.1):
     "docs_feature_hash_vectors",
-    # Round-5: cohort retention triangle over the events stream:
     "events_cohort_retention",
-    # Round-5: oracle-paired iterative PageRank (operators/graph.py):
-    "graph_pagerank_trade_network",
-    # Round-5: temperature-smoothed source mixing (sampling.py):
     "docs_temperature_mix",
-    # Round-5: exact prefix-filtered similarity join (AllPairs) — its
-    # oracle IS the brute-force pair join, so completeness is hash-checked:
-    "dedup_allpairs_jaccard",
-    # Round-5: REAL compressed-image decode (stdlib zlib PNG round-trip):
     "media_png_decode_stats",
-    # Round-5: REAL audio decode (RIFF/WAVE PCM16 round-trip):
     "media_wav_decode_stats",
-    # Round-5: ordered multi-step funnel (sequential-pattern shape):
-    "events_funnel_steps",
-    # Round-5: Efraimidis-Spirakis weighted sampling (sampling.py):
     "docs_weighted_sample",
-    # Round-5: train/test contamination audit (fingerprint × split;
-    # honest zeros on the dup-free harness corpus — planted-leak pytest):
     "docs_split_leakage_audit",
-    # Round-5: distribution-threshold anomaly screen (p99 join-back):
     "events_value_anomalies",
-    # Round-5: conditional bigram surprisal (text.bigram_lm_scores):
-    "docs_bigram_lm_scores",
-    # Round-5: SCD2 read side — as-of dimension reconstruction:
-    "scd2_snapshot_asof",
-    # Round-5: triangle counting (degree-ordered orientation) over the
-    # part co-occurrence graph — the bounded-join graph family member:
-    "graph_triangle_part_cooccurrence",
-    # Round-5: CDC snapshot diff — the read half of the maintenance
-    # trio (merge_upsert/scd2 write, this extracts):
-    "customer_snapshot_cdc_diff",
-    # Round-5: incremental materialized-aggregate refresh with exact
-    # long-buffer merge (delta + retraction, never re-reads the base):
-    "orders_incremental_agg_refresh",
-    # Round-5: SymSpell deletion-neighborhood fuzzy join over the token
-    # dictionary — exact result, hash-matched against the brute force:
-    "docs_token_typo_pairs",
-    # Round-5: VARIANT-typed semi-structured access (parse_json once,
-    # typed variant_get paths, try_variant_get null on absent path):
     "json_props_variant",
+    # Round-6: dangling-mass PageRank over the DIRECTED purchase graph
+    # (every supplier a pure sink; sql_pagerank_directed twin):
+    "graph_pagerank_directed_purchases",
     # Rows-only ops (no SQL-expressible oracle; pytest covers recall/
     # precision/planted-neighbor properties):
     "docs_benchmark_decontamination",

@@ -123,50 +123,75 @@ def test_registry_window_is_oracle_bearing(spark):
     window = names[:50]
     missing = [n for n in window if n not in oracles]
     assert not missing, f"non-oracle queries inside the driver window: {missing}"
+    # Round-6 rotations IN (round-5 verdict #3): the entire round-5
+    # surface, driver-certified for the first time this round.
     for new in (
+        "q2_min_cost_supplier",
+        "q11_important_parts",
+        "q12_ship_lag_priority",
+        "q13_customer_order_distribution",
+        "q16_supplier_part_variety",
+        "q20_dominant_part_suppliers",
+        "q21_sole_late_shipper",
+        "q22_dormant_customer_balance",
+        "merge_upsert_customer_refresh",
+        "scd2_customer_segment_history",
+        "scd2_snapshot_asof",
+        "customer_snapshot_cdc_diff",
+        "orders_incremental_agg_refresh",
+        "orders_quality_constraints",
+        "orders_zorder_layout_stats",
+        "graph_pagerank_trade_network",
+        "graph_triangle_part_cooccurrence",
+        "dedup_allpairs_jaccard",
+        "docs_token_typo_pairs",
+        "events_funnel_steps",
+        "docs_unigram_lm_scores",
+        "docs_bigram_lm_scores",
+    ):
+        assert new in window, new
+    # Long-standing window anchors stay certified.
+    for kept in (
+        "flagship_region_nation_revenue",
+        "q1_pricing_summary",
+        "dedup_collapse_returnflags",
+        "percentiles_extprice_by_flag",
+        "rollup_flag_status",
+        "setops_segment_overlap",
+        "json_props_extract",
+        "array_funcs_embeddings",
+        "asof_join_last_order_before_event",
+        "range_join_shipments_within_month",
         "dedup_cluster_canonical",
         "docs_sequence_packing",
-        "docs_vocab_coverage",
-        "dedup_incremental_admission",
-        "docs_dataset_card",
-        "q10_returned_item_report",
-        # round-4 rotations
-        "q6_forecast_revenue",
-        "q7_nation_trade_volume",
-        "docs_chunk_windows",
         "docs_shard_assignment",
-        "docs_char_entropy",
-        "events_conversion_attribution",
     ):
-        assert new in window
-    # Round-5 rotations: the eight round-4 TPC-H classics took the slots
-    # of eight multi-round-green siblings (queries/__init__.py rotation
-    # note); every capability family keeps at least one in-window row.
-    for new in (
-        "q4_priority_late_ship",
-        "q8_market_share",
-        "q9_profit_proxy",
-        "q14_promo_revenue_share",
-        "q15_top_supplier",
-        "q17_small_quantity_revenue",
-        "q18_volume_customers",
-        "q19_disjunctive_revenue",
-    ):
-        assert new in window
-    # rotated-out siblings' families keep in-window rows
-    assert "window_distribution_funcs" not in window
-    assert {"window_lag_order_gaps", "window_range_frame_moving_sum"} <= set(window)
+        assert kept in window, kept
+    # Every rotated-out sibling's capability family keeps an in-window
+    # row (round-6 mapping; see the DRIVER_ORDER rotation note).
     for out, kept in [
-        ("stats_acctbal_by_segment", "percentiles_extprice_by_flag"),
-        ("collect_priorities_per_segment", "q18_volume_customers"),  # HAVING shape
-        ("groupingsets_priority_status", "rollup_flag_status"),
-        ("self_join_reorder_rate", "join_kinds_outer"),
-        ("exists_customers_with_open_high_value", "correlated_scalar_subquery"),
-        ("window_running_revenue", "window_range_frame_moving_sum"),
-        ("predicates_in_like_between", "q19_disjunctive_revenue"),
-        ("semi_join_customers_with_urgent", "q4_priority_late_ship"),
-        ("topk_parts_per_brand", "q3_shipping_priority"),
-        ("events_sliding_counts", "events_hourly_counts"),
+        ("join_kinds_outer", "q13_customer_order_distribution"),  # outer join
+        ("anti_join_parts_never_ordered", "q22_dormant_customer_balance"),
+        ("correlated_scalar_subquery", "q2_min_cost_supplier"),
+        ("q4_priority_late_ship", "q21_sole_late_shipper"),  # EXISTS shapes
+        ("q6_forecast_revenue", "q19_disjunctive_revenue"),  # selective scan agg
+        ("q7_nation_trade_volume", "q9_profit_proxy"),  # snowflake join
+        ("q8_market_share", "q9_profit_proxy"),
+        ("q15_top_supplier", "q11_important_parts"),  # agg + global threshold
+        ("q17_small_quantity_revenue", "q2_min_cost_supplier"),  # correlated agg
+        ("q18_volume_customers", "q3_shipping_priority"),  # top-k join agg
+        ("q10_returned_item_report", "q3_shipping_priority"),
+        ("q14_promo_revenue_share", "q12_ship_lag_priority"),  # conditional agg
+        ("q5_local_supplier_volume", "flagship_region_nation_revenue"),
+        ("window_lag_order_gaps", "window_range_frame_moving_sum"),
+        ("events_sessionization", "events_hourly_counts"),
+        ("docs_repetition_stats", "docs_quality_filter"),
+        ("docs_char_entropy", "docs_quality_filter"),
+        ("docs_tfidf_top_terms", "docs_unigram_lm_scores"),  # term scoring
+        ("dedup_incremental_admission", "dedup_allpairs_jaccard"),
+        ("docs_dataset_card", "docs_vocab_coverage"),
+        ("embedding_centroids_by_label", "embedding_topk_bruteforce"),
+        ("docs_token_budget_mix", "docs_split_assignment"),  # hash sampling
     ]:
         assert out not in window and kept in window, (out, kept)
 
