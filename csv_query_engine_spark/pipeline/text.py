@@ -773,3 +773,96 @@ def bigram_lm_scores(df: DataFrame, id_col: str = "doc_id", text_col: str = "tex
             6,
         ).alias("bigram_lm_score"),
     )
+
+
+def kneser_ney_scores(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", discount: float = 0.75
+) -> DataFrame:
+    """Mean interpolated Kneser-Ney bigram surprisal per document —
+    the production smoothing (Kneser & Ney 1995; Chen & Goodman 1999)
+    on top of :func:`bigram_lm_scores`'s raw conditionals:
+
+        P(w₂|w₁) = max(c(w₁w₂) − D, 0)/c(w₁·)
+                   + (D·N₁₊(w₁·)/c(w₁·)) · N₁₊(·w₂)/T
+
+    with D = ``discount``, N₁₊(w₁·)/N₁₊(·w₂) the distinct successor/
+    predecessor counts and T the distinct-bigram-type count.  The
+    continuation term scores how PROMISCUOUS a word is (how many
+    contexts it follows), not how frequent — the KN insight that
+    separates "common word" from "common continuation".
+
+    Plan: the same persisted bigram table as bigram_lm_scores (hashed
+    8-byte keys), ONE extra grouping per side — successor stats ride
+    the same (h₁) aggregate as the prefix totals, predecessor counts
+    group the SAME pair table on h₂ (no second corpus pass), T is a
+    one-row broadcast.  All count inputs are integers and D is dyadic
+    (0.75), so every double in the probability is reproduced bit-exactly
+    by the DuckDB twin (CAST ... AS DOUBLE on the literals — the
+    decimal-literal hazard, CLAUDE.md); the per-bigram quantization is
+    the pure-IEEE FLOOR(x·10⁶ + 0.5) form, NOT engine ROUND (engine
+    ROUND hit a boundary at sf0.1 — one doc off by 1e-6 — exactly the
+    CLAUDE.md per-step-rounding hazard; p ≤ 1 by construction so the
+    FLOOR form is safe), then the exact fixed-point sum with ONE final
+    output ROUND."""
+    from pyspark.sql import Window as W
+    from pyspark.storagelevel import StorageLevel
+
+    d = float(discount)
+    tok = (
+        _spread(df.select(F.col(id_col).alias("id"), tokens(F.col(text_col)).alias("_toks")))
+        .select("id", F.posexplode("_toks").alias("_pos", "_t"))
+        .filter(F.col("_t") != "")
+    )
+    big = (
+        tok.withColumn("_nxt", F.lead("_t").over(W.partitionBy("id").orderBy("_pos")))
+        .filter(F.col("_nxt").isNotNull())
+        .select(
+            "id",
+            F.xxhash64("_t").alias("_h1"),
+            F.xxhash64("_nxt").alias("_h2"),
+            F.xxhash64("_t", "_nxt").alias("_h12"),
+        )
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    pair_counts = (
+        big.groupBy("_h1", "_h2", "_h12")
+        .agg(F.count(F.lit(1)).alias("_c12"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    # prefix totals AND distinct-successor counts from ONE h1 aggregate
+    pre = pair_counts.groupBy("_h1").agg(
+        F.sum("_c12").alias("_c1"), F.count(F.lit(1)).alias("_nsucc")
+    )
+    npred = pair_counts.groupBy("_h2").agg(F.count(F.lit(1)).alias("_npred"))
+    types = pair_counts.agg(F.count(F.lit(1)).alias("_tt"))
+    counts = (
+        pair_counts.join(pre, "_h1")
+        .join(npred, "_h2")
+        .crossJoin(F.broadcast(types))  # 1-row broadcast, not cartesian
+        .select("_h12", "_c12", "_c1", "_nsucc", "_npred", "_tt")
+    )
+    p = (
+        F.greatest(F.col("_c12") - F.lit(d), F.lit(0.0)) / F.col("_c1")
+        + F.lit(d) * F.col("_nsucc") / F.col("_c1") * (F.col("_npred") / F.col("_tt"))
+    )
+    su_units = F.floor(-F.log(p) * F.lit(1e6) + F.lit(0.5)).cast("long")
+    scored = (
+        big.join(counts, "_h12")
+        .groupBy("id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_bigrams"),
+            F.sum(su_units).alias("_su"),
+        )
+    )
+    # Final mean also via the FLOOR idiom — measured: engine ROUND of
+    # the mean hit an EXACT .5 boundary at sf0.1 (su/n = 3416386.5
+    # units on one doc) and the two engines rounded it apart.  su/n is
+    # double division of two longs (bit-identical both engines), and
+    # FLOOR(x + 0.5) resolves the half-way case deterministically.
+    return scored.select(
+        F.col("id").alias(id_col),
+        "n_bigrams",
+        (
+            F.floor(F.col("_su") / F.col("n_bigrams") + F.lit(0.5)) / F.lit(1e6)
+        ).alias("kn_lm_score"),
+    )

@@ -191,6 +191,13 @@ DRIVER_ORDER: list[str] = [
     # Round-6: dangling-mass PageRank over the DIRECTED purchase graph
     # (every supplier a pure sink; sql_pagerank_directed twin):
     "graph_pagerank_directed_purchases",
+    # Round-6: Misra-Gries heavy hitters with exact candidate
+    # verification — bounded per-task state, candidate-only shuffles,
+    # exact output (oracle = plain GROUP BY/HAVING):
+    "docs_heavy_hitter_tokens",
+    # Round-6: interpolated Kneser-Ney bigram smoothing — completes the
+    # LM family (unigram -> raw conditional -> production smoothing):
+    "docs_kneser_ney_scores",
     # Rows-only ops (no SQL-expressible oracle; pytest covers recall/
     # precision/planted-neighbor properties):
     "docs_benchmark_decontamination",

@@ -2127,3 +2127,88 @@ def docs_bpe_subword_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum("freq").cast("long").alias("n_tokens"))
         .orderBy(F.col("n_tokens").desc(), "subword")
     )
+
+
+@register(
+    "docs_heavy_hitter_tokens",
+    f"""
+    WITH t AS (SELECT unnest({_SQL_TOKS}) AS token FROM documents),
+    tt AS (SELECT token FROM t WHERE token <> ''),
+    n AS (SELECT COUNT(*) AS n FROM tt)
+    SELECT token, CAST(COUNT(*) AS BIGINT) AS n_occ
+    FROM tt, n
+    GROUP BY token, n.n
+    HAVING COUNT(*) > n.n // 64
+    ORDER BY token
+    """,
+)
+def docs_heavy_hitter_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy-hitter tokens (count > N/64) via per-partition Misra-Gries
+    summaries + exact candidate verification (pipeline/sketches.py).
+    The output is exact — the sketch only bounds WHAT shuffles — so the
+    DuckDB twin is the plain GROUP BY/HAVING form.
+
+    Scale: pass 1 is map-only with O(k) state per task and ships
+    ≤ (k+1)·P summary rows; pass 2 shuffles only rows matching the
+    ≤ k·P broadcast candidates. The naive twin shuffles the whole
+    distinct-token dictionary — the thing the sketch avoids at 100 TB."""
+    from csv_query_engine_spark.pipeline.sketches import heavy_hitters
+
+    d = load_tables(spark, sf_dir, ("documents",))["documents"]
+    return heavy_hitters(d, k=64).orderBy("token")
+
+
+@register(
+    "docs_kneser_ney_scores",
+    f"""
+    WITH tok AS (
+        SELECT id, pos, t FROM (
+            SELECT doc_id AS id,
+                   generate_subscripts(toks, 1) AS pos,
+                   unnest(toks) AS t
+            FROM (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents)
+        ) WHERE t <> ''
+    ),
+    big AS (
+        SELECT a.id, a.t AS w1, b.t AS w2
+        FROM tok a JOIN tok b ON a.id = b.id AND b.pos = a.pos + 1
+        WHERE b.t <> ''
+    ),
+    pair_counts AS (
+        SELECT w1, w2, COUNT(*) AS c12 FROM big GROUP BY w1, w2
+    ),
+    pre AS (
+        SELECT w1, CAST(SUM(c12) AS BIGINT) AS c1, COUNT(*) AS nsucc
+        FROM pair_counts GROUP BY w1
+    ),
+    npred AS (SELECT w2, COUNT(*) AS npred FROM pair_counts GROUP BY w2),
+    types AS (SELECT COUNT(*) AS tt FROM pair_counts),
+    per AS (
+        SELECT big.id,
+               CAST(FLOOR(-ln(
+                   greatest(CAST(pc.c12 AS DOUBLE) - CAST(0.75 AS DOUBLE),
+                            CAST(0.0 AS DOUBLE)) / pre.c1
+                   + CAST(0.75 AS DOUBLE) * pre.nsucc / pre.c1
+                     * (npred.npred / types.tt)
+               ) * 1e6 + 0.5) AS BIGINT) AS su
+        FROM big
+        JOIN pair_counts pc ON big.w1 = pc.w1 AND big.w2 = pc.w2
+        JOIN pre ON big.w1 = pre.w1
+        JOIN npred ON big.w2 = npred.w2
+        CROSS JOIN types
+    )
+    SELECT id AS doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+           FLOOR(CAST(SUM(su) AS BIGINT) / COUNT(*) + 0.5) / 1e6 AS kn_lm_score
+    FROM per GROUP BY id ORDER BY doc_id
+    """,
+)
+def docs_kneser_ney_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated Kneser-Ney bigram surprisal per document
+    (pipeline/text.py::kneser_ney_scores) — the production smoothing
+    whose continuation term scores how many CONTEXTS a word follows,
+    completing the LM-scoring family (unigram frequency → raw bigram
+    conditional → smoothed KN). All inputs are integer counts and the
+    discount is dyadic, so the probability doubles reproduce bit-exact
+    across engines (literals CAST AS DOUBLE — the decimal hazard)."""
+    d = load_tables(spark, sf_dir, ("documents",))["documents"]
+    return tx.kneser_ney_scores(d).orderBy("doc_id")

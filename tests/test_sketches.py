@@ -1,0 +1,85 @@
+"""pipeline/sketches.py: the Misra-Gries heavy-hitter guarantee must
+hold under adversarial partitioning, summaries must stay bounded, and
+the verified output must equal the exact answer (the oracle query test
+covers the documents-table twin; these cover the algorithm)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from csv_query_engine_spark.pipeline.sketches import _mg_summaries, heavy_hitters
+
+
+def _docs(spark, texts, parts=None):
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    return df.repartition(parts) if parts else df
+
+
+def _exact_hh(spark, df, k):
+    toks = df.select(F.explode(F.split(F.lower("text"), " ")).alias("token")).filter(
+        F.col("token") != ""
+    )
+    n = toks.count()
+    return {
+        (r["token"], r["n_occ"])
+        for r in toks.groupBy("token")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_occ"))
+        .filter(F.col("n_occ") > n // k)
+        .collect()
+    }
+
+
+def test_planted_heavy_key_survives_adversarial_partitioning(spark):
+    """A key just over N/k, scattered across many partitions so no
+    single partition sees it concentrated, must still surface — the
+    additive-counts argument (globally heavy => locally heavy in >= 1
+    partition) is exactly what this pins."""
+    # 64 docs: every doc carries one "hot" + 15 unique fillers
+    texts = [
+        "hot " + " ".join(f"w{i}x{j}" for j in range(15)) for i in range(64)
+    ]
+    df = _docs(spark, texts, parts=16)
+    # N = 64·16 = 1024 tokens; hot count 64 > N/32 = 32 => heavy at k=32
+    got = {r["token"] for r in heavy_hitters(df, k=32).collect()}
+    assert "hot" in got
+    assert got == {t for t, _ in _exact_hh(spark, df, 32)}
+
+
+def test_output_equals_exact_answer_with_counts(spark):
+    """Zipf-ish corpus: verified output (tokens AND counts) must equal
+    the exact GROUP BY/HAVING answer for several k."""
+    words = []
+    for i in range(40):
+        words += [f"w{i}"] * (200 // (i + 1))  # ~harmonic frequencies
+    texts = [" ".join(words[i::8]) for i in range(8)]
+    df = _docs(spark, texts, parts=8)
+    for k in (4, 16, 64):
+        got = {(r["token"], r["n_occ"]) for r in heavy_hitters(df, k=k).collect()}
+        assert got == _exact_hh(spark, df, k), k
+
+
+def test_summary_rows_bounded_per_partition(spark):
+    """Each partition's MG summary must emit <= k candidate rows plus
+    exactly one total row — the O(k) state contract that makes pass 1
+    map-only at any corpus size."""
+    import pandas as pd
+
+    k = 8
+    batches = [
+        pd.DataFrame({"token": [f"t{i % 50}" for i in range(j, j + 500)]})
+        for j in range(0, 2000, 500)
+    ]
+    out = list(_mg_summaries(k)(iter(batches)))
+    assert len(out) == 1
+    pdf = out[0]
+    assert len(pdf) <= k + 1
+    totals = pdf[pdf["token"].isnull()]
+    assert len(totals) == 1 and int(totals["n_part"].iloc[0]) == 2000
+    # MG undercount bound: every surviving counter <= true count
+    import collections
+
+    true = collections.Counter(t for b in batches for t in b["token"])
+    for _, row in pdf[pdf["token"].notnull()].iterrows():
+        assert row["n_part"] <= true[row["token"]]
