@@ -770,3 +770,179 @@ def dequantize(df: DataFrame, id_col: str = "vec_id") -> DataFrame:
             F.col("codes"), lambda q: q.cast("double") * F.col("scale")
         ).alias("embedding"),
     )
+
+
+# --------------------------------------------------------------- k-means
+
+def _km_quant(x: Column) -> Column:
+    """Scale-6 fixed-point quantization of an embedding coordinate:
+    FLOOR(x·10⁶ + 0.5) as a long. At |x| ≤ ~1 the squared-distance sum
+    over 64 dims stays < 2.7e14 ≪ 2⁶³ — every distance is an exact
+    INTEGER, so assignment has no float drift at all."""
+    return F.floor(x.cast("double") * F.lit(1e6) + F.lit(0.5)).cast("long")
+
+
+def kmeans_clusters(
+    embeddings: DataFrame,
+    k: int = 8,
+    iterations: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    salt: str = "km-",
+) -> DataFrame:
+    """(vec_id, cluster_id, sq_dist_units): Lloyd's k-means with
+    CROSS-ENGINE-EXACT arithmetic — the PageRank treatment applied to
+    clustering, so the whole iterative algorithm is oracle-pairable
+    (:func:`sql_kmeans` emits the identical computation as unrolled
+    DuckDB CTEs):
+
+    - coordinates quantize ONCE to scale-6 longs (:func:`_km_quant`);
+      every distance is then an exact integer Σ(xq−cq)² and the argmin
+      (tie-break: lowest cluster id) is bit-deterministic;
+    - seeds are the k vectors with the smallest cross-engine md5 hash
+      (the sampling.py idiom), cluster ids in that hash order;
+    - centroid updates are integer sums + one FLOOR(su/cnt + 0.5) per
+      coordinate (su < 2⁵³, so the double division is exact on both
+      engines); empty clusters keep their previous centroid.
+
+    Scale: the per-iteration work is one codegen'd integer join —
+    exploded (id, pos, xq) dims against the BROADCAST k×dim centroid
+    table — and one (cid, pos) partial+final aggregate; no Python in
+    the hot path (contrast: the IVF probe UDF exists because its
+    centroids stay float — here quantization makes integer codegen
+    possible). Centroids are the one legitimately driver-sized object
+    (k×dim longs), collected once per iteration; the dims table
+    persists once and feeds every round."""
+    from pyspark.storagelevel import StorageLevel
+
+    dims = (
+        _spread(embeddings)
+        .select(F.col(id_col).alias("id"), F.posexplode(vec_col).alias("pos", "x"))
+        .select("id", "pos", _km_quant(F.col("x")).alias("xq"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    h = F.conv(
+        F.substring(F.md5(F.concat(F.lit(salt), F.col(id_col).cast("string"))), 1, 8),
+        16,
+        10,
+    ).cast("long")
+    seed_rows = (
+        embeddings.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"), h.alias("_h"))
+        .orderBy("_h", "id")
+        .limit(k)
+        .collect()
+    )
+    # cents[cid][pos] = quantized coordinate (Python floor matches the
+    # engine form exactly: floor(x*1e6 + 0.5) over the float64 value)
+    import math
+
+    cents: list[list[int]] = [
+        [int(math.floor(float(x) * 1e6 + 0.5)) for x in r["v"]] for r in seed_rows
+    ]
+
+    def assign(cent_df: DataFrame) -> DataFrame:
+        d = (
+            dims.join(F.broadcast(cent_df), "pos")
+            .groupBy("id", "cid")
+            .agg(F.sum((F.col("xq") - F.col("cq")) * (F.col("xq") - F.col("cq"))).alias("d"))
+        )
+        return d.groupBy("id").agg(F.min(F.struct("d", "cid")).alias("_m")).select(
+            "id", F.col("_m.cid").alias("cid"), F.col("_m.d").alias("sq_dist_units")
+        )
+
+    spark = embeddings.sparkSession
+
+    def cent_df_from(c: list[list[int]]) -> DataFrame:
+        rows = [(cid, pos, cq) for cid, vec in enumerate(c) for pos, cq in enumerate(vec)]
+        return spark.createDataFrame(rows, "cid int, pos int, cq long")
+
+    for _ in range(iterations):
+        a = assign(cent_df_from(cents))
+        stats = (
+            dims.join(a.select("id", "cid"), "id")
+            .groupBy("cid", "pos")
+            .agg(F.sum("xq").alias("su"), F.count(F.lit(1)).alias("cnt"))
+            .collect()
+        )
+        nxt = [list(c) for c in cents]  # empty clusters keep previous
+        for r in stats:
+            # exact double division (su < 2^53), FLOOR(x + 0.5) rounding
+            nxt[r["cid"]][r["pos"]] = int(math.floor(r["su"] / r["cnt"] + 0.5))
+        cents = nxt
+
+    return assign(cent_df_from(cents)).select(
+        F.col("id").alias(id_col),
+        F.col("cid").cast("int").alias("cluster_id"),
+        "sq_dist_units",
+    )
+
+
+def sql_kmeans(
+    k: int = 8, iterations: int = 3, salt: str = "km-", table: str = "embeddings"
+) -> str:
+    """DuckDB twin of :func:`kmeans_clusters`: same quantization, seed
+    rule, integer distances, tie-break, and centroid update — unrolled
+    one CTE pair (assign/centroid) per iteration."""
+    dims = f"""dims AS (
+        SELECT vec_id AS id,
+               generate_subscripts(embedding, 1) - 1 AS pos,
+               CAST(FLOOR(CAST(unnest(embedding) AS DOUBLE) * 1e6 + 0.5) AS BIGINT) AS xq
+        FROM {table}
+    )"""
+    seeds = f"""c0 AS (
+        SELECT CAST(ROW_NUMBER() OVER (ORDER BY h, id) - 1 AS INTEGER) AS cid, id
+        FROM (
+            SELECT vec_id AS id,
+                   CAST('0x' || substr(md5('{salt}' || CAST(vec_id AS VARCHAR)), 1, 8) AS BIGINT) AS h
+            FROM {table}
+            ORDER BY h, vec_id LIMIT {k}
+        )
+    ),
+    cent0 AS (
+        SELECT c0.cid, dims.pos, dims.xq AS cq FROM c0 JOIN dims ON c0.id = dims.id
+    )"""
+    its = []
+    prev = "cent0"
+    for i in range(1, iterations + 1):
+        its.append(
+            f"""a{i} AS (
+        SELECT id, cid, d AS sq_dist_units FROM (
+            SELECT id, cid, d,
+                   ROW_NUMBER() OVER (PARTITION BY id ORDER BY d, cid) AS rn
+            FROM (
+                SELECT dims.id, c.cid,
+                       CAST(SUM((dims.xq - c.cq) * (dims.xq - c.cq)) AS BIGINT) AS d
+                FROM dims JOIN {prev} c ON dims.pos = c.pos
+                GROUP BY dims.id, c.cid
+            )
+        ) WHERE rn = 1
+    ),
+    cent{i} AS (
+        SELECT p.cid, p.pos,
+               COALESCE(CAST(FLOOR(CAST(m.su AS DOUBLE) / m.cnt + 0.5) AS BIGINT), p.cq) AS cq
+        FROM {prev} p LEFT JOIN (
+            SELECT a{i}.cid, dims.pos, SUM(dims.xq) AS su, COUNT(*) AS cnt
+            FROM dims JOIN a{i} ON dims.id = a{i}.id
+            GROUP BY a{i}.cid, dims.pos
+        ) m ON p.cid = m.cid AND p.pos = m.pos
+    )"""
+        )
+        prev = f"cent{i}"
+    final = f"""SELECT id AS vec_id, cid AS cluster_id, d AS sq_dist_units FROM (
+        SELECT id, cid, d,
+               ROW_NUMBER() OVER (PARTITION BY id ORDER BY d, cid) AS rn
+        FROM (
+            SELECT dims.id, c.cid,
+                   CAST(SUM((dims.xq - c.cq) * (dims.xq - c.cq)) AS BIGINT) AS d
+            FROM dims JOIN {prev} c ON dims.pos = c.pos
+            GROUP BY dims.id, c.cid
+        )
+    ) WHERE rn = 1
+    ORDER BY vec_id"""
+    unrolled = ",\n    ".join(its)
+    return f"""
+    WITH {dims},
+    {seeds},
+    {unrolled}
+    {final}
+    """

@@ -198,6 +198,9 @@ DRIVER_ORDER: list[str] = [
     # Round-6: interpolated Kneser-Ney bigram smoothing — completes the
     # LM family (unigram -> raw conditional -> production smoothing):
     "docs_kneser_ney_scores",
+    # Round-6: exact fixed-point k-means — the second fully oracle-
+    # paired iterative algorithm (integer distances, no float drift):
+    "embedding_kmeans_clusters",
     # Rows-only ops (no SQL-expressible oracle; pytest covers recall/
     # precision/planted-neighbor properties):
     "docs_benchmark_decontamination",

@@ -2212,3 +2212,29 @@ def docs_kneser_ney_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     across engines (literals CAST AS DOUBLE — the decimal hazard)."""
     d = load_tables(spark, sf_dir, ("documents",))["documents"]
     return tx.kneser_ney_scores(d).orderBy("doc_id")
+
+
+def _kmeans_oracle() -> str:
+    from csv_query_engine_spark.pipeline.similarity import sql_kmeans
+
+    return sql_kmeans(k=8, iterations=3)
+
+
+@register("embedding_kmeans_clusters", _kmeans_oracle())
+def embedding_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact fixed-point k-means over the embedding corpus (pipeline/
+    similarity.py::kmeans_clusters): 3 Lloyd iterations, k=8,
+    coordinates quantized once to scale-6 longs so every distance is an
+    exact integer and every intermediate iteration is bit-equal to the
+    unrolled-CTE DuckDB twin — clustering joins PageRank as the second
+    fully oracle-paired ITERATIVE algorithm (IVF's float k-means is the
+    rows-only sibling).
+
+    Scale: per iteration one codegen'd integer join of the persisted
+    (id, pos, xq) dims table against the broadcast k×64 centroid table
+    + one partial+final aggregate; centroids (k×dim longs) are the only
+    driver-sized object."""
+    from csv_query_engine_spark.pipeline.similarity import kmeans_clusters
+
+    e = load_tables(spark, sf_dir, ("embeddings",))["embeddings"]
+    return kmeans_clusters(e, k=8, iterations=3).orderBy("vec_id")

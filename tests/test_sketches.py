@@ -83,3 +83,73 @@ def test_summary_rows_bounded_per_partition(spark):
     true = collections.Counter(t for b in batches for t in b["token"])
     for _, row in pdf[pdf["token"].notnull()].iterrows():
         assert row["n_part"] <= true[row["token"]]
+
+
+def test_kmeans_deterministic_across_partitionings(spark):
+    """Integer distances + FLOOR centroid updates must make the full
+    clustering bit-identical under different physical partitionings —
+    the property float k-means cannot give (partition-order float
+    sums)."""
+    from csv_query_engine_spark.io.readers import load_tables
+    from csv_query_engine_spark.pipeline.similarity import kmeans_clusters
+
+    e = load_tables(spark, "/root/testdata/sf0.001", ("embeddings",), register=False)[
+        "embeddings"
+    ]
+    r1 = sorted(map(tuple, kmeans_clusters(e.repartition(16), k=5, iterations=2).collect()))
+    spark.catalog.clearCache()
+    r2 = sorted(map(tuple, kmeans_clusters(e.repartition(3), k=5, iterations=2).collect()))
+    spark.catalog.clearCache()
+    assert r1 == r2 and len(r1) == 500
+
+
+def test_kmeans_matches_numpy_replay(spark):
+    """Full-algorithm lock: replay seeds (md5-hash order), scale-6
+    quantization, integer distances with lowest-cid tie-break, and
+    FLOOR-mean centroid updates in numpy — assignments AND distances
+    must match bit-for-bit."""
+    import hashlib
+    import math
+
+    import numpy as np
+
+    from csv_query_engine_spark.io.readers import load_tables
+    from csv_query_engine_spark.pipeline.similarity import kmeans_clusters
+
+    k, iters = 4, 2
+    e = load_tables(spark, "/root/testdata/sf0.001", ("embeddings",), register=False)[
+        "embeddings"
+    ]
+    rows = e.collect()
+    ids = [r["vec_id"] for r in rows]
+    X = np.stack([
+        np.floor(np.asarray(r["embedding"], dtype=np.float64) * 1e6 + 0.5)
+        for r in rows
+    ]).astype(np.int64)
+
+    def h(i):
+        return int(hashlib.md5(f"km-{i}".encode()).hexdigest()[:8], 16)
+
+    seed_ids = sorted(ids, key=lambda i: (h(i), i))[:k]
+    row_of = {v: i for i, v in enumerate(ids)}
+    C = X[[row_of[v] for v in seed_ids]].copy()
+
+    def assign(C):
+        d = ((X[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)  # N × k
+        cid = d.argmin(axis=1)  # argmin ties -> lowest index, matching
+        return cid, d[np.arange(len(X)), cid]
+
+    for _ in range(iters):
+        cid, _ = assign(C)
+        for c in range(k):
+            m = X[cid == c]
+            if len(m):
+                C[c] = np.floor(m.sum(axis=0) / len(m) + 0.5).astype(np.int64)
+    cid, dist = assign(C)
+    want = {ids[i]: (int(cid[i]), int(dist[i])) for i in range(len(ids))}
+
+    got = {
+        r["vec_id"]: (r["cluster_id"], r["sq_dist_units"])
+        for r in kmeans_clusters(e, k=k, iterations=iters).collect()
+    }
+    assert got == want
