@@ -21,23 +21,20 @@ engines bit-equal by
 Scale: degrees and contributions are partial+final aggregates on the
 edge key; each iteration is one join (edges × ranks, both partitioned
 on the node key — AQE reuses the exchange) + one aggregation.  Rank
-state is bounded (one row per node), and with a FIXED small iteration
-count the plan grows linearly — no self-referencing join doubling, so
-the per-round localCheckpoint rule for convergence loops
-(dedup.connected_components) is not needed here; the bounded unroll is
-the documented contract.
+state is bounded (one row per node); on the sink-free fast path the
+plan grows linearly (no self-referencing join doubling), and on the
+dangling path — where the rank state is referenced twice per round —
+it lazy-localCheckpoints each round per the CLAUDE.md
+exponential-replan rule.
 
 Edges must be directed and deduplicated.  Dangling nodes (no
 out-edges — e.g. pure sinks in a directed purchase graph) are handled
 with the standard uniform redistribution: each iteration adds ONE
 one-row aggregate (the dangling rank mass, quantized once globally so
 every node receives the identical share) broadcast into the rank
-update, keeping the whole computation oracle-pairable.  The rank state
-is referenced twice per round (contribution join + dangling anti-join),
-so the logical plan doubles per iteration — bounded and fine at the
-documented small fixed unroll (2⁴ small subtrees at the default 4);
-a data-dependent convergence variant would need the per-round
-localCheckpoint rule instead (dedup.connected_components)."""
+update, keeping the whole computation oracle-pairable; sink-free
+graphs are detected with one bounded check and take a fused loop with
+none of that machinery (bit-equal output — D = 0)."""
 
 from __future__ import annotations
 
@@ -60,20 +57,38 @@ def pagerank(edges: DataFrame, iterations: int = 4, damping: float = 0.85) -> Da
     The edge+degree table, the degree table (out-node set for the
     anti-join), and the node set feed every iteration — each persisted
     once (CLAUDE.md multi-consumer rule); the dangling sum is a one-row
-    broadcast, never a per-round collect (the whole unroll stays one
-    Spark job)."""
+    broadcast, never a per-round collect.
+
+    Cost containment (measured: the general path ran the sink-free
+    trade-network query 2.8 → 10.8 s warm): dangling-ness is a STATIC
+    property of the edge set, so one bounded driver check picks the
+    loop — sink-free graphs take the LEAN loop (identical to the
+    pre-dangling operator: one join + one agg per round, linear plan,
+    bit-equal output since D = 0); only genuinely sinked graphs pay
+    the dangling aggregate, and there the rank state lazy-
+    localCheckpoints each round because r is referenced twice per
+    round (contribution join + dangling anti-join) and the plan would
+    otherwise double per iteration (CLAUDE.md exponential-replan
+    rule)."""
     deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg")).persist(
         StorageLevel.MEMORY_AND_DISK
     )
     e = edges.join(deg, "src").persist(StorageLevel.MEMORY_AND_DISK)
-    outs = deg.select(F.col("src").alias("node"))
-    nodes = (
-        edges.select(F.col("src").alias("node"))
-        .unionByName(edges.select(F.col("dst").alias("node")))
+    outs = deg.select(F.col("src").alias("node"))  # distinct by construction
+    dsts = (
+        edges.select(F.col("dst").alias("node"))
         .distinct()
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
+    nodes = outs.unionByName(dsts).distinct().persist(StorageLevel.MEMORY_AND_DISK)
     n = nodes.count()  # bounded driver scalar: one long
+    # static graph properties from the two persisted node-sized sets
+    # (early-out anti joins — no extra edge-scale work beyond the dst
+    # distinct that `nodes` needed anyway): dangling = no out-edges
+    # (needs the redistribution loop); source-only = no in-edges
+    # (constant rank after round 1, handled by a static union).
+    has_dangling = dsts.join(outs, "node", "left_anti").limit(1).count() > 0
+    has_src_only = outs.join(dsts, "node", "left_anti").limit(1).count() > 0
 
     def quant(x):  # FLOOR(x*1e9 + 0.5): IEEE-only scale-9 quantization
         return F.floor(x * F.lit(1e9) + F.lit(0.5))
@@ -81,6 +96,35 @@ def pagerank(edges: DataFrame, iterations: int = 4, damping: float = 0.85) -> Da
     # rank state: unscaled long at scale 9 ("_ru")
     r = nodes.select("node", quant(F.lit(1.0) / F.lit(float(n))).alias("_ru"))
     base = F.lit(1.0 - damping) / F.lit(float(n))
+    if not has_dangling:
+        # FUSED loop (the fast path; measured vs the per-round node
+        # left-join variant: 5.6 vs 7.3 s warm at sf0.1): the quantized
+        # update fuses into the contribution aggregate, r stays one
+        # groupBy output per round, plan growth is linear. Source-only
+        # nodes (no in-edges) never appear in the aggregate but their
+        # rank is the CONSTANT quant(base + d·0) from round 1 on — a
+        # static union row, not a per-round join.
+        src_only = (
+            outs.join(dsts, "node", "left_anti").select(
+                "node",
+                quant(base + F.lit(damping) * (F.lit(0).cast("long") / F.lit(1e9))).alias(
+                    "_ru"
+                ),
+            )
+            if has_src_only
+            else None
+        )
+        for _ in range(iterations):
+            contrib = e.join(r, e["src"] == r["node"]).select(
+                F.col("dst"),
+                quant((F.col("_ru") / F.lit(1e9)) / F.col("deg")).alias("_cu"),
+            )
+            r = contrib.groupBy(F.col("dst").alias("node")).agg(
+                quant(base + F.lit(damping) * (F.sum("_cu") / F.lit(1e9))).alias("_ru")
+            )
+            if src_only is not None:
+                r = r.unionByName(src_only)
+        return r.select("node", (F.col("_ru") / F.lit(1e9)).alias("pagerank"))
     for _ in range(iterations):
         contrib = e.join(r, e["src"] == r["node"]).select(
             F.col("dst"),
@@ -113,6 +157,8 @@ def pagerank(edges: DataFrame, iterations: int = 4, damping: float = 0.85) -> Da
                     )
                 ).alias("_ru"),
             )
+            # truncate lineage: r is referenced twice next round
+            .localCheckpoint(eager=False)
         )
     return r.select("node", (F.col("_ru") / F.lit(1e9)).alias("pagerank"))
 

@@ -121,3 +121,16 @@ def test_dangling_noop_on_symmetrized_graph(spark):
     sym = [(a, b) for a, b in pairs] + [(b, a) for a, b in pairs]
     got = {r["node"]: r["pagerank"] for r in pagerank(edges, iterations=6).collect()}
     assert got == _ref_pagerank_dangling(sym, iterations=6)
+
+
+def test_source_only_nodes_keep_constant_base_rank(spark):
+    """Sink-free graph WITH source-only nodes (a root feeding a cycle):
+    the fused fast path must still emit the root with its constant
+    base rank and flow its contribution downstream — matching the
+    dangling-aware pure-Python reference exactly."""
+    edges = [(0, 1), (1, 0), (2, 0), (2, 1)]  # node 2: out-edges, no in-edges
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {r["node"]: r["pagerank"] for r in pagerank(df, iterations=5).collect()}
+    want = _ref_pagerank_dangling(edges, iterations=5)
+    assert got == want
+    assert 2 in got and got[2] > 0
