@@ -212,6 +212,9 @@ DRIVER_ORDER: list[str] = [
     "embedding_quantized_topk",
     "embedding_pq_topk",
     "sketch_approx_aggregates",
+    # Round-6: mergeable DataSketches HLL rollup (daily sketch state
+    # unioned to per-type totals — the 100 TB pre-aggregation pattern):
+    "sketch_user_rollup",
     # Round-5: distributed BPE tokenizer training + encoding — the
     # merge loop is iterative argmax state (no SQL oracle); locked to a
     # pure-Python Sennrich reference in tests/test_bpe.py:

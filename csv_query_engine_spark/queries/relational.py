@@ -1457,3 +1457,33 @@ def q10_returned_item_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("revenue"), "c_custkey")
         .limit(20)
     )
+
+
+@register("sketch_user_rollup", None)
+def sketch_user_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGEABLE-sketch rollup — the other half of the sketch story
+    next to sketch_approx_aggregates' one-shot estimates: per-day
+    DataSketches HLL sketches of the user set are built ONCE (the
+    expensive pass over the raw events), then re-aggregated by UNIONING
+    SKETCH STATE (`hll_union_agg`) to per-type totals — the raw data is
+    never re-read.  At 100 TB this is the pre-aggregation pattern:
+    persist daily sketch tables (~KBs/group), answer any later
+    cross-day distinct-count rollup from sketches alone.
+
+    Rows-only: DataSketches estimates are engine-specific; the merge
+    identity (union-of-daily == direct-global) and the error bound vs
+    exact are pinned in tests/test_sketches.py."""
+    e = load_tables(spark, sf_dir, ("events",))["events"]
+    daily = e.groupBy(
+        F.to_date("ts").alias("day"), F.col("event_type")
+    ).agg(F.hll_sketch_agg("user_id", F.lit(12)).alias("sk"))
+    return (
+        daily.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_days"),
+            F.hll_sketch_estimate(F.hll_union_agg("sk")).cast("bigint").alias(
+                "approx_users"
+            ),
+        )
+        .orderBy("event_type")
+    )

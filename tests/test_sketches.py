@@ -153,3 +153,39 @@ def test_kmeans_matches_numpy_replay(spark):
         for r in kmeans_clusters(e, k=k, iterations=iters).collect()
     }
     assert got == want
+
+
+def test_hll_rollup_merge_identity_and_error_bound(spark):
+    """Unioning per-day HLL sketch state must estimate the same set as
+    one direct global sketch (merge identity, same lgK), and both must
+    sit within the HLL error envelope of the exact distinct count."""
+    from pyspark.sql import functions as F
+
+    from csv_query_engine_spark.io.readers import load_tables
+    from csv_query_engine_spark.queries import REGISTRY, _load
+
+    _load()
+    got = {
+        r["event_type"]: r
+        for r in REGISTRY["sketch_user_rollup"][0](spark, "/root/testdata/sf0.01").collect()
+    }
+    e = load_tables(spark, "/root/testdata/sf0.01", ("events",))["events"]
+    direct = {
+        r["event_type"]: r["est"]
+        for r in e.groupBy("event_type")
+        .agg(F.hll_sketch_estimate(F.hll_sketch_agg("user_id", F.lit(12))).alias("est"))
+        .collect()
+    }
+    exact = {
+        r["event_type"]: r["u"]
+        for r in e.groupBy("event_type").agg(F.count_distinct("user_id").alias("u")).collect()
+    }
+    assert set(got) == set(exact)
+    for k, row in got.items():
+        assert row["n_days"] >= 1
+        # merge identity: union-of-days == direct sketch (same lgK 12)
+        assert abs(row["approx_users"] - direct[k]) <= max(1, 0.005 * direct[k]), k
+        # HLL error envelope at lgK=12: ~1.6% rse; allow 4 sigma
+        assert abs(row["approx_users"] - exact[k]) <= max(3, 0.065 * exact[k]), (
+            k, row["approx_users"], exact[k],
+        )
