@@ -330,3 +330,42 @@ def test_funnel_three_events_scans_and_cached_steps(spark):
     assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 3, plan
     assert plan.count("InMemoryTableScan") >= 3, plan
     spark.catalog.clearCache()
+
+
+def test_heavy_hitters_two_scans_broadcast_candidates(spark):
+    """MG heavy hitters: exactly two corpus scans (summary pass +
+    verification pass), the per-partition summaries via MapInPandas,
+    candidates joined by BROADCAST (never a shuffle of the token
+    stream against the candidate set), and no shuffle join anywhere —
+    the dictionary-wide groupBy this operator exists to avoid."""
+    plan = _plan(spark, "docs_heavy_hitter_tokens")
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 2, plan
+    assert "MapInPandas" in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan, plan
+    spark.catalog.clearCache()
+
+
+def test_kneser_ney_single_scan_cached_tables(spark):
+    """KN scoring: ONE corpus scan; the bigram table and the pair-count
+    table are persisted (bigram: count agg + join-back; pair counts:
+    prefix agg, predecessor agg, type count, final join) and every
+    count-side join broadcasts."""
+    plan = _plan(spark, "docs_kneser_ney_scores")
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) <= 1, plan
+    assert plan.count("InMemoryTableScan") >= 4, plan
+    assert "SortMergeJoin" not in plan, plan
+    spark.catalog.clearCache()
+
+
+def test_kmeans_final_assign_cached_dims_broadcast_centroids(spark):
+    """k-means: the exploded dims table reads from cache and the k×dim
+    centroid table broadcasts; the whole assignment stays JVM-side
+    (integer codegen — no Python in the hot path, unlike IVF's float
+    probe UDF)."""
+    plan = _plan(spark, "embedding_kmeans_clusters")
+    assert plan.count("InMemoryTableScan") >= 1, plan
+    assert "BroadcastHashJoin" in plan, plan
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan, plan
+    assert "MapInPandas" not in plan, plan
+    spark.catalog.clearCache()
