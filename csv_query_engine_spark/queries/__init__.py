@@ -215,6 +215,9 @@ DRIVER_ORDER: list[str] = [
     # Round-6: mergeable DataSketches HLL rollup (daily sketch state
     # unioned to per-type totals — the 100 TB pre-aggregation pattern):
     "sketch_user_rollup",
+    # Round-6: first-order Markov transition matrix over per-user event
+    # sequences (the sequence-model member next to funnel/sessionization):
+    "events_markov_transitions",
     # Round-5: distributed BPE tokenizer training + encoding — the
     # merge loop is iterative argmax state (no SQL oracle); locked to a
     # pure-Python Sennrich reference in tests/test_bpe.py:

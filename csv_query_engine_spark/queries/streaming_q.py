@@ -431,3 +431,70 @@ def events_value_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("event_type", "p99", "n_total", "n_anomalies")
         .orderBy("event_type")
     )
+
+
+@register(
+    "events_markov_transitions",
+    """
+    WITH seq AS (
+        SELECT user_id, event_type,
+               ROW_NUMBER() OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id) AS rn
+        FROM events
+    ),
+    trans AS (
+        SELECT a.event_type AS from_type, b.event_type AS to_type,
+               CAST(COUNT(*) AS BIGINT) AS n_trans
+        FROM seq a JOIN seq b
+          ON a.user_id = b.user_id AND b.rn = a.rn + 1
+        GROUP BY a.event_type, b.event_type
+    ),
+    tot AS (SELECT from_type, CAST(SUM(n_trans) AS BIGINT) AS n_from
+            FROM trans GROUP BY from_type)
+    SELECT t.from_type, t.to_type, t.n_trans,
+           FLOOR(CAST(t.n_trans AS DOUBLE) / tot.n_from * 1e6 + 0.5) / 1e6 AS p
+    FROM trans t JOIN tot ON t.from_type = tot.from_type
+    ORDER BY t.from_type, t.to_type
+    """,
+)
+def events_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event
+    sequences: P(next = b | current = a) from lead-paired events — the
+    sequence-MODEL member of the event-analytics family (funnel checks
+    one fixed pattern; this estimates the full transition structure,
+    the input to next-event prediction or anomaly-flow detection).
+
+    Scale: one user-keyed window (the sessionization partitioning) to
+    pair each event with its successor, then a 5×5-ish aggregate —
+    shuffle is one pass on user_id and the output is event-type²
+    rows. Determinism: the window orders by (ts, event_id) — unique-key
+    tiebreak per the repo's ordering invariant — and the probability
+    quantizes via FLOOR(x·10⁶ + 0.5) (engine ROUND diverges on
+    boundaries; CLAUDE.md)."""
+    from pyspark.sql import Window as W
+
+    e = load_tables(spark, sf_dir, ("events",))["events"]
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    trans = (
+        e.select("user_id", "event_type", F.lead("event_type").over(w).alias("_nxt"))
+        .filter(F.col("_nxt").isNotNull())
+        .groupBy(F.col("event_type").alias("from_type"), F.col("_nxt").alias("to_type"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_trans"))
+    )
+    tot = trans.groupBy("from_type").agg(F.sum("n_trans").cast("bigint").alias("n_from"))
+    return (
+        trans.join(F.broadcast(tot), "from_type")
+        .select(
+            "from_type",
+            "to_type",
+            "n_trans",
+            (
+                F.floor(
+                    F.col("n_trans").cast("double") / F.col("n_from") * F.lit(1e6)
+                    + F.lit(0.5)
+                )
+                / F.lit(1e6)
+            ).alias("p"),
+        )
+        .orderBy("from_type", "to_type")
+    )
