@@ -218,6 +218,9 @@ DRIVER_ORDER: list[str] = [
     # Round-6: first-order Markov transition matrix over per-user event
     # sequences (the sequence-model member next to funnel/sessionization):
     "events_markov_transitions",
+    # Round-6: robust median/MAD anomaly screen (outlier-resistant
+    # thresholds next to the p99 screen):
+    "events_robust_anomalies",
     # Round-5: distributed BPE tokenizer training + encoding — the
     # merge loop is iterative argmax state (no SQL oracle); locked to a
     # pure-Python Sennrich reference in tests/test_bpe.py:

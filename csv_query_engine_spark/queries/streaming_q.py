@@ -498,3 +498,66 @@ def events_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("from_type", "to_type")
     )
+
+
+@register(
+    "events_robust_anomalies",
+    f"""
+    WITH med AS (
+        SELECT event_type, ROUND(quantile_cont(value, 0.5), 4) AS med
+        FROM events GROUP BY event_type
+    ),
+    dev AS (
+        SELECT e.event_type, med.med, abs(e.value - med.med) AS d
+        FROM events e JOIN med ON e.event_type = med.event_type
+    ),
+    mad AS (
+        SELECT event_type, ROUND(quantile_cont(d, 0.5), 4) AS mad
+        FROM dev GROUP BY event_type
+    )
+    SELECT dev.event_type, dev.med, mad.mad,
+           CAST(COUNT(*) AS BIGINT) AS n_total,
+           CAST(SUM(CASE WHEN dev.d > CAST({3.5 * 1.4826!r} AS DOUBLE) * mad.mad
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+    FROM dev JOIN mad ON dev.event_type = mad.event_type
+    GROUP BY dev.event_type, dev.med, mad.mad
+    ORDER BY dev.event_type
+    """,
+)
+def events_robust_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust (median/MAD) anomaly screen per event type — the
+    outlier-resistant sibling of the p99 threshold screen
+    (events_value_anomalies): a value is anomalous when its absolute
+    deviation from the type median exceeds 3.5 robust standard
+    deviations (MAD × 1.4826, the normal-consistency constant). Unlike
+    mean/stddev or p99, the thresholds themselves cannot be dragged by
+    the outliers they are meant to catch.
+
+    Scale: two exact per-type percentiles over 5 low-cardinality groups
+    (the documented approx switch applies at high group counts), each
+    broadcast back onto the scan; thresholds ROUND(4)-stabilized on
+    both engines and the consistency constant emitted as the
+    Python-computed double literal (decimal hazard, CLAUDE.md)."""
+    e = load_tables(spark, sf_dir, ("events",))["events"]
+    med = e.groupBy("event_type").agg(
+        F.round(F.expr("percentile(value, 0.5)"), 4).alias("med")
+    )
+    dev = e.join(F.broadcast(med), "event_type").select(
+        "event_type", "med", F.abs(F.col("value") - F.col("med")).alias("d")
+    )
+    mad = dev.groupBy("event_type").agg(
+        F.round(F.expr("percentile(d, 0.5)"), 4).alias("mad")
+    )
+    kk = F.lit(3.5 * 1.4826)
+    return (
+        dev.join(F.broadcast(mad), "event_type")
+        .groupBy("event_type", "med", "mad")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_total"),
+            F.sum(F.when(F.col("d") > kk * F.col("mad"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_outliers"),
+        )
+        .select("event_type", "med", "mad", "n_total", "n_outliers")
+        .orderBy("event_type")
+    )
