@@ -82,13 +82,13 @@ def pagerank(edges: DataFrame, iterations: int = 4, damping: float = 0.85) -> Da
     )
     nodes = outs.unionByName(dsts).distinct().persist(StorageLevel.MEMORY_AND_DISK)
     n = nodes.count()  # bounded driver scalar: one long
-    # static graph properties from the two persisted node-sized sets
-    # (early-out anti joins — no extra edge-scale work beyond the dst
+    # static graph property from the two persisted node-sized sets
+    # (early-out anti join — no extra edge-scale work beyond the dst
     # distinct that `nodes` needed anyway): dangling = no out-edges
-    # (needs the redistribution loop); source-only = no in-edges
-    # (constant rank after round 1, handled by a static union).
+    # (needs the redistribution loop). The companion source-only probe
+    # (no in-edges → constant rank after round 1) is evaluated lazily
+    # on the sink-free branch — its result is consumed nowhere else.
     has_dangling = dsts.join(outs, "node", "left_anti").limit(1).count() > 0
-    has_src_only = outs.join(dsts, "node", "left_anti").limit(1).count() > 0
 
     def quant(x):  # FLOOR(x*1e9 + 0.5): IEEE-only scale-9 quantization
         return F.floor(x * F.lit(1e9) + F.lit(0.5))
@@ -103,7 +103,10 @@ def pagerank(edges: DataFrame, iterations: int = 4, damping: float = 0.85) -> Da
         # groupBy output per round, plan growth is linear. Source-only
         # nodes (no in-edges) never appear in the aggregate but their
         # rank is the CONSTANT quant(base + d·0) from round 1 on — a
-        # static union row, not a per-round join.
+        # static union row, not a per-round join. The src-only probe
+        # runs only on this branch: dangling graphs never consume it,
+        # so they don't pay the anti-join count job.
+        has_src_only = outs.join(dsts, "node", "left_anti").limit(1).count() > 0
         src_only = (
             outs.join(dsts, "node", "left_anti").select(
                 "node",

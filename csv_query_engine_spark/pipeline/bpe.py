@@ -87,7 +87,19 @@ def _learn_bpe_driver(
     apply the greedy non-overlapping merge, add the new ones back).
     Identical semantics to the distributed loop: same per-position pair
     counts, same (count desc, left, right) tie-break, same greedy
-    left-to-right merge, same stops-when-fully-merged condition."""
+    left-to-right merge, same stops-when-fully-merged condition.
+
+    Argmax via a max-heap with LAZY INVALIDATION (round-6 ADVICE: the
+    linear dict scan is O(merges × |pairs|) — ~1e11 comparisons at the
+    advertised 5M-word / 30k-merge bound, so zero-jobs-per-merge held
+    but wall-clock did not): every pair whose count changes gets a
+    fresh (−count, left, right) entry pushed; a popped entry is valid
+    iff its count equals the pair's CURRENT stats value (stale-high
+    entries are discarded; a stale-low entry can't surface first
+    because the later, larger push sorts above it). Heap keys order
+    exactly like the old scan key (−c, l, r), so merges/tie-breaks are
+    unchanged — test_bpe.py locks both paths to the Sennrich reference."""
+    import heapq
     from collections import defaultdict
 
     vocab: list[tuple[list[str], int]] = [
@@ -100,27 +112,33 @@ def _learn_bpe_driver(
             p = (seq[i], seq[i + 1])
             stats[p] += freq
             indices[p].add(wi)
+    heap: list[tuple[int, str, str]] = [
+        (-c, p[0], p[1]) for p, c in stats.items() if c > 0
+    ]
+    heapq.heapify(heap)
 
     merges: list[tuple[str, str, int]] = []
     for _ in range(num_merges):
         best = None
-        for p, c in stats.items():
-            if c <= 0:
-                continue
-            k = (-c, p[0], p[1])
-            if best is None or k < best[0]:
-                best = (k, p, c)
+        while heap:
+            negc, hl, hr = heap[0]
+            if stats.get((hl, hr), 0) == -negc:
+                best = ((hl, hr), -negc)
+                break
+            heapq.heappop(heap)  # stale: count changed since push
         if best is None:
             break
-        (left, right), cnt = best[1], best[2]
+        (left, right), cnt = best
         merges.append((left, right, cnt))
         merged = left + right
+        touched: set[tuple[str, str]] = set()
         for wi in list(indices[(left, right)]):
             seq, freq = vocab[wi]
             for i in range(len(seq) - 1):
                 p = (seq[i], seq[i + 1])
                 stats[p] -= freq
                 indices[p].discard(wi)
+                touched.add(p)
             out, i, n = [], 0, len(seq)
             while i < n:
                 if i + 1 < n and seq[i] == left and seq[i + 1] == right:
@@ -134,6 +152,11 @@ def _learn_bpe_driver(
                 p = (out[i], out[i + 1])
                 stats[p] += freq
                 indices[p].add(wi)
+                touched.add(p)
+        for p in touched:  # one refreshed entry per net-updated pair
+            c = stats.get(p, 0)
+            if c > 0:
+                heapq.heappush(heap, (-c, p[0], p[1]))
     return merges
 
 
@@ -203,8 +226,14 @@ def learn_bpe(
         merges.append((left, right, cnt))
         # adjacency pre-filter: words without the pair skip the Python
         # worker entirely (codegen'd posexplode-free check via concat
-        # scan on the joined symbol string with unit separators)
-        sep = ""
+        # scan on the joined symbol string with a \x1f unit separator;
+        # the raw control char used here before round 7 was invisible
+        # in source and read as sep="" — the escape form makes the
+        # boundary clauses below legible as the real-separator checks
+        # they are. No false NEGATIVES even if a symbol contains \x1f:
+        # `joined` literally interleaves the symbols with sep, so an
+        # adjacent (left, right) always yields one of the patterns.
+        sep = "\x1f"
         joined = F.concat_ws(sep, F.col("symbols"))
         has = joined.contains(sep + left + sep + right + sep) | joined.startswith(
             left + sep + right + sep
