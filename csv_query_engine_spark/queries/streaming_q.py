@@ -391,7 +391,8 @@ def events_funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
     "events_value_anomalies",
     """
     WITH th AS (
-        SELECT event_type, ROUND(quantile_cont(value, 0.99), 4) AS p99
+        SELECT event_type,
+               FLOOR(quantile_cont(value, 0.99) * 1e4 + 0.5) / 1e4 AS p99
         FROM events GROUP BY event_type
     )
     SELECT e.event_type, th.p99,
@@ -410,27 +411,17 @@ def events_value_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
     the data, joined back, and applied as a predicate) that static
     range checks (orders_quality_constraints) can't express.
 
-    Scale: exact per-type percentile over 5 low-cardinality groups
-    (the documented approx_percentile switch applies at high group
-    counts); the 5-row threshold table broadcasts back onto the scan;
-    the comparison uses the ROUND(4)-identical threshold on both
-    engines so the boundary never drifts."""
+    This is the EXACT oracle tier of operators/anomaly.py::
+    value_anomaly_screen; the operator's approx=True default is the
+    100 TB path (mergeable approx_percentile summaries — exact
+    percentile buffers the per-group value multiset, which scales with
+    group ROW count on a continuous column). The exact threshold is
+    FLOOR-quantized (never engine ROUND; CLAUDE.md) so the DuckDB
+    quantile_cont twin lands on the identical double."""
+    from csv_query_engine_spark.operators.anomaly import value_anomaly_screen
+
     e = load_tables(spark, sf_dir, ("events",))["events"]
-    th = e.groupBy("event_type").agg(
-        F.round(F.expr("percentile(value, 0.99)"), 4).alias("p99")
-    )
-    return (
-        e.join(F.broadcast(th), "event_type")
-        .groupBy("event_type", "p99")
-        .agg(
-            F.count(F.lit(1)).cast("bigint").alias("n_total"),
-            F.sum(F.when(F.col("value") > F.col("p99"), 1).otherwise(0))
-            .cast("bigint")
-            .alias("n_anomalies"),
-        )
-        .select("event_type", "p99", "n_total", "n_anomalies")
-        .orderBy("event_type")
-    )
+    return value_anomaly_screen(e, approx=False)
 
 
 @register(
@@ -504,7 +495,8 @@ def events_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     "events_robust_anomalies",
     f"""
     WITH med AS (
-        SELECT event_type, ROUND(quantile_cont(value, 0.5), 4) AS med
+        SELECT event_type,
+               FLOOR(quantile_cont(value, 0.5) * 1e4 + 0.5) / 1e4 AS med
         FROM events GROUP BY event_type
     ),
     dev AS (
@@ -512,7 +504,8 @@ def events_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM events e JOIN med ON e.event_type = med.event_type
     ),
     mad AS (
-        SELECT event_type, ROUND(quantile_cont(d, 0.5), 4) AS mad
+        SELECT event_type,
+               FLOOR(quantile_cont(d, 0.5) * 1e4 + 0.5) / 1e4 AS mad
         FROM dev GROUP BY event_type
     )
     SELECT dev.event_type, dev.med, mad.mad,
@@ -533,31 +526,16 @@ def events_robust_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
     mean/stddev or p99, the thresholds themselves cannot be dragged by
     the outliers they are meant to catch.
 
-    Scale: two exact per-type percentiles over 5 low-cardinality groups
-    (the documented approx switch applies at high group counts), each
-    broadcast back onto the scan; thresholds ROUND(4)-stabilized on
-    both engines and the consistency constant emitted as the
-    Python-computed double literal (decimal hazard, CLAUDE.md)."""
+    This is the EXACT oracle tier of operators/anomaly.py::
+    robust_anomaly_screen; the operator's approx=True default is the
+    100 TB path (mergeable approx_percentile summaries for BOTH
+    passes — exact percentile buffers the per-group value multiset,
+    which scales with group ROW count on a continuous column). med and
+    mad are FLOOR-quantized (the chained med → d → MAD arithmetic
+    stays pure IEEE on both engines; engine ROUND compounds across the
+    chain — round-6 ADVICE) and the consistency constant is emitted as
+    the Python-computed double literal (decimal hazard, CLAUDE.md)."""
+    from csv_query_engine_spark.operators.anomaly import robust_anomaly_screen
+
     e = load_tables(spark, sf_dir, ("events",))["events"]
-    med = e.groupBy("event_type").agg(
-        F.round(F.expr("percentile(value, 0.5)"), 4).alias("med")
-    )
-    dev = e.join(F.broadcast(med), "event_type").select(
-        "event_type", "med", F.abs(F.col("value") - F.col("med")).alias("d")
-    )
-    mad = dev.groupBy("event_type").agg(
-        F.round(F.expr("percentile(d, 0.5)"), 4).alias("mad")
-    )
-    kk = F.lit(3.5 * 1.4826)
-    return (
-        dev.join(F.broadcast(mad), "event_type")
-        .groupBy("event_type", "med", "mad")
-        .agg(
-            F.count(F.lit(1)).cast("bigint").alias("n_total"),
-            F.sum(F.when(F.col("d") > kk * F.col("mad"), 1).otherwise(0))
-            .cast("bigint")
-            .alias("n_outliers"),
-        )
-        .select("event_type", "med", "mad", "n_total", "n_outliers")
-        .orderBy("event_type")
-    )
+    return robust_anomaly_screen(e, approx=False)

