@@ -42,14 +42,6 @@ DRIVER_ORDER: list[str] = [
     "setops_segment_overlap",
     "json_props_extract",
     "array_funcs_embeddings",
-    # Round-6 rotations IN (per round-5 verdict #3): the entire round-5
-    # surface — 8 remaining TPC-H shapes, the maintenance trio
-    # (MERGE/SCD2 write+read/CDC/incremental refresh), quality gate,
-    # Z-order, both graph ops, AllPairs, SymSpell, funnel, LM scores —
-    # was oracle-green locally but never driver-certified; it takes the
-    # slots of 22 multi-round-green siblings whose families keep
-    # in-window rows (mapping pinned in tests/test_pipeline_round3.py::
-    # test_registry_window_is_oracle_bearing).
     "q2_min_cost_supplier",
     "q9_profit_proxy",
     "q11_important_parts",
@@ -65,9 +57,17 @@ DRIVER_ORDER: list[str] = [
     "asof_join_last_order_before_event",
     "range_join_shipments_within_month",
     # -- streaming batch twins + event analytics
-    "events_hourly_counts",
+    # Round-7 rotations IN (round-6 verdict #2): the round-6 surface —
+    # Markov transitions, both anomaly screens (whose oracles ALSO
+    # changed this round: ROUND(4) -> FLOOR quantization, so the new
+    # forms get driver-certified), directed-dangling PageRank, heavy
+    # hitters, Kneser-Ney, k-means — takes the slots of 7 multi-round-
+    # green siblings whose families keep in-window rows (mapping pinned
+    # in tests/test_pipeline_round3.py).
     "events_conversion_attribution",
-    "events_funnel_steps",
+    "events_markov_transitions",
+    "events_value_anomalies",
+    "events_robust_anomalies",
     # -- write-side maintenance (MERGE / SCD2 write+read / CDC / refresh)
     "merge_upsert_customer_refresh",
     "scd2_customer_segment_history",
@@ -78,14 +78,13 @@ DRIVER_ORDER: list[str] = [
     "orders_quality_constraints",
     "orders_zorder_layout_stats",
     # -- iterative graph family
-    "graph_pagerank_trade_network",
+    "graph_pagerank_directed_purchases",
     "graph_triangle_part_cooccurrence",
     # -- LLM-pipeline: text analysis / dedup / sampling / embeddings / UDF
-    "docs_lang_id",
     "docs_quality_filter",
     "dedup_exact_docs",
     "docs_split_assignment",
-    "embedding_topk_bruteforce",
+    "embedding_kmeans_clusters",
     "docs_udtf_sentences",
     "customer_order_gap_profile",
     "dedup_cluster_canonical",
@@ -95,19 +94,30 @@ DRIVER_ORDER: list[str] = [
     "docs_shard_assignment",
     "dedup_allpairs_jaccard",
     "docs_token_typo_pairs",
+    "docs_heavy_hitter_tokens",
+    "docs_kneser_ney_scores",
+    # ==================== driver window ends at 50 ====================
+    # Rotated OUT in round 7 (each driver-certified green in r6; family
+    # kept in-window — sink-free PageRank via the directed variant +
+    # triangles, LM scoring via Kneser-Ney, embedding math via k-means,
+    # windowed event aggs via conversion_attribution + markov, ordered
+    # funnels via markov transitions, text stats via quality_filter +
+    # heavy hitters):
+    "graph_pagerank_trade_network",
+    "docs_lang_id",
     "docs_unigram_lm_scores",
     "docs_bigram_lm_scores",
-    # ==================== driver window ends at 50 ====================
+    "embedding_topk_bruteforce",
+    "events_hourly_counts",
+    "events_funnel_steps",
     # Rotated OUT in round 6 (certified green in r5 and earlier; their
     # capability families stay in-window — outer joins via q13, anti/
     # NOT-EXISTS via q22, correlated scalars via q2, semi/EXISTS via
     # q20+q21, selective-scan agg via q19, snowflake joins via q9,
     # agg+global-threshold via q11, conditional agg via q12, top-k via
-    # q3, window frames via range_frame, text stats via quality_filter,
-    # term scoring via the LM queries, gram-blocked dedup via AllPairs,
-    # corpus profiling via vocab_coverage, embedding math via
-    # topk_bruteforce, hash sampling via split_assignment, windowed
-    # streaming via hourly + conversion_attribution):
+    # q3, window frames via range_frame, gram-blocked dedup via
+    # AllPairs, corpus profiling via vocab_coverage, hash sampling via
+    # split_assignment, windowed streaming via conversion_attribution):
     "q5_local_supplier_volume",
     "join_kinds_outer",
     "anti_join_parts_never_ordered",
@@ -186,21 +196,7 @@ DRIVER_ORDER: list[str] = [
     "media_wav_decode_stats",
     "docs_weighted_sample",
     "docs_split_leakage_audit",
-    "events_value_anomalies",
     "json_props_variant",
-    # Round-6: dangling-mass PageRank over the DIRECTED purchase graph
-    # (every supplier a pure sink; sql_pagerank_directed twin):
-    "graph_pagerank_directed_purchases",
-    # Round-6: Misra-Gries heavy hitters with exact candidate
-    # verification — bounded per-task state, candidate-only shuffles,
-    # exact output (oracle = plain GROUP BY/HAVING):
-    "docs_heavy_hitter_tokens",
-    # Round-6: interpolated Kneser-Ney bigram smoothing — completes the
-    # LM family (unigram -> raw conditional -> production smoothing):
-    "docs_kneser_ney_scores",
-    # Round-6: exact fixed-point k-means — the second fully oracle-
-    # paired iterative algorithm (integer distances, no float drift):
-    "embedding_kmeans_clusters",
     # Rows-only ops (no SQL-expressible oracle; pytest covers recall/
     # precision/planted-neighbor properties):
     "docs_benchmark_decontamination",
@@ -215,12 +211,6 @@ DRIVER_ORDER: list[str] = [
     # Round-6: mergeable DataSketches HLL rollup (daily sketch state
     # unioned to per-type totals — the 100 TB pre-aggregation pattern):
     "sketch_user_rollup",
-    # Round-6: first-order Markov transition matrix over per-user event
-    # sequences (the sequence-model member next to funnel/sessionization):
-    "events_markov_transitions",
-    # Round-6: robust median/MAD anomaly screen (outlier-resistant
-    # thresholds next to the p99 screen):
-    "events_robust_anomalies",
     # Round-5: distributed BPE tokenizer training + encoding — the
     # merge loop is iterative argmax state (no SQL oracle); locked to a
     # pure-Python Sennrich reference in tests/test_bpe.py:

@@ -112,7 +112,7 @@ def test_pii_scan_patterns_and_redaction(spark):
 
 def test_registry_window_is_oracle_bearing(spark):
     """The driver checks exactly the first 50 queries() entries — they
-    must ALL carry oracles, cover the new round-3 ops, and the full
+    must ALL carry oracles, cover the round-7 rotations, and the full
     DRIVER_ORDER must stay in one-to-one sync with the registry."""
     from csv_query_engine_spark.queries import DRIVER_ORDER, all_oracles, all_queries
 
@@ -123,31 +123,17 @@ def test_registry_window_is_oracle_bearing(spark):
     window = names[:50]
     missing = [n for n in window if n not in oracles]
     assert not missing, f"non-oracle queries inside the driver window: {missing}"
-    # Round-6 rotations IN (round-5 verdict #3): the entire round-5
-    # surface, driver-certified for the first time this round.
+    # Round-7 rotations IN (round-6 verdict #2): the round-6 surface,
+    # driver-certified for the first time this round — plus BOTH anomaly
+    # screens, whose oracles changed (ROUND -> FLOOR) in round 7.
     for new in (
-        "q2_min_cost_supplier",
-        "q11_important_parts",
-        "q12_ship_lag_priority",
-        "q13_customer_order_distribution",
-        "q16_supplier_part_variety",
-        "q20_dominant_part_suppliers",
-        "q21_sole_late_shipper",
-        "q22_dormant_customer_balance",
-        "merge_upsert_customer_refresh",
-        "scd2_customer_segment_history",
-        "scd2_snapshot_asof",
-        "customer_snapshot_cdc_diff",
-        "orders_incremental_agg_refresh",
-        "orders_quality_constraints",
-        "orders_zorder_layout_stats",
-        "graph_pagerank_trade_network",
-        "graph_triangle_part_cooccurrence",
-        "dedup_allpairs_jaccard",
-        "docs_token_typo_pairs",
-        "events_funnel_steps",
-        "docs_unigram_lm_scores",
-        "docs_bigram_lm_scores",
+        "events_markov_transitions",
+        "events_value_anomalies",
+        "events_robust_anomalies",
+        "graph_pagerank_directed_purchases",
+        "embedding_kmeans_clusters",
+        "docs_heavy_hitter_tokens",
+        "docs_kneser_ney_scores",
     ):
         assert new in window, new
     # Long-standing window anchors stay certified.
@@ -165,11 +151,27 @@ def test_registry_window_is_oracle_bearing(spark):
         "dedup_cluster_canonical",
         "docs_sequence_packing",
         "docs_shard_assignment",
+        "merge_upsert_customer_refresh",
+        "scd2_customer_segment_history",
+        "orders_quality_constraints",
+        "orders_zorder_layout_stats",
+        "graph_triangle_part_cooccurrence",
+        "dedup_allpairs_jaccard",
+        "docs_token_typo_pairs",
     ):
         assert kept in window, kept
     # Every rotated-out sibling's capability family keeps an in-window
-    # row (round-6 mapping; see the DRIVER_ORDER rotation note).
+    # row (round-6 + round-7 mappings; see the DRIVER_ORDER notes).
     for out, kept in [
+        # round-7 rotations out
+        ("graph_pagerank_trade_network", "graph_pagerank_directed_purchases"),
+        ("docs_lang_id", "docs_quality_filter"),  # text classification
+        ("docs_unigram_lm_scores", "docs_kneser_ney_scores"),  # LM scoring
+        ("docs_bigram_lm_scores", "docs_kneser_ney_scores"),
+        ("embedding_topk_bruteforce", "embedding_kmeans_clusters"),
+        ("events_hourly_counts", "events_conversion_attribution"),
+        ("events_funnel_steps", "events_markov_transitions"),  # sequences
+        # round-6 rotations out (families unchanged)
         ("join_kinds_outer", "q13_customer_order_distribution"),  # outer join
         ("anti_join_parts_never_ordered", "q22_dormant_customer_balance"),
         ("correlated_scalar_subquery", "q2_min_cost_supplier"),
@@ -184,13 +186,13 @@ def test_registry_window_is_oracle_bearing(spark):
         ("q14_promo_revenue_share", "q12_ship_lag_priority"),  # conditional agg
         ("q5_local_supplier_volume", "flagship_region_nation_revenue"),
         ("window_lag_order_gaps", "window_range_frame_moving_sum"),
-        ("events_sessionization", "events_hourly_counts"),
+        ("events_sessionization", "events_markov_transitions"),
         ("docs_repetition_stats", "docs_quality_filter"),
         ("docs_char_entropy", "docs_quality_filter"),
-        ("docs_tfidf_top_terms", "docs_unigram_lm_scores"),  # term scoring
+        ("docs_tfidf_top_terms", "docs_kneser_ney_scores"),  # term scoring
         ("dedup_incremental_admission", "dedup_allpairs_jaccard"),
         ("docs_dataset_card", "docs_vocab_coverage"),
-        ("embedding_centroids_by_label", "embedding_topk_bruteforce"),
+        ("embedding_centroids_by_label", "embedding_kmeans_clusters"),
         ("docs_token_budget_mix", "docs_split_assignment"),  # hash sampling
     ]:
         assert out not in window and kept in window, (out, kept)
