@@ -789,6 +789,7 @@ def kmeans_clusters(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     salt: str = "km-",
+    _dims: DataFrame | None = None,
 ) -> DataFrame:
     """(vec_id, cluster_id, sq_dist_units): Lloyd's k-means with
     CROSS-ENGINE-EXACT arithmetic — the PageRank treatment applied to
@@ -812,10 +813,12 @@ def kmeans_clusters(
     centroids stay float — here quantization makes integer codegen
     possible). Centroids are the one legitimately driver-sized object
     (k×dim longs), collected once per iteration; the dims table
-    persists once and feeds every round."""
+    persists once and feeds every round (callers that already hold the
+    quantized dims — semantic_dedup_pairs — pass them via ``_dims`` so
+    the explode+persist isn't paid twice)."""
     from pyspark.storagelevel import StorageLevel
 
-    dims = (
+    dims = _dims if _dims is not None else (
         _spread(embeddings)
         .select(F.col(id_col).alias("id"), F.posexplode(vec_col).alias("pos", "x"))
         .select("id", "pos", _km_quant(F.col("x")).alias("xq"))
@@ -945,4 +948,138 @@ def sql_kmeans(
     {seeds},
     {unrolled}
     {final}
+    """
+
+
+# --------------------------------------------- SemDeDup semantic dedup
+
+def semantic_dedup_pairs(
+    embeddings: DataFrame,
+    k: int = 8,
+    iterations: int = 3,
+    threshold: float = 0.92,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    salt: str = "km-",
+) -> DataFrame:
+    """(cluster_id, vec_id_a, vec_id_b, cos_sim): SemDeDup (Abbas et
+    al. 2023, arXiv:2303.09540) — embedding-space near-duplicate pairs:
+    k-means buckets the corpus, then EXACT pairwise cosine runs only
+    WITHIN each cluster. This is the semantic sibling of MinHash/SimHash
+    dedup: it catches paraphrases whose token sets share nothing, which
+    no shingle-based method can see, and the clusters are what keep it
+    bucketed — never all-pairs.
+
+    Scale: the paper's own containment argument — per-cluster work is
+    quadratic, so k scales with N to bound cluster size (k ≈ N/target,
+    e.g. 100k clusters of ~10⁴ docs at 10⁹ docs) and total pair volume
+    is Σ n_c² ≈ N·target, linear in N for fixed target. The pair join
+    shuffles on (cluster_id, pos) — pure codegen'd integer arithmetic,
+    no Python. Cross-engine determinism: coordinates ride the k-means
+    scale-6 quantization, so dot products and squared norms are exact
+    integers; the only float steps (sqrt, one divide, FLOOR-quantize to
+    1e-6) are single IEEE operations — bit-equal in DuckDB
+    (:func:`sql_semantic_pairs`), making this a fully ORACLE-PAIRED
+    dedup member (MinHash/SimHash are rows-only).
+
+    Consumers/persists per CLAUDE.md: `dims` feeds k-means AND the pair
+    join (persisted once, shared with kmeans_clusters via `_dims`); the
+    final assignment is consumed by both join legs (persisted —
+    re-running 3 Lloyd iterations per leg otherwise); norms are two
+    cheap aggregates over the cached dims."""
+    from pyspark.storagelevel import StorageLevel
+
+    dims = (
+        _spread(embeddings)
+        .select(F.col(id_col).alias("id"), F.posexplode(vec_col).alias("pos", "x"))
+        .select("id", "pos", _km_quant(F.col("x")).alias("xq"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    assign = (
+        kmeans_clusters(
+            embeddings, k=k, iterations=iterations, id_col=id_col,
+            vec_col=vec_col, salt=salt, _dims=dims,
+        )
+        .select(F.col(id_col).alias("id"), "cluster_id")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    da = dims.join(assign, "id")
+    left = da.select(
+        "cluster_id", F.col("id").alias("id_a"), "pos", F.col("xq").alias("xa")
+    )
+    right = da.select(
+        "cluster_id", F.col("id").alias("id_b"), "pos", F.col("xq").alias("xb")
+    )
+    dot_q = (
+        left.join(right, ["cluster_id", "pos"])
+        .filter(F.col("id_b") > F.col("id_a"))
+        .groupBy("cluster_id", "id_a", "id_b")
+        .agg(F.sum(F.col("xa") * F.col("xb")).alias("dotq"))
+    )
+    norms = dims.groupBy("id").agg(F.sum(F.col("xq") * F.col("xq")).alias("nq"))
+    na = norms.select(F.col("id").alias("id_a"), F.col("nq").alias("na"))
+    nb = norms.select(F.col("id").alias("id_b"), F.col("nq").alias("nb"))
+    # na, nb < 2^53 so their double casts are exact; product/sqrt/divide
+    # are single IEEE ops, then the FLOOR idiom (never engine ROUND)
+    cos_q = F.floor(
+        F.col("dotq").cast("double")
+        / F.sqrt(F.col("na").cast("double") * F.col("nb").cast("double"))
+        * F.lit(1e6)
+        + F.lit(0.5)
+    ) / F.lit(1e6)
+    return (
+        dot_q.join(na, "id_a")
+        .join(nb, "id_b")
+        .select(
+            "cluster_id",
+            F.col("id_a").alias("vec_id_a"),
+            F.col("id_b").alias("vec_id_b"),
+            cos_q.alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= F.lit(threshold))
+        .orderBy("cluster_id", "vec_id_a", "vec_id_b")
+    )
+
+
+def sql_semantic_pairs(
+    k: int = 8,
+    iterations: int = 3,
+    threshold: float = 0.92,
+    salt: str = "km-",
+    table: str = "embeddings",
+) -> str:
+    """DuckDB twin of :func:`semantic_dedup_pairs`: the k-means twin
+    nested as a CTE, then the identical quantized-integer pair join.
+    The threshold is emitted as the Python-computed repr CAST AS DOUBLE
+    (decimal-literal hazard, CLAUDE.md)."""
+    inner = sql_kmeans(k=k, iterations=iterations, salt=salt, table=table)
+    return f"""
+    WITH assign AS ({inner}),
+    qd AS (
+        SELECT vec_id AS id,
+               generate_subscripts(embedding, 1) - 1 AS pos,
+               CAST(FLOOR(CAST(unnest(embedding) AS DOUBLE) * 1e6 + 0.5) AS BIGINT) AS xq
+        FROM {table}
+    ),
+    nrm AS (SELECT id, CAST(SUM(xq * xq) AS BIGINT) AS nq FROM qd GROUP BY id),
+    dt AS (
+        SELECT aa.cluster_id, a.id AS id_a, b.id AS id_b,
+               CAST(SUM(a.xq * b.xq) AS BIGINT) AS dotq
+        FROM qd a
+        JOIN assign aa ON a.id = aa.vec_id
+        JOIN assign ab ON ab.cluster_id = aa.cluster_id AND ab.vec_id > aa.vec_id
+        JOIN qd b ON b.id = ab.vec_id AND b.pos = a.pos
+        GROUP BY aa.cluster_id, a.id, b.id
+    )
+    SELECT * FROM (
+        SELECT dt.cluster_id, dt.id_a AS vec_id_a, dt.id_b AS vec_id_b,
+               FLOOR(CAST(dt.dotq AS DOUBLE)
+                     / sqrt(CAST(na.nq AS DOUBLE) * CAST(nb.nq AS DOUBLE))
+                     * 1e6 + 0.5) / 1e6 AS cos_sim
+        FROM dt
+        JOIN nrm na ON na.id = dt.id_a
+        JOIN nrm nb ON nb.id = dt.id_b
+    )
+    WHERE cos_sim >= CAST({threshold!r} AS DOUBLE)
+    ORDER BY cluster_id, vec_id_a, vec_id_b
     """

@@ -197,6 +197,10 @@ DRIVER_ORDER: list[str] = [
     "docs_weighted_sample",
     "docs_split_leakage_audit",
     "json_props_variant",
+    # Round-7: SemDeDup semantic near-dup pairs (k-means buckets +
+    # within-cluster exact quantized cosine; fully oracle-paired —
+    # the embedding-space dedup member next to MinHash/SimHash):
+    "dedup_semantic_pairs",
     # Rows-only ops (no SQL-expressible oracle; pytest covers recall/
     # precision/planted-neighbor properties):
     "docs_benchmark_decontamination",

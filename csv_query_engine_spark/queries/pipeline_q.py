@@ -2238,3 +2238,33 @@ def embedding_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = load_tables(spark, sf_dir, ("embeddings",))["embeddings"]
     return kmeans_clusters(e, k=8, iterations=3).orderBy("vec_id")
+
+
+def _semantic_pairs_oracle() -> str:
+    from csv_query_engine_spark.pipeline.similarity import sql_semantic_pairs
+
+    return sql_semantic_pairs(k=8, iterations=3, threshold=0.4)
+
+
+@register("dedup_semantic_pairs", _semantic_pairs_oracle())
+def dedup_semantic_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023) semantic near-duplicate pairs over
+    the embedding corpus (pipeline/similarity.py::semantic_dedup_pairs):
+    k-means buckets, then exact quantized-integer cosine WITHIN each
+    cluster — the embedding-space dedup member that catches paraphrases
+    MinHash/SimHash token shingles can't see, fully oracle-paired
+    (the k-means twin nests as a CTE; dot products and norms are exact
+    integers; the one float step is FLOOR-quantized).
+
+    The 0.40 threshold is calibrated to the synthetic harness corpus
+    (unit-norm vectors, max pairwise cosine ≈ 0.48 — a production
+    paraphrase threshold like the operator's 0.92 default would report
+    honest zeros, the pii_scrub precedent; planted-paraphrase recall at
+    realistic thresholds is pytest-covered in tests/test_semantic_dedup.py).
+
+    Scale: per-cluster quadratic with k scaling to bound cluster size
+    (the paper's containment argument) — never all-pairs."""
+    from csv_query_engine_spark.pipeline.similarity import semantic_dedup_pairs
+
+    e = load_tables(spark, sf_dir, ("embeddings",))["embeddings"]
+    return semantic_dedup_pairs(e, k=8, iterations=3, threshold=0.4)
