@@ -105,3 +105,114 @@ def sql_feature_hash(
            {feats}
     FROM hashed GROUP BY id ORDER BY {id_col}
     """
+
+
+# ----------------------------------- linear quality classifier scoring
+
+def default_quality_weights(n_features: int = 8, salt: str = "qw-") -> list[float]:
+    """Deterministic hash-derived weight vector in [-1, 1): the fixed
+    stand-in for trained fastText-style classifier weights, so the
+    scoring operator is reproducible AND oracle-pairable (a real
+    deployment passes its trained weights instead — the plan is
+    identical; only the literals change)."""
+    import hashlib
+
+    return [
+        int.from_bytes(hashlib.md5(f"{salt}{k}".encode()).digest()[:4], "big")
+        / float(1 << 31)
+        - 1.0
+        for k in range(n_features)
+    ]
+
+
+def linear_quality_scores(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_features: int = 8,
+    weights: list[float] | None = None,
+    bias: float = 0.0,
+    threshold: float = 0.5,
+    salt: str = "fh-",
+) -> DataFrame:
+    """fastText-style LEARNED quality gate (Joulin et al. 2016; the
+    GPT-3/CCNet data-filtering recipe): sigmoid(w · x + b) over the
+    hashing-trick features, where x_k = f_k / n_tokens (length-
+    normalized signed counts). Output: (id_col, n_tokens, logit,
+    quality_score, pass_gate 0/1), one row per doc with ≥1 token.
+
+    Contrast with the rule-based Gopher path (pipeline/text.py::
+    quality_filter): the rules encode fixed editorial heuristics
+    (length/punct/stopword bounds); this is the trained-classifier
+    shape — any linear model over hashed features ships as ONE
+    broadcast-free expression (the weights are plan literals, the dot
+    product is d codegen'd multiply-adds per row, no Python, no join,
+    no shuffle beyond the feature aggregation itself).
+
+    Determinism: the weighted sum accumulates left-to-right in a fixed
+    order (pure IEEE, same in the DuckDB twin); the logit is
+    FLOOR-quantized BEFORE the sigmoid so both engines exponentiate the
+    identical double, and the score is FLOOR-quantized after (the
+    kneser_ney pre-rounded-transcendental precedent); weight literals
+    are emitted as Python-computed reprs (decimal hazard, CLAUDE.md)."""
+    w = list(weights) if weights is not None else default_quality_weights(n_features)
+    if len(w) != n_features:
+        raise ValueError(f"need {n_features} weights, got {len(w)}")
+    vecs = feature_hash_vectors(df, id_col, text_col, n_features, salt)
+    nt = F.col("n_tokens").cast("double")
+    z = F.lit(float(bias))
+    for k, wk in enumerate(w):
+        z = z + F.lit(float(wk)) * (F.col(f"f{k}").cast("double") / nt)
+    zq = F.floor(z * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)
+    sig = F.lit(1.0) / (F.lit(1.0) + F.exp(-F.col("logit")))
+    score = F.floor(sig * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)
+    return (
+        vecs.select(id_col, "n_tokens", zq.alias("logit"))
+        .select(
+            id_col,
+            "n_tokens",
+            "logit",
+            score.alias("quality_score"),
+        )
+        .withColumn(
+            "pass_gate",
+            F.when(F.col("quality_score") >= F.lit(float(threshold)), 1)
+            .otherwise(0)
+            .cast("int"),
+        )
+    )
+
+
+def sql_linear_quality(
+    table: str,
+    sql_toks: str,
+    id_col: str = "doc_id",
+    n_features: int = 8,
+    weights: list[float] | None = None,
+    bias: float = 0.0,
+    threshold: float = 0.5,
+    salt: str = "fh-",
+) -> str:
+    """DuckDB twin of :func:`linear_quality_scores`: the feature-hash
+    twin as a CTE, then the identical left-associated weighted sum,
+    FLOOR-quantized logit, sigmoid, and gate."""
+    w = list(weights) if weights is not None else default_quality_weights(n_features)
+    fv = sql_feature_hash(table, sql_toks, id_col, n_features, salt)
+    terms = " + ".join(
+        f"CAST({wk!r} AS DOUBLE) * (CAST(f{k} AS DOUBLE) / CAST(n_tokens AS DOUBLE))"
+        for k, wk in enumerate(w)
+    )
+    return f"""
+    WITH fv AS ({fv}),
+    zt AS (
+        SELECT {id_col}, n_tokens,
+               FLOOR((CAST({float(bias)!r} AS DOUBLE) + {terms}) * 1e6 + 0.5) / 1e6 AS logit
+        FROM fv
+    )
+    SELECT {id_col}, n_tokens, logit,
+           FLOOR(1.0 / (1.0 + exp(-logit)) * 1e6 + 0.5) / 1e6 AS quality_score,
+           CAST(CASE WHEN FLOOR(1.0 / (1.0 + exp(-logit)) * 1e6 + 0.5) / 1e6
+                          >= CAST({float(threshold)!r} AS DOUBLE)
+                     THEN 1 ELSE 0 END AS INTEGER) AS pass_gate
+    FROM zt ORDER BY {id_col}
+    """

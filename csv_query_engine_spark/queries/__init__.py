@@ -201,6 +201,9 @@ DRIVER_ORDER: list[str] = [
     # within-cluster exact quantized cosine; fully oracle-paired —
     # the embedding-space dedup member next to MinHash/SimHash):
     "dedup_semantic_pairs",
+    # Round-7: fastText-style linear quality classifier over hashed
+    # features — the LEARNED gate next to the rule-based Gopher filter:
+    "docs_quality_classifier_scores",
     # Rows-only ops (no SQL-expressible oracle; pytest covers recall/
     # precision/planted-neighbor properties):
     "docs_benchmark_decontamination",

@@ -2268,3 +2268,28 @@ def dedup_semantic_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = load_tables(spark, sf_dir, ("embeddings",))["embeddings"]
     return semantic_dedup_pairs(e, k=8, iterations=3, threshold=0.4)
+
+
+def _linear_quality_oracle() -> str:
+    from csv_query_engine_spark.pipeline.features import sql_linear_quality
+
+    return sql_linear_quality("documents", _SQL_TOKS)
+
+
+@register("docs_quality_classifier_scores", _linear_quality_oracle())
+def docs_quality_classifier_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """fastText-style linear quality classifier over hashed features
+    (pipeline/features.py::linear_quality_scores) — the LEARNED quality
+    gate next to the rule-based Gopher path (docs_quality_filter):
+    sigmoid of a weight vector dotted with length-normalized
+    hashing-trick counts. Deterministic hash-derived weights keep the
+    query oracle-pairable; a production run swaps in trained weights
+    with the identical plan.
+
+    Scale: the classifier itself adds ZERO distributed work beyond the
+    feature aggregation — d codegen'd multiply-adds per doc row, the
+    weights are plan literals (no broadcast, no join, no Python)."""
+    from csv_query_engine_spark.pipeline.features import linear_quality_scores
+
+    d = load_tables(spark, sf_dir, ("documents",))["documents"]
+    return linear_quality_scores(d).orderBy("doc_id")
