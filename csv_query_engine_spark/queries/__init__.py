@@ -204,6 +204,9 @@ DRIVER_ORDER: list[str] = [
     # Round-7: fastText-style linear quality classifier over hashed
     # features — the LEARNED gate next to the rule-based Gopher filter:
     "docs_quality_classifier_scores",
+    # Round-7: batch twin of the stream-native Misra-Gries heavy
+    # hitters (per-window MG state in applyInPandasWithState):
+    "events_window_heavy_hitters",
     # Rows-only ops (no SQL-expressible oracle; pytest covers recall/
     # precision/planted-neighbor properties):
     "docs_benchmark_decontamination",

@@ -539,3 +539,53 @@ def events_robust_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = load_tables(spark, sf_dir, ("events",))["events"]
     return robust_anomaly_screen(e, approx=False)
+
+
+@register(
+    "events_window_heavy_hitters",
+    """
+    WITH w AS (
+        SELECT CAST(time_bucket(INTERVAL '1 hour', ts) AS TIMESTAMP)
+                   AS window_start,
+               event_type
+        FROM events
+    ),
+    tot AS (
+        SELECT window_start, CAST(COUNT(*) AS BIGINT) AS n_window
+        FROM w GROUP BY window_start
+    )
+    SELECT w.window_start, w.event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_occ, tot.n_window
+    FROM w JOIN tot USING (window_start)
+    GROUP BY w.window_start, w.event_type, tot.n_window
+    HAVING CAST(COUNT(*) AS BIGINT) > tot.n_window // 8
+    ORDER BY window_start, event_type
+    """,
+)
+def events_window_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-window heavy hitters: event types whose count within their
+    tumbling 1-hour window exceeds n_window/k (k=8) — the BATCH TWIN of
+    streaming/events.py::streaming_heavy_hitters, which carries the
+    Misra-Gries summary as per-window state in applyInPandasWithState.
+    Output is exact, so the oracle is plain GROUP BY + HAVING against
+    the per-window total (integer division on both engines).
+
+    Scale: two aggregations keyed on the window (bounded output), the
+    per-window totals broadcast back; the STREAMING sibling does the
+    same with O(k) state per window and no dictionary-wide shuffle —
+    its candidates provably cover this exact answer (MG bound), and
+    tests/test_streaming.py pins streaming == batch at harness
+    cardinalities with a checkpoint restart."""
+    e = load_tables(spark, sf_dir, ("events",))["events"]
+    w = e.select(F.window("ts", "1 hour").start.alias("window_start"), "event_type")
+    tot = w.groupBy("window_start").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_window")
+    )
+    return (
+        w.groupBy("window_start", "event_type")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_occ"))
+        .join(F.broadcast(tot), "window_start")
+        .filter(F.col("n_occ") > F.expr("n_window div 8"))
+        .select("window_start", "event_type", "n_occ", "n_window")
+        .orderBy("window_start", "event_type")
+    )

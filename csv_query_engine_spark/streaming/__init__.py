@@ -8,6 +8,7 @@ from csv_query_engine_spark.streaming.events import (
     sessionize_stream,
     stateful_type_profiles,
     stream_dedup,
+    streaming_heavy_hitters,
     windowed_event_counts,
 )
 
@@ -21,5 +22,6 @@ __all__ = [
     "sessionize_stream",
     "stateful_type_profiles",
     "stream_dedup",
+    "streaming_heavy_hitters",
     "windowed_event_counts",
 ]

@@ -237,6 +237,101 @@ def stateful_type_profiles(events: DataFrame) -> DataFrame:
     )
 
 
+def streaming_heavy_hitters(
+    events: DataFrame, k: int = 8, window: str = "1 hour"
+) -> DataFrame:
+    """Stream-native Misra-Gries heavy hitters: the mergeable MG
+    summary from pipeline/sketches.py carried as PER-WINDOW state in
+    ``applyInPandasWithState`` — windowed top event types with bounded
+    state, closing the loop between the sketch layer and the streaming
+    layer (round-6 verdict #7). Emits, per update, every candidate the
+    window's summary currently holds: (window_start, event_type,
+    mg_count, n_window).
+
+    Guarantees (Misra & Gries 1982, same bulk-decrement step as the
+    batch summarizer): after any prefix of the window's stream the
+    summary holds every type whose true count exceeds n_window/k, and
+    mg_count underestimates the true count by at most n_window/k.
+    When k ≥ the live type cardinality no decrement ever fires and the
+    counts are EXACT — the harness case the restart test pins against
+    the batch twin (queries/streaming_q.events_window_heavy_hitters,
+    oracle-paired).
+
+    Scale: state per window is O(k) — two short arrays — regardless of
+    how many events or distinct types the window sees; the shuffle per
+    micro-batch keys on the window start only. NoTimeout keeps the test
+    deterministic; a production stream sets EventTimeTimeout to retire
+    windows the watermark has passed (the state-bounding contract)."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    out_schema = T.StructType(
+        [
+            T.StructField("window_start", T.TimestampType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("mg_count", T.LongType()),
+            T.StructField("n_window", T.LongType()),
+        ]
+    )
+    state_schema = T.StructType(
+        [
+            T.StructField("types", T.ArrayType(T.StringType())),
+            T.StructField("counts", T.ArrayType(T.LongType())),
+            T.StructField("total", T.LongType()),
+        ]
+    )
+
+    def update(key, pdfs, state):
+        import pandas as pd
+
+        if state.exists:
+            types, counts, total = state.get
+            counters = dict(zip(types, [int(c) for c in counts]))
+            total = int(total)
+        else:
+            counters, total = {}, 0
+        for pdf in pdfs:
+            vc = pdf["event_type"].value_counts()
+            total += int(vc.sum())
+            for tok, c in vc.items():
+                c = int(c)
+                if tok in counters:
+                    counters[tok] += c
+                elif len(counters) < k:
+                    counters[tok] = c
+                else:
+                    # bulk MG decrement (identical to the batch
+                    # summarizer): each decrement unit is paid by k+1
+                    # distinct keys at once, preserving the n/k bound
+                    while c > 0 and tok not in counters:
+                        if len(counters) < k:
+                            counters[tok] = c
+                            break
+                        m = min(counters.values())
+                        dec = min(c, m)
+                        counters = {
+                            t: v - dec for t, v in counters.items() if v - dec > 0
+                        }
+                        c -= dec
+        state.update((list(counters), list(counters.values()), total))
+        yield pd.DataFrame(
+            {
+                "window_start": [key[0]] * len(counters),
+                "event_type": list(counters),
+                "mg_count": list(counters.values()),
+                "n_window": [total] * len(counters),
+            }
+        )
+
+    win_start = F.window("ts", window).start.alias("window_start")
+    return (
+        events.select(win_start, "event_type")
+        .groupBy("window_start")
+        .applyInPandasWithState(
+            update, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
+        )
+    )
+
+
 def conversion_join(
     views: DataFrame,
     purchases: DataFrame,

