@@ -1,0 +1,178 @@
+"""Okapi BM25 retrieval scoring (Robertson & Zaragoza 2009; the Lucene
+``k1/b`` variant with the smooth ln(1 + (N−df+0.5)/(df+0.5)) IDF) —
+the lexical-retrieval member of the pipeline next to tf-idf (term
+IMPORTANCE profiling) and the embedding ANN family (semantic
+retrieval): score a query term set against every document and return
+the top results, the op a RAG/data-curation pipeline runs to find
+supporting or contaminating documents at corpus scale.
+
+No reference analog (the reference has no text scoring at all); the
+formula and constants are the public textbook form.
+
+Scale design:
+- ONE token explode feeds everything (persisted: tf, df, doc lengths
+  and the derived query-term set all read it — the multi-consumer
+  rule);
+- the query-term table is ≤ n_terms rows — broadcast into the tf join,
+  so the only corpus-scale shuffle is the (doc, token) tf aggregate;
+- N, total length, and avgdl are 1-row broadcasts;
+- per-term partial scores quantize to 1e-6 LONG units before the
+  per-doc SUM (integer addition is order-free — the exact-sum pattern;
+  a double SUM's partition-dependent order could not hash-match);
+- the IDF's ln() is the one transcendental: FLOOR-quantized at 1e-9
+  immediately (the pre-rounded-ln precedent in text.py::char_entropy),
+  every other step is single IEEE ops on identical doubles;
+- top-k is a bounded orderBy+limit with a unique doc_id tiebreak.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from csv_query_engine_spark.pipeline.common import spread as _spread
+from csv_query_engine_spark.pipeline.text import tokens
+
+K1 = 1.2
+B = 0.75
+
+
+def bm25_topk(
+    df: DataFrame,
+    n_terms: int = 8,
+    top_n: int = 20,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k1: float = K1,
+    b: float = B,
+) -> DataFrame:
+    """(doc_id, n_matched_terms, bm25_score): top ``top_n`` documents by
+    BM25 against the corpus's own ``n_terms`` highest-document-frequency
+    tokens (df desc, token asc tiebreak — a deterministic, SQL-derivable
+    stand-in for a user query; a real deployment broadcasts its query
+    terms instead, with the identical plan)."""
+    from pyspark.storagelevel import StorageLevel
+
+    tok = (
+        _spread(df.select(F.col(id_col).alias("id"), tokens(F.col(text_col)).alias("_t")))
+        .select("id", F.explode("_t").alias("token"))
+        .filter(F.col("token") != "")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    tf = (
+        tok.groupBy("id", "token")
+        .agg(F.count(F.lit(1)).cast("long").alias("tf"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    doclen = tok.groupBy("id").agg(F.count(F.lit(1)).cast("long").alias("dl"))
+    dfreq = tf.groupBy("token").agg(F.count(F.lit(1)).cast("long").alias("df"))
+    qterms = dfreq.orderBy(F.col("df").desc(), "token").limit(n_terms)
+    stats = doclen.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("dl").cast("long").alias("total_len"),
+    )
+    # idf quantized at 1e-9 right after the ln (the one transcendental)
+    idf = F.floor(
+        F.log(
+            F.lit(1.0)
+            + (F.col("n_docs").cast("double") - F.col("df").cast("double") + F.lit(0.5))
+            / (F.col("df").cast("double") + F.lit(0.5))
+        )
+        * F.lit(1e9)
+        + F.lit(0.5)
+    ) / F.lit(1e9)
+    q = (
+        qterms.crossJoin(F.broadcast(stats))  # 1-row broadcast, not cartesian
+        .select("token", idf.alias("idf"), "n_docs", "total_len")
+    )
+    avgdl = F.col("total_len").cast("double") / F.col("n_docs").cast("double")
+    norm = F.lit(float(k1)) * (
+        F.lit(1.0 - b) + F.lit(float(b)) * (F.col("dl").cast("double") / avgdl)
+    )
+    term_score = (
+        F.col("idf")
+        * (F.col("tf").cast("double") * F.lit(float(k1 + 1.0)))
+        / (F.col("tf").cast("double") + norm)
+    )
+    # per-term scores -> 1e-6 long units BEFORE the per-doc sum
+    units = F.floor(term_score * F.lit(1e6) + F.lit(0.5)).cast("long")
+    scored = (
+        tf.join(F.broadcast(q), "token")
+        .join(doclen, "id")
+        .select("id", units.alias("_u"))
+        .groupBy("id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_matched_terms"),
+            F.sum("_u").cast("long").alias("_su"),
+        )
+    )
+    return (
+        scored.orderBy(F.col("_su").desc(), "id")
+        .limit(top_n)
+        .select(
+            F.col("id").alias(id_col),
+            "n_matched_terms",
+            (F.col("_su") / F.lit(1e6)).alias("bm25_score"),
+        )
+    )
+
+
+def sql_bm25_topk(
+    table: str,
+    sql_toks: str,
+    n_terms: int = 8,
+    top_n: int = 20,
+    id_col: str = "doc_id",
+    k1: float = K1,
+    b: float = B,
+) -> str:
+    """DuckDB twin of :func:`bm25_topk`: same derived query terms, same
+    quantized IDF, same unit-long exact sum, same tiebroken top-k.
+    Constants are emitted as Python-computed reprs CAST AS DOUBLE
+    (DuckDB evaluates bare decimal literals in DECIMAL — CLAUDE.md)."""
+    return f"""
+    WITH tok AS (
+        SELECT id, token FROM (
+            SELECT {id_col} AS id, unnest({sql_toks}) AS token FROM {table}
+        ) WHERE token <> ''
+    ),
+    tf AS (
+        SELECT id, token, CAST(COUNT(*) AS BIGINT) AS tf
+        FROM tok GROUP BY id, token
+    ),
+    doclen AS (SELECT id, CAST(COUNT(*) AS BIGINT) AS dl FROM tok GROUP BY id),
+    dfreq AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY token),
+    qterms AS (SELECT token, df FROM dfreq ORDER BY df DESC, token LIMIT {n_terms}),
+    stats AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(dl) AS BIGINT) AS total_len
+        FROM doclen
+    ),
+    q AS (
+        SELECT token,
+               FLOOR(ln(CAST({1.0!r} AS DOUBLE)
+                        + (CAST(n_docs AS DOUBLE) - CAST(df AS DOUBLE) + 0.5)
+                          / (CAST(df AS DOUBLE) + 0.5)) * 1e9 + 0.5) / 1e9 AS idf,
+               n_docs, total_len
+        FROM qterms CROSS JOIN stats
+    ),
+    scored AS (
+        SELECT tf.id,
+               CAST(COUNT(*) AS BIGINT) AS n_matched_terms,
+               CAST(SUM(CAST(FLOOR(
+                   q.idf
+                   * (CAST(tf.tf AS DOUBLE) * CAST({float(k1 + 1.0)!r} AS DOUBLE))
+                   / (CAST(tf.tf AS DOUBLE)
+                      + CAST({float(k1)!r} AS DOUBLE)
+                        * (CAST({float(1.0 - b)!r} AS DOUBLE)
+                           + CAST({float(b)!r} AS DOUBLE)
+                             * (CAST(doclen.dl AS DOUBLE)
+                                / (CAST(q.total_len AS DOUBLE)
+                                   / CAST(q.n_docs AS DOUBLE)))))
+                   * 1e6 + 0.5) AS BIGINT)) AS BIGINT) AS su
+        FROM tf JOIN q USING (token) JOIN doclen ON doclen.id = tf.id
+        GROUP BY tf.id
+    )
+    SELECT id AS {id_col}, n_matched_terms, su / 1e6 AS bm25_score
+    FROM scored ORDER BY su DESC, id LIMIT {top_n}
+    """

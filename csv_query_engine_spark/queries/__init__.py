@@ -207,6 +207,9 @@ DRIVER_ORDER: list[str] = [
     # Round-7: batch twin of the stream-native Misra-Gries heavy
     # hitters (per-window MG state in applyInPandasWithState):
     "events_window_heavy_hitters",
+    # Round-7: Okapi BM25 retrieval scoring — the lexical-retrieval
+    # member next to tf-idf and the embedding ANN family:
+    "docs_bm25_top_docs",
     # Rows-only ops (no SQL-expressible oracle; pytest covers recall/
     # precision/planted-neighbor properties):
     "docs_benchmark_decontamination",

@@ -2293,3 +2293,27 @@ def docs_quality_classifier_scores(spark: SparkSession, sf_dir: str) -> DataFram
 
     d = load_tables(spark, sf_dir, ("documents",))["documents"]
     return linear_quality_scores(d).orderBy("doc_id")
+
+
+def _bm25_oracle() -> str:
+    from csv_query_engine_spark.pipeline.retrieval import sql_bm25_topk
+
+    return sql_bm25_topk("documents", _SQL_TOKS)
+
+
+@register("docs_bm25_top_docs", _bm25_oracle())
+def docs_bm25_top_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 retrieval (pipeline/retrieval.py::bm25_topk): top-20
+    documents scored against the corpus's own 8 highest-df tokens — the
+    lexical-retrieval member next to tf-idf and the embedding ANN
+    family, i.e. the query a RAG/curation pipeline runs to surface
+    supporting or contaminating documents.
+
+    Scale: one persisted token explode feeds tf/df/lengths; the query
+    terms broadcast into the tf join; per-term scores quantize to long
+    units before the per-doc exact sum; ln is the one transcendental
+    and is FLOOR-quantized immediately (pre-rounded-ln precedent)."""
+    from csv_query_engine_spark.pipeline.retrieval import bm25_topk
+
+    d = load_tables(spark, sf_dir, ("documents",))["documents"]
+    return bm25_topk(d)

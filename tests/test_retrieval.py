@@ -1,0 +1,83 @@
+"""pipeline/retrieval.py::bm25_topk: lock the scoring to a pure-Python
+BM25 reference on a tiny corpus (same derived query terms, same
+quantization), and pin the plan's scale properties. Cross-engine
+exactness is covered by test_queries_oracle.py (docs_bm25_top_docs,
+verified at sf0.001/0.01/0.1)."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+
+from csv_query_engine_spark.pipeline.retrieval import B, K1, bm25_topk
+
+DOCS = [
+    (1, "spark shuffles data across the cluster"),
+    (2, "spark spark spark everywhere in the plan"),
+    (3, "the optimizer prunes columns and pushes filters"),
+    (4, "a tiny doc"),
+    (5, "data data data and more data in the lake"),
+]
+
+
+def _py_bm25(docs, n_terms=3, k1=K1, b=B):
+    toks = {i: " ".join(t.lower().split()).split(" ") for i, t in docs}
+    tf = {i: {} for i, _ in docs}
+    for i, ts in toks.items():
+        for t in ts:
+            tf[i][t] = tf[i].get(t, 0) + 1
+    df = {}
+    for i in tf:
+        for t in tf[i]:
+            df[t] = df.get(t, 0) + 1
+    qterms = sorted(df, key=lambda t: (-df[t], t))[:n_terms]
+    n = len(docs)
+    avgdl = sum(len(ts) for ts in toks.values()) / n
+    out = {}
+    for i in tf:
+        su, matched = 0, 0
+        for t in qterms:
+            if t not in tf[i]:
+                continue
+            matched += 1
+            idf = math.floor(
+                math.log(1.0 + (n - df[t] + 0.5) / (df[t] + 0.5)) * 1e9 + 0.5
+            ) / 1e9
+            s = (
+                idf
+                * (tf[i][t] * (k1 + 1.0))
+                / (tf[i][t] + k1 * ((1.0 - b) + b * (len(toks[i]) / avgdl)))
+            )
+            su += math.floor(s * 1e6 + 0.5)
+        if matched:
+            out[i] = (matched, su / 1e6)
+    return out
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(DOCS, "doc_id long, text string")
+
+
+def test_matches_python_reference(docs):
+    expected = _py_bm25(DOCS, n_terms=3)
+    got = {
+        r["doc_id"]: (r["n_matched_terms"], r["bm25_score"])
+        for r in bm25_topk(docs, n_terms=3, top_n=10).collect()
+    }
+    assert got == expected
+
+
+def test_topk_is_bounded_and_ordered(docs):
+    rows = bm25_topk(docs, n_terms=3, top_n=2).collect()
+    assert len(rows) == 2
+    assert rows[0]["bm25_score"] >= rows[1]["bm25_score"]
+
+
+def test_plan_broadcasts_query_terms_no_python(docs):
+    plan = bm25_topk(docs)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "InMemoryTableScan" in plan  # persisted token/tf tables
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "CartesianProduct" not in plan
