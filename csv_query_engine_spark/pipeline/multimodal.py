@@ -608,3 +608,126 @@ def decode_audio(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
 
     spread = _spread(df.select(id_col, "media"))
     return spread.mapInPandas(_dec, schema=AUDIO_SCHEMA)
+
+
+PHASH_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("phash", T.LongType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+    ]
+)
+
+
+def perceptual_hashes(
+    media_df: DataFrame, id_col: str = "doc_id", media_col: str = "media"
+) -> DataFrame:
+    """64-bit average-hash (aHash) per image — the classic perceptual
+    fingerprint behind image near-dup detection: decode (the real
+    stdlib PNG/PPM/BMP parser), integer grayscale (r+g+b)//3, 8×8
+    integer average pooling, threshold each cell at the global cell
+    mean, pack the 64 bits. ALL-INTEGER arithmetic (floor divisions,
+    exact float64 bincount sums < 2⁵³), so the hash is bit-deterministic
+    across partitionings and resolutions of the same content scale.
+
+    Scale: one Arrow-batched mapInPandas over the binary column —
+    embarrassingly parallel, O(pixels) per image, 8-byte output per
+    image regardless of image size."""
+    parse = _make_image_parser()
+
+    def _ph(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:  # noqa: F821
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            ids, hashes, ws, hs = [], [], [], []
+            for doc_id, data in zip(pdf[id_col], pdf[media_col]):
+                fmt, w, h, px, _ = parse(bytes(data), np)
+                gray = px.reshape(h, w, 3).astype(np.int64).sum(axis=2) // 3
+                yi = (np.arange(h) * 8) // h
+                xi = (np.arange(w) * 8) // w
+                cell = (yi[:, None] * 8 + xi[None, :]).reshape(-1)
+                sums = np.bincount(cell, weights=gray.reshape(-1), minlength=64)
+                cnts = np.bincount(cell, minlength=64)
+                means = (sums.astype(np.int64)) // np.maximum(cnts, 1)
+                m = int(means.sum()) // 64
+                bits = (means > m).astype(np.uint64)
+                hv = int((bits << np.arange(64, dtype=np.uint64)).sum(dtype=np.uint64))
+                ids.append(int(doc_id))
+                # two's-complement view keeps the top bit in a LongType
+                hashes.append(hv - (1 << 64) if hv >= (1 << 63) else hv)
+                ws.append(int(w))
+                hs.append(int(h))
+            yield pd.DataFrame(
+                {"doc_id": ids, "phash": hashes, "width": ws, "height": hs}
+            )
+
+    return _spread(media_df.select(F.col(id_col).alias("doc_id"), media_col)).mapInPandas(
+        _ph, schema=PHASH_SCHEMA
+    )
+
+
+def phash_dup_pairs(
+    media_df: DataFrame,
+    max_hamming: int = 3,
+    id_col: str = "doc_id",
+    media_col: str = "media",
+    max_bucket: int = 10000,
+) -> DataFrame:
+    """(doc_id_a, doc_id_b, hamming): image near-duplicate pairs whose
+    aHashes differ in ≤ ``max_hamming`` bits — the multimodal member of
+    the dedup family (MinHash/SimHash/AllPairs see token shingles,
+    SemDeDup sees embeddings; this sees PIXELS through the real codecs).
+
+    Banded blocking, never all-pairs (the SimHash pigeonhole): the
+    64-bit hash splits into 4 disjoint 16-bit bands, so two hashes
+    within Hamming ≤ 3 agree EXACTLY on at least one band; candidates
+    come from a self-join per (band index, band value) bucket, then the
+    exact popcount of the XOR verifies. ``max_bucket`` guards the
+    degenerate flat-image bucket (the minhash guard precedent).
+
+    Scale: 8-byte hashes shuffle (never pixels); bucket join volume is
+    Σ bucket² per band, bounded by the guard; popcount is codegen'd."""
+    from pyspark.storagelevel import StorageLevel
+
+    ph = perceptual_hashes(media_df, id_col, media_col).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    bands = ph.select(
+        "doc_id",
+        "phash",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(k).alias("band"),
+                    F.shiftrightunsigned(F.col("phash"), 16 * k)
+                    .bitwiseAND(F.lit(0xFFFF))
+                    .alias("val"),
+                )
+                for k in range(4)
+            ])
+        ).alias("_b"),
+    ).select("doc_id", "phash", F.col("_b.band").alias("band"), F.col("_b.val").alias("val"))
+    sizes = bands.groupBy("band", "val").agg(F.count(F.lit(1)).alias("_n"))
+    bands = bands.join(
+        F.broadcast(sizes.filter(F.col("_n") <= max_bucket).select("band", "val")),
+        ["band", "val"],
+    )
+    left = bands.select("band", "val", F.col("doc_id").alias("doc_id_a"), F.col("phash").alias("pa"))
+    right = bands.select("band", "val", F.col("doc_id").alias("doc_id_b"), F.col("phash").alias("pb"))
+    cand = (
+        left.join(right, ["band", "val"])
+        .filter(F.col("doc_id_a") < F.col("doc_id_b"))
+        .select("doc_id_a", "doc_id_b", "pa", "pb")
+        .distinct()
+    )
+    return (
+        cand.select(
+            "doc_id_a",
+            "doc_id_b",
+            F.expr("bit_count(pa ^ pb)").cast("int").alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .orderBy("doc_id_a", "doc_id_b")
+    )

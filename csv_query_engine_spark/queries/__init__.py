@@ -224,6 +224,9 @@ DRIVER_ORDER: list[str] = [
     # Round-6: mergeable DataSketches HLL rollup (daily sketch state
     # unioned to per-type totals — the 100 TB pre-aggregation pattern):
     "sketch_user_rollup",
+    # Round-7: perceptual-hash image near-dup pairs over REAL decoded
+    # pixels (aHash + banded blocking; no SQL oracle for the decode):
+    "media_phash_dup_pairs",
     # Round-5: distributed BPE tokenizer training + encoding — the
     # merge loop is iterative argmax state (no SQL oracle); locked to a
     # pure-Python Sennrich reference in tests/test_bpe.py:

@@ -2317,3 +2317,25 @@ def docs_bm25_top_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load_tables(spark, sf_dir, ("documents",))["documents"]
     return bm25_topk(d)
+
+
+@register("media_phash_dup_pairs", None)
+def media_phash_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image near-duplicate pairs by perceptual average-hash over REAL
+    decoded pixels (pipeline/multimodal.py::phash_dup_pairs): ppm_encode
+    emits genuine binary P6 blobs whose closed-form pixel rule makes
+    ids congruent mod 256 (with equal raster shape) encode IDENTICAL
+    images — planted exact dups the aHash must recover at Hamming 0 —
+    while everything else scatters across ~256 distinct hashes
+    (verified distribution). Rows-only: the decode + popcount pipeline
+    has no SQL oracle; the banded-blocking recall/precision contract is
+    pytest-locked (tests/test_phash.py).
+
+    Scale: pixels never shuffle (8-byte hashes do); 4×16-bit band
+    buckets with a max_bucket guard keep the candidate join bounded —
+    the SimHash pigeonhole applied to images."""
+    from csv_query_engine_spark.pipeline import multimodal as mm
+
+    d = load_tables(spark, sf_dir, ("documents",))["documents"]
+    media = mm.ppm_encode(d)
+    return mm.phash_dup_pairs(media, max_hamming=3)
