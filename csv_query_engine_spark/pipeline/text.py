@@ -866,3 +866,65 @@ def kneser_ney_scores(
             F.floor(F.col("_su") / F.col("n_bigrams") + F.lit(0.5)) / F.lit(1e6)
         ).alias("kn_lm_score"),
     )
+
+
+def ngram_novelty(
+    df: DataFrame, n: int = 3, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(doc_id, n_grams, n_seen_before, novelty): per-document n-gram
+    NOVELTY against everything ingested before it in doc_id order — the
+    curation-diversity signal (a falling novelty curve means the corpus
+    is saturating; per-doc low novelty flags boilerplate/near-dups the
+    pairwise dedup family then localizes). A gram counts as seen-before
+    when its FIRST occurrence (min doc_id over distinct (doc, gram)
+    pairs) is an earlier document; novelty = fresh/n_grams, FLOOR-
+    quantized at 1e-6.
+
+    Scale: one gram explode → distinct (doc, gram) → per-gram min
+    aggregate joined back to the pair table — two gram-keyed shuffles,
+    linear in corpus grams, no quadratics. Gram shuffle keys are
+    xxhash64 of the string (the CLAUDE.md shuffle-shrink idiom): a
+    cross-doc collision merges two grams' first-seers — P ≈ G²/2⁶⁵
+    (~3e-10 at sf0.1's ~10⁵ distinct grams), the same documented odds
+    every gram operator here carries. Docs with fewer than n tokens
+    emit (0, 0, 1.0) — an empty gram set is vacuously novel — via the
+    left join's COALESCE on both engines."""
+    base = _spread(
+        df.select(F.col(id_col).alias("id"), F.col(text_col).alias("_t"))
+    ).select("id", tokens(F.col("_t")).alias("toks"))
+    ids = base.select("id")
+    pairs = (
+        _ngram_rows(base, n)
+        .select("id", F.xxhash64("g").alias("g"))
+        .distinct()
+        .persist()
+    )
+    first = pairs.groupBy("g").agg(F.min("id").alias("first_id"))
+    per_doc = (
+        pairs.join(first, "g")
+        .groupBy("id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_grams"),
+            F.sum(F.when(F.col("first_id") < F.col("id"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_seen_before"),
+        )
+    )
+    novelty = F.floor(
+        (F.col("n_grams") - F.col("n_seen_before")).cast("double")
+        / F.col("n_grams").cast("double")
+        * F.lit(1e6)
+        + F.lit(0.5)
+    ) / F.lit(1e6)
+    return (
+        ids.join(per_doc, "id", "left")
+        .select(
+            F.col("id").alias(id_col),
+            F.coalesce(F.col("n_grams"), F.lit(0)).cast("long").alias("n_grams"),
+            F.coalesce(F.col("n_seen_before"), F.lit(0))
+            .cast("long")
+            .alias("n_seen_before"),
+            F.coalesce(novelty, F.lit(1.0)).alias("novelty"),
+        )
+        .orderBy(id_col)
+    )

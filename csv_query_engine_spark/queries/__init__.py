@@ -210,6 +210,12 @@ DRIVER_ORDER: list[str] = [
     # Round-7: Okapi BM25 retrieval scoring — the lexical-retrieval
     # member next to tf-idf and the embedding ANN family:
     "docs_bm25_top_docs",
+    # Round-7: deterministic sha256 pseudonymization (join-preserving
+    # privacy export; pure codegen'd projection):
+    "customer_pseudonymized_export",
+    # Round-7: per-doc n-gram novelty vs everything ingested earlier —
+    # the corpus-saturation / diversity signal:
+    "docs_ngram_novelty",
     # Rows-only ops (no SQL-expressible oracle; pytest covers recall/
     # precision/planted-neighbor properties):
     "docs_benchmark_decontamination",

@@ -2339,3 +2339,93 @@ def media_phash_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_tables(spark, sf_dir, ("documents",))["documents"]
     media = mm.ppm_encode(d)
     return mm.phash_dup_pairs(media, max_hamming=3)
+
+
+def _pseudonymized_oracle() -> str:
+    from csv_query_engine_spark.pipeline.privacy import sql_pseudonym
+
+    return f"""
+    SELECT {sql_pseudonym("c_custkey", "pz-")} AS cust_token,
+           {sql_pseudonym("c_name", "pz-")} AS name_token,
+           c_mktsegment,
+           c_nationkey,
+           c_acctbal
+    FROM customer ORDER BY cust_token
+    """
+
+
+@register("customer_pseudonymized_export", _pseudonymized_oracle())
+def customer_pseudonymized_export(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic pseudonymized export of the customer dimension
+    (pipeline/privacy.py): the natural key and name replaced by salted
+    sha256 tokens — join-able pseudonyms (the same key always maps to
+    the same token, so fact tables pseudonymized with the same salt
+    still join), NULLs preserved — while the quasi-identifiers
+    analytics needs (segment, nation, balance) pass through. Ordered by
+    the token itself: the export carries no trace of the original key
+    order. The privacy transform a dataset crosses the trust boundary
+    with.
+
+    Scale: pure per-row codegen'd projection — zero shuffle/state/
+    Python; sha2 is JVM-side. Fully oracle-paired (Spark sha2(x,256)
+    == DuckDB sha256(x), lowercase hex both)."""
+    from csv_query_engine_spark.pipeline.privacy import pseudonym
+
+    c = load_tables(spark, sf_dir, ("customer",))["customer"]
+    return c.select(
+        pseudonym(F.col("c_custkey"), "pz-").alias("cust_token"),
+        pseudonym(F.col("c_name"), "pz-").alias("name_token"),
+        "c_mktsegment",
+        "c_nationkey",
+        "c_acctbal",
+    ).orderBy("cust_token")
+
+
+@register(
+    "docs_ngram_novelty",
+    f"""
+    WITH d AS (
+        SELECT doc_id, {_SQL_TOKS} AS toks FROM documents
+    ),
+    pairs AS (
+        SELECT DISTINCT doc_id, g FROM (
+            SELECT doc_id,
+                   unnest(CASE WHEN len(toks) >= 3
+                        THEN list_transform(range(1, len(toks) - 1),
+                                            i -> array_to_string(list_slice(toks, i, i + 2), ' '))
+                        ELSE [] END) AS g
+            FROM d
+        )
+    ),
+    first AS (SELECT g, MIN(doc_id) AS first_id FROM pairs GROUP BY g),
+    per_doc AS (
+        SELECT pairs.doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_grams,
+               CAST(SUM(CASE WHEN first.first_id < pairs.doc_id THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_seen_before
+        FROM pairs JOIN first USING (g)
+        GROUP BY pairs.doc_id
+    )
+    SELECT d.doc_id,
+           CAST(COALESCE(per_doc.n_grams, 0) AS BIGINT) AS n_grams,
+           CAST(COALESCE(per_doc.n_seen_before, 0) AS BIGINT) AS n_seen_before,
+           COALESCE(FLOOR(CAST(per_doc.n_grams - per_doc.n_seen_before AS DOUBLE)
+                          / CAST(per_doc.n_grams AS DOUBLE) * 1e6 + 0.5) / 1e6,
+                    CAST(1.0 AS DOUBLE)) AS novelty
+    FROM d LEFT JOIN per_doc USING (doc_id)
+    ORDER BY d.doc_id
+    """,
+)
+def docs_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document trigram novelty against everything ingested before
+    it (pipeline/text.py::ngram_novelty) — the curation-diversity
+    signal: a falling novelty curve means the corpus is saturating, and
+    per-doc low novelty flags boilerplate the pairwise dedup family
+    then localizes.
+
+    Scale: two gram-keyed shuffles (distinct pairs, then min-first-seer
+    joined back), linear in corpus grams; Spark keys the shuffle on
+    xxhash64(gram) while the oracle groups the raw strings — counts
+    match up to the documented ~3e-10 collision odds."""
+    d = load_tables(spark, sf_dir, ("documents",))["documents"]
+    return tx.ngram_novelty(d, n=3)

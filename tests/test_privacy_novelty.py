@@ -1,0 +1,64 @@
+"""pipeline/privacy.py (pseudonymization contracts: determinism,
+referential integrity, null preservation, no-shuffle plan) and
+pipeline/text.py::ngram_novelty (first-seer semantics on a constructed
+corpus). Cross-engine exactness of both registered queries is covered
+by test_queries_oracle.py at sf0.001/0.01/0.1."""
+
+from __future__ import annotations
+
+import hashlib
+
+import pytest
+from pyspark.sql import functions as F
+
+from csv_query_engine_spark.pipeline.privacy import pseudonym, pseudonymize_columns
+from csv_query_engine_spark.pipeline.text import ngram_novelty
+
+
+def test_pseudonym_deterministic_and_null_preserving(spark):
+    df = spark.createDataFrame(
+        [(1, "alice"), (2, "bob"), (3, None), (4, "alice")],
+        "id long, name string",
+    )
+    out = {r["id"]: r["name"] for r in pseudonymize_columns(df, ["name"], "s-").collect()}
+    # referential integrity: equal values -> equal tokens
+    assert out[1] == out[4]
+    assert out[1] != out[2]
+    assert out[3] is None
+    # the token is exactly the salted sha256 prefix
+    assert out[1] == hashlib.sha256(b"s-alice").hexdigest()[:16]
+    # a different salt rotates every token
+    out2 = {r["id"]: r["name"] for r in pseudonymize_columns(df, ["name"], "t-").collect()}
+    assert out2[1] != out[1]
+
+
+def test_pseudonym_plan_is_pure_projection(spark):
+    df = spark.createDataFrame([(1, "a")], "id long, name string")
+    plan = (
+        df.select(pseudonym(F.col("name"), "s-").alias("t"))
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_ngram_novelty_first_seer_semantics(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d"),          # grams: abc, bcd — all first
+            (2, "a b c d"),          # exact dup -> both seen before
+            (3, "a b c x"),          # abc seen, bcx fresh
+            (4, "zz"),               # sub-n doc: vacuously novel
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in ngram_novelty(docs, n=3).collect()}
+    assert out[1]["n_grams"] == 2 and out[1]["n_seen_before"] == 0
+    assert out[1]["novelty"] == 1.0
+    assert out[2]["n_grams"] == 2 and out[2]["n_seen_before"] == 2
+    assert out[2]["novelty"] == 0.0
+    assert out[3]["n_grams"] == 2 and out[3]["n_seen_before"] == 1
+    assert out[3]["novelty"] == 0.5
+    assert out[4]["n_grams"] == 0 and out[4]["novelty"] == 1.0
