@@ -289,3 +289,57 @@ def weighted_sample_topk(
         .filter(F.col("sample_rank") <= k)
         .drop("_es")
     )
+
+
+def group_holdout_split(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    salt: str = "gh-",
+) -> DataFrame:
+    """(split, n_docs, n_groups, n_spanning_groups): train/val/test
+    assignment keyed on the content-fingerprint GROUP, not the row —
+    every exact duplicate of a document lands in the same split BY
+    CONSTRUCTION, so the train→test contamination that
+    docs_split_leakage_audit DETECTS after the fact cannot occur.
+    ``n_spanning_groups`` is the self-certifying proof column: the
+    number of fingerprint groups whose members span >1 split, zero by
+    construction (identical fingerprint ⇒ identical bucket).
+
+    The group key is md5 of the normalized text (the exact-dedup
+    fingerprint, pipeline/text.py); the bucket is the repo's
+    cross-engine md5 idiom with its own salt (independent of the
+    row-level split's 'doc-' salt, so the two assignments are
+    uncorrelated decisions).
+
+    Scale: one per-row fingerprint+bucket projection (no shuffle), one
+    (split) aggregate with a distinct-group count, and one group-keyed
+    aggregate for the spanning proof — two shuffles keyed on the 16-byte
+    fingerprint, linear. This is the splitter a dedup-aware training
+    pipeline uses INSTEAD of the row-hash split when near-dups are
+    known to exist."""
+    from csv_query_engine_spark.pipeline.text import normalize_text
+
+    fp = df.select(
+        F.col(id_col).alias("id"),
+        F.md5(normalize_text(F.col(text_col))).alias("fp"),
+    )
+    bucketed = fp.select("id", "fp", assign_split(F.col("fp"), salt=salt))
+    per_split = bucketed.groupBy("split").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.countDistinct("fp").cast("long").alias("n_groups"),
+    )
+    spanning = (
+        bucketed.groupBy("fp")
+        .agg(F.countDistinct("split").alias("_ns"))
+        .agg(
+            F.coalesce(F.sum(F.when(F.col("_ns") > 1, 1)), F.lit(0))
+            .cast("long")
+            .alias("n_spanning_groups")
+        )
+    )
+    return (
+        per_split.crossJoin(F.broadcast(spanning))  # 1-row broadcast
+        .select("split", "n_docs", "n_groups", "n_spanning_groups")
+        .orderBy("split")
+    )

@@ -216,6 +216,9 @@ DRIVER_ORDER: list[str] = [
     # Round-7: per-doc n-gram novelty vs everything ingested earlier —
     # the corpus-saturation / diversity signal:
     "docs_ngram_novelty",
+    # Round-7: group-holdout split keyed on the dedup fingerprint —
+    # the constructive complement of the leakage audit:
+    "docs_group_holdout_split",
     # Rows-only ops (no SQL-expressible oracle; pytest covers recall/
     # precision/planted-neighbor properties):
     "docs_benchmark_decontamination",

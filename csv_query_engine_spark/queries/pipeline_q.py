@@ -2429,3 +2429,54 @@ def docs_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     match up to the documented ~3e-10 collision odds."""
     d = load_tables(spark, sf_dir, ("documents",))["documents"]
     return tx.ngram_novelty(d, n=3)
+
+
+@register(
+    "docs_group_holdout_split",
+    f"""
+    WITH fp AS (
+        SELECT doc_id, md5({_SQL_NORM}) AS fp FROM documents
+    ),
+    b AS (
+        SELECT doc_id, fp,
+               CASE WHEN bk < 80 THEN 'train'
+                    WHEN bk < 90 THEN 'val'
+                    ELSE 'test' END AS split
+        FROM (
+            SELECT doc_id, fp,
+                   CAST(concat('0x', substr(md5(concat('gh-', fp)), 1, 8))
+                        AS BIGINT) % 100 AS bk
+            FROM fp
+        )
+    ),
+    per_split AS (
+        SELECT split, CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(COUNT(DISTINCT fp) AS BIGINT) AS n_groups
+        FROM b GROUP BY split
+    ),
+    spanning AS (
+        SELECT CAST(COALESCE(SUM(CASE WHEN ns > 1 THEN 1 END), 0) AS BIGINT)
+                   AS n_spanning_groups
+        FROM (SELECT fp, COUNT(DISTINCT split) AS ns FROM b GROUP BY fp)
+    )
+    SELECT split, n_docs, n_groups, n_spanning_groups
+    FROM per_split CROSS JOIN spanning
+    ORDER BY split
+    """,
+)
+def docs_group_holdout_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Group-holdout train/val/test split (pipeline/sampling.py::
+    group_holdout_split): assignment keyed on the exact-dedup
+    fingerprint GROUP instead of the row, so duplicated documents
+    cannot span train and test — the constructive complement of
+    docs_split_leakage_audit (which detects spanning after the fact).
+    n_spanning_groups is the self-certifying proof column (0 by
+    construction: identical fingerprint ⇒ identical bucket).
+
+    Scale: per-row fingerprint+bucket projection, then two
+    fingerprint-keyed aggregates — linear, no quadratics, the md5
+    cross-engine idiom throughout."""
+    from csv_query_engine_spark.pipeline.sampling import group_holdout_split
+
+    d = load_tables(spark, sf_dir, ("documents",))["documents"]
+    return group_holdout_split(d)

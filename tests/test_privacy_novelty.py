@@ -62,3 +62,21 @@ def test_ngram_novelty_first_seer_semantics(spark):
     assert out[3]["n_grams"] == 2 and out[3]["n_seen_before"] == 1
     assert out[3]["novelty"] == 0.5
     assert out[4]["n_grams"] == 0 and out[4]["novelty"] == 1.0
+
+
+def test_group_holdout_keeps_duplicates_together(spark):
+    from csv_query_engine_spark.pipeline.sampling import group_holdout_split
+
+    # 60 distinct texts, each duplicated 3x under different doc_ids: a
+    # row-hash split would scatter some groups; the group split cannot
+    rows = []
+    for g in range(60):
+        for k in range(3):
+            rows.append((g * 10 + k, f"unique document text number {g} with content"))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["split"]: r for r in group_holdout_split(docs).collect()}
+    assert sum(r["n_docs"] for r in out.values()) == 180
+    assert sum(r["n_groups"] for r in out.values()) == 60
+    for r in out.values():
+        assert r["n_spanning_groups"] == 0
+        assert r["n_docs"] == 3 * r["n_groups"]  # whole groups move together
