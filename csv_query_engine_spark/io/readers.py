@@ -254,3 +254,53 @@ def read_text_corpus(
         key = F.xxhash64("source", "text", "_occ")
     out = df.select(key.alias("doc_id"), "source", "text")
     return out
+
+
+def read_csv_audited(
+    spark: SparkSession,
+    path: str,
+    schema,
+    header: bool = True,
+    corrupt_col: str = "_corrupt_record",
+    **options: str,
+):
+    """(clean_df, corrupt_df): CSV ingest with an explicit ingest-audit
+    split — rows that parse against ``schema`` land in ``clean_df``
+    (without the audit column); rows that don't land in ``corrupt_df``
+    as their raw line for quarantine/repair. The production hardening of
+    the reference's A1 upload (which aborts the whole file on any parse
+    error, upload.py:31-33): at 100 TB a single mangled line must cost
+    one quarantined row, not the batch.
+
+    Mechanics: PERMISSIVE mode + ``columnNameOfCorruptRecord``; the
+    schema must be explicit (Spark cannot infer + audit in one pass),
+    and per Spark's contract the corrupt column must be materialized
+    before filtering — a cache() boundary makes the split see the same
+    parse, not two scans with different pushdowns."""
+    full_schema = schema.add(corrupt_col, "string") if corrupt_col not in schema.fieldNames() else schema
+    reader = (
+        spark.read.schema(full_schema)
+        .option("header", str(header).lower())
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", corrupt_col)
+    )
+    for k, v in options.items():
+        reader = reader.option(k, v)
+    raw = reader.csv(path).cache()
+    from pyspark.sql import functions as F
+
+    clean = raw.filter(F.col(corrupt_col).isNull()).drop(corrupt_col)
+    corrupt = raw.filter(F.col(corrupt_col).isNotNull()).select(
+        F.col(corrupt_col).alias("raw_line")
+    )
+    return clean, corrupt
+
+
+def read_parquet_evolving(spark: SparkSession, *paths: str) -> DataFrame:
+    """Parquet read across files written under EVOLVING schemas:
+    ``mergeSchema`` unions the footers' fields (missing columns read as
+    NULL per file). The 100 TB reality — a table written over years
+    gains columns — and the flag is off by default because footer
+    merging costs a driver pass over every file; turn it on exactly
+    where evolution happened."""
+    return spark.read.option("mergeSchema", "true").parquet(*paths)

@@ -1,0 +1,57 @@
+"""io/readers.py ingest hardening: malformed-row quarantine
+(read_csv_audited) and schema-evolution reads (read_parquet_evolving).
+The reference aborts the whole upload on any parse error
+(upload.py:31-33); at scale a bad line must cost one quarantined row."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import types as T
+
+from csv_query_engine_spark.io.readers import read_csv_audited, read_parquet_evolving
+
+SCHEMA = T.StructType(
+    [
+        T.StructField("id", T.LongType()),
+        T.StructField("city", T.StringType()),
+        T.StructField("amount", T.DoubleType()),
+    ]
+)
+
+
+def test_audited_csv_quarantines_bad_rows(spark, tmp_path):
+    p = tmp_path / "data.csv"
+    p.write_text(
+        "id,city,amount\n"
+        "1,Mumbai,10.5\n"
+        "not-a-number,Delhi,2.0\n"   # id fails the long cast
+        "2,Pune,3.25\n"
+        "3,Chennai,oops\n"           # amount fails the double cast
+    )
+    clean, corrupt = read_csv_audited(spark, str(p), SCHEMA)
+    got = {r["id"]: (r["city"], r["amount"]) for r in clean.collect()}
+    assert got == {1: ("Mumbai", 10.5), 2: ("Pune", 3.25)}
+    bad = sorted(r["raw_line"] for r in corrupt.collect())
+    assert bad == ["3,Chennai,oops", "not-a-number,Delhi,2.0"]
+    assert "_corrupt_record" not in clean.columns
+
+
+def test_audited_csv_clean_file_has_empty_quarantine(spark, tmp_path):
+    p = tmp_path / "ok.csv"
+    p.write_text("id,city,amount\n1,Mumbai,1.0\n")
+    clean, corrupt = read_csv_audited(spark, str(p), SCHEMA)
+    assert clean.count() == 1 and corrupt.count() == 0
+
+
+def test_parquet_schema_evolution_reads_union_of_columns(spark, tmp_path):
+    old = str(tmp_path / "evolve")
+    spark.createDataFrame([(1, "a")], "id long, name string").write.mode(
+        "overwrite"
+    ).parquet(old)
+    spark.createDataFrame(
+        [(2, "b", 9.5)], "id long, name string, score double"
+    ).write.mode("append").parquet(old)
+    df = read_parquet_evolving(spark, old)
+    assert set(df.columns) == {"id", "name", "score"}
+    rows = {r["id"]: r for r in df.collect()}
+    assert rows[1]["score"] is None and rows[2]["score"] == 9.5
