@@ -2,8 +2,11 @@
 a deterministic synthetic document-corpus generator with doc_id filter
 pushdown and partition pruning (``synthetic_docs``), a partition-planned
 replayable micro-batch event stream (``synthetic_events``), and a
-two-phase-commit JSONL shard sink (``jsonl_shards``) — the batch-read,
-stream-read, and batch-write thirds of the Python source API.
+two-phase-commit JSONL shard sink (``jsonl_shards``) with BOTH write
+halves — batch (job-commit renames) and streaming (per-epoch commit
+markers, idempotent replay) — completing all four quadrants of the
+Python DataSource API: batch read, stream read, batch write, stream
+write.
 
 The reference ingests CSV files only (reference main.py upload path);
 this source extends the engine's source family (csv/parquet/json/orc/
@@ -45,6 +48,7 @@ from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
     DataSourceStreamReader,
+    DataSourceStreamWriter,
     DataSourceWriter,
     EqualTo,
     Filter,
@@ -271,9 +275,76 @@ class JsonlShardWriter(DataSourceWriter):
                 os.remove(m.tmp_path)
 
 
+class JsonlStreamShardWriter(DataSourceStreamWriter):
+    """Streaming half of the JSONL sink (``df.writeStream.format(
+    "jsonl_shards")``): per-EPOCH two-phase commit with idempotent
+    replay.  Tasks write private ``.tmp-`` shards exactly like the
+    batch writer; ``commit(messages, batchId)`` renames them into
+    ``batch-<id>-shard-*.jsonl`` and drops a ``_commit-<id>`` marker.
+    If the engine replays an epoch (crash AFTER the sink committed but
+    BEFORE the checkpoint recorded it — the documented at-least-once
+    window every streaming sink must close itself), the marker makes
+    the re-commit a no-op that deletes the duplicate tmp shards —
+    exactly-once output per epoch, the same idempotence contract
+    Spark's own file streaming sink implements with its _spark_metadata
+    log.  ``abort()`` deletes the epoch's orphans.
+
+    Scale: tasks stream rows straight to their shard (O(1) memory);
+    commit is a driver-side rename of one message per task."""
+
+    def __init__(self, options):
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("jsonl_shards sink requires option 'path'")
+
+    def write(self, iterator) -> _ShardCommit:
+        import json
+        import os
+        import uuid
+
+        os.makedirs(self.path, exist_ok=True)
+        tmp = os.path.join(self.path, f".tmp-{uuid.uuid4().hex}.jsonl")
+        n = 0
+        with open(tmp, "w") as f:
+            for row in iterator:
+                f.write(json.dumps(row.asDict()) + "\n")
+                n += 1
+        return _ShardCommit(tmp, n)
+
+    def commit(self, messages, batchId: int) -> None:
+        import os
+
+        marker = os.path.join(self.path, f"_commit-{batchId:09d}")
+        live = [m for m in messages if m is not None]
+        if os.path.exists(marker):
+            # replayed epoch: output already visible; drop duplicates
+            for m in live:
+                if os.path.exists(m.tmp_path):
+                    os.remove(m.tmp_path)
+            return
+        total = 0
+        for i, m in enumerate(live):
+            final = os.path.join(
+                self.path, f"batch-{batchId:09d}-shard-{i:05d}.jsonl"
+            )
+            os.replace(m.tmp_path, final)
+            total += m.rows
+        with open(marker, "w") as f:
+            f.write(f"{total}\n")
+
+    def abort(self, messages, batchId: int) -> None:
+        import os
+
+        for m in messages:
+            if m is not None and os.path.exists(m.tmp_path):
+                os.remove(m.tmp_path)
+
+
 class JsonlShardSink(DataSource):
-    """``df.write.format("jsonl_shards").option("path", dir)`` —
-    two-phase-commit JSONL shards (local/shared filesystem)."""
+    """``df.write.format("jsonl_shards").option("path", dir)`` /
+    ``df.writeStream.format("jsonl_shards")`` — two-phase-commit JSONL
+    shards (local/shared filesystem); the streaming path adds per-epoch
+    idempotent replay (commit markers)."""
 
     @classmethod
     def name(cls) -> str:
@@ -283,6 +354,9 @@ class JsonlShardSink(DataSource):
         if overwrite:
             raise ValueError("jsonl_shards supports append mode only")
         return JsonlShardWriter(self.options)
+
+    def streamWriter(self, schema, overwrite: bool) -> JsonlStreamShardWriter:
+        return JsonlStreamShardWriter(self.options)
 
 
 def register(spark) -> None:

@@ -144,3 +144,87 @@ def test_jsonl_shard_sink_append_does_not_clobber(docs_reader, spark, tmp_path):
     back = spark.read.json(os.path.join(out, "shard-*.jsonl"))
     assert back.count() == 100
     assert back.select("doc_id", "source", "lang", "text").distinct().count() == 100
+
+
+def test_jsonl_stream_sink_exactly_once_across_restart(docs_reader, spark, tmp_path):
+    """Streaming write path of the JSONL sink: two availableNow runs
+    over one checkpoint must produce disjoint epochs with no duplicate
+    rows, and the committed shards must carry exactly the offsets the
+    source emitted."""
+    import glob
+    import json
+    import os
+
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ck")
+
+    # availableNow falls back to single-batch for this source, and a
+    # fresh reader's latestOffset counts up from 0 — so each run's
+    # rows_per_batch must cover the full target range (the pattern the
+    # conversion-join restart test uses); the checkpoint still clamps
+    # the batch START to what was already committed.
+    def run_once(rows_per_batch):
+        q = (
+            spark.readStream.format("synthetic_events")
+            .option("rows_per_batch", rows_per_batch)
+            .option("rows_per_partition", 50)
+            .option("max_offset", 400)
+            .load()
+            .writeStream.format("jsonl_shards")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run_once(200)
+    first_ids = []
+    for f in glob.glob(os.path.join(out, "batch-*.jsonl")):
+        first_ids += [json.loads(l)["event_id"] for l in open(f)]
+    assert sorted(first_ids) == list(range(200))
+
+    run_once(400)  # restart: resumes at offset 200, writes new epochs only
+    ids = []
+    for f in glob.glob(os.path.join(out, "batch-*.jsonl")):
+        ids += [json.loads(l)["event_id"] for l in open(f)]
+    assert sorted(ids) == list(range(400)), "duplicate or missing rows after restart"
+    # no tmp orphans; every epoch has its commit marker
+    assert not glob.glob(os.path.join(out, ".tmp-*"))
+    assert glob.glob(os.path.join(out, "_commit-*"))
+
+
+def test_jsonl_stream_sink_replayed_epoch_is_idempotent(tmp_path):
+    """Unit-level replay: committing the same epoch twice must not
+    duplicate shards — the marker turns the re-commit into tmp cleanup."""
+    import glob
+    import json
+    import os
+
+    from csv_query_engine_spark.io.pysource import (
+        JsonlStreamShardWriter,
+        _ShardCommit,
+    )
+
+    out = str(tmp_path / "replay")
+    w = JsonlStreamShardWriter({"path": out})
+    os.makedirs(out, exist_ok=True)
+
+    def make_tmp(rows):
+        p = os.path.join(out, f".tmp-{len(glob.glob(out + '/*'))}.jsonl")
+        with open(p, "w") as f:
+            for r in rows:
+                f.write(json.dumps(r) + "\n")
+        return _ShardCommit(p, len(rows))
+
+    w.commit([make_tmp([{"a": 1}, {"a": 2}])], batchId=7)
+    shards = glob.glob(os.path.join(out, "batch-*.jsonl"))
+    assert len(shards) == 1
+    # engine replays epoch 7 after a crash-before-checkpoint
+    w.commit([make_tmp([{"a": 1}, {"a": 2}])], batchId=7)
+    assert glob.glob(os.path.join(out, "batch-*.jsonl")) == shards
+    assert not glob.glob(os.path.join(out, ".tmp-*"))
+    # abort removes orphans without touching committed output
+    w.abort([make_tmp([{"a": 9}])], batchId=8)
+    assert glob.glob(os.path.join(out, "batch-*.jsonl")) == shards
+    assert not glob.glob(os.path.join(out, ".tmp-*"))
