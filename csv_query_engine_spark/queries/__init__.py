@@ -81,18 +81,18 @@ DRIVER_ORDER: list[str] = [
     "graph_pagerank_directed_purchases",
     "graph_triangle_part_cooccurrence",
     # -- LLM-pipeline: text analysis / dedup / sampling / embeddings / UDF
-    "docs_quality_filter",
+    "docs_quality_classifier_scores",
     "dedup_exact_docs",
-    "docs_split_assignment",
+    "docs_group_holdout_split",
     "embedding_kmeans_clusters",
     "docs_udtf_sentences",
     "customer_order_gap_profile",
     "dedup_cluster_canonical",
     "docs_sequence_packing",
-    "docs_vocab_coverage",
+    "docs_bm25_top_docs",
     "docs_chunk_windows",
     "docs_shard_assignment",
-    "dedup_allpairs_jaccard",
+    "dedup_semantic_pairs",
     "docs_token_typo_pairs",
     "docs_heavy_hitter_tokens",
     "docs_kneser_ney_scores",
@@ -110,6 +110,15 @@ DRIVER_ORDER: list[str] = [
     "embedding_topk_bruteforce",
     "events_hourly_counts",
     "events_funnel_steps",
+    # Rotated OUT late round 7 for the round-7 additions (each r6-
+    # certified; family kept in-window by its incoming sibling —
+    # rule-based gate -> learned classifier gate, row-hash split ->
+    # group-holdout split, vocab profiling -> BM25 term scoring,
+    # AllPairs exact pair join -> SemDeDup exact pair join):
+    "docs_quality_filter",
+    "docs_split_assignment",
+    "docs_vocab_coverage",
+    "dedup_allpairs_jaccard",
     # Rotated OUT in round 6 (certified green in r5 and earlier; their
     # capability families stay in-window — outer joins via q13, anti/
     # NOT-EXISTS via q22, correlated scalars via q2, semi/EXISTS via
@@ -197,28 +206,15 @@ DRIVER_ORDER: list[str] = [
     "docs_weighted_sample",
     "docs_split_leakage_audit",
     "json_props_variant",
-    # Round-7: SemDeDup semantic near-dup pairs (k-means buckets +
-    # within-cluster exact quantized cosine; fully oracle-paired —
-    # the embedding-space dedup member next to MinHash/SimHash):
-    "dedup_semantic_pairs",
-    # Round-7: fastText-style linear quality classifier over hashed
-    # features — the LEARNED gate next to the rule-based Gopher filter:
-    "docs_quality_classifier_scores",
     # Round-7: batch twin of the stream-native Misra-Gries heavy
     # hitters (per-window MG state in applyInPandasWithState):
     "events_window_heavy_hitters",
-    # Round-7: Okapi BM25 retrieval scoring — the lexical-retrieval
-    # member next to tf-idf and the embedding ANN family:
-    "docs_bm25_top_docs",
     # Round-7: deterministic sha256 pseudonymization (join-preserving
     # privacy export; pure codegen'd projection):
     "customer_pseudonymized_export",
     # Round-7: per-doc n-gram novelty vs everything ingested earlier —
     # the corpus-saturation / diversity signal:
     "docs_ngram_novelty",
-    # Round-7: group-holdout split keyed on the dedup fingerprint —
-    # the constructive complement of the leakage audit:
-    "docs_group_holdout_split",
     # Rows-only ops (no SQL-expressible oracle; pytest covers recall/
     # precision/planted-neighbor properties):
     "docs_benchmark_decontamination",

@@ -134,6 +134,11 @@ def test_registry_window_is_oracle_bearing(spark):
         "embedding_kmeans_clusters",
         "docs_heavy_hitter_tokens",
         "docs_kneser_ney_scores",
+        # late-round-7 additions, swapped in for r6-certified siblings
+        "dedup_semantic_pairs",
+        "docs_quality_classifier_scores",
+        "docs_bm25_top_docs",
+        "docs_group_holdout_split",
     ):
         assert new in window, new
     # Long-standing window anchors stay certified.
@@ -156,7 +161,6 @@ def test_registry_window_is_oracle_bearing(spark):
         "orders_quality_constraints",
         "orders_zorder_layout_stats",
         "graph_triangle_part_cooccurrence",
-        "dedup_allpairs_jaccard",
         "docs_token_typo_pairs",
     ):
         assert kept in window, kept
@@ -165,12 +169,17 @@ def test_registry_window_is_oracle_bearing(spark):
     for out, kept in [
         # round-7 rotations out
         ("graph_pagerank_trade_network", "graph_pagerank_directed_purchases"),
-        ("docs_lang_id", "docs_quality_filter"),  # text classification
+        ("docs_lang_id", "docs_quality_classifier_scores"),  # text classification
         ("docs_unigram_lm_scores", "docs_kneser_ney_scores"),  # LM scoring
         ("docs_bigram_lm_scores", "docs_kneser_ney_scores"),
         ("embedding_topk_bruteforce", "embedding_kmeans_clusters"),
         ("events_hourly_counts", "events_conversion_attribution"),
         ("events_funnel_steps", "events_markov_transitions"),  # sequences
+        # late round-7 sibling swaps (outgoing member r6-certified)
+        ("docs_quality_filter", "docs_quality_classifier_scores"),
+        ("docs_split_assignment", "docs_group_holdout_split"),
+        ("docs_vocab_coverage", "docs_bm25_top_docs"),
+        ("dedup_allpairs_jaccard", "dedup_semantic_pairs"),
         # round-6 rotations out (families unchanged)
         ("join_kinds_outer", "q13_customer_order_distribution"),  # outer join
         ("anti_join_parts_never_ordered", "q22_dormant_customer_balance"),
@@ -187,13 +196,13 @@ def test_registry_window_is_oracle_bearing(spark):
         ("q5_local_supplier_volume", "flagship_region_nation_revenue"),
         ("window_lag_order_gaps", "window_range_frame_moving_sum"),
         ("events_sessionization", "events_markov_transitions"),
-        ("docs_repetition_stats", "docs_quality_filter"),
-        ("docs_char_entropy", "docs_quality_filter"),
+        ("docs_repetition_stats", "docs_quality_classifier_scores"),
+        ("docs_char_entropy", "docs_quality_classifier_scores"),
         ("docs_tfidf_top_terms", "docs_kneser_ney_scores"),  # term scoring
-        ("dedup_incremental_admission", "dedup_allpairs_jaccard"),
-        ("docs_dataset_card", "docs_vocab_coverage"),
+        ("dedup_incremental_admission", "dedup_semantic_pairs"),
+        ("docs_dataset_card", "docs_bm25_top_docs"),
         ("embedding_centroids_by_label", "embedding_kmeans_clusters"),
-        ("docs_token_budget_mix", "docs_split_assignment"),  # hash sampling
+        ("docs_token_budget_mix", "docs_group_holdout_split"),  # hash splits
     ]:
         assert out not in window and kept in window, (out, kept)
 
