@@ -369,3 +369,35 @@ def test_kmeans_final_assign_cached_dims_broadcast_centroids(spark):
     assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan, plan
     assert "MapInPandas" not in plan, plan
     spark.catalog.clearCache()
+
+
+def test_dynamic_partition_pruning_fires_on_partitioned_fact(spark, tmp_path):
+    """The 100 TB table layout contract: a fact written partitioned by a
+    join key must let Catalyst prune partitions from the DIM side's
+    runtime filter (dynamic partition pruning), so a selective dim
+    predicate touches only matching fact partitions — the star-schema
+    pattern every warehouse layout here assumes. Pinned because DPP
+    silently degrades to a full scan if the partition column or the
+    join shape drifts."""
+    from pyspark.sql import functions as F
+
+    from csv_query_engine_spark.io.readers import load_tables
+
+    orders = load_tables(spark, str(SF_SMOKE), ("orders",), register=False)["orders"]
+    fact_dir = str(tmp_path / "orders_by_priority")
+    orders.write.partitionBy("o_orderpriority").mode("overwrite").parquet(fact_dir)
+    fact = spark.read.parquet(fact_dir)
+    # the dim predicate is on a NON-key attribute: a key-equality would
+    # be absorbed as STATIC partition pruning via constraint propagation
+    # (also a fine outcome, but not the runtime mechanism under test)
+    dim = spark.createDataFrame(
+        [("1-URGENT", "hot"), ("2-HIGH", "hot"), ("3-MEDIUM", "cold"),
+         ("4-NOT SPECIFIED", "cold"), ("5-LOW", "cold")],
+        "o_orderpriority string, tier string",
+    ).filter(F.col("tier") == "hot")
+    joined = fact.join(dim, "o_orderpriority").groupBy("o_orderpriority").count()
+    plan = joined._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in plan.lower(), plan
+    # and the result only holds the partitions the runtime filter kept
+    rows = sorted(r["o_orderpriority"] for r in joined.collect())
+    assert rows == ["1-URGENT", "2-HIGH"]
