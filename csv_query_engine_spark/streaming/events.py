@@ -238,7 +238,10 @@ def stateful_type_profiles(events: DataFrame) -> DataFrame:
 
 
 def streaming_heavy_hitters(
-    events: DataFrame, k: int = 8, window: str = "1 hour"
+    events: DataFrame,
+    k: int = 8,
+    window: str = "1 hour",
+    watermark: str | None = None,
 ) -> DataFrame:
     """Stream-native Misra-Gries heavy hitters: the mergeable MG
     summary from pipeline/sketches.py carried as PER-WINDOW state in
@@ -259,10 +262,25 @@ def streaming_heavy_hitters(
 
     Scale: state per window is O(k) — two short arrays — regardless of
     how many events or distinct types the window sees; the shuffle per
-    micro-batch keys on the window start only. NoTimeout keeps the test
-    deterministic; a production stream sets EventTimeTimeout to retire
-    windows the watermark has passed (the state-bounding contract)."""
+    micro-batch keys on the window start only. State RETIREMENT (the
+    bounding contract along the window axis): pass ``watermark`` and
+    the operator watermarks the stream, registers an EventTimeTimeout
+    at each window's end, and when the watermark passes it the window's
+    state is EVICTED with one final emission (``is_final=true``) — the
+    summary can't change once the watermark guarantees no more events
+    for the window, so live state is bounded by the watermark horizon,
+    not the stream's age. ``watermark=None`` keeps NoTimeout (every
+    window's state lives for the query — only for bounded tests)."""
+    import datetime as _dt
+
     from pyspark.sql.streaming.state import GroupStateTimeout
+
+    window_sec = {"1 hour": 3600, "30 minutes": 1800}.get(window)
+    if window_sec is None:
+        # parse "<n> <unit>" for the timeout arithmetic
+        n, unit = window.split()
+        window_sec = int(n) * {"second": 1, "seconds": 1, "minute": 60,
+                               "minutes": 60, "hour": 3600, "hours": 3600}[unit]
 
     out_schema = T.StructType(
         [
@@ -270,6 +288,7 @@ def streaming_heavy_hitters(
             T.StructField("event_type", T.StringType()),
             T.StructField("mg_count", T.LongType()),
             T.StructField("n_window", T.LongType()),
+            T.StructField("is_final", T.BooleanType()),
         ]
     )
     state_schema = T.StructType(
@@ -280,9 +299,26 @@ def streaming_heavy_hitters(
         ]
     )
 
+    use_timeout = watermark is not None
+
     def update(key, pdfs, state):
         import pandas as pd
 
+        if use_timeout and state.hasTimedOut:
+            # watermark passed the window end: the summary is final —
+            # emit it once more flagged final and EVICT the state
+            types, counts, total = state.get
+            state.remove()
+            yield pd.DataFrame(
+                {
+                    "window_start": [key[0]] * len(types),
+                    "event_type": list(types),
+                    "mg_count": [int(c) for c in counts],
+                    "n_window": [int(total)] * len(types),
+                    "is_final": [True] * len(types),
+                }
+            )
+            return
         if state.exists:
             types, counts, total = state.get
             counters = dict(zip(types, [int(c) for c in counts]))
@@ -313,22 +349,32 @@ def streaming_heavy_hitters(
                         }
                         c -= dec
         state.update((list(counters), list(counters.values()), total))
+        if use_timeout:
+            # retire when the watermark passes this window's END
+            end_ms = int(
+                (key[0] + _dt.timedelta(seconds=window_sec)).timestamp() * 1000
+            )
+            state.setTimeoutTimestamp(end_ms)
         yield pd.DataFrame(
             {
                 "window_start": [key[0]] * len(counters),
                 "event_type": list(counters),
                 "mg_count": list(counters.values()),
                 "n_window": [total] * len(counters),
+                "is_final": [False] * len(counters),
             }
         )
 
+    if watermark is not None:
+        events = events.withWatermark("ts", watermark)
+        timeout = GroupStateTimeout.EventTimeTimeout
+    else:
+        timeout = GroupStateTimeout.NoTimeout
     win_start = F.window("ts", window).start.alias("window_start")
     return (
-        events.select(win_start, "event_type")
+        events.select(win_start, "event_type", "ts")
         .groupBy("window_start")
-        .applyInPandasWithState(
-            update, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
-        )
+        .applyInPandasWithState(update, out_schema, state_schema, "update", timeout)
     )
 
 

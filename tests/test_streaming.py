@@ -565,3 +565,68 @@ def test_streaming_heavy_hitters_bounded_state_under_small_k(spark):
     for r in exact:
         if r["n"] > tot[r["ws"]] // 2:
             assert (r["ws"], r["event_type"]) in final, (r["ws"], r["event_type"])
+
+
+def test_streaming_heavy_hitters_event_time_state_retirement(spark, tmp_path):
+    """The state-bounding contract along the window axis: with a
+    watermark, a window whose end the watermark has passed must emit
+    one FINAL summary (is_final=true) and be evicted — so live state is
+    bounded by the watermark horizon. Staged as three single-file
+    micro-batches: window A, then events 3 h later (advances the
+    watermark computed AFTER that batch), then one more batch in which
+    A's timeout fires."""
+    from pyspark.sql import types as T
+
+    from csv_query_engine_spark.streaming import streaming_heavy_hitters
+
+    base = 1_700_000_000  # epoch seconds, on the hour boundary side
+    schema = T.StructType(
+        [
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("event_type", T.StringType()),
+        ]
+    )
+
+    def batch(rows):
+        import datetime as dt
+
+        return spark.createDataFrame(
+            [(dt.datetime.utcfromtimestamp(base + off), et) for off, et in rows],
+            schema,
+        )
+
+    d = str(tmp_path / "staged")
+    batch([(0, "view"), (60, "view"), (120, "click")]).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(d)
+    batch([(3 * 3600, "purchase"), (3 * 3600 + 60, "view")]).coalesce(1).write.mode(
+        "append"
+    ).parquet(d)
+    batch([(3 * 3600 + 120, "click")]).coalesce(1).write.mode("append").parquet(d)
+
+    stream = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", "1").parquet(d)
+    )
+    out = run_stream_to_memory(
+        streaming_heavy_hitters(stream, k=8, window="1 hour", watermark="30 minutes"),
+        "hh_timeout",
+        output_mode="update",
+    )
+    rows = out.collect()
+    finals = [r for r in rows if r["is_final"]]
+    updates = [r for r in rows if not r["is_final"]]
+    assert updates, "no live updates emitted"
+    # window A (the base hour) must have been finalized with its exact
+    # summary once the watermark passed its end
+    import datetime as dt
+
+    a_start_naive = dt.datetime.utcfromtimestamp(base - base % 3600)
+    a_finals = {r["event_type"]: r for r in finals if abs(
+        (r["window_start"] - a_start_naive).total_seconds()) < 1}
+    assert set(a_finals) == {"view", "click"}, finals
+    assert a_finals["view"]["mg_count"] == 2
+    assert a_finals["click"]["mg_count"] == 1
+    assert all(r["n_window"] == 3 for r in a_finals.values())
+    # the late window must NOT be finalized (watermark never passed it)
+    late = [r for r in finals if r["window_start"] != a_finals["view"]["window_start"]]
+    assert not late, late
