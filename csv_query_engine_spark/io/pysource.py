@@ -290,7 +290,12 @@ class JsonlStreamShardWriter(DataSourceStreamWriter):
     log.  ``abort()`` deletes the epoch's orphans.
 
     Scale: tasks stream rows straight to their shard (O(1) memory);
-    commit is a driver-side rename of one message per task."""
+    commit is a driver-side rename of one message per task.  Epoch
+    shard names are batch-id-derived (NOT job-unique like the batch
+    writer's): a streaming sink owns its output directory exclusively —
+    the checkpoint <-> path pairing already forbids two concurrent
+    queries sharing one path, and batch ids are unique within the one
+    query the directory belongs to."""
 
     def __init__(self, options):
         self.path = options.get("path")
