@@ -401,3 +401,45 @@ def test_dynamic_partition_pruning_fires_on_partitioned_fact(spark, tmp_path):
     # and the result only holds the partitions the runtime filter kept
     rows = sorted(r["o_orderpriority"] for r in joined.collect())
     assert rows == ["1-URGENT", "2-HIGH"]
+
+
+def test_runtime_bloom_filter_prunes_shuffle_join_probe(spark):
+    """The shuffle-join complement of DPP: when a selective dim side
+    cannot broadcast (the 100 TB fact-fact case — forced here by
+    disabling auto-broadcast), Catalyst must inject a runtime Bloom
+    filter built from the creation side's join keys into the probe
+    side's scan, so non-matching fact rows drop before the shuffle.
+    Pinned because the optimization silently disappears if the join
+    shape or the key expression drifts."""
+    from pyspark.sql import functions as F
+
+    confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "10GB",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+    }
+    saved = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        li = spark.read.parquet(f"{SF_SMOKE}/lineitem.parquet")
+        o = spark.read.parquet(f"{SF_SMOKE}/orders.parquet").filter(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        j = (
+            li.join(o, li.l_orderkey == o.o_orderkey)
+            .groupBy("o_orderpriority")
+            .count()
+        )
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "bloom_filter_agg" in plan, plan
+        assert "might_contain" in plan, plan
+        rows = j.collect()
+        assert len(rows) == 1 and rows[0]["o_orderpriority"] == "1-URGENT"
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
