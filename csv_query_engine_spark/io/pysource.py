@@ -223,6 +223,32 @@ class _ShardCommit(WriterCommitMessage):
         self.tmp_path, self.rows = tmp_path, rows
 
 
+def _write_tmp_shard(path: str, iterator) -> _ShardCommit:
+    """Task-side half of the two-phase protocol, shared by the batch
+    and streaming writers: stream rows into a private .tmp- JSONL shard
+    and report it for the driver-side rename."""
+    import json
+    import os
+    import uuid
+
+    os.makedirs(path, exist_ok=True)
+    tmp = os.path.join(path, f".tmp-{uuid.uuid4().hex}.jsonl")
+    n = 0
+    with open(tmp, "w") as f:
+        for row in iterator:
+            f.write(json.dumps(row.asDict()) + "\n")
+            n += 1
+    return _ShardCommit(tmp, n)
+
+
+def _remove_tmp_shards(messages) -> None:
+    import os
+
+    for m in messages:
+        if m is not None and os.path.exists(m.tmp_path):
+            os.remove(m.tmp_path)
+
+
 class JsonlShardWriter(DataSourceWriter):
     """Two-phase-commit JSONL sink: each task writes a private
     ``.tmp-<uuid>`` shard and reports it in its commit message; the
@@ -247,18 +273,7 @@ class JsonlShardWriter(DataSourceWriter):
         self.job_id = uuid.uuid4().hex[:12]
 
     def write(self, iterator) -> _ShardCommit:
-        import json
-        import os
-        import uuid
-
-        os.makedirs(self.path, exist_ok=True)
-        tmp = os.path.join(self.path, f".tmp-{uuid.uuid4().hex}.jsonl")
-        n = 0
-        with open(tmp, "w") as f:
-            for row in iterator:
-                f.write(json.dumps(row.asDict()) + "\n")
-                n += 1
-        return _ShardCommit(tmp, n)
+        return _write_tmp_shard(self.path, iterator)
 
     def commit(self, messages) -> None:
         import os
@@ -268,11 +283,7 @@ class JsonlShardWriter(DataSourceWriter):
             os.replace(m.tmp_path, final)
 
     def abort(self, messages) -> None:
-        import os
-
-        for m in messages:
-            if m is not None and os.path.exists(m.tmp_path):
-                os.remove(m.tmp_path)
+        _remove_tmp_shards(messages)
 
 
 class JsonlStreamShardWriter(DataSourceStreamWriter):
@@ -303,30 +314,27 @@ class JsonlStreamShardWriter(DataSourceStreamWriter):
             raise ValueError("jsonl_shards sink requires option 'path'")
 
     def write(self, iterator) -> _ShardCommit:
-        import json
-        import os
-        import uuid
-
-        os.makedirs(self.path, exist_ok=True)
-        tmp = os.path.join(self.path, f".tmp-{uuid.uuid4().hex}.jsonl")
-        n = 0
-        with open(tmp, "w") as f:
-            for row in iterator:
-                f.write(json.dumps(row.asDict()) + "\n")
-                n += 1
-        return _ShardCommit(tmp, n)
+        return _write_tmp_shard(self.path, iterator)
 
     def commit(self, messages, batchId: int) -> None:
+        import glob
         import os
 
         marker = os.path.join(self.path, f"_commit-{batchId:09d}")
         live = [m for m in messages if m is not None]
         if os.path.exists(marker):
             # replayed epoch: output already visible; drop duplicates
-            for m in live:
-                if os.path.exists(m.tmp_path):
-                    os.remove(m.tmp_path)
+            _remove_tmp_shards(live)
             return
+        # crash-replay hygiene: a previous attempt may have renamed SOME
+        # shards before dying short of the marker; if this replay plans
+        # fewer tasks, those strays would survive the re-commit and
+        # duplicate rows — clear the epoch's namespace first (the
+        # marker, not the directory listing, is what readers trust)
+        for stray in glob.glob(
+            os.path.join(self.path, f"batch-{batchId:09d}-shard-*.jsonl")
+        ):
+            os.remove(stray)
         total = 0
         for i, m in enumerate(live):
             final = os.path.join(
@@ -338,11 +346,7 @@ class JsonlStreamShardWriter(DataSourceStreamWriter):
             f.write(f"{total}\n")
 
     def abort(self, messages, batchId: int) -> None:
-        import os
-
-        for m in messages:
-            if m is not None and os.path.exists(m.tmp_path):
-                os.remove(m.tmp_path)
+        _remove_tmp_shards(messages)
 
 
 class JsonlShardSink(DataSource):

@@ -277,7 +277,18 @@ def read_csv_audited(
     and per Spark's contract the corrupt column must be materialized
     before filtering — a cache() boundary makes the split see the same
     parse, not two scans with different pushdowns."""
-    full_schema = schema.add(corrupt_col, "string") if corrupt_col not in schema.fieldNames() else schema
+    from pyspark.sql import types as _T
+
+    # Build a NEW StructType — StructType.add mutates self and returns
+    # it, which would permanently graft the audit column onto the
+    # caller's schema object (breaking its later reuse for
+    # createDataFrame/writes).
+    if corrupt_col in schema.fieldNames():
+        full_schema = schema
+    else:
+        full_schema = _T.StructType(
+            list(schema.fields) + [_T.StructField(corrupt_col, _T.StringType())]
+        )
     reader = (
         spark.read.schema(full_schema)
         .option("header", str(header).lower())

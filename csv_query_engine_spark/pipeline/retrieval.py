@@ -53,6 +53,12 @@ def bm25_topk(
     terms instead, with the identical plan)."""
     from pyspark.storagelevel import StorageLevel
 
+    # The tf shuffle keys on the token STRING, deliberately diverging
+    # from the hashed-gram idiom (CLAUDE.md): these are single
+    # whitespace tokens (~6 bytes — no narrower than the 8-byte hash,
+    # unlike multi-word grams), and the derived query set needs the
+    # string anyway for the (df desc, token) tiebreak the DuckDB twin
+    # must reproduce (xxhash64 has no DuckDB counterpart to order by).
     tok = (
         _spread(df.select(F.col(id_col).alias("id"), tokens(F.col(text_col)).alias("_t")))
         .select("id", F.explode("_t").alias("token"))

@@ -270,17 +270,29 @@ def streaming_heavy_hitters(
     summary can't change once the watermark guarantees no more events
     for the window, so live state is bounded by the watermark horizon,
     not the stream's age. ``watermark=None`` keeps NoTimeout (every
-    window's state lives for the query — only for bounded tests)."""
+    window's state lives for the query — only for bounded tests).
+    Timeout arithmetic assumes a UTC session (the repo convention —
+    session.py and the verify recipe both pin it): the group key
+    arrives as a naive datetime in the session timezone and is pinned
+    to UTC explicitly before the epoch conversion, so the host OS
+    timezone cannot shift the retirement instant."""
     import datetime as _dt
 
     from pyspark.sql.streaming.state import GroupStateTimeout
 
-    window_sec = {"1 hour": 3600, "30 minutes": 1800}.get(window)
-    if window_sec is None:
-        # parse "<n> <unit>" for the timeout arithmetic
+    window_sec = None
+    if watermark is not None:
+        # parse "<n> <unit>" for the timeout arithmetic — only the
+        # timeout path needs it, so NoTimeout callers may pass any
+        # window string F.window() accepts
         n, unit = window.split()
-        window_sec = int(n) * {"second": 1, "seconds": 1, "minute": 60,
-                               "minutes": 60, "hour": 3600, "hours": 3600}[unit]
+        units = {"second": 1, "seconds": 1, "minute": 60, "minutes": 60,
+                 "hour": 3600, "hours": 3600, "day": 86400, "days": 86400}
+        if unit not in units:
+            raise ValueError(
+                f"unsupported window unit {unit!r} for timeout arithmetic"
+            )
+        window_sec = int(n) * units[unit]
 
     out_schema = T.StructType(
         [
@@ -350,11 +362,16 @@ def streaming_heavy_hitters(
                         c -= dec
         state.update((list(counters), list(counters.values()), total))
         if use_timeout:
-            # retire when the watermark passes this window's END
-            end_ms = int(
-                (key[0] + _dt.timedelta(seconds=window_sec)).timestamp() * 1000
+            # retire when the watermark passes this window's END.
+            # key[0] is a NAIVE datetime in the (UTC) session timezone:
+            # pin tzinfo explicitly so .timestamp() cannot reinterpret
+            # it in the host OS zone (a +05:30 host would otherwise set
+            # the timeout 5.5 h early — at/below the watermark, which
+            # Spark rejects and kills the query)
+            end = key[0].replace(tzinfo=_dt.timezone.utc) + _dt.timedelta(
+                seconds=window_sec
             )
-            state.setTimeoutTimestamp(end_ms)
+            state.setTimeoutTimestamp(int(end.timestamp() * 1000))
         yield pd.DataFrame(
             {
                 "window_start": [key[0]] * len(counters),

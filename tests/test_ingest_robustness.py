@@ -55,3 +55,17 @@ def test_parquet_schema_evolution_reads_union_of_columns(spark, tmp_path):
     assert set(df.columns) == {"id", "name", "score"}
     rows = {r["id"]: r for r in df.collect()}
     assert rows[1]["score"] is None and rows[2]["score"] == 9.5
+
+
+def test_audited_csv_does_not_mutate_caller_schema(spark, tmp_path):
+    """StructType.add mutates in place — the reader must build a NEW
+    schema so the caller's object stays reusable."""
+    from pyspark.sql import types as T
+
+    schema = T.StructType([T.StructField("id", T.LongType())])
+    before = schema.fieldNames()
+    p = tmp_path / "one.csv"
+    p.write_text("id\n1\n")
+    clean, _ = read_csv_audited(spark, str(p), schema)
+    assert schema.fieldNames() == before == ["id"]
+    assert clean.count() == 1

@@ -228,3 +228,36 @@ def test_jsonl_stream_sink_replayed_epoch_is_idempotent(tmp_path):
     w.abort([make_tmp([{"a": 9}])], batchId=8)
     assert glob.glob(os.path.join(out, "batch-*.jsonl")) == shards
     assert not glob.glob(os.path.join(out, ".tmp-*"))
+
+
+def test_jsonl_stream_sink_replay_clears_stray_partial_shards(tmp_path):
+    """Crash window: a prior attempt renamed SOME shards but died before
+    the marker. The replay (which may plan fewer tasks) must clear the
+    epoch's stray shards before committing, or readers see duplicates."""
+    import glob
+    import json
+    import os
+
+    from csv_query_engine_spark.io.pysource import (
+        JsonlStreamShardWriter,
+        _ShardCommit,
+    )
+
+    out = str(tmp_path / "crash")
+    os.makedirs(out, exist_ok=True)
+    # simulate the dead attempt: two renamed shards, NO marker
+    for i, rows in enumerate(([{"a": 1}], [{"a": 2}])):
+        with open(os.path.join(out, f"batch-{5:09d}-shard-{i:05d}.jsonl"), "w") as f:
+            for r in rows:
+                f.write(json.dumps(r) + "\n")
+    # the replay plans ONE task carrying the full epoch
+    w = JsonlStreamShardWriter({"path": out})
+    tmp = os.path.join(out, ".tmp-replay.jsonl")
+    with open(tmp, "w") as f:
+        for r in ({"a": 1}, {"a": 2}):
+            f.write(json.dumps(r) + "\n")
+    w.commit([_ShardCommit(tmp, 2)], batchId=5)
+    shards = sorted(glob.glob(os.path.join(out, "batch-*.jsonl")))
+    assert len(shards) == 1, shards  # the stray second shard is gone
+    rows = [json.loads(l)["a"] for l in open(shards[0])]
+    assert sorted(rows) == [1, 2]
