@@ -9,6 +9,8 @@ nlsql.validator.  The added patterns are the ones the reference's own
 canonical questions imply but its grammar can't parse:
 
 * ``count``/``how many`` ............ COUNT(*)
+* ``how many distinct|different|unique <col>``
+                                     COUNT(DISTINCT col)
 * ``average|avg|mean|total|sum|min|max <numcol>``
                                      aggregate over a numeric column
 * ``by|per <col>`` .................. GROUP BY
@@ -17,6 +19,11 @@ canonical questions imply but its grammar can't parse:
                                      group key tiebreaks the ordering)
 * ``<col> is|equals <value>`` ....... equality filter (value taken
                                      verbatim from the question)
+* ``<numcol> over|above|greater than <n>`` / ``under|below|less than``
+                                     numeric comparison filter
+* ``between YYYY-MM-DD and YYYY-MM-DD`` / ``since YYYY-MM-DD``
+                                     explicit date range on the first
+                                     date-typed column
 * ``last month`` .................... inherited range rule (A9)
 
 Column words fold trailing-'s' plurals exactly like the base grammar's
@@ -92,6 +99,12 @@ def generate_sql_extended(
 
     wants_count = bool(re.search(r"\bcount\b|\bhow many\b", q))
 
+    # distinct count: "how many distinct/different/unique X"
+    distinct_col = None
+    dm = re.search(r"\b(?:distinct|different|unique)\b (\w+)", q)
+    if dm:
+        distinct_col = resolve(dm.group(1))
+
     # top-N
     topm = re.search(r"\btop (\d+)\b", q)
 
@@ -103,6 +116,20 @@ def generate_sql_extended(
         if col is not None and col not in (agg_col,):
             where.append(f"{quote_identifier(col)} = '{m.group(2)}'")
 
+    # numeric comparison filters: "X over/above/greater than N"
+    for m in re.finditer(
+        r"(\w+) (?:over|above|greater than|more than) (\d+(?:\.\d+)?)", q
+    ):
+        col = resolve(m.group(1))
+        if col is not None and any(t in types[col.lower()] for t in _NUM_TYPES):
+            where.append(f"{quote_identifier(col)} > {m.group(2)}")
+    for m in re.finditer(
+        r"(\w+) (?:under|below|less than|fewer than) (\d+(?:\.\d+)?)", q
+    ):
+        col = resolve(m.group(1))
+        if col is not None and any(t in types[col.lower()] for t in _NUM_TYPES):
+            where.append(f"{quote_identifier(col)} < {m.group(2)}")
+
     # inherited last-month range (A9)
     date_cols = [
         _get(c, "name") for c in columns if _get(c, "semantic_type") == "date"
@@ -111,6 +138,15 @@ def generate_sql_extended(
         start, end = get_last_month_range(now)
         d = quote_identifier(date_cols[0])
         where.append(f"{d} >= '{start}' AND {d} <= '{end}'")
+    # explicit date bounds on the first date-typed column
+    if date_cols:
+        d = quote_identifier(date_cols[0])
+        bm = re.search(r"between (\d{4}-\d{2}-\d{2}) and (\d{4}-\d{2}-\d{2})", q)
+        if bm:
+            where.append(f"{d} >= '{bm.group(1)}' AND {d} <= '{bm.group(2)}'")
+        sm = re.search(r"\bsince (\d{4}-\d{2}-\d{2})", q)
+        if sm:
+            where.append(f"{d} >= '{sm.group(1)}'")
 
     # assemble
     select_parts: list[str] = []
@@ -121,7 +157,14 @@ def generate_sql_extended(
         alias = f"{agg_fn.lower()}_{agg_col}"
         select_parts.append(f"{agg_fn}({quote_identifier(agg_col)}) AS {quote_identifier(alias)}")
         order_metric = quote_identifier(alias)
-    if wants_count or (group_col is not None and agg_fn is None):
+    if distinct_col is not None:
+        alias = quote_identifier(f"distinct_{distinct_col}")
+        select_parts.append(
+            f"COUNT(DISTINCT {quote_identifier(distinct_col)}) AS {alias}"
+        )
+        if order_metric is None:
+            order_metric = alias
+    elif wants_count or (group_col is not None and agg_fn is None):
         select_parts.append("COUNT(*) AS `count`")
         if order_metric is None:
             order_metric = "`count`"
@@ -132,7 +175,9 @@ def generate_sql_extended(
     sql = f"SELECT {', '.join(select_parts)} FROM {tbl}"
     if where:
         sql += " WHERE " + " AND ".join(where)
-    if group_col is not None and (agg_fn is not None or wants_count or topm):
+    if group_col is not None and (
+        agg_fn is not None or wants_count or topm or distinct_col is not None
+    ):
         sql += f" GROUP BY {quote_identifier(group_col)}"
     if topm and order_metric is not None:
         tie = f", {quote_identifier(group_col)}" if group_col is not None else ""

@@ -275,3 +275,62 @@ def test_planner_falls_back_to_extended_grammar(spark):
     cols = [{"name": "Service", "type": "string", "semantic_type": "service"}]
     base = p.generate("which services failed", cols)
     assert base == "SELECT `Service`, COUNT(*) AS count FROM df GROUP BY `Service`"
+
+
+def test_extended_distinct_count_per_group():
+    from csv_query_engine_spark.nlsql.extended import generate_sql_extended
+
+    sql = generate_sql_extended(
+        "how many distinct o_custkey per o_orderstatus", ORDERS_COLS, table="orders"
+    )
+    assert sql == (
+        "SELECT `o_orderstatus`, COUNT(DISTINCT `o_custkey`) AS `distinct_o_custkey` "
+        "FROM orders GROUP BY `o_orderstatus`"
+    )
+
+
+def test_extended_numeric_comparisons_and_date_bounds():
+    from csv_query_engine_spark.nlsql.extended import generate_sql_extended
+
+    sql = generate_sql_extended(
+        "count orders with o_totalprice over 1000 and o_custkey below 500 "
+        "between 1995-01-01 and 1995-03-31",
+        ORDERS_COLS,
+        table="orders",
+    )
+    assert "`o_totalprice` > 1000" in sql
+    assert "`o_custkey` < 500" in sql
+    assert "`o_orderdate` >= '1995-01-01' AND `o_orderdate` <= '1995-03-31'" in sql
+    assert sql.startswith("SELECT COUNT(*) AS `count` FROM orders WHERE ")
+
+    since = generate_sql_extended(
+        "total o_totalprice since 1996-06-01", ORDERS_COLS, table="orders"
+    )
+    assert "`o_orderdate` >= '1996-06-01'" in since
+
+
+def test_extended_new_patterns_execute_and_validate(spark):
+    from csv_query_engine_spark.io.readers import load_tables
+    from csv_query_engine_spark.nlsql.extended import generate_sql_extended
+    from csv_query_engine_spark.nlsql.validator import validate_sql
+    from csv_query_engine_spark.profiler import profile
+
+    o = load_tables(spark, "/root/testdata/sf0.001", ("orders",))["orders"]
+    cols = profile(o)
+    sql = generate_sql_extended(
+        "how many distinct o_custkey per o_orderstatus with o_totalprice over 1000",
+        cols,
+        table="orders",
+    )
+    validate_sql(sql, spark)
+    got = {r["o_orderstatus"]: r["distinct_o_custkey"] for r in spark.sql(sql).collect()}
+    from pyspark.sql import functions as F
+
+    expected = {
+        r["o_orderstatus"]: r["n"]
+        for r in o.filter(F.col("o_totalprice") > 1000)
+        .groupBy("o_orderstatus")
+        .agg(F.countDistinct("o_custkey").alias("n"))
+        .collect()
+    }
+    assert got == expected
