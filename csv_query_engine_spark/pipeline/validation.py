@@ -89,3 +89,43 @@ def check_constraints(df: DataFrame, checks: list[Check], approx: bool = False) 
     return prof.select(
         F.expr(f"stack({len(checks)}, {items})").alias("constraint", "metric", "threshold")
     ).withColumn("passed", F.col("metric") >= F.col("threshold"))
+
+
+def row_predicate(c: Check) -> Column:
+    """Row-level form of a constraint — TRUE when the row satisfies it.
+    Only row-decidable kinds qualify (completeness/range/accepted/
+    pattern); `uniqueness` is a dataset-level property with no per-row
+    verdict and is rejected."""
+    col = F.col(c.column)
+    if c.kind == "completeness":
+        return col.isNotNull()
+    if c.kind == "range":
+        return col.isNotNull() & (col >= F.lit(c.lo)) & (col <= F.lit(c.hi))
+    if c.kind == "accepted":
+        return col.isin(list(c.values))
+    if c.kind == "pattern":
+        return col.isNotNull() & col.rlike(c.regex)
+    raise ValueError(f"constraint kind {c.kind!r} has no row-level form")
+
+
+def split_by_rules(df: DataFrame, checks: list[Check]):
+    """(good, quarantined): route each row by the conjunction of the
+    row-level constraints. Quarantined rows carry `failed_rules` — the
+    comma-joined names of every rule the row violates — so a repair job
+    knows WHY each row was parked (the dead-letter contract).
+
+    Scale: one pass, pure codegen'd per-row predicates — no shuffle, no
+    aggregation; the rule list is plan literals. This is the ROW-level
+    complement of :func:`check_constraints` (dataset-level fractions):
+    the gate decides whether a batch ships, the splitter decides which
+    rows do."""
+    preds = [(c.name, row_predicate(c)) for c in checks]
+    all_ok = F.lit(True)
+    for _, p in preds:
+        all_ok = all_ok & p
+    failed = F.concat_ws(
+        ",", *[F.when(~p, F.lit(name)) for name, p in preds]
+    )
+    good = df.filter(all_ok)
+    quarantined = df.filter(~all_ok).withColumn("failed_rules", failed)
+    return good, quarantined

@@ -2,6 +2,7 @@ from csv_query_engine_spark.streaming.events import (
     conversion_join,
     ensure_event_time,
     enrich_with_dim,
+    quality_gate_stream,
     read_events_stream,
     run_stream_to_memory,
     running_user_totals,
@@ -16,6 +17,7 @@ __all__ = [
     "conversion_join",
     "enrich_with_dim",
     "ensure_event_time",
+    "quality_gate_stream",
     "read_events_stream",
     "run_stream_to_memory",
     "running_user_totals",

@@ -493,3 +493,38 @@ def enrich_with_dim(stream: DataFrame, dim: DataFrame, on: str, how: str = "left
     pre-bucket both sides on the key; AQE does not replan streams, so
     the static side's size discipline is the operator's contract."""
     return stream.join(F.broadcast(dim), on, how)
+
+
+def quality_gate_stream(
+    stream: DataFrame,
+    checks,
+    good_path: str,
+    quarantine_path: str,
+    checkpoint: str,
+):
+    """Streaming dead-letter routing: every micro-batch splits by the
+    row-level constraints (pipeline/validation.py::split_by_rules) —
+    passing rows append to ``good_path``, violating rows append to
+    ``quarantine_path`` WITH their ``failed_rules`` — so bad data parks
+    for repair instead of poisoning downstream state or failing the
+    query. The foreachBatch + two-append pattern keeps exactly-once per
+    sink through the shared checkpoint.
+
+    Scale: the split is pure per-row codegen (no shuffle, no state);
+    the only state is the source offsets in the checkpoint. This is the
+    streaming face of the quality layer: check_constraints gates a
+    BATCH before publication, split_by_rules routes a STREAM row by
+    row."""
+    from csv_query_engine_spark.pipeline.validation import split_by_rules
+
+    def route(batch_df, batch_id):
+        good, bad = split_by_rules(batch_df, checks)
+        good.write.mode("append").parquet(good_path)
+        bad.write.mode("append").parquet(quarantine_path)
+
+    return (
+        stream.writeStream.foreachBatch(route)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -630,3 +630,52 @@ def test_streaming_heavy_hitters_event_time_state_retirement(spark, tmp_path):
     # the late window must NOT be finalized (watermark never passed it)
     late = [r for r in finals if r["window_start"] != a_finals["view"]["window_start"]]
     assert not late, late
+
+
+def test_quality_gate_stream_dead_letter_routing(spark, tmp_path):
+    """Streaming dead-letter contract: every micro-batch row lands in
+    exactly one of good/quarantine, quarantined rows carry failed_rules,
+    and a restart over the checkpoint does not double-route."""
+    from pyspark.sql import types as T
+
+    from csv_query_engine_spark.pipeline.validation import Check
+    from csv_query_engine_spark.streaming import quality_gate_stream
+
+    schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+        ]
+    )
+    rows_a = [(1, "view", 1.0), (2, None, 2.0), (3, "click", -5.0)]
+    rows_b = [(4, "purchase", 9.0), (5, "bogus", 1.0)]
+    d = str(tmp_path / "staged")
+    spark.createDataFrame(rows_a, schema).coalesce(1).write.mode("overwrite").parquet(d)
+    checks = [
+        Check("completeness", "event_type", 1.0),
+        Check("range", "value", 1.0, lo=0.0, hi=1000.0),
+        Check("accepted", "event_type", 1.0, values=("view", "click", "purchase")),
+    ]
+    good_p, bad_p, ckpt = (
+        str(tmp_path / "good"),
+        str(tmp_path / "bad"),
+        str(tmp_path / "ck"),
+    )
+
+    def run_once():
+        stream = spark.readStream.schema(schema).parquet(d)
+        q = quality_gate_stream(stream, checks, good_p, bad_p, ckpt)
+        q.awaitTermination(120)
+
+    run_once()
+    spark.createDataFrame(rows_b, schema).coalesce(1).write.mode("append").parquet(d)
+    run_once()  # restart: only the new file routes
+
+    good_ids = sorted(r["event_id"] for r in spark.read.parquet(good_p).collect())
+    bad = {r["event_id"]: r["failed_rules"] for r in spark.read.parquet(bad_p).collect()}
+    assert good_ids == [1, 4]
+    assert sorted(bad) == [2, 3, 5]
+    assert "completeness(event_type)" in bad[2]
+    assert "range(value)" in bad[3]
+    assert "accepted(event_type)" in bad[5]

@@ -69,3 +69,47 @@ def test_approx_uses_hll_no_expand(spark):
     assert "Expand" not in plan_of(approx)
     got = {r["constraint"]: r["metric"] for r in approx.collect()}
     assert abs(got["uniqueness(a)"] - 0.07) < 0.01
+
+
+def test_row_level_split_routes_and_explains(spark):
+    from csv_query_engine_spark.pipeline.validation import Check, split_by_rules
+
+    df = spark.createDataFrame(
+        [
+            (1, "view", 10.0),
+            (2, None, 5.0),          # completeness(event_type) fails
+            (3, "click", -1.0),      # range(value) fails
+            (4, "bogus", 2000.0),    # accepted + range fail
+        ],
+        "event_id long, event_type string, value double",
+    )
+    checks = [
+        Check("completeness", "event_type", 1.0),
+        Check("range", "value", 1.0, lo=0.0, hi=1000.0),
+        Check("accepted", "event_type", 1.0, values=("view", "click", "purchase")),
+    ]
+    good, bad = split_by_rules(df, checks)
+    assert [r["event_id"] for r in good.collect()] == [1]
+    reasons = {r["event_id"]: r["failed_rules"] for r in bad.collect()}
+    assert "completeness(event_type)" in reasons[2]
+    assert "range(value)[0.0,1000.0]" in reasons[3]
+    assert "accepted(event_type)" in reasons[4] and "range(value)" in reasons[4]
+    # conservation: every input row lands in exactly one side
+    assert good.count() + bad.count() == df.count()
+    # no row-level form for uniqueness
+    import pytest as _pytest
+
+    from csv_query_engine_spark.pipeline.validation import row_predicate
+
+    with _pytest.raises(ValueError):
+        row_predicate(Check("uniqueness", "event_id", 1.0))
+
+
+def test_split_plan_is_shuffle_free(spark):
+    from csv_query_engine_spark.pipeline.validation import Check, split_by_rules
+
+    df = spark.createDataFrame([(1, "a", 1.0)], "event_id long, event_type string, value double")
+    good, bad = split_by_rules(df, [Check("completeness", "event_type", 1.0)])
+    for side in (good, bad):
+        plan = side._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan and "EvalPython" not in plan
