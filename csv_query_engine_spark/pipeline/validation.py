@@ -102,7 +102,11 @@ def row_predicate(c: Check) -> Column:
     if c.kind == "range":
         return col.isNotNull() & (col >= F.lit(c.lo)) & (col <= F.lit(c.hi))
     if c.kind == "accepted":
-        return col.isin(list(c.values))
+        # isNotNull guard matters: NULL.isin(...) is SQL NULL, and a NULL
+        # conjunct makes BOTH filter(all_ok) and filter(~all_ok) drop the
+        # row — silent data loss in a gate whose contract is "every row
+        # lands in exactly one side" (round-7 verdict bug #1).
+        return col.isNotNull() & col.isin(list(c.values))
     if c.kind == "pattern":
         return col.isNotNull() & col.rlike(c.regex)
     raise ValueError(f"constraint kind {c.kind!r} has no row-level form")
@@ -119,7 +123,13 @@ def split_by_rules(df: DataFrame, checks: list[Check]):
     complement of :func:`check_constraints` (dataset-level fractions):
     the gate decides whether a batch ships, the splitter decides which
     rows do."""
-    preds = [(c.name, row_predicate(c)) for c in checks]
+    # Every row_predicate is three-valued-safe (NULL input → FALSE, never
+    # SQL NULL), but coalesce anyway: a future rule kind that leaks NULL
+    # must degrade to "quarantined", never to "row vanishes from both
+    # outputs".
+    preds = [
+        (c.name, F.coalesce(row_predicate(c), F.lit(False))) for c in checks
+    ]
     all_ok = F.lit(True)
     for _, p in preds:
         all_ok = all_ok & p

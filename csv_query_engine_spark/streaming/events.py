@@ -495,6 +495,32 @@ def enrich_with_dim(stream: DataFrame, dim: DataFrame, on: str, how: str = "left
     return stream.join(F.broadcast(dim), on, how)
 
 
+def route_quality_batch(batch_df, batch_id: int, checks, good_path: str, quarantine_path: str):
+    """One micro-batch of the streaming dead-letter gate: split by the
+    row-level constraints, then write each side keyed by ``batch_id``
+    with a dynamic partition overwrite — replaying the SAME batch (the
+    documented foreachBatch at-least-once failure mode: crash after the
+    writes but before the checkpoint commit) rewrites the same
+    ``batch_id=<n>`` partition instead of appending duplicates, so the
+    sinks are idempotent under replay. The split is deterministic
+    (plan-literal predicates, no RNG), so a replay produces byte-equal
+    partitions; a crash BETWEEN the two writes heals on replay the same
+    way. Module-level (not a closure) so the replay contract is
+    testable directly — foreachBatch functions run on the driver, so
+    package imports here are safe."""
+    from csv_query_engine_spark.pipeline.validation import split_by_rules
+
+    good, bad = split_by_rules(batch_df, checks)
+    for side, path in ((good, good_path), (bad, quarantine_path)):
+        (
+            side.withColumn("batch_id", F.lit(int(batch_id)))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(path)
+        )
+
+
 def quality_gate_stream(
     stream: DataFrame,
     checks,
@@ -504,23 +530,23 @@ def quality_gate_stream(
 ):
     """Streaming dead-letter routing: every micro-batch splits by the
     row-level constraints (pipeline/validation.py::split_by_rules) —
-    passing rows append to ``good_path``, violating rows append to
+    passing rows land in ``good_path``, violating rows in
     ``quarantine_path`` WITH their ``failed_rules`` — so bad data parks
     for repair instead of poisoning downstream state or failing the
-    query. The foreachBatch + two-append pattern keeps exactly-once per
-    sink through the shared checkpoint.
+    query. foreachBatch alone is at-least-once; the per-batch dynamic
+    partition overwrite in :func:`route_quality_batch` makes a replayed
+    batch a rewrite of its own partition, which upgrades the
+    END-TO-END result (checkpoint offsets + idempotent sink) to
+    effectively-once.
 
     Scale: the split is pure per-row codegen (no shuffle, no state);
     the only state is the source offsets in the checkpoint. This is the
     streaming face of the quality layer: check_constraints gates a
     BATCH before publication, split_by_rules routes a STREAM row by
     row."""
-    from csv_query_engine_spark.pipeline.validation import split_by_rules
 
     def route(batch_df, batch_id):
-        good, bad = split_by_rules(batch_df, checks)
-        good.write.mode("append").parquet(good_path)
-        bad.write.mode("append").parquet(quarantine_path)
+        route_quality_batch(batch_df, batch_id, checks, good_path, quarantine_path)
 
     return (
         stream.writeStream.foreachBatch(route)

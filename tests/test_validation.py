@@ -105,6 +105,26 @@ def test_row_level_split_routes_and_explains(spark):
         row_predicate(Check("uniqueness", "event_id", 1.0))
 
 
+def test_split_conserves_null_rows_under_accepted_only_rules(spark):
+    """Round-7 verdict bug #1: NULL.isin(...) is SQL NULL, so without the
+    isNotNull guard a NULL row under an accepted-ONLY rule set vanished
+    from BOTH outputs (filter(NULL) and filter(~NULL) each drop it).
+    The exact repro shape: 3 rows in, one NULL — conservation must hold
+    and the NULL row must quarantine with the accepted rule named."""
+    from csv_query_engine_spark.pipeline.validation import Check, split_by_rules
+
+    df = spark.createDataFrame(
+        [(1, "view"), (2, None), (3, "bogus")], "event_id long, event_type string"
+    )
+    checks = [Check("accepted", "event_type", 1.0, values=("view", "click"))]
+    good, bad = split_by_rules(df, checks)
+    assert [r["event_id"] for r in good.collect()] == [1]
+    reasons = {r["event_id"]: r["failed_rules"] for r in bad.collect()}
+    assert sorted(reasons) == [2, 3], "NULL row must land in quarantine, not vanish"
+    assert "accepted(event_type)" in reasons[2]
+    assert good.count() + bad.count() == df.count()
+
+
 def test_split_plan_is_shuffle_free(spark):
     from csv_query_engine_spark.pipeline.validation import Check, split_by_rules
 
