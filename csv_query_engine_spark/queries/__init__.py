@@ -64,16 +64,27 @@ DRIVER_ORDER: list[str] = [
     # hitters, Kneser-Ney, k-means — takes the slots of 7 multi-round-
     # green siblings whose families keep in-window rows (mapping pinned
     # in tests/test_pipeline_round3.py).
-    "events_conversion_attribution",
+    # Round-8 rotations IN (round-7 verdict #3): the three late-round-7
+    # additions — oracle-green locally but never driver-certified — take
+    # the slots of multi-round-green siblings whose families keep
+    # in-window rows (mapping pinned in tests/test_pipeline_round3.py):
+    # windowed streaming twin conversion_attribution -> the per-window
+    # Misra-Gries heavy hitters (stream-stream join stays pytest-covered
+    # and its outer half events_view_conversion_flags stays oracle-
+    # checked past-window); SCD2 read scd2_snapshot_asof -> the SCD2
+    # write+read history query; chunking -> its sequence-reshaping
+    # sibling docs_sequence_packing.
+    "events_window_heavy_hitters",
     "events_markov_transitions",
     "events_value_anomalies",
     "events_robust_anomalies",
-    # -- write-side maintenance (MERGE / SCD2 write+read / CDC / refresh)
+    # -- write-side maintenance (MERGE / SCD2 / CDC / refresh)
     "merge_upsert_customer_refresh",
     "scd2_customer_segment_history",
-    "scd2_snapshot_asof",
     "customer_snapshot_cdc_diff",
     "orders_incremental_agg_refresh",
+    # -- privacy projection (round-7 addition, driver-certified round 8)
+    "customer_pseudonymized_export",
     # -- declarative quality gate + physical layout
     "orders_quality_constraints",
     "orders_zorder_layout_stats",
@@ -90,13 +101,21 @@ DRIVER_ORDER: list[str] = [
     "dedup_cluster_canonical",
     "docs_sequence_packing",
     "docs_bm25_top_docs",
-    "docs_chunk_windows",
+    "docs_ngram_novelty",
     "docs_shard_assignment",
     "dedup_semantic_pairs",
     "docs_token_typo_pairs",
     "docs_heavy_hitter_tokens",
     "docs_kneser_ney_scores",
     # ==================== driver window ends at 50 ====================
+    # Rotated OUT in round 8 for the round-7 late additions (each
+    # multi-round driver-certified; family kept in-window — windowed
+    # streaming twins via events_window_heavy_hitters, SCD2 via
+    # scd2_customer_segment_history, sequence reshaping via
+    # docs_sequence_packing):
+    "events_conversion_attribution",
+    "scd2_snapshot_asof",
+    "docs_chunk_windows",
     # Rotated OUT in round 7 (each driver-certified green in r6; family
     # kept in-window — sink-free PageRank via the directed variant +
     # triangles, LM scoring via Kneser-Ney, embedding math via k-means,
@@ -206,15 +225,6 @@ DRIVER_ORDER: list[str] = [
     "docs_weighted_sample",
     "docs_split_leakage_audit",
     "json_props_variant",
-    # Round-7: batch twin of the stream-native Misra-Gries heavy
-    # hitters (per-window MG state in applyInPandasWithState):
-    "events_window_heavy_hitters",
-    # Round-7: deterministic sha256 pseudonymization (join-preserving
-    # privacy export; pure codegen'd projection):
-    "customer_pseudonymized_export",
-    # Round-7: per-doc n-gram novelty vs everything ingested earlier —
-    # the corpus-saturation / diversity signal:
-    "docs_ngram_novelty",
     # Rows-only ops (no SQL-expressible oracle; pytest covers recall/
     # precision/planted-neighbor properties):
     "docs_benchmark_decontamination",

@@ -139,6 +139,11 @@ def test_registry_window_is_oracle_bearing(spark):
         "docs_quality_classifier_scores",
         "docs_bm25_top_docs",
         "docs_group_holdout_split",
+        # round-8 rotations IN (round-7 verdict #3): the late-round-7
+        # surface, driver-certified for the first time this round
+        "events_window_heavy_hitters",
+        "customer_pseudonymized_export",
+        "docs_ngram_novelty",
     ):
         assert new in window, new
     # Long-standing window anchors stay certified.
@@ -173,8 +178,15 @@ def test_registry_window_is_oracle_bearing(spark):
         ("docs_unigram_lm_scores", "docs_kneser_ney_scores"),  # LM scoring
         ("docs_bigram_lm_scores", "docs_kneser_ney_scores"),
         ("embedding_topk_bruteforce", "embedding_kmeans_clusters"),
-        ("events_hourly_counts", "events_conversion_attribution"),
+        ("events_hourly_counts", "events_window_heavy_hitters"),
         ("events_funnel_steps", "events_markov_transitions"),  # sequences
+        # round-8 sibling swaps (outgoing member multi-round certified;
+        # conversion attribution's stream-stream join contract stays
+        # pytest-covered and its outer half events_view_conversion_flags
+        # stays oracle-checked past-window)
+        ("events_conversion_attribution", "events_window_heavy_hitters"),
+        ("scd2_snapshot_asof", "scd2_customer_segment_history"),
+        ("docs_chunk_windows", "docs_sequence_packing"),
         # late round-7 sibling swaps (outgoing member r6-certified)
         ("docs_quality_filter", "docs_quality_classifier_scores"),
         ("docs_split_assignment", "docs_group_holdout_split"),
