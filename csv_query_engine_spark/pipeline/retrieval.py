@@ -123,6 +123,204 @@ def bm25_topk(
     )
 
 
+RRF_K = 60  # the standard fusion constant (Cormack, Clarke & Buettcher 2009)
+
+
+def hybrid_rrf_topk(
+    docs: DataFrame,
+    embeddings: DataFrame,
+    query_vec_id: int = 0,
+    list_n: int = 50,
+    top_n: int = 20,
+    rrf_k: int = RRF_K,
+    n_terms: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    vec_id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Hybrid lexical+semantic retrieval via reciprocal-rank fusion —
+    the standard RAG retrieval stack: a BM25 ranking (:func:`bm25_topk`
+    against the corpus-derived query terms) and an embedding cosine
+    ranking (similarity.brute_force_topk against the ``query_vec_id``
+    vector) are fused by
+
+        rrf(d) = 1/(k + rank_lex(d)) + 1/(k + rank_vec(d))
+
+    with an absent-list term contributing 0 (Cormack et al. 2009).
+    Returns the ``top_n`` fused ``(doc_id, lex_rank, vec_rank,
+    rrf_score)`` rows; absent ranks surface as the 0 sentinel (both
+    engines — nullable-int pandas upcast, CLAUDE.md).
+
+    Fully oracle-pairable: rank arithmetic is integer, each reciprocal
+    is one IEEE double division of exact integers, the two-term sum has
+    a fixed expression order, and the result is FLOOR-quantized at 1e-9
+    before the (score desc, doc_id) tiebroken top-n.
+
+    Scale: both input rankings are bounded (``list_n`` rows) before the
+    fusion, so the fuse itself is a broadcast-sized full outer join +
+    a triangular rank on ≤ list_n rows (no unpartitioned window — the
+    vocab_coverage idiom); all corpus-scale work lives in the two
+    underlying operators, whose plans are unchanged.
+    """
+    from csv_query_engine_spark.pipeline.similarity import brute_force_topk
+
+    lex_list = bm25_topk(
+        docs, n_terms=n_terms, top_n=list_n, id_col=id_col, text_col=text_col
+    ).select(F.col(id_col).alias("id"), "bm25_score")
+    # Rank the bounded lexical list with a triangular broadcast
+    # self-join (count of rows at-or-before in the (score desc, id)
+    # strict order) — same values as ROW_NUMBER, no single-task
+    # WindowExec (vocab_coverage precedent). bm25_score = su/1e6 is
+    # order-isomorphic to the integer su (distinct longs ≪ 2^53 map to
+    # distinct doubles), so this reproduces the oracle's ORDER BY.
+    before = (F.col("b.bm25_score") > F.col("a.bm25_score")) | (
+        (F.col("b.bm25_score") == F.col("a.bm25_score")) & (F.col("b.id") <= F.col("a.id"))
+    )
+    lex = (
+        lex_list.alias("a")
+        .join(F.broadcast(lex_list.alias("b")), before)
+        .groupBy(F.col("a.id").alias("id"))
+        .agg(F.count(F.lit(1)).cast("long").alias("lex_rank"))
+    )
+    qv = embeddings.filter(F.col(vec_id_col) == query_vec_id).select(
+        F.col(vec_id_col).alias("query_id"), F.col(vec_col)
+    )
+    vec = (
+        brute_force_topk(
+            embeddings, qv, k=list_n, id_col=vec_id_col, vec_col=vec_col, rounding=4
+        )
+        .select(F.col("cand_id").alias("id"), F.col("rank").cast("long").alias("vec_rank"))
+    )
+    recip = lambda r: F.coalesce(  # noqa: E731 — one-expression helper
+        F.lit(1.0) / (F.lit(float(rrf_k)) + r.cast("double")), F.lit(0.0)
+    )
+    fused = (
+        lex.join(vec, "id", "full_outer")
+        .select(
+            "id",
+            F.coalesce(F.col("lex_rank"), F.lit(0)).cast("int").alias("lex_rank"),
+            F.coalesce(F.col("vec_rank"), F.lit(0)).cast("int").alias("vec_rank"),
+            (
+                F.floor(
+                    (recip(F.col("lex_rank")) + recip(F.col("vec_rank"))) * F.lit(1e9)
+                    + F.lit(0.5)
+                )
+                / F.lit(1e9)
+            ).alias("rrf_score"),
+        )
+    )
+    return (
+        fused.orderBy(F.col("rrf_score").desc(), "id")
+        .limit(top_n)
+        .select(F.col("id").alias(id_col), "lex_rank", "vec_rank", "rrf_score")
+    )
+
+
+def sql_hybrid_rrf(
+    doc_table: str,
+    emb_table: str,
+    sql_toks: str,
+    query_vec_id: int = 0,
+    list_n: int = 50,
+    top_n: int = 20,
+    rrf_k: int = RRF_K,
+    n_terms: int = 8,
+    id_col: str = "doc_id",
+    k1: float = K1,
+    b: float = B,
+) -> str:
+    """DuckDB twin of :func:`hybrid_rrf_topk`: nests the BM25 twin's
+    CTE chain and the brute-force-cosine twin, ranks each list with
+    ROW_NUMBER over the identical tiebroken order, and fuses with the
+    same double-division + fixed-order sum + 1e-9 FLOOR. Reciprocals
+    are CAST AS DOUBLE on both operands (DuckDB evaluates bare decimal
+    literals in DECIMAL — CLAUDE.md)."""
+    return f"""
+    WITH tok AS (
+        SELECT id, token FROM (
+            SELECT {id_col} AS id, unnest({sql_toks}) AS token FROM {doc_table}
+        ) WHERE token <> ''
+    ),
+    tf AS (
+        SELECT id, token, CAST(COUNT(*) AS BIGINT) AS tf
+        FROM tok GROUP BY id, token
+    ),
+    doclen AS (SELECT id, CAST(COUNT(*) AS BIGINT) AS dl FROM tok GROUP BY id),
+    dfreq AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY token),
+    qterms AS (SELECT token, df FROM dfreq ORDER BY df DESC, token LIMIT {n_terms}),
+    stats AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(dl) AS BIGINT) AS total_len
+        FROM doclen
+    ),
+    q AS (
+        SELECT token,
+               FLOOR(ln(CAST({1.0!r} AS DOUBLE)
+                        + (CAST(n_docs AS DOUBLE) - CAST(df AS DOUBLE) + 0.5)
+                          / (CAST(df AS DOUBLE) + 0.5)) * 1e9 + 0.5) / 1e9 AS idf,
+               n_docs, total_len
+        FROM qterms CROSS JOIN stats
+    ),
+    lex_scored AS (
+        SELECT tf.id,
+               CAST(SUM(CAST(FLOOR(
+                   q.idf
+                   * (CAST(tf.tf AS DOUBLE) * CAST({float(k1 + 1.0)!r} AS DOUBLE))
+                   / (CAST(tf.tf AS DOUBLE)
+                      + CAST({float(k1)!r} AS DOUBLE)
+                        * (CAST({float(1.0 - b)!r} AS DOUBLE)
+                           + CAST({float(b)!r} AS DOUBLE)
+                             * (CAST(doclen.dl AS DOUBLE)
+                                / (CAST(q.total_len AS DOUBLE)
+                                   / CAST(q.n_docs AS DOUBLE)))))
+                   * 1e6 + 0.5) AS BIGINT)) AS BIGINT) AS su
+        FROM tf JOIN q USING (token) JOIN doclen ON doclen.id = tf.id
+        GROUP BY tf.id
+    ),
+    lex AS (
+        SELECT id, ROW_NUMBER() OVER (ORDER BY su DESC, id) AS lex_rank
+        FROM lex_scored ORDER BY su DESC, id LIMIT {list_n}
+    ),
+    qv AS (
+        SELECT CAST({emb_table}.embedding AS DOUBLE[]) AS q_vec
+        FROM {emb_table} WHERE vec_id = {query_vec_id}
+    ),
+    vec_scored AS (
+        SELECT e.vec_id AS id,
+               ROUND(
+                 CASE WHEN sqrt(list_dot_product(qv.q_vec, qv.q_vec))
+                           * sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]),
+                                                   CAST(e.embedding AS DOUBLE[]))) > 0
+                      THEN list_dot_product(qv.q_vec, CAST(e.embedding AS DOUBLE[]))
+                           / (sqrt(list_dot_product(qv.q_vec, qv.q_vec))
+                              * sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]),
+                                                      CAST(e.embedding AS DOUBLE[]))))
+                      ELSE 0.0 END, 4) AS cosine
+        FROM {emb_table} e CROSS JOIN qv
+        WHERE e.vec_id <> {query_vec_id}
+    ),
+    vec AS (
+        SELECT id, ROW_NUMBER() OVER (ORDER BY cosine DESC, id) AS vec_rank
+        FROM vec_scored ORDER BY cosine DESC, id LIMIT {list_n}
+    ),
+    fused AS (
+        SELECT COALESCE(lex.id, vec.id) AS id,
+               CAST(COALESCE(lex_rank, 0) AS INT) AS lex_rank,
+               CAST(COALESCE(vec_rank, 0) AS INT) AS vec_rank,
+               FLOOR((COALESCE(CAST(1.0 AS DOUBLE)
+                               / (CAST({rrf_k} AS DOUBLE) + CAST(lex_rank AS DOUBLE)),
+                               CAST(0.0 AS DOUBLE))
+                      + COALESCE(CAST(1.0 AS DOUBLE)
+                                 / (CAST({rrf_k} AS DOUBLE) + CAST(vec_rank AS DOUBLE)),
+                                 CAST(0.0 AS DOUBLE))) * 1e9 + 0.5) / 1e9 AS rrf_score
+        FROM lex FULL OUTER JOIN vec ON lex.id = vec.id
+    )
+    SELECT id AS {id_col}, lex_rank, vec_rank, rrf_score
+    FROM fused ORDER BY rrf_score DESC, id LIMIT {top_n}
+    """
+
+
 def sql_bm25_topk(
     table: str,
     sql_toks: str,

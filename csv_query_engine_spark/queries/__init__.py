@@ -225,6 +225,10 @@ DRIVER_ORDER: list[str] = [
     "docs_weighted_sample",
     "docs_split_leakage_audit",
     "json_props_variant",
+    # Round-8: reciprocal-rank fusion of the BM25 and embedding-cosine
+    # rankings (the RAG retrieval stack; oracle-paired by nesting the
+    # two existing twins):
+    "docs_hybrid_retrieval_rrf",
     # Rows-only ops (no SQL-expressible oracle; pytest covers recall/
     # precision/planted-neighbor properties):
     "docs_benchmark_decontamination",

@@ -2319,6 +2319,31 @@ def docs_bm25_top_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bm25_topk(d)
 
 
+def _hybrid_rrf_oracle() -> str:
+    from csv_query_engine_spark.pipeline.retrieval import sql_hybrid_rrf
+
+    return sql_hybrid_rrf("documents", "embeddings", _SQL_TOKS)
+
+
+@register("docs_hybrid_retrieval_rrf", _hybrid_rrf_oracle())
+def docs_hybrid_retrieval_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid BM25+vector retrieval fused by reciprocal rank
+    (pipeline/retrieval.py::hybrid_rrf_topk) — the standard RAG
+    retrieval stack: the corpus-derived BM25 top-50 and the cosine
+    top-50 against the vec_id=0 query embedding, fused with
+    1/(60+rank) per list (Cormack et al. 2009), top-20 out.
+
+    Fully oracle-paired: ranks are integers, reciprocals are single
+    IEEE divisions, and the fused score FLOOR-quantizes at 1e-9 before
+    the tiebroken top-n. Scale: fusion happens on two ALREADY-bounded
+    lists (broadcast-sized outer join + triangular rank); the corpus-
+    scale plans are the two underlying operators', unchanged."""
+    from csv_query_engine_spark.pipeline.retrieval import hybrid_rrf_topk
+
+    t = load_tables(spark, sf_dir, ("documents", "embeddings"))
+    return hybrid_rrf_topk(t["documents"], t["embeddings"]).orderBy("doc_id")
+
+
 @register("media_phash_dup_pairs", None)
 def media_phash_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Image near-duplicate pairs by perceptual average-hash over REAL

@@ -81,3 +81,57 @@ def test_plan_broadcasts_query_terms_no_python(docs):
     assert "InMemoryTableScan" in plan  # persisted token/tf tables
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_hybrid_rrf_fuses_both_rankings(spark, docs):
+    """RRF semantics on a crafted corpus: a doc present in BOTH bounded
+    lists scores 1/(k+r_lex) + 1/(k+r_vec); a doc in only one list gets
+    the single term and a 0 sentinel for the absent rank; the output is
+    conserved (no row outside the union of the two lists)."""
+    from csv_query_engine_spark.pipeline.retrieval import (
+        RRF_K,
+        hybrid_rrf_topk,
+    )
+
+    # embeddings: doc 1 is nearly parallel to the query (vec_id 0),
+    # doc 2 orthogonal, doc 3 anti-parallel; docs beyond 3 absent from
+    # the embedding table entirely (lexical-only candidates).
+    emb = spark.createDataFrame(
+        [
+            (0, [1.0, 0.0]),
+            (1, [0.99, 0.1]),
+            (2, [0.0, 1.0]),
+            (3, [-1.0, 0.05]),
+        ],
+        "vec_id long, embedding array<float>",
+    )
+    out = {
+        r["doc_id"]: r
+        for r in hybrid_rrf_topk(
+            docs, emb, query_vec_id=0, list_n=3, top_n=10, n_terms=3
+        ).collect()
+    }
+    lex_ranks = {d: r["lex_rank"] for d, r in out.items() if r["lex_rank"] > 0}
+    vec_ranks = {d: r["vec_rank"] for d, r in out.items() if r["vec_rank"] > 0}
+    assert len(lex_ranks) == 3 and len(vec_ranks) == 3
+    # cosine order against vec 0: doc1 (~1.0) > doc2 (0.0) > doc3 (<0)
+    assert vec_ranks[1] == 1 and vec_ranks[2] == 2 and vec_ranks[3] == 3
+    for d, r in out.items():
+        expect = 0.0
+        if r["lex_rank"] > 0:
+            expect += 1.0 / (RRF_K + r["lex_rank"])
+        if r["vec_rank"] > 0:
+            expect += 1.0 / (RRF_K + r["vec_rank"])
+        assert r["lex_rank"] > 0 or r["vec_rank"] > 0  # conservation
+        assert abs(r["rrf_score"] - expect) < 2e-9
+
+
+def test_hybrid_rrf_plan_has_no_cartesian_no_python(spark, docs):
+    from csv_query_engine_spark.pipeline.retrieval import hybrid_rrf_topk
+
+    emb = spark.createDataFrame(
+        [(i, [float(i), 1.0]) for i in range(6)], "vec_id long, embedding array<float>"
+    )
+    plan = hybrid_rrf_topk(docs, emb, list_n=3, n_terms=3)._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
