@@ -928,3 +928,129 @@ def ngram_novelty(
         )
         .orderBy(id_col)
     )
+
+
+def remove_duplicate_spans(
+    df: DataFrame,
+    n: int = 8,
+    min_count: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Exact duplicated-span REMOVAL — the write side of
+    :func:`duplicate_span_stats` and the distributed face of the
+    ExactSubstr dedup of Lee et al. 2022 ("Deduplicating Training Data
+    Makes Language Models Better"): every token covered by a word
+    ``n``-gram that occurs at least ``min_count`` times ANYWHERE in the
+    corpus (other docs or a repeat inside the same doc — the paper's
+    total-occurrence criterion) is excised, and the surviving tokens are
+    reassembled in order. Returns ``(doc_id, n_tokens,
+    n_removed_tokens, cleaned_text)`` — cleaned_text is byte-exact
+    reconstructible by the DuckDB twin, so the op is fully
+    oracle-paired. Docs shorter than ``n`` tokens pass through intact;
+    a fully-duplicated doc comes back as the empty string (its removal
+    signal for a downstream length filter).
+
+    Scale: linear in corpus tokens end to end — one gram-position
+    explode (codegen'd get/concat_ws build, the :func:`_ngram_rows`
+    idiom) feeding a per-gram occurrence count and the covered-position
+    join (both keyed on xxhash64(gram): 8-byte shuffle rows; a cross-doc
+    collision over-deletes one span, P ≈ G²/2⁶⁵ — the documented gram-
+    operator odds), then one (id, tpos) anti join and one per-doc
+    reassembly agg. The per-doc step is a bounded sort_array +
+    struct-field extraction (GetArrayStructFields — codegen, NOT an
+    interpreted HOF lambda) + concat_ws. No quadratics, no Python.
+    Multi-consumer tables persist once: ``base`` feeds gram positions,
+    token positions, and the final length join; ``gpos`` feeds the
+    occurrence count and the covered-position join.
+    """
+    from pyspark.storagelevel import StorageLevel
+
+    base = (
+        _spread(df.select(F.col(id_col).alias("id"), F.col(text_col).alias("_t")))
+        .select("id", tokens(F.col("_t")).alias("toks"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    # gram positions (1-based), gram built codegen-side then hashed
+    cnt = F.size("toks") - F.lit(n - 1)
+    idx = F.when(cnt >= 1, F.sequence(F.lit(1), cnt)).otherwise(F.array().cast("array<int>"))
+    gram = F.concat_ws(" ", *[F.get("toks", F.col("pos") - 1 + k) for k in range(n)])
+    gpos = (
+        base.select("id", F.explode(idx).alias("pos"), "toks")
+        .select("id", "pos", F.xxhash64(gram).alias("g"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    dupg = gpos.groupBy("g").agg(F.count(F.lit(1)).alias("_c")).filter(F.col("_c") >= min_count).select("g")
+    covered = (
+        gpos.join(dupg, "g")
+        .select("id", F.explode(F.sequence(F.col("pos"), F.col("pos") + F.lit(n - 1))).alias("tpos"))
+        .distinct()
+    )
+    tokpos = base.select(
+        "id", F.posexplode("toks").alias("p0", "tok")
+    ).select("id", (F.col("p0") + 1).alias("tpos"), "tok")
+    kept = tokpos.join(covered, ["id", "tpos"], "left_anti")
+    cleaned = kept.groupBy("id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_kept"),
+        F.concat_ws(
+            " ",
+            F.array_sort(F.collect_list(F.struct("tpos", "tok"))).getField("tok"),
+        ).alias("cleaned_text"),
+    )
+    return base.select("id", F.size("toks").cast("long").alias("n_tokens")).join(
+        cleaned, "id", "left"
+    ).select(
+        F.col("id").alias(id_col),
+        "n_tokens",
+        (F.col("n_tokens") - F.coalesce(F.col("n_kept"), F.lit(0))).cast("long").alias("n_removed_tokens"),
+        F.coalesce(F.col("cleaned_text"), F.lit("")).alias("cleaned_text"),
+    )
+
+
+def sql_remove_duplicate_spans(
+    table: str,
+    sql_toks: str,
+    n: int = 8,
+    min_count: int = 2,
+    id_col: str = "doc_id",
+) -> str:
+    """DuckDB twin of :func:`remove_duplicate_spans`: identical token
+    positions, gram windows (raw gram strings instead of xxhash64 — the
+    duplicated-position SET is hash-insensitive up to the documented
+    collision odds), covered-position expansion, anti join, and ordered
+    string_agg reassembly."""
+    return f"""
+    WITH base AS (SELECT {id_col} AS id, {sql_toks} AS toks FROM {table}),
+    posn AS (
+        SELECT id, toks,
+               unnest(generate_series(1, greatest(len(toks) - {n - 1}, 0))) AS i
+        FROM base
+    ),
+    gpos AS (
+        SELECT id, i AS pos, array_to_string(toks[i:i+{n - 1}], ' ') AS g
+        FROM posn
+    ),
+    dupg AS (SELECT g FROM gpos GROUP BY g HAVING COUNT(*) >= {min_count}),
+    covered AS (
+        SELECT DISTINCT id, tpos FROM (
+            SELECT gpos.id AS id,
+                   unnest(generate_series(pos, pos + {n - 1})) AS tpos
+            FROM gpos JOIN dupg USING (g)
+        )
+    ),
+    tokpos AS (
+        SELECT id, generate_subscripts(toks, 1) AS tpos, unnest(toks) AS tok
+        FROM base
+    ),
+    kept AS (SELECT id, tpos, tok FROM tokpos ANTI JOIN covered USING (id, tpos)),
+    cleaned AS (
+        SELECT id, CAST(COUNT(*) AS BIGINT) AS n_kept,
+               string_agg(tok, ' ' ORDER BY tpos) AS cleaned_text
+        FROM kept GROUP BY id
+    )
+    SELECT base.id AS {id_col},
+           CAST(len(toks) AS BIGINT) AS n_tokens,
+           CAST(len(toks) - COALESCE(n_kept, 0) AS BIGINT) AS n_removed_tokens,
+           COALESCE(cleaned_text, '') AS cleaned_text
+    FROM base LEFT JOIN cleaned ON base.id = cleaned.id
+    """

@@ -229,6 +229,10 @@ DRIVER_ORDER: list[str] = [
     # rankings (the RAG retrieval stack; oracle-paired by nesting the
     # two existing twins):
     "docs_hybrid_retrieval_rrf",
+    # Round-8: exact duplicated-span removal (Lee et al. 2022 — the
+    # write side of docs_duplicate_span_fraction; cleaned text is
+    # byte-exact oracle-paired):
+    "docs_duplicate_span_removal",
     # Rows-only ops (no SQL-expressible oracle; pytest covers recall/
     # precision/planted-neighbor properties):
     "docs_benchmark_decontamination",

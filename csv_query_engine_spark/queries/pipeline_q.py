@@ -2319,6 +2319,28 @@ def docs_bm25_top_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bm25_topk(d)
 
 
+def _span_removal_oracle() -> str:
+    from csv_query_engine_spark.pipeline.text import sql_remove_duplicate_spans
+
+    return sql_remove_duplicate_spans("documents", _SQL_TOKS, n=8)
+
+
+@register("docs_duplicate_span_removal", _span_removal_oracle())
+def docs_duplicate_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact duplicated-span removal (pipeline/text.py::
+    remove_duplicate_spans) — the WRITE side of
+    docs_duplicate_span_fraction and the ExactSubstr recipe of Lee et
+    al. 2022: tokens covered by any 8-gram occurring ≥2 times in the
+    corpus are excised and the cleaned text reassembled byte-exactly
+    (oracle-paired down to the string). Scale: one gram-position
+    explode + hashed-gram occurrence count + (id, tpos) anti join +
+    bounded per-doc reassembly — linear, no quadratics, no Python."""
+    from csv_query_engine_spark.pipeline.text import remove_duplicate_spans
+
+    d = load_tables(spark, sf_dir, ("documents",))["documents"]
+    return remove_duplicate_spans(d, n=8).orderBy("doc_id")
+
+
 def _hybrid_rrf_oracle() -> str:
     from csv_query_engine_spark.pipeline.retrieval import sql_hybrid_rrf
 
