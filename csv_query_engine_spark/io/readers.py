@@ -262,6 +262,7 @@ def read_csv_audited(
     schema,
     header: bool = True,
     corrupt_col: str = "_corrupt_record",
+    audit_dir: str | None = None,
     **options: str,
 ):
     """(clean_df, corrupt_df): CSV ingest with an explicit ingest-audit
@@ -275,8 +276,17 @@ def read_csv_audited(
     Mechanics: PERMISSIVE mode + ``columnNameOfCorruptRecord``; the
     schema must be explicit (Spark cannot infer + audit in one pass),
     and per Spark's contract the corrupt column must be materialized
-    before filtering — a cache() boundary makes the split see the same
-    parse, not two scans with different pushdowns."""
+    before filtering. Materialization is ONE pass that WRITES the split
+    — a parquet write partitioned on a validity flag — and both return
+    values read the split back with partition pruning. The earlier form
+    cache()d the entire parsed input instead, which at the 100 TB
+    framing is a full second copy of the dataset on executor storage;
+    the split-write is the same single parse but lands as the columnar
+    output you want anyway, and the quarantine side is durable (it
+    survives the session for repair tooling) rather than evaporating
+    with the cache. ``audit_dir`` must be a shared filesystem path in a
+    real cluster deployment; the default temp dir is only correct in
+    local mode (and is the caller's to clean up)."""
     from pyspark.sql import types as _T
 
     # Build a NEW StructType — StructType.add mutates self and returns
@@ -297,11 +307,26 @@ def read_csv_audited(
     )
     for k, v in options.items():
         reader = reader.option(k, v)
-    raw = reader.csv(path).cache()
+    raw = reader.csv(path)
     from pyspark.sql import functions as F
 
-    clean = raw.filter(F.col(corrupt_col).isNull()).drop(corrupt_col)
-    corrupt = raw.filter(F.col(corrupt_col).isNotNull()).select(
+    if audit_dir is None:
+        import tempfile
+
+        audit_dir = tempfile.mkdtemp(prefix="csv_audit_")
+    # One parse pass, split at write time: _valid is an int partition
+    # key (partition-value inference types ints but not booleans).
+    (
+        raw.withColumn(
+            "_valid", F.when(F.col(corrupt_col).isNull(), F.lit(1)).otherwise(F.lit(0))
+        )
+        .write.mode("overwrite")
+        .partitionBy("_valid")
+        .parquet(audit_dir)
+    )
+    back = spark.read.parquet(audit_dir)
+    clean = back.filter(F.col("_valid") == 1).drop("_valid", corrupt_col)
+    corrupt = back.filter(F.col("_valid") == 0).select(
         F.col(corrupt_col).alias("raw_line")
     )
     return clean, corrupt

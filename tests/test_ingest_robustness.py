@@ -69,3 +69,25 @@ def test_audited_csv_does_not_mutate_caller_schema(spark, tmp_path):
     clean, _ = read_csv_audited(spark, str(p), schema)
     assert schema.fieldNames() == before == ["id"]
     assert clean.count() == 1
+
+
+def test_audited_csv_is_single_pass_no_cache(spark, tmp_path):
+    """Round-7 verdict scale note: the old form cache()d the ENTIRE
+    parsed input to keep the split consistent — a full second copy of
+    the dataset at 100 TB. The split-write form must show NO
+    InMemoryRelation anywhere, and each returned side must read the
+    written split with partition pruning on the validity flag."""
+    p = tmp_path / "data.csv"
+    p.write_text("id,city,amount\n1,Mumbai,10.5\nbad,Delhi,2.0\n")
+    audit = str(tmp_path / "audit")
+    clean, corrupt = read_csv_audited(spark, str(p), SCHEMA, audit_dir=audit)
+    for side in (clean, corrupt):
+        plan = side._jdf.queryExecution().executedPlan().toString()
+        assert "InMemoryTableScan" not in plan and "InMemoryRelation" not in plan
+        assert "PartitionFilters" in plan  # pruned read of the split
+    assert {r["id"] for r in clean.collect()} == {1}
+    assert [r["raw_line"] for r in corrupt.collect()] == ["bad,Delhi,2.0"]
+    # the quarantine side is durable on disk, not session state
+    import os
+
+    assert any("_valid=0" in d for d in os.listdir(audit))
