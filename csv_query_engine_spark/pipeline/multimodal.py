@@ -554,39 +554,18 @@ def decode_audio(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     Scale: Arrow-batched mapInPandas like the image path; features are
     O(samples) numpy; no shuffle."""
 
+    parse_wav = _make_wav_parser()
+
     def _dec(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:  # noqa: F821
         import math
-        import struct
 
         import numpy as np
         import pandas as pd
 
-        def parse_wav(data):
-            if len(data) < 12 or data[:4] != b"RIFF" or data[8:12] != b"WAVE":
-                raise ValueError("not a RIFF/WAVE file")
-            i, rate, bits, channels, samples = 12, None, None, None, None
-            while i + 8 <= len(data):
-                typ = data[i : i + 4]
-                ln = int.from_bytes(data[i + 4 : i + 8], "little")
-                body = data[i + 8 : i + 8 + ln]
-                if typ == b"fmt ":
-                    fmt_code, channels, rate = struct.unpack("<HHI", body[:8])
-                    bits = struct.unpack("<H", body[14:16])[0]
-                    if fmt_code != 1 or channels != 1 or bits != 16:
-                        raise ValueError(
-                            f"only PCM16 mono supported (fmt={fmt_code}, ch={channels}, bits={bits})"
-                        )
-                elif typ == b"data":
-                    samples = np.frombuffer(body, dtype="<i2")
-                i += 8 + ln + (ln & 1)  # RIFF chunks pad to even
-            if rate is None or samples is None:
-                raise ValueError("truncated WAV (missing fmt/data chunk)")
-            return rate, samples
-
         for pdf in batches:
             ns, rates, means, rmss, zcrs = [], [], [], [], []
             for blob in pdf["media"]:
-                rate, s = parse_wav(bytes(blob))
+                rate, s = parse_wav(bytes(blob), np)
                 v = s.astype(np.int64)
                 n = int(v.size)
                 ns.append(n)
@@ -694,28 +673,42 @@ def phash_dup_pairs(
     ph = perceptual_hashes(media_df, id_col, media_col).persist(
         StorageLevel.MEMORY_AND_DISK
     )
-    bands = ph.select(
+    return _banded_hamming_pairs(ph, "phash", max_hamming, max_bucket)
+
+
+def _banded_hamming_pairs(
+    hashes: DataFrame, hash_col: str, max_hamming: int, max_bucket: int
+) -> DataFrame:
+    """(doc_id_a, doc_id_b, hamming ≤ max_hamming) from a (doc_id,
+    64-bit hash) table via the 4×16-bit pigeonhole band join shared by
+    the image (aHash) and audio (energy-envelope) near-dup paths: two
+    hashes within Hamming ≤ 3 agree exactly on ≥1 of 4 disjoint bands,
+    so candidates come from per-(band, value) bucket self-joins and the
+    codegen'd XOR popcount verifies. ``max_bucket`` drops degenerate
+    buckets (flat content) — the minhash guard precedent. Only 8-byte
+    hashes shuffle, never media bytes."""
+    bands = hashes.select(
         "doc_id",
-        "phash",
+        hash_col,
         F.explode(
             F.array(*[
                 F.struct(
                     F.lit(k).alias("band"),
-                    F.shiftrightunsigned(F.col("phash"), 16 * k)
+                    F.shiftrightunsigned(F.col(hash_col), 16 * k)
                     .bitwiseAND(F.lit(0xFFFF))
                     .alias("val"),
                 )
                 for k in range(4)
             ])
         ).alias("_b"),
-    ).select("doc_id", "phash", F.col("_b.band").alias("band"), F.col("_b.val").alias("val"))
+    ).select("doc_id", hash_col, F.col("_b.band").alias("band"), F.col("_b.val").alias("val"))
     sizes = bands.groupBy("band", "val").agg(F.count(F.lit(1)).alias("_n"))
     bands = bands.join(
         F.broadcast(sizes.filter(F.col("_n") <= max_bucket).select("band", "val")),
         ["band", "val"],
     )
-    left = bands.select("band", "val", F.col("doc_id").alias("doc_id_a"), F.col("phash").alias("pa"))
-    right = bands.select("band", "val", F.col("doc_id").alias("doc_id_b"), F.col("phash").alias("pb"))
+    left = bands.select("band", "val", F.col("doc_id").alias("doc_id_a"), F.col(hash_col).alias("pa"))
+    right = bands.select("band", "val", F.col("doc_id").alias("doc_id_b"), F.col(hash_col).alias("pb"))
     cand = (
         left.join(right, ["band", "val"])
         .filter(F.col("doc_id_a") < F.col("doc_id_b"))
@@ -731,3 +724,109 @@ def phash_dup_pairs(
         .filter(F.col("hamming") <= max_hamming)
         .orderBy("doc_id_a", "doc_id_b")
     )
+
+
+def _make_wav_parser():
+    """Self-contained RIFF/WAVE (PCM16 mono) parser factory — the audio
+    twin of :func:`_make_image_parser`. The returned closure ships to
+    executors, so it must not reference this package (CLAUDE.md
+    worker-shipped-Python rule); numpy is passed in by the caller."""
+
+    def parse(data, np):
+        import struct
+
+        if len(data) < 12 or data[:4] != b"RIFF" or data[8:12] != b"WAVE":
+            raise ValueError("not a RIFF/WAVE file")
+        i, rate, samples = 12, None, None
+        while i + 8 <= len(data):
+            typ = data[i : i + 4]
+            ln = int.from_bytes(data[i + 4 : i + 8], "little")
+            body = data[i + 8 : i + 8 + ln]
+            if typ == b"fmt ":
+                fmt_code, channels, rate = struct.unpack("<HHI", body[:8])
+                bits = struct.unpack("<H", body[14:16])[0]
+                if fmt_code != 1 or channels != 1 or bits != 16:
+                    raise ValueError(
+                        f"only PCM16 mono supported (fmt={fmt_code}, ch={channels}, bits={bits})"
+                    )
+            elif typ == b"data":
+                samples = np.frombuffer(body, dtype="<i2")
+            i += 8 + ln + (ln & 1)  # RIFF chunks pad to even
+        if rate is None or samples is None:
+            raise ValueError("truncated WAV (missing fmt/data chunk)")
+        return rate, samples
+
+    return parse
+
+
+AUDIO_FP_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("afp", T.LongType()),
+        T.StructField("n_samples", T.IntegerType()),
+    ]
+)
+
+
+def audio_fingerprints(
+    media_df: DataFrame, id_col: str = "doc_id", media_col: str = "media"
+) -> DataFrame:
+    """64-bit energy-envelope fingerprint per audio clip — the audio
+    member of the perceptual-hash family (Haitsma & Kalker 2002's
+    robust-hash idea reduced to its time-domain core): decode the real
+    RIFF/WAVE bytes, split the clip into 65 equal time segments,
+    compute each segment's EXACT integer energy Σs² (|s| ≤ 2¹⁵ over
+    ≤ 2²² samples stays < 2⁵³ — the aHash exactness argument), and take
+    bit k = (E_k > E_{k+1}) — the sign of the energy derivative, which
+    is invariant to any uniform gain change and bit-deterministic
+    across partitionings.
+
+    Scale: one Arrow-batched mapInPandas over the binary column,
+    O(samples) numpy per clip, 8 bytes out per clip."""
+    parse = _make_wav_parser()
+
+    def _fp(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:  # noqa: F821
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            ids, fps, ns = [], [], []
+            for doc_id, data in zip(pdf[id_col], pdf[media_col]):
+                _rate, s = parse(bytes(data), np)
+                v = s.astype(np.int64)
+                n = int(v.size)
+                seg = (np.arange(n, dtype=np.int64) * 65) // max(n, 1)
+                e = np.bincount(seg, weights=(v * v).astype(np.float64), minlength=65)
+                E = e.astype(np.int64)
+                bits = (E[:64] > E[1:65]).astype(np.uint64)
+                hv = int((bits << np.arange(64, dtype=np.uint64)).sum(dtype=np.uint64))
+                ids.append(int(doc_id))
+                fps.append(hv - (1 << 64) if hv >= (1 << 63) else hv)
+                ns.append(n)
+            yield pd.DataFrame({"doc_id": ids, "afp": fps, "n_samples": ns})
+
+    return _spread(media_df.select(F.col(id_col).alias("doc_id"), media_col)).mapInPandas(
+        _fp, schema=AUDIO_FP_SCHEMA
+    )
+
+
+def audio_dup_pairs(
+    media_df: DataFrame,
+    max_hamming: int = 3,
+    id_col: str = "doc_id",
+    media_col: str = "media",
+    max_bucket: int = 10000,
+) -> DataFrame:
+    """(doc_id_a, doc_id_b, hamming): audio near-duplicate pairs whose
+    energy-envelope fingerprints differ in ≤ ``max_hamming`` bits —
+    completing the dedup family across modalities (MinHash/SimHash/
+    AllPairs: token shingles; SemDeDup: embeddings; aHash: pixels;
+    this: DECODED AUDIO SAMPLES). Same 4×16-bit pigeonhole band join
+    as the image path (:func:`_banded_hamming_pairs`); audio bytes
+    never shuffle."""
+    from pyspark.storagelevel import StorageLevel
+
+    fp = audio_fingerprints(media_df, id_col, media_col).select("doc_id", "afp").persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    return _banded_hamming_pairs(fp, "afp", max_hamming, max_bucket)

@@ -250,6 +250,10 @@ DRIVER_ORDER: list[str] = [
     # Round-7: perceptual-hash image near-dup pairs over REAL decoded
     # pixels (aHash + banded blocking; no SQL oracle for the decode):
     "media_phash_dup_pairs",
+    # Round-8: energy-envelope audio near-dup pairs over the real WAV
+    # decode (no SQL oracle for the RIFF parse; planted-dup recall +
+    # gain invariance pytest-locked):
+    "media_audio_dup_pairs",
     # Round-5: distributed BPE tokenizer training + encoding — the
     # merge loop is iterative argmax state (no SQL oracle); locked to a
     # pure-Python Sennrich reference in tests/test_bpe.py:

@@ -2388,6 +2388,31 @@ def media_phash_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mm.phash_dup_pairs(media, max_hamming=3)
 
 
+@register("media_audio_dup_pairs", None)
+def media_audio_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio near-duplicate pairs by integer energy-envelope fingerprint
+    over REAL decoded RIFF/WAVE samples (pipeline/multimodal.py::
+    audio_dup_pairs) — completes the dedup family's modality coverage
+    (text shingles / embeddings / pixels / AUDIO). wav_encode's closed
+    form makes ids differing by exactly 4096 (same length, same samples
+    mod 4096, since 4096 = 16·256) encode IDENTICAL clips — planted
+    exact dups the fingerprint must recover at Hamming 0 (ids ≥ 4096
+    exist from sf0.1 up) — and its phase-shifted sawtooths of equal
+    length are genuine near-dup ENVELOPES, so smaller SFs surface
+    hamming 1-3 pairs (118 at sf0.01), which is the correct reading of
+    that audio. Rows-only: the RIFF decode has no SQL oracle;
+    planted-dup recall and gain invariance are pytest-locked
+    (tests/test_audio_fp.py).
+
+    Scale: audio bytes never shuffle (8-byte fingerprints do); the
+    4×16-bit pigeonhole band join is shared with the image path."""
+    from csv_query_engine_spark.pipeline import multimodal as mm
+
+    d = load_tables(spark, sf_dir, ("documents",))["documents"]
+    media = mm.wav_encode(d)
+    return mm.audio_dup_pairs(media, max_hamming=3)
+
+
 def _pseudonymized_oracle() -> str:
     from csv_query_engine_spark.pipeline.privacy import sql_pseudonym
 
