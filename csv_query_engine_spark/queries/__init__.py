@@ -258,6 +258,10 @@ DRIVER_ORDER: list[str] = [
     # merge loop is iterative argmax state (no SQL oracle); locked to a
     # pure-Python Sennrich reference in tests/test_bpe.py:
     "docs_bpe_subword_tokens",
+    # Round-8: unigram-LM (SentencePiece-style) tokenizer — Viterbi-EM
+    # + loss-based prune; distributed path locked to the pure-Python
+    # driver loop in tests/test_unigram.py:
+    "docs_unigram_tokenizer_tokens",
 ]
 
 

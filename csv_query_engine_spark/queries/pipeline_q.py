@@ -2129,6 +2129,45 @@ def docs_bpe_subword_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("docs_unigram_tokenizer_tokens", None)
+def docs_unigram_tokenizer_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM (SentencePiece-style) tokenizer training + encoding
+    end-to-end (pipeline/unigram.py, Kudo 2018) — the second tokenizer
+    family next to BPE (docs_bpe_subword_tokens), learning a
+    probabilistic piece vocabulary by Viterbi-EM + loss-based pruning:
+    train on the corpus word dictionary, Viterbi-encode every distinct
+    word, roll up corpus piece frequencies.
+
+    No SQL oracle: the EM/prune loop is iterative state; the
+    distributed path is instead locked piece-for-piece to the
+    pure-Python driver loop in tests/test_unigram.py (the
+    Sennrich-lock precedent).
+
+    Scale: the BPE contract — the only corpus-scale step is the one
+    word-count aggregate; training/encoding run on the bounded
+    distinct-word dictionary (zero jobs per round under the driver
+    bound, one Arrow-batched Viterbi job per round past it)."""
+    from csv_query_engine_spark.pipeline import unigram as ug
+
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    words = (
+        docs.select(F.explode(tx.tokens(F.col("text"))).alias("word"))
+        .filter(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .persist()
+    )
+    pieces = ug.learn_unigram(words, vocab_size=64, seed_size=256, max_piece_len=4)
+    encoded = ug.encode_unigram(words, pieces)
+    return (
+        encoded.join(words, "word")
+        .select(F.explode("pieces").alias("piece"), F.col("freq"))
+        .groupBy("piece")
+        .agg(F.sum("freq").cast("long").alias("n_tokens"))
+        .orderBy(F.col("n_tokens").desc(), "piece")
+    )
+
+
 @register(
     "docs_heavy_hitter_tokens",
     f"""
