@@ -1048,3 +1048,79 @@ def allpairs_jaccard_pairs(
         .select("id_a", "id_b", jaccard(F.col("_gaa"), F.col("_gab")).alias("jaccard"))
         .filter(F.col("jaccard") >= threshold)
     )
+
+
+def containment_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """EXACT n-gram containment pairs — the ASYMMETRIC member of the
+    similarity-join family: ordered pairs (id_a, id_b) with
+
+        C(A→B) = |grams(A) ∩ grams(B)| / |grams(A)| ≥ threshold
+
+    i.e. doc A's content is (nearly) a subset of doc B's. This is the
+    quote/extract/boilerplate-page detector Jaccard cannot express: a
+    short doc fully quoted inside a long one has containment 1.0 but
+    Jaccard ≈ |A|/|B| → 0, so symmetric dedup never pairs them.
+
+    Prefix filter, containment form (the AllPairs machinery of
+    :func:`allpairs_jaccard_pairs` with the bound on the CONTAINED
+    side only): C ≥ t implies |A∩B| ≥ ceil(t·|A|), so a qualifying
+    pair must collide inside A's first |A| − ceil(t·|A|) + 1 grams in
+    the global rarest-first order. The container side carries no such
+    bound (any superset qualifies), so A's prefix probes the FULL
+    (id, gram) table — still never all-pairs: frequent grams sit past
+    every prefix and generate no candidates, and the probe volume is
+    Σ df(g) over prefix grams (rare by construction). Verification is
+    the exact set intersection over the persisted per-doc gram arrays.
+
+    Scale: identical budget to the Jaccard AllPairs — one persisted
+    hashed-gram table (4 consumers), id-partitioned prefix window,
+    8-byte gram-hash candidate join, bounded verify. Containment is an
+    integer ratio (identical doubles cross-engine)."""
+    from pyspark.sql import Window as W
+    from pyspark.storagelevel import StorageLevel
+
+    g = (
+        _spread(df)
+        .select(F.col(id_col).alias("id"), tokens(F.col(text_col)).alias("_toks"))
+        .select("id", F.explode(token_ngrams(F.col("_toks"), n)).alias("_g"))
+        .select("id", F.xxhash64("_g").alias("gh"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    cnt = g.groupBy("gh").agg(F.count(F.lit(1)).alias("_c"))
+    sizes = g.groupBy("id").agg(F.count(F.lit(1)).alias("_sz"))
+    prefix_len = F.col("_sz") - F.ceil(F.lit(threshold) * F.col("_sz")) + 1
+    prefix = (
+        g.join(cnt, "gh")
+        .join(sizes, "id")
+        .withColumn(
+            "_rk",
+            F.row_number().over(W.partitionBy("id").orderBy(F.col("_c"), F.col("gh"))),
+        )
+        .filter(F.col("_rk") <= prefix_len)
+        .select("id", "gh")
+    )
+    cand = (
+        prefix.select(F.col("id").alias("id_a"), "gh")
+        .join(g.select(F.col("id").alias("id_b"), "gh"), "gh")
+        .filter(F.col("id_a") != F.col("id_b"))
+        .select("id_a", "id_b")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    arrays = g.groupBy("id").agg(F.collect_set("gh").alias("_ga"))
+    containment = F.when(
+        F.size("_gaa") > 0,
+        F.size(F.array_intersect(F.col("_gaa"), F.col("_gab"))).cast("double")
+        / F.size("_gaa").cast("double"),
+    ).otherwise(F.lit(0.0))
+    return (
+        cand.join(arrays.select(F.col("id").alias("id_a"), F.col("_ga").alias("_gaa")), "id_a")
+        .join(arrays.select(F.col("id").alias("id_b"), F.col("_ga").alias("_gab")), "id_b")
+        .select("id_a", "id_b", containment.alias("containment"))
+        .filter(F.col("containment") >= threshold)
+    )

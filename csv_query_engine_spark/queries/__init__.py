@@ -233,6 +233,9 @@ DRIVER_ORDER: list[str] = [
     # write side of docs_duplicate_span_fraction; cleaned text is
     # byte-exact oracle-paired):
     "docs_duplicate_span_removal",
+    # Round-8: exact asymmetric containment join (quote/extract
+    # detection the symmetric Jaccard family cannot express):
+    "dedup_containment_pairs",
     # Rows-only ops (no SQL-expressible oracle; pytest covers recall/
     # precision/planted-neighbor properties):
     "docs_benchmark_decontamination",

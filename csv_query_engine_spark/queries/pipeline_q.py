@@ -393,6 +393,46 @@ def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dd.simhash_near_dup_pairs(d).orderBy("id_a", "id_b")
 
 
+@register(
+    "dedup_containment_pairs",
+    f"""
+    WITH grams AS (
+        SELECT doc_id AS id,
+               list_distinct(list_transform(
+                   range(0, greatest({_SQL_NTOK} - 2, 1)),
+                   i -> array_to_string(list_slice({_SQL_TOKS}, i + 1, i + 3), ' ')
+               )) AS g
+        FROM documents WHERE doc_id % 3 = 0
+    )
+    SELECT a.id AS id_a, b.id AS id_b,
+           CASE WHEN len(a.g) > 0
+                THEN CAST(len(list_intersect(a.g, b.g)) AS DOUBLE)
+                     / CAST(len(a.g) AS DOUBLE)
+                ELSE 0.0 END AS containment
+    FROM grams a JOIN grams b ON a.id <> b.id
+    WHERE CASE WHEN len(a.g) > 0
+               THEN CAST(len(list_intersect(a.g, b.g)) AS DOUBLE)
+                    / CAST(len(a.g) AS DOUBLE)
+               ELSE 0.0 END >= 0.6
+    ORDER BY id_a, id_b
+    """,
+)
+def dedup_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact n-gram CONTAINMENT pairs (pipeline/dedup.py::
+    containment_pairs) — the asymmetric similarity join: ordered pairs
+    where ≥60% of doc A's distinct trigrams appear in doc B, i.e. A is
+    (nearly) a quote/extract of B — undetectable by symmetric Jaccard
+    when |B| ≫ |A|. Prefix-filtered on the contained side (AllPairs
+    machinery), exact verify; containment is an integer ratio so the
+    quadratic DuckDB twin hash-matches. Input bounded to doc_id % 3 ==
+    0 (the oracle is quadratic; the Spark side is not) — the smallest
+    mod that surfaces pairs at BOTH driver tiers (6 rows at sf0.01, 52
+    at sf0.1; vacuous-zero oracle matches prove nothing)."""
+    d = load_tables(spark, sf_dir, ("documents",))["documents"]
+    sub = d.filter(F.col("doc_id") % 3 == 0)
+    return dd.containment_pairs(sub, threshold=0.6).orderBy("id_a", "id_b")
+
+
 # ------------------------------------------------------------- similarity
 
 
