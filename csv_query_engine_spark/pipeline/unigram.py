@@ -272,9 +272,18 @@ def learn_unigram(
     allsubs = legs[0]
     for leg in legs[1:]:
         allsubs = allsubs.unionByName(leg)
-    sub_counts_df = allsubs.groupBy("piece").agg(F.sum("freq").cast("long").alias("cnt"))
+    # two consumers (top-K + char floor) — persist or the 5-leg union
+    # re-scans the dictionary (the multi-consumer rule, CLAUDE.md)
+    from pyspark.storagelevel import StorageLevel
+
+    sub_counts_df = (
+        allsubs.groupBy("piece")
+        .agg(F.sum("freq").cast("long").alias("cnt"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
     top = sub_counts_df.orderBy(F.col("cnt").desc(), "piece").limit(seed_size).collect()
     char_rows = sub_counts_df.filter(F.length("piece") == 1).collect()
+    sub_counts_df.unpersist()
     chars = {r["piece"] for r in char_rows}
     vocab_counts = {r["piece"]: int(r["cnt"]) for r in top}
     for r in char_rows:

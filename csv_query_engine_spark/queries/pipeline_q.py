@@ -427,7 +427,10 @@ def dedup_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     quadratic DuckDB twin hash-matches. Input bounded to doc_id % 3 ==
     0 (the oracle is quadratic; the Spark side is not) — the smallest
     mod that surfaces pairs at BOTH driver tiers (6 rows at sf0.01, 52
-    at sf0.1; vacuous-zero oracle matches prove nothing)."""
+    at sf0.1; vacuous-zero oracle matches prove nothing). The
+    asymmetry is the point: at sf0.1 the deliberately-quadratic oracle
+    runs ~70 s while the prefix-filtered Spark plan is 1.6 s warm —
+    the 43× gap IS the AllPairs prefix cut (measured round 8)."""
     d = load_tables(spark, sf_dir, ("documents",))["documents"]
     sub = d.filter(F.col("doc_id") % 3 == 0)
     return dd.containment_pairs(sub, threshold=0.6).orderBy("id_a", "id_b")
