@@ -265,6 +265,10 @@ DRIVER_ORDER: list[str] = [
     # + loss-based prune; distributed path locked to the pure-Python
     # driver loop in tests/test_unigram.py:
     "docs_unigram_tokenizer_tokens",
+    # Round-8: WordPiece (BERT) tokenizer — likelihood-gain merges +
+    # longest-match ##-encoding; both paths locked to a pure-Python
+    # reference in tests/test_wordpiece.py:
+    "docs_wordpiece_tokens",
 ]
 
 

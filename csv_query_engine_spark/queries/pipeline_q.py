@@ -2211,6 +2211,60 @@ def docs_unigram_tokenizer_tokens(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
 
+@register("docs_wordpiece_tokens", None)
+def docs_wordpiece_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WordPiece tokenizer training + encoding end-to-end
+    (pipeline/wordpiece.py, Schuster & Nakajima 2012 — the BERT
+    tokenizer) — the THIRD tokenizer family: likelihood-gain merges
+    (pair count normalized by both parts' counts) instead of BPE's raw
+    counts, greedy longest-match encoding with ##-continuations and
+    [UNK] instead of merge-rank replay; corpus piece frequencies
+    rolled up like its siblings.
+
+    No SQL oracle (iterative argmax state); both loop paths are locked
+    to a naive pure-Python reference in tests/test_wordpiece.py.
+
+    Scale: the BPE dictionary contract — one corpus word-count
+    aggregate, zero jobs per merge under the driver bound, two
+    bounded jobs per merge past it; scores use the overflow-free
+    (c/cl)/cr division sequence identically in both paths."""
+    from csv_query_engine_spark.pipeline import wordpiece as wp
+
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    words = (
+        docs.select(F.explode(tx.tokens(F.col("text"))).alias("word"))
+        .filter(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .persist()
+    )
+    merges = wp.learn_wordpiece(words, num_merges=12)
+    # initial symbol set derived distributed (charset-bounded distinct,
+    # never a second full-dictionary collect): first chars bare, every
+    # later char ##-prefixed
+    sym_rows = (
+        words.select(F.substring("word", 1, 1).alias("s"))
+        .unionByName(
+            words.select(
+                F.explode(F.split(F.expr("substring(word, 2)"), "")).alias("c")
+            )
+            .filter(F.col("c") != "")
+            .select(F.concat(F.lit("##"), F.col("c")).alias("s"))
+        )
+        .distinct()
+        .collect()
+    )
+    vocab = wp.vocab_from_merges({r["s"] for r in sym_rows}, merges)
+    encoded = wp.encode_words(words, vocab)
+    return (
+        encoded.join(words, "word")
+        .select(F.explode("pieces").alias("piece"), F.col("freq"))
+        .groupBy("piece")
+        .agg(F.sum("freq").cast("long").alias("n_tokens"))
+        .orderBy(F.col("n_tokens").desc(), "piece")
+    )
+
+
 @register(
     "docs_heavy_hitter_tokens",
     f"""
