@@ -324,7 +324,15 @@ def read_csv_audited(
         .partitionBy("_valid")
         .parquet(audit_dir)
     )
-    back = spark.read.parquet(audit_dir)
+    # Explicit read-back schema (data fields + the int partition key):
+    # a zero-row input writes no partition directories, and schema
+    # INFERENCE on the empty dir would throw — with the schema given,
+    # the read returns an empty frame; it also pins _valid's partition
+    # type instead of relying on partition-value inference.
+    back_schema = _T.StructType(
+        list(full_schema.fields) + [_T.StructField("_valid", _T.IntegerType())]
+    )
+    back = spark.read.schema(back_schema).parquet(audit_dir)
     clean = back.filter(F.col("_valid") == 1).drop("_valid", corrupt_col)
     corrupt = back.filter(F.col("_valid") == 0).select(
         F.col(corrupt_col).alias("raw_line")

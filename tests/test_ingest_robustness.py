@@ -91,3 +91,15 @@ def test_audited_csv_is_single_pass_no_cache(spark, tmp_path):
     import os
 
     assert any("_valid=0" in d for d in os.listdir(audit))
+
+
+def test_audited_csv_header_only_file_yields_empty_sides(spark, tmp_path):
+    """A zero-row input writes no partition directories; the explicit
+    read-back schema must keep both sides well-typed and empty instead
+    of failing parquet schema inference on the empty split."""
+    p = tmp_path / "empty.csv"
+    p.write_text("id,city,amount\n")
+    clean, corrupt = read_csv_audited(spark, str(p), SCHEMA)
+    assert clean.count() == 0 and corrupt.count() == 0
+    assert clean.columns == ["id", "city", "amount"]
+    assert corrupt.columns == ["raw_line"]
