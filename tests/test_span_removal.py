@@ -83,3 +83,50 @@ def test_plan_no_python_no_cartesian(spark):
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert "CartesianProduct" not in plan
     assert "InMemoryTableScan" in plan  # persisted base/gpos multi-consumer tables
+
+
+def _py_remove(docs, n=4):
+    """Pure-Python reference: same tokenize → n-gram occurrence count →
+    covered-position union → reassembly semantics."""
+    import re
+    from collections import Counter
+
+    toks = {
+        i: re.sub(r" +", " ", re.sub(r"[^a-z0-9 ]", " ", t.lower())).strip().split(" ")
+        for i, t in docs
+    }
+    counts = Counter()
+    for ts in toks.values():
+        for s in range(max(len(ts) - n + 1, 0)):
+            counts[tuple(ts[s : s + n])] += 1
+    out = {}
+    for i, ts in toks.items():
+        covered = set()
+        for s in range(max(len(ts) - n + 1, 0)):
+            if counts[tuple(ts[s : s + n])] >= 2:
+                covered.update(range(s, s + n))
+        kept = [t for p, t in enumerate(ts) if p not in covered]
+        out[i] = (len(ts), len(ts) - len(kept), " ".join(kept))
+    return out
+
+
+def test_random_corpora_match_python_reference(spark):
+    """Hypothesis-style randomized lock: many small corpora with forced
+    overlap structure; Spark output must equal the reference exactly
+    (token counts, removed counts, and the reassembled string)."""
+    import random
+
+    rng = random.Random(42)
+    vocab = [f"t{k}" for k in range(12)]  # small vocab -> dense collisions
+    for trial in range(8):
+        docs = []
+        for i in range(rng.randint(2, 7)):
+            ln = rng.randint(0, 14)
+            docs.append((i, " ".join(rng.choice(vocab) for _ in range(ln))))
+        want = _py_remove(docs, n=4)
+        df = spark.createDataFrame(docs, "doc_id long, text string")
+        got = {
+            r["doc_id"]: (r["n_tokens"], r["n_removed_tokens"], r["cleaned_text"])
+            for r in remove_duplicate_spans(df, n=4).collect()
+        }
+        assert got == want, f"trial {trial}: {docs}"
