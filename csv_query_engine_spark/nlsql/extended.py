@@ -19,6 +19,13 @@ canonical questions imply but its grammar can't parse:
                                      group key tiebreaks the ordering)
 * ``<col> is|equals <value>`` ....... equality filter (value taken
                                      verbatim from the question)
+* ``with more than|at least N`` ..... HAVING on the grouped count
+                                     (round 8)
+* ``sorted|ordered by <col> [descending|ascending]``
+                                     explicit ORDER BY (round 8; a
+                                     trailing unique-key tiebreak is
+                                     appended when grouping so LIMIT
+                                     stays deterministic)
 * ``<numcol> over|above|greater than <n>`` / ``under|below|less than``
                                      numeric comparison filter
 * ``between YYYY-MM-DD and YYYY-MM-DD`` / ``since YYYY-MM-DD``
@@ -89,9 +96,12 @@ def generate_sql_extended(
             agg_fn, agg_col = _AGG_WORDS[m.group(1)], col
             break
 
-    # grouping key
+    # grouping key ("sorted/ordered by X" is ordering, not grouping —
+    # the lookbehinds keep the two rules disjoint)
     group_col = None
-    for m in re.finditer(r"\b(?:by|per)\b (\w+)", q):
+    for m in re.finditer(
+        r"(?<!sorted )(?<!ordered )(?<!order )\b(?:by|per)\b (\w+)", q
+    ):
         col = resolve(m.group(1))
         if col is not None and col != agg_col:
             group_col = col
@@ -107,6 +117,24 @@ def generate_sql_extended(
 
     # top-N
     topm = re.search(r"\btop (\d+)\b", q)
+
+    # HAVING on the grouped count: "with more than / at least N ..."
+    having = None
+    hm = re.search(r"\bwith (more than|at least|over) (\d+)\b", q)
+    if hm:
+        op = ">=" if hm.group(1) == "at least" else ">"
+        having = f"COUNT(*) {op} {int(hm.group(2))}"
+
+    # explicit ordering: "sorted/ordered by X [descending/ascending]"
+    order_col = None
+    order_dir = "ASC"
+    om = re.search(r"\b(?:sorted|ordered|order) by (\w+)\b( descending| desc| ascending| asc)?", q)
+    if om:
+        oc = resolve(om.group(1))
+        if oc is not None:
+            order_col = oc
+            if om.group(2) and om.group(2).strip() in ("descending", "desc"):
+                order_dir = "DESC"
 
     # equality filters: column word followed by is/equals/= value; the
     # value is taken VERBATIM from the original question's token
@@ -175,11 +203,23 @@ def generate_sql_extended(
     sql = f"SELECT {', '.join(select_parts)} FROM {tbl}"
     if where:
         sql += " WHERE " + " AND ".join(where)
-    if group_col is not None and (
+    grouped = group_col is not None and (
         agg_fn is not None or wants_count or topm or distinct_col is not None
-    ):
+        or having is not None
+    )
+    if grouped:
         sql += f" GROUP BY {quote_identifier(group_col)}"
-    if topm and order_metric is not None:
+        if having is not None:
+            sql += f" HAVING {having}"
+        if order_col is not None and order_col != group_col:
+            # a non-grouped column can't be ordered under GROUP BY —
+            # fall back to the metric ordering path
+            order_col = None
+    if order_col is not None:
+        sql += f" ORDER BY {quote_identifier(order_col)} {order_dir}"
+        if topm:
+            sql += f" LIMIT {int(topm.group(1))}"
+    elif topm and order_metric is not None:
         tie = f", {quote_identifier(group_col)}" if group_col is not None else ""
         sql += f" ORDER BY {order_metric} DESC{tie} LIMIT {int(topm.group(1))}"
     return sql

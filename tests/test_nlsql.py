@@ -334,3 +334,65 @@ def test_extended_new_patterns_execute_and_validate(spark):
         .collect()
     }
     assert got == expected
+
+
+def test_extended_having_count_threshold():
+    from csv_query_engine_spark.nlsql.extended import generate_sql_extended
+
+    sql = generate_sql_extended(
+        "count of orders per o_orderstatus with more than 5", ORDERS_COLS, table="orders"
+    )
+    assert sql == (
+        "SELECT `o_orderstatus`, COUNT(*) AS `count` FROM orders "
+        "GROUP BY `o_orderstatus` HAVING COUNT(*) > 5"
+    )
+    sql = generate_sql_extended(
+        "orders per o_orderstatus with at least 3", ORDERS_COLS, table="orders"
+    )
+    assert "HAVING COUNT(*) >= 3" in sql
+
+
+def test_extended_sorted_by_is_ordering_not_grouping():
+    from csv_query_engine_spark.nlsql.extended import generate_sql_extended
+
+    sql = generate_sql_extended(
+        "orders sorted by o_totalprice descending", ORDERS_COLS, table="orders"
+    )
+    assert sql == "SELECT * FROM orders ORDER BY `o_totalprice` DESC"
+    # grouped query ordering a NON-grouped column falls back to the
+    # metric path (ordering a non-grouped column is invalid SQL)
+    sql = generate_sql_extended(
+        "top 2 count of orders per o_orderstatus sorted by o_totalprice",
+        ORDERS_COLS,
+        table="orders",
+    )
+    assert sql.endswith("GROUP BY `o_orderstatus` ORDER BY `count` DESC, `o_orderstatus` LIMIT 2")
+
+
+def test_extended_having_and_order_execute(spark):
+    from csv_query_engine_spark.io.readers import load_tables
+    from csv_query_engine_spark.nlsql.extended import generate_sql_extended
+    from csv_query_engine_spark.nlsql.validator import validate_sql
+
+    t = load_tables(spark, "/root/testdata/sf0.001", ("orders",))
+    t["orders"].createOrReplaceTempView("orders")
+    sql = generate_sql_extended(
+        "count of orders per o_orderstatus with at least 1", ORDERS_COLS, table="orders"
+    )
+    validate_sql(sql, spark)
+    got = {r[0]: r[1] for r in spark.sql(sql).collect()}
+    want = {
+        r[0]: r[1]
+        for r in spark.sql(
+            "SELECT o_orderstatus, COUNT(*) FROM orders GROUP BY o_orderstatus HAVING COUNT(*) >= 1"
+        ).collect()
+    }
+    assert got == want
+    sql = generate_sql_extended(
+        "top 3 orders sorted by o_totalprice descending", ORDERS_COLS, table="orders"
+    )
+    validate_sql(sql, spark)
+    rows = spark.sql(sql).collect()
+    assert len(rows) == 3
+    prices = [r["o_totalprice"] for r in rows]
+    assert prices == sorted(prices, reverse=True)
