@@ -254,8 +254,10 @@ DRIVER_ORDER: list[str] = [
     # pixels (aHash + banded blocking; no SQL oracle for the decode):
     "media_phash_dup_pairs",
     # Round-8: energy-envelope audio near-dup pairs over the real WAV
-    # decode (no SQL oracle for the RIFF parse; planted-dup recall +
-    # gain invariance pytest-locked):
+    # decode — fully ORACLE-PAIRED via the closed-form sample recipe
+    # (the quadratic DuckDB twin verifies decode + fingerprint + banded
+    # blocking end-to-end); planted-dup recall + gain invariance also
+    # pytest-locked:
     "media_audio_dup_pairs",
     # Round-5: distributed BPE tokenizer training + encoding — the
     # merge loop is iterative argmax state (no SQL oracle); locked to a

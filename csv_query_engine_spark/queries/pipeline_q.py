@@ -2524,7 +2524,31 @@ def media_phash_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mm.phash_dup_pairs(media, max_hamming=3)
 
 
-@register("media_audio_dup_pairs", None)
+_AUDIO_FP_ORACLE = """
+    WITH ids AS (SELECT doc_id AS id FROM documents),
+    k AS (SELECT id, unnest(generate_series(0, 255 + id % 256)) AS k FROM ids),
+    s AS (SELECT id, (k*65) // (256 + id % 256) AS seg,
+                 ((id*37 + 11*k) % 4096 - 2048) AS v FROM k),
+    e AS (SELECT id, seg, CAST(SUM(v*v) AS BIGINT) AS en FROM s GROUP BY id, seg),
+    b AS (SELECT a.id, a.seg AS j,
+                 CASE WHEN a.en > c.en THEN 1 ELSE 0 END AS bit
+          FROM e a JOIN e c ON a.id = c.id AND c.seg = a.seg + 1
+          WHERE a.seg < 64),
+    h AS (SELECT id, SUM(CAST(bit AS HUGEINT)
+                         * (CAST(1 AS HUGEINT) << CAST(j AS INT))) AS hv
+          FROM b GROUP BY id),
+    fp AS (SELECT id, CAST(CASE WHEN hv >= CAST(1 AS HUGEINT) << 63
+                                THEN hv - (CAST(1 AS HUGEINT) << 64)
+                                ELSE hv END AS BIGINT) AS afp FROM h)
+    SELECT a.id AS doc_id_a, b.id AS doc_id_b,
+           CAST(bit_count(xor(a.afp, b.afp)) AS INT) AS hamming
+    FROM fp a JOIN fp b ON a.id < b.id
+    WHERE bit_count(xor(a.afp, b.afp)) <= 3
+    ORDER BY doc_id_a, doc_id_b
+    """
+
+
+@register("media_audio_dup_pairs", _AUDIO_FP_ORACLE)
 def media_audio_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Audio near-duplicate pairs by integer energy-envelope fingerprint
     over REAL decoded RIFF/WAVE samples (pipeline/multimodal.py::
@@ -2536,9 +2560,18 @@ def media_audio_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     exist from sf0.1 up) — and its phase-shifted sawtooths of equal
     length are genuine near-dup ENVELOPES, so smaller SFs surface
     hamming 1-3 pairs (118 at sf0.01), which is the correct reading of
-    that audio. Rows-only: the RIFF decode has no SQL oracle;
-    planted-dup recall and gain invariance are pytest-locked
-    (tests/test_audio_fp.py).
+    that audio.
+
+    FULLY ORACLE-PAIRED via the closed form (the wav_decode_stats
+    precedent, upgraded from rows-only round 8): the DuckDB twin
+    recomputes the samples arithmetically, takes exact integer segment
+    energies, assembles the two's-complement hash in HUGEINT, and runs
+    the QUADRATIC hamming join — so the decode, the fingerprint, AND
+    the banded blocking are verified end-to-end (4×16-bit bands are
+    pigeonhole-complete at Hamming ≤ 3 and max_bucket can't trigger
+    below 10k docs, so the banded output must equal the quadratic
+    truth). Planted-dup recall and gain invariance additionally
+    pytest-locked (tests/test_audio_fp.py).
 
     Scale: audio bytes never shuffle (8-byte fingerprints do); the
     4×16-bit pigeonhole band join is shared with the image path."""
