@@ -251,7 +251,9 @@ DRIVER_ORDER: list[str] = [
     # unioned to per-type totals — the 100 TB pre-aggregation pattern):
     "sketch_user_rollup",
     # Round-7: perceptual-hash image near-dup pairs over REAL decoded
-    # pixels (aHash + banded blocking; no SQL oracle for the decode):
+    # pixels (aHash + banded blocking) — upgraded round 8 to fully
+    # ORACLE-PAIRED via the closed-form pixel recipe (quadratic DuckDB
+    # twin verifies decode + aHash + banded blocking end-to-end):
     "media_phash_dup_pairs",
     # Round-8: energy-envelope audio near-dup pairs over the real WAV
     # decode — fully ORACLE-PAIRED via the closed-form sample recipe

@@ -2502,7 +2502,36 @@ def docs_hybrid_retrieval_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hybrid_rrf_topk(t["documents"], t["embeddings"]).orderBy("doc_id")
 
 
-@register("media_phash_dup_pairs", None)
+_PHASH_ORACLE = """
+    WITH ids AS (SELECT doc_id AS id FROM documents),
+    pix AS (SELECT id, unnest(generate_series(0, (16+id%16)*(8+id%8)-1)) AS q FROM ids),
+    g AS (SELECT id,
+            (q % (16+id%16)) AS x, (q // (16+id%16)) AS y,
+            ( ((id*31 + 7*(3*q)) % 256)
+            + ((id*31 + 7*(3*q+1)) % 256)
+            + ((id*31 + 7*(3*q+2)) % 256)) // 3 AS gray
+          FROM pix),
+    c AS (SELECT id, ((y*8) // (8+id%8)) * 8 + ((x*8) // (16+id%16)) AS cell, gray FROM g),
+    cm AS (SELECT id, cell, CAST(SUM(gray) AS BIGINT) // CAST(COUNT(*) AS BIGINT) AS mean
+           FROM c GROUP BY id, cell),
+    m AS (SELECT id, CAST(SUM(mean) AS BIGINT) // 64 AS gm FROM cm GROUP BY id),
+    b AS (SELECT cm.id, cell AS j, CASE WHEN mean > gm THEN 1 ELSE 0 END AS bit
+          FROM cm JOIN m ON cm.id = m.id),
+    h AS (SELECT id, SUM(CAST(bit AS HUGEINT)
+                         * (CAST(1 AS HUGEINT) << CAST(j AS INT))) AS hv
+          FROM b GROUP BY id),
+    fp AS (SELECT id, CAST(CASE WHEN hv >= CAST(1 AS HUGEINT) << 63
+                                THEN hv - (CAST(1 AS HUGEINT) << 64)
+                                ELSE hv END AS BIGINT) AS ph FROM h)
+    SELECT a.id AS doc_id_a, b.id AS doc_id_b,
+           CAST(bit_count(xor(a.ph, b.ph)) AS INT) AS hamming
+    FROM fp a JOIN fp b ON a.id < b.id
+    WHERE bit_count(xor(a.ph, b.ph)) <= 3
+    ORDER BY doc_id_a, doc_id_b
+    """
+
+
+@register("media_phash_dup_pairs", _PHASH_ORACLE)
 def media_phash_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Image near-duplicate pairs by perceptual average-hash over REAL
     decoded pixels (pipeline/multimodal.py::phash_dup_pairs): ppm_encode
@@ -2510,8 +2539,16 @@ def media_phash_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ids congruent mod 256 (with equal raster shape) encode IDENTICAL
     images — planted exact dups the aHash must recover at Hamming 0 —
     while everything else scatters across ~256 distinct hashes
-    (verified distribution). Rows-only: the decode + popcount pipeline
-    has no SQL oracle; the banded-blocking recall/precision contract is
+    (verified distribution).
+
+    FULLY ORACLE-PAIRED via the closed form (upgraded from rows-only
+    late round 8, the audio-pairs precedent): the DuckDB twin
+    recomputes each raster's pixels arithmetically, reproduces the
+    all-integer grayscale → 8×8 pooled means → global-mean threshold →
+    two's-complement hash, and runs the QUADRATIC hamming join — so
+    the decode, the aHash, and the banded blocking are verified
+    end-to-end (bands pigeonhole-complete at Hamming ≤ 3; max_bucket
+    can't trigger below 10k docs). Recall/precision additionally
     pytest-locked (tests/test_phash.py).
 
     Scale: pixels never shuffle (8-byte hashes do); 4×16-bit band
