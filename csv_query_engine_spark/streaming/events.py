@@ -554,3 +554,116 @@ def quality_gate_stream(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def route_admission_batch(
+    batch_df,
+    batch_id: int,
+    admitted_dir: str,
+    rejected_dir: str,
+    threshold: float = 0.5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+):
+    """One micro-batch of the streaming dedup admission gate: screen the
+    batch against everything admitted by EARLIER batches (exact
+    fingerprint + span-blocked near-dup via
+    pipeline/dedup.py::incremental_dedup), collapse exact duplicates
+    WITHIN the batch (min doc_id survives), and write both sides keyed
+    by ``batch_id`` with dynamic partition overwrite.
+
+    Replay contract (the quality-gate idiom, :func:`route_quality_batch`):
+    the admitted-corpus read FILTERS ``batch_id < current`` — a replayed
+    batch therefore screens against exactly the pre-batch corpus even
+    though its own earlier write may already sit in the store — and the
+    deterministic verdicts rewrite the same partitions, so replays are
+    no-ops end to end.
+
+    Granularity note: near-duplicate pairs arriving in the SAME
+    micro-batch admit together (the batch boundary is the dedup
+    granularity — the trade every micro-batch admission system makes);
+    exact duplicates collapse within the batch too.
+
+    Scale: the batch is small by construction (its fingerprints/spans
+    broadcast); the admitted corpus is touched only by the linear gram
+    explode with candidate-restricted gram builds — incremental_dedup's
+    audited plan. State lives in the parquet store, not executor memory.
+    """
+    from pyspark.sql import functions as SF
+
+    from csv_query_engine_spark.pipeline.dedup import incremental_dedup
+    from csv_query_engine_spark.pipeline.text import fingerprint
+
+    spark = batch_df.sparkSession
+    batch = batch_df.select(
+        SF.col(id_col).cast("long").alias("doc_id"), SF.col(text_col).alias("text")
+    )
+    # within-batch exact collapse: min doc_id per fingerprint survives
+    fp = batch.select("doc_id", "text", fingerprint(SF.col("text")).alias("_fp"))
+    survivors = fp.groupBy("_fp").agg(SF.min("doc_id").alias("doc_id"))
+    batch_kept = fp.join(survivors, ["_fp", "doc_id"]).select("doc_id", "text")
+    batch_exact_dropped = fp.join(
+        survivors.withColumnRenamed("doc_id", "_keep"), "_fp"
+    ).filter(SF.col("doc_id") != SF.col("_keep")).select(
+        "doc_id",
+        SF.lit("exact_dup").alias("verdict"),
+        SF.col("_keep").cast("long").alias("dup_of"),
+    )
+    try:
+        corpus = (
+            spark.read.parquet(admitted_dir)
+            .filter(SF.col("batch_id") < int(batch_id))
+            .select("doc_id", "text")
+        )
+        have_corpus = True
+    except Exception:  # first batch: no store yet
+        have_corpus = False
+    if have_corpus:
+        verdicts = incremental_dedup(batch_kept, corpus, threshold=threshold)
+    else:
+        verdicts = batch_kept.select(
+            "doc_id", SF.lit("admit").alias("verdict"), SF.lit(-1).cast("long").alias("dup_of")
+        )
+    admitted = batch_kept.join(
+        verdicts.filter(SF.col("verdict") == "admit").select("doc_id"), "doc_id"
+    )
+    rejected = verdicts.filter(SF.col("verdict") != "admit").unionByName(
+        batch_exact_dropped
+    )
+    for side, path in ((admitted, admitted_dir), (rejected, rejected_dir)):
+        (
+            side.withColumn("batch_id", SF.lit(int(batch_id)))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(path)
+        )
+
+
+def dedup_admission_stream(
+    stream: DataFrame,
+    admitted_dir: str,
+    rejected_dir: str,
+    checkpoint: str,
+    threshold: float = 0.5,
+):
+    """Streaming near-duplicate ADMISSION — the streaming face of the
+    dedup family (the continuously-fed curation pipeline: each crawl
+    slice screens against everything already ingested before joining
+    the corpus): foreachBatch routes every micro-batch through
+    :func:`route_admission_batch`, so the admitted store grows only by
+    novel documents and every rejection is parked with its verdict and
+    the id it duplicates. Checkpoint offsets + batch_id-keyed dynamic
+    partition overwrites + the pre-batch corpus filter make the result
+    effectively-once under replay."""
+
+    def route(batch_df, batch_id):
+        route_admission_batch(
+            batch_df, batch_id, admitted_dir, rejected_dir, threshold=threshold
+        )
+
+    return (
+        stream.writeStream.foreachBatch(route)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("update")
+    )

@@ -717,3 +717,71 @@ def test_quality_gate_replayed_batch_is_noop(spark, tmp_path):
     route_quality_batch(df2, 1, checks, good_p, bad_p)  # replay of batch 1
     assert sorted(r["event_id"] for r in spark.read.parquet(good_p).collect()) == [1, 4]
     assert sorted(r["event_id"] for r in spark.read.parquet(bad_p).collect()) == [2, 3]
+
+
+BASE_DOC = (
+    "alpha bravo charlie delta echo foxtrot golf hotel india juliet "
+    "kilo lima mike november oscar papa"
+)
+
+
+def test_dedup_admission_batches_and_replay(spark, tmp_path):
+    """Streaming dedup admission (round 8): cross-batch exact and
+    near-dup rejection against the admitted store, within-batch exact
+    collapse, and replay idempotence via the pre-batch corpus filter +
+    batch_id-keyed overwrite."""
+    from csv_query_engine_spark.streaming.events import route_admission_batch
+
+    adm, rej = str(tmp_path / "admitted"), str(tmp_path / "rejected")
+
+    def run(batch_id, rows):
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        route_admission_batch(df, batch_id, adm, rej)
+
+    # batch 0: doc 2 is an exact within-batch dup of doc 1
+    run(0, [(1, BASE_DOC), (2, BASE_DOC), (3, "totally different words one two three")])
+    admitted = {r["doc_id"] for r in spark.read.parquet(adm).collect()}
+    assert admitted == {1, 3}
+    rej0 = {r["doc_id"]: (r["verdict"], r["dup_of"]) for r in spark.read.parquet(rej).collect()}
+    assert rej0 == {2: ("exact_dup", 1)}
+
+    # batch 1: doc 4 near-dups doc 1 (one word changed), doc 5 exact-dups
+    # doc 3 across batches, doc 6 is novel
+    near = BASE_DOC.replace("oscar", "sierra")
+    run(1, [(4, near), (5, "totally different words one two three"), (6, "entirely novel content here")])
+    admitted = {r["doc_id"] for r in spark.read.parquet(adm).collect()}
+    assert admitted == {1, 3, 6}
+    rej1 = {r["doc_id"]: (r["verdict"], r["dup_of"]) for r in spark.read.parquet(rej).collect() if r["batch_id"] == 1}
+    assert rej1 == {4: ("near_dup", 1), 5: ("exact_dup", 3)}
+
+    # replay batch 1 (foreachBatch at-least-once): the store already
+    # holds batch 1's rows; the pre-batch corpus filter must screen
+    # against batches < 1 only, and the overwrite must not duplicate
+    run(1, [(4, near), (5, "totally different words one two three"), (6, "entirely novel content here")])
+    again = sorted((r["doc_id"], r["batch_id"]) for r in spark.read.parquet(adm).collect())
+    assert again == [(1, 0), (3, 0), (6, 1)]
+    assert spark.read.parquet(rej).count() == 3
+
+
+def test_dedup_admission_live_stream(spark, tmp_path):
+    """End-to-end through a real file-source stream: two availableNow
+    passes over a growing directory land in the admitted store exactly
+    once each."""
+    from csv_query_engine_spark.streaming.events import dedup_admission_stream
+
+    src = tmp_path / "src"
+    adm, rej = str(tmp_path / "admitted"), str(tmp_path / "rejected")
+    ckpt = str(tmp_path / "ckpt")
+    spark.createDataFrame([(1, BASE_DOC), (2, "other text entirely")], "doc_id long, text string").write.parquet(str(src))
+    stream = spark.readStream.schema("doc_id long, text string").parquet(str(src))
+    q = dedup_admission_stream(stream, adm, rej, ckpt).trigger(availableNow=True).start()
+    q.awaitTermination(120)
+    assert {r["doc_id"] for r in spark.read.parquet(adm).collect()} == {1, 2}
+    # second slice: an exact dup of doc 1 plus a novel doc
+    spark.createDataFrame([(3, BASE_DOC), (4, "brand new words")], "doc_id long, text string").write.mode("append").parquet(str(src))
+    stream = spark.readStream.schema("doc_id long, text string").parquet(str(src))
+    q = dedup_admission_stream(stream, adm, rej, ckpt).trigger(availableNow=True).start()
+    q.awaitTermination(120)
+    assert {r["doc_id"] for r in spark.read.parquet(adm).collect()} == {1, 2, 4}
+    rejs = {r["doc_id"]: r["verdict"] for r in spark.read.parquet(rej).collect()}
+    assert rejs == {3: "exact_dup"}
