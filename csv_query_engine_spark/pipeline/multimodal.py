@@ -599,6 +599,28 @@ PHASH_SCHEMA = T.StructType(
 )
 
 
+def _make_ahash():
+    """Self-contained aHash factory (the parser-factory shipping
+    pattern): ahash(px, w, h, np) -> two's-complement 64-bit int.
+    Shared by the image hash and the per-frame video hash — identical
+    integer pooling by construction."""
+
+    def ahash(px, w, h, np):
+        gray = px.reshape(h, w, 3).astype(np.int64).sum(axis=2) // 3
+        yi = (np.arange(h) * 8) // h
+        xi = (np.arange(w) * 8) // w
+        cell = (yi[:, None] * 8 + xi[None, :]).reshape(-1)
+        sums = np.bincount(cell, weights=gray.reshape(-1), minlength=64)
+        cnts = np.bincount(cell, minlength=64)
+        means = (sums.astype(np.int64)) // np.maximum(cnts, 1)
+        m = int(means.sum()) // 64
+        bits = (means > m).astype(np.uint64)
+        hv = int((bits << np.arange(64, dtype=np.uint64)).sum(dtype=np.uint64))
+        return hv - (1 << 64) if hv >= (1 << 63) else hv
+
+    return ahash
+
+
 def perceptual_hashes(
     media_df: DataFrame, id_col: str = "doc_id", media_col: str = "media"
 ) -> DataFrame:
@@ -614,6 +636,7 @@ def perceptual_hashes(
     embarrassingly parallel, O(pixels) per image, 8-byte output per
     image regardless of image size."""
     parse = _make_image_parser()
+    ahash = _make_ahash()
 
     def _ph(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:  # noqa: F821
         import numpy as np
@@ -623,19 +646,9 @@ def perceptual_hashes(
             ids, hashes, ws, hs = [], [], [], []
             for doc_id, data in zip(pdf[id_col], pdf[media_col]):
                 fmt, w, h, px, _ = parse(bytes(data), np)
-                gray = px.reshape(h, w, 3).astype(np.int64).sum(axis=2) // 3
-                yi = (np.arange(h) * 8) // h
-                xi = (np.arange(w) * 8) // w
-                cell = (yi[:, None] * 8 + xi[None, :]).reshape(-1)
-                sums = np.bincount(cell, weights=gray.reshape(-1), minlength=64)
-                cnts = np.bincount(cell, minlength=64)
-                means = (sums.astype(np.int64)) // np.maximum(cnts, 1)
-                m = int(means.sum()) // 64
-                bits = (means > m).astype(np.uint64)
-                hv = int((bits << np.arange(64, dtype=np.uint64)).sum(dtype=np.uint64))
                 ids.append(int(doc_id))
                 # two's-complement view keeps the top bit in a LongType
-                hashes.append(hv - (1 << 64) if hv >= (1 << 63) else hv)
+                hashes.append(ahash(px, w, h, np))
                 ws.append(int(w))
                 hs.append(int(h))
             yield pd.DataFrame(
@@ -830,3 +843,137 @@ def audio_dup_pairs(
         StorageLevel.MEMORY_AND_DISK
     )
     return _banded_hamming_pairs(fp, "afp", max_hamming, max_bucket)
+
+
+def ppm_video_encode(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Emit a REAL concatenated-PPM video per row (the container
+    ``ffmpeg -f image2pipe -vcodec ppm`` emits; sample_frames
+    ``fake=False`` walks it frame by frame): ``4 + id%4`` frames on the
+    image family's ``(16 + id%16) × (8 + id%8)`` raster with
+    closed-form pixels ``(id*31 + 13*frame + 7*p) mod 256`` — the 13·f
+    term makes each frame distinct while keeping the whole pipeline
+    DuckDB-recomputable. Ids congruent mod 256 encode IDENTICAL videos
+    (256 is a multiple of 16, 8, and 4 — same raster, same frame count,
+    same pixels): the planted dups the frame-hash join must recover."""
+
+    def _enc(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:  # noqa: F821
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            blobs, metas = [], []
+            for doc_id in pdf[id_col]:
+                i = int(doc_id)
+                w, h = 16 + i % 16, 8 + i % 8
+                n = w * h * 3
+                header = f"P6\n{w} {h}\n255\n".encode("ascii")
+                parts = []
+                for f in range(4 + i % 4):
+                    px = ((i * 31 + 13 * f + 7 * np.arange(n, dtype=np.int64)) % 256).astype(
+                        np.uint8
+                    )
+                    parts.append(header + px.tobytes())
+                blob = b"".join(parts)
+                blobs.append(blob)
+                metas.append(
+                    {
+                        "format": "video/x-ppm-stream",
+                        "width": w,
+                        "height": h,
+                        "n_bytes": len(blob),
+                    }
+                )
+            yield pd.DataFrame({"doc_id": pdf[id_col].astype("int64"), "media": blobs, "meta": metas})
+
+    spread = _spread(df.select(id_col))
+    return spread.mapInPandas(_enc, schema=RESIZED_SCHEMA)
+
+
+VIDEO_FH_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("frame_idx", T.IntegerType()),
+        T.StructField("fhash", T.LongType()),
+    ]
+)
+
+
+def video_frame_hashes(
+    media_df: DataFrame, id_col: str = "doc_id", media_col: str = "media"
+) -> DataFrame:
+    """(doc_id, frame_idx, fhash): per-frame aHash over a REAL
+    concatenated-PPM video walk — the identical integer pooling as the
+    image path (:func:`_make_ahash`), one Arrow batch pass, 8 bytes out
+    per frame regardless of frame size."""
+    parse = _make_image_parser()
+    ahash = _make_ahash()
+
+    def _fh(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:  # noqa: F821
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            ids, idxs, hashes = [], [], []
+            for doc_id, blob in zip(pdf[id_col], pdf[media_col]):
+                data = bytes(blob) if blob is not None else b""
+                pos, fi = 0, 0
+                while pos < len(data):
+                    _fmt, w, h, px, used = parse(data[pos:], np)
+                    ids.append(int(doc_id))
+                    idxs.append(fi)
+                    hashes.append(ahash(px, w, h, np))
+                    pos += used
+                    fi += 1
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype="int64"),
+                    "frame_idx": pd.Series(idxs, dtype="int32"),
+                    "fhash": pd.Series(hashes, dtype="int64"),
+                }
+            )
+
+    return _spread(media_df.select(F.col(id_col).alias("doc_id"), media_col)).mapInPandas(
+        _fh, schema=VIDEO_FH_SCHEMA
+    )
+
+
+def video_dup_pairs(
+    media_df: DataFrame,
+    min_shared: int = 2,
+    id_col: str = "doc_id",
+    media_col: str = "media",
+    max_bucket: int = 10000,
+) -> DataFrame:
+    """(doc_id_a, doc_id_b, n_shared): video near-duplicate pairs
+    sharing ≥ ``min_shared`` DISTINCT frame fingerprints — the standard
+    frame-fingerprint-overlap video dedup (near-dup videos share most
+    keyframes even when trimmed or re-cut, which a whole-file hash
+    misses entirely). Completes the modality set: shingles (text),
+    embeddings (semantic), aHash (image), energy envelope (audio),
+    frame-hash overlap (VIDEO).
+
+    Exact-hash frame equality IS the blocking (no bands needed: a
+    shared frame is an exact 64-bit match), with the ``max_bucket``
+    guard dropping degenerate flat-frame buckets. Video bytes never
+    shuffle — only (doc_id, 8-byte hash) rows."""
+    from pyspark.storagelevel import StorageLevel
+
+    fh = (
+        video_frame_hashes(media_df, id_col, media_col)
+        .select("doc_id", "fhash")
+        .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    sizes = fh.groupBy("fhash").agg(F.count(F.lit(1)).alias("_n"))
+    fh_b = fh.join(
+        F.broadcast(sizes.filter(F.col("_n") <= max_bucket).select("fhash")), "fhash"
+    )
+    return (
+        fh_b.select(F.col("doc_id").alias("doc_id_a"), "fhash")
+        .join(fh_b.select(F.col("doc_id").alias("doc_id_b"), "fhash"), "fhash")
+        .filter(F.col("doc_id_a") < F.col("doc_id_b"))
+        .groupBy("doc_id_a", "doc_id_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
+        .orderBy("doc_id_a", "doc_id_b")
+    )

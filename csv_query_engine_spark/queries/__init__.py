@@ -255,6 +255,11 @@ DRIVER_ORDER: list[str] = [
     # ORACLE-PAIRED via the closed-form pixel recipe (quadratic DuckDB
     # twin verifies decode + aHash + banded blocking end-to-end):
     "media_phash_dup_pairs",
+    # Round-8: frame-fingerprint-overlap video near-dup pairs over a
+    # real concatenated-PPM walk — fully ORACLE-PAIRED via the
+    # closed-form pixel recipe (frame walk + aHash + exact-hash
+    # blocking verified end-to-end):
+    "media_video_dup_pairs",
     # Round-8: energy-envelope audio near-dup pairs over the real WAV
     # decode — fully ORACLE-PAIRED via the closed-form sample recipe
     # (the quadratic DuckDB twin verifies decode + fingerprint + banded

@@ -2619,6 +2619,65 @@ def media_audio_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mm.audio_dup_pairs(media, max_hamming=3)
 
 
+_VIDEO_FH_ORACLE = """
+    WITH ids AS (SELECT doc_id AS id FROM documents),
+    fr AS (SELECT id, unnest(generate_series(0, 3 + id % 4)) AS f FROM ids),
+    pix AS (SELECT id, f, unnest(generate_series(0, (16+id%16)*(8+id%8)-1)) AS q FROM fr),
+    g AS (SELECT id, f,
+            (q % (16+id%16)) AS x, (q // (16+id%16)) AS y,
+            ( ((id*31 + 13*f + 7*(3*q)) % 256)
+            + ((id*31 + 13*f + 7*(3*q+1)) % 256)
+            + ((id*31 + 13*f + 7*(3*q+2)) % 256)) // 3 AS gray
+          FROM pix),
+    c AS (SELECT id, f, ((y*8) // (8+id%8)) * 8 + ((x*8) // (16+id%16)) AS cell, gray FROM g),
+    cm AS (SELECT id, f, cell, CAST(SUM(gray) AS BIGINT) // CAST(COUNT(*) AS BIGINT) AS mean
+           FROM c GROUP BY id, f, cell),
+    m AS (SELECT id, f, CAST(SUM(mean) AS BIGINT) // 64 AS gm FROM cm GROUP BY id, f),
+    b AS (SELECT cm.id, cm.f, cell AS j, CASE WHEN mean > gm THEN 1 ELSE 0 END AS bit
+          FROM cm JOIN m ON cm.id = m.id AND cm.f = m.f),
+    h AS (SELECT id, f, SUM(CAST(bit AS HUGEINT)
+                            * (CAST(1 AS HUGEINT) << CAST(j AS INT))) AS hv
+          FROM b GROUP BY id, f),
+    fp AS (SELECT DISTINCT id,
+                  CAST(CASE WHEN hv >= CAST(1 AS HUGEINT) << 63
+                            THEN hv - (CAST(1 AS HUGEINT) << 64)
+                            ELSE hv END AS BIGINT) AS fhash FROM h)
+    SELECT a.id AS doc_id_a, b.id AS doc_id_b, CAST(COUNT(*) AS BIGINT) AS n_shared
+    FROM fp a JOIN fp b ON a.id < b.id AND a.fhash = b.fhash
+    GROUP BY a.id, b.id HAVING COUNT(*) >= 2
+    ORDER BY doc_id_a, doc_id_b
+    """
+
+
+@register("media_video_dup_pairs", _VIDEO_FH_ORACLE)
+def media_video_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video near-duplicate pairs by frame-fingerprint overlap
+    (pipeline/multimodal.py::video_dup_pairs): ppm_video_encode emits
+    REAL concatenated-PPM streams (4-7 frames each, the image2pipe
+    container), each frame is aHashed with the image path's exact
+    integer pooling, and pairs sharing ≥2 distinct frame hashes
+    surface — the standard keyframe-overlap video dedup that catches
+    trims/re-cuts a whole-file hash misses. Ids congruent mod 256
+    encode identical videos (planted dups).
+
+    FULLY ORACLE-PAIRED via the closed form (the audio/image
+    precedent): the DuckDB twin recomputes every frame's pixels
+    arithmetically, reproduces the per-frame aHash, and runs the exact
+    shared-hash pair join — frame walk + hash + blocking verified end
+    to end (exact-hash equality IS the blocking; max_bucket can't
+    trigger below 10k docs). Completes the modality set: shingles /
+    embeddings / pixels / audio / VIDEO.
+
+    Scale: video bytes never shuffle — only (doc_id, 8-byte hash)
+    rows; the pair join is keyed on the exact hash with a degenerate-
+    bucket guard."""
+    from csv_query_engine_spark.pipeline import multimodal as mm
+
+    d = load_tables(spark, sf_dir, ("documents",))["documents"]
+    media = mm.ppm_video_encode(d)
+    return mm.video_dup_pairs(media, min_shared=2)
+
+
 def _pseudonymized_oracle() -> str:
     from csv_query_engine_spark.pipeline.privacy import sql_pseudonym
 
