@@ -83,3 +83,60 @@ def prunable_files(stats: DataFrame, col: str, lo, hi) -> Column:
     rows with `col` in [lo, hi] — the file-skipping decision a scan
     planner makes from footer stats."""
     return (F.col(f"max_{col}") < F.lit(lo)) | (F.col(f"min_{col}") > F.lit(hi))
+
+
+def compact_small_files(
+    spark,
+    src_dir: str,
+    dst_dir: str,
+    target_file_mb: int = 128,
+    sort_within_by: list[str] | None = None,
+) -> dict:
+    """Small-file compaction — the other half of physical layout next
+    to Z-ordering: a table written by many streaming micro-batches or
+    fine-grained partitions accumulates thousands of tiny parquet
+    files, and at 100 TB the per-file open/footer/seek overhead (plus
+    the driver's file-listing memory) dominates the scan long before
+    row count does. Rewrites ``src_dir`` into ``dst_dir`` with file
+    count derived from TOTAL BYTES / ``target_file_mb`` (the size-based
+    rule Delta/Iceberg OPTIMIZE uses — never a fixed partition count),
+    optionally re-sorting within files so min/max footer stats stay
+    tight for skipping.
+
+    Returns an audit dict (files/bytes before and after, rows — rows
+    are re-counted on the REWRITTEN output, so the audit is also a
+    conservation check). The rewrite is one shuffle-free pass when no
+    sort is requested (coalesce, not repartition); with
+    ``sort_within_by`` it pays one range shuffle to restore clustering.
+
+    Replay/crash safety: the write goes to a NEW directory (mode
+    "overwrite"), never in place — swap-on-success is the caller's
+    atomic rename, the same two-phase discipline as the JSONL sink."""
+    import os
+
+    def _scan(d):
+        files = []
+        for root, _dirs, names in os.walk(d):
+            for n in names:
+                if n.endswith(".parquet"):
+                    files.append(os.path.join(root, n))
+        return files, sum(os.path.getsize(f) for f in files)
+
+    before_files, before_bytes = _scan(src_dir)
+    df = spark.read.parquet(src_dir)
+    n_out = max(1, -(-before_bytes // (target_file_mb * 1024 * 1024)))
+    if sort_within_by:
+        out = df.repartitionByRange(n_out, *sort_within_by).sortWithinPartitions(
+            *sort_within_by
+        )
+    else:
+        out = df.coalesce(n_out)
+    out.write.mode("overwrite").parquet(dst_dir)
+    after_files, after_bytes = _scan(dst_dir)
+    return {
+        "files_before": len(before_files),
+        "files_after": len(after_files),
+        "bytes_before": int(before_bytes),
+        "bytes_after": int(after_bytes),
+        "rows": spark.read.parquet(dst_dir).count(),
+    }

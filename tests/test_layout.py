@@ -97,3 +97,31 @@ def test_assignment_is_map_only_no_udf(spark, tmp_path):
     assert "Exchange" not in plan, plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, plan
     assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1
+
+
+def test_compact_small_files_merges_and_conserves(spark, tmp_path):
+    from csv_query_engine_spark.operators.layout import compact_small_files
+
+    src, dst = str(tmp_path / "small"), str(tmp_path / "compacted")
+    df = spark.range(0, 10000).selectExpr("id", "id % 7 AS k")
+    df.repartition(64).write.parquet(src)  # the small-file problem
+    audit = compact_small_files(spark, src, dst, target_file_mb=128)
+    assert audit["files_before"] == 64
+    assert audit["files_after"] == 1  # 10k rows ≪ 128 MB -> one file
+    assert audit["rows"] == 10000
+    got = spark.read.parquet(dst)
+    assert got.count() == 10000 and set(got.columns) == {"id", "k"}
+
+
+def test_compact_with_sort_keeps_footer_stats_tight(spark, tmp_path):
+    from csv_query_engine_spark.operators.layout import compact_small_files
+
+    src, dst = str(tmp_path / "s2"), str(tmp_path / "c2")
+    spark.range(0, 5000).selectExpr("id", "CAST(id % 100 AS LONG) AS k").repartition(
+        16
+    ).write.parquet(src)
+    audit = compact_small_files(spark, src, dst, target_file_mb=1, sort_within_by=["id"])
+    assert audit["rows"] == 5000 and audit["files_after"] <= audit["files_before"]
+    # within-file sort -> a selective id filter prunes via footer stats;
+    # functional check: the data round-trips and stays complete
+    assert spark.read.parquet(dst).filter("id < 100").count() == 100
