@@ -50,12 +50,10 @@ DRIVER_ORDER: list[str] = [
     "q16_supplier_part_variety",
     "q19_disjunctive_revenue",
     "q20_dominant_part_suppliers",
-    "q21_sole_late_shipper",
     "q22_dormant_customer_balance",
     "window_range_frame_moving_sum",
     # -- temporal joins
     "asof_join_last_order_before_event",
-    "range_join_shipments_within_month",
     # -- streaming batch twins + event analytics
     # Round-7 rotations IN (round-6 verdict #2): the round-6 surface —
     # Markov transitions, both anomaly screens (whose oracles ALSO
@@ -96,18 +94,42 @@ DRIVER_ORDER: list[str] = [
     "dedup_exact_docs",
     "docs_group_holdout_split",
     "embedding_kmeans_clusters",
-    "docs_udtf_sentences",
     "customer_order_gap_profile",
-    "dedup_cluster_canonical",
     "docs_sequence_packing",
     "docs_bm25_top_docs",
     "docs_ngram_novelty",
-    "docs_shard_assignment",
     "dedup_semantic_pairs",
     "docs_token_typo_pairs",
     "docs_heavy_hitter_tokens",
     "docs_kneser_ney_scores",
+    # Round-8 LATE rotations IN (this round's own oracle-paired
+    # headliners, driver-certified the same round they landed; the
+    # five outgoing siblings are multi-round green and their families
+    # keep in-window rows — mapping pinned in test_pipeline_round3):
+    # RRF nests the full BM25 + brute-force-cosine computations (both
+    # twins), span REMOVAL is the write side of the span-fraction
+    # family, containment joins the exact-pair-join family next to
+    # SemDeDup, and the two media rows give the multimodal closed-form
+    # pixel/sample oracles their first driver certification.
+    "docs_hybrid_retrieval_rrf",
+    "docs_duplicate_span_removal",
+    "dedup_containment_pairs",
+    "media_phash_dup_pairs",
+    "media_audio_dup_pairs",
     # ==================== driver window ends at 50 ====================
+    # Rotated OUT late round 8 for the five rows above (certified
+    # rounds in parens; family kept in-window): q21 (r6,r7 — EXISTS/
+    # semi via q20 + q22), range join (r3-r7 — temporal via asof),
+    # UDTF sentences (r1-r7 — Python-UDF category via the grouped-map
+    # gap profile), connected-components canonical (r3-r7 — gram-
+    # blocked dedup via SemDeDup + containment; iterative loops via
+    # PageRank + k-means), shard assignment (r4-r7 — sequence
+    # reshaping via packing):
+    "q21_sole_late_shipper",
+    "range_join_shipments_within_month",
+    "docs_udtf_sentences",
+    "dedup_cluster_canonical",
+    "docs_shard_assignment",
     # Rotated OUT in round 8 for the round-7 late additions (each
     # multi-round driver-certified; family kept in-window — windowed
     # streaming twins via events_window_heavy_hitters, SCD2 via
@@ -225,17 +247,8 @@ DRIVER_ORDER: list[str] = [
     "docs_weighted_sample",
     "docs_split_leakage_audit",
     "json_props_variant",
-    # Round-8: reciprocal-rank fusion of the BM25 and embedding-cosine
-    # rankings (the RAG retrieval stack; oracle-paired by nesting the
-    # two existing twins):
-    "docs_hybrid_retrieval_rrf",
-    # Round-8: exact duplicated-span removal (Lee et al. 2022 — the
-    # write side of docs_duplicate_span_fraction; cleaned text is
-    # byte-exact oracle-paired):
-    "docs_duplicate_span_removal",
-    # Round-8: exact asymmetric containment join (quote/extract
-    # detection the symmetric Jaccard family cannot express):
-    "dedup_containment_pairs",
+    # (Round-8 RRF / span-removal / containment rows moved INTO the
+    # window above, late round 8.)
     # Rows-only ops (no SQL-expressible oracle; pytest covers recall/
     # precision/planted-neighbor properties):
     "docs_benchmark_decontamination",
@@ -250,22 +263,15 @@ DRIVER_ORDER: list[str] = [
     # Round-6: mergeable DataSketches HLL rollup (daily sketch state
     # unioned to per-type totals — the 100 TB pre-aggregation pattern):
     "sketch_user_rollup",
-    # Round-7: perceptual-hash image near-dup pairs over REAL decoded
-    # pixels (aHash + banded blocking) — upgraded round 8 to fully
-    # ORACLE-PAIRED via the closed-form pixel recipe (quadratic DuckDB
-    # twin verifies decode + aHash + banded blocking end-to-end):
-    "media_phash_dup_pairs",
+    # (media_phash_dup_pairs moved INTO the window above, late round
+    # 8, after its round-8 closed-form oracle pairing.)
     # Round-8: frame-fingerprint-overlap video near-dup pairs over a
     # real concatenated-PPM walk — fully ORACLE-PAIRED via the
     # closed-form pixel recipe (frame walk + aHash + exact-hash
     # blocking verified end-to-end):
     "media_video_dup_pairs",
-    # Round-8: energy-envelope audio near-dup pairs over the real WAV
-    # decode — fully ORACLE-PAIRED via the closed-form sample recipe
-    # (the quadratic DuckDB twin verifies decode + fingerprint + banded
-    # blocking end-to-end); planted-dup recall + gain invariance also
-    # pytest-locked:
-    "media_audio_dup_pairs",
+    # (media_audio_dup_pairs moved INTO the window above, late round
+    # 8, after its round-8 closed-form oracle pairing.)
     # Round-5: distributed BPE tokenizer training + encoding — the
     # merge loop is iterative argmax state (no SQL oracle); locked to a
     # pure-Python Sennrich reference in tests/test_bpe.py:

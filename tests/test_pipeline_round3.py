@@ -144,6 +144,14 @@ def test_registry_window_is_oracle_bearing(spark):
         "events_window_heavy_hitters",
         "customer_pseudonymized_export",
         "docs_ngram_novelty",
+        # late-round-8 additions, driver-certified the round they
+        # landed (all five fully oracle-paired, incl. the closed-form
+        # pixel/sample media twins)
+        "docs_hybrid_retrieval_rrf",
+        "docs_duplicate_span_removal",
+        "dedup_containment_pairs",
+        "media_phash_dup_pairs",
+        "media_audio_dup_pairs",
     ):
         assert new in window, new
     # Long-standing window anchors stay certified.
@@ -157,10 +165,7 @@ def test_registry_window_is_oracle_bearing(spark):
         "json_props_extract",
         "array_funcs_embeddings",
         "asof_join_last_order_before_event",
-        "range_join_shipments_within_month",
-        "dedup_cluster_canonical",
         "docs_sequence_packing",
-        "docs_shard_assignment",
         "merge_upsert_customer_refresh",
         "scd2_customer_segment_history",
         "orders_quality_constraints",
@@ -196,7 +201,7 @@ def test_registry_window_is_oracle_bearing(spark):
         ("join_kinds_outer", "q13_customer_order_distribution"),  # outer join
         ("anti_join_parts_never_ordered", "q22_dormant_customer_balance"),
         ("correlated_scalar_subquery", "q2_min_cost_supplier"),
-        ("q4_priority_late_ship", "q21_sole_late_shipper"),  # EXISTS shapes
+        ("q4_priority_late_ship", "q20_dominant_part_suppliers"),  # EXISTS shapes
         ("q6_forecast_revenue", "q19_disjunctive_revenue"),  # selective scan agg
         ("q7_nation_trade_volume", "q9_profit_proxy"),  # snowflake join
         ("q8_market_share", "q9_profit_proxy"),
@@ -215,6 +220,13 @@ def test_registry_window_is_oracle_bearing(spark):
         ("docs_dataset_card", "docs_bm25_top_docs"),
         ("embedding_centroids_by_label", "embedding_kmeans_clusters"),
         ("docs_token_budget_mix", "docs_group_holdout_split"),  # hash splits
+        # late round-8 rotations out (multi-round certified; see
+        # DRIVER_ORDER notes for the per-family reasoning)
+        ("q21_sole_late_shipper", "q20_dominant_part_suppliers"),
+        ("range_join_shipments_within_month", "asof_join_last_order_before_event"),
+        ("docs_udtf_sentences", "customer_order_gap_profile"),
+        ("dedup_cluster_canonical", "dedup_semantic_pairs"),
+        ("docs_shard_assignment", "docs_sequence_packing"),
     ]:
         assert out not in window and kept in window, (out, kept)
 
