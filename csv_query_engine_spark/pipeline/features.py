@@ -183,6 +183,155 @@ def linear_quality_scores(
     )
 
 
+# ------------------------- DSIR importance weights (data selection)
+
+def dsir_importance_weights(
+    df: DataFrame,
+    target_pred,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = 1024,
+    salt: str = "dsir-",
+) -> DataFrame:
+    """Data Selection with Importance Resampling (Xie et al., NeurIPS
+    2023): score every POOL document by how much more likely its hashed
+    n-gram features are under the TARGET distribution than under the
+    pool's own — log w(d) = Σ_b n_{d,b} · (ln p̂_target[b] − ln p̂_pool[b])
+    over hashed unigram+bigram bucket counts with add-1 smoothing.
+    `target_pred` is a boolean Column naming the exemplar set (e.g.
+    ``F.col("lang") == "en"``); every other document is pool.  Output:
+    one row per pool document with ≥1 token — (id_col, n_feats BIGINT,
+    dsir_logweight DOUBLE).
+
+    Scale: one gram explode → ONE (bucket) aggregation of size ≤
+    n_buckets (driver/broadcast-sized by construction — that is the
+    hashing trick's point) → per-doc counts joined against the
+    BROADCAST log-ratio table → one integer dot-product aggregation.
+    No vocabulary state, no driver loop; the gram explode is persisted
+    once for its two consumers (bucket totals + per-doc counts).
+
+    Determinism: buckets come from the cross-engine md5 recipe
+    (sampling.py), and the per-bucket log-ratio is ONE ln of a ratio of
+    exact integers — (T_b+1)(P_tot+B) / (P_b+1)(T_tot+B) — FLOOR-
+    quantized to 1e-6 units BEFORE the per-doc sum, so document weights
+    are exact integer arithmetic in any partition order (the quantize-
+    before-cross-row-sum invariant).  The integer products stay inside
+    long range while count_grams(target)·(count_grams(pool)+B) <
+    9.2e18; past that envelope switch the ratio to double division
+    before the ln (one extra 0.5-ulp, same FLOOR form)."""
+    base = _spread(
+        df.select(
+            F.col(id_col).alias("id"),
+            F.coalesce(target_pred, F.lit(False)).alias("is_t"),
+            tokens(F.col(text_col)).alias("toks"),
+        )
+    )
+    uni = base.select("id", "is_t", F.explode("toks").alias("g")).filter(F.col("g") != "")
+    # bigram rows: explode the position index, build the gram with
+    # codegen'd get/concat_ws (the _ngram_rows pattern — HOF-free)
+    cnt = F.size("toks") - F.lit(1)
+    idx = F.when(cnt >= 1, F.sequence(F.lit(1), cnt)).otherwise(F.array().cast("array<int>"))
+    big = base.select("id", "is_t", "toks", F.explode(idx).alias("i")).select(
+        "id",
+        "is_t",
+        F.concat_ws(" ", F.get("toks", F.col("i") - 1), F.get("toks", F.col("i"))).alias("g"),
+    )
+    feats = (
+        uni.unionByName(big)
+        .select("id", "is_t", (_hash32(F.col("g"), salt) % n_buckets).alias("b"))
+        .persist()
+    )
+    bc = feats.groupBy("b").agg(
+        F.sum(F.when(F.col("is_t"), 1).otherwise(0)).cast("long").alias("tb"),
+        F.sum(F.when(F.col("is_t"), 0).otherwise(1)).cast("long").alias("pb"),
+    )
+    tot = bc.agg(F.sum("tb").alias("tt"), F.sum("pb").alias("pt"))
+    bl = F.lit(int(n_buckets)).cast("long")
+    lr = bc.crossJoin(F.broadcast(tot)).select(  # 1-row broadcast, not cartesian
+        "b",
+        F.floor(
+            F.log(
+                ((F.col("tb") + 1) * (F.col("pt") + bl)).cast("double")
+                / ((F.col("pb") + 1) * (F.col("tt") + bl)).cast("double")
+            )
+            * F.lit(1e6)
+            + F.lit(0.5)
+        )
+        .cast("long")
+        .alias("u"),
+    )
+    docb = feats.filter(~F.col("is_t")).groupBy("id", "b").agg(F.count(F.lit(1)).alias("n"))
+    return (
+        docb.join(F.broadcast(lr), "b")  # lr has ≤ n_buckets rows
+        .groupBy("id")
+        .agg(
+            F.sum("n").cast("bigint").alias("n_feats"),
+            F.sum(F.col("n") * F.col("u")).alias("_units"),
+        )
+        .select(
+            F.col("id").alias(id_col),
+            "n_feats",
+            (F.col("_units").cast("double") / F.lit(1e6)).alias("dsir_logweight"),
+        )
+    )
+
+
+def sql_dsir_importance(
+    table: str,
+    sql_toks: str,
+    target_pred_sql: str,
+    id_col: str = "doc_id",
+    n_buckets: int = 1024,
+    salt: str = "dsir-",
+) -> str:
+    """DuckDB twin of :func:`dsir_importance_weights`: same md5
+    bucketing, same single-ln integer-ratio log-ratio, same FLOOR
+    quantization, same integer dot product."""
+    h = f"CAST('0x' || substring(md5('{salt}' || g), 1, 8) AS BIGINT) % {n_buckets}"
+    return f"""
+    WITH tok AS (
+        SELECT id, is_t, pos, t FROM (
+            SELECT id, is_t,
+                   generate_subscripts(toks, 1) AS pos,
+                   unnest(toks) AS t
+            FROM (SELECT {id_col} AS id,
+                         COALESCE({target_pred_sql}, FALSE) AS is_t,
+                         {sql_toks} AS toks
+                  FROM {table})
+        ) WHERE t <> ''
+    ),
+    grams AS (
+        SELECT id, is_t, t AS g FROM tok
+        UNION ALL
+        SELECT a.id, a.is_t, a.t || ' ' || b.t AS g
+        FROM tok a JOIN tok b ON a.id = b.id AND b.pos = a.pos + 1
+    ),
+    feats AS (SELECT id, is_t, {h} AS b FROM grams),
+    bc AS (
+        SELECT b,
+               CAST(SUM(CASE WHEN is_t THEN 1 ELSE 0 END) AS BIGINT) AS tb,
+               CAST(SUM(CASE WHEN is_t THEN 0 ELSE 1 END) AS BIGINT) AS pb
+        FROM feats GROUP BY b
+    ),
+    tot AS (SELECT SUM(tb) AS tt, SUM(pb) AS pt FROM bc),
+    lr AS (
+        SELECT b,
+               CAST(FLOOR(ln(CAST((tb + 1) * (pt + {n_buckets}) AS DOUBLE)
+                             / CAST((pb + 1) * (tt + {n_buckets}) AS DOUBLE))
+                          * 1e6 + 0.5) AS BIGINT) AS u
+        FROM bc, tot
+    ),
+    docb AS (
+        SELECT id, b, COUNT(*) AS n FROM feats WHERE NOT is_t GROUP BY id, b
+    )
+    SELECT id AS {id_col},
+           CAST(SUM(n) AS BIGINT) AS n_feats,
+           CAST(SUM(n * u) AS DOUBLE) / 1e6 AS dsir_logweight
+    FROM docb JOIN lr USING (b)
+    GROUP BY id
+    """
+
+
 def sql_linear_quality(
     table: str,
     sql_toks: str,

@@ -249,6 +249,10 @@ DRIVER_ORDER: list[str] = [
     "json_props_variant",
     # (Round-8 RRF / span-removal / containment rows moved INTO the
     # window above, late round 8.)
+    # Round-8 late: DSIR importance-resampling selection (Xie et al.
+    # 2023) — hashed-n-gram log-ratio weights against a target
+    # exemplar corpus, fully oracle-paired, past-window:
+    "docs_dsir_selection",
     # Rows-only ops (no SQL-expressible oracle; pytest covers recall/
     # precision/planted-neighbor properties):
     "docs_benchmark_decontamination",

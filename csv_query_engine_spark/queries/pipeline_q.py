@@ -2817,3 +2817,57 @@ def docs_group_holdout_split(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load_tables(spark, sf_dir, ("documents",))["documents"]
     return group_holdout_split(d)
+
+
+def _dsir_oracle() -> str:
+    from csv_query_engine_spark.pipeline.features import sql_dsir_importance
+
+    w = sql_dsir_importance("documents", _SQL_TOKS, "lang = 'en'")
+    return f"""
+    WITH w AS ({w}),
+    top AS (SELECT * FROM w ORDER BY dsir_logweight DESC, doc_id LIMIT 50)
+    SELECT doc_id, n_feats, dsir_logweight,
+           CAST(ROW_NUMBER() OVER (ORDER BY dsir_logweight DESC, doc_id)
+                AS BIGINT) AS sel_rank
+    FROM top ORDER BY sel_rank
+    """
+
+
+@register("docs_dsir_selection", _dsir_oracle())
+def docs_dsir_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR data selection (pipeline/features.py::
+    dsir_importance_weights; Xie et al., NeurIPS 2023): the top-50
+    POOL documents (lang <> 'en') by hashed-n-gram importance weight
+    against the lang = 'en' TARGET distribution — the
+    importance-resampling recipe for picking pretraining data that
+    matches a high-quality exemplar corpus (deterministic top-k
+    variant of the paper's Gumbel resampling, so it oracle-pairs).
+
+    Fully oracle-paired: md5 buckets, one FLOOR-quantized ln of an
+    integer ratio per bucket, exact integer dot products per doc, and
+    a unique-key tiebroken LIMIT. Scale: one gram explode, one
+    bucket-sized aggregation, a BROADCAST log-ratio join, one per-doc
+    aggregation; the rank is a triangular broadcast self-join on the
+    already-LIMITed 50 rows (no unpartitioned window)."""
+    from csv_query_engine_spark.pipeline.features import dsir_importance_weights
+
+    d = load_tables(spark, sf_dir, ("documents",))["documents"]
+    w = dsir_importance_weights(d, F.col("lang") == "en")
+    top = w.orderBy(F.col("dsir_logweight").desc(), "doc_id").limit(50).persist()
+    before = (F.col("b.dsir_logweight") > F.col("a.dsir_logweight")) | (
+        (F.col("b.dsir_logweight") == F.col("a.dsir_logweight"))
+        & (F.col("b.doc_id") <= F.col("a.doc_id"))
+    )
+    return (
+        top.alias("a")
+        .join(F.broadcast(top.alias("b")), before)
+        .groupBy(F.col("a.doc_id"), F.col("a.n_feats"), F.col("a.dsir_logweight"))
+        .agg(F.count(F.lit(1)).cast("long").alias("sel_rank"))
+        .select(
+            F.col("doc_id"),
+            F.col("n_feats"),
+            F.col("dsir_logweight"),
+            F.col("sel_rank"),
+        )
+        .orderBy("sel_rank")
+    )

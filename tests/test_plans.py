@@ -479,3 +479,17 @@ def test_containment_prefix_join_cached_grams_no_cartesian(spark):
     assert plan.count("InMemoryTableScan") >= 3, plan
     assert "CartesianProduct" not in plan, plan
     spark.catalog.clearCache()
+
+
+def test_dsir_broadcast_logratio_cached_grams_no_python(spark):
+    """DSIR selection: the gram/bucket explode persists once (bucket
+    totals + per-doc counts both read the cache); the ≤n_buckets
+    log-ratio table joins back as a BROADCAST (never a shuffle on the
+    doc side); the 1-row totals crossJoin is a broadcast nested loop,
+    not a cartesian; zero Python in the plan."""
+    plan = _plan(spark, "docs_dsir_selection")
+    assert plan.count("InMemoryTableScan") >= 2, plan
+    assert "BroadcastHashJoin" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, plan
+    spark.catalog.clearCache()
