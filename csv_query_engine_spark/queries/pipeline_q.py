@@ -385,10 +385,59 @@ def dedup_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dd.minhash_lsh_pairs(d, threshold=0.5).orderBy("id_a", "id_b")
 
 
-@register("dedup_simhash_pairs", None)
+_SIMHASH_ORACLE = f"""
+    WITH ids AS (SELECT doc_id AS id FROM documents),
+    tok AS (
+        SELECT id, t FROM (
+            SELECT doc_id AS id, unnest(string_split({_SQL_NORM}, ' ')) AS t
+            FROM documents
+        ) WHERE t <> ''
+    ),
+    h AS (SELECT id,
+                 CAST(('0x' || substring(md5(t), 1, 8)) AS BIGINT) AS hi,
+                 CAST(('0x' || substring(md5(t), 9, 8)) AS BIGINT) AS lo
+          FROM tok),
+    lanes AS (
+        SELECT id, j,
+               CASE WHEN j < 32 THEN (lo >> j) & 1
+                    ELSE (hi >> (j - 32)) & 1 END AS bit
+        FROM h CROSS JOIN (SELECT unnest(generate_series(0, 63)) AS j)
+    ),
+    maj AS (SELECT id, j, CAST(SUM(bit) AS BIGINT) AS ones,
+                   CAST(COUNT(*) AS BIGINT) AS n
+            FROM lanes GROUP BY id, j),
+    hv AS (SELECT id,
+                  SUM(CAST(CASE WHEN 2 * ones > n THEN 1 ELSE 0 END AS HUGEINT)
+                      * (CAST(1 AS HUGEINT) << CAST(j AS INT))) AS hv
+           FROM maj GROUP BY id),
+    fp AS (SELECT ids.id,
+                  CAST(CASE WHEN COALESCE(hv, 0) >= CAST(1 AS HUGEINT) << 63
+                            THEN COALESCE(hv, 0) - (CAST(1 AS HUGEINT) << 64)
+                            ELSE COALESCE(hv, 0) END AS BIGINT) AS sig
+           FROM ids LEFT JOIN hv ON ids.id = hv.id)
+    SELECT a.id AS id_a, b.id AS id_b,
+           CAST(bit_count(xor(a.sig, b.sig)) AS INT) AS hamming
+    FROM fp a JOIN fp b ON a.id < b.id
+    WHERE bit_count(xor(a.sig, b.sig)) <= 3
+    ORDER BY id_a, id_b
+    """
+
+
+@register("dedup_simhash_pairs", _SIMHASH_ORACLE)
 def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup pairs (Hamming ≤ 3 over 64-bit signatures,
-    pigeonhole band blocking). Pandas-UDF signature computation."""
+    pigeonhole band blocking). Pandas-UDF signature computation.
+
+    FULLY ORACLE-PAIRED (upgraded from rows-only late round 8): the
+    signature already derives every bit from md5 (big-endian first 8
+    digest bytes per token — exactly the first 16 hex chars DuckDB's
+    md5() prints), so the twin recomputes it end-to-end — hi/lo 32-bit
+    hex parses, a 64-lane bit majority per document, the HUGEINT
+    two's-complement assembly (the media-pairs recipe) — and runs the
+    QUADRATIC hamming join. The 4×16-bit banding carries NO max_bucket
+    guard, so by pigeonhole the banded output EQUALS the quadratic
+    truth unconditionally; empty-token documents keep signature 0 on
+    both sides (ids LEFT JOIN + COALESCE in the twin)."""
     d = load_tables(spark, sf_dir, ("documents",))["documents"]
     return dd.simhash_near_dup_pairs(d).orderBy("id_a", "id_b")
 
