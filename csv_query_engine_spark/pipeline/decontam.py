@@ -26,9 +26,14 @@ Everything stays a DataFrame plan:
 
 False positives are the contract (rate ~ (1 - e^{-kn/m})^k, sized by
 ``bloom_params``); false negatives are impossible — pinned by
-tests/test_decontam.py.  xxhash64 is not expressible in ANSI SQL, so
-the registry query is a rows-only check with the FP/FN contract tested
-against an exact semi-join locally."""
+tests/test_decontam.py.  The default xxhash64 probes are the fastest
+JVM path but not ANSI-expressible; ``hash_mode="md5"`` switches every
+probe to the repo's cross-engine md5 recipe, and since a Bloom bit is
+set iff SOME benchmark value hashed to that position, a DuckDB twin
+reproduces the whole pipeline — false positives included — as a
+position-set join with no bit arithmetic at all (the basis of the
+fully oracle-paired registry query, which also pins m and k so the
+twin is a static string)."""
 
 from __future__ import annotations
 
@@ -49,19 +54,37 @@ def bloom_params(expected_n: int, fpp: float = 0.01) -> tuple[int, int]:
     return m, k
 
 
-def _positions(value: Column, m_bits: int, k: int) -> Column:
+def _position(value: Column, m_bits: int, i: int, hash_mode: str) -> Column:
+    """Bit position in [0, m_bits) for probe i of one value.
+
+    ``hash_mode="xx"`` (default everywhere): xxhash64 with seed i — the
+    fastest JVM path.  ``hash_mode="md5"``: the repo's cross-engine md5
+    recipe (first 8 hex chars of ``md5('bl{i}-' || value)``), a little
+    slower per probe but bit-for-bit reproducible by DuckDB — the basis
+    for the fully oracle-paired decontamination query (positions decide
+    the bitmap, so hash parity makes the WHOLE build/pack/probe
+    pipeline, false positives included, cross-engine exact)."""
+    if hash_mode == "xx":
+        return F.pmod(F.xxhash64(value, F.lit(i)), F.lit(m_bits))
+    if hash_mode == "md5":
+        hex8 = F.substring(F.md5(F.concat(F.lit(f"bl{i}-"), value.cast("string"))), 1, 8)
+        return F.pmod(F.conv(hex8, 16, 10).cast("long"), F.lit(m_bits))
+    raise ValueError(f"unknown hash_mode {hash_mode!r}")
+
+
+def _positions(value: Column, m_bits: int, k: int, hash_mode: str = "xx") -> Column:
     """Array of k bit positions in [0, m_bits) for one value."""
-    return F.array(
-        *[F.pmod(F.xxhash64(value, F.lit(i)), F.lit(m_bits)) for i in range(k)]
-    )
+    return F.array(*[_position(value, m_bits, i, hash_mode) for i in range(k)])
 
 
-def bloom_build(df: DataFrame, col: str, m_bits: int, k: int) -> DataFrame:
+def bloom_build(
+    df: DataFrame, col: str, m_bits: int, k: int, hash_mode: str = "xx"
+) -> DataFrame:
     """Bitmap table (word bigint, bits bigint) covering every value of
     `col`.  One explode (k rows per value) + one bit_or aggregation —
     partial+final, map-side-combined; output has <= m_bits/64 rows."""
     pos = df.select(
-        F.explode(_positions(F.col(col), m_bits, k)).alias("_p")
+        F.explode(_positions(F.col(col), m_bits, k, hash_mode)).alias("_p")
     )
     return (
         pos.select(
@@ -92,21 +115,31 @@ def bloom_pack(bloom: DataFrame, m_bits: int) -> DataFrame:
 
 
 def bloom_probe(
-    df: DataFrame, col: str, packed: DataFrame, m_bits: int, k: int, flag: str = "maybe_member"
+    df: DataFrame,
+    col: str,
+    packed: DataFrame,
+    m_bits: int,
+    k: int,
+    flag: str = "maybe_member",
+    hash_mode: str = "xx",
 ) -> DataFrame:
     """Adds boolean `flag`: True iff all k bit positions of `col` are
     set in the packed bitmap (from :func:`bloom_pack`) — possibly-a-
     member, never a false negative.
 
     One broadcast of the single-row bitmap + codegen'd element_at/bit
-    tests per row: a map-only pass, no shuffle of the corpus."""
+    tests per row: a map-only pass, no shuffle of the corpus.  Each
+    probe's position materializes to a column first (the repo's
+    materialize-before-reuse rule — the word lookup and the mask both
+    read it, so the hash runs once per probe, not twice)."""
+    out = df.crossJoin(F.broadcast(packed))
+    pcols = [f"_p{i}" for i in range(k)]
+    for i in range(k):
+        out = out.withColumn(pcols[i], _position(F.col(col), m_bits, i, hash_mode))
     hit = None
     for i in range(k):
-        p = F.pmod(F.xxhash64(F.col(col), F.lit(i)), F.lit(m_bits))
-        word_bits = F.element_at(F.col("_bloom"), (p / 64).cast("int") + 1)
-        mask = F.expr(
-            f"shiftleft(1L, CAST(pmod(xxhash64(`{col}`, {i}), {m_bits}) % 64 AS INT))"
-        )
+        word_bits = F.element_at(F.col("_bloom"), (F.col(pcols[i]) / 64).cast("int") + 1)
+        mask = F.expr(f"shiftleft(1L, CAST({pcols[i]} % 64 AS INT))")
         h = word_bits.bitwiseAND(mask) != 0
         hit = h if hit is None else (hit & h)
-    return df.crossJoin(F.broadcast(packed)).withColumn(flag, hit).drop("_bloom")
+    return out.withColumn(flag, hit).drop("_bloom", *pcols)

@@ -1669,7 +1669,46 @@ def orders_zorder_layout_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return layout_stats(assigned, ["cust_bucket", "day_bucket"]).orderBy("file_id")
 
 
-@register("docs_benchmark_decontamination", None)
+_BLOOM_M, _BLOOM_K = 65536, 7
+
+_DECONTAM_ORACLE = f"""
+    WITH bench AS (SELECT DISTINCT text FROM documents WHERE doc_id % 97 = 0),
+    seeds AS (SELECT unnest(generate_series(0, {_BLOOM_K - 1})) AS i),
+    spos AS (
+        SELECT DISTINCT
+               CAST(('0x' || substring(md5('bl' || i || '-' || text), 1, 8))
+                    AS BIGINT) % {_BLOOM_M} AS p
+        FROM bench CROSS JOIN seeds
+    ),
+    probe AS (
+        SELECT d.doc_id, d.source,
+               CAST(('0x' || substring(md5('bl' || i || '-' || d.text), 1, 8))
+                    AS BIGINT) % {_BLOOM_M} AS p
+        FROM documents d CROSS JOIN seeds
+    ),
+    flags AS (
+        SELECT pr.doc_id, pr.source, bool_and(sp.p IS NOT NULL) AS maybe
+        FROM probe pr LEFT JOIN spos sp ON pr.p = sp.p
+        GROUP BY pr.doc_id, pr.source
+    ),
+    per AS (
+        SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(CASE WHEN maybe THEN 1 ELSE 0 END) AS BIGINT) AS n_flagged
+        FROM flags GROUP BY source
+    ),
+    ex AS (
+        SELECT source, CAST(COUNT(*) AS BIGINT) AS n_exact
+        FROM documents WHERE text IN (SELECT text FROM bench)
+        GROUP BY source
+    )
+    SELECT per.source, n_docs, n_flagged,
+           COALESCE(n_exact, CAST(0 AS BIGINT)) AS n_exact
+    FROM per LEFT JOIN ex ON per.source = ex.source
+    ORDER BY per.source
+    """
+
+
+@register("docs_benchmark_decontamination", _DECONTAM_ORACLE)
 def docs_benchmark_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark decontamination screen: a Bloom filter built over a
     'benchmark' slice of the corpus (every 97th doc's text) flags
@@ -1678,25 +1717,33 @@ def docs_benchmark_decontamination(spark: SparkSession, sf_dir: str) -> DataFram
     fpp-bounded false positives.  Output compares the screen against
     the exact semi-join per source: flagged >= exact always holds.
 
-    Rows-only: xxhash64 isn't ANSI-SQL-expressible; the FP/FN contract
-    is pinned by tests/test_decontam.py instead.
+    FULLY ORACLE-PAIRED (upgraded from rows-only late round 8): probes
+    use the cross-engine md5 recipe (hash_mode="md5") and m, k are
+    pinned (65536, 7 — generous for any benchmark slice under ~1k
+    entries, and pinning them also drops the count() sizing job), so
+    the DuckDB twin reproduces the ENTIRE pipeline — bitmap build,
+    broadcast probe, false positives included — as a position-SET
+    join: a Bloom bit is set iff some benchmark value hashed there, so
+    "all k bits set" ≡ "all k positions ∈ the set", no bit arithmetic
+    needed.  The FP/FN contract stays pinned by tests/test_decontam.py
+    (which also locks md5-mode ≡ xx-mode semantics).
 
-    Scale: the filter is sized from the BENCHMARK set (small by
+    Scale: the filter is sized for the BENCHMARK set (small by
     definition); the corpus side is one codegen'd pass + a 25-row-ish
-    aggregation. The count() sizing action scans only the benchmark
-    slice."""
+    aggregation."""
     from csv_query_engine_spark.pipeline.decontam import (
         bloom_build,
         bloom_pack,
-        bloom_params,
         bloom_probe,
     )
 
     docs = load_tables(spark, sf_dir, ("documents",))["documents"]
     bench = docs.filter(F.col("doc_id") % 97 == 0).select("text")
-    m, k = bloom_params(max(bench.count(), 1), fpp=0.001)
-    packed = bloom_pack(bloom_build(bench, "text", m, k), m)
-    flagged = bloom_probe(docs.select("doc_id", "source", "text"), "text", packed, m, k)
+    m, k = _BLOOM_M, _BLOOM_K
+    packed = bloom_pack(bloom_build(bench, "text", m, k, hash_mode="md5"), m)
+    flagged = bloom_probe(
+        docs.select("doc_id", "source", "text"), "text", packed, m, k, hash_mode="md5"
+    )
     exact = docs.join(
         bench.select(F.col("text").alias("_bt")).distinct(),
         F.col("text") == F.col("_bt"),

@@ -75,3 +75,32 @@ def test_build_is_mergeable_bit_or(spark):
     got = {r["word"]: r["bits"] for r in merged.collect()}
     want = {r["word"]: r["bits"] for r in direct.collect()}
     assert got == want
+
+
+def test_md5_mode_same_contract_and_python_replay(spark):
+    """hash_mode="md5" (the oracle-paired path) keeps the Bloom
+    contract — zero false negatives — and its positions replay exactly
+    in pure Python (int(md5('bl{i}-'+v)[:8],16) % m), so the DuckDB
+    twin's position-set reformulation reads the same bits."""
+    import hashlib
+
+    members = [f"bench-{i}" for i in range(200)]
+    m, k = bloom_params(len(members), fpp=0.01)
+    bench = spark.createDataFrame([(v,) for v in members], "v string")
+    packed = bloom_pack(bloom_build(bench, "v", m, k, hash_mode="md5"), m)
+    probe = spark.createDataFrame(
+        [(v, True) for v in members] + [(f"other-{i}", False) for i in range(1000)],
+        "v string, is_member boolean",
+    )
+    out = bloom_probe(probe, "v", packed, m, k, hash_mode="md5").collect()
+    assert not [r for r in out if r["is_member"] and not r["maybe_member"]]
+    fp = sum(1 for r in out if not r["is_member"] and r["maybe_member"])
+    assert fp <= 0.05 * 1000, f"false-positive rate too high: {fp}/1000"
+
+    # pure-Python replay of the position arithmetic = the bloom itself
+    def pos(v: str, i: int) -> int:
+        return int(hashlib.md5(f"bl{i}-{v}".encode()).hexdigest()[:8], 16) % m
+
+    sset = {pos(v, i) for v in members for i in range(k)}
+    expected = {r["v"]: all(pos(r["v"], i) in sset for i in range(k)) for r in out}
+    assert {r["v"]: r["maybe_member"] for r in out} == expected
