@@ -1086,3 +1086,101 @@ def sql_semantic_pairs(
     WHERE cos_sim >= CAST({threshold!r} AS DOUBLE)
     ORDER BY cluster_id, vec_id_a, vec_id_b
     """
+
+
+# ---------------------- Johnson-Lindenstrauss random-projection sketch
+
+def jl_signs(out_dims: int = 8, in_dims: int = 64, salt: str = "jl-") -> list[list[int]]:
+    """Deterministic ±1 projection matrix (Achlioptas 2003: Rademacher
+    entries satisfy the JL lemma): sign(i, j) from the low bit of
+    md5('jl-{i}-{j}') — reproducible anywhere, no RNG state to ship.
+    Driver-side constants (out_dims×in_dims ints), the
+    default_quality_weights precedent."""
+    return [
+        [
+            1
+            if int(hashlib.md5(f"{salt}{i}-{j}".encode()).hexdigest()[:8], 16) % 2 == 0
+            else -1
+            for j in range(in_dims)
+        ]
+        for i in range(out_dims)
+    ]
+
+
+def random_projection_sketch(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    out_dims: int = 8,
+    in_dims: int = 64,
+    salt: str = "jl-",
+) -> DataFrame:
+    """Johnson-Lindenstrauss compression of the embedding column: the
+    64-float vector becomes out_dims exact integers y_i = Σ_j s_ij·q_j
+    over FLOOR-quantized 1e-6-unit coordinates — the cheap first stage
+    in front of any ANN family (8 longs instead of 64 floats per
+    vector: store less, shuffle less, band on the sketch).
+
+    Fully oracle-pairable: coordinates quantize per element BEFORE any
+    sum (the quantize-before-cross-row-sum invariant), the ±1 signs
+    are plan literals derived from md5 (:func:`jl_signs`), and every
+    y_i is exact long arithmetic in any partition/evaluation order.
+
+    Plan shape: one posexplode → per-element quantize → ONE
+    aggregation with out_dims conditional sums, the sign picked from a
+    64-literal array by element_at (codegen'd; out_dims stays ≪ the
+    64-agg-column codegen cliff documented in CLAUDE.md). No joins, no
+    Python, no shuffle beyond the (id) aggregation."""
+    signs = jl_signs(out_dims, in_dims, salt)
+    rows = _spread(df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("_v"))).select(
+        "id", F.posexplode("_v").alias("_j", "_x")
+    )
+    q = rows.select(
+        "id",
+        "_j",
+        F.floor(F.col("_x").cast("double") * F.lit(1e6) + F.lit(0.5)).cast("long").alias("_q"),
+    )
+    aggs = []
+    for i in range(out_dims):
+        arr = F.array(*[F.lit(s) for s in signs[i]])
+        aggs.append(
+            F.sum(F.element_at(arr, F.col("_j") + 1) * F.col("_q"))
+            .cast("bigint")
+            .alias(f"y{i}")
+        )
+    return (
+        q.groupBy("id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_dims"), *aggs)
+        .withColumnRenamed("id", id_col)
+    )
+
+
+def sql_random_projection(
+    table: str = "embeddings",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    out_dims: int = 8,
+    in_dims: int = 64,
+    salt: str = "jl-",
+) -> str:
+    """DuckDB twin of :func:`random_projection_sketch`: identical sign
+    literals (1-based list indexing matches element_at(_j+1)), same
+    per-element FLOOR quantize, same conditional integer sums."""
+    signs = jl_signs(out_dims, in_dims, salt)
+    cols = ",\n           ".join(
+        "CAST(SUM((" + "[" + ",".join(str(s) for s in signs[i]) + "]" + ")[j] * q) AS BIGINT)"
+        f" AS y{i}"
+        for i in range(out_dims)
+    )
+    return f"""
+    WITH q AS (
+        SELECT id, j, CAST(FLOOR(CAST(x AS DOUBLE) * 1e6 + 0.5) AS BIGINT) AS q
+        FROM (SELECT {id_col} AS id,
+                     generate_subscripts({vec_col}, 1) AS j,
+                     unnest({vec_col}) AS x
+              FROM {table})
+    )
+    SELECT id AS {id_col}, CAST(COUNT(*) AS BIGINT) AS n_dims,
+           {cols}
+    FROM q GROUP BY id ORDER BY {id_col}
+    """

@@ -253,6 +253,10 @@ DRIVER_ORDER: list[str] = [
     # 2023) — hashed-n-gram log-ratio weights against a target
     # exemplar corpus, fully oracle-paired, past-window:
     "docs_dsir_selection",
+    # Round-8 late: JL random-projection sketch (Achlioptas ±1 signs
+    # from md5; exact integer coordinates) — fully oracle-paired,
+    # past-window:
+    "embedding_jl_projection",
     # Rows-only ops (no SQL-expressible oracle; pytest covers recall/
     # precision/planted-neighbor properties):
     "docs_benchmark_decontamination",

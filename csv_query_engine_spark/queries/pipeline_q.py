@@ -2967,3 +2967,27 @@ def docs_dsir_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("sel_rank")
     )
+
+
+def _jl_oracle() -> str:
+    from csv_query_engine_spark.pipeline.similarity import sql_random_projection
+
+    return sql_random_projection()
+
+
+@register("embedding_jl_projection", _jl_oracle())
+def embedding_jl_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Johnson-Lindenstrauss random-projection sketch of the embedding
+    table (pipeline/similarity.py::random_projection_sketch; Achlioptas
+    2003 ±1 entries): 64 floats → 8 exact integer coordinates per
+    vector — the compression stage in front of the ANN family (store
+    less, shuffle less, band on the sketch).
+
+    Fully oracle-paired: per-element FLOOR quantization before any
+    sum, md5-derived sign literals shared verbatim by both sides,
+    exact long sums. Plan: one posexplode + ONE aggregation — no
+    joins, no Python, no extra shuffle."""
+    from csv_query_engine_spark.pipeline.similarity import random_projection_sketch
+
+    e = load_tables(spark, sf_dir, ("embeddings",))["embeddings"]
+    return random_projection_sketch(e).orderBy("vec_id")
