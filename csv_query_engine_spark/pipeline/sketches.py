@@ -115,3 +115,263 @@ def heavy_hitters(
         .filter(F.col("n_occ") > F.expr(f"n div {k}"))
         .select("token", "n_occ")
     )
+
+
+# ------------------------------------------- Count-Min frequency sketch
+
+def cm_cells(
+    df: DataFrame,
+    key_col: str,
+    depth: int = 4,
+    width: int = 64,
+    salt: str = "cm",
+) -> DataFrame:
+    """Count-Min sketch table (Cormode & Muthukrishnan 2005) over
+    `key_col`: ≤ depth×width rows (row, col, cnt) — bounded state no
+    matter the stream size, mergeable across shards by cell-wise SUM
+    (the same additive-summary semantics as the HLL rollup).
+
+    Positions come from the cross-engine md5 recipe, so the sketch —
+    INCLUDING its collision overcounts, which are what make it a
+    sketch — is bit-for-bit reproducible by DuckDB: this is the rare
+    sketch whose *approximation error* is oracle-checkable, not just
+    its exact-verified output (contrast heavy_hitters above, whose
+    oracle sees only the exact answer).
+
+    Plan: one depth-way explode + ONE (row, col) aggregation with
+    map-side partial combine; nothing else shuffles."""
+    pos = [
+        F.pmod(
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.lit(f"{salt}{i}-"), F.col(key_col).cast("string"))), 1, 8
+                ),
+                16,
+                10,
+            ).cast("long"),
+            F.lit(width),
+        )
+        for i in range(depth)
+    ]
+    cells = df.select(
+        F.explode(
+            F.array(*[F.struct(F.lit(i).alias("r"), p.alias("c")) for i, p in enumerate(pos)])
+        ).alias("rc")
+    )
+    return (
+        cells.select(F.col("rc.r").alias("r"), F.col("rc.c").alias("c"))
+        .groupBy("r", "c")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    )
+
+
+def cm_estimates(
+    cells: DataFrame,
+    keys: DataFrame,
+    key_col: str,
+    depth: int = 4,
+    width: int = 64,
+    salt: str = "cm",
+) -> DataFrame:
+    """Point-frequency estimates for `keys` from a :func:`cm_cells`
+    sketch: est(key) = min over rows of the key's cell count (≥ the
+    true count always — collisions only ADD). The ≤ depth×width cell
+    table BROADCASTS; per key it's depth lookups + one min."""
+    probes = keys.select(
+        key_col,
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("r"),
+                        F.pmod(
+                            F.conv(
+                                F.substring(
+                                    F.md5(
+                                        F.concat(
+                                            F.lit(f"{salt}{i}-"), F.col(key_col).cast("string")
+                                        )
+                                    ),
+                                    1,
+                                    8,
+                                ),
+                                16,
+                                10,
+                            ).cast("long"),
+                            F.lit(width),
+                        ).alias("c"),
+                    )
+                    for i in range(depth)
+                ]
+            )
+        ).alias("rc"),
+    ).select(key_col, F.col("rc.r").alias("r"), F.col("rc.c").alias("c"))
+    return (
+        probes.join(F.broadcast(cells), ["r", "c"], "left")
+        .groupBy(key_col)
+        .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).cast("bigint").alias("est_count"))
+    )
+
+
+def sql_cm_estimates(
+    table: str,
+    key_expr: str,
+    depth: int = 4,
+    width: int = 64,
+    salt: str = "cm",
+) -> str:
+    """DuckDB twin of cm_cells + cm_estimates over every distinct key
+    of `key_expr`, with the exact count and the (always ≥ 0)
+    overcount alongside."""
+    h = (
+        f"CAST(('0x' || substring(md5('{salt}' || i || '-' || CAST(k AS VARCHAR)), 1, 8)) "
+        f"AS BIGINT) % {width}"
+    )
+    return f"""
+    WITH seeds AS (SELECT unnest(generate_series(0, {depth - 1})) AS i),
+    vals AS (SELECT {key_expr} AS k FROM {table}),
+    pos AS (SELECT i, {h} AS c FROM vals CROSS JOIN seeds),
+    cells AS (SELECT i, c, CAST(COUNT(*) AS BIGINT) AS cnt FROM pos GROUP BY i, c),
+    keys AS (SELECT DISTINCT k FROM vals),
+    kpos AS (SELECT k, i, {h} AS c FROM keys CROSS JOIN seeds),
+    est AS (
+        SELECT kpos.k, CAST(MIN(COALESCE(cnt, 0)) AS BIGINT) AS est_count
+        FROM kpos LEFT JOIN cells ON kpos.i = cells.i AND kpos.c = cells.c
+        GROUP BY kpos.k
+    ),
+    exact AS (SELECT k, CAST(COUNT(*) AS BIGINT) AS exact_count FROM vals GROUP BY k)
+    SELECT est.k AS key, est_count, exact_count,
+           est_count - exact_count AS overcount
+    FROM est JOIN exact ON est.k = exact.k
+    ORDER BY key
+    """
+
+
+# ---------------------------------------- hand-built HyperLogLog (p=8)
+
+def _hll_const(m: int) -> float:
+    """alpha_m · m² · 2⁵⁷ pre-folded in Python (one emitted double, one
+    cross-engine division — the fewer float ops the fewer ulp seams)."""
+    alpha = 0.7213 / (1 + 1.079 / m)
+    return alpha * (m * m) * float(2**57)
+
+
+def hll_distinct(
+    df: DataFrame,
+    key_col: str,
+    group_col: str,
+    p: int = 8,
+    salt: str = "hll-",
+) -> DataFrame:
+    """Per-group HyperLogLog distinct-count estimate (Flajolet et al.
+    2007) built FROM SCRATCH on the cross-engine md5 recipe — unlike
+    `approx_count_distinct` (whose register layout is engine-internal),
+    every register here is reproducible arithmetic, so the ESTIMATE
+    ITSELF — bias correction included — oracle-pairs against DuckDB.
+
+    Register derivation (m = 2^p buckets): the 128-bit md5 splits into
+    two 32-bit hex parses; bucket = top p bits of `hi`, the remaining
+    56 bits form `w`, and rho = 57 − bitlen(w) (via length(bin(w)),
+    identical string semantics in both engines; w = 0 → 57).  The
+    harmonic sum Σ 2^(−M_b) scales by 2^57 into EXACT integer
+    arithmetic (decimal(38,0) here, HUGEINT in the twin — the
+    media-pairs precedent), empty registers contributing 2^57 each.
+    Small-range correction: E ≤ 2.5m with V zero registers → m·ln(m/V)
+    (the one transcendental; the branch compares identical doubles on
+    both sides).
+
+    Scale: register state is m rows per group NO MATTER the input
+    (mergeable by MAX — the same shard-union semantics as the
+    DataSketches rollup in queries/relational.py); one (group, bucket)
+    aggregation + one per-group fold."""
+    m = 1 << p
+    hexd = F.md5(F.concat(F.lit(salt), F.col(key_col).cast("string")))
+    hi = F.conv(F.substring(hexd, 1, 8), 16, 10).cast("long")
+    lo = F.conv(F.substring(hexd, 9, 8), 16, 10).cast("long")
+    parts = df.select(
+        F.col(group_col).alias("g"), hi.alias("_hi"), lo.alias("_lo")
+    ).select(
+        "g",
+        F.shiftright("_hi", 32 - p).alias("b"),
+        (
+            F.shiftleft(F.col("_hi").bitwiseAND(F.lit((1 << (32 - p)) - 1)), 32)
+            .bitwiseOR(F.col("_lo"))
+        ).alias("w"),
+    )
+    rho = parts.select(
+        "g",
+        "b",
+        F.when(F.col("w") == 0, F.lit(64 - p + 1))
+        .otherwise(F.lit(64 - p + 1) - F.length(F.bin(F.col("w"))))
+        .alias("r"),
+    )
+    regs = rho.groupBy("g", "b").agg(F.max("r").alias("mb"))
+    per = regs.groupBy("g").agg(
+        F.count(F.lit(1)).cast("int").alias("nb"),
+        F.sum(
+            F.expr("CAST(shiftleft(1L, CAST(57 - mb AS INT)) AS DECIMAL(38,0))")
+        ).alias("sp"),
+    )
+    s = F.col("sp") + (F.lit(m) - F.col("nb")).cast("decimal(38,0)") * F.lit(
+        2**57
+    ).cast("decimal(38,0)")
+    e_raw = F.lit(_hll_const(m)) / s.cast("double")
+    v = F.lit(m) - F.col("nb")
+    est = F.when(
+        (e_raw <= F.lit(2.5 * m)) & (v > 0),
+        F.lit(float(m)) * F.log(F.lit(float(m)) / v.cast("double")),
+    ).otherwise(e_raw)
+    return per.select(
+        F.col("g").alias(group_col),
+        F.col("nb").alias("n_registers"),
+        F.floor(est + F.lit(0.5)).cast("bigint").alias("hll_estimate"),
+    )
+
+
+def sql_hll_distinct(
+    table: str,
+    key_expr: str,
+    group_expr: str,
+    p: int = 8,
+    salt: str = "hll-",
+) -> str:
+    """DuckDB twin of :func:`hll_distinct` (same registers, same exact
+    harmonic sum in HUGEINT, same pre-folded constant, same
+    correction branch), joined with the exact distinct count."""
+    m = 1 << p
+    mask = (1 << (32 - p)) - 1
+    return f"""
+    WITH vals AS (SELECT {group_expr} AS g, CAST({key_expr} AS VARCHAR) AS k
+                  FROM {table}),
+    h AS (SELECT g,
+                 CAST(('0x' || substring(md5('{salt}' || k), 1, 8)) AS BIGINT) AS hi,
+                 CAST(('0x' || substring(md5('{salt}' || k), 9, 8)) AS BIGINT) AS lo
+          FROM vals),
+    parts AS (SELECT g, hi >> {32 - p} AS b,
+                     ((hi & {mask}) << 32) | lo AS w
+              FROM h),
+    rho AS (SELECT g, b,
+                   CASE WHEN w = 0 THEN {64 - p + 1}
+                        ELSE {64 - p + 1} - length(bin(w)) END AS r
+            FROM parts),
+    regs AS (SELECT g, b, MAX(r) AS mb FROM rho GROUP BY g, b),
+    per AS (SELECT g, CAST(COUNT(*) AS INT) AS nb,
+                   SUM(CAST((CAST(1 AS BIGINT) << CAST(57 - mb AS INT))
+                            AS HUGEINT)) AS sp
+            FROM regs GROUP BY g),
+    folded AS (
+        SELECT g, nb,
+               CAST({_hll_const(m)!r} AS DOUBLE)
+                   / CAST(sp + CAST({m} - nb AS HUGEINT)
+                               * (CAST(1 AS HUGEINT) << 57) AS DOUBLE) AS e_raw,
+               {m} - nb AS v
+        FROM per
+    )
+    SELECT g AS {group_expr}, nb AS n_registers,
+           CAST(FLOOR(CASE WHEN e_raw <= CAST({2.5 * m!r} AS DOUBLE) AND v > 0
+                           THEN CAST({float(m)!r} AS DOUBLE)
+                                * ln(CAST({float(m)!r} AS DOUBLE) / CAST(v AS DOUBLE))
+                           ELSE e_raw END + 0.5) AS BIGINT) AS hll_estimate
+    FROM folded
+    ORDER BY 1
+    """

@@ -257,6 +257,12 @@ DRIVER_ORDER: list[str] = [
     # from md5; exact integer coordinates) — fully oracle-paired,
     # past-window:
     "embedding_jl_projection",
+    # Round-8 late: the two reproducible-internals sketches — Count-Min
+    # point frequencies (collision overcounts oracle-checked!) and a
+    # hand-built p=8 HyperLogLog (the estimate itself oracle-pairs,
+    # bias-correction branch included) — past-window:
+    "events_cm_user_counts",
+    "events_hll_type_cardinality",
     # Rows-only ops (no SQL-expressible oracle; pytest covers recall/
     # precision/planted-neighbor properties):
     "docs_benchmark_decontamination",

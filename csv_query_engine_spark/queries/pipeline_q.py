@@ -2991,3 +2991,81 @@ def embedding_jl_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = load_tables(spark, sf_dir, ("embeddings",))["embeddings"]
     return random_projection_sketch(e).orderBy("vec_id")
+
+
+def _cm_oracle() -> str:
+    from csv_query_engine_spark.pipeline.sketches import sql_cm_estimates
+
+    return sql_cm_estimates("events", "user_id")
+
+
+@register("events_cm_user_counts", _cm_oracle())
+def events_cm_user_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min point-frequency estimates for every user against the
+    exact counts (pipeline/sketches.py::cm_cells/cm_estimates; Cormode
+    & Muthukrishnan 2005): est ≥ exact always, the overcount column IS
+    the sketch's collision error — and because positions come from the
+    cross-engine md5 recipe, the DuckDB twin reproduces the sketch's
+    approximation error bit-for-bit, not just an exact answer (the
+    rare fully-oracle-paired SKETCH, next to the hand-built HLL).
+
+    Scale: the sketch is ≤ depth×width rows no matter the stream,
+    mergeable across shards by cell-wise SUM; build = one 4-way
+    explode + one bounded aggregation; probes join the BROADCAST cell
+    table."""
+    from csv_query_engine_spark.pipeline.sketches import cm_cells, cm_estimates
+
+    e = load_tables(spark, sf_dir, ("events",))["events"]
+    cells = cm_cells(e, "user_id")
+    keys = e.select("user_id").distinct()
+    est = cm_estimates(cells, keys, "user_id")
+    exact = e.groupBy("user_id").agg(F.count(F.lit(1)).cast("bigint").alias("exact_count"))
+    return (
+        est.join(exact, "user_id")
+        .select(
+            F.col("user_id").alias("key"),
+            "est_count",
+            "exact_count",
+            (F.col("est_count") - F.col("exact_count")).cast("bigint").alias("overcount"),
+        )
+        .orderBy("key")
+    )
+
+
+def _hll_oracle() -> str:
+    from csv_query_engine_spark.pipeline.sketches import sql_hll_distinct
+
+    hll = sql_hll_distinct("events", "user_id", "event_type")
+    return f"""
+    WITH hll AS ({hll}),
+    exact AS (SELECT event_type, CAST(COUNT(DISTINCT user_id) AS BIGINT)
+                  AS exact_distinct
+              FROM events GROUP BY event_type)
+    SELECT hll.event_type, n_registers, hll_estimate, exact_distinct
+    FROM hll JOIN exact ON hll.event_type = exact.event_type
+    ORDER BY hll.event_type
+    """
+
+
+@register("events_hll_type_cardinality", _hll_oracle())
+def events_hll_type_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type distinct-user estimates from a HAND-BUILT
+    HyperLogLog (pipeline/sketches.py::hll_distinct; Flajolet et al.
+    2007, p=8) next to the exact distinct count — unlike the
+    approx_count_distinct family (engine-internal registers, rows-only
+    forever), every register here derives from the cross-engine md5
+    recipe, so the ESTIMATE ITSELF — harmonic fold, bias correction
+    branch and all — oracle-pairs against DuckDB.
+
+    Scale: m=256 register rows per group no matter the input,
+    mergeable by MAX across shards (the DataSketches-rollup shape with
+    reproducible internals); one (group, bucket) aggregation + one
+    per-group fold, exact harmonic sums in decimal(38,0)/HUGEINT."""
+    from csv_query_engine_spark.pipeline.sketches import hll_distinct
+
+    e = load_tables(spark, sf_dir, ("events",))["events"]
+    hll = hll_distinct(e, "user_id", "event_type")
+    exact = e.groupBy("event_type").agg(
+        F.count_distinct("user_id").cast("bigint").alias("exact_distinct")
+    )
+    return hll.join(exact, "event_type").orderBy("event_type")
