@@ -54,3 +54,48 @@ def sql_pseudonym(expr: str, salt: str, length: int = 16) -> str:
         f"CASE WHEN {expr} IS NOT NULL THEN "
         f"substring(sha256('{salt}' || CAST({expr} AS VARCHAR)), 1, {length}) END"
     )
+
+
+# ----------------------------- erasure propagation (right-to-be-forgotten)
+
+def erase_keys(
+    tables: dict[str, DataFrame],
+    key_cols: dict[str, str],
+    keys: DataFrame,
+    key_col: str = "key",
+) -> tuple[dict[str, DataFrame], DataFrame]:
+    """Right-to-be-forgotten propagation (GDPR Art. 17): remove every
+    row referencing any key in `keys` from each table, in ONE pass per
+    table, and return (cleaned tables, audit).  The audit —
+    (table_name, n_before, n_removed, n_after) — is the deletion
+    receipt a compliance pipeline records; n_before = n_removed +
+    n_after holds by construction (the two sides partition each table
+    on an anti/semi join of the same broadcast key set).
+
+    Scale: the key set is small by definition (it is a request list) —
+    it broadcasts, so each table pays one MAP-SIDE-joinable pass and
+    NO shuffle of the table itself; audit counts are one aggregate per
+    table. Erasure across shards/partitions is embarrassingly parallel.
+    `table_name` (not `table`/`constraint`) keeps the audit
+    DuckDB-reserved-word-safe (CLAUDE.md)."""
+    k = F.broadcast(keys.select(F.col(key_col).alias("_k")).distinct())
+    cleaned: dict[str, DataFrame] = {}
+    audits = []
+    for name, df in tables.items():
+        col = key_cols[name]
+        cleaned[name] = df.join(k, df[col] == k["_k"], "left_anti")
+        removed = df.join(k, df[col] == k["_k"], "left_semi")
+        audits.append(
+            df.agg(F.count(F.lit(1)).alias("n_before"))
+            .crossJoin(F.broadcast(removed.agg(F.count(F.lit(1)).alias("n_removed"))))
+            .select(
+                F.lit(name).alias("table_name"),
+                F.col("n_before").cast("bigint").alias("n_before"),
+                F.col("n_removed").cast("bigint").alias("n_removed"),
+                (F.col("n_before") - F.col("n_removed")).cast("bigint").alias("n_after"),
+            )
+        )
+    audit = audits[0]
+    for a in audits[1:]:
+        audit = audit.unionByName(a)
+    return cleaned, audit

@@ -263,6 +263,10 @@ DRIVER_ORDER: list[str] = [
     # bias-correction branch included) — past-window:
     "events_cm_user_counts",
     "events_hll_type_cardinality",
+    # Round-8 late: right-to-be-forgotten erasure propagation audit
+    # (broadcast request list, one anti-join pass per table) —
+    # oracle-paired, past-window:
+    "privacy_erasure_audit",
     # Rows-only ops (no SQL-expressible oracle; pytest covers recall/
     # precision/planted-neighbor properties):
     "docs_benchmark_decontamination",

@@ -3069,3 +3069,47 @@ def events_hll_type_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count_distinct("user_id").cast("bigint").alias("exact_distinct")
     )
     return hll.join(exact, "event_type").orderBy("event_type")
+
+
+@register(
+    "privacy_erasure_audit",
+    """
+    WITH ks AS (SELECT DISTINCT c_custkey AS k FROM customer WHERE c_acctbal < 0),
+    a AS (
+        SELECT 'customer' AS table_name,
+               CAST((SELECT COUNT(*) FROM customer) AS BIGINT) AS n_before,
+               CAST((SELECT COUNT(*) FROM customer WHERE c_custkey IN (SELECT k FROM ks))
+                    AS BIGINT) AS n_removed
+        UNION ALL
+        SELECT 'orders',
+               CAST((SELECT COUNT(*) FROM orders) AS BIGINT),
+               CAST((SELECT COUNT(*) FROM orders WHERE o_custkey IN (SELECT k FROM ks))
+                    AS BIGINT)
+    )
+    SELECT table_name, n_before, n_removed, n_before - n_removed AS n_after
+    FROM a ORDER BY table_name
+    """,
+)
+def privacy_erasure_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Right-to-be-forgotten propagation audit (pipeline/privacy.py::
+    erase_keys; GDPR Art. 17): erase every negative-balance customer —
+    a deterministic stand-in for a deletion-request list — from
+    customer AND orders in one broadcast-anti-join pass per table,
+    returning the deletion receipt (n_before = n_removed + n_after by
+    construction). The privacy family's DESTROY member next to
+    pseudonymization (KEEP joinable) and PII scrubbing (free text).
+
+    Scale: the request list broadcasts; each table pays one map-side
+    pass, no table shuffle; the audit is one aggregate per table."""
+    from csv_query_engine_spark.pipeline.privacy import erase_keys
+
+    t = load_tables(spark, sf_dir, ("customer", "orders"))
+    keys = t["customer"].filter(F.col("c_acctbal") < 0).select(
+        F.col("c_custkey").alias("key")
+    )
+    _, audit = erase_keys(
+        {"customer": t["customer"], "orders": t["orders"]},
+        {"customer": "c_custkey", "orders": "o_custkey"},
+        keys,
+    )
+    return audit.orderBy("table_name")

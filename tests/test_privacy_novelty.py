@@ -80,3 +80,24 @@ def test_group_holdout_keeps_duplicates_together(spark):
     for r in out.values():
         assert r["n_spanning_groups"] == 0
         assert r["n_docs"] == 3 * r["n_groups"]  # whole groups move together
+
+
+def test_erase_keys_partitions_each_table(spark):
+    """Erasure propagation: cleaned + removed partition each table
+    exactly (conservation), every reference to an erased key is gone
+    from EVERY table, and non-referenced rows survive untouched."""
+    from csv_query_engine_spark.pipeline.privacy import erase_keys
+
+    users = spark.createDataFrame([(1, "a"), (2, "b"), (3, "c")], "uid long, name string")
+    acts = spark.createDataFrame(
+        [(10, 1), (11, 1), (12, 2), (13, 3), (14, 3)], "aid long, uid long"
+    )
+    keys = spark.createDataFrame([(1,), (3,)], "key long")
+    cleaned, audit = erase_keys(
+        {"users": users, "acts": acts}, {"users": "uid", "acts": "uid"}, keys
+    )
+    assert {r["uid"] for r in cleaned["users"].collect()} == {2}
+    assert {r["aid"] for r in cleaned["acts"].collect()} == {12}
+    a = {r["table_name"]: r for r in audit.collect()}
+    assert (a["users"]["n_before"], a["users"]["n_removed"], a["users"]["n_after"]) == (3, 2, 1)
+    assert (a["acts"]["n_before"], a["acts"]["n_removed"], a["acts"]["n_after"]) == (5, 4, 1)
