@@ -493,3 +493,33 @@ def test_dsir_broadcast_logratio_cached_grams_no_python(spark):
     assert "CartesianProduct" not in plan, plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, plan
     spark.catalog.clearCache()
+
+
+def test_cm_broadcast_cells_no_python(spark):
+    """Count-Min estimates: the ≤ depth×width cell table joins the
+    probe side as a BROADCAST; no cartesian, no Python anywhere."""
+    plan = _plan(spark, "events_cm_user_counts")
+    assert "BroadcastHashJoin" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, plan
+    spark.catalog.clearCache()
+
+
+def test_hll_no_python_no_cartesian(spark):
+    """Hand-built HLL: registers + fold are pure codegen'd
+    aggregations — no Python, no cartesian; the md5/bin/decimal
+    arithmetic all stays JVM-side."""
+    plan = _plan(spark, "events_hll_type_cardinality")
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    spark.catalog.clearCache()
+
+
+def test_erasure_broadcast_anti_join(spark):
+    """Erasure propagation: the request list reaches every table as a
+    BROADCAST anti/semi join — the tables themselves never shuffle."""
+    plan = _plan(spark, "privacy_erasure_audit")
+    assert "BroadcastHashJoin" in plan, plan
+    assert "LeftAnti" in plan or "LeftSemi" in plan, plan
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan, plan
+    spark.catalog.clearCache()
