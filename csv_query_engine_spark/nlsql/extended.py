@@ -28,6 +28,15 @@ canonical questions imply but its grammar can't parse:
                                      stays deterministic)
 * ``<numcol> over|above|greater than <n>`` / ``under|below|less than``
                                      numeric comparison filter
+* ``<strcol> containing|contains|like <word>``
+                                     substring filter (LIKE '%word%',
+                                     string-typed columns only —
+                                     round 8 late)
+* ``<numcol> between <n> and <m>`` .. numeric range filter (disjoint
+                                     from the date form below, which
+                                     requires ISO dates; a lookahead
+                                     keeps '1995' inside '1995-01-01'
+                                     from matching — round 8 late)
 * ``between YYYY-MM-DD and YYYY-MM-DD`` / ``since YYYY-MM-DD``
                                      explicit date range on the first
                                      date-typed column
@@ -60,7 +69,15 @@ _AGG_WORDS = {
     "maximum": "MAX",
 }
 
-_NUM_TYPES = {"int", "bigint", "double", "float", "decimal", "long", "integer", "number"}
+# "numeric" is the profiler's own label (profiler.py ColumnInfo.type)
+# — missing it made every comparison filter over PROFILED columns
+# silently drop (caught round 8 late: "o_totalprice over 1000" parsed
+# to no WHERE at all; the old execute test was vacuous because every
+# sf0.001 order exceeds 1000)
+_NUM_TYPES = {
+    "int", "bigint", "double", "float", "decimal", "long", "integer",
+    "number", "numeric",
+}
 
 
 def generate_sql_extended(
@@ -157,6 +174,31 @@ def generate_sql_extended(
         col = resolve(m.group(1))
         if col is not None and any(t in types[col.lower()] for t in _NUM_TYPES):
             where.append(f"{quote_identifier(col)} < {m.group(2)}")
+
+    # substring filters: "X containing/contains/like word" (string cols;
+    # value VERBATIM from the original question, word chars only so the
+    # LIKE pattern cannot smuggle wildcards)
+    for m in re.finditer(
+        r"(\w+) (?:containing|contains|like) '?([\w.-]+)'?", question, re.IGNORECASE
+    ):
+        col = resolve(m.group(1).lower())
+        if col is not None and (
+            "string" in types[col.lower()] or "varchar" in types[col.lower()]
+        ):
+            where.append(f"{quote_identifier(col)} LIKE '%{m.group(2)}%'")
+
+    # numeric range: "X between N and M" — the (?!-) lookaheads keep the
+    # year prefix of an ISO date ('1995' in '1995-01-01') from matching,
+    # so this stays disjoint from the date-bounds rule below
+    for m in re.finditer(
+        r"(\w+) between (\d+(?:\.\d+)?)(?!-) and (\d+(?:\.\d+)?)(?!-)", q
+    ):
+        col = resolve(m.group(1))
+        if col is not None and any(t in types[col.lower()] for t in _NUM_TYPES):
+            where.append(
+                f"{quote_identifier(col)} >= {m.group(2)} AND "
+                f"{quote_identifier(col)} <= {m.group(3)}"
+            )
 
     # inherited last-month range (A9)
     date_cols = [

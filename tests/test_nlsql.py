@@ -317,18 +317,23 @@ def test_extended_new_patterns_execute_and_validate(spark):
 
     o = load_tables(spark, "/root/testdata/sf0.001", ("orders",))["orders"]
     cols = profile(o)
+    # median-ish threshold so the filter MUST drop rows — the round-8
+    # "numeric"-type bug made the comparison silently vanish and a
+    # below-the-data threshold (1000) masked it (vacuous test)
     sql = generate_sql_extended(
-        "how many distinct o_custkey per o_orderstatus with o_totalprice over 1000",
+        "how many distinct o_custkey per o_orderstatus with o_totalprice over 150000",
         cols,
         table="orders",
     )
+    assert "`o_totalprice` > 150000" in sql, sql
     validate_sql(sql, spark)
     got = {r["o_orderstatus"]: r["distinct_o_custkey"] for r in spark.sql(sql).collect()}
     from pyspark.sql import functions as F
 
+    assert o.filter(F.col("o_totalprice") <= 150000).count() > 0, "threshold vacuous"
     expected = {
         r["o_orderstatus"]: r["n"]
-        for r in o.filter(F.col("o_totalprice") > 1000)
+        for r in o.filter(F.col("o_totalprice") > 150000)
         .groupBy("o_orderstatus")
         .agg(F.countDistinct("o_custkey").alias("n"))
         .collect()
@@ -396,3 +401,43 @@ def test_extended_having_and_order_execute(spark):
     assert len(rows) == 3
     prices = [r["o_totalprice"] for r in rows]
     assert prices == sorted(prices, reverse=True)
+
+
+def test_extended_substring_and_numeric_between(spark):
+    from csv_query_engine_spark.io.readers import load_tables
+    from csv_query_engine_spark.nlsql.extended import generate_sql_extended
+    from csv_query_engine_spark.nlsql.validator import validate_sql
+    from csv_query_engine_spark.profiler import profile
+    from pyspark.sql import functions as F
+
+    o = load_tables(spark, "/root/testdata/sf0.001", ("orders",))["orders"]
+    cols = profile(o)
+    sql = generate_sql_extended(
+        "count orders with o_orderpriority containing URGENT "
+        "and o_totalprice between 1000 and 50000",
+        cols,
+        table="orders",
+    )
+    assert "`o_orderpriority` LIKE '%URGENT%'" in sql
+    assert "`o_totalprice` >= 1000 AND `o_totalprice` <= 50000" in sql
+    validate_sql(sql, spark)
+    got = spark.sql(sql).collect()[0]["count"]
+    expected = o.filter(
+        F.col("o_orderpriority").contains("URGENT")
+        & (F.col("o_totalprice") >= 1000)
+        & (F.col("o_totalprice") <= 50000)
+    ).count()
+    assert got == expected
+
+    # numeric-between must NOT fire on ISO dates (year prefix guarded);
+    # the date rule still owns that question shape
+    dsql = generate_sql_extended(
+        "count orders between 1995-01-01 and 1995-03-31", cols, table="orders"
+    )
+    assert "BETWEEN" not in dsql.upper().replace(" >= ", "")
+    assert "`o_orderdate` >= '1995-01-01' AND `o_orderdate` <= '1995-03-31'" in dsql
+    # substring rule ignores numeric columns
+    nsql = generate_sql_extended(
+        "count orders with o_totalprice containing 99", cols, table="orders"
+    )
+    assert "LIKE" not in nsql
