@@ -267,6 +267,10 @@ DRIVER_ORDER: list[str] = [
     # (broadcast request list, one anti-join pass per table) —
     # oracle-paired, past-window:
     "privacy_erasure_audit",
+    # Round-8 late: content-addressed shard manifest (sha256 over
+    # sorted member ids per shard — the publish-side integrity
+    # receipt; composes the shard-assignment twin verbatim):
+    "docs_shard_manifest",
     # Rows-only ops (no SQL-expressible oracle; pytest covers recall/
     # precision/planted-neighbor properties):
     "docs_benchmark_decontamination",

@@ -3113,3 +3113,58 @@ def privacy_erasure_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         keys,
     )
     return audit.orderBy("table_name")
+
+
+def _manifest_oracle() -> str:
+    # compose the shard-assignment twin (registered above) as a CTE
+    from csv_query_engine_spark.queries import REGISTRY
+
+    assign = REGISTRY["docs_shard_assignment"][1]
+    return f"""
+    WITH assign AS ({assign})
+    SELECT shard_id,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+           sha256(string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id))
+               AS content_sha
+    FROM assign GROUP BY shard_id ORDER BY shard_id
+    """
+
+
+@register("docs_shard_manifest", _manifest_oracle())
+def docs_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-addressed shard manifest — the integrity receipt a
+    published training dataset ships next to its shards (the WebDataset
+    / data-card convention): per shard, document count, token count,
+    and a sha256 over the sorted member ids, so any re-materialization
+    of the corpus can verify shard membership byte-for-byte without
+    re-reading document text (Spark sha2(x,256) == DuckDB sha256(x),
+    the pseudonymization precedent).
+
+    Composes docs_shard_assignment (its oracle nests verbatim as a
+    CTE): one per-shard aggregation on top of the layout. Scale: shard
+    member lists are bounded by the token budget by construction, so
+    the sorted-id digest is a bounded per-group fold, never a
+    corpus-sized collect."""
+    from csv_query_engine_spark.pipeline.chunking import shard_assignment
+
+    d = load_tables(spark, sf_dir, ("documents",))["documents"]
+    laid = shard_assignment(d)
+    return (
+        laid.groupBy("shard_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n_tokens").cast("bigint").alias("n_tokens"),
+            F.sha2(
+                F.concat_ws(
+                    ",",
+                    F.transform(
+                        F.sort_array(F.collect_list(F.col("doc_id"))),
+                        lambda x: x.cast("string"),
+                    ),
+                ),
+                256,
+            ).alias("content_sha"),
+        )
+        .orderBy("shard_id")
+    )
