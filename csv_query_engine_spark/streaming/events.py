@@ -667,3 +667,67 @@ def dedup_admission_stream(
         .option("checkpointLocation", checkpoint)
         .outputMode("update")
     )
+
+
+def route_cm_batch(
+    batch_df, batch_id: int, key_col: str, cells_path: str, depth: int = 4, width: int = 64
+):
+    """One micro-batch of the streaming Count-Min build: the batch's
+    OWN cell table (≤ depth×width rows — pipeline/sketches.py::
+    cm_cells) written keyed by ``batch_id`` with dynamic partition
+    overwrite, so a replayed batch (foreachBatch's documented
+    at-least-once failure mode) rewrites its own partition instead of
+    double-counting — the round-7/8 replay idiom. Merging is the
+    sketch's own contract: cells are additive, so the read side SUMs
+    across batch partitions (:func:`read_cm_cells`); no per-key state
+    lives in the checkpoint at all, only source offsets."""
+    from csv_query_engine_spark.pipeline.sketches import cm_cells
+
+    cells = cm_cells(batch_df.select(key_col), key_col, depth=depth, width=width)
+    (
+        cells.withColumn("batch_id", F.lit(int(batch_id)))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("batch_id")
+        .parquet(cells_path)
+    )
+
+
+def cm_sketch_stream(
+    stream: DataFrame,
+    key_col: str,
+    cells_path: str,
+    checkpoint: str,
+    depth: int = 4,
+    width: int = 64,
+):
+    """Streaming Count-Min frequency sketch: every micro-batch folds
+    into a bounded per-batch cell table (:func:`route_cm_batch`);
+    estimates come from the SUM-merged cells at read time.  The
+    bounded-state streaming answer to "how often has key k appeared so
+    far?" when the key dictionary is too large for per-key state —
+    contrast running_user_totals (exact, per-key state) and
+    streaming_heavy_hitters (top-k only): the CM store is
+    O(depth×width×batches) no matter the key cardinality, and
+    compacting old batch partitions into one is the same SUM."""
+
+    def route(batch_df, batch_id):
+        route_cm_batch(batch_df, batch_id, key_col, cells_path, depth, width)
+
+    return (
+        stream.writeStream.foreachBatch(route)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def read_cm_cells(spark: SparkSession, cells_path: str) -> DataFrame:
+    """SUM-merge every batch's cell partition into one sketch (the
+    mergeable contract; works the same for cross-shard or cross-day
+    merges). Explicit schema — a zero-batch directory has no partitions
+    to infer from (the read_csv_audited lesson)."""
+    cells = spark.read.schema("r INT, c BIGINT, cnt BIGINT, batch_id BIGINT").parquet(
+        cells_path
+    )
+    return cells.groupBy("r", "c").agg(F.sum("cnt").cast("bigint").alias("cnt"))

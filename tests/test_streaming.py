@@ -785,3 +785,65 @@ def test_dedup_admission_live_stream(spark, tmp_path):
     assert {r["doc_id"] for r in spark.read.parquet(adm).collect()} == {1, 2, 4}
     rejs = {r["doc_id"]: r["verdict"] for r in spark.read.parquet(rej).collect()}
     assert rejs == {3: "exact_dup"}
+
+
+def test_cm_sketch_stream_matches_batch_and_replay_is_noop(spark, tmp_path):
+    """Streaming Count-Min: the SUM-merged per-batch cells equal the
+    one-shot batch sketch over the same rows (mergeable contract
+    end-to-end), estimates never undercount, a checkpointed restart
+    folds only the NEW file, and re-routing a batch with its own
+    batch_id (the at-least-once replay) leaves the merged sketch
+    byte-identical."""
+    from pyspark.sql import types as T
+
+    from csv_query_engine_spark.pipeline.sketches import cm_cells, cm_estimates
+    from csv_query_engine_spark.streaming import (
+        cm_sketch_stream,
+        read_cm_cells,
+        route_cm_batch,
+    )
+
+    schema = T.StructType([T.StructField("user_id", T.LongType())])
+    rows_a = [(i % 7,) for i in range(50)]
+    rows_b = [(i % 11,) for i in range(30)]
+    staged = str(tmp_path / "staged")
+    spark.createDataFrame(rows_a, schema).coalesce(1).write.mode("overwrite").parquet(staged)
+    cells_p, ckpt = str(tmp_path / "cells"), str(tmp_path / "ck")
+
+    def run_once():
+        stream = spark.readStream.schema(schema).parquet(staged)
+        q = cm_sketch_stream(stream, "user_id", cells_p, ckpt, depth=4, width=8)
+        q.awaitTermination(120)
+
+    run_once()
+    spark.createDataFrame(rows_b, schema).coalesce(1).write.mode("append").parquet(staged)
+    run_once()  # restart: only the new file folds in
+
+    merged = read_cm_cells(spark, cells_p)
+    all_rows = spark.createDataFrame(rows_a + rows_b, schema)
+    batch = cm_cells(all_rows, "user_id", depth=4, width=8)
+    mk = {(r["r"], r["c"]): r["cnt"] for r in merged.collect()}
+    bk = {(r["r"], r["c"]): r["cnt"] for r in batch.collect()}
+    assert mk == bk
+
+    keys = all_rows.distinct()
+    est = {
+        r["user_id"]: r["est_count"]
+        for r in cm_estimates(merged, keys, "user_id", depth=4, width=8).collect()
+    }
+    exact = {}
+    for (u,) in rows_a + rows_b:
+        exact[u] = exact.get(u, 0) + 1
+    assert all(est[u] >= n for u, n in exact.items())
+
+    # replay: re-route the LAST batch under its recorded batch_id
+    import re as _re
+
+    parts = sorted(
+        int(_re.search(r"batch_id=(\d+)", p).group(1))
+        for p in __import__("glob").glob(f"{cells_p}/batch_id=*")
+    )
+    last = parts[-1]
+    route_cm_batch(spark.createDataFrame(rows_b, schema), last, "user_id", cells_p, 4, 8)
+    mk2 = {(r["r"], r["c"]): r["cnt"] for r in read_cm_cells(spark, cells_p).collect()}
+    assert mk2 == mk
