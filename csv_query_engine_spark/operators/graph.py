@@ -336,3 +336,58 @@ def triangle_count(edges: DataFrame) -> DataFrame:
         .unionByName(tris.select(F.col("w").alias("node")))
     )
     return corners.groupBy("node").agg(F.count(F.lit(1)).alias("tri_count"))
+
+
+def bfs_khop(edges: DataFrame, seeds: DataFrame, max_hops: int = 3) -> DataFrame:
+    """Bounded breadth-first reachability: (node, dist) with dist = the
+    MINIMUM hop count from any seed, capped at ``max_hops`` — the
+    blast-radius / influence-horizon query (who is within k hops of
+    this set?) that PageRank's global scores cannot answer.
+
+    ``edges`` (src, dst) is followed as given — symmetrize first for
+    undirected reach.  ``seeds``: one ``node`` column.
+
+    Shape: frontier-at-a-time BFS — each hop is ONE join frontier→edges
+    + a distinct + an anti join against the visited set, so a node is
+    labeled exactly once at its first (minimum) distance and the
+    per-hop work is proportional to the frontier's out-edges, never to
+    paths (the path-enumeration blow-up lives only in the oracle's
+    recursive CTE, which DuckDB's recursive-UNION dedup also bounds to
+    nodes×hops).  With small fixed max_hops the loop unrolls into one
+    plan (the 4-iteration PageRank precedent — no per-round
+    checkpointing needed at this depth; checkpoint per round if you
+    raise max_hops past ~6, the CC lesson).
+
+    Scale: every join keys on the node id; the visited set is one row
+    per reached node; nothing is ever collected."""
+    frontier = seeds.select(F.col("node").cast("long").alias("node")).distinct()
+    visited = frontier.select("node", F.lit(0).alias("dist"))
+    e = edges.select(F.col("src").cast("long").alias("src"), F.col("dst").cast("long").alias("dst"))
+    for h in range(1, max_hops + 1):
+        nxt = (
+            frontier.join(e, frontier["node"] == e["src"])
+            .select(F.col("dst").alias("node"))
+            .distinct()
+            .join(visited.select("node"), "node", "left_anti")
+        )
+        visited = visited.unionByName(nxt.select("node", F.lit(h).alias("dist")))
+        frontier = nxt
+    return visited
+
+
+def sql_bfs_khop(edges_sql: str, seeds_sql: str, max_hops: int = 3) -> str:
+    """DuckDB twin of :func:`bfs_khop`: a recursive CTE with UNION
+    (distinct — bounds the working set to nodes×hops, not paths),
+    MIN(dist) per node."""
+    return f"""
+    WITH RECURSIVE e AS ({edges_sql}),
+    seeds AS ({seeds_sql}),
+    walk(node, dist) AS (
+        SELECT CAST(node AS BIGINT), 0 FROM seeds
+        UNION
+        SELECT CAST(e.dst AS BIGINT), w.dist + 1
+        FROM walk w JOIN e ON w.node = e.src
+        WHERE w.dist < {max_hops}
+    )
+    SELECT node, CAST(MIN(dist) AS INTEGER) AS dist FROM walk GROUP BY node
+    """

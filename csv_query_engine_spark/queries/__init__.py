@@ -271,6 +271,10 @@ DRIVER_ORDER: list[str] = [
     # sorted member ids per shard — the publish-side integrity
     # receipt; composes the shard-assignment twin verbatim):
     "docs_shard_manifest",
+    # Round-8 late: bounded k-hop BFS reachability (frontier BFS vs a
+    # recursive-UNION CTE twin) — the graph family's blast-radius
+    # member, oracle-paired:
+    "graph_khop_trade_reach",
     # Rows-only ops (no SQL-expressible oracle; pytest covers recall/
     # precision/planted-neighbor properties):
     "docs_benchmark_decontamination",

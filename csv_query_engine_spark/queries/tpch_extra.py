@@ -1303,3 +1303,59 @@ def graph_triangle_part_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFr
         .orderBy(F.col("tri_count").desc(), F.col("p_partkey"))
         .limit(20)
     )
+
+
+def _khop_oracle() -> str:
+    from csv_query_engine_spark.operators.graph import sql_bfs_khop
+
+    pairs = (
+        "SELECT DISTINCT o.o_custkey AS c, 1000000 + l.l_suppkey AS s "
+        "FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey"
+    )
+    edges = f"SELECT c AS src, s AS dst FROM ({pairs}) UNION ALL SELECT s, c FROM ({pairs})"
+    seeds = "SELECT DISTINCT c_custkey AS node FROM customer WHERE c_nationkey = 0"
+    d = sql_bfs_khop(edges, seeds, max_hops=3)
+    return f"""
+    WITH d AS ({d})
+    SELECT dist, CAST(COUNT(*) AS BIGINT) AS n_nodes
+    FROM d GROUP BY dist ORDER BY dist
+    """
+
+
+@register("graph_khop_trade_reach", _khop_oracle())
+def graph_khop_trade_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded 3-hop reachability over the symmetrized customer-supplier
+    trade graph from the nation-0 customer seed set (operators/
+    graph.py::bfs_khop) — the blast-radius shape (who is within k hops
+    of this set?) completing the graph family next to PageRank
+    (global importance), triangles (local density), and connected
+    components (global partition). Counts nodes per MINIMUM distance.
+
+    Oracle-paired via a recursive CTE whose UNION (distinct) bounds
+    the working set to nodes×hops; the Spark side is frontier BFS —
+    one keyed join + distinct + anti join per hop, work proportional
+    to frontier out-edges, never to paths."""
+    from csv_query_engine_spark.operators.graph import bfs_khop
+
+    t = load_tables(spark, sf_dir, ("customer", "orders", "lineitem"))
+    pairs = (
+        t["orders"]
+        .join(t["lineitem"], F.col("o_orderkey") == F.col("l_orderkey"))
+        .select(
+            F.col("o_custkey").alias("c"),
+            (F.lit(1000000) + F.col("l_suppkey")).alias("s"),
+        )
+        .distinct()
+    )
+    edges = pairs.select(F.col("c").alias("src"), F.col("s").alias("dst")).unionByName(
+        pairs.select(F.col("s").alias("src"), F.col("c").alias("dst"))
+    )
+    seeds = t["customer"].filter(F.col("c_nationkey") == 0).select(
+        F.col("c_custkey").alias("node")
+    )
+    d = bfs_khop(edges, seeds, max_hops=3)
+    return (
+        d.groupBy("dist")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_nodes"))
+        .orderBy("dist")
+    )

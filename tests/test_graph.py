@@ -134,3 +134,20 @@ def test_source_only_nodes_keep_constant_base_rank(spark):
     want = _ref_pagerank_dangling(edges, iterations=5)
     assert got == want
     assert 2 in got and got[2] > 0
+
+
+def test_bfs_khop_min_distance_and_cap(spark):
+    """Planted chain + shortcut: minimum distance wins (node reached at
+    2 via shortcut, not 3 via chain), unreached nodes are absent, the
+    hop cap truncates, and disconnected seeds count at dist 0."""
+    from csv_query_engine_spark.operators.graph import bfs_khop
+
+    edges = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 3), (3, 4), (0, 9), (9, 3), (7, 8)],
+        "src long, dst long",
+    )
+    seeds = spark.createDataFrame([(0,), (42,)], "node long")
+    got = {r["node"]: r["dist"] for r in bfs_khop(edges, seeds, max_hops=3).collect()}
+    assert got == {0: 0, 42: 0, 1: 1, 9: 1, 2: 2, 3: 2, 4: 3}
+    capped = {r["node"]: r["dist"] for r in bfs_khop(edges, seeds, max_hops=2).collect()}
+    assert capped == {0: 0, 42: 0, 1: 1, 9: 1, 2: 2, 3: 2}
