@@ -275,6 +275,10 @@ DRIVER_ORDER: list[str] = [
     # recursive-UNION CTE twin) — the graph family's blast-radius
     # member, oracle-paired:
     "graph_khop_trade_reach",
+    # Round-8 late: exact quantiles by distributed range-bucket
+    # selection (no global window, no grow-with-group buffer; the
+    # oracle checks the algorithm-independent RESULT):
+    "orders_exact_quantiles_selection",
     # Rows-only ops (no SQL-expressible oracle; pytest covers recall/
     # precision/planted-neighbor properties):
     "docs_benchmark_decontamination",

@@ -1359,3 +1359,38 @@ def graph_khop_trade_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_nodes"))
         .orderBy("dist")
     )
+
+
+@register(
+    "orders_exact_quantiles_selection",
+    """
+    WITH s AS (SELECT CAST(o_totalprice AS DOUBLE) AS v FROM orders
+               WHERE o_totalprice IS NOT NULL),
+    n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM s),
+    r AS (SELECT CAST(q AS DOUBLE) AS q,
+                 GREATEST(CAST(1 AS BIGINT), CAST(ceil(q * n) AS BIGINT)) AS rnk
+          FROM (VALUES (0.25), (0.5), (0.75)) t(q) CROSS JOIN n),
+    o AS (SELECT v, ROW_NUMBER() OVER (ORDER BY v) AS rn FROM s)
+    SELECT r.q, r.rnk AS rank, o.v AS value
+    FROM r JOIN o ON o.rn = r.rnk
+    ORDER BY r.q
+    """,
+)
+def orders_exact_quantiles_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT order-totalprice quartiles by distributed selection
+    (operators/selection.py::exact_quantiles) — the scale-safe exact
+    alternative to BOTH broken shapes: a global ROW_NUMBER window
+    (single-task corpus sort) and exact percentile() (per-group
+    row-buffer, the round-6 anomaly lesson). Iterative range-bucket
+    refinement: one ≤1024-row histogram per round, driver state of
+    1024 longs, remainder shrinks ~1024× per round (~4 rounds at 10¹²
+    rows), direct TakeOrdered on the bounded tail.
+
+    The oracle verifies the RESULT (rank-th smallest is algorithm-
+    independent), so there is no cross-engine float hazard anywhere;
+    ceil(q·N) is IEEE-exact for quarter quantiles (power-of-two
+    denominators)."""
+    from csv_query_engine_spark.operators.selection import exact_quantiles
+
+    o = load_tables(spark, sf_dir, ("orders",))["orders"]
+    return exact_quantiles(o, "o_totalprice").orderBy("q")

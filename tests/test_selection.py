@@ -1,0 +1,40 @@
+"""operators/selection.py: exact kth-smallest by iterative range-bucket
+refinement — forced multi-round refinement (tiny direct_limit), heavy
+duplicates (min==max fast path), ties at the rank boundary, and rank
+range errors. Cross-engine exactness is covered by
+test_queries_oracle.py (orders_exact_quantiles_selection)."""
+
+from __future__ import annotations
+
+import pytest
+
+from csv_query_engine_spark.operators.selection import exact_quantiles, kth_smallest
+
+
+def test_kth_smallest_forced_refinement_matches_sorted(spark):
+    # deterministic scattered values; tiny direct_limit + few buckets
+    # forces ≥2 histogram rounds before the direct path
+    vals = [((i * 2654435761) % 100003) / 7.0 for i in range(5000)]
+    df = spark.createDataFrame([(v,) for v in vals], "x double")
+    ordered = sorted(vals)
+    for rank in (1, 17, 2500, 4999, 5000):
+        got = kth_smallest(df, "x", rank, n_buckets=16, direct_limit=64)
+        assert got == ordered[rank - 1], rank
+
+
+def test_kth_smallest_heavy_duplicates_and_bounds(spark):
+    df = spark.createDataFrame([(5.0,)] * 1000 + [(7.0,)] * 10, "x double")
+    assert kth_smallest(df, "x", 1000, n_buckets=8, direct_limit=4) == 5.0
+    assert kth_smallest(df, "x", 1001, n_buckets=8, direct_limit=4) == 7.0
+    with pytest.raises(ValueError):
+        kth_smallest(df, "x", 1011, n_buckets=8, direct_limit=4)
+    with pytest.raises(ValueError):
+        kth_smallest(df, "x", 0)
+
+
+def test_exact_quantiles_nulls_excluded(spark):
+    rows = [(float(i),) for i in range(1, 101)] + [(None,)] * 20
+    df = spark.createDataFrame(rows, "x double")
+    out = {r["q"]: (r["rank"], r["value"]) for r in exact_quantiles(df, "x").collect()}
+    # N = 100 non-null; ceil(.25*100)=25 -> 25.0, etc.
+    assert out == {0.25: (25, 25.0), 0.5: (50, 50.0), 0.75: (75, 75.0)}
