@@ -175,9 +175,11 @@ def generate_sql_extended(
         if col is not None and any(t in types[col.lower()] for t in _NUM_TYPES):
             where.append(f"{quote_identifier(col)} < {m.group(2)}")
 
-    # substring filters: "X containing/contains/like word" (string cols;
-    # value VERBATIM from the original question, word chars only so the
-    # LIKE pattern cannot smuggle wildcards)
+    # substring filters: "X containing/contains/like word" (string
+    # cols; value VERBATIM from the original question). '_' is a LIKE
+    # single-char wildcard and IS inside \w, so it must be escaped
+    # ('%' can't appear — not in the charset) or "page_view" would
+    # also match "pagesview".
     for m in re.finditer(
         r"(\w+) (?:containing|contains|like) '?([\w.-]+)'?", question, re.IGNORECASE
     ):
@@ -185,7 +187,8 @@ def generate_sql_extended(
         if col is not None and (
             "string" in types[col.lower()] or "varchar" in types[col.lower()]
         ):
-            where.append(f"{quote_identifier(col)} LIKE '%{m.group(2)}%'")
+            needle = m.group(2).replace("_", "\\_")
+            where.append(f"{quote_identifier(col)} LIKE '%{needle}%'")
 
     # numeric range: "X between N and M" — the (?!-) lookaheads keep the
     # year prefix of an ISO date ('1995' in '1995-01-01') from matching,

@@ -119,6 +119,15 @@ def heavy_hitters(
 
 # ------------------------------------------- Count-Min frequency sketch
 
+def _cm_pos(key_col: str, i: int, width: int, salt: str):
+    """Probe i's column index: the cross-engine md5 recipe
+    (features._hash32 with a per-row salt) mod width — ONE definition
+    shared by build and probe so the two can never drift apart."""
+    from csv_query_engine_spark.pipeline.features import _hash32
+
+    return F.pmod(_hash32(F.col(key_col).cast("string"), f"{salt}{i}-"), F.lit(width))
+
+
 def cm_cells(
     df: DataFrame,
     key_col: str,
@@ -140,19 +149,7 @@ def cm_cells(
 
     Plan: one depth-way explode + ONE (row, col) aggregation with
     map-side partial combine; nothing else shuffles."""
-    pos = [
-        F.pmod(
-            F.conv(
-                F.substring(
-                    F.md5(F.concat(F.lit(f"{salt}{i}-"), F.col(key_col).cast("string"))), 1, 8
-                ),
-                16,
-                10,
-            ).cast("long"),
-            F.lit(width),
-        )
-        for i in range(depth)
-    ]
+    pos = [_cm_pos(key_col, i, width, salt) for i in range(depth)]
     cells = df.select(
         F.explode(
             F.array(*[F.struct(F.lit(i).alias("r"), p.alias("c")) for i, p in enumerate(pos)])
@@ -184,22 +181,7 @@ def cm_estimates(
                 *[
                     F.struct(
                         F.lit(i).alias("r"),
-                        F.pmod(
-                            F.conv(
-                                F.substring(
-                                    F.md5(
-                                        F.concat(
-                                            F.lit(f"{salt}{i}-"), F.col(key_col).cast("string")
-                                        )
-                                    ),
-                                    1,
-                                    8,
-                                ),
-                                16,
-                                10,
-                            ).cast("long"),
-                            F.lit(width),
-                        ).alias("c"),
+                        _cm_pos(key_col, i, width, salt).alias("c"),
                     )
                     for i in range(depth)
                 ]

@@ -279,11 +279,15 @@ DRIVER_ORDER: list[str] = [
     # selection (no global window, no grow-with-group buffer; the
     # oracle checks the algorithm-independent RESULT):
     "orders_exact_quantiles_selection",
+    # Late round 8: docs_benchmark_decontamination (md5-probe Bloom)
+    # and dedup_simhash_pairs (md5-exact signature recompute) gained
+    # FULL DuckDB twins — they are now window-eligible oracle-bearing
+    # rows kept here only for ordering stability:
+    "docs_benchmark_decontamination",
+    "dedup_simhash_pairs",
     # Rows-only ops (no SQL-expressible oracle; pytest covers recall/
     # precision/planted-neighbor properties):
-    "docs_benchmark_decontamination",
     "dedup_minhash_lsh_pairs",
-    "dedup_simhash_pairs",
     "embedding_lsh_topk",
     "embedding_near_dup_pairs",
     "embedding_ivf_topk",

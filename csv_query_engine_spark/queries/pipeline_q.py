@@ -3158,10 +3158,9 @@ def docs_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sha2(
                 F.concat_ws(
                     ",",
-                    F.transform(
-                        F.sort_array(F.collect_list(F.col("doc_id"))),
-                        lambda x: x.cast("string"),
-                    ),
+                    # codegen'd array cast, not an interpreted
+                    # transform() HOF (CLAUDE.md string-array rule)
+                    F.sort_array(F.collect_list(F.col("doc_id"))).cast("array<string>"),
                 ),
                 256,
             ).alias("content_sha"),

@@ -38,3 +38,29 @@ def test_exact_quantiles_nulls_excluded(spark):
     out = {r["q"]: (r["rank"], r["value"]) for r in exact_quantiles(df, "x").collect()}
     # N = 100 non-null; ceil(.25*100)=25 -> 25.0, etc.
     assert out == {0.25: (25, 25.0), 0.5: (50, 50.0), 0.75: (75, 75.0)}
+
+
+def test_kth_smallest_single_v_column_nulls_and_nan(spark):
+    """Review regression: a caller frame whose only column is literally
+    named 'v' must still get the null/NaN filter (the old pre-projection
+    shortcut skipped it: NULLs sorted first and shifted every rank)."""
+    rows = [(float(i),) for i in range(1, 11)] + [(None,)] * 5 + [(float("nan"),)] * 3
+    df = spark.createDataFrame(rows, "v double")
+    assert kth_smallest(df, "v", 1, n_buckets=8, direct_limit=4) == 1.0
+    assert kth_smallest(df, "v", 10, n_buckets=8, direct_limit=4) == 10.0
+    with pytest.raises(ValueError):
+        kth_smallest(df, "v", 11, n_buckets=8, direct_limit=4)
+
+
+def test_quantiles_share_histogram_scans(spark):
+    """All quantiles descend together: the quartile query runs ONE
+    level-1 histogram job, not one per quantile (3 ranks through a
+    forced-refinement frame still produce exact answers)."""
+    vals = [((i * 48271) % 9973) * 1.0 for i in range(4000)]
+    df = spark.createDataFrame([(v,) for v in vals], "x double")
+    ordered = sorted(vals)
+    out = {r["q"]: r["value"] for r in
+           exact_quantiles(df, "x", n_buckets=16, direct_limit=64).collect()}
+    import math
+    for q in (0.25, 0.5, 0.75):
+        assert out[q] == ordered[math.ceil(q * 4000) - 1], q
