@@ -266,7 +266,20 @@ def hll_distinct(
     (mergeable by MAX — the same shard-union semantics as the
     DataSketches rollup in queries/relational.py); one (group, bucket)
     aggregation + one per-group fold."""
-    m = 1 << p
+    regs = hll_registers(df, key_col, group_col, p, salt)
+    return hll_estimate_from_registers(regs, group_col, p)
+
+
+def hll_registers(
+    df: DataFrame,
+    key_col: str,
+    group_col: str,
+    p: int = 8,
+    salt: str = "hll-",
+) -> DataFrame:
+    """The (group_col, b, mb) register table of :func:`hll_distinct` —
+    factored out so streaming/shard builds can persist per-batch
+    registers and MAX-merge them later (the mergeable contract)."""
     hexd = F.md5(F.concat(F.lit(salt), F.col(key_col).cast("string")))
     hi = F.conv(F.substring(hexd, 1, 8), 16, 10).cast("long")
     lo = F.conv(F.substring(hexd, 9, 8), 16, 10).cast("long")
@@ -287,8 +300,20 @@ def hll_distinct(
         .otherwise(F.lit(64 - p + 1) - F.length(F.bin(F.col("w"))))
         .alias("r"),
     )
-    regs = rho.groupBy("g", "b").agg(F.max("r").alias("mb"))
-    per = regs.groupBy("g").agg(
+    return (
+        rho.groupBy("g", "b")
+        .agg(F.max("r").cast("int").alias("mb"))
+        .withColumnRenamed("g", group_col)
+    )
+
+
+def hll_estimate_from_registers(regs: DataFrame, group_col: str, p: int = 8) -> DataFrame:
+    """Fold a (group_col, b, mb) register table — direct from
+    :func:`hll_registers` or MAX-merged across batches/shards — into
+    per-group estimates (exact 2^57-scaled harmonic sum + small-range
+    correction; see :func:`hll_distinct`)."""
+    m = 1 << p
+    per = regs.withColumnRenamed(group_col, "g").groupBy("g").agg(
         F.count(F.lit(1)).cast("int").alias("nb"),
         F.sum(
             F.expr("CAST(shiftleft(1L, CAST(57 - mb AS INT)) AS DECIMAL(38,0))")

@@ -731,3 +731,58 @@ def read_cm_cells(spark: SparkSession, cells_path: str) -> DataFrame:
         cells_path
     )
     return cells.groupBy("r", "c").agg(F.sum("cnt").cast("bigint").alias("cnt"))
+
+
+def route_hll_batch(
+    batch_df, batch_id: int, key_col: str, group_col: str, regs_path: str, p: int = 8
+):
+    """One micro-batch of the streaming HyperLogLog build: the batch's
+    OWN (group, bucket, mb) register table written batch_id-keyed with
+    dynamic overwrite (replay rewrites its partition byte-identically —
+    registers are deterministic md5 arithmetic). Merge is the sketch's
+    contract: registers combine by MAX across batches
+    (:func:`read_hll_registers`), the dual of the Count-Min cells' SUM."""
+    from csv_query_engine_spark.pipeline.sketches import hll_registers
+
+    regs = hll_registers(batch_df, key_col, group_col, p=p)
+    (
+        regs.withColumn("batch_id", F.lit(int(batch_id)))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("batch_id")
+        .parquet(regs_path)
+    )
+
+
+def hll_sketch_stream(
+    stream: DataFrame,
+    key_col: str,
+    group_col: str,
+    regs_path: str,
+    checkpoint: str,
+    p: int = 8,
+):
+    """Streaming distinct-count sketch: per-group HLL registers folded
+    per micro-batch, MAX-merged at read time — bounded state (m rows
+    per group per batch) with NO per-key stream state; duplicates
+    across batches cannot move any register, so the merged estimate
+    equals the one-shot batch estimate exactly."""
+
+    def route(batch_df, batch_id):
+        route_hll_batch(batch_df, batch_id, key_col, group_col, regs_path, p)
+
+    return (
+        stream.writeStream.foreachBatch(route)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def read_hll_registers(spark: SparkSession, regs_path: str, group_col: str) -> DataFrame:
+    """MAX-merge every batch's register partition into one sketch
+    (explicit schema — the zero-batch-directory lesson)."""
+    regs = spark.read.schema(
+        f"{group_col} STRING, b BIGINT, mb INT, batch_id BIGINT"
+    ).parquet(regs_path)
+    return regs.groupBy(group_col, "b").agg(F.max("mb").alias("mb"))

@@ -847,3 +847,66 @@ def test_cm_sketch_stream_matches_batch_and_replay_is_noop(spark, tmp_path):
     route_cm_batch(spark.createDataFrame(rows_b, schema), last, "user_id", cells_p, 4, 8)
     mk2 = {(r["r"], r["c"]): r["cnt"] for r in read_cm_cells(spark, cells_p).collect()}
     assert mk2 == mk
+
+
+def test_hll_sketch_stream_matches_batch_and_replay_is_noop(spark, tmp_path):
+    """Streaming HLL: MAX-merged per-batch registers produce the SAME
+    estimate as the one-shot batch sketch (duplicates across batches
+    cannot move a register), restart folds only new data, replay is a
+    byte-identical rewrite."""
+    from pyspark.sql import types as T
+
+    from csv_query_engine_spark.pipeline.sketches import (
+        hll_distinct,
+        hll_estimate_from_registers,
+    )
+    from csv_query_engine_spark.streaming import (
+        hll_sketch_stream,
+        read_hll_registers,
+        route_hll_batch,
+    )
+
+    schema = T.StructType(
+        [T.StructField("g", T.StringType()), T.StructField("k", T.StringType())]
+    )
+    rows_a = [("x", f"u{i}") for i in range(300)]
+    rows_b = [("x", f"u{i}") for i in range(150, 450)] + [("y", f"v{i}") for i in range(40)]
+    staged = str(tmp_path / "staged")
+    spark.createDataFrame(rows_a, schema).coalesce(1).write.mode("overwrite").parquet(staged)
+    regs_p, ckpt = str(tmp_path / "regs"), str(tmp_path / "ck")
+
+    def run_once():
+        stream = spark.readStream.schema(schema).parquet(staged)
+        q = hll_sketch_stream(stream, "k", "g", regs_p, ckpt)
+        q.awaitTermination(120)
+
+    run_once()
+    spark.createDataFrame(rows_b, schema).coalesce(1).write.mode("append").parquet(staged)
+    run_once()
+
+    merged = read_hll_registers(spark, regs_p, "g")
+    streamed = {
+        r["g"]: r["hll_estimate"]
+        for r in hll_estimate_from_registers(merged, "g").collect()
+    }
+    batch = {
+        r["g"]: r["hll_estimate"]
+        for r in hll_distinct(spark.createDataFrame(rows_a + rows_b, schema), "k", "g").collect()
+    }
+    assert streamed == batch  # overlap (u150..u299 twice) moves nothing
+
+    # replay the last batch under its recorded batch_id: byte-identical
+    import glob as _g
+    import re as _re
+
+    last = max(
+        int(_re.search(r"batch_id=(\d+)", p).group(1))
+        for p in _g.glob(f"{regs_p}/batch_id=*")
+    )
+    before = {(r["g"], r["b"]): r["mb"] for r in merged.collect()}
+    route_hll_batch(spark.createDataFrame(rows_b, schema), last, "k", "g", regs_p)
+    after = {
+        (r["g"], r["b"]): r["mb"]
+        for r in read_hll_registers(spark, regs_p, "g").collect()
+    }
+    assert after == before
