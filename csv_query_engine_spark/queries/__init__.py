@@ -279,6 +279,10 @@ DRIVER_ORDER: list[str] = [
     # selection (no global window, no grow-with-group buffer; the
     # oracle checks the algorithm-independent RESULT):
     "orders_exact_quantiles_selection",
+    # Round-8 late: the HLL merge identity driver-certified — per-day
+    # registers MAX-merged on the Spark side vs the oracle's direct
+    # global build; equality proves lossless register merging:
+    "events_hll_daily_merge",
     # Late round 8: docs_benchmark_decontamination (md5-probe Bloom)
     # and dedup_simhash_pairs (md5-exact signature recompute) gained
     # FULL DuckDB twins — they are now window-eligible oracle-bearing

@@ -3167,3 +3167,52 @@ def docs_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("shard_id")
     )
+
+
+def _hll_merge_oracle() -> str:
+    from csv_query_engine_spark.pipeline.sketches import sql_hll_distinct
+
+    hll = sql_hll_distinct("(SELECT 'all' AS grp, user_id FROM events)", "user_id", "grp")
+    return f"""
+    WITH hll AS ({hll}),
+    exact AS (SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_distinct
+              FROM events)
+    SELECT n_registers, hll_estimate, exact_distinct
+    FROM hll CROSS JOIN exact
+    """
+
+
+@register("events_hll_daily_merge", _hll_merge_oracle())
+def events_hll_daily_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL merge identity, driver-certified: the Spark side builds
+    PER-DAY register tables and MAX-merges them into one global sketch
+    (pipeline/sketches.py::hll_registers + hll_estimate_from_registers
+    — the shard/stream rollup path), while the oracle computes the
+    global sketch DIRECTLY — equality of the estimates IS the proof
+    that register-max merging is lossless (max over days of per-day
+    maxima = global max, so the merged sketch is bit-identical to the
+    one-shot build). The reproducible-internals sibling of the
+    DataSketches rollup (sketch_user_rollup, rows-only forever).
+
+    Scale: per-day register state is m rows per day; the merge is one
+    bounded (b) aggregation — the 100 TB pre-aggregation pattern with
+    oracle-checkable internals."""
+    from csv_query_engine_spark.pipeline.sketches import (
+        hll_estimate_from_registers,
+        hll_registers,
+    )
+
+    e = load_tables(spark, sf_dir, ("events",))["events"]
+    daily = hll_registers(
+        e.select("user_id", F.to_date("ts").cast("string").alias("day")),
+        "user_id",
+        "day",
+    )
+    merged = (
+        daily.groupBy("b")
+        .agg(F.max("mb").alias("mb"))
+        .select(F.lit("all").alias("grp"), "b", "mb")
+    )
+    est = hll_estimate_from_registers(merged, "grp")
+    exact = e.agg(F.count_distinct("user_id").cast("bigint").alias("exact_distinct"))
+    return est.select("n_registers", "hll_estimate").crossJoin(F.broadcast(exact))
