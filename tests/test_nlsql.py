@@ -441,3 +441,15 @@ def test_extended_substring_and_numeric_between(spark):
         "count orders with o_totalprice containing 99", cols, table="orders"
     )
     assert "LIKE" not in nsql
+
+
+def test_extended_like_escapes_underscore():
+    from csv_query_engine_spark.nlsql.extended import generate_sql_extended
+
+    cols = [{"name": "event_type", "type": "string", "semantic_type": "category"}]
+    sql = generate_sql_extended(
+        "count events with event_type containing page_view", cols, table="events"
+    )
+    # '_' is a LIKE single-char wildcard: must be escaped or 'pagesview'
+    # would also match
+    assert "LIKE '%page\\_view%'" in sql

@@ -64,3 +64,24 @@ def test_quantiles_share_histogram_scans(spark):
     import math
     for q in (0.25, 0.5, 0.75):
         assert out[q] == ordered[math.ceil(q * 4000) - 1], q
+
+
+def test_kth_smallest_hypothesis_style_random_sweep(spark):
+    """Deterministic pseudo-random sweep (hypothesis-style, fixed seed
+    for reproducibility): kth_smallest equals the sorted reference for
+    every rank on small adversarial frames — duplicates, negatives,
+    near-equal clusters."""
+    import random
+
+    rng = random.Random(8)
+    for trial in range(5):
+        n = rng.randint(1, 60)
+        vals = [
+            rng.choice([rng.uniform(-5, 5), float(rng.randint(-3, 3)), 1e-9 * rng.randint(0, 5)])
+            for _ in range(n)
+        ]
+        df = spark.createDataFrame([(v,) for v in vals], "x double")
+        ordered = sorted(vals)
+        for rank in {1, n, max(1, n // 2)}:
+            got = kth_smallest(df, "x", rank, n_buckets=4, direct_limit=3)
+            assert got == ordered[rank - 1], (trial, rank, vals)
