@@ -1054,3 +1054,136 @@ def sql_remove_duplicate_spans(
            COALESCE(cleaned_text, '') AS cleaned_text
     FROM base LEFT JOIN cleaned ON base.id = cleaned.id
     """
+
+
+def pmi_top_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_count: int = 5,
+    top_k: int = 30,
+) -> DataFrame:
+    """Top-k adjacent-word associations by pointwise mutual information
+    (Church & Hanks 1990): PMI(w1,w2) = ln( p(w1w2) / (p(w1)p(w2)) )
+    over corpus bigram/unigram frequencies — the collocation-mining
+    member of the text-statistics family (tf-idf ranks terms per doc,
+    the LM scores rank documents; PMI ranks word PAIRS corpus-wide).
+
+    Determinism: ONE ln of a ratio whose numerator/denominator are
+    products of exact counts, evaluated in double with a fixed
+    parenthesization mirrored by the twin, FLOOR-quantized at 1e-6
+    (the DSIR/bm25 idiom); ties at equal PMI break on (w1, w2).
+
+    Scale: one token explode + one bigram-position explode (the
+    `_ngram_rows` codegen'd build); bigram counts group on the word
+    PAIR STRINGS because the strings themselves surface in the output
+    (the xxhash64 shuffle-shrink trick only applies when just counts
+    survive); two unigram-count joins keyed on the word; min_count
+    prunes the tail BEFORE the joins; the final top-k is a bounded
+    tiebroken LIMIT."""
+    base = _spread(
+        df.select(F.col(id_col).alias("id"), tokens(F.col(text_col)).alias("toks"))
+    )
+    uni = (
+        base.select(F.explode("toks").alias("t"))
+        .filter(F.col("t") != "")
+        .groupBy("t")
+        .agg(F.count(F.lit(1)).alias("c1"))
+    )
+    cnt = F.size("toks") - F.lit(1)
+    idx = F.when(cnt >= 1, F.sequence(F.lit(1), cnt)).otherwise(F.array().cast("array<int>"))
+    big = (
+        base.select("toks", F.explode(idx).alias("i"))
+        .select(
+            F.get("toks", F.col("i") - 1).alias("w1"),
+            F.get("toks", F.col("i")).alias("w2"),
+        )
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("c12"))
+        .filter(F.col("c12") >= min_count)
+    )
+    tot = uni.agg(F.sum("c1").alias("n")).crossJoin(  # 1-row broadcast
+        F.broadcast(
+            base.select(F.explode(idx).alias("i")).agg(F.count(F.lit(1)).alias("nb"))
+        )
+    )
+    scored = (
+        big.join(uni.select(F.col("t").alias("w1"), F.col("c1").alias("ca")), "w1")
+        .join(uni.select(F.col("t").alias("w2"), F.col("c1").alias("cb")), "w2")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "w1",
+            "w2",
+            F.col("c12").cast("bigint").alias("c12"),
+            F.floor(
+                F.log(
+                    (
+                        F.col("c12").cast("double")
+                        * F.col("n").cast("double")
+                        * F.col("n").cast("double")
+                    )
+                    / (
+                        F.col("nb").cast("double")
+                        * F.col("ca").cast("double")
+                        * F.col("cb").cast("double")
+                    )
+                )
+                * F.lit(1e6)
+                + F.lit(0.5)
+            )
+            .cast("long")
+            .alias("_u"),
+        )
+    )
+    return (
+        scored.orderBy(F.col("_u").desc(), "w1", "w2")
+        .limit(top_k)
+        .select("w1", "w2", "c12", (F.col("_u").cast("double") / F.lit(1e6)).alias("pmi"))
+    )
+
+
+def sql_pmi_top_pairs(
+    table: str, sql_toks: str, min_count: int = 5, top_k: int = 30
+) -> str:
+    """DuckDB twin of :func:`pmi_top_pairs` — same counts, same
+    fixed-parenthesization double products, same single FLOOR-quantized
+    ln, same tiebroken LIMIT."""
+    return f"""
+    WITH tok AS (
+        SELECT id, pos, t FROM (
+            SELECT doc_id AS id,
+                   generate_subscripts(toks, 1) AS pos,
+                   unnest(toks) AS t
+            FROM (SELECT doc_id, {sql_toks} AS toks FROM {table})
+        ) WHERE t <> ''
+    ),
+    uni AS (SELECT t, CAST(COUNT(*) AS BIGINT) AS c1 FROM tok GROUP BY t),
+    big AS (
+        SELECT a.t AS w1, b.t AS w2, CAST(COUNT(*) AS BIGINT) AS c12
+        FROM tok a JOIN tok b ON a.id = b.id AND b.pos = a.pos + 1
+        WHERE b.t <> ''
+        GROUP BY a.t, b.t
+        HAVING COUNT(*) >= {min_count}
+    ),
+    tot AS (
+        SELECT (SELECT SUM(c1) FROM uni) AS n,
+               (SELECT SUM(c12) FROM (
+                   SELECT a.t, COUNT(*) AS c12
+                   FROM tok a JOIN tok b ON a.id = b.id AND b.pos = a.pos + 1
+                   GROUP BY a.t)) AS nb
+    ),
+    scored AS (
+        SELECT w1, w2, c12,
+               CAST(FLOOR(ln((CAST(c12 AS DOUBLE) * CAST(n AS DOUBLE)
+                              * CAST(n AS DOUBLE))
+                             / (CAST(nb AS DOUBLE) * CAST(ca.c1 AS DOUBLE)
+                                * CAST(cb.c1 AS DOUBLE)))
+                          * 1e6 + 0.5) AS BIGINT) AS u
+        FROM big
+        JOIN uni ca ON big.w1 = ca.t
+        JOIN uni cb ON big.w2 = cb.t
+        CROSS JOIN tot
+    )
+    SELECT w1, w2, c12, CAST(u AS DOUBLE) / 1e6 AS pmi
+    FROM scored ORDER BY u DESC, w1, w2 LIMIT {top_k}
+    """

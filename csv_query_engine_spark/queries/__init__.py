@@ -283,6 +283,10 @@ DRIVER_ORDER: list[str] = [
     # registers MAX-merged on the Spark side vs the oracle's direct
     # global build; equality proves lossless register merging:
     "events_hll_daily_merge",
+    # Round-8 late: PMI collocation mining (one FLOOR-quantized ln of
+    # exact-count products; support-pruned; tiebroken top-30) —
+    # oracle-paired, past-window:
+    "docs_pmi_collocations",
     # Late round 8: docs_benchmark_decontamination (md5-probe Bloom)
     # and dedup_simhash_pairs (md5-exact signature recompute) gained
     # FULL DuckDB twins — they are now window-eligible oracle-bearing

@@ -3216,3 +3216,29 @@ def events_hll_daily_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     est = hll_estimate_from_registers(merged, "grp")
     exact = e.agg(F.count_distinct("user_id").cast("bigint").alias("exact_distinct"))
     return est.select("n_registers", "hll_estimate").crossJoin(F.broadcast(exact))
+
+
+def _pmi_oracle() -> str:
+    from csv_query_engine_spark.pipeline.text import sql_pmi_top_pairs
+
+    return sql_pmi_top_pairs("documents", _SQL_TOKS)
+
+
+@register("docs_pmi_collocations", _pmi_oracle())
+def docs_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-30 adjacent-word collocations by PMI (pipeline/text.py::
+    pmi_top_pairs; Church & Hanks 1990) with support ≥ 5 — the
+    association-mining member of the text-statistics family: tf-idf
+    ranks terms per document, the LM scores rank documents, PMI ranks
+    word PAIRS corpus-wide (the classic collocation screen run before
+    tokenizer/vocab decisions).
+
+    Oracle-paired via one FLOOR-quantized ln of exact-count products
+    with fixed parenthesization (the DSIR/BM25 idiom); ties break on
+    (w1, w2). Scale: one token explode + one codegen'd bigram-position
+    explode, counts pruned by support BEFORE the two unigram joins,
+    bounded tiebroken top-k."""
+    from csv_query_engine_spark.pipeline.text import pmi_top_pairs
+
+    d = load_tables(spark, sf_dir, ("documents",))["documents"]
+    return pmi_top_pairs(d).orderBy(F.col("pmi").desc(), "w1", "w2")
