@@ -1184,3 +1184,48 @@ def sql_random_projection(
            {cols}
     FROM q GROUP BY id ORDER BY {id_col}
     """
+
+
+def hard_negative_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    query_id_col: str = "query_id",
+    rounding: int | None = 4,
+) -> DataFrame:
+    """Hard-negative mining for contrastive training (the DPR/SimCLR
+    prep step): for each query, the top-k most-similar candidates with
+    a DIFFERENT label — maximally confusable TRUE negatives, the pairs
+    a contrastive loss learns the most from (same-label neighbors are
+    positives and must not leak into the negative set).
+
+    Same shape and scale posture as :func:`brute_force_topk` (broadcast
+    query side, JVM-side cosine folds, per-query bounded top-k) plus
+    the label-disagreement join condition; rounded-before-ranking so
+    the twin's ordering matches exactly."""
+    q = queries.select(
+        F.col(query_id_col).alias("query_id"),
+        F.col(vec_col).alias("q_vec"),
+        F.col(label_col).alias("q_label"),
+    )
+    c = _spread(embeddings).select(
+        F.col(id_col).alias("cand_id"),
+        F.col(vec_col).alias("c_vec"),
+        F.col(label_col).alias("c_label"),
+    )
+    score = cosine(F.col("q_vec"), F.col("c_vec"))
+    if rounding is not None:
+        score = F.round(score, rounding)
+    scored = c.join(
+        F.broadcast(q),
+        (F.col("cand_id") != F.col("query_id")) & (F.col("c_label") != F.col("q_label")),
+    ).select("query_id", "cand_id", score.alias("cosine"))
+    w = W.partitionBy("query_id").orderBy(F.desc("cosine"), "cand_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "cand_id", "cosine", "rank")
+    )

@@ -287,6 +287,10 @@ DRIVER_ORDER: list[str] = [
     # exact-count products; support-pruned; tiebroken top-30) —
     # oracle-paired, past-window:
     "docs_pmi_collocations",
+    # Round-8 late: hard-negative mining (top-k most-similar
+    # DIFFERENT-label candidates — the contrastive-training prep) —
+    # oracle-paired, past-window:
+    "embedding_hard_negatives",
     # Late round 8: docs_benchmark_decontamination (md5-probe Bloom)
     # and dedup_simhash_pairs (md5-exact signature recompute) gained
     # FULL DuckDB twins — they are now window-eligible oracle-bearing

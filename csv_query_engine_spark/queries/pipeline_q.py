@@ -3242,3 +3242,46 @@ def docs_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load_tables(spark, sf_dir, ("documents",))["documents"]
     return pmi_top_pairs(d).orderBy(F.col("pmi").desc(), "w1", "w2")
+
+
+@register(
+    "embedding_hard_negatives",
+    """
+    WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS q_vec,
+                      label AS q_label
+               FROM embeddings WHERE vec_id % 100 = 0),
+         scored AS (
+           SELECT q.query_id, e.vec_id AS cand_id,
+                  ROUND(
+                    CASE WHEN sqrt(list_dot_product(q.q_vec, q.q_vec))
+                              * sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[]))) > 0
+                         THEN list_dot_product(q.q_vec, CAST(e.embedding AS DOUBLE[]))
+                              / (sqrt(list_dot_product(q.q_vec, q.q_vec))
+                                 * sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[]))))
+                         ELSE 0.0 END, 4) AS cosine
+           FROM embeddings e
+           JOIN q ON e.vec_id <> q.query_id AND e.label <> q.q_label
+         )
+    SELECT query_id, cand_id, cosine,
+           ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, cand_id) AS rank
+    FROM scored
+    QUALIFY rank <= 5
+    ORDER BY query_id, rank
+    """,
+)
+def embedding_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining for contrastive training (pipeline/
+    similarity.py::hard_negative_topk; the DPR prep step): for each
+    query vector (vec_id % 100 == 0), the 5 most-similar candidates
+    with a DIFFERENT label — maximally confusable true negatives;
+    same-label neighbors are positives and are excluded by the join
+    condition, which makes this genuinely different from the plain
+    brute-force top-k on this data (labels span 0..3).
+
+    Oracle-paired the same way as embedding_topk_bruteforce (explicit
+    double cosine, rounded before ranking, tiebroken window)."""
+    e = load_tables(spark, sf_dir, ("embeddings",))["embeddings"]
+    q = e.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding"), F.col("label")
+    )
+    return sim.hard_negative_topk(e, q).orderBy("query_id", "rank")

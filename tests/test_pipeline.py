@@ -615,3 +615,26 @@ def test_frame_sample_real_mixed_ppm_png_stream(spark):
     assert [r["frame_idx"] for r in rows] == [0, 1, 2]
     header = b"P6\n4 2\n255\n"
     assert [bytes(r["frame"]) for r in rows] == [header + p0, header + p1, header + p2]
+
+
+def test_hard_negative_topk_excludes_same_label(spark):
+    """Hard negatives: every returned candidate has a different label
+    from its query, ranks are contiguous from 1, and the top hard
+    negative is the best DIFFERENT-label neighbor even when a
+    same-label vector is globally closer."""
+    from csv_query_engine_spark.pipeline.similarity import hard_negative_topk
+
+    rows = [
+        (0, [1.0, 0.0], 0),   # query
+        (1, [0.99, 0.14], 0), # same label, closest overall -> excluded
+        (2, [0.9, 0.44], 1),  # best different-label neighbor
+        (3, [0.0, 1.0], 1),
+        (4, [-1.0, 0.0], 2),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    q = df.filter("vec_id = 0").selectExpr("vec_id AS query_id", "embedding", "label")
+    out = hard_negative_topk(df, q, k=3).collect()
+    labels = {r["vec_id"]: r["label"] for r in df.collect()}
+    assert [r["rank"] for r in out] == [1, 2, 3]
+    assert all(labels[r["cand_id"]] != 0 for r in out)
+    assert out[0]["cand_id"] == 2
