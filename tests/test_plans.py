@@ -523,3 +523,23 @@ def test_erasure_broadcast_anti_join(spark):
     assert "LeftAnti" in plan or "LeftSemi" in plan, plan
     assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan, plan
     spark.catalog.clearCache()
+
+
+def test_pmi_no_python_no_cartesian_broadcast_totals(spark):
+    """PMI collocations: codegen'd bigram build (no interpreted HOF in
+    the hot path), 1-row totals broadcast, no cartesian, no Python."""
+    plan = _plan(spark, "docs_pmi_collocations")
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan, plan
+    spark.catalog.clearCache()
+
+
+def test_hard_negatives_broadcast_queries(spark):
+    """Hard-negative mining: the query side broadcasts (the
+    brute-force shape) — no shuffle of the corpus beyond the bounded
+    per-query top-k."""
+    plan = _plan(spark, "embedding_hard_negatives")
+    assert "BroadcastNestedLoopJoin" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    spark.catalog.clearCache()
