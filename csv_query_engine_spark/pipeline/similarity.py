@@ -54,21 +54,35 @@ def brute_force_topk(
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
     rounding: int | None = None,
+    exclude_same_label_col: str | None = None,
 ) -> DataFrame:
     """Exact top-k by cosine for each query vector.
+
+    ``exclude_same_label_col``: when set (a column present on BOTH
+    frames), candidates sharing the query's label are excluded — the
+    hard-negative-mining mode (:func:`hard_negative_topk`).
 
     ``queries``: (query_id_col, vec_col). The query side is broadcast —
     at scale Q (queries) ≪ N (corpus), so every executor scores its local
     corpus partitions against the full query set; the only shuffle is the
     per-query top-k, bounded by Q×k rows after partial TakeOrdered."""
-    q = queries.select(F.col(query_id_col).alias("query_id"), F.col(vec_col).alias("q_vec"))
-    c = _spread(embeddings).select(F.col(id_col).alias("cand_id"), F.col(vec_col).alias("c_vec"))
+    qcols = [F.col(query_id_col).alias("query_id"), F.col(vec_col).alias("q_vec")]
+    ccols = [F.col(id_col).alias("cand_id"), F.col(vec_col).alias("c_vec")]
+    cond = F.col("cand_id") != F.col("query_id")
+    if exclude_same_label_col is not None:
+        # hard-negative mode: same-label candidates are POSITIVES and
+        # must not appear in the ranking
+        qcols.append(F.col(exclude_same_label_col).alias("q_label"))
+        ccols.append(F.col(exclude_same_label_col).alias("c_label"))
+        cond = cond & (F.col("c_label") != F.col("q_label"))
+    q = queries.select(*qcols)
+    c = _spread(embeddings).select(*ccols)
     score = cosine(F.col("q_vec"), F.col("c_vec"))
     if rounding is not None:
         # Round before ranking so sub-ulp float-order noise cannot flip
         # ranks differently across engines/partitionings.
         score = F.round(score, rounding)
-    scored = c.join(F.broadcast(q), F.col("cand_id") != F.col("query_id")).select(
+    scored = c.join(F.broadcast(q), cond).select(
         "query_id", "cand_id", score.alias("cosine")
     )
     w = W.partitionBy("query_id").orderBy(F.desc("cosine"), "cand_id")
@@ -1202,30 +1216,17 @@ def hard_negative_topk(
     a contrastive loss learns the most from (same-label neighbors are
     positives and must not leak into the negative set).
 
-    Same shape and scale posture as :func:`brute_force_topk` (broadcast
-    query side, JVM-side cosine folds, per-query bounded top-k) plus
-    the label-disagreement join condition; rounded-before-ranking so
-    the twin's ordering matches exactly."""
-    q = queries.select(
-        F.col(query_id_col).alias("query_id"),
-        F.col(vec_col).alias("q_vec"),
-        F.col(label_col).alias("q_label"),
-    )
-    c = _spread(embeddings).select(
-        F.col(id_col).alias("cand_id"),
-        F.col(vec_col).alias("c_vec"),
-        F.col(label_col).alias("c_label"),
-    )
-    score = cosine(F.col("q_vec"), F.col("c_vec"))
-    if rounding is not None:
-        score = F.round(score, rounding)
-    scored = c.join(
-        F.broadcast(q),
-        (F.col("cand_id") != F.col("query_id")) & (F.col("c_label") != F.col("q_label")),
-    ).select("query_id", "cand_id", score.alias("cosine"))
-    w = W.partitionBy("query_id").orderBy(F.desc("cosine"), "cand_id")
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("query_id", "cand_id", "cosine", "rank")
+    A thin wrapper over :func:`brute_force_topk`'s hard-negative mode
+    (same plan, plus the label-disagreement join condition) — ONE
+    implementation so the two can never drift (the review's reuse
+    finding; the oracle strings share a builder the same way)."""
+    return brute_force_topk(
+        embeddings,
+        queries,
+        k=k,
+        id_col=id_col,
+        vec_col=vec_col,
+        query_id_col=query_id_col,
+        rounding=rounding,
+        exclude_same_label_col=label_col,
     )

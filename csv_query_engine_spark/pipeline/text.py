@@ -1080,10 +1080,16 @@ def pmi_top_pairs(
     (the xxhash64 shuffle-shrink trick only applies when just counts
     survive); two unigram-count joins keyed on the word; min_count
     prunes the tail BEFORE the joins; the final top-k is a bounded
-    tiebroken LIMIT."""
+    tiebroken LIMIT.  `base` (the tokenize scan) feeds THREE consumers
+    — unigram counts, bigram counts, and the bigram total — so it
+    persists once (the multi-consumer rule); the bigram total is one
+    aggregate over size(toks)−1 (tokens() cannot emit interior
+    empties), never a second explode."""
+    from pyspark.storagelevel import StorageLevel
+
     base = _spread(
         df.select(F.col(id_col).alias("id"), tokens(F.col(text_col)).alias("toks"))
-    )
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     uni = (
         base.select(F.explode("toks").alias("t"))
         .filter(F.col("t") != "")
@@ -1104,7 +1110,9 @@ def pmi_top_pairs(
     )
     tot = uni.agg(F.sum("c1").alias("n")).crossJoin(  # 1-row broadcast
         F.broadcast(
-            base.select(F.explode(idx).alias("i")).agg(F.count(F.lit(1)).alias("nb"))
+            base.agg(
+                F.sum(F.greatest(F.size("toks") - 1, F.lit(0))).alias("nb")
+            )
         )
     )
     scored = (

@@ -76,11 +76,17 @@ DRIVER_ORDER: list[str] = [
     "events_markov_transitions",
     "events_value_anomalies",
     "events_robust_anomalies",
-    # -- write-side maintenance (MERGE / SCD2 / CDC / refresh)
+    # -- write-side maintenance (MERGE / SCD2 / refresh; the CDC diff
+    # rotated out late round 8 — r6+r7 certified, family keeps three
+    # in-window rows — for the HLL merge-identity row below)
     "merge_upsert_customer_refresh",
     "scd2_customer_segment_history",
-    "customer_snapshot_cdc_diff",
     "orders_incremental_agg_refresh",
+    # -- reproducible-internals sketch family: the merge identity
+    # (per-day registers MAX-merged vs the oracle's direct global
+    # build — equality proves lossless register merging) is the
+    # shard/stream rollup path itself, driver-certified:
+    "events_hll_daily_merge",
     # -- privacy projection (round-7 addition, driver-certified round 8)
     "customer_pseudonymized_export",
     # -- declarative quality gate + physical layout
@@ -279,10 +285,9 @@ DRIVER_ORDER: list[str] = [
     # selection (no global window, no grow-with-group buffer; the
     # oracle checks the algorithm-independent RESULT):
     "orders_exact_quantiles_selection",
-    # Round-8 late: the HLL merge identity driver-certified — per-day
-    # registers MAX-merged on the Spark side vs the oracle's direct
-    # global build; equality proves lossless register merging:
-    "events_hll_daily_merge",
+    # (events_hll_daily_merge moved INTO the window above, late round
+    # 8, swapping out the r6+r7-certified CDC diff.)
+    "customer_snapshot_cdc_diff",
     # Round-8 late: PMI collocation mining (one FLOOR-quantized ln of
     # exact-count products; support-pruned; tiebroken top-30) —
     # oracle-paired, past-window:

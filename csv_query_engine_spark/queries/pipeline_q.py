@@ -488,10 +488,14 @@ def dedup_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ------------------------------------------------------------- similarity
 
 
-@register(
-    "embedding_topk_bruteforce",
-    """
-    WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS q_vec
+def _sql_brute_cosine_topk(exclude_same_label: bool) -> str:
+    """ONE builder for the brute-force-cosine twins (plain top-k and
+    the hard-negative different-label variant) so the cosine recipe
+    cannot drift between them (the copied-oracle hazard, SKILL.md)."""
+    label_sel = ", label AS q_label" if exclude_same_label else ""
+    label_pred = " AND e.label <> q.q_label" if exclude_same_label else ""
+    return f"""
+    WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS q_vec{label_sel}
                FROM embeddings WHERE vec_id % 100 = 0),
          scored AS (
            -- cosine computed explicitly in double (list_cosine_similarity
@@ -504,15 +508,17 @@ def dedup_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
                               / (sqrt(list_dot_product(q.q_vec, q.q_vec))
                                  * sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[]))))
                          ELSE 0.0 END, 4) AS cosine
-           FROM embeddings e JOIN q ON e.vec_id <> q.query_id
+           FROM embeddings e JOIN q ON e.vec_id <> q.query_id{label_pred}
          )
     SELECT query_id, cand_id, cosine,
            ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, cand_id) AS rank
     FROM scored
     QUALIFY rank <= 5
     ORDER BY query_id, rank
-    """,
-)
+    """
+
+
+@register("embedding_topk_bruteforce", _sql_brute_cosine_topk(False))
 def embedding_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact cosine top-5 for each query vector (vec_id % 100 == 0):
     broadcast query side, JVM-side zip_with/aggregate dot products, then
@@ -3244,31 +3250,7 @@ def docs_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pmi_top_pairs(d).orderBy(F.col("pmi").desc(), "w1", "w2")
 
 
-@register(
-    "embedding_hard_negatives",
-    """
-    WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS q_vec,
-                      label AS q_label
-               FROM embeddings WHERE vec_id % 100 = 0),
-         scored AS (
-           SELECT q.query_id, e.vec_id AS cand_id,
-                  ROUND(
-                    CASE WHEN sqrt(list_dot_product(q.q_vec, q.q_vec))
-                              * sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[]))) > 0
-                         THEN list_dot_product(q.q_vec, CAST(e.embedding AS DOUBLE[]))
-                              / (sqrt(list_dot_product(q.q_vec, q.q_vec))
-                                 * sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[]))))
-                         ELSE 0.0 END, 4) AS cosine
-           FROM embeddings e
-           JOIN q ON e.vec_id <> q.query_id AND e.label <> q.q_label
-         )
-    SELECT query_id, cand_id, cosine,
-           ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, cand_id) AS rank
-    FROM scored
-    QUALIFY rank <= 5
-    ORDER BY query_id, rank
-    """,
-)
+@register("embedding_hard_negatives", _sql_brute_cosine_topk(True))
 def embedding_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hard-negative mining for contrastive training (pipeline/
     similarity.py::hard_negative_topk; the DPR prep step): for each

@@ -741,10 +741,20 @@ def route_hll_batch(
     dynamic overwrite (replay rewrites its partition byte-identically —
     registers are deterministic md5 arithmetic). Merge is the sketch's
     contract: registers combine by MAX across batches
-    (:func:`read_hll_registers`), the dual of the Count-Min cells' SUM."""
+    (:func:`read_hll_registers`), the dual of the Count-Min cells' SUM.
+
+    The group column is cast to STRING on write so the reader's
+    explicit schema (the zero-batch lesson) holds for ANY group type —
+    an int-typed group would otherwise write int32 partitions the
+    string-schema read cannot decode (review finding)."""
     from csv_query_engine_spark.pipeline.sketches import hll_registers
 
-    regs = hll_registers(batch_df, key_col, group_col, p=p)
+    regs = hll_registers(
+        batch_df.withColumn(group_col, F.col(group_col).cast("string")),
+        key_col,
+        group_col,
+        p=p,
+    )
     (
         regs.withColumn("batch_id", F.lit(int(batch_id)))
         .write.mode("overwrite")
@@ -781,7 +791,9 @@ def hll_sketch_stream(
 
 def read_hll_registers(spark: SparkSession, regs_path: str, group_col: str) -> DataFrame:
     """MAX-merge every batch's register partition into one sketch
-    (explicit schema — the zero-batch-directory lesson)."""
+    (explicit schema — the zero-batch-directory lesson; the group
+    column always reads back as STRING, :func:`route_hll_batch` casts
+    it on write)."""
     regs = spark.read.schema(
         f"{group_col} STRING, b BIGINT, mb INT, batch_id BIGINT"
     ).parquet(regs_path)

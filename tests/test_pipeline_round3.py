@@ -152,6 +152,9 @@ def test_registry_window_is_oracle_bearing(spark):
         "dedup_containment_pairs",
         "media_phash_dup_pairs",
         "media_audio_dup_pairs",
+        # the HLL merge identity (per-day registers MAX-merged vs the
+        # oracle's direct global build) — driver-certified in-window
+        "events_hll_daily_merge",
     ):
         assert new in window, new
     # Long-standing window anchors stay certified.
@@ -227,6 +230,7 @@ def test_registry_window_is_oracle_bearing(spark):
         ("docs_udtf_sentences", "customer_order_gap_profile"),
         ("dedup_cluster_canonical", "dedup_semantic_pairs"),
         ("docs_shard_assignment", "docs_sequence_packing"),
+        ("customer_snapshot_cdc_diff", "merge_upsert_customer_refresh"),
     ]:
         assert out not in window and kept in window, (out, kept)
 

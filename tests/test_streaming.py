@@ -910,3 +910,16 @@ def test_hll_sketch_stream_matches_batch_and_replay_is_noop(spark, tmp_path):
         for r in read_hll_registers(spark, regs_p, "g").collect()
     }
     assert after == before
+
+
+def test_hll_stream_int_group_column_roundtrips(spark, tmp_path):
+    """route_hll_batch casts the group column to STRING on write, so
+    the reader's explicit string schema holds for ANY group type (an
+    int group used to write int32 partitions the read could not
+    decode — review regression)."""
+    from csv_query_engine_spark.streaming import read_hll_registers, route_hll_batch
+
+    df = spark.createDataFrame([(7, "a"), (7, "b"), (9, "c")], "gid int, k string")
+    route_hll_batch(df, 0, "k", "gid", str(tmp_path / "regs"))
+    out = read_hll_registers(spark, str(tmp_path / "regs"), "gid").collect()
+    assert sorted({r["gid"] for r in out}) == ["7", "9"]
