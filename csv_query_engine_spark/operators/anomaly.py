@@ -121,3 +121,82 @@ def robust_anomaly_screen(
         .select(key_col, "med", "mad", "n_total", "n_outliers")
         .orderBy(key_col)
     )
+
+
+# --------------------------------- distribution drift monitoring (PSI)
+
+def psi_drift(
+    df: DataFrame,
+    value_col: str,
+    cohort_pred,
+    bin_width: float,
+    n_bins: int = 10,
+) -> DataFrame:
+    """Population Stability Index between the cohort where
+    ``cohort_pred`` holds (the BASELINE population A) and its
+    complement (the CURRENT population B) — the standard
+    model/feature-drift monitor (PSI = Σ (pᵢ−qᵢ)·ln(pᵢ/qᵢ) over fixed
+    bins; rule of thumb: <0.1 stable, >0.25 shifted):
+
+        bin i = min(floor(value / bin_width), n_bins−1), add-1
+        smoothed frequencies so empty bins stay finite.
+
+    One row per bin — (bin, n_a, n_b, psi_contrib) — plus the total in
+    every row (``psi_total``, the grouping-sets convention), so a
+    monitor can alert on the total AND see which bins moved.
+
+    Determinism: bin edges are plan literals (no data-dependent min/
+    max), counts are exact, each frequency is one double division of
+    exact integers, and ln runs ONCE per bin on an exact integer ratio
+    — (c_a+1)(n_b+B) / (c_b+1)(n_a+B) — with the whole contribution
+    FLOOR-quantized at 1e-9 (single rounding per bin; the products
+    stay inside long while (max bin count)·(rows+B) < 9.2e18).
+
+    Scale: ONE pass over the fact table to ≤ n_bins rows; everything
+    after is driver-trivial arithmetic on the bounded bin table (the
+    totals are a 1-row broadcast)."""
+    spark = df.sparkSession
+    b = F.least(
+        F.floor(F.col(value_col).cast("double") / F.lit(float(bin_width))).cast("int"),
+        F.lit(n_bins - 1),
+    )
+    counts = (
+        df.select(b.alias("bin"), F.coalesce(cohort_pred, F.lit(False)).alias("is_a"))
+        .groupBy("bin")
+        .agg(
+            F.sum(F.when(F.col("is_a"), 1).otherwise(0)).cast("long").alias("n_a"),
+            F.sum(F.when(F.col("is_a"), 0).otherwise(1)).cast("long").alias("n_b"),
+        )
+    )
+    bins = spark.range(n_bins).select(F.col("id").cast("int").alias("bin"))
+    full = bins.join(counts, "bin", "left").select(
+        "bin",
+        F.coalesce(F.col("n_a"), F.lit(0)).cast("long").alias("n_a"),
+        F.coalesce(F.col("n_b"), F.lit(0)).cast("long").alias("n_b"),
+    )
+    tot = full.agg(F.sum("n_a").alias("ta"), F.sum("n_b").alias("tb"))
+    bl = F.lit(int(n_bins)).cast("long")
+    p = (F.col("n_a") + 1).cast("double") / (F.col("ta") + bl).cast("double")
+    q = (F.col("n_b") + 1).cast("double") / (F.col("tb") + bl).cast("double")
+    lnr = F.log(
+        ((F.col("n_a") + 1) * (F.col("tb") + bl)).cast("double")
+        / ((F.col("n_b") + 1) * (F.col("ta") + bl)).cast("double")
+    )
+    contrib = (
+        F.floor((p - q) * lnr * F.lit(1e9) + F.lit(0.5)).cast("long")
+    )
+    per = full.crossJoin(F.broadcast(tot)).select(  # 1-row broadcast
+        "bin", "n_a", "n_b", contrib.alias("_u")
+    )
+    total = per.agg(F.sum("_u").alias("_t"))
+    return (
+        per.crossJoin(F.broadcast(total))  # 1-row broadcast
+        .select(
+            "bin",
+            "n_a",
+            "n_b",
+            (F.col("_u").cast("double") / F.lit(1e9)).alias("psi_contrib"),
+            (F.col("_t").cast("double") / F.lit(1e9)).alias("psi_total"),
+        )
+        .orderBy("bin")
+    )

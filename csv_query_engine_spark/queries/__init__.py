@@ -296,6 +296,10 @@ DRIVER_ORDER: list[str] = [
     # DIFFERENT-label candidates — the contrastive-training prep) —
     # oracle-paired, past-window:
     "embedding_hard_negatives",
+    # Round-8 late: PSI distribution-drift monitor (fixed literal
+    # bins, add-1 smoothing, one FLOOR-quantized ln of an integer
+    # ratio per bin) — oracle-paired, past-window:
+    "orders_psi_price_drift",
     # Late round 8: docs_benchmark_decontamination (md5-probe Bloom)
     # and dedup_simhash_pairs (md5-exact signature recompute) gained
     # FULL DuckDB twins — they are now window-eligible oracle-bearing

@@ -1394,3 +1394,62 @@ def orders_exact_quantiles_selection(spark: SparkSession, sf_dir: str) -> DataFr
 
     o = load_tables(spark, sf_dir, ("orders",))["orders"]
     return exact_quantiles(o, "o_totalprice").orderBy("q")
+
+
+@register(
+    "orders_psi_price_drift",
+    """
+    WITH src AS (
+        SELECT LEAST(CAST(FLOOR(CAST(o_totalprice AS DOUBLE) / 50000.0) AS INT), 9)
+                   AS bin,
+               o_orderdate < TIMESTAMP '1998-01-01' AS is_a
+        FROM orders
+    ),
+    counts AS (
+        SELECT bin,
+               CAST(SUM(CASE WHEN is_a THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+               CAST(SUM(CASE WHEN is_a THEN 0 ELSE 1 END) AS BIGINT) AS n_b
+        FROM src GROUP BY bin
+    ),
+    bins AS (SELECT CAST(unnest(generate_series(0, 9)) AS INT) AS bin),
+    full_bins AS (
+        SELECT b.bin, COALESCE(n_a, 0) AS n_a, COALESCE(n_b, 0) AS n_b
+        FROM bins b LEFT JOIN counts c ON b.bin = c.bin
+    ),
+    tot AS (SELECT SUM(n_a) AS ta, SUM(n_b) AS tb FROM full_bins),
+    per AS (
+        SELECT bin, n_a, n_b,
+               CAST(FLOOR(
+                   (CAST(n_a + 1 AS DOUBLE) / CAST(ta + 10 AS DOUBLE)
+                    - CAST(n_b + 1 AS DOUBLE) / CAST(tb + 10 AS DOUBLE))
+                   * ln(CAST((n_a + 1) * (tb + 10) AS DOUBLE)
+                        / CAST((n_b + 1) * (ta + 10) AS DOUBLE))
+                   * 1e9 + 0.5) AS BIGINT) AS u
+        FROM full_bins CROSS JOIN tot
+    )
+    SELECT bin, n_a, n_b,
+           CAST(u AS DOUBLE) / 1e9 AS psi_contrib,
+           CAST((SELECT SUM(u) FROM per) AS DOUBLE) / 1e9 AS psi_total
+    FROM per ORDER BY bin
+    """,
+)
+def orders_psi_price_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index of o_totalprice between pre-1998 and
+    1998+ orders (operators/anomaly.py::psi_drift; 10 fixed 50k-wide
+    bins) — the standard feature-drift monitor a production scoring
+    pipeline alerts on (<0.1 stable, >0.25 shifted); per-bin
+    contributions plus the total in every row.
+
+    Oracle-paired: literal bin edges, exact counts, add-1 smoothing,
+    one FLOOR-quantized ln of an exact integer ratio per bin. Scale:
+    ONE pass over the fact table to ≤ 10 bin rows; everything after is
+    bounded arithmetic."""
+    from csv_query_engine_spark.operators.anomaly import psi_drift
+
+    o = load_tables(spark, sf_dir, ("orders",))["orders"]
+    return psi_drift(
+        o,
+        "o_totalprice",
+        F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"),
+        bin_width=50000.0,
+    )

@@ -80,3 +80,33 @@ def test_exact_plan_broadcasts_thresholds(screen_df):
         .toString()
     )
     assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+
+
+def test_psi_drift_identical_populations_and_planted_shift(spark):
+    """PSI contract: two same-distribution cohorts score ~0; a planted
+    full shift scores large; empty bins stay finite (add-1 smoothing);
+    NULL cohort predicates count as population B, not dropped rows."""
+    from pyspark.sql import functions as F
+
+    from csv_query_engine_spark.operators.anomaly import psi_drift
+
+    same = spark.createDataFrame(
+        [(float(v), f) for v in range(100) for f in (True, False)], "x double, f boolean"
+    )
+    out = psi_drift(same, "x", F.col("f"), bin_width=10.0).collect()
+    assert len(out) == 10
+    assert abs(out[0]["psi_total"]) < 1e-6  # identical distributions
+    assert sum(r["n_a"] for r in out) == sum(r["n_b"] for r in out) == 100
+
+    shifted = spark.createDataFrame(
+        [(float(v), True) for v in range(50)] + [(float(v) + 50.0, False) for v in range(50)],
+        "x double, f boolean",
+    )
+    tot = psi_drift(shifted, "x", F.col("f"), bin_width=10.0).collect()[0]["psi_total"]
+    assert tot > 0.25  # disjoint supports: far past the alert line
+
+    nulls = spark.createDataFrame(
+        [(1.0, True), (2.0, None), (3.0, False)], "x double, f boolean"
+    )
+    rows = psi_drift(nulls, "x", F.col("f"), bin_width=1.0).collect()
+    assert sum(r["n_a"] for r in rows) == 1 and sum(r["n_b"] for r in rows) == 2
