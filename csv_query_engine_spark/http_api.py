@@ -93,6 +93,53 @@ def create_app(engine: QueryEngine):
             {"columns": [{"name": c.name, "type": c.type, "semantic_type": c.semantic_type} for c in cols]}
         )
 
+    @app.get("/ops")
+    def ops():
+        """BEYOND-reference: list the engine's registered operator
+        library (every SURVEY.md §2 / §8 query) with its
+        oracle-bearing flag — the service face of the 163-operator
+        registry the CLI driver exercises."""
+        from csv_query_engine_spark.queries import all_oracles, all_queries
+
+        oracles = all_oracles()
+        return jsonify(
+            {"operators": [{"name": n, "oracle": n in oracles} for n in all_queries()]}
+        )
+
+    @app.post("/ops/<name>")
+    def run_op(name: str):
+        """BEYOND-reference: run one registered operator against a
+        parquet dataset directory. Body: {"sf_dir": path?, "limit":
+        n?} — limit is ENFORCED server-side (the A15 row-cap contract
+        extended to the operator library; default 100, max 10000)."""
+        from csv_query_engine_spark.queries import all_queries
+
+        qs = all_queries()
+        if name not in qs:
+            return _err(f"Unknown operator: {name}", 404)
+        body = request.get_json(silent=True) or {}
+        sf_dir = body.get("sf_dir") or os.environ.get(
+            "SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001"
+        )
+        try:
+            limit = min(max(int(body.get("limit") or 100), 1), 10000)
+        except (TypeError, ValueError):
+            return _err("limit must be an integer")
+        try:
+            df = qs[name](engine.spark, sf_dir).limit(limit)
+            rows = [r.asDict(recursive=True) for r in df.collect()]
+            columns = df.columns
+        except Exception as e:
+            return _err(f"Error executing operator: {e}")
+        return jsonify(
+            {
+                "operator": name,
+                "columns": columns,
+                "rows": [_jsonable(r) for r in rows],
+                "row_count": len(rows),
+            }
+        )
+
     @app.post("/query")
     def query():
         body = request.get_json(silent=True) or {}

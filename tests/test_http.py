@@ -92,3 +92,32 @@ def test_empty_question_is_400(client):
 def test_query_missing_body_is_400(client):
     r = client.post("/query", json={})
     assert r.status_code == 400
+
+
+def test_ops_listing_and_execution(client):
+    """Beyond-reference /ops surface: the listing mirrors the registry
+    (names + oracle flags), running an operator returns capped rows
+    with its schema, unknown names 404, and a bad limit 400s."""
+    from csv_query_engine_spark.queries import all_oracles, all_queries
+
+    listing = client.get("/ops").get_json()["operators"]
+    assert [o["name"] for o in listing] == list(all_queries())
+    oracles = all_oracles()
+    assert all(o["oracle"] == (o["name"] in oracles) for o in listing)
+
+    res = client.post(
+        "/ops/group_count_priority",
+        json={"sf_dir": "/root/testdata/sf0.001", "limit": 3},
+    )
+    assert res.status_code == 200
+    body = res.get_json()
+    assert body["operator"] == "group_count_priority"
+    assert body["row_count"] <= 3 and body["columns"]
+
+    assert client.post("/ops/not_a_real_op", json={}).status_code == 404
+    assert (
+        client.post(
+            "/ops/group_count_priority", json={"limit": "many"}
+        ).status_code
+        == 400
+    )
