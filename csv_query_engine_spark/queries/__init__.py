@@ -300,6 +300,10 @@ DRIVER_ORDER: list[str] = [
     # bins, add-1 smoothing, one FLOOR-quantized ln of an integer
     # ratio per bin) — oracle-paired, past-window:
     "orders_psi_price_drift",
+    # Round-8 late: equi-depth histogram bounded by the exact-selection
+    # quartiles (the composition proof for operators/selection.py) —
+    # oracle-paired, past-window:
+    "orders_equidepth_histogram",
     # Late round 8: docs_benchmark_decontamination (md5-probe Bloom)
     # and dedup_simhash_pairs (md5-exact signature recompute) gained
     # FULL DuckDB twins — they are now window-eligible oracle-bearing

@@ -1453,3 +1453,67 @@ def orders_psi_price_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"),
         bin_width=50000.0,
     )
+
+
+@register(
+    "orders_equidepth_histogram",
+    """
+    WITH s AS (SELECT CAST(o_totalprice AS DOUBLE) AS v FROM orders
+               WHERE o_totalprice IS NOT NULL),
+    n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM s),
+    o AS (SELECT v, ROW_NUMBER() OVER (ORDER BY v) AS rn FROM s),
+    b AS (
+        SELECT
+          (SELECT v FROM o, n WHERE rn = GREATEST(1, CAST(ceil(0.25 * n) AS BIGINT))) AS b1,
+          (SELECT v FROM o, n WHERE rn = GREATEST(1, CAST(ceil(0.5  * n) AS BIGINT))) AS b2,
+          (SELECT v FROM o, n WHERE rn = GREATEST(1, CAST(ceil(0.75 * n) AS BIGINT))) AS b3
+    )
+    SELECT CASE WHEN v <= b1 THEN 0 WHEN v <= b2 THEN 1
+                WHEN v <= b3 THEN 2 ELSE 3 END AS bin,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           MIN(v) AS lo, MAX(v) AS hi
+    FROM s CROSS JOIN b
+    GROUP BY 1 ORDER BY 1
+    """,
+)
+def orders_equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-DEPTH histogram of o_totalprice: four ~N/4 bins bounded by
+    the EXACT quartiles from the distributed-selection operator
+    (operators/selection.py — the scale-safe exact-order-statistics
+    path), then one bin-assignment pass — the quantile sibling of the
+    fixed-width histogram_order_totals, and the composition proof that
+    selection's boundaries drive downstream binning correctly (the
+    oracle re-derives the same quartiles via ROW_NUMBER; boundary
+    values are exact data values, so the <= comparisons cannot drift).
+
+    Scale: the quartiles cost the selection descent (bounded
+    histograms + a driver prefix sum per level, all three sharing each
+    level's scan); the binning is ONE more pass with plan-literal
+    boundaries."""
+    import math as _math
+
+    from csv_query_engine_spark.operators.selection import kth_smallest
+
+    o = load_tables(spark, sf_dir, ("orders",))["orders"]
+    base = o.select(F.col("o_totalprice").cast("double").alias("v")).filter(
+        F.col("v").isNotNull()
+    )
+    n = base.count()
+    b1, b2, b3 = (
+        kth_smallest(base, "v", max(1, _math.ceil(q * n))) for q in (0.25, 0.5, 0.75)
+    )
+    bin_expr = (
+        F.when(F.col("v") <= F.lit(b1), 0)
+        .when(F.col("v") <= F.lit(b2), 1)
+        .when(F.col("v") <= F.lit(b3), 2)
+        .otherwise(3)
+    )
+    return (
+        base.groupBy(bin_expr.alias("bin"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.min("v").alias("lo"),
+            F.max("v").alias("hi"),
+        )
+        .orderBy("bin")
+    )
