@@ -138,8 +138,13 @@ def psi_drift(
     model/feature-drift monitor (PSI = Σ (pᵢ−qᵢ)·ln(pᵢ/qᵢ) over fixed
     bins; rule of thumb: <0.1 stable, >0.25 shifted):
 
-        bin i = min(floor(value / bin_width), n_bins−1), add-1
+        bin i = max(min(floor(value / bin_width), n_bins−1), 0), add-1
         smoothed frequencies so empty bins stay finite.
+
+    Values below 0 clamp into bin 0 (symmetric with the top-bin cap)
+    — a drift monitor must never silently drop population mass, and
+    an unclamped negative bin would vanish from both the per-bin
+    counts and the smoothed totals at the 0..n_bins−1 join.
 
     One row per bin — (bin, n_a, n_b, psi_contrib) — plus the total in
     every row (``psi_total``, the grouping-sets convention), so a
@@ -156,9 +161,14 @@ def psi_drift(
     after is driver-trivial arithmetic on the bounded bin table (the
     totals are a 1-row broadcast)."""
     spark = df.sparkSession
-    b = F.least(
-        F.floor(F.col(value_col).cast("double") / F.lit(float(bin_width))).cast("int"),
-        F.lit(n_bins - 1),
+    b = F.greatest(
+        F.least(
+            F.floor(F.col(value_col).cast("double") / F.lit(float(bin_width))).cast(
+                "int"
+            ),
+            F.lit(n_bins - 1),
+        ),
+        F.lit(0),
     )
     counts = (
         df.select(b.alias("bin"), F.coalesce(cohort_pred, F.lit(False)).alias("is_a"))

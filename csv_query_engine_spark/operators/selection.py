@@ -113,6 +113,34 @@ def kth_smallest(
     return _select(_prepared(df, col), [rank], n_buckets, direct_limit)[rank]
 
 
+def exact_quantile_values(
+    df: DataFrame,
+    col: str,
+    qs: tuple[float, ...] = (0.25, 0.5, 0.75),
+    n_buckets: int = 1024,
+    direct_limit: int = 65536,
+) -> dict[float, tuple[int, float]]:
+    """q -> (rank, value) with rank = ceil(q·N) over non-null non-NaN
+    values and value = the EXACT rank-th smallest.  ALL quantiles
+    descend together, sharing each level's histogram scan, over ONE
+    persisted projection of the input — callers needing several
+    quantiles must come through here (or :func:`exact_quantiles`),
+    never one :func:`kth_smallest` descent per quantile.  The result is
+    a bounded driver object and the descent fully materializes inside
+    the call, so the cache is released in ``finally`` before returning
+    (no persisted blocks outlive the call)."""
+    from pyspark.storagelevel import StorageLevel
+
+    base = _prepared(df, col).persist(StorageLevel.MEMORY_AND_DISK)
+    try:
+        n = base.count()  # doubles as the cache-materializing action
+        ranks = {q: max(1, math.ceil(q * n)) for q in qs}
+        got = _select(base, sorted(set(ranks.values())), n_buckets, direct_limit)
+        return {float(q): (int(r), float(got[r])) for q, r in ranks.items()}
+    finally:
+        base.unpersist()
+
+
 def exact_quantiles(
     df: DataFrame,
     col: str,
@@ -125,13 +153,9 @@ def exact_quantiles(
     smallest — discrete quantiles, the ``ROW_NUMBER``-definable kind
     the oracle can verify.  qs of the form k/4 keep ceil(q·N) exact in
     IEEE on every engine (power-of-two denominators).  All quantiles
-    descend together, sharing each level's histogram scan."""
-    from pyspark.storagelevel import StorageLevel
-
+    descend together, sharing each level's histogram scan; the shared
+    persisted base is unpersisted before return."""
     spark = df.sparkSession
-    base = _prepared(df, col).persist(StorageLevel.MEMORY_AND_DISK)
-    n = base.count()  # doubles as the cache-materializing action
-    ranks = {q: max(1, math.ceil(q * n)) for q in qs}
-    got = _select(base, sorted(set(ranks.values())), n_buckets, direct_limit)
-    out = [(float(q), int(r), float(got[r])) for q, r in ranks.items()]
+    got = exact_quantile_values(df, col, qs, n_buckets, direct_limit)
+    out = [(q, r, v) for q, (r, v) in got.items()]
     return spark.createDataFrame(out, "q double, rank bigint, value double")

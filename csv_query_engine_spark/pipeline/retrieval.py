@@ -142,8 +142,11 @@ def hybrid_rrf_topk(
     """Hybrid lexical+semantic retrieval via reciprocal-rank fusion —
     the standard RAG retrieval stack: a BM25 ranking (:func:`bm25_topk`
     against the corpus-derived query terms) and an embedding cosine
-    ranking (similarity.brute_force_topk against the ``query_vec_id``
-    vector) are fused by
+    ranking (the same rounded-cosine ``(desc, id)`` order
+    similarity.brute_force_topk produces for the ``query_vec_id``
+    vector, bounded by an ordered LIMIT — a single query through the
+    per-query row_number window would be a one-partition sort) are
+    fused by
 
         rrf(d) = 1/(k + rank_lex(d)) + 1/(k + rank_vec(d))
 
@@ -161,11 +164,12 @@ def hybrid_rrf_topk(
     fusion, so the fuse itself is a broadcast-sized full outer join +
     a triangular rank on ≤ list_n rows (no unpartitioned window — the
     vocab_coverage idiom); all corpus-scale work lives in the two
-    underlying operators, whose plans are unchanged.
+    underlying rankings — the persisted-token BM25 aggregates and ONE
+    codegen'd cosine scan folded into a TakeOrdered.
     """
     from pyspark.storagelevel import StorageLevel
 
-    from csv_query_engine_spark.pipeline.similarity import brute_force_topk
+    from csv_query_engine_spark.pipeline.similarity import _spread, cosine
 
     # ≤ list_n rows but TWO consumers (both triangular legs) — without
     # the persist each leg re-runs the BM25 doclen/stats/qterms
@@ -192,14 +196,36 @@ def hybrid_rrf_topk(
         .groupBy(F.col("a.id").alias("id"))
         .agg(F.count(F.lit(1)).cast("long").alias("lex_rank"))
     )
+    # Vector leg: with ONE query vector, brute_force_topk's
+    # row_number window partitioned by query_id would collapse to a
+    # single-task sort of every corpus cosine row (the unpartitioned-
+    # WindowExec shape CLAUDE.md bans).  Bound the list with an ordered
+    # limit instead — TakeOrdered: per-partition top-list_n, merged on
+    # the driver — then rank the ≤ list_n survivors with the same
+    # triangular broadcast idiom as the lexical leg.  Same (cosine
+    # desc, id) tiebroken order, so same values as brute_force_topk.
     qv = embeddings.filter(F.col(vec_id_col) == query_vec_id).select(
-        F.col(vec_id_col).alias("query_id"), F.col(vec_col)
+        F.col(vec_col).alias("q_vec")
+    )
+    cand = _spread(embeddings).select(
+        F.col(vec_id_col).alias("id"), F.col(vec_col).alias("c_vec")
+    )
+    vec_list = (
+        cand.join(F.broadcast(qv))
+        .filter(F.col("id") != query_vec_id)
+        .select("id", F.round(cosine(F.col("q_vec"), F.col("c_vec")), 4).alias("cosine"))
+        .orderBy(F.col("cosine").desc(), "id")
+        .limit(list_n)
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    vbefore = (F.col("b.cosine") > F.col("a.cosine")) | (
+        (F.col("b.cosine") == F.col("a.cosine")) & (F.col("b.id") <= F.col("a.id"))
     )
     vec = (
-        brute_force_topk(
-            embeddings, qv, k=list_n, id_col=vec_id_col, vec_col=vec_col, rounding=4
-        )
-        .select(F.col("cand_id").alias("id"), F.col("rank").cast("long").alias("vec_rank"))
+        vec_list.alias("a")
+        .join(F.broadcast(vec_list.alias("b")), vbefore)
+        .groupBy(F.col("a.id").alias("id"))
+        .agg(F.count(F.lit(1)).cast("long").alias("vec_rank"))
     )
     recip = lambda r: F.coalesce(  # noqa: E731 — one-expression helper
         F.lit(1.0) / (F.lit(float(rrf_k)) + r.cast("double")), F.lit(0.0)

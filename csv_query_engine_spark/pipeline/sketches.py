@@ -343,8 +343,10 @@ def sql_hll_distinct(
     salt: str = "hll-",
 ) -> str:
     """DuckDB twin of :func:`hll_distinct` (same registers, same exact
-    harmonic sum in HUGEINT, same pre-folded constant, same
-    correction branch), joined with the exact distinct count."""
+    harmonic sum in HUGEINT, same pre-folded constant, same correction
+    branch) — mirrors hll_distinct's 3-column output exactly; callers
+    wanting the exact distinct count alongside join it themselves
+    (_hll_oracle / _hll_merge_oracle do)."""
     m = 1 << p
     mask = (1 << (32 - p)) - 1
     return f"""

@@ -1400,8 +1400,9 @@ def orders_exact_quantiles_selection(spark: SparkSession, sf_dir: str) -> DataFr
     "orders_psi_price_drift",
     """
     WITH src AS (
-        SELECT LEAST(CAST(FLOOR(CAST(o_totalprice AS DOUBLE) / 50000.0) AS INT), 9)
-                   AS bin,
+        SELECT GREATEST(
+                   LEAST(CAST(FLOOR(CAST(o_totalprice AS DOUBLE) / 50000.0) AS INT), 9),
+                   0) AS bin,
                o_orderdate < TIMESTAMP '1998-01-01' AS is_a
         FROM orders
     ),
@@ -1486,22 +1487,19 @@ def orders_equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle re-derives the same quartiles via ROW_NUMBER; boundary
     values are exact data values, so the <= comparisons cannot drift).
 
-    Scale: the quartiles cost the selection descent (bounded
-    histograms + a driver prefix sum per level, all three sharing each
-    level's scan); the binning is ONE more pass with plan-literal
-    boundaries."""
-    import math as _math
-
-    from csv_query_engine_spark.operators.selection import kth_smallest
+    Scale: the quartiles cost ONE selection descent over ONE persisted
+    projection (bounded histograms + a driver prefix sum per level, all
+    three ranks sharing each level's scan — exact_quantile_values, the
+    round-8-late invariant); the binning is ONE more pass with
+    plan-literal boundaries."""
+    from csv_query_engine_spark.operators.selection import exact_quantile_values
 
     o = load_tables(spark, sf_dir, ("orders",))["orders"]
     base = o.select(F.col("o_totalprice").cast("double").alias("v")).filter(
         F.col("v").isNotNull()
     )
-    n = base.count()
-    b1, b2, b3 = (
-        kth_smallest(base, "v", max(1, _math.ceil(q * n))) for q in (0.25, 0.5, 0.75)
-    )
+    quart = exact_quantile_values(base, "v", (0.25, 0.5, 0.75))
+    b1, b2, b3 = (quart[q][1] for q in (0.25, 0.5, 0.75))
     bin_expr = (
         F.when(F.col("v") <= F.lit(b1), 0)
         .when(F.col("v") <= F.lit(b2), 1)

@@ -110,3 +110,23 @@ def test_psi_drift_identical_populations_and_planted_shift(spark):
     )
     rows = psi_drift(nulls, "x", F.col("f"), bin_width=1.0).collect()
     assert sum(r["n_a"] for r in rows) == 1 and sum(r["n_b"] for r in rows) == 2
+
+
+def test_psi_drift_negative_values_clamp_to_bin_zero(spark):
+    """Round-9 ADVICE fix: values below 0 clamp into bin 0 (symmetric
+    with the top-bin cap) — population mass must never silently vanish
+    from the counts OR the smoothed totals."""
+    from pyspark.sql import functions as F
+
+    from csv_query_engine_spark.operators.anomaly import psi_drift
+
+    df = spark.createDataFrame(
+        [(-5.0, True), (-0.1, True), (5.0, True), (95.0, False), (150.0, False)],
+        "x double, f boolean",
+    )
+    rows = psi_drift(df, "x", F.col("f"), bin_width=10.0).collect()
+    assert sum(r["n_a"] for r in rows) == 3  # both negatives retained
+    assert sum(r["n_b"] for r in rows) == 2  # >max clamps to top bin
+    by_bin = {r["bin"]: r for r in rows}
+    assert by_bin[0]["n_a"] == 3  # -5.0, -0.1 clamp into bin 0 beside 5.0
+    assert by_bin[9]["n_b"] == 2  # 95 and 150 land in bin 9

@@ -456,6 +456,10 @@ def test_hybrid_rrf_bounded_lists_read_from_cache(spark):
     assert plan.count("InMemoryTableScan") >= 4, plan
     assert "CartesianProduct" not in plan, plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, plan
+    # Round-9 ADVICE fix: the single-query vector leg must NOT rank via
+    # a per-query row_number window (one query -> one-partition sort);
+    # both legs use ordered LIMIT + triangular broadcast rank.
+    assert "Window" not in plan, plan
     spark.catalog.clearCache()
 
 

@@ -85,3 +85,16 @@ def test_kth_smallest_hypothesis_style_random_sweep(spark):
         for rank in {1, n, max(1, n // 2)}:
             got = kth_smallest(df, "x", rank, n_buckets=4, direct_limit=3)
             assert got == ordered[rank - 1], (trial, rank, vals)
+
+
+def test_exact_quantiles_releases_its_cache(spark):
+    """Driver-bounded operators must not leak persisted blocks (round-9
+    discipline): exact_quantiles persists its projection for the shared
+    descent and unpersists it in ``finally`` before returning."""
+    spark.catalog.clearCache()
+    for rdd in list(spark.sparkContext._jsc.getPersistentRDDs().values()):
+        rdd.unpersist()
+    df = spark.createDataFrame([(float(i),) for i in range(500)], "x double")
+    exact_quantiles(df, "x", n_buckets=8, direct_limit=16).collect()
+    leftover = spark.sparkContext._jsc.getPersistentRDDs().size()
+    assert leftover == 0, f"{leftover} persisted RDDs leaked by exact_quantiles"
