@@ -159,3 +159,145 @@ def exact_quantiles(
     got = exact_quantile_values(df, col, qs, n_buckets, direct_limit)
     out = [(q, r, v) for q, (r, v) in got.items()]
     return spark.createDataFrame(out, "q double, rank bigint, value double")
+
+
+# ---------------------------------------------------------------- grouped
+
+def grouped_exact_quantiles(
+    df: DataFrame,
+    group_cols: list[str],
+    col: str,
+    qs: tuple[float, ...] = (0.25, 0.5, 0.75),
+    n_buckets: int = 32,
+    direct_limit: int = 4096,
+    max_levels: int = 12,
+) -> DataFrame:
+    """EXACT per-group quantiles by fully-DISTRIBUTED range-bucket
+    refinement — the grouped face of :func:`kth_smallest`, with NO
+    driver-side per-group state and NO grow-with-group-row-count
+    buffer (the two shapes that die at 100 TB: exact ``percentile``
+    buffers every group row in one aggregation buffer, and a global
+    per-group ``ROW_NUMBER`` sorts the whole group in one task).
+
+    One row per (group, q): ``(*group_cols, q, rank, value)`` with
+    rank = ceil(q·N_group) (1-based, over non-null non-NaN values)
+    and value = the EXACT rank-th smallest within the group.
+
+    Each level runs ONE shuffle aggregation: the facts join their
+    group's active targets (≤ len(qs) replication), bucket into
+    ``n_buckets`` fixed sub-ranges of the target's current [lo, hi],
+    and aggregate (count, min, max) per (group, q, bucket).  The
+    per-target prefix sum + bucket pick runs as a window over ≤
+    n_buckets rows per (group, q) — bounded partitions, never the
+    whole group.  The chosen bucket's ACTUAL min/max become the next
+    level's [lo, hi] (floor-bucketing is monotone in v, so the
+    [bmin, bmax] interval contains exactly that bucket's rows — the
+    BETWEEN refinement filter is seam-free by construction, same
+    argument as :func:`_select`).  A target finishes when its range
+    collapses to a single value (duplicate-heavy groups converge
+    immediately) or its remainder fits ``direct_limit``, after which
+    the final rank is picked via sort_array(collect_list) over a
+    buffer bounded by direct_limit BY CONSTRUCTION — not by group
+    size.  Candidate count shrinks ~n_buckets× per level, so
+    max_levels=12 covers ≥ 32¹² rows per group.
+
+    Iterative-loop discipline (CLAUDE.md): the prepared fact
+    projection is localCheckpoint'd FIRST; the per-round STATE is
+    localCheckpoint'd every level (lazy — the convergence count is
+    the one materializing action per round), so plan size stays
+    constant across levels.
+
+    Driver state: the loop counter and one ``active.count()`` long
+    per level.  Oracle pairing: correctness is algorithm-independent
+    (the result is the plain per-group ROW_NUMBER rank), so a DuckDB
+    twin can verify the RESULT at oracle scale without mirroring the
+    descent, and no cross-engine float hazard exists — boundary
+    values are exact data values."""
+    from pyspark.sql import Window as W
+
+    g = list(group_cols)
+    vals = (
+        df.select(*g, F.col(col).cast("double").alias("v"))
+        .filter(F.col("v").isNotNull() & ~F.isnan("v"))
+        .localCheckpoint(eager=False)
+    )
+    stats = vals.groupBy(*g).agg(
+        F.count(F.lit(1)).alias("n"), F.min("v").alias("lo"), F.max("v").alias("hi")
+    )
+    qarr = F.array(*[F.lit(float(q)) for q in qs])
+    state = stats.select(*g, F.explode(qarr).alias("q"), "n", "lo", "hi").select(
+        *g,
+        "q",
+        F.greatest(F.lit(1).cast("long"), F.ceil(F.col("q") * F.col("n")).cast("long"))
+        .alias("rank"),
+        "lo",
+        "hi",
+        F.col("n").alias("n_rem"),
+    )
+    state = state.withColumn("r", F.col("rank"))
+    key = g + ["q"]
+    for _level in range(max_levels):
+        state = state.localCheckpoint(eager=False)
+        active = state.filter(
+            (F.col("n_rem") > direct_limit) & (F.col("lo") < F.col("hi"))
+        )
+        if active.count() == 0:  # the one materializing action per round
+            break
+        width = (F.col("hi") - F.col("lo")) / F.lit(float(n_buckets))
+        b = F.least(
+            F.floor((F.col("v") - F.col("lo")) / width).cast("int"),
+            F.lit(n_buckets - 1),
+        )
+        hist = (
+            vals.join(active.select(*key, "r", "lo", "hi"), g)
+            .filter((F.col("v") >= F.col("lo")) & (F.col("v") <= F.col("hi")))
+            .groupBy(*key, "r", b.alias("b"))
+            .agg(
+                F.count(F.lit(1)).alias("c"),
+                F.min("v").alias("bmin"),
+                F.max("v").alias("bmax"),
+            )
+        )
+        w = W.partitionBy(*key).orderBy("b")  # ≤ n_buckets rows/partition
+        picked = (
+            hist.withColumn("cum", F.sum("c").over(w))
+            .filter(F.col("cum") >= F.col("r"))
+            .groupBy(*key)
+            .agg(F.min(F.struct("b", "c", "bmin", "bmax", "cum")).alias("s"))
+            .select(
+                *key,
+                F.col("s.c").alias("new_n"),
+                F.col("s.bmin").alias("new_lo"),
+                F.col("s.bmax").alias("new_hi"),
+                (F.col("s.cum") - F.col("s.c")).alias("cum_before"),
+            )
+        )
+        state = state.join(picked, key, "left").select(
+            *key,
+            "rank",
+            F.when(
+                F.col("new_n").isNotNull(), F.col("r") - F.col("cum_before")
+            )
+            .otherwise(F.col("r"))
+            .alias("r"),
+            F.coalesce("new_lo", "lo").alias("lo"),
+            F.coalesce("new_hi", "hi").alias("hi"),
+            F.coalesce("new_n", "n_rem").alias("n_rem"),
+        )
+    state = state.localCheckpoint(eager=False)  # two consumers below
+    trivial = state.filter(F.col("lo") >= F.col("hi")).select(
+        *key, "rank", F.col("lo").alias("value")
+    )
+    rest = state.filter(F.col("lo") < F.col("hi"))
+    resolved = (
+        vals.join(rest.select(*key, "rank", "r", "lo", "hi"), g)
+        .filter((F.col("v") >= F.col("lo")) & (F.col("v") <= F.col("hi")))
+        .groupBy(*key, "rank", "r")
+        .agg(
+            F.element_at(
+                F.array_sort(F.collect_list("v")), F.col("r").cast("int")
+            ).alias("value")
+        )
+        .select(*key, "rank", "value")
+    )
+    return trivial.unionByName(resolved).orderBy(*g, "q")

@@ -32,12 +32,18 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {}
 # tests/test_queries_oracle.py at sf0.001/sf0.01 (and sf0.1 in the
 # verify sweep) — the window only chooses which 50 the driver re-checks.
 DRIVER_ORDER: list[str] = [
+    # ==================== driver window: first 50 =====================
+    # Round-9 rotation (round-8 verdict #1): the 15 round-8-late
+    # headliners at old positions 137-163 — every one fully
+    # oracle-paired but never driver-certified — take the slots of 15
+    # multi-round-green siblings.  Every outgoing row's capability
+    # family keeps an in-window member (mapping pinned in
+    # tests/test_pipeline_round3.py::test_registry_window_is_oracle_bearing).
     # -- relational core (reference lifecycle + TPC-H classics)
     "flagship_region_nation_revenue",
     "q1_pricing_summary",
     "q3_shipping_priority",
     "dedup_collapse_returnflags",
-    "percentiles_extprice_by_flag",
     "rollup_flag_status",
     "setops_segment_overlap",
     "json_props_extract",
@@ -45,9 +51,7 @@ DRIVER_ORDER: list[str] = [
     "q2_min_cost_supplier",
     "q9_profit_proxy",
     "q11_important_parts",
-    "q12_ship_lag_priority",
     "q13_customer_order_distribution",
-    "q16_supplier_part_variety",
     "q19_disjunctive_revenue",
     "q20_dominant_part_suppliers",
     "q22_dormant_customer_balance",
@@ -55,101 +59,91 @@ DRIVER_ORDER: list[str] = [
     # -- temporal joins
     "asof_join_last_order_before_event",
     # -- streaming batch twins + event analytics
-    # Round-7 rotations IN (round-6 verdict #2): the round-6 surface —
-    # Markov transitions, both anomaly screens (whose oracles ALSO
-    # changed this round: ROUND(4) -> FLOOR quantization, so the new
-    # forms get driver-certified), directed-dangling PageRank, heavy
-    # hitters, Kneser-Ney, k-means — takes the slots of 7 multi-round-
-    # green siblings whose families keep in-window rows (mapping pinned
-    # in tests/test_pipeline_round3.py).
-    # Round-8 rotations IN (round-7 verdict #3): the three late-round-7
-    # additions — oracle-green locally but never driver-certified — take
-    # the slots of multi-round-green siblings whose families keep
-    # in-window rows (mapping pinned in tests/test_pipeline_round3.py):
-    # windowed streaming twin conversion_attribution -> the per-window
-    # Misra-Gries heavy hitters (stream-stream join stays pytest-covered
-    # and its outer half events_view_conversion_flags stays oracle-
-    # checked past-window); SCD2 read scd2_snapshot_asof -> the SCD2
-    # write+read history query; chunking -> its sequence-reshaping
-    # sibling docs_sequence_packing.
     "events_window_heavy_hitters",
     "events_markov_transitions",
-    "events_value_anomalies",
-    "events_robust_anomalies",
-    # -- write-side maintenance (MERGE / SCD2 / refresh; the CDC diff
-    # rotated out late round 8 — r6+r7 certified, family keeps three
-    # in-window rows — for the HLL merge-identity row below)
+    # -- write-side maintenance (MERGE family keeps the row; SCD2 +
+    #    incremental refresh are r7+r8-certified and rotate out)
     "merge_upsert_customer_refresh",
-    "scd2_customer_segment_history",
-    "orders_incremental_agg_refresh",
-    # -- reproducible-internals sketch family: the merge identity
-    # (per-day registers MAX-merged vs the oracle's direct global
-    # build — equality proves lossless register merging) is the
-    # shard/stream rollup path itself, driver-certified:
-    "events_hll_daily_merge",
-    # -- privacy projection (round-7 addition, driver-certified round 8)
-    "customer_pseudonymized_export",
     # -- declarative quality gate + physical layout
     "orders_quality_constraints",
     "orders_zorder_layout_stats",
-    # -- iterative graph family
+    # -- reproducible-internals sketches: the HLL merge identity plus
+    #    the two round-8-late builds (CM point counts, HLL cardinality)
+    "events_hll_daily_merge",
+    "events_cm_user_counts",
+    "events_hll_type_cardinality",
+    # -- iterative + traversal graph family (pagerank keeps the
+    #    iterative row; k-hop BFS replaces r1-r8-green triangles)
     "graph_pagerank_directed_purchases",
-    "graph_triangle_part_cooccurrence",
-    # -- LLM-pipeline: text analysis / dedup / sampling / embeddings / UDF
+    "graph_khop_trade_reach",
+    # -- privacy (erasure audit replaces the r8-certified pseudonymized
+    #    export; the family's md5-recipe plumbing is shared)
+    "privacy_erasure_audit",
+    # -- LLM-pipeline: text analysis / dedup / retrieval / embeddings
     "docs_quality_classifier_scores",
-    "dedup_exact_docs",
-    "docs_group_holdout_split",
-    "embedding_kmeans_clusters",
+    "docs_dsir_selection",
+    "embedding_jl_projection",
     "customer_order_gap_profile",
     "docs_sequence_packing",
-    "docs_bm25_top_docs",
+    "docs_shard_manifest",
     "docs_ngram_novelty",
+    "docs_benchmark_decontamination",
     "dedup_semantic_pairs",
+    "dedup_containment_pairs",
+    "dedup_simhash_pairs",
     "docs_token_typo_pairs",
-    "docs_heavy_hitter_tokens",
-    "docs_kneser_ney_scores",
-    # Round-8 LATE rotations IN (this round's own oracle-paired
-    # headliners, driver-certified the same round they landed; the
-    # five outgoing siblings are multi-round green and their families
-    # keep in-window rows — mapping pinned in test_pipeline_round3):
-    # RRF nests the full BM25 + brute-force-cosine computations (both
-    # twins), span REMOVAL is the write side of the span-fraction
-    # family, containment joins the exact-pair-join family next to
-    # SemDeDup, and the two media rows give the multimodal closed-form
-    # pixel/sample oracles their first driver certification.
+    "docs_pmi_collocations",
+    "embedding_hard_negatives",
     "docs_hybrid_retrieval_rrf",
     "docs_duplicate_span_removal",
-    "dedup_containment_pairs",
+    # -- exact order statistics + distribution screens (selection
+    #    descent + its equi-depth composition + PSI drift replace the
+    #    ordered-set-agg percentiles and the two r7+r8-green anomaly
+    #    screens — same operators/anomaly.py family)
+    "orders_exact_quantiles_selection",
+    "orders_equidepth_histogram",
+    "orders_psi_price_drift",
+    # -- multimodal closed-form-oracle family (video joins its phash /
+    #    audio siblings, all three sharing _banded_hamming_pairs)
     "media_phash_dup_pairs",
     "media_audio_dup_pairs",
+    "media_video_dup_pairs",
     # ==================== driver window ends at 50 ====================
-    # Rotated OUT late round 8 for the five rows above (certified
-    # rounds in parens; family kept in-window): q21 (r6,r7 — EXISTS/
-    # semi via q20 + q22), range join (r3-r7 — temporal via asof),
-    # UDTF sentences (r1-r7 — Python-UDF category via the grouped-map
-    # gap profile), connected-components canonical (r3-r7 — gram-
-    # blocked dedup via SemDeDup + containment; iterative loops via
-    # PageRank + k-means), shard assignment (r4-r7 — sequence
-    # reshaping via packing):
+    # Rotated OUT in round 9 (certified rounds in parens; in-window
+    # family keeper in the mapping test):
+    "percentiles_extprice_by_flag",   # (r1-r8) -> exact_quantiles_selection
+    "events_value_anomalies",         # (r7,r8) -> orders_psi_price_drift
+    "events_robust_anomalies",        # (r7,r8) -> orders_psi_price_drift
+    "orders_incremental_agg_refresh", # (r5-r8) -> merge_upsert
+    "scd2_customer_segment_history",  # (r7,r8) -> merge_upsert
+    "graph_triangle_part_cooccurrence",  # (r5-r8) -> graph_khop_trade_reach
+    "docs_heavy_hitter_tokens",       # (r7,r8) -> events_cm_user_counts
+    "dedup_exact_docs",               # (r1-r8) -> dedup_containment_pairs
+    "q16_supplier_part_variety",      # (r6-r8) -> q13 (distinct-count agg)
+    "q12_ship_lag_priority",          # (r1-r8) -> q19 (conditional agg)
+    "docs_bm25_top_docs",             # (r7,r8) -> hybrid RRF (nests BM25)
+    "customer_pseudonymized_export",  # (r8)    -> privacy_erasure_audit
+    "embedding_kmeans_clusters",      # (r7,r8) -> JL + hard negatives
+    "docs_kneser_ney_scores",         # (r7,r8) -> docs_pmi_collocations
+    "docs_group_holdout_split",       # (r7,r8) -> docs_dsir_selection
+    # Rotated OUT late round 8 (certified rounds in parens; family kept
+    # in-window): q21 (r6,r7 — EXISTS/semi via q20 + q22), range join
+    # (r3-r7 — temporal via asof), UDTF sentences (r1-r7 — Python-UDF
+    # category via the grouped-map gap profile), connected-components
+    # canonical (r3-r7 — gram-blocked dedup via SemDeDup + containment;
+    # iterative loops via PageRank), shard assignment (r4-r7 — its
+    # composition docs_shard_manifest is now in-window):
     "q21_sole_late_shipper",
     "range_join_shipments_within_month",
     "docs_udtf_sentences",
     "dedup_cluster_canonical",
     "docs_shard_assignment",
-    # Rotated OUT in round 8 for the round-7 late additions (each
-    # multi-round driver-certified; family kept in-window — windowed
-    # streaming twins via events_window_heavy_hitters, SCD2 via
-    # scd2_customer_segment_history, sequence reshaping via
-    # docs_sequence_packing):
+    # Rotated OUT in round 8 for the round-7 late additions:
     "events_conversion_attribution",
     "scd2_snapshot_asof",
     "docs_chunk_windows",
-    # Rotated OUT in round 7 (each driver-certified green in r6; family
-    # kept in-window — sink-free PageRank via the directed variant +
-    # triangles, LM scoring via Kneser-Ney, embedding math via k-means,
-    # windowed event aggs via conversion_attribution + markov, ordered
-    # funnels via markov transitions, text stats via quality_filter +
-    # heavy hitters):
+    # Rotated OUT in round 7 (families kept in-window; see the round-9
+    # mapping test for the current keepers):
     "graph_pagerank_trade_network",
     "docs_lang_id",
     "docs_unigram_lm_scores",
@@ -157,23 +151,11 @@ DRIVER_ORDER: list[str] = [
     "embedding_topk_bruteforce",
     "events_hourly_counts",
     "events_funnel_steps",
-    # Rotated OUT late round 7 for the round-7 additions (each r6-
-    # certified; family kept in-window by its incoming sibling —
-    # rule-based gate -> learned classifier gate, row-hash split ->
-    # group-holdout split, vocab profiling -> BM25 term scoring,
-    # AllPairs exact pair join -> SemDeDup exact pair join):
     "docs_quality_filter",
     "docs_split_assignment",
     "docs_vocab_coverage",
     "dedup_allpairs_jaccard",
-    # Rotated OUT in round 6 (certified green in r5 and earlier; their
-    # capability families stay in-window — outer joins via q13, anti/
-    # NOT-EXISTS via q22, correlated scalars via q2, semi/EXISTS via
-    # q20+q21, selective-scan agg via q19, snowflake joins via q9,
-    # agg+global-threshold via q11, conditional agg via q12, top-k via
-    # q3, window frames via range_frame, gram-blocked dedup via
-    # AllPairs, corpus profiling via vocab_coverage, hash sampling via
-    # split_assignment, windowed streaming via conversion_attribution):
+    # Rotated OUT in round 6 (multi-round certified; families stay):
     "q5_local_supplier_volume",
     "join_kinds_outer",
     "anti_join_parts_never_ordered",
@@ -205,9 +187,7 @@ DRIVER_ORDER: list[str] = [
     "window_running_revenue",
     "predicates_in_like_between",
     "events_sliding_counts",
-    # Category siblings of in-window green rows (pii reports honest
-    # zeros on the PII-free synthetic corpus — real hits are pytest-
-    # covered — so the non-vacuous vocab query takes the window slot):
+    # Category siblings of in-window green rows:
     "docs_pii_scrub_stats",
     "docs_fingerprints",
     "events_user_activity_profile",
@@ -232,19 +212,14 @@ DRIVER_ORDER: list[str] = [
     "dedup_ngram_jaccard_pairs",
     "multimodal_decode_features",
     "multimodal_frame_sample",
-    # End-to-end cleaning funnel (round 4; composition of quality filter
-    # + exact dedup + token accounting — oracle-bearing, past-window):
+    # End-to-end cleaning funnel / resampling / profiling (round 4):
     "docs_clean_corpus_funnel",
-    # Per-key time-grid resampling + forward fill (round 4):
     "events_resample_ffill",
-    # Distribution profiling + deterministic statistics (round 4):
     "histogram_order_totals",
     "corr_qty_price_by_flag",
-    # Round-5 additions (both oracle-bearing): the outer half of the
-    # stream-stream attribution contract, and the REAL PPM decode path:
+    # Round-5 additions (oracle-verified locally at sf0.01+sf0.1):
     "events_view_conversion_flags",
     "media_ppm_decode_stats",
-    # Round-5, past-window (oracle-verified locally at sf0.01+sf0.1):
     "docs_feature_hash_vectors",
     "events_cohort_retention",
     "docs_temperature_mix",
@@ -253,63 +228,13 @@ DRIVER_ORDER: list[str] = [
     "docs_weighted_sample",
     "docs_split_leakage_audit",
     "json_props_variant",
-    # (Round-8 RRF / span-removal / containment rows moved INTO the
-    # window above, late round 8.)
-    # Round-8 late: DSIR importance-resampling selection (Xie et al.
-    # 2023) — hashed-n-gram log-ratio weights against a target
-    # exemplar corpus, fully oracle-paired, past-window:
-    "docs_dsir_selection",
-    # Round-8 late: JL random-projection sketch (Achlioptas ±1 signs
-    # from md5; exact integer coordinates) — fully oracle-paired,
-    # past-window:
-    "embedding_jl_projection",
-    # Round-8 late: the two reproducible-internals sketches — Count-Min
-    # point frequencies (collision overcounts oracle-checked!) and a
-    # hand-built p=8 HyperLogLog (the estimate itself oracle-pairs,
-    # bias-correction branch included) — past-window:
-    "events_cm_user_counts",
-    "events_hll_type_cardinality",
-    # Round-8 late: right-to-be-forgotten erasure propagation audit
-    # (broadcast request list, one anti-join pass per table) —
-    # oracle-paired, past-window:
-    "privacy_erasure_audit",
-    # Round-8 late: content-addressed shard manifest (sha256 over
-    # sorted member ids per shard — the publish-side integrity
-    # receipt; composes the shard-assignment twin verbatim):
-    "docs_shard_manifest",
-    # Round-8 late: bounded k-hop BFS reachability (frontier BFS vs a
-    # recursive-UNION CTE twin) — the graph family's blast-radius
-    # member, oracle-paired:
-    "graph_khop_trade_reach",
-    # Round-8 late: exact quantiles by distributed range-bucket
-    # selection (no global window, no grow-with-group buffer; the
-    # oracle checks the algorithm-independent RESULT):
-    "orders_exact_quantiles_selection",
-    # (events_hll_daily_merge moved INTO the window above, late round
-    # 8, swapping out the r6+r7-certified CDC diff.)
+    # CDC diff (r6,r7-certified; MERGE family keeps the window row):
     "customer_snapshot_cdc_diff",
-    # Round-8 late: PMI collocation mining (one FLOOR-quantized ln of
-    # exact-count products; support-pruned; tiebroken top-30) —
-    # oracle-paired, past-window:
-    "docs_pmi_collocations",
-    # Round-8 late: hard-negative mining (top-k most-similar
-    # DIFFERENT-label candidates — the contrastive-training prep) —
-    # oracle-paired, past-window:
-    "embedding_hard_negatives",
-    # Round-8 late: PSI distribution-drift monitor (fixed literal
-    # bins, add-1 smoothing, one FLOOR-quantized ln of an integer
-    # ratio per bin) — oracle-paired, past-window:
-    "orders_psi_price_drift",
-    # Round-8 late: equi-depth histogram bounded by the exact-selection
-    # quartiles (the composition proof for operators/selection.py) —
-    # oracle-paired, past-window:
-    "orders_equidepth_histogram",
-    # Late round 8: docs_benchmark_decontamination (md5-probe Bloom)
-    # and dedup_simhash_pairs (md5-exact signature recompute) gained
-    # FULL DuckDB twins — they are now window-eligible oracle-bearing
-    # rows kept here only for ordering stability:
-    "docs_benchmark_decontamination",
-    "dedup_simhash_pairs",
+    # Round-9: grouped exact quantiles by distributed per-group
+    # selection (one shuffle aggregation per refinement level shared
+    # by every (group, q) target; final pick bounded by direct_limit
+    # by construction) — oracle-paired, past-window:
+    "orders_monthly_exact_quantiles",
     # Rows-only ops (no SQL-expressible oracle; pytest covers recall/
     # precision/planted-neighbor properties):
     "dedup_minhash_lsh_pairs",
@@ -319,29 +244,11 @@ DRIVER_ORDER: list[str] = [
     "embedding_quantized_topk",
     "embedding_pq_topk",
     "sketch_approx_aggregates",
-    # Round-6: mergeable DataSketches HLL rollup (daily sketch state
-    # unioned to per-type totals — the 100 TB pre-aggregation pattern):
     "sketch_user_rollup",
-    # (media_phash_dup_pairs moved INTO the window above, late round
-    # 8, after its round-8 closed-form oracle pairing.)
-    # Round-8: frame-fingerprint-overlap video near-dup pairs over a
-    # real concatenated-PPM walk — fully ORACLE-PAIRED via the
-    # closed-form pixel recipe (frame walk + aHash + exact-hash
-    # blocking verified end-to-end):
-    "media_video_dup_pairs",
-    # (media_audio_dup_pairs moved INTO the window above, late round
-    # 8, after its round-8 closed-form oracle pairing.)
-    # Round-5: distributed BPE tokenizer training + encoding — the
-    # merge loop is iterative argmax state (no SQL oracle); locked to a
-    # pure-Python Sennrich reference in tests/test_bpe.py:
+    # Iterative-argmax tokenizer trainers (locked to pure-Python
+    # references in tests/test_{bpe,unigram,wordpiece}.py):
     "docs_bpe_subword_tokens",
-    # Round-8: unigram-LM (SentencePiece-style) tokenizer — Viterbi-EM
-    # + loss-based prune; distributed path locked to the pure-Python
-    # driver loop in tests/test_unigram.py:
     "docs_unigram_tokenizer_tokens",
-    # Round-8: WordPiece (BERT) tokenizer — likelihood-gain merges +
-    # longest-match ##-encoding; both paths locked to a pure-Python
-    # reference in tests/test_wordpiece.py:
     "docs_wordpiece_tokens",
 ]
 

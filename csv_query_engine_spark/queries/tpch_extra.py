@@ -1515,3 +1515,50 @@ def orders_equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bin")
     )
+
+
+@register(
+    "orders_monthly_exact_quantiles",
+    """
+    WITH s AS (SELECT strftime(o_orderdate, '%Y-%m') AS month,
+                      CAST(o_totalprice AS DOUBLE) AS v
+               FROM orders WHERE o_totalprice IS NOT NULL),
+    n AS (SELECT month, CAST(COUNT(*) AS BIGINT) AS n FROM s GROUP BY month),
+    r AS (SELECT month, CAST(q AS DOUBLE) AS q,
+                 GREATEST(CAST(1 AS BIGINT), CAST(ceil(q * n) AS BIGINT)) AS rnk
+          FROM n CROSS JOIN (VALUES (0.25), (0.5), (0.75)) t(q)),
+    o AS (SELECT month, v,
+                 ROW_NUMBER() OVER (PARTITION BY month ORDER BY v) AS rn
+          FROM s)
+    SELECT r.month AS month, r.q AS q, r.rnk AS rank, o.v AS value
+    FROM r JOIN o ON o.month = r.month AND o.rn = r.rnk
+    ORDER BY month, q
+    """,
+)
+def orders_monthly_exact_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT per-month order-value quartiles by DISTRIBUTED grouped
+    selection (operators/selection.py::grouped_exact_quantiles) — the
+    high-cardinality-group exact quantile that
+    percentiles_extprice_by_flag's docstring hand-waved to approx:
+    no per-group row buffer (exact percentile's failure), no whole-
+    group single-task sort (the ROW_NUMBER failure the oracle is
+    allowed at oracle scale).  Each refinement level is ONE shuffle
+    aggregation shared by every (month, quartile) target; the final
+    pick's collect_list buffer is bounded by direct_limit=64 BY
+    CONSTRUCTION, not by month row count — at sf0.1 each month holds
+    ~1900 orders, so the descent genuinely refines (one bucket level)
+    before the bounded direct pick on both driver tiers.
+
+    Oracle verifies the RESULT per group (rank-th smallest is
+    algorithm-independent); ceil(q·N) is IEEE-exact for quarter
+    quantiles on both engines."""
+    from csv_query_engine_spark.operators.selection import grouped_exact_quantiles
+
+    o = load_tables(spark, sf_dir, ("orders",))["orders"]
+    base = o.filter(F.col("o_totalprice").isNotNull()).select(
+        F.date_format("o_orderdate", "yyyy-MM").alias("month"),
+        F.col("o_totalprice").alias("tp"),
+    )
+    return grouped_exact_quantiles(
+        base, ["month"], "tp", (0.25, 0.5, 0.75), n_buckets=32, direct_limit=64
+    )

@@ -112,7 +112,7 @@ def test_pii_scan_patterns_and_redaction(spark):
 
 def test_registry_window_is_oracle_bearing(spark):
     """The driver checks exactly the first 50 queries() entries — they
-    must ALL carry oracles, cover the round-7 rotations, and the full
+    must ALL carry oracles, cover the round-9 rotations, and the full
     DRIVER_ORDER must stay in one-to-one sync with the registry."""
     from csv_query_engine_spark.queries import DRIVER_ORDER, all_oracles, all_queries
 
@@ -123,37 +123,37 @@ def test_registry_window_is_oracle_bearing(spark):
     window = names[:50]
     missing = [n for n in window if n not in oracles]
     assert not missing, f"non-oracle queries inside the driver window: {missing}"
-    # Round-7 rotations IN (round-6 verdict #2): the round-6 surface,
-    # driver-certified for the first time this round — plus BOTH anomaly
-    # screens, whose oracles changed (ROUND -> FLOOR) in round 7.
+    # Round-9 rotations IN (round-8 verdict #1): the 15 round-8-late
+    # headliners, each fully oracle-paired, driver-certified for the
+    # first time this round.
     for new in (
+        "orders_exact_quantiles_selection",
+        "orders_equidepth_histogram",
+        "orders_psi_price_drift",
+        "graph_khop_trade_reach",
+        "events_cm_user_counts",
+        "events_hll_type_cardinality",
+        "privacy_erasure_audit",
+        "docs_shard_manifest",
+        "docs_dsir_selection",
+        "embedding_jl_projection",
+        "docs_pmi_collocations",
+        "embedding_hard_negatives",
+        "docs_benchmark_decontamination",
+        "dedup_simhash_pairs",
+        "media_video_dup_pairs",
+        # round-8-certified rows that stay for a second round
+        "events_window_heavy_hitters",
         "events_markov_transitions",
-        "events_value_anomalies",
-        "events_robust_anomalies",
         "graph_pagerank_directed_purchases",
-        "embedding_kmeans_clusters",
-        "docs_heavy_hitter_tokens",
-        "docs_kneser_ney_scores",
-        # late-round-7 additions, swapped in for r6-certified siblings
         "dedup_semantic_pairs",
         "docs_quality_classifier_scores",
-        "docs_bm25_top_docs",
-        "docs_group_holdout_split",
-        # round-8 rotations IN (round-7 verdict #3): the late-round-7
-        # surface, driver-certified for the first time this round
-        "events_window_heavy_hitters",
-        "customer_pseudonymized_export",
         "docs_ngram_novelty",
-        # late-round-8 additions, driver-certified the round they
-        # landed (all five fully oracle-paired, incl. the closed-form
-        # pixel/sample media twins)
         "docs_hybrid_retrieval_rrf",
         "docs_duplicate_span_removal",
         "dedup_containment_pairs",
         "media_phash_dup_pairs",
         "media_audio_dup_pairs",
-        # the HLL merge identity (per-day registers MAX-merged vs the
-        # oracle's direct global build) — driver-certified in-window
         "events_hll_daily_merge",
     ):
         assert new in window, new
@@ -162,7 +162,6 @@ def test_registry_window_is_oracle_bearing(spark):
         "flagship_region_nation_revenue",
         "q1_pricing_summary",
         "dedup_collapse_returnflags",
-        "percentiles_extprice_by_flag",
         "rollup_flag_status",
         "setops_segment_overlap",
         "json_props_extract",
@@ -170,66 +169,78 @@ def test_registry_window_is_oracle_bearing(spark):
         "asof_join_last_order_before_event",
         "docs_sequence_packing",
         "merge_upsert_customer_refresh",
-        "scd2_customer_segment_history",
         "orders_quality_constraints",
         "orders_zorder_layout_stats",
-        "graph_triangle_part_cooccurrence",
         "docs_token_typo_pairs",
+        "customer_order_gap_profile",
     ):
         assert kept in window, kept
     # Every rotated-out sibling's capability family keeps an in-window
-    # row (round-6 + round-7 mappings; see the DRIVER_ORDER notes).
+    # row (cumulative round-6..9 mappings; see the DRIVER_ORDER notes).
     for out, kept in [
-        # round-7 rotations out
+        # round-9 rotations out (the 15 slots for the round-8-late set)
+        ("percentiles_extprice_by_flag", "orders_exact_quantiles_selection"),
+        ("events_value_anomalies", "orders_psi_price_drift"),
+        ("events_robust_anomalies", "orders_psi_price_drift"),
+        ("orders_incremental_agg_refresh", "merge_upsert_customer_refresh"),
+        ("scd2_customer_segment_history", "merge_upsert_customer_refresh"),
+        ("graph_triangle_part_cooccurrence", "graph_khop_trade_reach"),
+        ("docs_heavy_hitter_tokens", "events_cm_user_counts"),
+        ("dedup_exact_docs", "dedup_containment_pairs"),
+        ("q16_supplier_part_variety", "q13_customer_order_distribution"),
+        ("q12_ship_lag_priority", "q19_disjunctive_revenue"),
+        ("docs_bm25_top_docs", "docs_hybrid_retrieval_rrf"),  # RRF nests BM25
+        ("customer_pseudonymized_export", "privacy_erasure_audit"),
+        ("embedding_kmeans_clusters", "embedding_jl_projection"),
+        ("docs_kneser_ney_scores", "docs_pmi_collocations"),
+        ("docs_group_holdout_split", "docs_dsir_selection"),
+        # round-7 rotations out (keepers updated where the round-9
+        # rotation moved the family row)
         ("graph_pagerank_trade_network", "graph_pagerank_directed_purchases"),
-        ("docs_lang_id", "docs_quality_classifier_scores"),  # text classification
-        ("docs_unigram_lm_scores", "docs_kneser_ney_scores"),  # LM scoring
-        ("docs_bigram_lm_scores", "docs_kneser_ney_scores"),
-        ("embedding_topk_bruteforce", "embedding_kmeans_clusters"),
+        ("docs_lang_id", "docs_quality_classifier_scores"),
+        ("docs_unigram_lm_scores", "docs_pmi_collocations"),
+        ("docs_bigram_lm_scores", "docs_pmi_collocations"),
+        ("embedding_topk_bruteforce", "embedding_hard_negatives"),
         ("events_hourly_counts", "events_window_heavy_hitters"),
-        ("events_funnel_steps", "events_markov_transitions"),  # sequences
-        # round-8 sibling swaps (outgoing member multi-round certified;
-        # conversion attribution's stream-stream join contract stays
-        # pytest-covered and its outer half events_view_conversion_flags
-        # stays oracle-checked past-window)
+        ("events_funnel_steps", "events_markov_transitions"),
+        # round-8 sibling swaps
         ("events_conversion_attribution", "events_window_heavy_hitters"),
-        ("scd2_snapshot_asof", "scd2_customer_segment_history"),
+        ("scd2_snapshot_asof", "merge_upsert_customer_refresh"),
         ("docs_chunk_windows", "docs_sequence_packing"),
-        # late round-7 sibling swaps (outgoing member r6-certified)
+        # late round-7 sibling swaps
         ("docs_quality_filter", "docs_quality_classifier_scores"),
-        ("docs_split_assignment", "docs_group_holdout_split"),
-        ("docs_vocab_coverage", "docs_bm25_top_docs"),
-        ("dedup_allpairs_jaccard", "dedup_semantic_pairs"),
+        ("docs_split_assignment", "docs_dsir_selection"),
+        ("docs_vocab_coverage", "docs_hybrid_retrieval_rrf"),
+        ("dedup_allpairs_jaccard", "dedup_containment_pairs"),
         # round-6 rotations out (families unchanged)
-        ("join_kinds_outer", "q13_customer_order_distribution"),  # outer join
+        ("join_kinds_outer", "q13_customer_order_distribution"),
         ("anti_join_parts_never_ordered", "q22_dormant_customer_balance"),
         ("correlated_scalar_subquery", "q2_min_cost_supplier"),
-        ("q4_priority_late_ship", "q20_dominant_part_suppliers"),  # EXISTS shapes
-        ("q6_forecast_revenue", "q19_disjunctive_revenue"),  # selective scan agg
-        ("q7_nation_trade_volume", "q9_profit_proxy"),  # snowflake join
+        ("q4_priority_late_ship", "q20_dominant_part_suppliers"),
+        ("q6_forecast_revenue", "q19_disjunctive_revenue"),
+        ("q7_nation_trade_volume", "q9_profit_proxy"),
         ("q8_market_share", "q9_profit_proxy"),
-        ("q15_top_supplier", "q11_important_parts"),  # agg + global threshold
-        ("q17_small_quantity_revenue", "q2_min_cost_supplier"),  # correlated agg
-        ("q18_volume_customers", "q3_shipping_priority"),  # top-k join agg
+        ("q15_top_supplier", "q11_important_parts"),
+        ("q17_small_quantity_revenue", "q2_min_cost_supplier"),
+        ("q18_volume_customers", "q3_shipping_priority"),
         ("q10_returned_item_report", "q3_shipping_priority"),
-        ("q14_promo_revenue_share", "q12_ship_lag_priority"),  # conditional agg
+        ("q14_promo_revenue_share", "q19_disjunctive_revenue"),
         ("q5_local_supplier_volume", "flagship_region_nation_revenue"),
         ("window_lag_order_gaps", "window_range_frame_moving_sum"),
         ("events_sessionization", "events_markov_transitions"),
         ("docs_repetition_stats", "docs_quality_classifier_scores"),
         ("docs_char_entropy", "docs_quality_classifier_scores"),
-        ("docs_tfidf_top_terms", "docs_kneser_ney_scores"),  # term scoring
+        ("docs_tfidf_top_terms", "docs_pmi_collocations"),
         ("dedup_incremental_admission", "dedup_semantic_pairs"),
-        ("docs_dataset_card", "docs_bm25_top_docs"),
-        ("embedding_centroids_by_label", "embedding_kmeans_clusters"),
-        ("docs_token_budget_mix", "docs_group_holdout_split"),  # hash splits
-        # late round-8 rotations out (multi-round certified; see
-        # DRIVER_ORDER notes for the per-family reasoning)
+        ("docs_dataset_card", "docs_hybrid_retrieval_rrf"),
+        ("embedding_centroids_by_label", "embedding_jl_projection"),
+        ("docs_token_budget_mix", "docs_dsir_selection"),
+        # late round-8 rotations out
         ("q21_sole_late_shipper", "q20_dominant_part_suppliers"),
         ("range_join_shipments_within_month", "asof_join_last_order_before_event"),
         ("docs_udtf_sentences", "customer_order_gap_profile"),
         ("dedup_cluster_canonical", "dedup_semantic_pairs"),
-        ("docs_shard_assignment", "docs_sequence_packing"),
+        ("docs_shard_assignment", "docs_shard_manifest"),
         ("customer_snapshot_cdc_diff", "merge_upsert_customer_refresh"),
     ]:
         assert out not in window and kept in window, (out, kept)

@@ -98,3 +98,87 @@ def test_exact_quantiles_releases_its_cache(spark):
     exact_quantiles(df, "x", n_buckets=8, direct_limit=16).collect()
     leftover = spark.sparkContext._jsc.getPersistentRDDs().size()
     assert leftover == 0, f"{leftover} persisted RDDs leaked by exact_quantiles"
+
+
+def test_grouped_exact_quantiles_forced_refinement(spark):
+    """Per-group descent matches the per-group sorted reference under
+    forced multi-level refinement (tiny direct_limit, few buckets),
+    across groups of very different sizes and value ranges."""
+    import math
+    import random
+
+    from csv_query_engine_spark.operators.selection import grouped_exact_quantiles
+
+    rng = random.Random(11)
+    rows = []
+    for gi, size in enumerate((1, 7, 300, 1200)):
+        lo, hi = (-50.0 * gi, 100.0 * (gi + 1))
+        rows += [(f"g{gi}", rng.uniform(lo, hi)) for _ in range(size)]
+    df = spark.createDataFrame(rows, "grp string, x double")
+    out = grouped_exact_quantiles(
+        df, ["grp"], "x", (0.25, 0.5, 0.75), n_buckets=4, direct_limit=8
+    ).collect()
+    assert len(out) == 12  # 4 groups x 3 quantiles
+    ref: dict[str, list[float]] = {}
+    for gname, v in rows:
+        ref.setdefault(gname, []).append(v)
+    for r in out:
+        vals = sorted(ref[r["grp"]])
+        rank = max(1, math.ceil(r["q"] * len(vals)))
+        assert r["rank"] == rank, r
+        assert r["value"] == vals[rank - 1], (r, vals[rank - 1])
+
+
+def test_grouped_exact_quantiles_duplicates_nulls_nan(spark):
+    """Duplicate-heavy groups resolve through the range-collapse path
+    (lo==hi -> value, NO collect of the group's rows); nulls and NaN
+    are excluded from ranks."""
+    from csv_query_engine_spark.operators.selection import grouped_exact_quantiles
+
+    rows = (
+        [("dup", 5.0)] * 3000
+        + [("dup", 9.0)] * 1000
+        + [("mix", float(i)) for i in range(1, 11)]
+        + [("mix", None), ("mix", float("nan"))]
+    )
+    df = spark.createDataFrame(rows, "grp string, x double")
+    out = {
+        (r["grp"], r["q"]): (r["rank"], r["value"])
+        for r in grouped_exact_quantiles(
+            df, ["grp"], "x", (0.25, 0.5, 0.75), n_buckets=4, direct_limit=8
+        ).collect()
+    }
+    # dup: N=4000 -> ranks 1000/2000/3000, all 5.0
+    assert out[("dup", 0.25)] == (1000, 5.0)
+    assert out[("dup", 0.5)] == (2000, 5.0)
+    assert out[("dup", 0.75)] == (3000, 5.0)
+    # mix: N=10 non-null non-NaN -> 3.0 / 5.0 / 8.0... ranks 3,5,8
+    assert out[("mix", 0.25)] == (3, 3.0)
+    assert out[("mix", 0.5)] == (5, 5.0)
+    assert out[("mix", 0.75)] == (8, 8.0)
+
+
+def test_grouped_exact_quantiles_plan_has_no_group_sized_buffer(spark):
+    """Plan pin for the registered consumer: no exact percentile()
+    aggregate (per-group row buffer) anywhere; the only windows are
+    the per-(group,q) prefix sums over <= n_buckets rows (partitioned
+    by real keys, never empty partitionBy); no cartesian product."""
+    import contextlib
+    import io
+
+    from csv_query_engine_spark.queries import all_queries
+    from tests.conftest import SF_SMOKE
+
+    df = all_queries()["orders_monthly_exact_quantiles"](spark, SF_SMOKE)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    plan = buf.getvalue()
+    assert "percentile" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    import re
+
+    for spec in re.findall(r"windowspecdefinition\(([^)]*)\)", plan):
+        # every window partitions by real keys: the spec lists the
+        # partition columns before the ORDER BY clause
+        assert spec.strip().startswith("month"), spec
