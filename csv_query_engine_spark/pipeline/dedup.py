@@ -75,7 +75,17 @@ def shingled(df: DataFrame, id_col: str, text_col: str, k: int = 5) -> DataFrame
 def token_ngrams(tok_col: Column, n: int = 3) -> Column:
     """Distinct word n-grams (array<string>) from a *materialized* token
     array column (same inlining hazard as :func:`char_shingles`: passing
-    the tokenizer expression would re-run it per n-gram position)."""
+    the tokenizer expression would re-run it per n-gram position).
+
+    KEPT DELIBERATELY (round-9 measured A/B, BASELINE.md): porting the
+    allpairs/containment/minhash gram builds to the text._ngram_rows
+    explode-index form measured SLOWER at sf0.1 AND at the 10x probe
+    (e.g. containment 24 -> 33 s at 10x) — those consumers need the
+    per-doc SET, so the rows form pays an extra full shuffle
+    (distinct/collect_set) that outweighs the interpreted lambda on a
+    materialized input.  Explode-index wins only when downstream
+    consumes exploded rows (incremental_dedup, near_dup_clusters,
+    text.py — which already use it)."""
     cnt = F.greatest(F.size(tok_col) - F.lit(n - 1), F.lit(1))
     return F.array_distinct(
         F.transform(
