@@ -235,6 +235,10 @@ DRIVER_ORDER: list[str] = [
     # by every (group, q) target; final pick bounded by direct_limit
     # by construction) — oracle-paired, past-window:
     "orders_monthly_exact_quantiles",
+    # Round-9: entity resolution over planted dirty records (weighted
+    # multi-field Fellegi-Sunter score, provably complete two-block
+    # candidates) — oracle-paired, past-window:
+    "customer_entity_resolution_pairs",
     # Rows-only ops (no SQL-expressible oracle; pytest covers recall/
     # precision/planted-neighbor properties):
     "dedup_minhash_lsh_pairs",

@@ -3267,3 +3267,105 @@ def embedding_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("query_id"), F.col("embedding"), F.col("label")
     )
     return sim.hard_negative_topk(e, q).orderBy("query_id", "rank")
+
+
+_SQL_ENTITY_RECORDS = """
+    cust AS (SELECT CAST(c_custkey AS BIGINT) AS ck, lower(c_name) AS name,
+                    CAST(c_nationkey AS INT) AS city, c_mktsegment AS seg,
+                    CAST(FLOOR(CAST(c_acctbal AS DOUBLE) * 100.0 + 0.5) AS BIGINT) AS bal
+             FROM customer),
+    recs AS (
+        SELECT ck * 10 AS rec_id, name,
+               CAST(city AS VARCHAR) || '-' || CAST((ck * 7919) % 10000000 AS VARCHAR) AS phone,
+               city, seg, bal
+        FROM cust
+        UNION ALL
+        SELECT ck * 10 + 1,
+               substr(name, 1, p - 1) || substr(name, p + 1),
+               CAST(city AS VARCHAR) || '-' || CAST((ck * 7919) % 10000000 AS VARCHAR),
+               city, seg, bal
+        FROM (SELECT *, CAST((ck % (length(name) - 1)) + 2 AS INT) AS p FROM cust)
+        WHERE ck % 3 = 0
+        UNION ALL
+        SELECT ck * 10 + 2, name,
+               CAST(city AS VARCHAR) || '-' || CAST((ck * 104729) % 10000000 AS VARCHAR),
+               city, seg, bal
+        FROM cust WHERE ck % 5 = 0
+        UNION ALL
+        SELECT ck * 10 + 3,
+               substr(name, 1, p2 - 1) || substr(name, p2 + 1),
+               CAST(city AS VARCHAR) || '-' || CAST((ck * 15485863) % 10000000 AS VARCHAR),
+               city, seg, bal
+        FROM (SELECT *, CAST(((ck * 13) % (length(name) - 1)) + 2 AS INT) AS p2 FROM cust)
+        WHERE ck % 7 = 0
+    )"""
+
+
+@register(
+    "customer_entity_resolution_pairs",
+    f"""
+    WITH {_SQL_ENTITY_RECORDS},
+    v0 AS (SELECT rec_id, name AS variant FROM recs),
+    v1 AS (SELECT rec_id, substr(variant, 1, i - 1) || substr(variant, i + 1) AS variant
+           FROM (SELECT rec_id, variant,
+                        unnest(generate_series(1, length(variant))) AS i FROM v0)),
+    v2 AS (SELECT rec_id, substr(variant, 1, i - 1) || substr(variant, i + 1) AS variant
+           FROM (SELECT rec_id, variant,
+                        unnest(generate_series(1, length(variant))) AS i FROM v1)),
+    vars AS (SELECT DISTINCT rec_id, variant FROM
+             (SELECT * FROM v0 UNION ALL SELECT * FROM v1 UNION ALL SELECT * FROM v2)),
+    cand AS (
+        SELECT a.rec_id AS id_a, b.rec_id AS id_b
+        FROM vars a JOIN vars b ON a.variant = b.variant AND a.rec_id < b.rec_id
+        UNION
+        SELECT a.rec_id, b.rec_id
+        FROM recs a JOIN recs b ON a.phone = b.phone AND a.rec_id < b.rec_id
+    ),
+    scored AS (
+        SELECT c.id_a, c.id_b,
+               CAST(levenshtein(a.name, b.name) AS INT) AS name_dist,
+               CAST(a.phone = b.phone AS INT) AS phone_eq,
+               CAST(a.city = b.city AS INT) AS city_eq,
+               CAST(a.seg = b.seg AS INT) AS segment_eq,
+               CAST(a.bal = b.bal AS INT) AS bal_cents_eq,
+               CAST(FLOOR(CAST(500000 AS DOUBLE)
+                          * (CAST(1 AS DOUBLE)
+                             - CAST(levenshtein(a.name, b.name) AS DOUBLE)
+                               / CAST(greatest(length(a.name), length(b.name)) AS DOUBLE))
+                          + 0.5) AS BIGINT)
+               + 200000 * CAST(a.phone = b.phone AS BIGINT)
+               + 100000 * CAST(a.city = b.city AS BIGINT)
+               + 50000 * CAST(a.seg = b.seg AS BIGINT)
+               + 150000 * CAST(a.bal = b.bal AS BIGINT) AS u
+        FROM cand c JOIN recs a ON c.id_a = a.rec_id JOIN recs b ON c.id_b = b.rec_id
+    )
+    SELECT id_a, id_b, name_dist, phone_eq, city_eq, segment_eq, bal_cents_eq,
+           CAST(u AS DOUBLE) / 1e6 AS score
+    FROM scored WHERE u >= 750000
+    ORDER BY id_a, id_b
+    """,
+)
+def customer_entity_resolution_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity resolution over a planted dirty-record table
+    (pipeline/entity.py): deterministic SQL-expressible corruptions of
+    ``customer`` (typo names via positional char deletion, rewritten
+    phones) produce 1-4 records per true entity; the weighted
+    multi-field Fellegi-Sunter score (name 0.5, phone 0.2, city 0.1,
+    segment 0.05, balance 0.15; threshold 0.75) over the PROVABLY
+    complete two-block candidate set (name deletion-neighborhood d=2 ∪
+    phone equality — the operator asserts the completeness bound) emits
+    the matched pairs.  Harness names differing only in trailing digits
+    are adversarial distance-1 negatives; score rejects them.
+
+    Oracle: regenerates the identical records and mirrors blocking +
+    integer-unit scoring (one FLOOR-quantized ratio — no float
+    hazard).  Scale: equi-join blocks only, candidate volume linear in
+    records × O(L²) variants; nothing quadratic."""
+    from csv_query_engine_spark.pipeline.entity import (
+        entity_match_pairs,
+        synthetic_entity_records,
+    )
+
+    cust = load_tables(spark, sf_dir, ("customer",))["customer"]
+    recs = synthetic_entity_records(cust)
+    return entity_match_pairs(recs, max_name_len=20).orderBy("id_a", "id_b")
