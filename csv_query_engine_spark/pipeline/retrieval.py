@@ -51,26 +51,58 @@ def bm25_topk(
     tokens (df desc, token asc tiebreak — a deterministic, SQL-derivable
     stand-in for a user query; a real deployment broadcasts its query
     terms instead, with the identical plan)."""
-    from pyspark.storagelevel import StorageLevel
+    return bm25_topk_from_postings(
+        doc_term_frequencies(df, id_col=id_col, text_col=text_col),
+        n_terms=n_terms,
+        top_n=top_n,
+        id_col=id_col,
+        k1=k1,
+        b=b,
+    )
 
-    # The tf shuffle keys on the token STRING, deliberately diverging
-    # from the hashed-gram idiom (CLAUDE.md): these are single
-    # whitespace tokens (~6 bytes — no narrower than the 8-byte hash,
-    # unlike multi-word grams), and the derived query set needs the
-    # string anyway for the (df desc, token) tiebreak the DuckDB twin
-    # must reproduce (xxhash64 has no DuckDB counterpart to order by).
+
+def doc_term_frequencies(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(id, token, tf) — the inverted-index POSTINGS of a document
+    set: ONE token explode, one (doc, token) aggregate.  This is the
+    incremental unit of the retrieval index: postings of disjoint doc
+    sets merge by plain UNION (each doc's rows are final on arrival),
+    which is what the streaming index build rides
+    (streaming/events.py::bm25_index_stream).
+
+    The tf shuffle keys on the token STRING, deliberately diverging
+    from the hashed-gram idiom (CLAUDE.md): these are single
+    whitespace tokens (~6 bytes — no narrower than the 8-byte hash,
+    unlike multi-word grams), and the derived query set needs the
+    string anyway for the (df desc, token) tiebreak the DuckDB twin
+    must reproduce (xxhash64 has no DuckDB counterpart to order by)."""
     tok = (
         _spread(df.select(F.col(id_col).alias("id"), tokens(F.col(text_col)).alias("_t")))
         .select("id", F.explode("_t").alias("token"))
         .filter(F.col("token") != "")
-        .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    tf = (
-        tok.groupBy("id", "token")
-        .agg(F.count(F.lit(1)).cast("long").alias("tf"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
-    )
-    doclen = tok.groupBy("id").agg(F.count(F.lit(1)).cast("long").alias("dl"))
+    return tok.groupBy("id", "token").agg(F.count(F.lit(1)).cast("long").alias("tf"))
+
+
+def bm25_topk_from_postings(
+    postings: DataFrame,
+    n_terms: int = 8,
+    top_n: int = 20,
+    id_col: str = "doc_id",
+    k1: float = K1,
+    b: float = B,
+) -> DataFrame:
+    """BM25 top-k from an (id, token, tf) postings table — the scoring
+    core shared by the batch operator (:func:`bm25_topk`) and the
+    streaming-built index (streaming read_bm25_postings), so
+    stream-built == batch-built holds by construction of shared code.
+    Doc lengths, document frequencies, and corpus stats all derive
+    from the ONE persisted postings table (3 consumers)."""
+    from pyspark.storagelevel import StorageLevel
+
+    tf = postings.select("id", "token", "tf").persist(StorageLevel.MEMORY_AND_DISK)
+    doclen = tf.groupBy("id").agg(F.sum("tf").cast("long").alias("dl"))
     dfreq = tf.groupBy("token").agg(F.count(F.lit(1)).cast("long").alias("df"))
     qterms = dfreq.orderBy(F.col("df").desc(), "token").limit(n_terms)
     stats = doclen.agg(

@@ -798,3 +798,74 @@ def read_hll_registers(spark: SparkSession, regs_path: str, group_col: str) -> D
         f"{group_col} STRING, b BIGINT, mb INT, batch_id BIGINT"
     ).parquet(regs_path)
     return regs.groupBy(group_col, "b").agg(F.max("mb").alias("mb"))
+
+
+# ------------------------------------------- streaming retrieval index
+
+def route_bm25_batch(
+    batch_df, batch_id: int, postings_path: str, id_col: str = "doc_id", text_col: str = "text"
+):
+    """One micro-batch of the streaming inverted-index build: the
+    batch's OWN (id, token, tf) postings (pipeline/retrieval.py::
+    doc_term_frequencies) written keyed by ``batch_id`` with dynamic
+    partition overwrite.  Documents are atomic per batch (each arrives
+    whole), so a doc's postings are FINAL the moment its batch lands —
+    the merged index is the plain union of batch partitions, no
+    cross-batch combine needed — and a replayed batch (foreachBatch's
+    at-least-once failure mode) rewrites its own partition
+    byte-identically instead of double-counting (the round-7/8 replay
+    idiom; the CM/HLL sketch-build contract applied to retrieval
+    stats).  df/doclen/avgdl are NOT stored: they derive from the
+    merged postings at read time, so they can never drift from the
+    postings that produced them."""
+    from csv_query_engine_spark.pipeline.retrieval import doc_term_frequencies
+
+    tf = doc_term_frequencies(batch_df, id_col=id_col, text_col=text_col)
+    (
+        tf.withColumn("id", F.col("id").cast("long"))
+        .withColumn("batch_id", F.lit(int(batch_id)))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("batch_id")
+        .parquet(postings_path)
+    )
+
+
+def bm25_index_stream(
+    stream: DataFrame,
+    postings_path: str,
+    checkpoint: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+):
+    """Streaming BM25 index maintenance: every document micro-batch
+    folds into its own postings partition (:func:`route_bm25_batch`);
+    scoring reads the merged index (:func:`read_bm25_postings` →
+    retrieval.bm25_topk_from_postings — the SAME scoring core the
+    batch operator uses, so stream-built == batch-built by
+    construction).  Checkpoint state is source offsets only — the
+    index lives in the partitioned store, mergeable and compactable
+    (concatenating batch partitions is the merge)."""
+
+    def route(batch_df, batch_id):
+        route_bm25_batch(batch_df, batch_id, postings_path, id_col, text_col)
+
+    return (
+        stream.writeStream.foreachBatch(route)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def read_bm25_postings(spark: SparkSession, postings_path: str) -> DataFrame:
+    """Merge every batch's postings into the current index with
+    RETRIEVAL FRESHNESS: if a document was re-sent in a later batch
+    (an update), only its LATEST batch's postings count — per-id
+    max-batch_id filter, one bounded join.  Explicit schema (the
+    zero-batch-directory lesson)."""
+    p = spark.read.schema("id BIGINT, token STRING, tf BIGINT, batch_id BIGINT").parquet(
+        postings_path
+    )
+    latest = p.groupBy("id").agg(F.max("batch_id").alias("batch_id"))
+    return p.join(latest, ["id", "batch_id"]).select("id", "token", "tf")

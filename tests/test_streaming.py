@@ -923,3 +923,90 @@ def test_hll_stream_int_group_column_roundtrips(spark, tmp_path):
     route_hll_batch(df, 0, "k", "gid", str(tmp_path / "regs"))
     out = read_hll_registers(spark, str(tmp_path / "regs"), "gid").collect()
     assert sorted({r["gid"] for r in out}) == ["7", "9"]
+
+
+def test_bm25_index_stream_matches_batch_replay_noop_and_freshness(spark, tmp_path):
+    """Streaming inverted-index maintenance (round 9): the union of
+    per-batch postings scored through the SHARED core equals the
+    one-shot batch bm25_topk over the same docs; a checkpointed
+    restart folds only the new file; replaying a batch under its
+    recorded batch_id rewrites its partition byte-identically; and a
+    doc UPDATE in a later batch supersedes its old postings
+    (retrieval freshness)."""
+    from pyspark.sql import types as T
+
+    from csv_query_engine_spark.pipeline.retrieval import (
+        bm25_topk,
+        bm25_topk_from_postings,
+    )
+    from csv_query_engine_spark.streaming import (
+        bm25_index_stream,
+        read_bm25_postings,
+        route_bm25_batch,
+    )
+
+    schema = T.StructType(
+        [T.StructField("doc_id", T.LongType()), T.StructField("text", T.StringType())]
+    )
+    docs_a = [(i, f"alpha beta common{i % 3} gamma gamma") for i in range(20)]
+    docs_b = [(100 + i, f"beta delta common{i % 3} epsilon") for i in range(15)]
+    staged = str(tmp_path / "staged")
+    spark.createDataFrame(docs_a, schema).coalesce(1).write.mode("overwrite").parquet(staged)
+    postings_p, ckpt = str(tmp_path / "postings"), str(tmp_path / "ck")
+
+    def run_once():
+        stream = spark.readStream.schema(schema).parquet(staged)
+        q = bm25_index_stream(stream, postings_p, ckpt)
+        q.awaitTermination(120)
+
+    run_once()
+    spark.createDataFrame(docs_b, schema).coalesce(1).write.mode("append").parquet(staged)
+    run_once()  # restart: only the new file folds in
+
+    def ranking(df):
+        return [
+            (r["doc_id"], r["n_matched_terms"], r["bm25_score"])
+            for r in df.orderBy(F.col("bm25_score").desc(), "doc_id").collect()
+        ]
+
+    merged = read_bm25_postings(spark, postings_p)
+    streamed = ranking(
+        bm25_topk_from_postings(merged, n_terms=4, top_n=10).withColumnRenamed(
+            "id", "doc_id"
+        )
+    )
+    batch = ranking(
+        bm25_topk(spark.createDataFrame(docs_a + docs_b, schema), n_terms=4, top_n=10)
+    )
+    assert streamed == batch
+
+    # replay: re-route the LAST batch under its recorded batch_id
+    import glob
+    import re as _re
+
+    parts = sorted(
+        int(_re.search(r"batch_id=(\d+)", p).group(1))
+        for p in glob.glob(f"{postings_p}/batch_id=*")
+    )
+    before = sorted(
+        tuple(r) for r in read_bm25_postings(spark, postings_p).collect()
+    )
+    route_bm25_batch(spark.createDataFrame(docs_b, schema), parts[-1], postings_p)
+    after = sorted(tuple(r) for r in read_bm25_postings(spark, postings_p).collect())
+    assert after == before
+
+    # freshness: doc 0 re-sent with new text in a NEW batch supersedes
+    route_bm25_batch(
+        spark.createDataFrame([(0, "zeta zeta zeta")], schema), parts[-1] + 1, postings_p
+    )
+    fresh = read_bm25_postings(spark, postings_p)
+    doc0 = {
+        (r["token"], r["tf"]) for r in fresh.filter(F.col("id") == 0).collect()
+    }
+    assert doc0 == {("zeta", 3)}
+    # every other doc's postings are untouched
+    others_before = {t for t in before if t[0] != 0}
+    others_after = {
+        tuple(r) for r in fresh.filter(F.col("id") != 0).collect()
+    }
+    assert others_after == others_before
