@@ -80,14 +80,51 @@ _NUM_TYPES = {
 }
 
 
+def _word_folds(word: str) -> list[str]:
+    folds = [word, word.rstrip("s"), word + "s"]
+    if word.endswith("ies"):
+        folds.append(word[:-3] + "y")  # priorities -> priority
+    return folds
+
+
+def _make_resolver(names: dict[str, str]):
+    """word -> canonical column name over ``names`` (lower -> original):
+    exact + plural folds first, then the prefix-stripped fold
+    (TPC-H-style ``o_totalprice`` answers to ``totalprice``) — the
+    suffix fold only fires when it is UNIQUE within the schema, so an
+    ambiguous bare word (e.g. ``nationkey`` over a customer+nation
+    join) resolves to nothing rather than silently picking a side."""
+
+    def resolve(word: str) -> str | None:
+        folds = _word_folds(word)
+        for w in folds:
+            if w in names:
+                return names[w]
+        for w in folds:
+            hits = {
+                orig
+                for low, orig in names.items()
+                if "_" in low and low.split("_", 1)[1] == w
+            }
+            if len(hits) == 1:
+                return next(iter(hits))
+        return None
+
+    return resolve
+
+
 def generate_sql_extended(
     question: str,
     columns: list[dict] | list,
     table: str = "df",
     now: dt.date | None = None,
+    from_clause: str | None = None,
 ) -> str:
     """NL -> one Spark-SQL SELECT using the extended schema-driven
-    grammar. ``columns`` is profiler output (name/type/semantic_type)."""
+    grammar. ``columns`` is profiler output (name/type/semantic_type).
+    ``from_clause`` (multi-table path) replaces the FROM operand with a
+    pre-built join expression; column references stay unqualified, so
+    the caller must guarantee combined column names are unique."""
 
     def _get(c, k):
         return c[k] if isinstance(c, dict) else getattr(c, k)
@@ -95,15 +132,7 @@ def generate_sql_extended(
     q = question.lower()
     names = {_get(c, "name").lower(): _get(c, "name") for c in columns}
     types = {_get(c, "name").lower(): str(_get(c, "type")).lower() for c in columns}
-
-    def resolve(word: str) -> str | None:
-        folds = [word, word.rstrip("s"), word + "s"]
-        if word.endswith("ies"):
-            folds.append(word[:-3] + "y")  # priorities -> priority
-        for w in folds:
-            if w in names:
-                return names[w]
-        return None
+    resolve = _make_resolver(names)
 
     # aggregate over a numeric column
     agg_fn = agg_col = None
@@ -245,7 +274,7 @@ def generate_sql_extended(
         select_parts = ["*"]
 
     tbl = table if table.isidentifier() else quote_identifier(table)
-    sql = f"SELECT {', '.join(select_parts)} FROM {tbl}"
+    sql = f"SELECT {', '.join(select_parts)} FROM {from_clause or tbl}"
     if where:
         sql += " WHERE " + " AND ".join(where)
     grouped = group_col is not None and (
@@ -268,3 +297,126 @@ def generate_sql_extended(
         tie = f", {quote_identifier(group_col)}" if group_col is not None else ""
         sql += f" ORDER BY {order_metric} DESC{tie} LIMIT {int(topm.group(1))}"
     return sql
+
+
+# ------------------------------------------------------- multi-table
+
+def _key_suffix(name: str) -> str | None:
+    """Join-key suffix of a TPC-H-style column (``o_custkey`` ->
+    ``custkey``); None for non-key columns."""
+    low = name.lower()
+    base = low.split("_", 1)[1] if "_" in low else low
+    return base if base.endswith("key") else None
+
+
+def _join_on(t1: str, cols1: list[str], t2: str, cols2: list[str]) -> str | None:
+    """Equality join condition between two profiled tables: the first
+    (sorted — deterministic) pair of columns sharing a ``…key`` suffix.
+    This is the star-schema foreign-key convention the profiler's
+    schema carries (custkey, nationkey, orderkey, …)."""
+    by_suffix = {}
+    for c in sorted(cols1):
+        s = _key_suffix(c)
+        if s is not None and s not in by_suffix:
+            by_suffix[s] = c
+    for c in sorted(cols2):
+        s = _key_suffix(c)
+        if s is not None and s in by_suffix:
+            return (
+                f"{t1}.{quote_identifier(by_suffix[s])}"
+                f" = {t2}.{quote_identifier(c)}"
+            )
+    return None
+
+
+def generate_sql_multi_table(
+    question: str,
+    tables: dict[str, list],
+    now: dt.date | None = None,
+) -> str:
+    """NL -> one SELECT over one, two, or three (bridged) profiled
+    tables — the schema-driven join inference the single-table grammar
+    can't express ("how many customers per n_name": ``customers``
+    names the customer table, ``n_name`` lives on nation, the custkey/
+    nationkey suffixes carry the star-schema join).
+
+    Inference, fully deterministic:
+
+    1. every question word resolves against every table's columns
+       (exact + plural + unique-suffix folds); words matching a TABLE
+       name pin that table into the plan;
+    2. the smallest table set covering all resolved words wins —
+       single table → the plain extended grammar; two tables → a
+       direct ``…key``-suffix equi-join; no direct key → ONE bridge
+       table that joins to both (lineitem↔customer bridges through
+       orders);
+    3. the union of the involved tables' profiles feeds the SAME
+       extended grammar with a pre-built FROM-join clause; combined
+       column names must be unique (TPC-H prefixes guarantee it) or
+       the question is rejected rather than mis-bound.
+
+    Raises ``ValueError`` when referenced columns span tables with no
+    inferable join path — never a silently wrong query.  Output always
+    passes nlsql.validator (single SELECT)."""
+    import itertools
+
+    def _get(c, k):
+        return c[k] if isinstance(c, dict) else getattr(c, k)
+
+    colnames = {t: [_get(c, "name") for c in cols] for t, cols in tables.items()}
+    resolvers = {
+        t: _make_resolver({n.lower(): n for n in ns}) for t, ns in colnames.items()
+    }
+    q = question.lower()
+    words = re.findall(r"\w+", q)
+    # word -> tables that can resolve it; table-name mentions pin tables
+    owners: dict[str, set[str]] = {}
+    pinned: set[str] = set()
+    for w in set(words):
+        for t in tables:
+            if w in (t.lower(), t.lower() + "s", t.lower().rstrip("s")):
+                pinned.add(t)
+        ts = {t for t, r in resolvers.items() if r(w) is not None}
+        if ts:
+            owners[w] = ts
+    # smallest covering set: try singles, then pairs (deterministic order)
+    def covers(ts: tuple[str, ...]) -> bool:
+        return pinned <= set(ts) and all(o & set(ts) for o in owners.values())
+
+    for t in sorted(tables):
+        if covers((t,)):
+            return generate_sql_extended(question, tables[t], table=t, now=now)
+    for t1, t2 in itertools.combinations(sorted(tables), 2):
+        if not covers((t1, t2)):
+            continue
+        combined = list(tables[t1]) + list(tables[t2])
+        combined_names = [n.lower() for t in (t1, t2) for n in colnames[t]]
+        if len(set(combined_names)) != len(combined_names):
+            raise ValueError(
+                f"ambiguous columns across {t1} and {t2}: cannot bind the question safely"
+            )
+        on = _join_on(t1, colnames[t1], t2, colnames[t2])
+        if on is not None:
+            fc = f"{t1} JOIN {t2} ON {on}"
+            return generate_sql_extended(
+                question, combined, table=t1, now=now, from_clause=fc
+            )
+        # one-intermediate bridge (star schema: lineitem↔customer via orders)
+        for tm in sorted(set(tables) - {t1, t2}):
+            on1 = _join_on(t1, colnames[t1], tm, colnames[tm])
+            on2 = _join_on(tm, colnames[tm], t2, colnames[t2])
+            if on1 is None or on2 is None:
+                continue
+            bridged_names = combined_names + [n.lower() for n in colnames[tm]]
+            if len(set(bridged_names)) != len(bridged_names):
+                continue
+            fc = f"{t1} JOIN {tm} ON {on1} JOIN {t2} ON {on2}"
+            return generate_sql_extended(
+                question, combined, table=t1, now=now, from_clause=fc
+            )
+        raise ValueError(
+            f"columns span {t1} and {t2} but no key-suffix join path exists"
+        )
+    raise ValueError(
+        "question references columns from more than two joinable tables"
+    )

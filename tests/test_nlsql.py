@@ -453,3 +453,118 @@ def test_extended_like_escapes_underscore():
     # '_' is a LIKE single-char wildcard: must be escaped or 'pagesview'
     # would also match
     assert "LIKE '%page\\_view%'" in sql
+
+
+def _profiled_tables(spark, names):
+    from csv_query_engine_spark.io.readers import load_tables
+    from csv_query_engine_spark.profiler import profile
+
+    loaded = load_tables(spark, "/root/testdata/sf0.001", tuple(names))
+    out = {}
+    for n, df in loaded.items():
+        df.createOrReplaceTempView(n)
+        out[n] = profile(df)
+    return out
+
+
+def test_multi_table_direct_join_executes_equal(spark):
+    """'how many customers per n_name' spans customer (table mention)
+    and nation (column) — the inferred nationkey join must execute and
+    equal the hand-written query; validator still AST-gates it."""
+    from csv_query_engine_spark.nlsql.extended import generate_sql_multi_table
+    from csv_query_engine_spark.nlsql.validator import validate_sql
+
+    tabs = _profiled_tables(spark, ("customer", "nation"))
+    sql = generate_sql_multi_table("how many customers per n_name", tabs)
+    validate_sql(sql, spark)
+    assert "JOIN" in sql and "c_nationkey" in sql and "n_nationkey" in sql
+    got = {r[0]: r[1] for r in spark.sql(sql).collect()}
+    want = {
+        r[0]: r[1]
+        for r in spark.sql(
+            "SELECT n_name, COUNT(*) FROM customer JOIN nation"
+            " ON c_nationkey = n_nationkey GROUP BY n_name"
+        ).collect()
+    }
+    assert got == want
+
+
+def test_multi_table_fact_dim_aggregate_executes_equal(spark):
+    """'average o_totalprice by c_mktsegment' joins orders to customer
+    on the custkey suffix; suffix folds also bind bare column words
+    ('average totalprice by mktsegment')."""
+    from csv_query_engine_spark.nlsql.extended import generate_sql_multi_table
+    from csv_query_engine_spark.nlsql.validator import validate_sql
+
+    tabs = _profiled_tables(spark, ("customer", "orders"))
+    want = {
+        r[0]: r[1]
+        for r in spark.sql(
+            "SELECT c_mktsegment, AVG(o_totalprice) FROM customer JOIN orders"
+            " ON c_custkey = o_custkey GROUP BY c_mktsegment"
+        ).collect()
+    }
+    for question in (
+        "average o_totalprice by c_mktsegment",
+        "average totalprice by mktsegment",
+    ):
+        sql = generate_sql_multi_table(question, tabs)
+        validate_sql(sql, spark)
+        got = {r[0]: r[1] for r in spark.sql(sql).collect()}
+        assert got == want, question
+
+
+def test_multi_table_bridge_join_executes_equal(spark):
+    """'total l_extendedprice by c_mktsegment': lineitem and customer
+    share no key suffix — the orders bridge (custkey + orderkey) is
+    inferred and the 3-table join executes equal."""
+    from csv_query_engine_spark.nlsql.extended import generate_sql_multi_table
+    from csv_query_engine_spark.nlsql.validator import validate_sql
+
+    tabs = _profiled_tables(spark, ("customer", "lineitem", "orders"))
+    sql = generate_sql_multi_table("total l_extendedprice by c_mktsegment", tabs)
+    validate_sql(sql, spark)
+    assert sql.count("JOIN") == 2, sql
+    got = {r[0]: round(r[1], 6) for r in spark.sql(sql).collect()}
+    want = {
+        r[0]: round(r[1], 6)
+        for r in spark.sql(
+            "SELECT c_mktsegment, SUM(l_extendedprice) FROM customer"
+            " JOIN orders ON c_custkey = o_custkey"
+            " JOIN lineitem ON o_orderkey = l_orderkey GROUP BY c_mktsegment"
+        ).collect()
+    }
+    assert got == want
+
+
+def test_multi_table_single_table_questions_stay_single(spark):
+    """Questions fully covered by one table never grow a join, and a
+    multi-table question with filters keeps the WHERE text."""
+    from csv_query_engine_spark.nlsql.extended import generate_sql_multi_table
+    from csv_query_engine_spark.nlsql.validator import validate_sql
+
+    tabs = _profiled_tables(spark, ("customer", "orders", "nation"))
+    sql = generate_sql_multi_table("count of orders per o_orderstatus", tabs)
+    assert "JOIN" not in sql
+    sql = generate_sql_multi_table(
+        "average o_totalprice by n_name for o_totalprice over 1000", tabs
+    )
+    validate_sql(sql, spark)
+    assert "JOIN" in sql and "`o_totalprice` > 1000" in sql
+    rows = spark.sql(sql).collect()
+    assert rows and all(r[1] > 1000 for r in rows)
+
+
+def test_multi_table_unjoinable_is_rejected(spark):
+    """Columns spanning tables with no key-suffix path raise — never a
+    silently wrong cross join."""
+    import pytest
+
+    from csv_query_engine_spark.nlsql.extended import generate_sql_multi_table
+
+    tabs = {
+        "a": [{"name": "a_val", "type": "bigint", "semantic_type": "other"}],
+        "b": [{"name": "b_score", "type": "double", "semantic_type": "other"}],
+    }
+    with pytest.raises(ValueError):
+        generate_sql_multi_table("average b_score by a_val", tabs)
