@@ -384,3 +384,148 @@ def sql_hll_distinct(
     FROM folded
     ORDER BY 1
     """
+
+
+# ------------------------- integer log-bucket quantile sketch (HDR-style)
+
+def hdr_buckets(df: DataFrame, value_col: str, sub_bits: int = 5) -> DataFrame:
+    """Log-bucket quantile-sketch table over POSITIVE integer values
+    (HdrHistogram's bucketing — Tene's high-dynamic-range histogram;
+    the same two-level exponent/mantissa scheme as DDSketch with
+    gamma = 1+2^-sub_bits but in PURE INTEGER arithmetic): bucket =
+    (e, sb) where e = floor(log2(v)) via length(bin(v))−1 (the HLL
+    twin's identical-string trick) and sb = the next ``sub_bits``
+    mantissa bits.  ≤ 63·2^sub_bits + 1 rows no matter the input size,
+    mergeable across shards/batches/days by cell-wise SUM (the
+    Count-Min contract), and — unlike t-digest/KLL, whose state
+    depends on stream order or randomness — fully DETERMINISTIC, so
+    the sketch is bit-for-bit reproducible by DuckDB and every
+    quantile estimate hash-matches.
+
+    Quantile estimates from the sketch are bucket LOWER BOUNDS: the
+    true q-quantile lies in [est, est·(1+2^-sub_bits)) — a guaranteed
+    relative error, the property fixed-width histograms lack.
+
+    NULLs are excluded; values ≤ 0 land in the reserved (-1, 0)
+    bucket (they sort first and estimate as 0 — data-quality strays,
+    not the contract domain).  One projection + ONE aggregation with
+    map-side combine; nothing else shuffles."""
+    s = int(sub_bits)
+    v = F.col(value_col).cast("long")
+    e = F.when(v <= 0, F.lit(-1)).otherwise(F.length(F.bin(v)) - F.lit(1)).cast("int")
+    sb = (
+        F.when(v <= 0, F.lit(0))
+        .otherwise(
+            F.expr(
+                f"shiftright(CAST({value_col} AS BIGINT),"
+                f" greatest(length(bin(CAST({value_col} AS BIGINT))) - 1 - {s}, 0))"
+                f" - shiftleft(CAST(1 AS BIGINT),"
+                f" least(length(bin(CAST({value_col} AS BIGINT))) - 1, {s}))"
+            )
+        )
+        .cast("long")
+    )
+    return (
+        df.filter(v.isNotNull())
+        .select(e.alias("e"), sb.alias("sb"))
+        .groupBy("e", "sb")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    )
+
+
+def hdr_lower_bound(sub_bits: int = 5):
+    """Column expr: the smallest value in bucket (e, sb) — exact
+    integer, the estimate :func:`hdr_quantiles` emits."""
+    s = int(sub_bits)
+    return F.when(F.col("e") < 0, F.lit(0).cast("long")).otherwise(
+        F.expr(
+            f"shiftleft(shiftleft(CAST(1 AS BIGINT), least(e, {s})) + sb,"
+            f" greatest(e - {s}, 0))"
+        )
+    )
+
+
+def hdr_quantiles(
+    buckets: DataFrame, qs: tuple[float, ...] = (0.25, 0.5, 0.75, 0.99), sub_bits: int = 5
+) -> DataFrame:
+    """(q, rank, est, n) quantile estimates from a :func:`hdr_buckets`
+    table (possibly SUM-merged across shards): rank = ceil(q·N), est =
+    the lower bound of the first bucket whose cumulative count reaches
+    the rank — true value within relative 2^-sub_bits above est.
+
+    The bucket table is BOUNDED (≤ 63·2^sub_bits + 1 rows), so the
+    cumulative walk is the triangular broadcast self-join idiom (no
+    unpartitioned window), and the per-q pick is a min-struct
+    aggregate over the broadcast cum table."""
+    tot = buckets.agg(F.sum("cnt").cast("long").alias("n"))
+    before = (F.col("b.e") < F.col("a.e")) | (
+        (F.col("b.e") == F.col("a.e")) & (F.col("b.sb") <= F.col("a.sb"))
+    )
+    cum = (
+        buckets.alias("a")
+        .join(F.broadcast(buckets.alias("b")), before)
+        .groupBy(F.col("a.e").alias("e"), F.col("a.sb").alias("sb"))
+        .agg(F.sum("b.cnt").cast("long").alias("cum"))
+    )
+    targets = tot.select(
+        F.explode(F.array(*[F.lit(float(q)) for q in qs])).alias("q"), "n"
+    ).select(
+        "q",
+        F.greatest(F.lit(1).cast("long"), F.ceil(F.col("q") * F.col("n")).cast("long"))
+        .alias("rank"),
+        "n",
+    )
+    pick = (
+        targets.join(F.broadcast(cum), F.col("cum") >= F.col("rank"))
+        .groupBy("q", "rank", "n")
+        .agg(F.min(F.struct("e", "sb")).alias("s"))
+        .select("q", "rank", "n", F.col("s.e").alias("e"), F.col("s.sb").alias("sb"))
+    )
+    return pick.select(
+        "q", "rank", hdr_lower_bound(sub_bits).alias("est"), "n"
+    ).orderBy("q")
+
+
+def sql_hdr_quantiles(
+    table: str,
+    value_expr: str,
+    qs: tuple[float, ...] = (0.25, 0.5, 0.75, 0.99),
+    sub_bits: int = 5,
+) -> str:
+    """DuckDB twin of hdr_buckets + hdr_quantiles — identical integer
+    bucketing (length(bin()) exponent, shifted mantissa), identical
+    cumulative walk, identical lower-bound estimates; hash-exact."""
+    s = int(sub_bits)
+    qvals = ", ".join(f"({q!r})" for q in qs)
+    return f"""
+    WITH vals AS (SELECT CAST({value_expr} AS BIGINT) AS v FROM {table}
+                  WHERE {value_expr} IS NOT NULL),
+    bk AS (SELECT CASE WHEN v <= 0 THEN -1
+                       ELSE CAST(length(bin(v)) - 1 AS INT) END AS e,
+                  CASE WHEN v <= 0 THEN CAST(0 AS BIGINT)
+                       ELSE (v >> greatest(length(bin(v)) - 1 - {s}, 0))
+                            - (CAST(1 AS BIGINT) << least(length(bin(v)) - 1, {s}))
+                  END AS sb
+           FROM vals),
+    buckets AS (SELECT e, sb, CAST(COUNT(*) AS BIGINT) AS cnt FROM bk GROUP BY e, sb),
+    tot AS (SELECT CAST(SUM(cnt) AS BIGINT) AS n FROM buckets),
+    cum AS (SELECT a.e, a.sb, CAST(SUM(b.cnt) AS BIGINT) AS cum
+            FROM buckets a JOIN buckets b
+              ON (b.e < a.e) OR (b.e = a.e AND b.sb <= a.sb)
+            GROUP BY a.e, a.sb),
+    targets AS (SELECT CAST(q AS DOUBLE) AS q,
+                       GREATEST(CAST(1 AS BIGINT), CAST(ceil(q * n) AS BIGINT)) AS rank,
+                       n
+                FROM (VALUES {qvals}) t(q) CROSS JOIN tot),
+    pick AS (SELECT q, rank, n, e, sb FROM (
+                 SELECT t.q, t.rank, t.n, c.e, c.sb,
+                        ROW_NUMBER() OVER (PARTITION BY t.q ORDER BY c.e, c.sb) AS rn
+                 FROM targets t JOIN cum c ON c.cum >= t.rank)
+             WHERE rn = 1)
+    SELECT q, rank,
+           CASE WHEN e < 0 THEN CAST(0 AS BIGINT)
+                ELSE ((CAST(1 AS BIGINT) << least(e, {s})) + sb)
+                     << greatest(e - {s}, 0) END AS est,
+           n
+    FROM pick ORDER BY q
+    """

@@ -239,6 +239,10 @@ DRIVER_ORDER: list[str] = [
     # multi-field Fellegi-Sunter score, provably complete two-block
     # candidates) — oracle-paired, past-window:
     "customer_entity_resolution_pairs",
+    # Round-9: deterministic HDR-style integer log-bucket quantile
+    # sketch (SUM-mergeable, streaming-buildable, bit-identical twin)
+    # — oracle-paired, past-window:
+    "orders_hdr_price_quantiles",
     # Rows-only ops (no SQL-expressible oracle; pytest covers recall/
     # precision/planted-neighbor properties):
     "dedup_minhash_lsh_pairs",

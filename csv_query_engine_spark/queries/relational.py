@@ -1026,9 +1026,13 @@ def percentiles_extprice_by_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
     sides to absorb last-ulp drift.
 
     Scale: exact percentile needs the per-group value multiset — fine
-    for low-cardinality groups (3 flags); at high group counts switch to
-    ``approx_percentile`` (t-digest, mergeable map-side) — approx values
-    are engine-specific, hence not oracle-paired here.
+    for low-cardinality groups (3 flags).  For high-cardinality groups
+    the EXACT scale path is operators/selection.py::
+    grouped_exact_quantiles (distributed per-group range-bucket
+    descent, buffers bounded by direct_limit — the
+    orders_monthly_exact_quantiles query, round 9); the approximate
+    path is ``approx_percentile`` (t-digest, mergeable map-side),
+    whose values are engine-specific and hence not oracle-paired.
     """
     li = load_tables(spark, sf_dir, ("lineitem",))["lineitem"]
     return (

@@ -1562,3 +1562,40 @@ def orders_monthly_exact_quantiles(spark: SparkSession, sf_dir: str) -> DataFram
     return grouped_exact_quantiles(
         base, ["month"], "tp", (0.25, 0.5, 0.75), n_buckets=32, direct_limit=64
     )
+
+
+from csv_query_engine_spark.pipeline.sketches import sql_hdr_quantiles as _sql_hdr
+
+
+@register(
+    "orders_hdr_price_quantiles",
+    _sql_hdr(
+        "(SELECT CAST(FLOOR(CAST(o_totalprice AS DOUBLE) * 100.0 + 0.5) AS BIGINT)"
+        " AS cents FROM orders WHERE o_totalprice IS NOT NULL) src",
+        "cents",
+    ),
+)
+def orders_hdr_price_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-value quantiles from the HDR-style integer log-bucket
+    sketch (pipeline/sketches.py::hdr_buckets/hdr_quantiles): prices
+    in exact cents bucket into (exponent, 5 mantissa bits) cells —
+    ≤ 63·2⁵+1 rows regardless of input size, SUM-mergeable across
+    shards/days/batches (the Count-Min contract applied to order
+    statistics), and fully DETERMINISTIC integer arithmetic, unlike
+    t-digest/KLL whose state depends on order or randomness.  Every
+    estimate is a bucket lower bound with guaranteed relative error
+    ≤ 2⁻⁵ — the monitoring-grade quantile for 100 TB pre-aggregation,
+    next to the EXACT selection descent (one-shot analysis) and
+    approx_percentile (engine-internal, not reproducible).
+
+    Oracle: bit-identical twin (length(bin()) exponent + shifts —
+    the HLL identical-string trick), hash-exact estimates."""
+    from csv_query_engine_spark.pipeline.sketches import hdr_buckets, hdr_quantiles
+
+    o = load_tables(spark, sf_dir, ("orders",))["orders"]
+    cents = o.filter(F.col("o_totalprice").isNotNull()).select(
+        F.floor(F.col("o_totalprice").cast("double") * F.lit(100.0) + F.lit(0.5))
+        .cast("long")
+        .alias("cents")
+    )
+    return hdr_quantiles(hdr_buckets(cents, "cents"))

@@ -869,3 +869,58 @@ def read_bm25_postings(spark: SparkSession, postings_path: str) -> DataFrame:
     )
     latest = p.groupBy("id").agg(F.max("batch_id").alias("batch_id"))
     return p.join(latest, ["id", "batch_id"]).select("id", "token", "tf")
+
+
+def route_hdr_batch(
+    batch_df, batch_id: int, value_col: str, buckets_path: str, sub_bits: int = 5
+):
+    """One micro-batch of the streaming quantile-sketch build: the
+    batch's OWN log-bucket table (pipeline/sketches.py::hdr_buckets,
+    ≤ 63·2^sub_bits + 1 rows) written batch_id-keyed with dynamic
+    partition overwrite (replay rewrites its partition
+    byte-identically — deterministic integer bucketing).  Merging is
+    the sketch's contract: buckets are additive, so the read side SUMs
+    across batch partitions (:func:`read_hdr_buckets`) — the Count-Min
+    idiom for order statistics."""
+    from csv_query_engine_spark.pipeline.sketches import hdr_buckets
+
+    b = hdr_buckets(batch_df, value_col, sub_bits=sub_bits)
+    (
+        b.withColumn("batch_id", F.lit(int(batch_id)))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("batch_id")
+        .parquet(buckets_path)
+    )
+
+
+def hdr_sketch_stream(
+    stream: DataFrame,
+    value_col: str,
+    buckets_path: str,
+    checkpoint: str,
+    sub_bits: int = 5,
+):
+    """Streaming quantile sketch: per-batch HDR bucket tables,
+    SUM-merged at read time — bounded state with NO per-key stream
+    state; quantile estimates from the merged sketch equal the
+    one-shot batch build exactly (deterministic integer buckets)."""
+
+    def route(batch_df, batch_id):
+        route_hdr_batch(batch_df, batch_id, value_col, buckets_path, sub_bits)
+
+    return (
+        stream.writeStream.foreachBatch(route)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def read_hdr_buckets(spark: SparkSession, buckets_path: str) -> DataFrame:
+    """SUM-merge every batch's bucket partition into one sketch
+    (explicit schema — the zero-batch-directory lesson)."""
+    b = spark.read.schema("e INT, sb BIGINT, cnt BIGINT, batch_id BIGINT").parquet(
+        buckets_path
+    )
+    return b.groupBy("e", "sb").agg(F.sum("cnt").cast("bigint").alias("cnt"))

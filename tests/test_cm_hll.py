@@ -82,3 +82,63 @@ def test_hll_accuracy_and_merge_by_max(spark):
     ).collect()[0]["hll_estimate"]
     # duplicates cannot move any register: same estimate exactly
     assert both == merged["all"]
+
+
+def test_hdr_quantiles_error_bound_and_bounded_size(spark):
+    """HDR sketch contract: every estimate is a lower bound of the true
+    quantile with relative error <= 2^-sub_bits; bucket count stays
+    under 63*2^s + 1 for any input; non-positive values land in the
+    reserved bucket and estimate as 0."""
+    import random
+
+    from csv_query_engine_spark.pipeline.sketches import hdr_buckets, hdr_quantiles
+
+    rng = random.Random(17)
+    vals = (
+        [rng.randint(1, 10**9) for _ in range(5000)]
+        + [rng.randint(1, 50) for _ in range(500)]
+        + [10**15]
+    )
+    df = spark.createDataFrame([(v,) for v in vals], "x long")
+    b = hdr_buckets(df, "x", sub_bits=5)
+    assert b.count() <= 63 * 32 + 1
+    svals = sorted(vals)
+    for r in hdr_quantiles(b, (0.01, 0.25, 0.5, 0.75, 0.99)).collect():
+        true = svals[r["rank"] - 1]
+        assert r["est"] <= true
+        assert true <= r["est"] * (1 + 2**-5), (r, true)
+
+    neg = spark.createDataFrame([(-3,), (0,), (7,)], "x long")
+    out = {r["q"]: r["est"] for r in
+           hdr_quantiles(hdr_buckets(neg, "x"), (0.25, 1.0)).collect()}
+    assert out[0.25] == 0 and out[1.0] == 7
+
+
+def test_hdr_merge_identity(spark):
+    """SUM-merging per-shard bucket tables equals the one-shot global
+    build (additive integer cells — the Count-Min contract applied to
+    order statistics), so estimates from the merged sketch are
+    IDENTICAL, not just close."""
+    from pyspark.sql import functions as F
+
+    from csv_query_engine_spark.pipeline.sketches import hdr_buckets, hdr_quantiles
+
+    vals = [((i * 2654435761) % 999983) + 1 for i in range(20000)]
+    df = spark.createDataFrame(
+        [(v, i % 3) for i, v in enumerate(vals)], "x long, shard int"
+    )
+    shards = [
+        hdr_buckets(df.filter(F.col("shard") == s), "x") for s in range(3)
+    ]
+    merged = (
+        shards[0].unionByName(shards[1]).unionByName(shards[2])
+        .groupBy("e", "sb")
+        .agg(F.sum("cnt").cast("bigint").alias("cnt"))
+    )
+    direct = hdr_buckets(df, "x")
+    mk = sorted(tuple(r) for r in merged.collect())
+    dk = sorted(tuple(r) for r in direct.collect())
+    assert mk == dk
+    me = sorted(tuple(r) for r in hdr_quantiles(merged).collect())
+    de = sorted(tuple(r) for r in hdr_quantiles(direct).collect())
+    assert me == de

@@ -1010,3 +1010,52 @@ def test_bm25_index_stream_matches_batch_replay_noop_and_freshness(spark, tmp_pa
         tuple(r) for r in fresh.filter(F.col("id") != 0).collect()
     }
     assert others_after == others_before
+
+
+def test_hdr_sketch_stream_matches_batch_and_replay_is_noop(spark, tmp_path):
+    """Streaming HDR quantile sketch: SUM-merged per-batch buckets
+    equal the one-shot batch build, a checkpointed restart folds only
+    the new file, and replaying a batch under its recorded batch_id is
+    a no-op (deterministic integer bucketing)."""
+    from pyspark.sql import types as T
+
+    from csv_query_engine_spark.pipeline.sketches import hdr_buckets, hdr_quantiles
+    from csv_query_engine_spark.streaming import (
+        hdr_sketch_stream,
+        read_hdr_buckets,
+        route_hdr_batch,
+    )
+
+    schema = T.StructType([T.StructField("v", T.LongType())])
+    rows_a = [((i * 48271) % 100003 + 1,) for i in range(400)]
+    rows_b = [((i * 69621) % 50021 + 1,) for i in range(300)]
+    staged = str(tmp_path / "staged")
+    spark.createDataFrame(rows_a, schema).coalesce(1).write.mode("overwrite").parquet(staged)
+    bp, ckpt = str(tmp_path / "buckets"), str(tmp_path / "ck")
+
+    def run_once():
+        stream = spark.readStream.schema(schema).parquet(staged)
+        q = hdr_sketch_stream(stream, "v", bp, ckpt)
+        q.awaitTermination(120)
+
+    run_once()
+    spark.createDataFrame(rows_b, schema).coalesce(1).write.mode("append").parquet(staged)
+    run_once()
+
+    merged = read_hdr_buckets(spark, bp)
+    direct = hdr_buckets(spark.createDataFrame(rows_a + rows_b, schema), "v")
+    mk = sorted(tuple(r) for r in merged.collect())
+    assert mk == sorted(tuple(r) for r in direct.collect())
+    assert sorted(tuple(r) for r in hdr_quantiles(merged).collect()) == sorted(
+        tuple(r) for r in hdr_quantiles(direct).collect()
+    )
+
+    import glob
+    import re as _re
+
+    parts = sorted(
+        int(_re.search(r"batch_id=(\d+)", p).group(1))
+        for p in glob.glob(f"{bp}/batch_id=*")
+    )
+    route_hdr_batch(spark.createDataFrame(rows_b, schema), parts[-1], "v", bp)
+    assert sorted(tuple(r) for r in read_hdr_buckets(spark, bp).collect()) == mk
