@@ -41,6 +41,12 @@ class EmptyQuestionError(EngineError):
     pass
 
 
+class UnsupportedQuestionError(EngineError):
+    """The multi-table grammar could not bind the question safely
+    (ambiguous columns or no inferable join path) — surfaced as a 400,
+    never a silently wrong query."""
+
+
 class QueryEngine:
     """One engine per SparkSession; tables live in the session catalog."""
 
@@ -92,6 +98,30 @@ class QueryEngine:
         # list_* calls — reference models.py:31-36); the shim is a no-op
         # on the Spark dialect our planners produce (nlsql.dialect).
         return self.sql(sql, dialect="duckdb")
+
+    def ask_tables(self, question: str) -> QueryResult:
+        """NL question over EVERY registered table at once — the
+        schema-driven multi-table grammar (round 9): words resolve
+        against all profiled schemas, the smallest covering table set
+        wins, and the star-schema ``…key``-suffix convention supplies
+        the join (direct or one-bridge).  Single-table questions reduce
+        to the plain extended grammar; unbindable questions raise
+        :class:`UnsupportedQuestionError` (400), never a silently wrong
+        join.  Deterministic/offline only — the LLM path already sees
+        every schema through its prompt."""
+        from csv_query_engine_spark.nlsql.extended import generate_sql_multi_table
+
+        if not self._profiles:
+            raise NoDataUploadedError("Please upload a CSV file first")
+        if not question or not question.strip():
+            raise EmptyQuestionError("Question cannot be empty")
+        try:
+            sql = generate_sql_multi_table(
+                question, dict(self._profiles), now=self.now
+            )
+        except ValueError as e:
+            raise UnsupportedQuestionError(str(e)) from e
+        return self.sql(sql)
 
     def sql(self, sql: str, collapse: bool = True, dialect: str = "spark") -> QueryResult:
         """Validated pass-through execution (Tier B surface).

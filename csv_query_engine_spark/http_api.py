@@ -147,7 +147,12 @@ def create_app(engine: QueryEngine):
         use_ai = body.get("use_ai")
         use_ai = True if use_ai is None else bool(use_ai)  # reference default (query.py:23)
         try:
-            res = engine.ask(question, use_ai=use_ai)
+            if body.get("multi_table"):
+                # round-9 extension: schema-driven join inference over
+                # every registered table (deterministic path only)
+                res = engine.ask_tables(question)
+            else:
+                res = engine.ask(question, use_ai=use_ai)
         except (EngineError, UnsafeSQLError, MissingAPIKeyError) as e:
             return _err(str(e))
         except Exception as e:  # execution errors surface as 400 (reference query.py:64-66)

@@ -336,3 +336,35 @@ def test_dynamic_partition_overwrite_preserves_untouched_partitions(spark, tmp_p
         q.explain("formatted")
     plan = buf.getvalue()
     assert "PartitionFilters" in plan and "2024-01-03" in plan, plan
+
+
+def test_ask_tables_multi_table_join(spark):
+    """engine.ask_tables answers questions spanning registered tables
+    via inferred star-schema joins; unbindable questions surface as the
+    typed 400 error (round 9)."""
+    import pytest
+
+    from csv_query_engine_spark.engine import QueryEngine, UnsupportedQuestionError
+    from csv_query_engine_spark.io.readers import load_tables
+
+    eng = QueryEngine(spark)
+    t = load_tables(spark, "/root/testdata/sf0.001", ("customer", "nation"))
+    eng.register(t["customer"], "customer")
+    eng.register(t["nation"], "nation")
+    res = eng.ask_tables("how many customers per n_name")
+    assert "JOIN" in res.sql
+    want = {
+        r[0]: r[1]
+        for r in spark.sql(
+            "SELECT n_name, COUNT(*) FROM customer JOIN nation"
+            " ON c_nationkey = n_nationkey GROUP BY n_name"
+        ).collect()
+    }
+    got = {r["n_name"]: r["count"] for r in res.rows}
+    assert got == want
+    # single-table question stays single-table through the same entry
+    res1 = eng.ask_tables("how many distinct c_mktsegment")
+    assert "JOIN" not in res1.sql
+    eng.register(spark.createDataFrame([(1,)], "z_score bigint"), "island")
+    with pytest.raises(UnsupportedQuestionError):
+        eng.ask_tables("average z_score by n_name")

@@ -121,3 +121,26 @@ def test_ops_listing_and_execution(client):
         ).status_code
         == 400
     )
+
+
+def test_query_multi_table_flag(spark):
+    """POST /query with multi_table=true routes through ask_tables:
+    star-schema join inference over every registered table; unbindable
+    questions are a clean 400 (round 9)."""
+    from csv_query_engine_spark.io.readers import load_tables
+
+    eng = QueryEngine(spark, now=NOW)
+    t = load_tables(spark, "/root/testdata/sf0.001", ("customer", "nation"))
+    eng.register(t["customer"], "customer")
+    eng.register(t["nation"], "nation")
+    app = create_app(eng)
+    app.config["TESTING"] = True
+    c = app.test_client()
+    r = c.post(
+        "/query", json={"question": "how many customers per n_name", "multi_table": True}
+    )
+    assert r.status_code == 200
+    body = r.get_json()
+    assert "JOIN" in body["sql"] and body["row_count"] == 25
+    r = c.post("/query", json={"question": "   ", "multi_table": True})
+    assert r.status_code == 400
