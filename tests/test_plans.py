@@ -547,3 +547,24 @@ def test_hard_negatives_broadcast_queries(spark):
     assert "BroadcastNestedLoopJoin" in plan, plan
     assert "CartesianProduct" not in plan, plan
     spark.catalog.clearCache()
+
+
+def test_entity_resolution_blocked_join_shape(spark):
+    """Entity resolution: equi-join blocks only — no cartesian, no
+    Python in the plan, and the bounded key/variant sides broadcast or
+    shuffle on equi-keys (round 9)."""
+    plan = _plan(spark, "customer_entity_resolution_pairs")
+    assert "CartesianProduct" not in plan, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, plan
+    # one parquet scan of customer feeds the whole record fixture
+    assert plan.count("customer.parquet") >= 1
+
+
+def test_hdr_sketch_bounded_walk_shape(spark):
+    """HDR quantile sketch: the cumulative walk over the bounded bucket
+    table is the broadcast triangular idiom — broadcast joins, no
+    unpartitioned window, no Python (round 9)."""
+    plan = _plan(spark, "orders_hdr_price_quantiles")
+    assert "Window" not in plan, plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, plan
