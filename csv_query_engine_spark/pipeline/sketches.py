@@ -529,3 +529,120 @@ def sql_hdr_quantiles(
            n
     FROM pick ORDER BY q
     """
+
+
+def hdr_buckets_by(
+    df: DataFrame, group_cols: list[str], value_col: str, sub_bits: int = 5
+) -> DataFrame:
+    """Per-group :func:`hdr_buckets`: (*group_cols, e, sb, cnt) — the
+    per-key quantile-monitoring face (one sketch per tenant/day/
+    cohort), ≤ 63·2^sub_bits + 1 rows PER GROUP, mergeable across
+    shards by (group, e, sb) SUM.  Same integer bucketing, same
+    determinism, same oracle story."""
+    s = int(sub_bits)
+    v = F.col(value_col).cast("long")
+    e = F.when(v <= 0, F.lit(-1)).otherwise(F.length(F.bin(v)) - F.lit(1)).cast("int")
+    sb = (
+        F.when(v <= 0, F.lit(0))
+        .otherwise(
+            F.expr(
+                f"shiftright(CAST({value_col} AS BIGINT),"
+                f" greatest(length(bin(CAST({value_col} AS BIGINT))) - 1 - {s}, 0))"
+                f" - shiftleft(CAST(1 AS BIGINT),"
+                f" least(length(bin(CAST({value_col} AS BIGINT))) - 1, {s}))"
+            )
+        )
+        .cast("long")
+    )
+    return (
+        df.filter(v.isNotNull())
+        .select(*group_cols, e.alias("e"), sb.alias("sb"))
+        .groupBy(*group_cols, "e", "sb")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    )
+
+
+def hdr_quantiles_by(
+    buckets: DataFrame,
+    group_cols: list[str],
+    qs: tuple[float, ...] = (0.5, 0.99),
+    sub_bits: int = 5,
+) -> DataFrame:
+    """(*group_cols, q, rank, est, n) per-group quantile estimates from
+    a :func:`hdr_buckets_by` table.  The cumulative walk is a window
+    partitioned by the group over ≤ 63·2^sub_bits + 1 sketch rows —
+    bounded partitions BY CONSTRUCTION (never the group's raw rows,
+    the defect exact percentile has); the per-(group, q) pick is a
+    min-struct aggregate."""
+    from pyspark.sql import Window as W
+
+    g = list(group_cols)
+    w = W.partitionBy(*g).orderBy("e", "sb")
+    cum = buckets.withColumn("cum", F.sum("cnt").over(w))
+    tot = buckets.groupBy(*g).agg(F.sum("cnt").cast("long").alias("n"))
+    targets = tot.select(
+        *g, F.explode(F.array(*[F.lit(float(q)) for q in qs])).alias("q"), "n"
+    ).select(
+        *g,
+        "q",
+        F.greatest(F.lit(1).cast("long"), F.ceil(F.col("q") * F.col("n")).cast("long"))
+        .alias("rank"),
+        "n",
+    )
+    pick = (
+        targets.join(cum, g)
+        .filter(F.col("cum") >= F.col("rank"))
+        .groupBy(*g, "q", "rank", "n")
+        .agg(F.min(F.struct("e", "sb")).alias("s"))
+        .select(*g, "q", "rank", "n", F.col("s.e").alias("e"), F.col("s.sb").alias("sb"))
+    )
+    return pick.select(
+        *g, "q", "rank", hdr_lower_bound(sub_bits).alias("est"), "n"
+    ).orderBy(*g, "q")
+
+
+def sql_hdr_quantiles_by(
+    table: str,
+    group_expr: str,
+    value_expr: str,
+    qs: tuple[float, ...] = (0.5, 0.99),
+    sub_bits: int = 5,
+) -> str:
+    """DuckDB twin of hdr_buckets_by + hdr_quantiles_by (one group
+    column aliased ``g``) — identical integer arithmetic, hash-exact."""
+    s = int(sub_bits)
+    qvals = ", ".join(f"({q!r})" for q in qs)
+    return f"""
+    WITH vals AS (SELECT {group_expr} AS g, CAST({value_expr} AS BIGINT) AS v
+                  FROM {table} WHERE {value_expr} IS NOT NULL),
+    bk AS (SELECT g,
+                  CASE WHEN v <= 0 THEN -1
+                       ELSE CAST(length(bin(v)) - 1 AS INT) END AS e,
+                  CASE WHEN v <= 0 THEN CAST(0 AS BIGINT)
+                       ELSE (v >> greatest(length(bin(v)) - 1 - {s}, 0))
+                            - (CAST(1 AS BIGINT) << least(length(bin(v)) - 1, {s}))
+                  END AS sb
+           FROM vals),
+    buckets AS (SELECT g, e, sb, CAST(COUNT(*) AS BIGINT) AS cnt
+                FROM bk GROUP BY g, e, sb),
+    cum AS (SELECT g, e, sb,
+                   CAST(SUM(cnt) OVER (PARTITION BY g ORDER BY e, sb) AS BIGINT) AS cum
+            FROM buckets),
+    tot AS (SELECT g, CAST(SUM(cnt) AS BIGINT) AS n FROM buckets GROUP BY g),
+    targets AS (SELECT g, CAST(q AS DOUBLE) AS q,
+                       GREATEST(CAST(1 AS BIGINT), CAST(ceil(q * n) AS BIGINT)) AS rank,
+                       n
+                FROM tot CROSS JOIN (VALUES {qvals}) t(q)),
+    pick AS (SELECT g, q, rank, n, e, sb FROM (
+                 SELECT t.g, t.q, t.rank, t.n, c.e, c.sb,
+                        ROW_NUMBER() OVER (PARTITION BY t.g, t.q
+                                           ORDER BY c.e, c.sb) AS rn
+                 FROM targets t JOIN cum c ON c.g = t.g AND c.cum >= t.rank)
+             WHERE rn = 1)
+    SELECT g, q, rank,
+           CASE WHEN e < 0 THEN CAST(0 AS BIGINT)
+                ELSE ((CAST(1 AS BIGINT) << least(e, {s})) + sb)
+                     << greatest(e - {s}, 0) END AS est,
+           n
+    FROM pick ORDER BY g, q
+    """

@@ -243,6 +243,9 @@ DRIVER_ORDER: list[str] = [
     # sketch (SUM-mergeable, streaming-buildable, bit-identical twin)
     # — oracle-paired, past-window:
     "orders_hdr_price_quantiles",
+    # Round-9: the grouped (per-month) HDR quantile monitor — bounded
+    # sketch per group, windowed walk over sketch rows only:
+    "orders_monthly_hdr_quantiles",
     # Rows-only ops (no SQL-expressible oracle; pytest covers recall/
     # precision/planted-neighbor properties):
     "dedup_minhash_lsh_pairs",

@@ -1599,3 +1599,43 @@ def orders_hdr_price_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("cents")
     )
     return hdr_quantiles(hdr_buckets(cents, "cents"))
+
+
+from csv_query_engine_spark.pipeline.sketches import sql_hdr_quantiles_by as _sql_hdr_by
+
+
+@register(
+    "orders_monthly_hdr_quantiles",
+    _sql_hdr_by(
+        "(SELECT strftime(o_orderdate, '%Y-%m') AS month,"
+        " CAST(FLOOR(CAST(o_totalprice AS DOUBLE) * 100.0 + 0.5) AS BIGINT) AS cents"
+        " FROM orders WHERE o_totalprice IS NOT NULL) src",
+        "month",
+        "cents",
+        qs=(0.5, 0.99),
+    ),
+)
+def orders_monthly_hdr_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-MONTH p50/p99 order values from the grouped HDR sketch
+    (pipeline/sketches.py::hdr_buckets_by/hdr_quantiles_by) — the
+    per-key quantile MONITOR: one bounded (≤ 63·2⁵+1-row) sketch per
+    month, SUM-mergeable across shards/batches, estimates with
+    guaranteed relative error ≤ 2⁻⁵ — what a drift dashboard runs at
+    100 TB where per-group exact percentile (grow-with-group buffer)
+    and per-group ROW_NUMBER (whole-group sorts) both die; the EXACT
+    sibling is orders_monthly_exact_quantiles (selection descent).
+    The cumulative walk is a window over the BOUNDED sketch rows per
+    month — never the month's raw rows.
+
+    Oracle: bit-identical integer twin (length(bin()) + shifts),
+    hash-exact per group."""
+    from csv_query_engine_spark.pipeline.sketches import hdr_buckets_by, hdr_quantiles_by
+
+    o = load_tables(spark, sf_dir, ("orders",))["orders"]
+    src = o.filter(F.col("o_totalprice").isNotNull()).select(
+        F.date_format("o_orderdate", "yyyy-MM").alias("g"),
+        F.floor(F.col("o_totalprice").cast("double") * F.lit(100.0) + F.lit(0.5))
+        .cast("long")
+        .alias("cents"),
+    )
+    return hdr_quantiles_by(hdr_buckets_by(src, ["g"], "cents"), ["g"], (0.5, 0.99))

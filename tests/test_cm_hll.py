@@ -142,3 +142,42 @@ def test_hdr_merge_identity(spark):
     me = sorted(tuple(r) for r in hdr_quantiles(merged).collect())
     de = sorted(tuple(r) for r in hdr_quantiles(direct).collect())
     assert me == de
+
+
+def test_hdr_grouped_error_bound_and_merge(spark):
+    """Grouped HDR: per-group estimates obey the relative-error bound
+    against each group's sorted reference, and (group, e, sb) SUM-merge
+    of per-shard builds equals the direct grouped build."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from csv_query_engine_spark.pipeline.sketches import (
+        hdr_buckets_by,
+        hdr_quantiles_by,
+    )
+
+    rng = random.Random(23)
+    rows = [
+        (f"g{i % 4}", rng.randint(1, 10 ** (3 + (i % 4))), i % 2)
+        for i in range(8000)
+    ]
+    df = spark.createDataFrame(rows, "g string, v long, shard int")
+    by_g: dict[str, list[int]] = {}
+    for g, v, _ in rows:
+        by_g.setdefault(g, []).append(v)
+    out = hdr_quantiles_by(hdr_buckets_by(df, ["g"], "v"), ["g"], (0.5, 0.99)).collect()
+    assert len(out) == 8
+    for r in out:
+        true = sorted(by_g[r["g"]])[r["rank"] - 1]
+        assert r["est"] <= true <= r["est"] * (1 + 2**-5), (r, true)
+    merged = (
+        hdr_buckets_by(df.filter(F.col("shard") == 0), ["g"], "v")
+        .unionByName(hdr_buckets_by(df.filter(F.col("shard") == 1), ["g"], "v"))
+        .groupBy("g", "e", "sb")
+        .agg(F.sum("cnt").cast("bigint").alias("cnt"))
+    )
+    direct = hdr_buckets_by(df, ["g"], "v")
+    assert sorted(tuple(r) for r in merged.collect()) == sorted(
+        tuple(r) for r in direct.collect()
+    )
