@@ -250,3 +250,143 @@ def entity_clusters(
         F.col("cluster_id").alias("entity_id"),
         "n_records",
     )
+
+
+def _completeness_check(
+    wn: int,
+    wx: dict[str, int],
+    t_units: int,
+    block_col: str,
+    block_dist: int,
+    max_name_len: int,
+) -> None:
+    other = sum(w for f, w in wx.items() if f != block_col)
+    s_min = (t_units - other) / wn
+    worst_dist = int((1.0 - s_min) * max_name_len)
+    if worst_dist > block_dist:
+        raise ValueError(
+            f"blocking incomplete: pairs up to name distance {worst_dist} can "
+            f"reach threshold without a {block_col} match, but the deletion "
+            f"neighborhood only covers distance {block_dist}"
+        )
+
+
+def entity_match_across(
+    incoming: DataFrame,
+    store: DataFrame,
+    store_variants: DataFrame | None = None,
+    id_col: str = "rec_id",
+    name_col: str = "name",
+    name_weight: float = 0.5,
+    exact_weights: dict[str, float] | None = None,
+    threshold: float = 0.75,
+    block_col: str = "phone",
+    block_dist: int = 1,
+    max_name_len: int = 18,
+) -> DataFrame:
+    """CROSS-frame entity matching: incoming records against an
+    existing record store (the admission shape — a new crawl/CRM slice
+    vs what's already ingested).  Same provably-complete two-block
+    candidate set and integer scoring as :func:`entity_match_pairs`,
+    but candidates are incoming×store ONLY — the store is never
+    self-paired, so per-batch cost scales with the batch, not the
+    store.  ``store_variants`` (rec_id, variant) lets the caller reuse
+    a PRECOMPUTED store neighborhood (the streaming admission store
+    persists variants incrementally — variants of a record never
+    change); when None it is derived here.
+
+    Output: (id_in, id_store, name_dist, *_eq, score), threshold
+    semantics identical to the self form."""
+    if exact_weights is None:
+        exact_weights = DEFAULT_WEIGHTS
+    wn = round(name_weight * 1_000_000)
+    wx = {f: round(w * 1_000_000) for f, w in exact_weights.items()}
+    t_units = round(threshold * 1_000_000)
+    _completeness_check(wn, wx, t_units, block_col, block_dist, max_name_len)
+    fields = list(dict.fromkeys([name_col, block_col] + list(wx)))
+    inc = _spread(incoming.select(F.col(id_col).alias("id"), *fields))
+    st = store.select(F.col(id_col).alias("id"), *fields)
+    inc_names = inc.select(F.col(name_col).alias("token")).distinct()
+    inc_vars = (
+        inc.select("id", F.col(name_col).alias("token"))
+        .join(deletion_neighborhood(inc_names, "token", block_dist), "token")
+        .select("id", "variant")
+    )
+    if store_variants is None:
+        st_names = st.select(F.col(name_col).alias("token")).distinct()
+        st_vars = (
+            st.select("id", F.col(name_col).alias("token"))
+            .join(deletion_neighborhood(st_names, "token", block_dist), "token")
+            .select("id", "variant")
+        )
+    else:
+        st_vars = store_variants.select(
+            F.col(id_col).alias("id"), "variant"
+        )
+    name_cand = (
+        inc_vars.select(F.col("id").alias("id_in"), "variant")
+        .join(st_vars.select(F.col("id").alias("id_store"), "variant"), "variant")
+        .select("id_in", "id_store")
+    )
+    key_cand = (
+        inc.select(F.col("id").alias("id_in"), F.col(block_col).alias("_k"))
+        .join(
+            st.select(F.col("id").alias("id_store"), F.col(block_col).alias("_k")),
+            "_k",
+        )
+        .select("id_in", "id_store")
+    )
+    cand = name_cand.unionByName(key_cand).distinct()
+    a = inc.select(F.col("id").alias("id_in"), *[F.col(f).alias(f"{f}_a") for f in fields])
+    b = st.select(
+        F.col("id").alias("id_store"), *[F.col(f).alias(f"{f}_b") for f in fields]
+    )
+    dist = F.levenshtein(F.col(f"{name_col}_a"), F.col(f"{name_col}_b"))
+    maxlen = F.greatest(
+        F.length(f"{name_col}_a"), F.length(f"{name_col}_b")
+    ).cast("double")
+    units = F.floor(
+        F.lit(float(wn)) * (F.lit(1.0) - dist.cast("double") / maxlen) + F.lit(0.5)
+    ).cast("long")
+    agree_cols = []
+    for f, w in wx.items():
+        eq = (F.col(f"{f}_a") == F.col(f"{f}_b")).cast("int")
+        agree_cols.append(eq.alias(f"{f}_eq"))
+        units = units + eq.cast("long") * F.lit(w)
+    return (
+        cand.join(a, "id_in")
+        .join(b, "id_store")
+        .select(
+            "id_in",
+            "id_store",
+            dist.cast("int").alias("name_dist"),
+            *agree_cols,
+            units.alias("_u"),
+        )
+        .filter(F.col("_u") >= F.lit(t_units))
+        .select(
+            "id_in",
+            "id_store",
+            "name_dist",
+            *[f"{f}_eq" for f in wx],
+            (F.col("_u").cast("double") / F.lit(1e6)).alias("score"),
+        )
+    )
+
+
+def record_variants(
+    records: DataFrame,
+    id_col: str = "rec_id",
+    name_col: str = "name",
+    block_dist: int = 1,
+) -> DataFrame:
+    """(rec_id, variant) deletion-neighborhood rows for a record set —
+    the incrementally-persistable half of the name block (a record's
+    variants never change, so the streaming admission store writes
+    them once per batch)."""
+    names = records.select(F.col(name_col).alias("token")).distinct()
+    return (
+        records.select(F.col(id_col).alias("rec_id"), F.col(name_col).alias("token"))
+        .join(deletion_neighborhood(names, "token", block_dist), "token")
+        .select("rec_id", "variant")
+    )

@@ -1059,3 +1059,74 @@ def test_hdr_sketch_stream_matches_batch_and_replay_is_noop(spark, tmp_path):
     )
     route_hdr_batch(spark.createDataFrame(rows_b, schema), parts[-1], "v", bp)
     assert sorted(tuple(r) for r in read_hdr_buckets(spark, bp).collect()) == mk
+
+
+def test_entity_admission_stream_verdicts_restart_and_replay(spark, tmp_path):
+    """Streaming entity admission (round 9): batch-2 records match the
+    batch-1 store through the provably-complete cross-frame blocks
+    (typo+same-phone, exact-name+new-phone, typo+new-phone — the
+    fuzzy-only case — all matched; new entities admit with -1); a
+    checkpointed restart folds only the new file; replaying the last
+    batch under its recorded batch_id leaves the store byte-identical
+    (the batch_id < current read guard)."""
+    from pyspark.sql import types as T
+
+    from csv_query_engine_spark.streaming import (
+        entity_admission_stream,
+        read_entity_store,
+        route_entity_admission_batch,
+    )
+
+    schema = T.StructType(
+        [
+            T.StructField("rec_id", T.LongType()),
+            T.StructField("name", T.StringType()),
+            T.StructField("phone", T.StringType()),
+            T.StructField("city", T.IntegerType()),
+            T.StructField("segment", T.StringType()),
+            T.StructField("bal_cents", T.LongType()),
+        ]
+    )
+    base = [
+        (10, "customer#000000001", "5-111", 5, "BUILDING", 10000),
+        (20, "customer#000000002", "7-222", 7, "MACHINERY", 20000),
+        (30, "customer#000000003", "9-333", 9, "FURNITURE", 30000),
+    ]
+    # batch 2: one dup of each planted kind + one genuinely new entity
+    later = [
+        (11, "cstomer#000000001", "5-111", 5, "BUILDING", 10000),   # typo + phone
+        (21, "customer#000000002", "7-999", 7, "MACHINERY", 20000),  # exact name, new phone
+        (31, "cstomer#000000003", "9-888", 9, "FURNITURE", 30000),   # typo + new phone (fuzzy-only)
+        (40, "customer#000000099", "1-444", 1, "AUTOMOBILE", 40000),  # new
+    ]
+    staged = str(tmp_path / "staged")
+    spark.createDataFrame(base, schema).coalesce(1).write.mode("overwrite").parquet(staged)
+    store, ckpt = str(tmp_path / "store"), str(tmp_path / "ck")
+
+    def run_once():
+        stream = spark.readStream.schema(schema).parquet(staged)
+        q = entity_admission_stream(stream, store, ckpt)
+        q.awaitTermination(120)
+
+    run_once()
+    spark.createDataFrame(later, schema).coalesce(1).write.mode("append").parquet(staged)
+    run_once()  # restart: only the new file folds in
+
+    recs, _ = read_entity_store(spark, store)
+    got = {r["rec_id"]: r["matched_to"] for r in recs.collect()}
+    assert got == {10: -1, 20: -1, 30: -1, 11: 10, 21: 20, 31: 30, 40: -1}, got
+
+    # replay the LAST batch under its recorded batch_id: byte-identical
+    import glob
+    import re as _re
+
+    parts = sorted(
+        int(_re.search(r"batch_id=(\d+)", p).group(1))
+        for p in glob.glob(f"{store}/records/batch_id=*")
+    )
+    before = sorted(tuple(r) for r in recs.collect())
+    route_entity_admission_batch(
+        spark.createDataFrame(later, schema), parts[-1], store
+    )
+    after, _ = read_entity_store(spark, store)
+    assert sorted(tuple(r) for r in after.collect()) == before
