@@ -126,6 +126,125 @@ def synthetic_entity_records(customer: DataFrame) -> DataFrame:
 DEFAULT_WEIGHTS = {"phone": 0.2, "city": 0.1, "segment": 0.05, "bal_cents": 0.15}
 
 
+def _weights(
+    name_weight: float, exact_weights: dict[str, float] | None, threshold: float
+) -> tuple[int, dict[str, int], int]:
+    if exact_weights is None:
+        exact_weights = DEFAULT_WEIGHTS
+    wn = round(name_weight * 1_000_000)
+    wx = {f: round(w * 1_000_000) for f, w in exact_weights.items()}
+    return wn, wx, round(threshold * 1_000_000)
+
+
+def _completeness_check(
+    wn: int,
+    wx: dict[str, int],
+    t_units: int,
+    block_col: str,
+    block_dist: int,
+    max_name_len: int,
+) -> None:
+    """EXACT completeness bound (shared by the self-join, cross-frame,
+    and streaming-admission paths): the largest distance d at which a
+    pair of ``max_name_len``-char names can reach the threshold with
+    every non-block field agreeing — evaluated with the SAME
+    floor(wn·(1−d/L)+0.5) expression the runtime scores with, for every
+    integer d, instead of inverting the inequality in float arithmetic
+    (the round-9 review counterexample: (1.0−0.9)·20 evaluates to
+    1.9999999999999996, int() truncated it to 1, and a distance-2 pair
+    scoring EXACTLY the threshold slipped past a depth-1 neighborhood).
+    ``max_name_len`` is a caller CONTRACT — it must bound the real name
+    lengths (longer names only raise the reachable distance)."""
+    import math
+
+    other = sum(w for f, w in wx.items() if f != block_col)
+    worst = -1
+    for d in range(max_name_len + 1):
+        units = math.floor(wn * (1.0 - d / max_name_len) + 0.5) + other
+        if units >= t_units:
+            worst = d
+    if worst > block_dist:
+        raise ValueError(
+            f"blocking incomplete: pairs up to name distance {worst} can "
+            f"reach threshold without a {block_col} match, but the deletion "
+            f"neighborhood only covers distance {block_dist}"
+        )
+
+
+def record_variants(
+    records: DataFrame,
+    id_col: str = "rec_id",
+    name_col: str = "name",
+    block_dist: int = 1,
+) -> DataFrame:
+    """(rec_id, variant) deletion-neighborhood rows for a record set —
+    the incrementally-persistable half of the name block (a record's
+    variants never change, so the streaming admission store writes
+    them once per batch)."""
+    names = records.select(F.col(name_col).alias("token")).distinct()
+    return (
+        records.select(F.col(id_col).alias("rec_id"), F.col(name_col).alias("token"))
+        .join(deletion_neighborhood(names, "token", block_dist), "token")
+        .select("rec_id", "variant")
+    )
+
+
+def _score_pairs(
+    cand: DataFrame,
+    left: DataFrame,
+    right: DataFrame,
+    left_id: str,
+    right_id: str,
+    name_col: str,
+    fields: list[str],
+    wn: int,
+    wx: dict[str, int],
+    t_units: int,
+) -> DataFrame:
+    """The ONE scoring definition both match paths share (review fix —
+    a formula tweak applied to one copy would silently diverge the
+    self-join and admission paths, in a module whose oracle pairing
+    depends on the exact integer arithmetic): attach both sides'
+    fields to the candidate pairs, score in 1e6-unit integers with the
+    single FLOOR-quantized name-similarity ratio, filter at the
+    threshold, and emit (ids, name_dist, per-field agreements, score)."""
+    a = left.select(F.col("id").alias(left_id), *[F.col(f).alias(f"{f}_a") for f in fields])
+    b = right.select(
+        F.col("id").alias(right_id), *[F.col(f).alias(f"{f}_b") for f in fields]
+    )
+    dist = F.levenshtein(F.col(f"{name_col}_a"), F.col(f"{name_col}_b"))
+    maxlen = F.greatest(
+        F.length(f"{name_col}_a"), F.length(f"{name_col}_b")
+    ).cast("double")
+    units = F.floor(
+        F.lit(float(wn)) * (F.lit(1.0) - dist.cast("double") / maxlen) + F.lit(0.5)
+    ).cast("long")
+    agree_cols = []
+    for f, w in wx.items():
+        eq = (F.col(f"{f}_a") == F.col(f"{f}_b")).cast("int")
+        agree_cols.append(eq.alias(f"{f}_eq"))
+        units = units + eq.cast("long") * F.lit(w)
+    return (
+        cand.join(a, left_id)
+        .join(b, right_id)
+        .select(
+            left_id,
+            right_id,
+            dist.cast("int").alias("name_dist"),
+            *agree_cols,
+            units.alias("_u"),
+        )
+        .filter(F.col("_u") >= F.lit(t_units))
+        .select(
+            left_id,
+            right_id,
+            "name_dist",
+            *[f"{f}_eq" for f in wx],
+            (F.col("_u").cast("double") / F.lit(1e6)).alias("score"),
+        )
+    )
+
+
 def entity_match_pairs(
     records: DataFrame,
     id_col: str = "rec_id",
@@ -146,38 +265,31 @@ def entity_match_pairs(
     Candidates come from TWO equi-join blocks — the ``block_dist``
     deletion-neighborhood on the name, and equality on ``block_col`` —
     and the union is PROVABLY complete for the configured weights (see
-    module docstring); a ``ValueError`` rejects configurations whose
-    bound exceeds the neighborhood depth rather than silently dropping
-    matches.  Scoring is exact integer arithmetic in 1e6 units (one
-    FLOOR-quantized ratio), so the DuckDB twin hash-matches.
+    :func:`_completeness_check`); a ``ValueError`` rejects
+    configurations whose bound exceeds the neighborhood depth rather
+    than silently dropping matches.  Scoring is exact integer
+    arithmetic in 1e6 units (one FLOOR-quantized ratio), so the DuckDB
+    twin hash-matches.
+
+    The projected record table (5 consumers: names, both variant-join
+    legs via rec_var, the key block, both field-attach sides) and the
+    variant rows (2 consumers) persist once — the multi-consumer rule;
+    cache lifetime is caller-owned (the minhash_lsh_pairs convention).
 
     Output: (id_a, id_b, name_dist, phone/city/…-agreement ints,
     score double)."""
-    if exact_weights is None:
-        exact_weights = DEFAULT_WEIGHTS
-    wn = round(name_weight * 1_000_000)
-    wx = {f: round(w * 1_000_000) for f, w in exact_weights.items()}
-    t_units = round(threshold * 1_000_000)
-    # completeness: a pair that misses the equality block can still
-    # collect every non-name weight except block_col's
-    other = sum(w for f, w in wx.items() if f != block_col)
-    s_min = (t_units - other) / wn  # minimum name similarity required
-    worst_dist = int((1.0 - s_min) * max_name_len)
-    if worst_dist > block_dist:
-        raise ValueError(
-            f"blocking incomplete: pairs up to name distance {worst_dist} can "
-            f"reach threshold without a {block_col} match, but the deletion "
-            f"neighborhood only covers distance {block_dist}"
-        )
-    fields = [name_col, block_col] + [f for f in wx if f != block_col]
+    from pyspark.storagelevel import StorageLevel
+
+    wn, wx, t_units = _weights(name_weight, exact_weights, threshold)
+    _completeness_check(wn, wx, t_units, block_col, block_dist, max_name_len)
+    fields = list(dict.fromkeys([name_col, block_col] + list(wx)))
     recs = _spread(
-        records.select(F.col(id_col).alias("id"), *dict.fromkeys(fields))
-    )
-    # -- name block: distinct names -> deletion neighborhood -> variant join
-    names = recs.select(F.col(name_col).alias("token")).distinct()
-    nb = deletion_neighborhood(names, "token", block_dist)
-    rec_var = recs.select("id", F.col(name_col).alias("token")).join(nb, "token").select(
-        "id", "variant"
+        records.select(F.col(id_col).alias("id"), *fields)
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    rec_var = (
+        record_variants(recs, id_col="id", name_col=name_col, block_dist=block_dist)
+        .withColumnRenamed("rec_id", "id")
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     name_cand = (
         rec_var.select(F.col("id").alias("id_a"), "variant")
@@ -185,7 +297,6 @@ def entity_match_pairs(
         .filter(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b")
     )
-    # -- equality block on the strong key
     key = recs.select("id", F.col(block_col).alias("_k"))
     key_cand = (
         key.select(F.col("id").alias("id_a"), "_k")
@@ -194,40 +305,77 @@ def entity_match_pairs(
         .select("id_a", "id_b")
     )
     cand = name_cand.unionByName(key_cand).distinct()
-    # -- attach both sides, score in integer units
-    a = recs.select(F.col("id").alias("id_a"), *[F.col(f).alias(f"{f}_a") for f in fields])
-    b = recs.select(F.col("id").alias("id_b"), *[F.col(f).alias(f"{f}_b") for f in fields])
-    dist = F.levenshtein(F.col(f"{name_col}_a"), F.col(f"{name_col}_b"))
-    maxlen = F.greatest(
-        F.length(f"{name_col}_a"), F.length(f"{name_col}_b")
-    ).cast("double")
-    name_units = F.floor(
-        F.lit(float(wn)) * (F.lit(1.0) - dist.cast("double") / maxlen) + F.lit(0.5)
-    ).cast("long")
-    units = name_units
-    agree_cols = []
-    for f, w in wx.items():
-        eq = (F.col(f"{f}_a") == F.col(f"{f}_b")).cast("int")
-        agree_cols.append(eq.alias(f"{f}_eq"))
-        units = units + eq.cast("long") * F.lit(w)
-    return (
-        cand.join(a, "id_a")
-        .join(b, "id_b")
-        .select(
-            "id_a",
-            "id_b",
-            dist.cast("int").alias("name_dist"),
-            *agree_cols,
-            units.alias("_u"),
+    return _score_pairs(
+        cand, recs, recs, "id_a", "id_b", name_col, fields, wn, wx, t_units
+    )
+
+
+def entity_match_across(
+    incoming: DataFrame,
+    store: DataFrame,
+    store_variants: DataFrame | None = None,
+    id_col: str = "rec_id",
+    name_col: str = "name",
+    name_weight: float = 0.5,
+    exact_weights: dict[str, float] | None = None,
+    threshold: float = 0.75,
+    block_col: str = "phone",
+    block_dist: int = 1,
+    max_name_len: int = 18,
+) -> DataFrame:
+    """CROSS-frame entity matching: incoming records against an
+    existing record store (the admission shape — a new crawl/CRM slice
+    vs what's already ingested).  Same provably-complete two-block
+    candidate set and integer scoring as :func:`entity_match_pairs`
+    (both paths share :func:`_score_pairs` and
+    :func:`_completeness_check`, so they cannot drift), but candidates
+    are incoming×store ONLY — the store is never self-paired, so
+    per-batch cost scales with the batch, not the store.
+    ``store_variants`` (rec_id, variant) lets the caller reuse a
+    PRECOMPUTED store neighborhood (the streaming admission store
+    persists variants incrementally — a record's variants never
+    change); when None it is derived via :func:`record_variants`.
+
+    The small incoming side persists (3-4 consumers); the store side
+    deliberately does NOT — at scale it is a growing parquet table
+    whose pruned re-scan beats caching it every batch.
+
+    Output: (id_in, id_store, name_dist, *_eq, score), threshold
+    semantics identical to the self form."""
+    from pyspark.storagelevel import StorageLevel
+
+    wn, wx, t_units = _weights(name_weight, exact_weights, threshold)
+    _completeness_check(wn, wx, t_units, block_col, block_dist, max_name_len)
+    fields = list(dict.fromkeys([name_col, block_col] + list(wx)))
+    inc = _spread(incoming.select(F.col(id_col).alias("id"), *fields)).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    st = store.select(F.col(id_col).alias("id"), *fields)
+    inc_vars = record_variants(
+        inc, id_col="id", name_col=name_col, block_dist=block_dist
+    ).withColumnRenamed("rec_id", "id")
+    if store_variants is None:
+        st_vars = record_variants(
+            st, id_col="id", name_col=name_col, block_dist=block_dist
+        ).withColumnRenamed("rec_id", "id")
+    else:
+        st_vars = store_variants.select(F.col(id_col).alias("id"), "variant")
+    name_cand = (
+        inc_vars.select(F.col("id").alias("id_in"), "variant")
+        .join(st_vars.select(F.col("id").alias("id_store"), "variant"), "variant")
+        .select("id_in", "id_store")
+    )
+    key_cand = (
+        inc.select(F.col("id").alias("id_in"), F.col(block_col).alias("_k"))
+        .join(
+            st.select(F.col("id").alias("id_store"), F.col(block_col).alias("_k")),
+            "_k",
         )
-        .filter(F.col("_u") >= F.lit(t_units))
-        .select(
-            "id_a",
-            "id_b",
-            "name_dist",
-            *[f"{f}_eq" for f in wx],
-            (F.col("_u").cast("double") / F.lit(1e6)).alias("score"),
-        )
+        .select("id_in", "id_store")
+    )
+    cand = name_cand.unionByName(key_cand).distinct()
+    return _score_pairs(
+        cand, inc, st, "id_in", "id_store", name_col, fields, wn, wx, t_units
     )
 
 
@@ -249,144 +397,4 @@ def entity_clusters(
         F.col("id").alias(id_col),
         F.col("cluster_id").alias("entity_id"),
         "n_records",
-    )
-
-
-def _completeness_check(
-    wn: int,
-    wx: dict[str, int],
-    t_units: int,
-    block_col: str,
-    block_dist: int,
-    max_name_len: int,
-) -> None:
-    other = sum(w for f, w in wx.items() if f != block_col)
-    s_min = (t_units - other) / wn
-    worst_dist = int((1.0 - s_min) * max_name_len)
-    if worst_dist > block_dist:
-        raise ValueError(
-            f"blocking incomplete: pairs up to name distance {worst_dist} can "
-            f"reach threshold without a {block_col} match, but the deletion "
-            f"neighborhood only covers distance {block_dist}"
-        )
-
-
-def entity_match_across(
-    incoming: DataFrame,
-    store: DataFrame,
-    store_variants: DataFrame | None = None,
-    id_col: str = "rec_id",
-    name_col: str = "name",
-    name_weight: float = 0.5,
-    exact_weights: dict[str, float] | None = None,
-    threshold: float = 0.75,
-    block_col: str = "phone",
-    block_dist: int = 1,
-    max_name_len: int = 18,
-) -> DataFrame:
-    """CROSS-frame entity matching: incoming records against an
-    existing record store (the admission shape — a new crawl/CRM slice
-    vs what's already ingested).  Same provably-complete two-block
-    candidate set and integer scoring as :func:`entity_match_pairs`,
-    but candidates are incoming×store ONLY — the store is never
-    self-paired, so per-batch cost scales with the batch, not the
-    store.  ``store_variants`` (rec_id, variant) lets the caller reuse
-    a PRECOMPUTED store neighborhood (the streaming admission store
-    persists variants incrementally — variants of a record never
-    change); when None it is derived here.
-
-    Output: (id_in, id_store, name_dist, *_eq, score), threshold
-    semantics identical to the self form."""
-    if exact_weights is None:
-        exact_weights = DEFAULT_WEIGHTS
-    wn = round(name_weight * 1_000_000)
-    wx = {f: round(w * 1_000_000) for f, w in exact_weights.items()}
-    t_units = round(threshold * 1_000_000)
-    _completeness_check(wn, wx, t_units, block_col, block_dist, max_name_len)
-    fields = list(dict.fromkeys([name_col, block_col] + list(wx)))
-    inc = _spread(incoming.select(F.col(id_col).alias("id"), *fields))
-    st = store.select(F.col(id_col).alias("id"), *fields)
-    inc_names = inc.select(F.col(name_col).alias("token")).distinct()
-    inc_vars = (
-        inc.select("id", F.col(name_col).alias("token"))
-        .join(deletion_neighborhood(inc_names, "token", block_dist), "token")
-        .select("id", "variant")
-    )
-    if store_variants is None:
-        st_names = st.select(F.col(name_col).alias("token")).distinct()
-        st_vars = (
-            st.select("id", F.col(name_col).alias("token"))
-            .join(deletion_neighborhood(st_names, "token", block_dist), "token")
-            .select("id", "variant")
-        )
-    else:
-        st_vars = store_variants.select(
-            F.col(id_col).alias("id"), "variant"
-        )
-    name_cand = (
-        inc_vars.select(F.col("id").alias("id_in"), "variant")
-        .join(st_vars.select(F.col("id").alias("id_store"), "variant"), "variant")
-        .select("id_in", "id_store")
-    )
-    key_cand = (
-        inc.select(F.col("id").alias("id_in"), F.col(block_col).alias("_k"))
-        .join(
-            st.select(F.col("id").alias("id_store"), F.col(block_col).alias("_k")),
-            "_k",
-        )
-        .select("id_in", "id_store")
-    )
-    cand = name_cand.unionByName(key_cand).distinct()
-    a = inc.select(F.col("id").alias("id_in"), *[F.col(f).alias(f"{f}_a") for f in fields])
-    b = st.select(
-        F.col("id").alias("id_store"), *[F.col(f).alias(f"{f}_b") for f in fields]
-    )
-    dist = F.levenshtein(F.col(f"{name_col}_a"), F.col(f"{name_col}_b"))
-    maxlen = F.greatest(
-        F.length(f"{name_col}_a"), F.length(f"{name_col}_b")
-    ).cast("double")
-    units = F.floor(
-        F.lit(float(wn)) * (F.lit(1.0) - dist.cast("double") / maxlen) + F.lit(0.5)
-    ).cast("long")
-    agree_cols = []
-    for f, w in wx.items():
-        eq = (F.col(f"{f}_a") == F.col(f"{f}_b")).cast("int")
-        agree_cols.append(eq.alias(f"{f}_eq"))
-        units = units + eq.cast("long") * F.lit(w)
-    return (
-        cand.join(a, "id_in")
-        .join(b, "id_store")
-        .select(
-            "id_in",
-            "id_store",
-            dist.cast("int").alias("name_dist"),
-            *agree_cols,
-            units.alias("_u"),
-        )
-        .filter(F.col("_u") >= F.lit(t_units))
-        .select(
-            "id_in",
-            "id_store",
-            "name_dist",
-            *[f"{f}_eq" for f in wx],
-            (F.col("_u").cast("double") / F.lit(1e6)).alias("score"),
-        )
-    )
-
-
-def record_variants(
-    records: DataFrame,
-    id_col: str = "rec_id",
-    name_col: str = "name",
-    block_dist: int = 1,
-) -> DataFrame:
-    """(rec_id, variant) deletion-neighborhood rows for a record set —
-    the incrementally-persistable half of the name block (a record's
-    variants never change, so the streaming admission store writes
-    them once per batch)."""
-    names = records.select(F.col(name_col).alias("token")).distinct()
-    return (
-        records.select(F.col(id_col).alias("rec_id"), F.col(name_col).alias("token"))
-        .join(deletion_neighborhood(names, "token", block_dist), "token")
-        .select("rec_id", "variant")
     )

@@ -388,6 +388,29 @@ def sql_hll_distinct(
 
 # ------------------------- integer log-bucket quantile sketch (HDR-style)
 
+def _hdr_bucket_exprs(value_col: str, sub_bits: int):
+    """(e, sb) bucket expressions — the ONE definition the ungrouped
+    and grouped builds share (the md5-recipe rule: never re-inline a
+    reproducible-internals expression at a call site, or the Spark
+    side and its DuckDB twin can drift apart silently)."""
+    s = int(sub_bits)
+    v = F.col(value_col).cast("long")
+    e = F.when(v <= 0, F.lit(-1)).otherwise(F.length(F.bin(v)) - F.lit(1)).cast("int")
+    sb = (
+        F.when(v <= 0, F.lit(0))
+        .otherwise(
+            F.expr(
+                f"shiftright(CAST({value_col} AS BIGINT),"
+                f" greatest(length(bin(CAST({value_col} AS BIGINT))) - 1 - {s}, 0))"
+                f" - shiftleft(CAST(1 AS BIGINT),"
+                f" least(length(bin(CAST({value_col} AS BIGINT))) - 1, {s}))"
+            )
+        )
+        .cast("long")
+    )
+    return e, sb
+
+
 def hdr_buckets(df: DataFrame, value_col: str, sub_bits: int = 5) -> DataFrame:
     """Log-bucket quantile-sketch table over POSITIVE integer values
     (HdrHistogram's bucketing — Tene's high-dynamic-range histogram;
@@ -410,23 +433,9 @@ def hdr_buckets(df: DataFrame, value_col: str, sub_bits: int = 5) -> DataFrame:
     bucket (they sort first and estimate as 0 — data-quality strays,
     not the contract domain).  One projection + ONE aggregation with
     map-side combine; nothing else shuffles."""
-    s = int(sub_bits)
-    v = F.col(value_col).cast("long")
-    e = F.when(v <= 0, F.lit(-1)).otherwise(F.length(F.bin(v)) - F.lit(1)).cast("int")
-    sb = (
-        F.when(v <= 0, F.lit(0))
-        .otherwise(
-            F.expr(
-                f"shiftright(CAST({value_col} AS BIGINT),"
-                f" greatest(length(bin(CAST({value_col} AS BIGINT))) - 1 - {s}, 0))"
-                f" - shiftleft(CAST(1 AS BIGINT),"
-                f" least(length(bin(CAST({value_col} AS BIGINT))) - 1, {s}))"
-            )
-        )
-        .cast("long")
-    )
+    e, sb = _hdr_bucket_exprs(value_col, sub_bits)
     return (
-        df.filter(v.isNotNull())
+        df.filter(F.col(value_col).isNotNull())
         .select(e.alias("e"), sb.alias("sb"))
         .groupBy("e", "sb")
         .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
@@ -539,23 +548,9 @@ def hdr_buckets_by(
     cohort), ≤ 63·2^sub_bits + 1 rows PER GROUP, mergeable across
     shards by (group, e, sb) SUM.  Same integer bucketing, same
     determinism, same oracle story."""
-    s = int(sub_bits)
-    v = F.col(value_col).cast("long")
-    e = F.when(v <= 0, F.lit(-1)).otherwise(F.length(F.bin(v)) - F.lit(1)).cast("int")
-    sb = (
-        F.when(v <= 0, F.lit(0))
-        .otherwise(
-            F.expr(
-                f"shiftright(CAST({value_col} AS BIGINT),"
-                f" greatest(length(bin(CAST({value_col} AS BIGINT))) - 1 - {s}, 0))"
-                f" - shiftleft(CAST(1 AS BIGINT),"
-                f" least(length(bin(CAST({value_col} AS BIGINT))) - 1, {s}))"
-            )
-        )
-        .cast("long")
-    )
+    e, sb = _hdr_bucket_exprs(value_col, sub_bits)
     return (
-        df.filter(v.isNotNull())
+        df.filter(F.col(value_col).isNotNull())
         .select(*group_cols, e.alias("e"), sb.alias("sb"))
         .groupBy(*group_cols, "e", "sb")
         .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))

@@ -946,10 +946,20 @@ def read_entity_store(
     A store that does not exist yet (the FIRST batch) reads as empty."""
 
     def _read(path: str, schema: str) -> DataFrame:
+        from pyspark.errors import AnalysisException
+
         try:
             return spark.read.schema(schema).parquet(path)
-        except Exception:  # PATH_NOT_FOUND on the very first batch
-            return spark.createDataFrame([], schema)
+        except AnalysisException as e:
+            # ONLY the missing-path case reads as empty (the first
+            # batch).  Any other failure (corrupt footer, permissions,
+            # FS hiccup) must FAIL the batch so the checkpoint retries
+            # it — an empty-store fallback would durably write wrong
+            # matched_to=-1 verdicts that a replay then reproduces
+            # (round-9 review finding).
+            if "PATH_NOT_FOUND" in str(e) or "Path does not exist" in str(e):
+                return spark.createDataFrame([], schema)
+            raise
 
     recs = _read(f"{store_dir}/records", _ENTITY_RECORD_SCHEMA)
     vars_ = _read(f"{store_dir}/variants", _ENTITY_VARIANT_SCHEMA)
@@ -1009,9 +1019,15 @@ def route_entity_admission_batch(
         .partitionBy("batch_id")
         .parquet(f"{store_dir}/records")
     )
-    bd = match_kwargs.get("block_dist", 1)
+    # the stored variants must be built with the SAME name column and
+    # depth the matcher uses, or the fuzzy block silently finds nothing
+    # for every later batch (round-9 review finding)
     (
-        record_variants(batch_df, block_dist=bd)
+        record_variants(
+            batch_df,
+            name_col=match_kwargs.get("name_col", "name"),
+            block_dist=match_kwargs.get("block_dist", 1),
+        )
         .withColumn("batch_id", F.lit(int(batch_id)))
         .write.mode("overwrite")
         .option("partitionOverwriteMode", "dynamic")
