@@ -447,3 +447,77 @@ def sql_bm25_topk(
     SELECT id AS {id_col}, n_matched_terms, su / 1e6 AS bm25_score
     FROM scored ORDER BY su DESC, id LIMIT {top_n}
     """
+
+
+def retrieval_metrics(
+    run: DataFrame,
+    qrels: DataFrame,
+    k: int = 5,
+    query_id_col: str = "query_id",
+    cand_id_col: str = "cand_id",
+    rank_col: str = "rank",
+) -> DataFrame:
+    """Per-query retrieval quality — the MEASUREMENT step of the
+    curation loop (evaluate a retriever/index change before shipping
+    it): given a ranked ``run`` (query, cand, rank) and a relevance
+    table ``qrels`` (query, cand), emit
+
+        (query_id, n_rel, hits_at_k, recall_at_k, first_rel_rank, rr)
+
+    with recall@k = |relevant ∩ top-k| / |relevant| and rr = 1/rank of
+    the first relevant result (the MRR addend; Voorhees TREC-8).  The
+    0 sentinel fills first_rel_rank/rr for queries with no relevant
+    retrieval and recall for queries with no relevant set (the
+    nullable-numeric pandas-upcast rule), so both engines emit
+    identical rows.
+
+    Determinism: counts are exact integers; recall and rr are single
+    IEEE divisions of small ints — hash-exact with no quantization
+    needed.  Scale: one (query, cand) equi-join of the bounded run
+    (Q×k rows) against qrels + two grouped aggregates; nothing touches
+    the corpus."""
+    r = run.select(
+        F.col(query_id_col).alias("query_id"),
+        F.col(cand_id_col).alias("cand_id"),
+        F.col(rank_col).cast("long").alias("rank"),
+    )
+    rel = qrels.select(
+        F.col(query_id_col).alias("query_id"), F.col(cand_id_col).alias("cand_id")
+    ).distinct()
+    nrel = rel.groupBy("query_id").agg(F.count(F.lit(1)).cast("long").alias("n_rel"))
+    hits = (
+        r.join(rel.withColumn("_rel", F.lit(1)), ["query_id", "cand_id"], "left")
+        .groupBy("query_id")
+        .agg(
+            F.sum(
+                F.when((F.col("_rel").isNotNull()) & (F.col("rank") <= k), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("hits_at_k"),
+            F.min(F.when(F.col("_rel").isNotNull(), F.col("rank")))
+            .cast("long")
+            .alias("_frr"),
+        )
+    )
+    return (
+        hits.join(nrel, "query_id", "left")
+        .select(
+            "query_id",
+            F.coalesce("n_rel", F.lit(0)).cast("long").alias("n_rel"),
+            "hits_at_k",
+            F.when(
+                F.coalesce("n_rel", F.lit(0)) > 0,
+                F.col("hits_at_k").cast("double") / F.col("n_rel").cast("double"),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("recall_at_k"),
+            F.coalesce("_frr", F.lit(0)).cast("long").alias("first_rel_rank"),
+            F.when(
+                F.col("_frr").isNotNull(),
+                F.lit(1.0) / F.col("_frr").cast("double"),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("rr"),
+        )
+        .orderBy("query_id")
+    )

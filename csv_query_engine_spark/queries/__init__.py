@@ -246,6 +246,10 @@ DRIVER_ORDER: list[str] = [
     # Round-9: the grouped (per-month) HDR quantile monitor — bounded
     # sketch per group, windowed walk over sketch rows only:
     "orders_monthly_hdr_quantiles",
+    # Round-9: retrieval-quality evaluation (recall@k / MRR addend per
+    # query against label-match relevance; nests the brute-force twin)
+    # — oracle-paired, past-window:
+    "embedding_retrieval_eval",
     # Rows-only ops (no SQL-expressible oracle; pytest covers recall/
     # precision/planted-neighbor properties):
     "dedup_minhash_lsh_pairs",

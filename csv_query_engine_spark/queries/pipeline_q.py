@@ -3382,3 +3382,64 @@ def customer_entity_resolution_pairs(spark: SparkSession, sf_dir: str) -> DataFr
     return entity_match_pairs(recs, block_dist=1, max_name_len=18).orderBy(
         "id_a", "id_b"
     )
+
+
+@register(
+    "embedding_retrieval_eval",
+    f"""
+    WITH run AS ({_sql_brute_cosine_topk(False)}),
+    ql AS (SELECT vec_id AS query_id, label FROM embeddings WHERE vec_id % 100 = 0),
+    rel AS (SELECT ql.query_id, e.vec_id AS cand_id
+            FROM embeddings e JOIN ql ON e.label = ql.label AND e.vec_id <> ql.query_id),
+    nrel AS (SELECT query_id, CAST(COUNT(*) AS BIGINT) AS n_rel FROM rel GROUP BY query_id),
+    hits AS (SELECT r.query_id,
+                    CAST(SUM(CASE WHEN rel.cand_id IS NOT NULL AND r.rank <= 5
+                                  THEN 1 ELSE 0 END) AS BIGINT) AS hits_at_k,
+                    CAST(MIN(CASE WHEN rel.cand_id IS NOT NULL THEN r.rank END) AS BIGINT)
+                        AS frr
+             FROM run r LEFT JOIN rel
+               ON r.query_id = rel.query_id AND r.cand_id = rel.cand_id
+             GROUP BY r.query_id)
+    SELECT h.query_id AS query_id,
+           COALESCE(n.n_rel, 0) AS n_rel,
+           h.hits_at_k AS hits_at_k,
+           CASE WHEN COALESCE(n.n_rel, 0) > 0
+                THEN CAST(h.hits_at_k AS DOUBLE) / CAST(n.n_rel AS DOUBLE)
+                ELSE CAST(0 AS DOUBLE) END AS recall_at_k,
+           COALESCE(h.frr, 0) AS first_rel_rank,
+           CASE WHEN h.frr IS NOT NULL
+                THEN CAST(1 AS DOUBLE) / CAST(h.frr AS DOUBLE)
+                ELSE CAST(0 AS DOUBLE) END AS rr
+    FROM hits h LEFT JOIN nrel n ON h.query_id = n.query_id
+    ORDER BY query_id
+    """,
+)
+def embedding_retrieval_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retrieval-quality evaluation (pipeline/retrieval.py::
+    retrieval_metrics): the brute-force cosine top-5 run (the
+    embedding_topk_bruteforce computation, twin nested verbatim via
+    the shared builder) scored against label-match relevance — per
+    query recall@5, first relevant rank, and the MRR addend.  The
+    measurement loop a retrieval/index change runs before shipping;
+    relevance = same label (cand ≠ query), so n_rel ≈ N/4 and
+    recall@5 is honestly tiny while rr is informative.
+
+    Determinism: exact counts + single IEEE divisions of small ints —
+    no quantization needed (reciprocals CAST both operands AS DOUBLE
+    on the oracle side, the rrf DECIMAL-trap rule).  Scale: the run
+    is Q×5 rows; the metrics join never touches the corpus beyond the
+    qrels derivation."""
+    from csv_query_engine_spark.pipeline.retrieval import retrieval_metrics
+
+    e = load_tables(spark, sf_dir, ("embeddings",))["embeddings"]
+    q = e.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding"), F.col("label")
+    )
+    run = sim.brute_force_topk(e, q.select("query_id", "embedding"), k=5, rounding=4)
+    qrels = (
+        e.select(F.col("vec_id").alias("cand_id"), "label")
+        .join(q.select("query_id", "label"), "label")
+        .filter(F.col("cand_id") != F.col("query_id"))
+        .select("query_id", "cand_id")
+    )
+    return retrieval_metrics(run, qrels, k=5)

@@ -135,3 +135,35 @@ def test_hybrid_rrf_plan_has_no_cartesian_no_python(spark, docs):
     plan = hybrid_rrf_topk(docs, emb, list_n=3, n_terms=3)._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_retrieval_metrics_contract(spark):
+    """retrieval_metrics: recall@k / first-relevant-rank / MRR addend
+    per query, with 0 sentinels for no-relevant-retrieved and
+    no-relevant-set queries (round 9)."""
+    from csv_query_engine_spark.pipeline.retrieval import retrieval_metrics
+
+    run = spark.createDataFrame(
+        # q1: relevant at ranks 2 and 5; q2: none relevant; q3: rank 1
+        [(1, 10, 1), (1, 11, 2), (1, 12, 3), (1, 13, 4), (1, 14, 5),
+         (2, 20, 1), (2, 21, 2),
+         (3, 30, 1)],
+        "query_id long, cand_id long, rank int",
+    )
+    qrels = spark.createDataFrame(
+        [(1, 11), (1, 14), (1, 99), (3, 30), (4, 40)],
+        "query_id long, cand_id long",
+    )
+    out = {r["query_id"]: r for r in retrieval_metrics(run, qrels, k=5).collect()}
+    assert out[1]["n_rel"] == 3 and out[1]["hits_at_k"] == 2
+    assert abs(out[1]["recall_at_k"] - 2 / 3) < 1e-15
+    assert out[1]["first_rel_rank"] == 2 and out[1]["rr"] == 0.5
+    # q2 has a relevant SET? no qrels -> n_rel 0, all-zero metrics
+    assert out[2]["n_rel"] == 0 and out[2]["recall_at_k"] == 0.0
+    assert out[2]["first_rel_rank"] == 0 and out[2]["rr"] == 0.0
+    assert out[3]["rr"] == 1.0 and out[3]["recall_at_k"] == 1.0
+    # qrels-only query 4 (never retrieved) is not a run row
+    assert 4 not in out
+    # hits beyond k are excluded from recall but still set first_rel_rank
+    out2 = {r["query_id"]: r for r in retrieval_metrics(run, qrels, k=1).collect()}
+    assert out2[1]["hits_at_k"] == 0 and out2[1]["first_rel_rank"] == 2
