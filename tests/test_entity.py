@@ -116,3 +116,84 @@ def test_score_components_are_consistent(spark):
         )
         assert units >= 750000
         assert abs(r["score"] - units / 1e6) < 1e-12, r
+
+
+def test_blocking_equals_quadratic_truth_or_raises(spark):
+    """THE completeness property (fixed-seed random sweep): for random
+    weight/threshold/depth configurations, entity_match_pairs either
+    refuses (guard) or its blocked output EXACTLY equals the quadratic
+    all-pairs truth recomputed in pure Python with the same integer
+    scoring — no silently dropped matches, ever."""
+    import itertools
+    import math
+    import random
+
+    from csv_query_engine_spark.pipeline.entity import entity_match_pairs
+
+    rng = random.Random(31)
+    segs = ["A", "B", "C"]
+    rows = []
+    for i in range(1, 41):
+        name = f"record#{i:04d}xx"
+        phone = f"{i % 7}-{(i * 37) % 1000}"
+        rows.append((i, name, phone, i % 5, segs[i % 3], (i * 97) % 400))
+        if i % 4 == 0:  # planted typo twin, shared phone
+            p = (i % (len(name) - 1)) + 1
+            rows.append((i + 1000, name[:p] + name[p + 1:], phone, i % 5, segs[i % 3], (i * 97) % 400))
+    recs = spark.createDataFrame(
+        rows, "rec_id long, name string, phone string, city int, segment string, bal_cents long"
+    )
+    max_len = max(len(r[1]) for r in rows)
+
+    def py_truth(wn, wx, t):
+        out = set()
+        for a, b in itertools.combinations(rows, 2):
+            dist = _lev(a[1], b[1])
+            m = max(len(a[1]), len(b[1]))
+            units = math.floor(wn * (1.0 - dist / m) + 0.5)
+            for (f_idx, w) in wx:
+                units += w * (a[f_idx] == b[f_idx])
+            if units >= t:
+                out.add((min(a[0], b[0]), max(a[0], b[0])))
+        return out
+
+    def _lev(s, t):
+        prev = list(range(len(t) + 1))
+        for i, cs in enumerate(s, 1):
+            cur = [i]
+            for j, ct in enumerate(t, 1):
+                cur.append(min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (cs != ct)))
+            prev = cur
+        return prev[-1]
+
+    field_idx = {"phone": 2, "city": 3, "segment": 4, "bal_cents": 5}
+    ran = refused = 0
+    for _trial in range(8):
+        name_w = rng.choice([0.4, 0.5, 0.6])
+        ws = {f: rng.choice([0.05, 0.1, 0.2]) for f in field_idx}
+        thr = rng.choice([0.6, 0.7, 0.75, 0.8, 0.9])
+        depth = rng.choice([1, 2])
+        wn = round(name_w * 1e6)
+        wx = [(field_idx[f], round(w * 1e6)) for f, w in ws.items()]
+        try:
+            got = {
+                (r["id_a"], r["id_b"])
+                for r in entity_match_pairs(
+                    recs,
+                    name_weight=name_w,
+                    exact_weights=ws,
+                    threshold=thr,
+                    block_dist=depth,
+                    max_name_len=max_len,
+                ).collect()
+            }
+        except ValueError:
+            refused += 1
+            continue
+        ran += 1
+        truth = py_truth(wn, wx, round(thr * 1e6))
+        assert got == truth, (
+            name_w, ws, thr, depth,
+            sorted(truth - got)[:5], sorted(got - truth)[:5],
+        )
+    assert ran >= 3 and refused >= 1, (ran, refused)  # both branches exercised
