@@ -40,6 +40,11 @@ canonical questions imply but its grammar can't parse:
 * ``between YYYY-MM-DD and YYYY-MM-DD`` / ``since YYYY-MM-DD``
                                      explicit date range on the first
                                      date-typed column
+* ``for each <col>`` ................ GROUP BY (third phrasing,
+                                     round 9)
+* ``in YYYY`` ....................... calendar-year range on the
+                                     first date column (round 9;
+                                     yields to explicit bounds)
 * ``last month`` .................... inherited range rule (A9)
 
 Column words fold trailing-'s' plurals exactly like the base grammar's
@@ -143,10 +148,11 @@ def generate_sql_extended(
             break
 
     # grouping key ("sorted/ordered by X" is ordering, not grouping —
-    # the lookbehinds keep the two rules disjoint)
+    # the lookbehinds keep the two rules disjoint; "for each X" is the
+    # third grouping phrasing, round 9)
     group_col = None
     for m in re.finditer(
-        r"(?<!sorted )(?<!ordered )(?<!order )\b(?:by|per)\b (\w+)", q
+        r"(?:(?<!sorted )(?<!ordered )(?<!order )\b(?:by|per)\b|\bfor each\b) (\w+)", q
     ):
         col = resolve(m.group(1))
         if col is not None and col != agg_col:
@@ -249,6 +255,13 @@ def generate_sql_extended(
         sm = re.search(r"\bsince (\d{4}-\d{2}-\d{2})", q)
         if sm:
             where.append(f"{d} >= '{sm.group(1)}'")
+        # "in <year>" -> calendar-year range on the first date column
+        # (round 9); the lookahead keeps the year prefix of an ISO date
+        # out, and the rule yields to any explicit date bound above
+        ym = re.search(r"\bin (\d{4})\b(?!-)", q)
+        if ym and not (bm or sm):
+            y = int(ym.group(1))
+            where.append(f"{d} >= '{y}-01-01' AND {d} < '{y + 1}-01-01'")
 
     # assemble
     select_parts: list[str] = []

@@ -568,3 +568,42 @@ def test_multi_table_unjoinable_is_rejected(spark):
     }
     with pytest.raises(ValueError):
         generate_sql_multi_table("average b_score by a_val", tabs)
+
+
+def test_extended_for_each_and_year_filter(spark):
+    """Round 9: 'for each X' groups like by/per, and 'in YYYY' binds a
+    calendar-year range on the date column (executes-equal), yielding
+    to explicit date bounds."""
+    from csv_query_engine_spark.io.readers import load_tables
+    from csv_query_engine_spark.nlsql.extended import generate_sql_extended
+    from csv_query_engine_spark.nlsql.validator import validate_sql
+    from csv_query_engine_spark.profiler import profile
+
+    t = load_tables(spark, "/root/testdata/sf0.001", ("orders",))
+    t["orders"].createOrReplaceTempView("orders")
+    cols = profile(t["orders"])
+    sql = generate_sql_extended(
+        "count of orders for each o_orderpriority in 1996", cols, table="orders"
+    )
+    validate_sql(sql, spark)
+    assert "GROUP BY `o_orderpriority`" in sql and "1996-01-01" in sql and "1997-01-01" in sql
+    got = {r[0]: r[1] for r in spark.sql(sql).collect()}
+    want = {
+        r[0]: r[1]
+        for r in spark.sql(
+            "SELECT o_orderpriority, COUNT(*) FROM orders"
+            " WHERE o_orderdate >= '1996-01-01' AND o_orderdate < '1997-01-01'"
+            " GROUP BY o_orderpriority"
+        ).collect()
+    }
+    assert got == want and got
+    # an explicit bound wins over the year rule
+    sql2 = generate_sql_extended(
+        "count of orders in 1996 since 1996-06-01", cols, table="orders"
+    )
+    assert "1996-06-01" in sql2 and "1997-01-01" not in sql2
+    # 'in 1995' inside an ISO date must not fire the year rule
+    sql3 = generate_sql_extended(
+        "count of orders since 1995-03-01", cols, table="orders"
+    )
+    assert sql3.count("1995") == 1
