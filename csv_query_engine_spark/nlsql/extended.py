@@ -259,7 +259,7 @@ def generate_sql_extended(
         # (round 9); the lookahead keeps the year prefix of an ISO date
         # out, and the rule yields to any explicit date bound above
         ym = re.search(r"\bin (\d{4})\b(?!-)", q)
-        if ym and not (bm or sm):
+        if ym and not (bm or sm) and "last month" not in q:
             y = int(ym.group(1))
             where.append(f"{d} >= '{y}-01-01' AND {d} < '{y + 1}-01-01'")
 
@@ -290,10 +290,11 @@ def generate_sql_extended(
     sql = f"SELECT {', '.join(select_parts)} FROM {from_clause or tbl}"
     if where:
         sql += " WHERE " + " AND ".join(where)
-    grouped = group_col is not None and (
-        agg_fn is not None or wants_count or topm or distinct_col is not None
-        or having is not None
-    )
+    # grouped whenever the select list carries ANY metric next to the
+    # group key — the bare "<noun> for each X" / "orders per X" case
+    # adds COUNT(*) above and MUST group or the SQL is invalid
+    # (MISSING_GROUP_BY; round-9 review finding)
+    grouped = group_col is not None and len(select_parts) > 1
     if grouped:
         sql += f" GROUP BY {quote_identifier(group_col)}"
         if having is not None:

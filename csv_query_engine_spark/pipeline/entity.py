@@ -314,6 +314,7 @@ def entity_match_across(
     incoming: DataFrame,
     store: DataFrame,
     store_variants: DataFrame | None = None,
+    incoming_variants: DataFrame | None = None,
     id_col: str = "rec_id",
     name_col: str = "name",
     name_weight: float = 0.5,
@@ -322,6 +323,7 @@ def entity_match_across(
     block_col: str = "phone",
     block_dist: int = 1,
     max_name_len: int = 18,
+    persist_incoming: bool = True,
 ) -> DataFrame:
     """CROSS-frame entity matching: incoming records against an
     existing record store (the admission shape — a new crawl/CRM slice
@@ -347,13 +349,23 @@ def entity_match_across(
     wn, wx, t_units = _weights(name_weight, exact_weights, threshold)
     _completeness_check(wn, wx, t_units, block_col, block_dist, max_name_len)
     fields = list(dict.fromkeys([name_col, block_col] + list(wx)))
-    inc = _spread(incoming.select(F.col(id_col).alias("id"), *fields)).persist(
-        StorageLevel.MEMORY_AND_DISK
-    )
+    inc = _spread(incoming.select(F.col(id_col).alias("id"), *fields))
+    if persist_incoming:
+        # persist_incoming=False lets a caller that already materialized
+        # the batch (the streaming admission route) avoid leaking a
+        # per-batch cache it has no handle to unpersist (round-9
+        # review finding)
+        inc = inc.persist(StorageLevel.MEMORY_AND_DISK)
     st = store.select(F.col(id_col).alias("id"), *fields)
-    inc_vars = record_variants(
-        inc, id_col="id", name_col=name_col, block_dist=block_dist
-    ).withColumnRenamed("rec_id", "id")
+    if incoming_variants is not None:
+        # reuse variants the caller already built (the admission route
+        # writes them to the store anyway — computing the neighborhood
+        # once per batch, not twice)
+        inc_vars = incoming_variants.select(F.col(id_col).alias("id"), "variant")
+    else:
+        inc_vars = record_variants(
+            inc, id_col="id", name_col=name_col, block_dist=block_dist
+        ).withColumnRenamed("rec_id", "id")
     if store_variants is None:
         st_vars = record_variants(
             st, id_col="id", name_col=name_col, block_dist=block_dist

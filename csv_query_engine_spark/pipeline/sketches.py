@@ -523,7 +523,8 @@ def sql_hdr_quantiles(
               ON (b.e < a.e) OR (b.e = a.e AND b.sb <= a.sb)
             GROUP BY a.e, a.sb),
     targets AS (SELECT CAST(q AS DOUBLE) AS q,
-                       GREATEST(CAST(1 AS BIGINT), CAST(ceil(q * n) AS BIGINT)) AS rank,
+                       GREATEST(CAST(1 AS BIGINT),
+                                CAST(ceil(CAST(q AS DOUBLE) * n) AS BIGINT)) AS rank,
                        n
                 FROM (VALUES {qvals}) t(q) CROSS JOIN tot),
     pick AS (SELECT q, rank, n, e, sb FROM (
@@ -625,7 +626,8 @@ def sql_hdr_quantiles_by(
             FROM buckets),
     tot AS (SELECT g, CAST(SUM(cnt) AS BIGINT) AS n FROM buckets GROUP BY g),
     targets AS (SELECT g, CAST(q AS DOUBLE) AS q,
-                       GREATEST(CAST(1 AS BIGINT), CAST(ceil(q * n) AS BIGINT)) AS rank,
+                       GREATEST(CAST(1 AS BIGINT),
+                                CAST(ceil(CAST(q AS DOUBLE) * n) AS BIGINT)) AS rank,
                        n
                 FROM tot CROSS JOIN (VALUES {qvals}) t(q)),
     pick AS (SELECT g, q, rank, n, e, sb FROM (

@@ -987,53 +987,85 @@ def route_entity_admission_batch(
 
     Same-batch duplicates admit independently (the incremental-dedup
     contract) and pair up against any LATER batch through the store."""
+    from pyspark.storagelevel import StorageLevel
+
     from csv_query_engine_spark.pipeline.entity import (
         entity_match_across,
         record_variants,
     )
 
+    # The store schema is FIXED (rec_id + the five fixture fields), so
+    # kwargs the schema cannot honor are rejected up front — a renamed
+    # id or an unknown weight field would otherwise crash or silently
+    # mis-block every batch (round-9 review finding).
+    allowed = {
+        "name_col", "name_weight", "exact_weights", "threshold",
+        "block_col", "block_dist", "max_name_len",
+    }
+    unsupported = set(match_kwargs) - allowed
+    if unsupported:
+        raise ValueError(
+            f"unsupported admission kwargs {sorted(unsupported)}: the store "
+            f"schema is fixed to (rec_id, name, phone, city, segment, bal_cents)"
+        )
+    ew = match_kwargs.get("exact_weights")
+    if ew is not None and not set(ew) <= {"phone", "city", "segment", "bal_cents"}:
+        raise ValueError(f"exact_weights fields {sorted(ew)} not in the store schema")
+
     spark = batch_df.sparkSession
     store, st_vars = read_entity_store(spark, store_dir, before_batch=int(batch_id))
-    matches = entity_match_across(
-        batch_df, store, store_variants=st_vars, **match_kwargs
-    )
-    verdict = matches.groupBy(F.col("id_in").alias("rec_id")).agg(
-        F.min("id_store").alias("matched_to")
-    )
-    out = (
-        batch_df.join(verdict, "rec_id", "left")
-        .select(
-            "rec_id",
-            "name",
-            "phone",
-            "city",
-            "segment",
-            "bal_cents",
-            F.coalesce(F.col("matched_to"), F.lit(-1)).cast("long").alias("matched_to"),
+    # ONE materialization of the batch, ONE neighborhood build — shared
+    # by the matcher and the store writes; unpersisted before return so
+    # a long-running stream cannot accumulate per-batch caches.
+    batch = batch_df.persist(StorageLevel.MEMORY_AND_DISK)
+    inc_vars = record_variants(
+        batch,
+        name_col=match_kwargs.get("name_col", "name"),
+        block_dist=match_kwargs.get("block_dist", 1),
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    try:
+        matches = entity_match_across(
+            batch,
+            store,
+            store_variants=st_vars,
+            incoming_variants=inc_vars,
+            persist_incoming=False,
+            **match_kwargs,
         )
-        .withColumn("batch_id", F.lit(int(batch_id)))
-    )
-    (
-        out.write.mode("overwrite")
-        .option("partitionOverwriteMode", "dynamic")
-        .partitionBy("batch_id")
-        .parquet(f"{store_dir}/records")
-    )
-    # the stored variants must be built with the SAME name column and
-    # depth the matcher uses, or the fuzzy block silently finds nothing
-    # for every later batch (round-9 review finding)
-    (
-        record_variants(
-            batch_df,
-            name_col=match_kwargs.get("name_col", "name"),
-            block_dist=match_kwargs.get("block_dist", 1),
+        verdict = matches.groupBy(F.col("id_in").alias("rec_id")).agg(
+            F.min("id_store").alias("matched_to")
         )
-        .withColumn("batch_id", F.lit(int(batch_id)))
-        .write.mode("overwrite")
-        .option("partitionOverwriteMode", "dynamic")
-        .partitionBy("batch_id")
-        .parquet(f"{store_dir}/variants")
-    )
+        out = (
+            batch.join(verdict, "rec_id", "left")
+            .select(
+                "rec_id",
+                "name",
+                "phone",
+                "city",
+                "segment",
+                "bal_cents",
+                F.coalesce(F.col("matched_to"), F.lit(-1))
+                .cast("long")
+                .alias("matched_to"),
+            )
+            .withColumn("batch_id", F.lit(int(batch_id)))
+        )
+        (
+            out.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(f"{store_dir}/records")
+        )
+        (
+            inc_vars.withColumn("batch_id", F.lit(int(batch_id)))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(f"{store_dir}/variants")
+        )
+    finally:
+        batch.unpersist()
+        inc_vars.unpersist()
 
 
 def entity_admission_stream(
