@@ -99,3 +99,53 @@ def erase_keys(
     for a in audits[1:]:
         audit = audit.unionByName(a)
     return cleaned, audit
+
+
+def k_anonymity_audit(
+    df: DataFrame, quasi_cols: list[str], k: int = 5
+) -> DataFrame:
+    """k-anonymity audit over a quasi-identifier combination (Sweeney
+    2002) — the release check a pipeline runs before publishing
+    derived data: every equivalence class (distinct quasi-identifier
+    combination) with its row count, an ``at_risk`` flag for classes
+    smaller than ``k`` (re-identifiable: an attacker knowing the
+    quasi-identifiers narrows to < k people), and the dataset-level
+    risk numbers repeated on every row (grouping-sets convention):
+    ``n_risk_rows`` (rows in at-risk classes) and ``risk_ppm`` (their
+    share in exact parts-per-million — an integer ratio, so both
+    engines emit identical values).
+
+    NULL quasi-identifier values form their own class (groupBy keeps
+    nulls — they are a linkable value too).  Scale: ONE aggregation
+    over the quasi columns + a 1-row broadcast of the totals; output
+    is the class table, bounded by the quasi-combination cardinality."""
+    classes = df.groupBy(*quasi_cols).agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows")
+    )
+    flagged = classes.select(
+        *quasi_cols, "n_rows", (F.col("n_rows") < k).alias("at_risk")
+    )
+    totals = flagged.agg(
+        F.coalesce(
+            F.sum(F.when(F.col("at_risk"), F.col("n_rows")).otherwise(F.lit(0))),
+            F.lit(0),
+        )
+        .cast("long")
+        .alias("n_risk_rows"),
+        F.sum("n_rows").cast("long").alias("_n_total"),
+    )
+    return (
+        flagged.crossJoin(F.broadcast(totals))  # 1-row broadcast
+        .select(
+            *quasi_cols,
+            "n_rows",
+            "at_risk",
+            "n_risk_rows",
+            # exact integer-derived ppm: floor(1e6 * risk / total)
+            F.floor(
+                F.lit(1000000) * F.col("n_risk_rows") / F.col("_n_total")
+            )
+            .cast("long")
+            .alias("risk_ppm"),
+        )
+    )

@@ -250,6 +250,10 @@ DRIVER_ORDER: list[str] = [
     # query against label-match relevance; nests the brute-force twin)
     # — oracle-paired, past-window:
     "embedding_retrieval_eval",
+    # Round-9: k-anonymity release audit (quasi-identifier equivalence
+    # classes, < k risk flag, exact-ppm dataset risk) — oracle-paired,
+    # past-window:
+    "customer_k_anonymity_audit",
     # Rows-only ops (no SQL-expressible oracle; pytest covers recall/
     # precision/planted-neighbor properties):
     "dedup_minhash_lsh_pairs",

@@ -3443,3 +3443,57 @@ def embedding_retrieval_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("query_id", "cand_id")
     )
     return retrieval_metrics(run, qrels, k=5)
+
+
+@register(
+    "customer_k_anonymity_audit",
+    """
+    WITH src AS (
+        SELECT CAST(c_nationkey AS INT) AS city, c_mktsegment AS segment,
+               CAST(FLOOR(CAST(c_acctbal AS DOUBLE) / 1000.0) AS BIGINT) AS bal_band
+        FROM customer
+    ),
+    classes AS (
+        SELECT city, segment, bal_band, CAST(COUNT(*) AS BIGINT) AS n_rows
+        FROM src GROUP BY city, segment, bal_band
+    ),
+    flagged AS (SELECT city, segment, bal_band, n_rows, n_rows < 5 AS at_risk
+                FROM classes),
+    tot AS (SELECT CAST(COALESCE(SUM(CASE WHEN at_risk THEN n_rows ELSE 0 END), 0)
+                        AS BIGINT) AS n_risk_rows,
+                   CAST(SUM(n_rows) AS BIGINT) AS n_total
+            FROM flagged)
+    SELECT city, segment, bal_band, n_rows, at_risk, n_risk_rows,
+           CAST(FLOOR(1000000 * n_risk_rows / n_total) AS BIGINT) AS risk_ppm
+    FROM flagged CROSS JOIN tot
+    ORDER BY city, segment, bal_band
+    """,
+)
+def customer_k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity release audit (pipeline/privacy.py::
+    k_anonymity_audit; Sweeney 2002) over the (nation, segment,
+    1000-unit balance band) quasi-identifier — every equivalence
+    class with its size, the < 5 re-identification flag, and the
+    dataset-level risk share in exact parts-per-million; the check a
+    pipeline runs before releasing 'anonymized' derived data, sitting
+    beside pseudonymization (which this audits the residual risk OF:
+    tokens hide direct identifiers, quasi-identifier combinations can
+    still single people out).  The banded balance plants genuinely
+    small classes at every SF.
+
+    Oracle-paired: exact counts, one integer-ratio FLOOR.  Scale: ONE
+    aggregation + a 1-row broadcast; output bounded by the
+    quasi-combination cardinality."""
+    from csv_query_engine_spark.pipeline.privacy import k_anonymity_audit
+
+    c = load_tables(spark, sf_dir, ("customer",))["customer"]
+    src = c.select(
+        F.col("c_nationkey").cast("int").alias("city"),
+        F.col("c_mktsegment").alias("segment"),
+        F.floor(F.col("c_acctbal").cast("double") / F.lit(1000.0))
+        .cast("long")
+        .alias("bal_band"),
+    )
+    return k_anonymity_audit(src, ["city", "segment", "bal_band"], k=5).orderBy(
+        "city", "segment", "bal_band"
+    )

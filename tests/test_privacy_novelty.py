@@ -101,3 +101,26 @@ def test_erase_keys_partitions_each_table(spark):
     a = {r["table_name"]: r for r in audit.collect()}
     assert (a["users"]["n_before"], a["users"]["n_removed"], a["users"]["n_after"]) == (3, 2, 1)
     assert (a["acts"]["n_before"], a["acts"]["n_removed"], a["acts"]["n_after"]) == (5, 4, 1)
+
+
+def test_k_anonymity_audit_contract(spark):
+    """k-anonymity audit: classes below k flagged, NULL quasi values
+    form their own (linkable) class, dataset risk numbers are exact
+    integer-derived ppm repeated on every row (round 9)."""
+    from csv_query_engine_spark.pipeline.privacy import k_anonymity_audit
+
+    rows = (
+        [("DE", "A")] * 6        # safe class
+        + [("DE", "B")] * 2      # at risk
+        + [("FR", "A")] * 1      # at risk
+        + [(None, "A")] * 3      # NULL class, at risk (< 5)
+    )
+    df = spark.createDataFrame(rows, "country string, seg string")
+    out = k_anonymity_audit(df, ["country", "seg"], k=5).collect()
+    by_class = {(r["country"], r["seg"]): r for r in out}
+    assert len(by_class) == 4
+    assert not by_class[("DE", "A")]["at_risk"]
+    assert by_class[("DE", "B")]["at_risk"] and by_class[("FR", "A")]["at_risk"]
+    assert by_class[(None, "A")]["at_risk"] and by_class[(None, "A")]["n_rows"] == 3
+    # risk rows = 2 + 1 + 3 = 6 of 12 -> exactly 500000 ppm, on every row
+    assert all(r["n_risk_rows"] == 6 and r["risk_ppm"] == 500000 for r in out)
