@@ -171,6 +171,70 @@ def _completeness_check(
         )
 
 
+def _guard_name_len(col, max_name_len: int):
+    """LAZY runtime enforcement of the ``max_name_len`` contract the
+    completeness proof rests on (round-9 ADVICE: it was an unchecked
+    caller promise — a longer name raises the reachable threshold
+    distance and silently voids the 'provably complete' guarantee).
+    Any record whose name exceeds the bound now fails the JOB via
+    ``raise_error`` in the projection every block reads, so the guard
+    rides the existing scan — zero extra jobs, and it fires even for
+    records that never pair (the miss the bound exists to prevent)."""
+    return F.when(
+        F.length(col) > max_name_len,
+        F.raise_error(
+            F.concat(
+                F.lit(
+                    f"entity: name longer than max_name_len={max_name_len} "
+                    "voids the blocking completeness bound: '"
+                ),
+                col,
+                F.lit("'"),
+            )
+        ),
+    ).otherwise(col)
+
+
+def _guarded_keys(
+    key: DataFrame, block_col: str, max_block_key: int
+) -> DataFrame:
+    """(id, _k) with a LAZY oversized-key tripwire: per-key counts join
+    back onto the key rows and any key value shared by more than
+    ``max_block_key`` records raises AT EXECUTION, in the linear
+    projection feeding the equality join — BEFORE that key's candidate
+    set goes quadratic (the degenerate shape ``minhash_lsh_pairs``'s
+    ``max_bucket`` caps; round-9 verdict).  Never a silent drop:
+    dropping the key would break the PROVABLE completeness contract
+    this module advertises, so a legitimately mass-shared value (a
+    call-center number, a '000-0000' placeholder that is not NULL)
+    must be cleaned or exact-handled upstream, loudly.  NULL keys drop
+    out of the count join exactly as they drop out of the equality
+    block.  Cost: one count aggregation bounded by distinct-key
+    cardinality + a same-key join — both co-partitioned."""
+    counts = key.groupBy("_k").agg(F.count(F.lit(1)).alias("_kn"))
+    return key.join(counts, "_k").select(
+        F.when(
+            F.col("_kn") > max_block_key,
+            F.raise_error(
+                F.concat(
+                    F.lit("entity: block key '"),
+                    F.col("_k").cast("string"),
+                    F.lit(f"' ({block_col}) is shared by "),
+                    F.col("_kn").cast("string"),
+                    F.lit(
+                        f" records (> max_block_key={max_block_key}); a "
+                        "mass-shared key makes the equality block quadratic "
+                        "— clean it upstream or raise max_block_key"
+                    ),
+                )
+            ),
+        )
+        .otherwise(F.col("id"))
+        .alias("id"),
+        "_k",
+    )
+
+
 def record_variants(
     records: DataFrame,
     id_col: str = "rec_id",
@@ -207,7 +271,14 @@ def _score_pairs(
     depends on the exact integer arithmetic): attach both sides'
     fields to the candidate pairs, score in 1e6-unit integers with the
     single FLOOR-quantized name-similarity ratio, filter at the
-    threshold, and emit (ids, name_dist, per-field agreements, score)."""
+    threshold, and emit (ids, name_dist, per-field agreements, score).
+
+    NULL policy (round-9 ADVICE: a NULL in any scored field used to
+    NULL the whole units sum and silently drop the pair): every
+    agreement flag and the name term COALESCE to 0, so a NULL field
+    simply contributes nothing and the pair still matches if the other
+    fields clear the threshold.  ``name_dist`` is −1 when either name
+    is NULL (the pair can only have arrived via the key block)."""
     a = left.select(F.col("id").alias(left_id), *[F.col(f).alias(f"{f}_a") for f in fields])
     b = right.select(
         F.col("id").alias(right_id), *[F.col(f).alias(f"{f}_b") for f in fields]
@@ -216,12 +287,15 @@ def _score_pairs(
     maxlen = F.greatest(
         F.length(f"{name_col}_a"), F.length(f"{name_col}_b")
     ).cast("double")
-    units = F.floor(
-        F.lit(float(wn)) * (F.lit(1.0) - dist.cast("double") / maxlen) + F.lit(0.5)
-    ).cast("long")
+    units = F.coalesce(
+        F.floor(
+            F.lit(float(wn)) * (F.lit(1.0) - dist.cast("double") / maxlen) + F.lit(0.5)
+        ).cast("long"),
+        F.lit(0).cast("long"),
+    )
     agree_cols = []
     for f, w in wx.items():
-        eq = (F.col(f"{f}_a") == F.col(f"{f}_b")).cast("int")
+        eq = F.coalesce((F.col(f"{f}_a") == F.col(f"{f}_b")).cast("int"), F.lit(0))
         agree_cols.append(eq.alias(f"{f}_eq"))
         units = units + eq.cast("long") * F.lit(w)
     return (
@@ -230,7 +304,7 @@ def _score_pairs(
         .select(
             left_id,
             right_id,
-            dist.cast("int").alias("name_dist"),
+            F.coalesce(dist.cast("int"), F.lit(-1)).alias("name_dist"),
             *agree_cols,
             units.alias("_u"),
         )
@@ -255,6 +329,7 @@ def entity_match_pairs(
     block_col: str = "phone",
     block_dist: int = 2,
     max_name_len: int = 24,
+    max_block_key: int = 1000,
 ) -> DataFrame:
     """Matched record pairs (id_a < id_b) with per-field agreement and
     the linear match score:
@@ -271,10 +346,20 @@ def entity_match_pairs(
     arithmetic in 1e6 units (one FLOOR-quantized ratio), so the DuckDB
     twin hash-matches.
 
+    Two LAZY runtime tripwires guard the data-side contracts the proof
+    cannot see (round-9 verdict/ADVICE): a name longer than
+    ``max_name_len`` raises (:func:`_guard_name_len` — longer names
+    widen the reachable distance and void the bound), and a
+    ``block_col`` value shared by more than ``max_block_key`` records
+    raises (:func:`_guarded_keys` — the one shape that turns the
+    equality block quadratic in a single key).  Both ride existing
+    scans; neither ever silently drops.
+
     The projected record table (5 consumers: names, both variant-join
     legs via rec_var, the key block, both field-attach sides) and the
     variant rows (2 consumers) persist once — the multi-consumer rule;
-    cache lifetime is caller-owned (the minhash_lsh_pairs convention).
+    cache lifetime is caller-owned: wrap the call in
+    ``pipeline.common.cache_scope(spark)`` to release on exit.
 
     Output: (id_a, id_b, name_dist, phone/city/…-agreement ints,
     score double)."""
@@ -284,7 +369,15 @@ def entity_match_pairs(
     _completeness_check(wn, wx, t_units, block_col, block_dist, max_name_len)
     fields = list(dict.fromkeys([name_col, block_col] + list(wx)))
     recs = _spread(
-        records.select(F.col(id_col).alias("id"), *fields)
+        records.select(
+            F.col(id_col).alias("id"),
+            *[
+                _guard_name_len(F.col(f), max_name_len).alias(f)
+                if f == name_col
+                else F.col(f)
+                for f in fields
+            ],
+        )
     ).persist(StorageLevel.MEMORY_AND_DISK)
     rec_var = (
         record_variants(recs, id_col="id", name_col=name_col, block_dist=block_dist)
@@ -297,7 +390,9 @@ def entity_match_pairs(
         .filter(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b")
     )
-    key = recs.select("id", F.col(block_col).alias("_k"))
+    key = _guarded_keys(
+        recs.select("id", F.col(block_col).alias("_k")), block_col, max_block_key
+    )
     key_cand = (
         key.select(F.col("id").alias("id_a"), "_k")
         .join(key.select(F.col("id").alias("id_b"), "_k"), "_k")
@@ -323,6 +418,7 @@ def entity_match_across(
     block_col: str = "phone",
     block_dist: int = 1,
     max_name_len: int = 18,
+    max_block_key: int = 1000,
     persist_incoming: bool = True,
 ) -> DataFrame:
     """CROSS-frame entity matching: incoming records against an
@@ -342,6 +438,15 @@ def entity_match_across(
     deliberately does NOT — at scale it is a growing parquet table
     whose pruned re-scan beats caching it every batch.
 
+    The same runtime tripwires as the self form (names >
+    ``max_name_len`` and key values shared by > ``max_block_key``
+    records raise, on BOTH frames): per-key quadratic risk here is
+    cnt_incoming × cnt_store, and the store count is the one that
+    grows batch over batch, so an admission pipeline must clean
+    mass-shared keys BEFORE they accumulate — failing the batch loudly
+    (checkpoint retries after the upstream fix) beats durably writing
+    verdicts off a degenerate block (the round-9 store-reader rule).
+
     Output: (id_in, id_store, name_dist, *_eq, score), threshold
     semantics identical to the self form."""
     from pyspark.storagelevel import StorageLevel
@@ -349,14 +454,32 @@ def entity_match_across(
     wn, wx, t_units = _weights(name_weight, exact_weights, threshold)
     _completeness_check(wn, wx, t_units, block_col, block_dist, max_name_len)
     fields = list(dict.fromkeys([name_col, block_col] + list(wx)))
-    inc = _spread(incoming.select(F.col(id_col).alias("id"), *fields))
+    inc = _spread(
+        incoming.select(
+            F.col(id_col).alias("id"),
+            *[
+                _guard_name_len(F.col(f), max_name_len).alias(f)
+                if f == name_col
+                else F.col(f)
+                for f in fields
+            ],
+        )
+    )
     if persist_incoming:
         # persist_incoming=False lets a caller that already materialized
         # the batch (the streaming admission route) avoid leaking a
         # per-batch cache it has no handle to unpersist (round-9
         # review finding)
         inc = inc.persist(StorageLevel.MEMORY_AND_DISK)
-    st = store.select(F.col(id_col).alias("id"), *fields)
+    st = store.select(
+        F.col(id_col).alias("id"),
+        *[
+            _guard_name_len(F.col(f), max_name_len).alias(f)
+            if f == name_col
+            else F.col(f)
+            for f in fields
+        ],
+    )
     if incoming_variants is not None:
         # reuse variants the caller already built (the admission route
         # writes them to the store anyway — computing the neighborhood
@@ -377,12 +500,15 @@ def entity_match_across(
         .join(st_vars.select(F.col("id").alias("id_store"), "variant"), "variant")
         .select("id_in", "id_store")
     )
+    inc_key = _guarded_keys(
+        inc.select("id", F.col(block_col).alias("_k")), block_col, max_block_key
+    )
+    st_key = _guarded_keys(
+        st.select("id", F.col(block_col).alias("_k")), block_col, max_block_key
+    )
     key_cand = (
-        inc.select(F.col("id").alias("id_in"), F.col(block_col).alias("_k"))
-        .join(
-            st.select(F.col("id").alias("id_store"), F.col(block_col).alias("_k")),
-            "_k",
-        )
+        inc_key.select(F.col("id").alias("id_in"), "_k")
+        .join(st_key.select(F.col("id").alias("id_store"), "_k"), "_k")
         .select("id_in", "id_store")
     )
     cand = name_cand.unionByName(key_cand).distinct()

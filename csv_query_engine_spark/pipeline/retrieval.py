@@ -469,7 +469,11 @@ def retrieval_metrics(
     0 sentinel fills first_rel_rank/rr for queries with no relevant
     retrieval and recall for queries with no relevant set (the
     nullable-numeric pandas-upcast rule), so both engines emit
-    identical rows.
+    identical rows.  The output covers the UNION of run and qrels
+    query ids: a query the retriever never returned at all still gets
+    an all-zero row (round-9 ADVICE — silently excluding never-
+    retrieved queries would overstate any average computed over the
+    output).
 
     Determinism: counts are exact integers; recall and rr are single
     IEEE divisions of small ints — hash-exact with no quantization
@@ -499,15 +503,18 @@ def retrieval_metrics(
             .alias("_frr"),
         )
     )
+    spine = r.select("query_id").unionByName(rel.select("query_id")).distinct()
     return (
-        hits.join(nrel, "query_id", "left")
+        spine.join(hits, "query_id", "left")
+        .join(nrel, "query_id", "left")
         .select(
             "query_id",
             F.coalesce("n_rel", F.lit(0)).cast("long").alias("n_rel"),
-            "hits_at_k",
+            F.coalesce("hits_at_k", F.lit(0)).cast("long").alias("hits_at_k"),
             F.when(
                 F.coalesce("n_rel", F.lit(0)) > 0,
-                F.col("hits_at_k").cast("double") / F.col("n_rel").cast("double"),
+                F.coalesce("hits_at_k", F.lit(0)).cast("double")
+                / F.col("n_rel").cast("double"),
             )
             .otherwise(F.lit(0.0))
             .alias("recall_at_k"),

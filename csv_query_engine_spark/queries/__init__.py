@@ -33,11 +33,11 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {}
 # verify sweep) — the window only chooses which 50 the driver re-checks.
 DRIVER_ORDER: list[str] = [
     # ==================== driver window: first 50 =====================
-    # Round-9 rotation (round-8 verdict #1): the 15 round-8-late
-    # headliners at old positions 137-163 — every one fully
-    # oracle-paired but never driver-certified — take the slots of 15
-    # multi-round-green siblings.  Every outgoing row's capability
-    # family keeps an in-window member (mapping pinned in
+    # Round-10 rotation (round-9 verdict #1): the six round-9
+    # headliners at old positions 154-159 — every one fully
+    # oracle-paired but never driver-certified — take the slots of six
+    # certified siblings.  Every outgoing row's capability family keeps
+    # an in-window member (mapping pinned in
     # tests/test_pipeline_round3.py::test_registry_window_is_oracle_bearing).
     # -- relational core (reference lifecycle + TPC-H classics)
     "flagship_region_nation_revenue",
@@ -67,18 +67,22 @@ DRIVER_ORDER: list[str] = [
     # -- declarative quality gate + physical layout
     "orders_quality_constraints",
     "orders_zorder_layout_stats",
-    # -- reproducible-internals sketches: the HLL merge identity plus
-    #    the two round-8-late builds (CM point counts, HLL cardinality)
-    "events_hll_daily_merge",
+    # -- reproducible-internals sketches: CM point counts + HLL
+    #    cardinality keep the round-8-late rows; the round-9 HDR
+    #    quantile sketch (global + per-month grouped face) replaces the
+    #    r8-certified HLL merge identity (register-MAX merging stays
+    #    covered by events_hll_type_cardinality's shared plumbing)
     "events_cm_user_counts",
     "events_hll_type_cardinality",
+    "orders_hdr_price_quantiles",
+    "orders_monthly_hdr_quantiles",
     # -- iterative + traversal graph family (pagerank keeps the
     #    iterative row; k-hop BFS replaces r1-r8-green triangles)
     "graph_pagerank_directed_purchases",
     "graph_khop_trade_reach",
-    # -- privacy (erasure audit replaces the r8-certified pseudonymized
-    #    export; the family's md5-recipe plumbing is shared)
-    "privacy_erasure_audit",
+    # -- privacy (round-10: the k-anonymity release audit replaces the
+    #    r9-certified erasure audit — same pipeline/privacy.py family)
+    "customer_k_anonymity_audit",
     # -- LLM-pipeline: text analysis / dedup / retrieval / embeddings
     "docs_quality_classifier_scores",
     "docs_dsir_selection",
@@ -86,22 +90,27 @@ DRIVER_ORDER: list[str] = [
     "customer_order_gap_profile",
     "docs_sequence_packing",
     "docs_shard_manifest",
-    "docs_ngram_novelty",
     "docs_benchmark_decontamination",
     "dedup_semantic_pairs",
     "dedup_containment_pairs",
     "dedup_simhash_pairs",
-    "docs_token_typo_pairs",
+    # round-10: entity resolution replaces the r6-r8-certified typo
+    # join it is built ON (same deletion-neighborhood machinery)
+    "customer_entity_resolution_pairs",
     "docs_pmi_collocations",
     "embedding_hard_negatives",
-    "docs_hybrid_retrieval_rrf",
+    # round-10: retrieval-quality eval replaces the r8+r9-certified RRF
+    # fusion (retrieval family; nests the shared brute-force cosine twin)
+    "embedding_retrieval_eval",
     "docs_duplicate_span_removal",
     # -- exact order statistics + distribution screens (selection
     #    descent + its equi-depth composition + PSI drift replace the
     #    ordered-set-agg percentiles and the two r7+r8-green anomaly
     #    screens — same operators/anomaly.py family)
     "orders_exact_quantiles_selection",
-    "orders_equidepth_histogram",
+    # round-10: the grouped (per-month) exact-quantile face replaces
+    # the equi-depth composition (both nest exact_quantile_values)
+    "orders_monthly_exact_quantiles",
     "orders_psi_price_drift",
     # -- multimodal closed-form-oracle family (video joins its phash /
     #    audio siblings, all three sharing _banded_hamming_pairs)
@@ -109,6 +118,14 @@ DRIVER_ORDER: list[str] = [
     "media_audio_dup_pairs",
     "media_video_dup_pairs",
     # ==================== driver window ends at 50 ====================
+    # Rotated OUT in round 10 for the six round-9 headliners (certified
+    # rounds in parens; in-window family keeper in the mapping test):
+    "orders_equidepth_histogram",     # (r9)       -> orders_exact_quantiles_selection + monthly (both nest the descent)
+    "docs_token_typo_pairs",          # (r6-r9)    -> customer_entity_resolution_pairs (deletion-neighborhood family)
+    "events_hll_daily_merge",         # (r8,r9)    -> events_hll_type_cardinality (HLL registers) + HDR (mergeable sketch)
+    "docs_ngram_novelty",             # (r8,r9)    -> docs_pmi_collocations / docs_benchmark_decontamination (gram stats)
+    "docs_hybrid_retrieval_rrf",      # (r8,r9)    -> embedding_retrieval_eval (retrieval eval nests the cosine leg)
+    "privacy_erasure_audit",          # (r9)       -> customer_k_anonymity_audit (privacy family)
     # Rotated OUT in round 9 (certified rounds in parens; in-window
     # family keeper in the mapping test):
     "percentiles_extprice_by_flag",   # (r1-r8) -> exact_quantiles_selection
@@ -230,30 +247,6 @@ DRIVER_ORDER: list[str] = [
     "json_props_variant",
     # CDC diff (r6,r7-certified; MERGE family keeps the window row):
     "customer_snapshot_cdc_diff",
-    # Round-9: grouped exact quantiles by distributed per-group
-    # selection (one shuffle aggregation per refinement level shared
-    # by every (group, q) target; final pick bounded by direct_limit
-    # by construction) — oracle-paired, past-window:
-    "orders_monthly_exact_quantiles",
-    # Round-9: entity resolution over planted dirty records (weighted
-    # multi-field Fellegi-Sunter score, provably complete two-block
-    # candidates) — oracle-paired, past-window:
-    "customer_entity_resolution_pairs",
-    # Round-9: deterministic HDR-style integer log-bucket quantile
-    # sketch (SUM-mergeable, streaming-buildable, bit-identical twin)
-    # — oracle-paired, past-window:
-    "orders_hdr_price_quantiles",
-    # Round-9: the grouped (per-month) HDR quantile monitor — bounded
-    # sketch per group, windowed walk over sketch rows only:
-    "orders_monthly_hdr_quantiles",
-    # Round-9: retrieval-quality evaluation (recall@k / MRR addend per
-    # query against label-match relevance; nests the brute-force twin)
-    # — oracle-paired, past-window:
-    "embedding_retrieval_eval",
-    # Round-9: k-anonymity release audit (quasi-identifier equivalence
-    # classes, < k risk flag, exact-ppm dataset risk) — oracle-paired,
-    # past-window:
-    "customer_k_anonymity_audit",
     # Rows-only ops (no SQL-expressible oracle; pytest covers recall/
     # precision/planted-neighbor properties):
     "dedup_minhash_lsh_pairs",

@@ -1525,7 +1525,8 @@ def orders_equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
                FROM orders WHERE o_totalprice IS NOT NULL),
     n AS (SELECT month, CAST(COUNT(*) AS BIGINT) AS n FROM s GROUP BY month),
     r AS (SELECT month, CAST(q AS DOUBLE) AS q,
-                 GREATEST(CAST(1 AS BIGINT), CAST(ceil(q * n) AS BIGINT)) AS rnk
+                 GREATEST(CAST(1 AS BIGINT),
+                          CAST(ceil(CAST(q AS DOUBLE) * n) AS BIGINT)) AS rnk
           FROM n CROSS JOIN (VALUES (0.25), (0.5), (0.75)) t(q)),
     o AS (SELECT month, v,
                  ROW_NUMBER() OVER (PARTITION BY month ORDER BY v) AS rn
@@ -1550,8 +1551,10 @@ def orders_monthly_exact_quantiles(spark: SparkSession, sf_dir: str) -> DataFram
     before the bounded direct pick on both driver tiers.
 
     Oracle verifies the RESULT per group (rank-th smallest is
-    algorithm-independent); ceil(q·N) is IEEE-exact for quarter
-    quantiles on both engines."""
+    algorithm-independent); the twin's rank is ceil(CAST(q AS DOUBLE)·N)
+    — cast INSIDE the expression, since DuckDB binds the DECIMAL base
+    column under a same-SELECT alias (the HDR-twin rule; quarter
+    quantiles happened to agree either way, 0.99 would not)."""
     from csv_query_engine_spark.operators.selection import grouped_exact_quantiles
 
     o = load_tables(spark, sf_dir, ("orders",))["orders"]

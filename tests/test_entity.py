@@ -81,6 +81,86 @@ def test_incomplete_blocking_is_rejected(spark):
         entity_match_pairs(recs, threshold=0.55, max_name_len=20)
 
 
+def test_null_scored_fields_do_not_void_pairs(spark):
+    """Round-9 ADVICE: a NULL in any scored field used to NULL the
+    whole units sum and silently drop the pair.  Now NULL agreement
+    flags coalesce to 0 — a pair whose OTHER fields clear the
+    threshold still matches, with the NULL field contributing
+    nothing."""
+    rows = [
+        # identical name+phone+city; one NULL segment, one NULL bal —
+        # units = 500k(name) + 200k(phone) + 100k(city) = 800k >= 750k
+        (1, "alice beta gamma", "1-234", 3, None, 500),
+        (2, "alice beta gamma", "1-234", 3, "B", None),
+        # a NULL-name record must not crash anything (it can never
+        # reach threshold under the default weights: name term 0 +
+        # other 0.5 max < 0.75) — and must not pair
+        (3, None, "9-999", 1, "A", 100),
+        (4, "delta epsilon zeta", "9-999", 1, "A", 100),
+    ]
+    recs = spark.createDataFrame(
+        rows,
+        "rec_id long, name string, phone string, city int, segment string, bal_cents long",
+    )
+    out = {
+        (r["id_a"], r["id_b"]): r
+        for r in entity_match_pairs(recs, max_name_len=20).collect()
+    }
+    assert (1, 2) in out, out
+    r = out[(1, 2)]
+    assert r["segment_eq"] == 0 and r["bal_cents_eq"] == 0
+    assert abs(r["score"] - 0.8) < 1e-12
+    assert all(3 not in pair for pair in out), out
+
+
+def test_name_longer_than_contract_raises(spark):
+    """Round-9 ADVICE: max_name_len was an unchecked caller contract —
+    a longer name widens the reachable distance and silently voids the
+    completeness proof.  The projection now raises at execution."""
+    rows = [
+        (1, "a name well beyond twenty characters", "1-1", 0, "A", 1),
+        (2, "short name", "2-2", 0, "A", 1),
+    ]
+    recs = spark.createDataFrame(
+        rows,
+        "rec_id long, name string, phone string, city int, segment string, bal_cents long",
+    )
+    with pytest.raises(Exception, match="max_name_len"):
+        entity_match_pairs(recs, max_name_len=20).collect()
+
+
+def test_mass_shared_block_key_raises_not_drops(spark):
+    """Round-9 verdict #2: one legitimately mass-shared phone (a
+    call-center number, a non-NULL placeholder) makes that key's
+    candidate set quadratic in one task.  The guard counts per-key
+    block sizes in the same pass and RAISES — never a silent drop,
+    which would break the provable-completeness contract.  Below the
+    cap the planted pair still comes out (completeness intact)."""
+    rows = [
+        (i, f"person number {i:03d}x", "0-0000000", i % 5, "A", i * 7)
+        for i in range(1, 31)
+    ]
+    recs = spark.createDataFrame(
+        rows,
+        "rec_id long, name string, phone string, city int, segment string, bal_cents long",
+    )
+    with pytest.raises(Exception, match="max_block_key"):
+        entity_match_pairs(recs, max_name_len=20, max_block_key=20).collect()
+    # same data under a cap that fits: runs clean, and exact-name
+    # shared-phone self-dup planted below clears the threshold
+    dup = recs.unionByName(
+        spark.createDataFrame(
+            [(1001, "person number 001x", "0-0000000", 1, "A", 7)],
+            "rec_id long, name string, phone string, city int, segment string, bal_cents long",
+        )
+    )
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in entity_match_pairs(dup, max_name_len=20, max_block_key=100).collect()
+    }
+    assert (1, 1001) in got
+
+
 def test_score_components_are_consistent(spark):
     """Emitted scores equal the integer-unit formula recomputed from
     the emitted agreement columns (internal consistency of the one

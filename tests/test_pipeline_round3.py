@@ -123,17 +123,22 @@ def test_registry_window_is_oracle_bearing(spark):
     window = names[:50]
     missing = [n for n in window if n not in oracles]
     assert not missing, f"non-oracle queries inside the driver window: {missing}"
-    # Round-9 rotations IN (round-8 verdict #1): the 15 round-8-late
+    # Round-10 rotations IN (round-9 verdict #1): the six round-9
     # headliners, each fully oracle-paired, driver-certified for the
     # first time this round.
     for new in (
+        "orders_monthly_exact_quantiles",
+        "customer_entity_resolution_pairs",
+        "orders_hdr_price_quantiles",
+        "orders_monthly_hdr_quantiles",
+        "embedding_retrieval_eval",
+        "customer_k_anonymity_audit",
+        # round-9-certified rows that stay for a second round
         "orders_exact_quantiles_selection",
-        "orders_equidepth_histogram",
         "orders_psi_price_drift",
         "graph_khop_trade_reach",
         "events_cm_user_counts",
         "events_hll_type_cardinality",
-        "privacy_erasure_audit",
         "docs_shard_manifest",
         "docs_dsir_selection",
         "embedding_jl_projection",
@@ -142,19 +147,16 @@ def test_registry_window_is_oracle_bearing(spark):
         "docs_benchmark_decontamination",
         "dedup_simhash_pairs",
         "media_video_dup_pairs",
-        # round-8-certified rows that stay for a second round
+        # multi-round-certified rows that stay
         "events_window_heavy_hitters",
         "events_markov_transitions",
         "graph_pagerank_directed_purchases",
         "dedup_semantic_pairs",
         "docs_quality_classifier_scores",
-        "docs_ngram_novelty",
-        "docs_hybrid_retrieval_rrf",
         "docs_duplicate_span_removal",
         "dedup_containment_pairs",
         "media_phash_dup_pairs",
         "media_audio_dup_pairs",
-        "events_hll_daily_merge",
     ):
         assert new in window, new
     # Long-standing window anchors stay certified.
@@ -171,13 +173,19 @@ def test_registry_window_is_oracle_bearing(spark):
         "merge_upsert_customer_refresh",
         "orders_quality_constraints",
         "orders_zorder_layout_stats",
-        "docs_token_typo_pairs",
         "customer_order_gap_profile",
     ):
         assert kept in window, kept
     # Every rotated-out sibling's capability family keeps an in-window
-    # row (cumulative round-6..9 mappings; see the DRIVER_ORDER notes).
+    # row (cumulative round-6..10 mappings; see the DRIVER_ORDER notes).
     for out, kept in [
+        # round-10 rotations out (the six slots for the round-9 set)
+        ("orders_equidepth_histogram", "orders_exact_quantiles_selection"),
+        ("docs_token_typo_pairs", "customer_entity_resolution_pairs"),
+        ("events_hll_daily_merge", "events_hll_type_cardinality"),
+        ("docs_ngram_novelty", "docs_pmi_collocations"),
+        ("docs_hybrid_retrieval_rrf", "embedding_retrieval_eval"),
+        ("privacy_erasure_audit", "customer_k_anonymity_audit"),
         # round-9 rotations out (the 15 slots for the round-8-late set)
         ("percentiles_extprice_by_flag", "orders_exact_quantiles_selection"),
         ("events_value_anomalies", "orders_psi_price_drift"),
@@ -189,8 +197,9 @@ def test_registry_window_is_oracle_bearing(spark):
         ("dedup_exact_docs", "dedup_containment_pairs"),
         ("q16_supplier_part_variety", "q13_customer_order_distribution"),
         ("q12_ship_lag_priority", "q19_disjunctive_revenue"),
-        ("docs_bm25_top_docs", "docs_hybrid_retrieval_rrf"),  # RRF nests BM25
-        ("customer_pseudonymized_export", "privacy_erasure_audit"),
+        # retrieval eval scores the BM25/cosine stack (r10 keeper move)
+        ("docs_bm25_top_docs", "embedding_retrieval_eval"),
+        ("customer_pseudonymized_export", "customer_k_anonymity_audit"),
         ("embedding_kmeans_clusters", "embedding_jl_projection"),
         ("docs_kneser_ney_scores", "docs_pmi_collocations"),
         ("docs_group_holdout_split", "docs_dsir_selection"),
@@ -210,7 +219,7 @@ def test_registry_window_is_oracle_bearing(spark):
         # late round-7 sibling swaps
         ("docs_quality_filter", "docs_quality_classifier_scores"),
         ("docs_split_assignment", "docs_dsir_selection"),
-        ("docs_vocab_coverage", "docs_hybrid_retrieval_rrf"),
+        ("docs_vocab_coverage", "embedding_retrieval_eval"),
         ("dedup_allpairs_jaccard", "dedup_containment_pairs"),
         # round-6 rotations out (families unchanged)
         ("join_kinds_outer", "q13_customer_order_distribution"),
@@ -232,7 +241,7 @@ def test_registry_window_is_oracle_bearing(spark):
         ("docs_char_entropy", "docs_quality_classifier_scores"),
         ("docs_tfidf_top_terms", "docs_pmi_collocations"),
         ("dedup_incremental_admission", "dedup_semantic_pairs"),
-        ("docs_dataset_card", "docs_hybrid_retrieval_rrf"),
+        ("docs_dataset_card", "docs_quality_classifier_scores"),
         ("embedding_centroids_by_label", "embedding_jl_projection"),
         ("docs_token_budget_mix", "docs_dsir_selection"),
         # late round-8 rotations out

@@ -162,8 +162,12 @@ def test_retrieval_metrics_contract(spark):
     assert out[2]["n_rel"] == 0 and out[2]["recall_at_k"] == 0.0
     assert out[2]["first_rel_rank"] == 0 and out[2]["rr"] == 0.0
     assert out[3]["rr"] == 1.0 and out[3]["recall_at_k"] == 1.0
-    # qrels-only query 4 (never retrieved) is not a run row
-    assert 4 not in out
+    # qrels-only query 4 (never retrieved) still gets an all-zero row —
+    # excluding it would overstate any MRR/recall average over the
+    # output (round-9 ADVICE fix)
+    assert out[4]["n_rel"] == 1 and out[4]["hits_at_k"] == 0
+    assert out[4]["recall_at_k"] == 0.0
+    assert out[4]["first_rel_rank"] == 0 and out[4]["rr"] == 0.0
     # hits beyond k are excluded from recall but still set first_rel_rank
     out2 = {r["query_id"]: r for r in retrieval_metrics(run, qrels, k=1).collect()}
     assert out2[1]["hits_at_k"] == 0 and out2[1]["first_rel_rank"] == 2
