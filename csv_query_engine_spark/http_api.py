@@ -126,9 +126,16 @@ def create_app(engine: QueryEngine):
         except (TypeError, ValueError):
             return _err("limit must be an integer")
         try:
-            df = qs[name](engine.spark, sf_dir).limit(limit)
-            rows = [r.asDict(recursive=True) for r in df.collect()]
-            columns = df.columns
+            # Operators with CALLER-OWNED caches (minhash signatures,
+            # entity variants, gram tables …) would otherwise leak one
+            # cache per request until eviction: the request cycle IS
+            # the cache scope here (leak pinned in test_http).
+            from csv_query_engine_spark.pipeline import cache_scope
+
+            with cache_scope(engine.spark):
+                df = qs[name](engine.spark, sf_dir).limit(limit)
+                rows = [r.asDict(recursive=True) for r in df.collect()]
+                columns = df.columns
         except Exception as e:
             return _err(f"Error executing operator: {e}")
         return jsonify(

@@ -178,7 +178,10 @@ def minhash_with_grams(
 
     ``num_hashes`` must be a power of two (slot = top bits of the
     hash).
-    """
+
+    Cache lifetime is CALLER-OWNED — wrap the call in
+    ``pipeline.cache_scope(spark)`` to release the persisted
+    intermediates on exit (the one library-wide convention)."""
     from pyspark.storagelevel import StorageLevel
 
     base = _hashed_shingles(df, id_col, text_col, shingle_k).persist(StorageLevel.MEMORY_AND_DISK)
@@ -1020,7 +1023,10 @@ def allpairs_jaccard_pairs(
     (id_a, id_b); verification joins the persisted hashed-gram arrays
     and keeps exact-Jaccard survivors.  At corpus scale the win over
     the quadratic form is the prefix cut; against LSH it trades the
-    banded shuffle for exactness."""
+    banded shuffle for exactness.
+    Cache lifetime is CALLER-OWNED — wrap the call in
+    ``pipeline.cache_scope(spark)`` to release the persisted
+    intermediates on exit (the one library-wide convention)."""
     from pyspark.sql import Window as W
     from pyspark.storagelevel import StorageLevel
 
@@ -1091,7 +1097,10 @@ def containment_pairs(
     Scale: identical budget to the Jaccard AllPairs — one persisted
     hashed-gram table (4 consumers), id-partitioned prefix window,
     8-byte gram-hash candidate join, bounded verify. Containment is an
-    integer ratio (identical doubles cross-engine)."""
+    integer ratio (identical doubles cross-engine).
+    Cache lifetime is CALLER-OWNED — wrap the call in
+    ``pipeline.cache_scope(spark)`` to release the persisted
+    intermediates on exit (the one library-wide convention)."""
     from pyspark.sql import Window as W
     from pyspark.storagelevel import StorageLevel
 

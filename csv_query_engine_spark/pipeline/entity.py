@@ -448,7 +448,10 @@ def entity_match_across(
     verdicts off a degenerate block (the round-9 store-reader rule).
 
     Output: (id_in, id_store, name_dist, *_eq, score), threshold
-    semantics identical to the self form."""
+    semantics identical to the self form.
+    Cache lifetime is CALLER-OWNED — wrap the call in
+    ``pipeline.cache_scope(spark)`` to release the persisted
+    intermediates on exit (the one library-wide convention)."""
     from pyspark.storagelevel import StorageLevel
 
     wn, wx, t_units = _weights(name_weight, exact_weights, threshold)

@@ -218,7 +218,10 @@ def dsir_importance_weights(
     before-cross-row-sum invariant).  The integer products stay inside
     long range while count_grams(target)·(count_grams(pool)+B) <
     9.2e18; past that envelope switch the ratio to double division
-    before the ln (one extra 0.5-ulp, same FLOOR form)."""
+    before the ln (one extra 0.5-ulp, same FLOOR form).
+    Cache lifetime is CALLER-OWNED — wrap the call in
+    ``pipeline.cache_scope(spark)`` to release the persisted
+    intermediates on exit (the one library-wide convention)."""
     base = _spread(
         df.select(
             F.col(id_col).alias("id"),

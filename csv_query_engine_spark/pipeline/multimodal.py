@@ -680,7 +680,10 @@ def phash_dup_pairs(
     degenerate flat-image bucket (the minhash guard precedent).
 
     Scale: 8-byte hashes shuffle (never pixels); bucket join volume is
-    Σ bucket² per band, bounded by the guard; popcount is codegen'd."""
+    Σ bucket² per band, bounded by the guard; popcount is codegen'd.
+    Cache lifetime is CALLER-OWNED — wrap the call in
+    ``pipeline.cache_scope(spark)`` to release the persisted
+    intermediates on exit (the one library-wide convention)."""
     from pyspark.storagelevel import StorageLevel
 
     ph = perceptual_hashes(media_df, id_col, media_col).persist(
@@ -836,7 +839,10 @@ def audio_dup_pairs(
     AllPairs: token shingles; SemDeDup: embeddings; aHash: pixels;
     this: DECODED AUDIO SAMPLES). Same 4×16-bit pigeonhole band join
     as the image path (:func:`_banded_hamming_pairs`); audio bytes
-    never shuffle."""
+    never shuffle.
+    Cache lifetime is CALLER-OWNED — wrap the call in
+    ``pipeline.cache_scope(spark)`` to release the persisted
+    intermediates on exit (the one library-wide convention)."""
     from pyspark.storagelevel import StorageLevel
 
     fp = audio_fingerprints(media_df, id_col, media_col).select("doc_id", "afp").persist(
@@ -955,7 +961,10 @@ def video_dup_pairs(
     Exact-hash frame equality IS the blocking (no bands needed: a
     shared frame is an exact 64-bit match), with the ``max_bucket``
     guard dropping degenerate flat-frame buckets. Video bytes never
-    shuffle — only (doc_id, 8-byte hash) rows."""
+    shuffle — only (doc_id, 8-byte hash) rows.
+    Cache lifetime is CALLER-OWNED — wrap the call in
+    ``pipeline.cache_scope(spark)`` to release the persisted
+    intermediates on exit (the one library-wide convention)."""
     from pyspark.storagelevel import StorageLevel
 
     fh = (

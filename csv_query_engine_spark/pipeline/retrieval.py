@@ -98,7 +98,10 @@ def bm25_topk_from_postings(
     streaming-built index (streaming read_bm25_postings), so
     stream-built == batch-built holds by construction of shared code.
     Doc lengths, document frequencies, and corpus stats all derive
-    from the ONE persisted postings table (3 consumers)."""
+    from the ONE persisted postings table (3 consumers).
+    Cache lifetime is CALLER-OWNED — wrap the call in
+    ``pipeline.cache_scope(spark)`` to release the persisted
+    intermediates on exit (the one library-wide convention)."""
     from pyspark.storagelevel import StorageLevel
 
     tf = postings.select("id", "token", "tf").persist(StorageLevel.MEMORY_AND_DISK)
@@ -198,7 +201,10 @@ def hybrid_rrf_topk(
     vocab_coverage idiom); all corpus-scale work lives in the two
     underlying rankings — the persisted-token BM25 aggregates and ONE
     codegen'd cosine scan folded into a TakeOrdered.
-    """
+
+    Cache lifetime is CALLER-OWNED — wrap the call in
+    ``pipeline.cache_scope(spark)`` to release the persisted
+    intermediates on exit (the one library-wide convention)."""
     from pyspark.storagelevel import StorageLevel
 
     from csv_query_engine_spark.pipeline.similarity import _spread, cosine

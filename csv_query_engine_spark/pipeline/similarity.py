@@ -829,7 +829,10 @@ def kmeans_clusters(
     (k×dim longs), collected once per iteration; the dims table
     persists once and feeds every round (callers that already hold the
     quantized dims — semantic_dedup_pairs — pass them via ``_dims`` so
-    the explode+persist isn't paid twice)."""
+    the explode+persist isn't paid twice).
+    Cache lifetime is CALLER-OWNED — wrap the call in
+    ``pipeline.cache_scope(spark)`` to release the persisted
+    intermediates on exit (the one library-wide convention)."""
     from pyspark.storagelevel import StorageLevel
 
     dims = _dims if _dims is not None else (
@@ -1003,7 +1006,10 @@ def semantic_dedup_pairs(
     (dims × assignment) table `da` ALSO persists — both pair-join legs
     read it, and caching the joined rows beat re-joining per leg
     9.5 → 5.9 s warm at sf0.1 (same-host A/B); norms are two cheap
-    aggregates over the cached dims."""
+    aggregates over the cached dims.
+    Cache lifetime is CALLER-OWNED — wrap the call in
+    ``pipeline.cache_scope(spark)`` to release the persisted
+    intermediates on exit (the one library-wide convention)."""
     from pyspark.storagelevel import StorageLevel
 
     dims = (

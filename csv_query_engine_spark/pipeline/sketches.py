@@ -92,7 +92,10 @@ def heavy_hitters(
     """(token, n_occ) for every token with exact global count > N/k,
     where N is the corpus token count — computed with bounded per-task
     state and candidate-only shuffles (module docstring).  Output is
-    exact, so the oracle is the plain GROUP BY/HAVING twin."""
+    exact, so the oracle is the plain GROUP BY/HAVING twin.
+    Cache lifetime is CALLER-OWNED — wrap the call in
+    ``pipeline.cache_scope(spark)`` to release the persisted
+    intermediates on exit (the one library-wide convention)."""
     toks = df.select(
         F.explode(tokens(F.col(text_col))).alias("token")
     ).filter(F.col("token") != "")

@@ -679,7 +679,10 @@ def unigram_lm_scores(df: DataFrame, id_col: str = "doc_id", text_col: str = "te
     scalar; per-token surprisal is rounded to 6 decimals and summed
     with the exact fixed-point pattern so the per-doc mean is
     bit-stable across engines (ln itself agrees libm-to-libm — the
-    tfidf oracle pins that)."""
+    tfidf oracle pins that).
+    Cache lifetime is CALLER-OWNED — wrap the call in
+    ``pipeline.cache_scope(spark)`` to release the persisted
+    intermediates on exit (the one library-wide convention)."""
     from pyspark.storagelevel import StorageLevel
 
     tok = (
@@ -729,7 +732,10 @@ def bigram_lm_scores(df: DataFrame, id_col: str = "doc_id", text_col: str = "tex
     longs and prefix counts aggregate from the SAME bigram table
     (grouped on the w₁ hash — no second corpus pass); surprisal rounds
     to 6 and sums through the exact fixed-point pattern like the
-    unigram form."""
+    unigram form.
+    Cache lifetime is CALLER-OWNED — wrap the call in
+    ``pipeline.cache_scope(spark)`` to release the persisted
+    intermediates on exit (the one library-wide convention)."""
     from pyspark.sql import Window as W
     from pyspark.storagelevel import StorageLevel
 
@@ -803,7 +809,10 @@ def kneser_ney_scores(
     ROUND hit a boundary at sf0.1 — one doc off by 1e-6 — exactly the
     CLAUDE.md per-step-rounding hazard; p ≤ 1 by construction so the
     FLOOR form is safe), then the exact fixed-point sum with ONE final
-    output ROUND."""
+    output ROUND.
+    Cache lifetime is CALLER-OWNED — wrap the call in
+    ``pipeline.cache_scope(spark)`` to release the persisted
+    intermediates on exit (the one library-wide convention)."""
     from pyspark.sql import Window as W
     from pyspark.storagelevel import StorageLevel
 
@@ -888,7 +897,10 @@ def ngram_novelty(
     (~3e-10 at sf0.1's ~10⁵ distinct grams), the same documented odds
     every gram operator here carries. Docs with fewer than n tokens
     emit (0, 0, 1.0) — an empty gram set is vacuously novel — via the
-    left join's COALESCE on both engines."""
+    left join's COALESCE on both engines.
+    Cache lifetime is CALLER-OWNED — wrap the call in
+    ``pipeline.cache_scope(spark)`` to release the persisted
+    intermediates on exit (the one library-wide convention)."""
     base = _spread(
         df.select(F.col(id_col).alias("id"), F.col(text_col).alias("_t"))
     ).select("id", tokens(F.col("_t")).alias("toks"))
@@ -963,7 +975,10 @@ def remove_duplicate_spans(
     Multi-consumer tables persist once: ``base`` feeds gram positions,
     token positions, and the final length join; ``gpos`` feeds the
     occurrence count and the covered-position join.
-    """
+
+    Cache lifetime is CALLER-OWNED — wrap the call in
+    ``pipeline.cache_scope(spark)`` to release the persisted
+    intermediates on exit (the one library-wide convention)."""
     from pyspark.storagelevel import StorageLevel
 
     base = (
@@ -1084,7 +1099,10 @@ def pmi_top_pairs(
     — unigram counts, bigram counts, and the bigram total — so it
     persists once (the multi-consumer rule); the bigram total is one
     aggregate over size(toks)−1 (tokens() cannot emit interior
-    empties), never a second explode."""
+    empties), never a second explode.
+    Cache lifetime is CALLER-OWNED — wrap the call in
+    ``pipeline.cache_scope(spark)`` to release the persisted
+    intermediates on exit (the one library-wide convention)."""
     from pyspark.storagelevel import StorageLevel
 
     base = _spread(

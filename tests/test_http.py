@@ -123,6 +123,33 @@ def test_ops_listing_and_execution(client):
     )
 
 
+def test_ops_request_cycle_leaves_no_cached_blocks(client, spark):
+    """The /ops request cycle is the cache scope (round-9 verdict #2
+    generalized): operators with CALLER-OWNED caches — minhash
+    signature tables, entity record/variant tables — must not leak one
+    persisted block per HTTP request.  Pin: after running two such
+    operators, the persistent-RDD set is back to its pre-request
+    baseline."""
+
+    def persistent_ids():
+        sc = spark.sparkContext
+        return {
+            int(rid)
+            for rid in sc._jvm.scala.collection.JavaConverters.mapAsJavaMap(
+                sc._jsc.sc().getPersistentRDDs()
+            ).keys()
+        }
+
+    before = persistent_ids()
+    for op in ("customer_entity_resolution_pairs", "dedup_containment_pairs"):
+        res = client.post(
+            "/ops/" + op, json={"sf_dir": "/root/testdata/sf0.001", "limit": 5}
+        )
+        assert res.status_code == 200, res.get_json()
+    leaked = persistent_ids() - before
+    assert not leaked, f"request cycle leaked persisted blocks: {leaked}"
+
+
 def test_query_multi_table_flag(spark):
     """POST /query with multi_table=true routes through ask_tables:
     star-schema join inference over every registered table; unbindable

@@ -1068,8 +1068,22 @@ def test_entity_admission_stream_verdicts_restart_and_replay(spark, tmp_path):
     fuzzy-only case — all matched; new entities admit with -1); a
     checkpointed restart folds only the new file; replaying the last
     batch under its recorded batch_id leaves the store byte-identical
-    (the batch_id < current read guard)."""
+    (the batch_id < current read guard).  The whole admission cycle —
+    stream + direct replay — must leave NO persisted blocks behind
+    (the route owns its per-batch caches; round-9 fix, pinned here
+    alongside the HTTP-route pin in test_http)."""
     from pyspark.sql import types as T
+
+    def _persistent_ids():
+        sc = spark.sparkContext
+        return {
+            int(rid)
+            for rid in sc._jvm.scala.collection.JavaConverters.mapAsJavaMap(
+                sc._jsc.sc().getPersistentRDDs()
+            ).keys()
+        }
+
+    cached_before = _persistent_ids()
 
     from csv_query_engine_spark.streaming import (
         entity_admission_stream,
@@ -1130,3 +1144,6 @@ def test_entity_admission_stream_verdicts_restart_and_replay(spark, tmp_path):
     )
     after, _ = read_entity_store(spark, store)
     assert sorted(tuple(r) for r in after.collect()) == before
+
+    leaked = _persistent_ids() - cached_before
+    assert not leaked, f"admission cycle leaked persisted blocks: {leaked}"
