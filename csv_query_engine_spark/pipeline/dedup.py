@@ -191,23 +191,55 @@ def minhash_with_grams(
 
 
 def _hashed_shingles(
-    df: DataFrame, id_col: str, text_col: str, shingle_k: int
+    df: DataFrame, id_col: str, text_col: str, shingle_k: int,
+    hash_mode: str = "xxhash64",
 ) -> DataFrame:
-    """(id, grams, hashes): distinct shingles and their xxhash64s —
-    the shared input of the OPH signature build and the exact-Jaccard
-    verification."""
+    """(id, grams, hashes): distinct shingles and their hashes — the
+    shared input of the OPH signature build and the exact-Jaccard
+    verification.  ``hash_mode``:
+
+    * ``"xxhash64"`` (default, THE scale path) — one cheap JVM hash.
+    * ``"md5"`` — the library-wide reproducible-internals recipe
+      (features._hash32, 32-bit; CLAUDE.md: never re-inline it), which
+      DuckDB can replay bit-for-bit — this is what makes the OPH
+      signature/banding pipeline oracle-pairable.  Costs an md5 + hex
+      parse per shingle; use it for verification tiers, not the hot
+      path (A/B in BASELINE.md round 10)."""
+    if hash_mode == "md5":
+        from csv_query_engine_spark.pipeline.features import _hash32
+
+        def hf(g):
+            return _hash32(g, "mh-")
+    elif hash_mode == "xxhash64":
+        # wrapped: F.transform inspects the lambda signature and
+        # rejects xxhash64's *cols varargs form
+        def hf(g):
+            return F.xxhash64(g)
+    else:
+        raise ValueError(f"unknown hash_mode: {hash_mode!r}")
+    hashes = F.transform("grams", hf)
+    if hash_mode == "md5":
+        # 32-bit hashes CAN collide within a doc (~|grams|²/2³³); the
+        # exact-Jaccard union derives |A|+|B|−|A∩B| from array SIZES,
+        # so the arrays must stay duplicate-free to match the twin's
+        # list(DISTINCT gh).  64-bit mode keeps the cheaper raw form.
+        hashes = F.array_distinct(hashes)
     return shingled(df, id_col, text_col, shingle_k).select(
         "id",
         "grams",
-        F.transform("grams", lambda g: F.xxhash64(g)).alias("hashes"),
+        hashes.alias("hashes"),
     )
 
 
-def _oph_signatures(hashed: DataFrame, num_hashes: int) -> DataFrame:
+def _oph_signatures(
+    hashed: DataFrame, num_hashes: int, hash_bits: int = 64
+) -> DataFrame:
     """(id, sig) one-permutation-hashing signatures from a
     (id, hashes) table — see :func:`minhash_with_grams` for the
     algorithm and the measured rationale. ``hashed`` is consumed once
-    (one explode); callers with multiple consumers persist it."""
+    (one explode); callers with multiple consumers persist it.
+    ``hash_bits`` is the width of the input hashes (64 for xxhash64,
+    32 for the md5 recipe) — the slot is always the TOP log2(K) bits."""
     bits = (num_hashes - 1).bit_length()
     if num_hashes != 1 << bits:
         raise ValueError(f"num_hashes must be a power of two, got {num_hashes}")
@@ -218,7 +250,7 @@ def _oph_signatures(hashed: DataFrame, num_hashes: int) -> DataFrame:
     # shuffle carries O(docs × K) longs, independent of shingle count.
     slot_mins = (
         hashed.select("id", F.explode("hashes").alias("gh"))
-        .groupBy("id", F.shiftrightunsigned("gh", 64 - bits).alias("slot"))
+        .groupBy("id", F.shiftrightunsigned("gh", hash_bits - bits).alias("slot"))
         .agg(F.min("gh").alias("mh"))
     )
     # Assemble the K-array per doc; sort_array orders by slot, so the
@@ -261,9 +293,19 @@ def minhash_lsh_pairs(
     threshold: float = 0.5,
     max_bucket: int = 4096,
     est_margin: float | None = 0.15,
+    hash_mode: str = "xxhash64",
 ) -> DataFrame:
     """Near-duplicate pairs via banded MinHash LSH with exact-Jaccard
     verification of candidates.
+
+    ``hash_mode="md5"`` swaps every engine-internal hash for the
+    library's reproducible md5 recipe (32-bit shingle hashes; band
+    buckets keyed by the literal signature-slice STRING instead of
+    xxhash64 of it), making the WHOLE pipeline — signatures, banding,
+    estimate screen, exact verification — bit-replayable by DuckDB:
+    the oracle twin of ``dedup_minhash_lsh_pairs_rep`` verifies it
+    end-to-end.  The default stays xxhash64 (cheaper hash, narrower
+    bucket shuffle keys) for the scale path.
 
     With 64 hashes / 16 bands (r=4), collision probability at the s-curve
     midpoint gives high recall for jaccard ≥ ~0.5 while keeping candidate
@@ -311,20 +353,33 @@ def minhash_lsh_pairs(
     # pipeline.cache_scope(spark) (or clearCache, as bench.py does).
     from pyspark.storagelevel import StorageLevel
 
-    hashed = _hashed_shingles(df, id_col, text_col, shingle_k).select("id", "hashes").persist(
-        StorageLevel.MEMORY_AND_DISK
-    )
-    sig = _oph_signatures(hashed, num_hashes).persist(StorageLevel.MEMORY_AND_DISK)
+    hashed = _hashed_shingles(df, id_col, text_col, shingle_k, hash_mode).select(
+        "id", "hashes"
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    sig = _oph_signatures(
+        hashed, num_hashes, hash_bits=32 if hash_mode == "md5" else 64
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+
+    def _band_key(b):
+        slice_str = F.concat_ws(
+            ",",
+            F.transform(
+                F.slice("sig", b * rows_per_band + 1, rows_per_band),
+                lambda h: h.cast("string"),
+            ),
+        )
+        # md5 mode keeps the literal string so the bucket partition is
+        # engine-independent; the scale path hashes it down to 8 bytes
+        # (the CLAUDE.md gram-shuffle rule — collision odds documented
+        # in the module notes).
+        return slice_str if hash_mode == "md5" else F.xxhash64(slice_str)
 
     band_entries = sig.select(
         "id",
         F.explode(
             F.transform(
                 F.sequence(F.lit(0), F.lit(bands - 1)),
-                lambda b: F.struct(
-                    b.alias("band"),
-                    F.xxhash64(F.concat_ws(",", F.transform(F.slice("sig", b * rows_per_band + 1, rows_per_band), lambda h: h.cast("string")))).alias("bucket"),
-                ),
+                lambda b: F.struct(b.alias("band"), _band_key(b).alias("bucket")),
             )
         ).alias("be"),
     ).select("id", F.col("be.band").alias("band"), F.col("be.bucket").alias("bucket"))

@@ -247,6 +247,11 @@ DRIVER_ORDER: list[str] = [
     "json_props_variant",
     # CDC diff (r6,r7-certified; MERGE family keeps the window row):
     "customer_snapshot_cdc_diff",
+    # Round-10: the OPH MinHash LSH pipeline in reproducible-internals
+    # mode (md5 recipe + literal band keys) — the end-to-end oracle
+    # pairing of the dedup family's last rows-only major member; the
+    # xxhash64 default above stays the scale path:
+    "dedup_minhash_lsh_pairs_rep",
     # Rows-only ops (no SQL-expressible oracle; pytest covers recall/
     # precision/planted-neighbor properties):
     "dedup_minhash_lsh_pairs",

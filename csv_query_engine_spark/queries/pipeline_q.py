@@ -379,10 +379,103 @@ def dedup_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register("dedup_minhash_lsh_pairs", None)
 def dedup_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash LSH near-dup pairs (64 hashes, 16 bands, exact-Jaccard
-    verified ≥ 0.5). Non-SQL-expressible (engine-hash dependent);
-    precision/recall asserted against brute force in tests."""
+    verified ≥ 0.5). The SCALE path: engine-internal xxhash64 keeps the
+    hash and the bucket shuffle keys cheap, at the cost of SQL
+    replayability — its banding is verified structurally (the md5-mode
+    sibling `dedup_minhash_lsh_pairs_rep` oracle-pairs the identical
+    pipeline end-to-end) and precision/recall are asserted against
+    brute force in tests."""
     d = load_tables(spark, sf_dir, ("documents",))["documents"]
     return dd.minhash_lsh_pairs(d, threshold=0.5).orderBy("id_a", "id_b")
+
+
+_SQL_MH_GRAMS = f"""list_distinct(list_transform(
+                   range(1, greatest(length({_SQL_NORM}) - 4, 1) + 1),
+                   i -> substring({_SQL_NORM}, i, 5)))"""
+
+# The whole OPH+LSH pipeline replayed in SQL: 32-bit md5 shingle
+# hashes (the features._hash32 recipe), slot = top-6 bits (// 2^26),
+# MIN per (id, slot), deterministic densification (slot mod n_filled),
+# 16 bands keyed by the literal 4-slot signature strings, bucket cap,
+# estimate screen at 64ths, exact Jaccard on the DISTINCT hash sets.
+_MINHASH_REP_ORACLE = f"""
+    WITH grams AS (
+        SELECT id, unnest(g) AS g FROM (
+            SELECT doc_id AS id, {_SQL_MH_GRAMS} AS g FROM documents
+        )
+    ),
+    h AS (
+        SELECT id, CAST(('0x' || substring(md5('mh-' || g), 1, 8)) AS BIGINT) AS gh
+        FROM grams
+    ),
+    hsets AS (SELECT id, list(DISTINCT gh) AS hs FROM h GROUP BY id),
+    slot_mins AS (
+        SELECT id, gh // 67108864 AS slot, MIN(gh) AS mh
+        FROM h GROUP BY id, gh // 67108864
+    ),
+    filled AS (
+        SELECT id, list(mh ORDER BY slot) AS vals FROM slot_mins GROUP BY id
+    ),
+    grid AS (
+        SELECT f.id, t.j,
+               COALESCE(sm.mh, f.vals[(t.j % len(f.vals)) + 1]) AS sj
+        FROM filled f
+        CROSS JOIN range(0, 64) t(j)
+        LEFT JOIN slot_mins sm ON sm.id = f.id AND sm.slot = t.j
+    ),
+    sigs AS (SELECT id, list(sj ORDER BY j) AS sig FROM grid GROUP BY id),
+    bands AS (
+        SELECT s.id, tb.b,
+               array_to_string(list_slice(s.sig, tb.b * 4 + 1, tb.b * 4 + 4), ',') AS bkey
+        FROM sigs s CROSS JOIN range(0, 16) tb(b)
+    ),
+    bsz AS (SELECT b, bkey, COUNT(*) AS n FROM bands GROUP BY b, bkey),
+    cand AS (
+        SELECT DISTINCT a.id AS id_a, b.id AS id_b
+        FROM bands a
+        JOIN bands b ON a.b = b.b AND a.bkey = b.bkey AND a.id < b.id
+        JOIN bsz ON bsz.b = a.b AND bsz.bkey = a.bkey
+        WHERE bsz.n <= 4096
+    ),
+    screened AS (
+        SELECT c.id_a, c.id_b
+        FROM cand c
+        JOIN sigs sa ON sa.id = c.id_a
+        JOIN sigs sb ON sb.id = c.id_b
+        WHERE CAST(len(list_filter(range(1, 65), i -> sa.sig[i] = sb.sig[i]))
+                   AS DOUBLE) / 64.0 >= CAST({0.5 - 0.15!r} AS DOUBLE)
+    ),
+    verified AS (
+        SELECT s.id_a, s.id_b,
+               CAST(len(list_intersect(ha.hs, hb.hs)) AS DOUBLE)
+               / CAST(len(ha.hs) + len(hb.hs)
+                      - len(list_intersect(ha.hs, hb.hs)) AS DOUBLE) AS jaccard
+        FROM screened s
+        JOIN hsets ha ON ha.id = s.id_a
+        JOIN hsets hb ON hb.id = s.id_b
+    )
+    SELECT id_a, id_b, jaccard FROM verified
+    WHERE jaccard >= 0.5
+    ORDER BY id_a, id_b
+    """
+
+
+@register("dedup_minhash_lsh_pairs_rep", _MINHASH_REP_ORACLE)
+def dedup_minhash_lsh_pairs_rep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SAME OPH MinHash LSH pipeline as `dedup_minhash_lsh_pairs`
+    in reproducible-internals mode (round-10: the last major dedup
+    family member gains an oracle pairing): every engine-internal hash
+    rides the ONE md5 recipe, band buckets key on the literal
+    signature-slice strings, and the DuckDB twin replays signatures →
+    banding → bucket cap → estimate screen → exact verification
+    bit-for-bit.  The default xxhash64 mode stays the scale path
+    (cheaper hash, 8-byte bucket keys) — this query certifies the
+    ALGORITHM, including densification and the screen arithmetic, not
+    just the final Jaccard values."""
+    d = load_tables(spark, sf_dir, ("documents",))["documents"]
+    return dd.minhash_lsh_pairs(d, threshold=0.5, hash_mode="md5").orderBy(
+        "id_a", "id_b"
+    )
 
 
 _SIMHASH_ORACLE = f"""
