@@ -104,20 +104,39 @@ class QueryEngine:
         schema-driven multi-table grammar (round 9): words resolve
         against all profiled schemas, the smallest covering table set
         wins, and the star-schema ``…key``-suffix convention supplies
-        the join (direct or one-bridge).  Single-table questions reduce
-        to the plain extended grammar; unbindable questions raise
-        :class:`UnsupportedQuestionError` (400), never a silently wrong
-        join.  Deterministic/offline only — the LLM path already sees
-        every schema through its prompt."""
+        the join (shortest path, up to two bridges — round 10).
+        Single-table questions reduce to the plain extended grammar;
+        unbindable questions raise :class:`UnsupportedQuestionError`
+        (400), never a silently wrong join.  Deterministic/offline only
+        — the LLM path already sees every schema through its prompt.
+
+        The flagship "revenue" measure registers automatically as a
+        derived metric whenever a profiled table carries an
+        ``…extendedprice`` + ``…discount`` column pair (the reference's
+        golden-example semantics), so "top 5 nations by revenue"
+        composes the full join+GROUP+ORDER+LIMIT shape."""
         from csv_query_engine_spark.nlsql.extended import generate_sql_multi_table
+        from csv_query_engine_spark.nlsql.generator import quote_identifier
 
         if not self._profiles:
             raise NoDataUploadedError("Please upload a CSV file first")
         if not question or not question.strip():
             raise EmptyQuestionError("Question cannot be empty")
+        metrics: dict[str, tuple[str, list[str]]] = {}
+        for _t, cols in self._profiles.items():
+            names = [
+                (c["name"] if isinstance(c, dict) else c.name) for c in cols
+            ]
+            ep = next((n for n in names if n.lower().endswith("extendedprice")), None)
+            dc = next((n for n in names if n.lower().endswith("discount")), None)
+            if ep and dc and "revenue" not in metrics:
+                metrics["revenue"] = (
+                    f"{quote_identifier(ep)} * (1 - {quote_identifier(dc)})",
+                    [ep, dc],
+                )
         try:
             sql = generate_sql_multi_table(
-                question, dict(self._profiles), now=self.now
+                question, dict(self._profiles), now=self.now, metrics=metrics
             )
         except ValueError as e:
             raise UnsupportedQuestionError(str(e)) from e

@@ -124,12 +124,22 @@ def generate_sql_extended(
     table: str = "df",
     now: dt.date | None = None,
     from_clause: str | None = None,
+    metrics: dict[str, str] | None = None,
+    force_group_col: str | None = None,
 ) -> str:
     """NL -> one Spark-SQL SELECT using the extended schema-driven
     grammar. ``columns`` is profiler output (name/type/semantic_type).
     ``from_clause`` (multi-table path) replaces the FROM operand with a
     pre-built join expression; column references stay unqualified, so
-    the caller must guarantee combined column names are unique."""
+    the caller must guarantee combined column names are unique.
+
+    ``metrics`` (round 10) maps DERIVED-metric words to SQL
+    expressions (``{"revenue": "l_extendedprice * (1 - l_discount)"}``)
+    — "total revenue" / "top 5 ... by revenue" then aggregate the
+    expression with the metric word as the alias.  Columns take
+    precedence over metrics on a name clash.  ``force_group_col``
+    (multi-table path) pins the grouping key the table-mention
+    inference chose, bypassing the word→column matcher."""
 
     def _get(c, k):
         return c[k] if isinstance(c, dict) else getattr(c, k)
@@ -138,26 +148,40 @@ def generate_sql_extended(
     names = {_get(c, "name").lower(): _get(c, "name") for c in columns}
     types = {_get(c, "name").lower(): str(_get(c, "type")).lower() for c in columns}
     resolve = _make_resolver(names)
+    metrics = metrics or {}
 
-    # aggregate over a numeric column
-    agg_fn = agg_col = None
+    # aggregate over a numeric column (or a derived metric — columns
+    # win the name clash because resolve() is consulted first)
+    agg_fn = agg_col = agg_metric = None
     for m in re.finditer(r"\b(average|avg|mean|total|sum|minimum|min|maximum|max)\b(?: of)? (\w+)", q):
         col = resolve(m.group(2))
         if col is not None and any(t in types[col.lower()] for t in _NUM_TYPES):
             agg_fn, agg_col = _AGG_WORDS[m.group(1)], col
             break
+        if col is None and m.group(2) in metrics:
+            agg_fn, agg_metric = _AGG_WORDS[m.group(1)], m.group(2)
+            break
+    if agg_fn is None and metrics:
+        # a bare "by/per <metric>" ("top 5 nations by revenue") implies
+        # the additive default SUM over the metric expression
+        mm = re.search(
+            r"\b(?:by|per) (" + "|".join(map(re.escape, sorted(metrics))) + r")\b", q
+        )
+        if mm and resolve(mm.group(1)) is None:
+            agg_fn, agg_metric = "SUM", mm.group(1)
 
     # grouping key ("sorted/ordered by X" is ordering, not grouping —
     # the lookbehinds keep the two rules disjoint; "for each X" is the
     # third grouping phrasing, round 9)
-    group_col = None
-    for m in re.finditer(
-        r"(?:(?<!sorted )(?<!ordered )(?<!order )\b(?:by|per)\b|\bfor each\b) (\w+)", q
-    ):
-        col = resolve(m.group(1))
-        if col is not None and col != agg_col:
-            group_col = col
-            break
+    group_col = force_group_col
+    if group_col is None:
+        for m in re.finditer(
+            r"(?:(?<!sorted )(?<!ordered )(?<!order )\b(?:by|per)\b|\bfor each\b) (\w+)", q
+        ):
+            col = resolve(m.group(1))
+            if col is not None and col != agg_col:
+                group_col = col
+                break
 
     wants_count = bool(re.search(r"\bcount\b|\bhow many\b", q))
 
@@ -268,7 +292,12 @@ def generate_sql_extended(
     order_metric = None
     if group_col is not None:
         select_parts.append(quote_identifier(group_col))
-    if agg_fn is not None:
+    if agg_metric is not None:
+        select_parts.append(
+            f"{agg_fn}({metrics[agg_metric]}) AS {quote_identifier(agg_metric)}"
+        )
+        order_metric = quote_identifier(agg_metric)
+    elif agg_fn is not None:
         alias = f"{agg_fn.lower()}_{agg_col}"
         select_parts.append(f"{agg_fn}({quote_identifier(agg_col)}) AS {quote_identifier(alias)}")
         order_metric = quote_identifier(alias)
@@ -347,27 +376,41 @@ def generate_sql_multi_table(
     question: str,
     tables: dict[str, list],
     now: dt.date | None = None,
+    metrics: dict[str, tuple[str, list[str]]] | None = None,
 ) -> str:
-    """NL -> one SELECT over one, two, or three (bridged) profiled
-    tables — the schema-driven join inference the single-table grammar
-    can't express ("how many customers per n_name": ``customers``
-    names the customer table, ``n_name`` lives on nation, the custkey/
-    nationkey suffixes carry the star-schema join).
+    """NL -> one SELECT over profiled tables joined along an inferred
+    star-schema path — the schema-driven join inference the
+    single-table grammar can't express ("how many customers per
+    n_name": ``customers`` names the customer table, ``n_name`` lives
+    on nation, the custkey/nationkey suffixes carry the join).
 
     Inference, fully deterministic:
 
     1. every question word resolves against every table's columns
        (exact + plural + unique-suffix folds); words matching a TABLE
-       name pin that table into the plan;
+       name pin that table into the plan; words matching a ``metrics``
+       name are owned by every table carrying all the expression's
+       input columns;
     2. the smallest table set covering all resolved words wins —
-       single table → the plain extended grammar; two tables → a
-       direct ``…key``-suffix equi-join; no direct key → ONE bridge
-       table that joins to both (lineitem↔customer bridges through
-       orders);
-    3. the union of the involved tables' profiles feeds the SAME
-       extended grammar with a pre-built FROM-join clause; combined
-       column names must be unique (TPC-H prefixes guarantee it) or
-       the question is rejected rather than mis-bound.
+       single table → the plain extended grammar; two tables → the
+       SHORTEST ``…key``-suffix join path between them (direct, one
+       bridge, or two bridges — lineitem↔nation walks
+       orders→customer; BFS over sorted neighbors, so ties break
+       lexicographically and the chosen path is reproducible);
+    3. the union of the two END tables' profiles feeds the SAME
+       extended grammar with the pre-built FROM-join clause (bridge
+       columns join, they are not referenceable); combined column
+       names across the WHOLE path must be unique (TPC-H prefixes
+       guarantee it) or the question is rejected rather than
+       mis-bound.
+
+    Round-10 aggregate+top-N composition: ``metrics`` maps derived
+    measures to (expression, input columns) — e.g. revenue →
+    l_extendedprice·(1−l_discount) — and a table-name mention in "top
+    5 nations by revenue" / "revenue per nation" GROUPS by that
+    table's name-like column (first ``…name`` column, else its first
+    string column), producing the reference flagship's
+    join+GROUP+ORDER+LIMIT shape from one sentence.
 
     Raises ``ValueError`` when referenced columns span tables with no
     inferable join path — never a silently wrong query.  Output always
@@ -377,59 +420,133 @@ def generate_sql_multi_table(
     def _get(c, k):
         return c[k] if isinstance(c, dict) else getattr(c, k)
 
+    metrics = metrics or {}
     colnames = {t: [_get(c, "name") for c in cols] for t, cols in tables.items()}
+    coltypes = {
+        t: {_get(c, "name").lower(): str(_get(c, "type")).lower() for c in cols}
+        for t, cols in tables.items()
+    }
     resolvers = {
         t: _make_resolver({n.lower(): n for n in ns}) for t, ns in colnames.items()
     }
+    metric_owners = {
+        mn: {
+            t
+            for t, ns in colnames.items()
+            if {c.lower() for c in needed} <= {n.lower() for n in ns}
+        }
+        for mn, (_, needed) in metrics.items()
+    }
     q = question.lower()
     words = re.findall(r"\w+", q)
+
+    def _table_for(word: str) -> str | None:
+        for t in tables:
+            if word in (t.lower(), t.lower() + "s", t.lower().rstrip("s")):
+                return t
+        return None
+
     # word -> tables that can resolve it; table-name mentions pin tables
     owners: dict[str, set[str]] = {}
     pinned: set[str] = set()
     for w in set(words):
-        for t in tables:
-            if w in (t.lower(), t.lower() + "s", t.lower().rstrip("s")):
-                pinned.add(t)
+        t = _table_for(w)
+        if t is not None:
+            pinned.add(t)
         ts = {t for t, r in resolvers.items() if r(w) is not None}
+        if not ts and w in metric_owners:
+            ts = metric_owners[w]
         if ts:
             owners[w] = ts
+
+    # table-mention grouping: "top 5 nations by revenue" / "revenue per
+    # nation" — a table word in a grouping position that is NOT also a
+    # column word groups by that table's name-like column
+    force_group = None
+    for w in set(words):
+        t = _table_for(w)
+        if t is None or any(r(w) is not None for r in resolvers.values()):
+            continue
+        if re.search(rf"\btop \d+ {re.escape(w)}\b", q) or re.search(
+            rf"\b(?:by|per|for each) {re.escape(w)}\b", q
+        ):
+            named = [c for c in sorted(colnames[t]) if c.lower().endswith("name")]
+            strs = [
+                c
+                for c in colnames[t]
+                if "string" in coltypes[t][c.lower()]
+                or "varchar" in coltypes[t][c.lower()]
+            ]
+            if named or strs:
+                force_group = (named or strs)[0]
+                break
+
+    flat_metrics = {mn: expr for mn, (expr, _) in metrics.items()}
+
     # smallest covering set: try singles, then pairs (deterministic order)
     def covers(ts: tuple[str, ...]) -> bool:
         return pinned <= set(ts) and all(o & set(ts) for o in owners.values())
 
+    def _kwargs(tset: tuple[str, ...]) -> dict:
+        fg = (
+            force_group
+            if force_group is not None
+            and any(force_group in colnames[t] for t in tset)
+            else None
+        )
+        return {"now": now, "metrics": flat_metrics, "force_group_col": fg}
+
     for t in sorted(tables):
         if covers((t,)):
-            return generate_sql_extended(question, tables[t], table=t, now=now)
+            return generate_sql_extended(
+                question, tables[t], table=t, **_kwargs((t,))
+            )
+
+    # join graph over the profiled tables (sorted — deterministic)
+    def _edge(a: str, b: str) -> str | None:
+        return _join_on(a, colnames[a], b, colnames[b])
+
+    def _shortest_path(t1: str, t2: str) -> list[str] | None:
+        """BFS, ≤ 2 intermediates, sorted neighbor order (first
+        shortest path found is the lexicographically least)."""
+        frontier = [[t1]]
+        seen = {t1}
+        for _depth in range(3):
+            nxt = []
+            for path in frontier:
+                for u in sorted(tables):
+                    if u in seen and u != t2:
+                        continue
+                    if _edge(path[-1], u) is None:
+                        continue
+                    if u == t2:
+                        return path + [u]
+                    if u not in seen:
+                        seen.add(u)
+                        nxt.append(path + [u])
+            frontier = nxt
+        return None
+
     for t1, t2 in itertools.combinations(sorted(tables), 2):
         if not covers((t1, t2)):
             continue
         combined = list(tables[t1]) + list(tables[t2])
-        combined_names = [n.lower() for t in (t1, t2) for n in colnames[t]]
-        if len(set(combined_names)) != len(combined_names):
+        path = _shortest_path(t1, t2)
+        if path is None:
             raise ValueError(
-                f"ambiguous columns across {t1} and {t2}: cannot bind the question safely"
+                f"columns span {t1} and {t2} but no key-suffix join path exists"
             )
-        on = _join_on(t1, colnames[t1], t2, colnames[t2])
-        if on is not None:
-            fc = f"{t1} JOIN {t2} ON {on}"
-            return generate_sql_extended(
-                question, combined, table=t1, now=now, from_clause=fc
+        path_names = [n.lower() for t in path for n in colnames[t]]
+        if len(set(path_names)) != len(path_names):
+            raise ValueError(
+                f"ambiguous columns across {' -> '.join(path)}: "
+                "cannot bind the question safely"
             )
-        # one-intermediate bridge (star schema: lineitem↔customer via orders)
-        for tm in sorted(set(tables) - {t1, t2}):
-            on1 = _join_on(t1, colnames[t1], tm, colnames[tm])
-            on2 = _join_on(tm, colnames[tm], t2, colnames[t2])
-            if on1 is None or on2 is None:
-                continue
-            bridged_names = combined_names + [n.lower() for n in colnames[tm]]
-            if len(set(bridged_names)) != len(bridged_names):
-                continue
-            fc = f"{t1} JOIN {tm} ON {on1} JOIN {t2} ON {on2}"
-            return generate_sql_extended(
-                question, combined, table=t1, now=now, from_clause=fc
-            )
-        raise ValueError(
-            f"columns span {t1} and {t2} but no key-suffix join path exists"
+        fc = path[0]
+        for prev, nxt in zip(path, path[1:]):
+            fc += f" JOIN {nxt} ON {_edge(prev, nxt)}"
+        return generate_sql_extended(
+            question, combined, table=t1, from_clause=fc, **_kwargs((t1, t2))
         )
     raise ValueError(
         "question references columns from more than two joinable tables"

@@ -272,6 +272,42 @@ def _oph_signatures(
     return slot_mins.groupBy("id").agg(bm.alias("_bm")).select("id", sig.alias("sig"))
 
 
+def _band_entries(
+    sig: DataFrame, num_hashes: int, bands: int, hash_mode: str = "xxhash64"
+) -> DataFrame:
+    """(id, band, bucket) LSH band rows from a (id, sig) table — the
+    ONE banding definition shared by :func:`minhash_lsh_pairs` and the
+    guard-trigger probe (scripts/probe_guards.py counts oversized
+    buckets with exactly the operator's own band keys, so the
+    accounting cannot drift from the drop behavior).  md5 mode keeps
+    the literal signature-slice string as the bucket so the partition
+    is engine-independent (the oracle twin groups by the same string);
+    the scale path hashes it down to 8 bytes (the CLAUDE.md
+    gram-shuffle rule — collision odds documented in the module
+    notes)."""
+    rows_per_band = num_hashes // bands
+
+    def _band_key(b):
+        slice_str = F.concat_ws(
+            ",",
+            F.transform(
+                F.slice("sig", b * rows_per_band + 1, rows_per_band),
+                lambda h: h.cast("string"),
+            ),
+        )
+        return slice_str if hash_mode == "md5" else F.xxhash64(slice_str)
+
+    return sig.select(
+        "id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.struct(b.alias("band"), _band_key(b).alias("bucket")),
+            )
+        ).alias("be"),
+    ).select("id", F.col("be.band").alias("band"), F.col("be.bucket").alias("bucket"))
+
+
 def minhash_signatures(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -334,7 +370,6 @@ def minhash_lsh_pairs(
     threshold clears threshold−0.15 with P≈0.99; set est_margin=None
     to disable the screen and verify every candidate exactly.
     """
-    rows_per_band = num_hashes // bands
     # Materialize the two shared tables ONCE. The hash table feeds the
     # signature build and both sides of the exact-verification join;
     # the signature table feeds the band explode and both sides of the
@@ -360,29 +395,7 @@ def minhash_lsh_pairs(
         hashed, num_hashes, hash_bits=32 if hash_mode == "md5" else 64
     ).persist(StorageLevel.MEMORY_AND_DISK)
 
-    def _band_key(b):
-        slice_str = F.concat_ws(
-            ",",
-            F.transform(
-                F.slice("sig", b * rows_per_band + 1, rows_per_band),
-                lambda h: h.cast("string"),
-            ),
-        )
-        # md5 mode keeps the literal string so the bucket partition is
-        # engine-independent; the scale path hashes it down to 8 bytes
-        # (the CLAUDE.md gram-shuffle rule — collision odds documented
-        # in the module notes).
-        return slice_str if hash_mode == "md5" else F.xxhash64(slice_str)
-
-    band_entries = sig.select(
-        "id",
-        F.explode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(bands - 1)),
-                lambda b: F.struct(b.alias("band"), _band_key(b).alias("bucket")),
-            )
-        ).alias("be"),
-    ).select("id", F.col("be.band").alias("band"), F.col("be.bucket").alias("bucket"))
+    band_entries = _band_entries(sig, num_hashes, bands, hash_mode)
 
     # Candidate pairs by grouping each (band, bucket) and enumerating
     # in-bucket combinations — ONE aggregation instead of a self-join

@@ -555,6 +555,73 @@ def test_multi_table_single_table_questions_stay_single(spark):
     assert rows and all(r[1] > 1000 for r in rows)
 
 
+def test_multi_table_flagship_topn_revenue_executes_equal(spark):
+    """Round 10: 'top 5 nations by revenue' composes the reference's
+    flagship NL shape from one sentence — the derived revenue metric
+    (extendedprice·(1−discount)), the lineitem→orders→customer→nation
+    TWO-bridge path (BFS over key suffixes), grouping by the mentioned
+    table's name column, and ORDER BY metric DESC LIMIT N — and
+    executes equal to the hand-written q5-shaped SQL."""
+    from csv_query_engine_spark.nlsql.extended import generate_sql_multi_table
+    from csv_query_engine_spark.nlsql.validator import validate_sql
+
+    tabs = _profiled_tables(spark, ("lineitem", "orders", "customer", "nation"))
+    metrics = {
+        "revenue": ("l_extendedprice * (1 - l_discount)", ["l_extendedprice", "l_discount"])
+    }
+    sql = generate_sql_multi_table("top 5 nations by revenue", tabs, metrics=metrics)
+    validate_sql(sql, spark)
+    assert "LIMIT 5" in sql and "GROUP BY `n_name`" in sql
+    for frag in ("l_orderkey", "o_custkey", "c_nationkey", "n_nationkey"):
+        assert frag in sql, sql
+    got = [(r[0], round(r[1], 6)) for r in spark.sql(sql).collect()]
+    want = [
+        (r[0], round(r[1], 6))
+        for r in spark.sql(
+            "SELECT n_name, SUM(l_extendedprice * (1 - l_discount)) AS revenue"
+            " FROM lineitem JOIN orders ON l_orderkey = o_orderkey"
+            " JOIN customer ON o_custkey = c_custkey"
+            " JOIN nation ON c_nationkey = n_nationkey"
+            " GROUP BY n_name ORDER BY revenue DESC, n_name LIMIT 5"
+        ).collect()
+    ]
+    assert got == want
+
+    # the "per <table>" phrasing takes the same path without top-N
+    sql2 = generate_sql_multi_table("total revenue per nation", tabs, metrics=metrics)
+    validate_sql(sql2, spark)
+    assert "GROUP BY `n_name`" in sql2 and "LIMIT" not in sql2
+    got2 = {r[0]: round(r[1], 6) for r in spark.sql(sql2).collect()}
+    want2 = {
+        r[0]: round(r[1], 6)
+        for r in spark.sql(
+            "SELECT n_name, SUM(l_extendedprice * (1 - l_discount))"
+            " FROM lineitem JOIN orders ON l_orderkey = o_orderkey"
+            " JOIN customer ON o_custkey = c_custkey"
+            " JOIN nation ON c_nationkey = n_nationkey GROUP BY n_name"
+        ).collect()
+    }
+    assert got2 == want2
+
+
+def test_multi_table_engine_registers_revenue_metric(spark):
+    """engine.ask_tables auto-registers the flagship revenue metric
+    from the profiled extendedprice+discount pair — the HTTP
+    multi_table route answers the golden-example question end-to-end."""
+    from csv_query_engine_spark.engine import QueryEngine
+    from csv_query_engine_spark.io.readers import load_tables
+
+    eng = QueryEngine(spark)
+    loaded = load_tables(
+        spark, "/root/testdata/sf0.001", ("lineitem", "orders", "customer", "nation")
+    )
+    for n, df in loaded.items():
+        eng.register(df, n)
+    res = eng.ask_tables("top 5 nations by revenue")
+    assert "revenue" in res.sql and "LIMIT 5" in res.sql
+    assert len(res.rows) == 5
+
+
 def test_multi_table_unjoinable_is_rejected(spark):
     """Columns spanning tables with no key-suffix path raise — never a
     silently wrong cross join."""
