@@ -153,3 +153,19 @@ class QueryEngine:
         cleaned = validate_sql(sql, spark=self.spark)
         df = self.spark.sql(cleaned)
         return materialize(df, cleaned, limit=self.max_rows, collapse=collapse)
+
+    def lint(self, sql: str, dialect: str = "spark") -> list[dict]:
+        """Plan-lint a SQL statement WITHOUT executing it: validates,
+        plans, and runs operators/lint.py::lint_plan over the physical
+        plan — the pre-flight a user runs before pointing a query at
+        the 100 TB tier (the scale companion of `validate_sql`'s
+        syntax/safety gate).  Findings are dicts (rule / severity /
+        detail), errors first; execution cost is planning only."""
+        from csv_query_engine_spark.operators.lint import lint_plan
+
+        if dialect == "duckdb":
+            sql = duckdb_to_spark_sql(sql)
+        elif dialect != "spark":
+            raise EngineError(f"Unknown SQL dialect {dialect!r}")
+        cleaned = validate_sql(sql, spark=self.spark)
+        return lint_plan(self.spark.sql(cleaned))

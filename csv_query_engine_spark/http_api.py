@@ -175,4 +175,24 @@ def create_app(engine: QueryEngine):
             }
         )
 
+    @app.post("/lint")
+    def lint():
+        """Pre-flight plan lint (round 10): plans but does NOT execute
+        the statement; returns the scale-anti-pattern findings from
+        operators/lint.py (errors first).  Same validation gate and
+        error envelope as /query."""
+        body = request.get_json(silent=True) or {}
+        sql = body.get("sql") or ""
+        if not sql.strip():
+            return _err("Missing 'sql'")
+        try:
+            findings = engine.lint(sql, dialect=body.get("dialect") or "spark")
+        except (EngineError, UnsafeSQLError) as e:
+            return _err(str(e))
+        except Exception as e:
+            return _err(f"Error planning query: {e}")
+        return jsonify({"sql": sql, "findings": findings, "ok": not any(
+            f["severity"] == "error" for f in findings
+        )})
+
     return app

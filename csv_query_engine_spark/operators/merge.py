@@ -273,6 +273,90 @@ def refresh_aggregate(
     return merged
 
 
+def refresh_join_view(
+    view: DataFrame,
+    fact_delta: DataFrame,
+    dim: DataFrame,
+    fact_pk: list[str],
+    join_keys: list[str],
+    change_col: str = "change_type",
+    broadcast_keys: bool = True,
+) -> DataFrame:
+    """Incremental maintenance of a materialized JOIN view — the join
+    sibling of :func:`refresh_aggregate` (which maintains aggregates).
+    ``view`` holds the materialized rows of ``fact ⋈ dim`` (all fact
+    columns plus the dim columns the view carries); ``fact_delta`` is a
+    change batch on the FACT side keyed by ``fact_pk``: rows with
+    ``change_col = 'delete'`` retract, anything else upserts (the full
+    new fact row).  The refreshed view is
+
+        (view ANTI JOIN delta-keys ON fact_pk)  ∪  (upserts ⋈ dim)
+
+    so an update is delete-then-reinsert in one pass and the result is
+    row-equal to recomputing ``fact' ⋈ dim`` from scratch — the
+    property the oracle twin checks.
+
+    Scale: the 100 TB base fact is NEVER re-read and the view is never
+    shuffled — the anti join broadcasts the (bounded, per-batch) delta
+    key set under the caller-owned ``broadcast_keys=True`` contract
+    (pass False for a rare backfill-sized delta and the anti join
+    shuffles on ``fact_pk`` instead, which co-partitioned view storage
+    makes one-sided); the re-derive join touches only delta-many rows
+    against the dim.  Delta keys must be unique per batch
+    (latest-wins collapse is the caller's contract, as in
+    :func:`scd2_apply`); dropDuplicates here would hide a real bug."""
+    keys = fact_delta.select(*fact_pk).distinct()
+    if broadcast_keys:
+        keys = F.broadcast(keys)
+    kept = view.join(keys, fact_pk, "left_anti")
+    upserts = fact_delta.filter(F.col(change_col) != "delete").drop(change_col)
+    fresh = upserts.join(dim, join_keys, "inner")
+    return kept.unionByName(fresh.select(*view.columns))
+
+
+def refresh_join_view_dim(
+    view: DataFrame,
+    dim_delta: DataFrame,
+    join_keys: list[str],
+    update_cols: list[str],
+    change_col: str = "change_type",
+) -> DataFrame:
+    """Dim-side half of join-view maintenance: apply a change batch on
+    the DIMENSION to a materialized ``fact ⋈ dim`` view without
+    touching the fact.  Because the view already carries every fact
+    row, a dim attribute change is a column-wise overwrite of the
+    matching view rows (broadcast join on ``join_keys`` — dim deltas
+    are small by nature) and a dim-key delete drops its view rows (the
+    inner join would no longer produce them).
+
+    Contract: ``update_cols`` are the dim-owned view columns; rows with
+    ``change_col='delete'`` retract the key, others carry the new
+    attribute values.  Dim-key INSERTS cannot add view rows here — an
+    inner view holds no dangling fact rows to revive — so a delta that
+    inserts new dim keys needs the fact-side path
+    (:func:`refresh_join_view` with the affected fact rows); this
+    function ignores keys absent from the view, matching that split."""
+    d = dim_delta.select(
+        *[F.col(k).alias(f"_d_{k}") for k in join_keys],
+        *[F.col(c).alias(f"_d_{c}") for c in update_cols],
+        (F.col(change_col) == "delete").alias("_d_del"),
+    )
+    cond = None
+    for k in join_keys:
+        clause = F.col(k) == F.col(f"_d_{k}")
+        cond = clause if cond is None else (cond & clause)
+    j = view.join(F.broadcast(d), cond, "left")
+    out = [
+        F.when(F.col("_d_del").isNotNull() & ~F.col("_d_del"), F.col(f"_d_{c}"))
+        .otherwise(F.col(c))
+        .alias(c)
+        if c in update_cols
+        else F.col(c)
+        for c in view.columns
+    ]
+    return j.filter(F.col("_d_del").isNull() | ~F.col("_d_del")).select(*out)
+
+
 def aggregate_state(
     rows: DataFrame,
     key_cols: list[str],

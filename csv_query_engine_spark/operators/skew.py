@@ -77,3 +77,58 @@ def write_bucketed(
 
 def read_bucketed_table(spark: SparkSession, table: str) -> DataFrame:
     return spark.table(table)
+
+
+def bloom_prefiltered_join(
+    fact: DataFrame,
+    dim: DataFrame,
+    fact_key: str,
+    dim_key: str,
+    expected_n: int,
+    fpp: float = 0.01,
+    how: str = "inner",
+    hash_mode: str = "xx",
+) -> DataFrame:
+    """Equi-join with a Bloom-filter runtime pre-filter on the fact
+    side — the join-optimization shape Spark's own runtime row-level
+    filtering (`spark.sql.optimizer.runtime.bloomFilter.enabled`) and
+    Delta/Iceberg DPP apply, built explicitly so it works on ANY plan
+    and its accounting is inspectable.  When the dim side is too big to
+    broadcast as a hash-join table but its KEY SET fits a bitmap
+    (100 M keys at 1 % fpp ≈ 120 MB; 10 M ≈ 12 MB), the fact scan is
+    pre-filtered map-side to rows that can possibly match, so the
+    shuffle moves only matching-plus-fpp rows instead of the whole
+    100 TB fact.  No false negatives (Bloom guarantee) and the real
+    join removes false positives, so the result is row-equal to
+    ``fact.join(dim, ...)`` — the property the oracle twin checks.
+
+    ``how`` is restricted to inner/left_semi: for left/full outer the
+    pre-filter would DROP unmatched fact rows the join must keep.
+    Build = one explode + bit_or aggregation over the dim keys
+    (pipeline/decontam.py machinery — same bitmap, same packer as the
+    decontamination screen); probe = one 1-row broadcast + codegen'd
+    bit tests, no UDFs.  ``expected_n`` sizes the bitmap (caller-owned
+    capacity contract, standard for Blooms); undersizing only raises
+    fpp — correctness is unaffected."""
+    from csv_query_engine_spark.pipeline.decontam import (
+        bloom_build,
+        bloom_pack,
+        bloom_params,
+        bloom_probe,
+    )
+
+    allowed = {"inner", "left_semi", "leftsemi", "semi"}
+    if how.lower() not in allowed:
+        raise ValueError(
+            f"bloom_prefiltered_join supports inner/left_semi, got {how!r}: "
+            "the pre-filter drops fact rows with no dim match, which outer "
+            "joins must keep."
+        )
+    m_bits, k = bloom_params(expected_n, fpp)
+    keys = dim.select(F.col(dim_key)).distinct()
+    packed = bloom_pack(bloom_build(keys, dim_key, m_bits, k, hash_mode), m_bits)
+    flagged = bloom_probe(fact, fact_key, packed, m_bits, k, "_bloom_hit", hash_mode)
+    pre = flagged.filter(F.col("_bloom_hit")).drop("_bloom_hit")
+    if fact_key == dim_key:
+        return pre.join(dim, [fact_key], how)
+    return pre.join(dim, pre[fact_key] == dim[dim_key], how)

@@ -389,6 +389,101 @@ def sql_hll_distinct(
     """
 
 
+def hll_overlap(
+    a: DataFrame,
+    b: DataFrame,
+    key_col: str,
+    p: int = 8,
+    salt: str = "hll-",
+) -> DataFrame:
+    """HLL set algebra between two key sets: one row with ``est_a``,
+    ``est_b``, ``est_union`` (MAX-merged registers — the mergeability
+    that makes HLL a SET sketch, not just a counter), ``est_intersection``
+    via inclusion–exclusion clamped at 0, and ``jaccard_ppm`` =
+    FLOOR(|A∩B|·10⁶ / |A∪B|) — the standard sketch-based overlap
+    screen (e.g. benchmark-vs-train contamination at corpus scale,
+    where exact COUNT(DISTINCT) over two 100 TB key sets needs a
+    full shuffle each and the sketch needs 2^p rows per set).
+
+    Each input is scanned ONCE: its register table (from
+    :func:`hll_registers`) serves both its own estimate and, MAX-merged
+    with the other side's, the union estimate — no second pass, and
+    the same register tables could come off per-shard/streaming builds
+    (the batch_id-keyed store idiom).  All estimates are the
+    deterministic md5-recipe integers of :func:`hll_distinct`, and the
+    Jaccard division is a single IEEE op on those integers, so the
+    whole row oracle-pairs bit-for-bit (:func:`sql_hll_overlap`)."""
+    ra = hll_registers(
+        a.select(F.lit("a").alias("_s"), F.col(key_col)), key_col, "_s", p, salt
+    )
+    rb = hll_registers(
+        b.select(F.lit("b").alias("_s"), F.col(key_col)), key_col, "_s", p, salt
+    )
+    both = ra.unionByName(rb)
+    ru = both.groupBy("b").agg(F.max("mb").alias("mb")).select(
+        F.lit("u").alias("_s"), "b", "mb"
+    )
+    est = hll_estimate_from_registers(both.unionByName(ru), "_s", p)
+    one = est.groupBy().agg(
+        F.max(F.when(F.col("_s") == "a", F.col("hll_estimate"))).alias("est_a"),
+        F.max(F.when(F.col("_s") == "b", F.col("hll_estimate"))).alias("est_b"),
+        F.max(F.when(F.col("_s") == "u", F.col("hll_estimate"))).alias("est_union"),
+    )
+    inter = F.greatest(
+        F.lit(0).cast("bigint"), F.col("est_a") + F.col("est_b") - F.col("est_union")
+    )
+    return one.select(
+        "est_a",
+        "est_b",
+        "est_union",
+        inter.alias("est_intersection"),
+        F.floor(
+            inter.cast("double") * F.lit(1000000.0) / F.col("est_union").cast("double")
+        )
+        .cast("bigint")
+        .alias("jaccard_ppm"),
+    )
+
+
+def sql_hll_overlap(
+    table_a: str,
+    table_b: str,
+    key_expr: str,
+    p: int = 8,
+    salt: str = "hll-",
+) -> str:
+    """DuckDB twin of :func:`hll_overlap`: the labeled union re-derives
+    the 'u' registers from the concatenated key rows — MAX over the
+    combined rows IS the MAX-merge of the two register tables, so the
+    twin needs no register plumbing, just :func:`sql_hll_distinct` on a
+    three-label derived table (the parenthesized-subquery rule for
+    derived oracle inputs) and a conditional-aggregation pivot."""
+    labeled = (
+        f"(SELECT 'a' AS s, {key_expr} AS k FROM {table_a} "
+        f"UNION ALL SELECT 'b', {key_expr} FROM {table_b} "
+        f"UNION ALL SELECT 'u', {key_expr} FROM {table_a} "
+        f"UNION ALL SELECT 'u', {key_expr} FROM {table_b}) lbl"
+    )
+    inner = sql_hll_distinct(labeled, "k", "s", p, salt)
+    return f"""
+    WITH est AS ({inner}),
+    piv AS (
+        SELECT MAX(CASE WHEN s = 'a' THEN hll_estimate END) AS est_a,
+               MAX(CASE WHEN s = 'b' THEN hll_estimate END) AS est_b,
+               MAX(CASE WHEN s = 'u' THEN hll_estimate END) AS est_union
+        FROM est
+    )
+    SELECT est_a, est_b, est_union,
+           GREATEST(CAST(0 AS BIGINT), est_a + est_b - est_union)
+               AS est_intersection,
+           CAST(FLOOR(CAST(GREATEST(CAST(0 AS BIGINT),
+                                    est_a + est_b - est_union) AS DOUBLE)
+                      * 1000000.0 / CAST(est_union AS DOUBLE)) AS BIGINT)
+               AS jaccard_ppm
+    FROM piv
+    """
+
+
 # ------------------------- integer log-bucket quantile sketch (HDR-style)
 
 def _hdr_bucket_exprs(value_col: str, sub_bits: int):

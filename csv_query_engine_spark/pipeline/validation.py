@@ -139,3 +139,71 @@ def split_by_rules(df: DataFrame, checks: list[Check]):
     good = df.filter(all_ok)
     quarantined = df.filter(~all_ok).withColumn("failed_rules", failed)
     return good, quarantined
+
+
+def fk_audit(
+    child: DataFrame,
+    parent: DataFrame,
+    fk_col: str,
+    pk_col: str,
+    relation: str | None = None,
+) -> DataFrame:
+    """Referential-integrity audit for one FK relationship — the
+    CROSS-table member of the quality family (check_constraints is
+    single-table): one row with the child/parent key census, orphan
+    counts (child keys with no parent — NULL FKs counted separately:
+    they are not orphans, they are missing links), childless parents,
+    and fan-out extremes.  ``orphan_rows_ppm`` is the exact
+    integer-ratio FLOOR the release gate thresholds on.
+
+    Scale: child keys collapse FIRST (one groupBy on the FK — the only
+    child-sized shuffle), then the per-key table joins the parent key
+    set full-outer; every downstream aggregate runs over |keys| rows,
+    never child rows.  No collect, no UDF; the whole audit is 3
+    aggregations and one key join regardless of fact size."""
+    rel = relation or f"{fk_col}->{pk_col}"
+    per_key = (
+        child.select(F.col(fk_col).alias("_k"))
+        .groupBy("_k")
+        .agg(F.count(F.lit(1)).alias("_n"))
+    )
+    pkeys = parent.select(F.col(pk_col).alias("_k")).distinct().withColumn(
+        "_p", F.lit(True)
+    )
+    j = per_key.join(pkeys, "_k", "full_outer")
+    has_child = F.col("_n").isNotNull()
+    has_parent = F.col("_p").isNotNull()
+    null_key = F.col("_k").isNull()
+    orphan = has_child & ~has_parent & ~null_key
+    return j.agg(
+        F.lit(rel).alias("relation"),
+        F.coalesce(F.sum(F.when(has_child, F.col("_n"))), F.lit(0))
+        .cast("bigint")
+        .alias("n_child_rows"),
+        F.sum(F.when(has_child & ~null_key, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_child_keys"),
+        F.coalesce(F.sum(F.when(null_key, F.col("_n"))), F.lit(0))
+        .cast("bigint")
+        .alias("n_null_fk_rows"),
+        F.sum(F.when(orphan, 1).otherwise(0)).cast("bigint").alias("n_orphan_keys"),
+        F.coalesce(F.sum(F.when(orphan, F.col("_n"))), F.lit(0))
+        .cast("bigint")
+        .alias("n_orphan_rows"),
+        F.sum(F.when(has_parent, 1).otherwise(0)).cast("bigint").alias("n_parent_keys"),
+        F.sum(F.when(has_parent & ~has_child, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_childless_parents"),
+        F.coalesce(F.max(F.when(has_parent, F.col("_n"))), F.lit(0))
+        .cast("bigint")
+        .alias("max_fanout"),
+    ).select(
+        "*",
+        F.floor(
+            F.col("n_orphan_rows").cast("double")
+            * F.lit(1000000.0)
+            / F.greatest(F.col("n_child_rows"), F.lit(1)).cast("double")
+        )
+        .cast("bigint")
+        .alias("orphan_rows_ppm"),
+    )

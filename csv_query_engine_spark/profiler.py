@@ -156,3 +156,75 @@ def to_timestamp_any(col: F.Column) -> F.Column:
     exprs = [F.try_to_timestamp(col)]
     exprs += [F.try_to_timestamp(col, F.lit(fmt)) for fmt in _PROBE_FORMATS]
     return F.coalesce(*exprs)
+
+
+def table_profile(
+    df: DataFrame,
+    cols: list[str] | None = None,
+    exact_distinct: bool = True,
+) -> DataFrame:
+    """Distributed one-pass column statistics — the DISTRIBUTED face of
+    the reference's profiler (reference csv_profiler.py:33-61 profiles
+    a pandas frame on the driver; this profiles a 100 TB table without
+    collecting it): one row per column with non-null / null counts,
+    distinct count, numeric min/max (``min_num``/``max_num``, raw
+    values — no arithmetic, so IEEE-identical cross-engine) and
+    lexicographic/temporal min/max rendered as strings
+    (``min_str``/``max_str``).  Sentinels, not NULLs, fill the
+    inapplicable side (CLAUDE.md nullable-output rule): -1.0 for the
+    numeric pair on non-numeric columns, '' for the string pair on
+    numeric ones.
+
+    ALL columns' statistics come from ONE aggregation pass over the
+    table; the per-column rows are then unrolled driver-free with
+    ``inline`` over a literal struct array (a 1-row plan, no shuffle).
+    ``exact_distinct=True`` uses COUNT(DISTINCT) — Catalyst compiles K
+    distinct aggregates into one Expand (K× row multiplication before
+    partial aggregation), exact but the heaviest shape here; pass
+    False for approx_count_distinct (one pass, no Expand, mergeable
+    HLL++ — the 100 TB default, rows-only for oracle purposes since
+    its registers are engine-internal)."""
+    cols = cols or df.columns
+    numeric = {
+        T.ByteType, T.ShortType, T.IntegerType, T.LongType,
+        T.FloatType, T.DoubleType, T.DecimalType,
+    }
+    aggs, is_num = [], {}
+    for c in cols:
+        dt = df.schema[c].dataType
+        is_num[c] = type(dt) in numeric or isinstance(dt, T.DecimalType)
+        aggs.append(F.count(F.col(c)).cast("bigint").alias(f"_nn_{c}"))
+        if exact_distinct:
+            aggs.append(F.count_distinct(F.col(c)).cast("bigint").alias(f"_nd_{c}"))
+        else:
+            aggs.append(
+                F.approx_count_distinct(F.col(c)).cast("bigint").alias(f"_nd_{c}")
+            )
+        if is_num[c]:
+            aggs.append(F.min(F.col(c)).cast("double").alias(f"_mn_{c}"))
+            aggs.append(F.max(F.col(c)).cast("double").alias(f"_mx_{c}"))
+        else:
+            aggs.append(F.min(F.col(c).cast("string")).alias(f"_mn_{c}"))
+            aggs.append(F.max(F.col(c).cast("string")).alias(f"_mx_{c}"))
+    one = df.agg(F.count(F.lit(1)).cast("bigint").alias("_n"), *aggs)
+    rows = []
+    for c in cols:
+        # census label: collapse Spark's tz-variant timestamp names
+        # (timestamp_ntz / timestamp_ltz) to plain 'timestamp' — the
+        # cross-engine-stable label (DuckDB has only TIMESTAMP).
+        dt = df.schema[c].dataType.simpleString()
+        dt = "timestamp" if dt.startswith("timestamp") else dt
+        rows.append(
+            F.struct(
+                F.lit(c).alias("column_name"),
+                F.lit(dt).alias("data_type"),
+                F.col(f"_nn_{c}").alias("n_nonnull"),
+                (F.col("_n") - F.col(f"_nn_{c}")).cast("bigint").alias("n_null"),
+                F.col(f"_nd_{c}").alias("n_distinct"),
+                (F.coalesce(F.col(f"_mn_{c}"), F.lit(-1.0)) if is_num[c] else F.lit(-1.0)).alias("min_num"),
+                (F.coalesce(F.col(f"_mx_{c}"), F.lit(-1.0)) if is_num[c] else F.lit(-1.0)).alias("max_num"),
+                (F.lit("") if is_num[c] else F.coalesce(F.col(f"_mn_{c}"), F.lit(""))).alias("min_str"),
+                (F.lit("") if is_num[c] else F.coalesce(F.col(f"_mx_{c}"), F.lit(""))).alias("max_str"),
+            )
+        )
+    return one.select(F.inline(F.array(*rows)))

@@ -247,6 +247,13 @@ DRIVER_ORDER: list[str] = [
     "json_props_variant",
     # CDC diff (r6,r7-certified; MERGE family keeps the window row):
     "customer_snapshot_cdc_diff",
+    # Round-10 additions (oracle-verified locally at sf0.01+sf0.1;
+    # outside the window until a future rotation):
+    "orders_customer_join_ivm",        # join-view IVM (merge family)
+    "events_hll_session_overlap",      # HLL set algebra (sketch family)
+    "lineitem_bloom_prefiltered_join", # Bloom runtime join filter
+    "orders_table_profile",            # distributed column census
+    "orders_fk_integrity_audit",       # cross-table quality gate
     # Round-10: the OPH MinHash LSH pipeline in reproducible-internals
     # mode (md5 recipe + literal band keys) — the end-to-end oracle
     # pairing of the dedup family's last rows-only major member; the

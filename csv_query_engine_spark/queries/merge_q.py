@@ -364,3 +364,112 @@ def orders_incremental_agg_refresh(spark: SparkSession, sf_dir: str) -> DataFram
         .cast("double")
         .alias("total_price"),
     ).orderBy("o_orderpriority", "order_year")
+
+
+@register(
+    "orders_customer_join_ivm",
+    """
+    WITH fact AS (
+        SELECT o_orderkey, o_custkey, o_orderstatus,
+               CASE WHEN o_orderdate < TIMESTAMP '1997-01-01'
+                         AND o_orderkey % 17 = 0 AND o_orderkey % 13 <> 0
+                    THEN o_totalprice + 100.0 ELSE o_totalprice
+               END AS o_totalprice
+        FROM orders
+        WHERE NOT (o_orderdate < TIMESTAMP '1997-01-01' AND o_orderkey % 13 = 0)
+    ),
+    dim AS (
+        SELECT c_custkey,
+               CASE WHEN c_custkey % 10 = 0 THEN 'PREMIUM' ELSE c_mktsegment
+               END AS c_mktsegment
+        FROM customer
+        WHERE c_custkey % 997 <> 0
+    )
+    SELECT c_mktsegment, o_orderstatus,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS total_price
+    FROM fact JOIN dim ON o_custkey = c_custkey
+    GROUP BY c_mktsegment, o_orderstatus
+    ORDER BY c_mktsegment, o_orderstatus
+    """,
+)
+def orders_customer_join_ivm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental JOIN-view maintenance (operators/merge.py::
+    refresh_join_view / refresh_join_view_dim) — the join sibling of
+    orders_incremental_agg_refresh: a materialized orders ⋈ customer
+    view (pre-1997 orders) absorbs (a) a fact-side change batch —
+    1997+ inserts, deletes of every 13th base order, +100.00 price
+    corrections on every 17th — and (b) a dim-side batch — every 10th
+    customer re-segmented to PREMIUM, every 997th erased — WITHOUT
+    re-reading the base fact or re-running the base join.  The oracle
+    recomputes fact' ⋈ dim' from scratch; row-equality of the final
+    aggregate is the IVM trust property (delete-then-reinsert on the
+    fact key, column-overwrite / drop on the dim key).
+
+    Scale: the view is never shuffled — the anti join broadcasts the
+    bounded per-batch delta key set; the re-derive join touches
+    delta-many rows; the dim batch is a broadcast column overwrite.
+    The final aggregate here exists only to keep the certified result
+    small."""
+    from csv_query_engine_spark.operators.merge import (
+        refresh_join_view,
+        refresh_join_view_dim,
+    )
+
+    t = load_tables(spark, sf_dir, ("orders", "customer"))
+    orders, cust = t["orders"], t["customer"]
+    fact_cols = ["o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"]
+    dim = cust.select(F.col("c_custkey").alias("o_custkey"), "c_mktsegment")
+    cutoff = F.lit("1997-01-01").cast("timestamp")
+    base = orders.filter(F.col("o_orderdate") < cutoff)
+    view = base.select(*fact_cols).join(dim, "o_custkey").select(
+        *fact_cols, "c_mktsegment"
+    )
+
+    ch = "change_type"
+    inserts = (
+        orders.filter(F.col("o_orderdate") >= cutoff)
+        .select(*fact_cols)
+        .withColumn(ch, F.lit("upsert"))
+    )
+    deletes = (
+        base.filter(F.col("o_orderkey") % 13 == 0)
+        .select(*fact_cols)
+        .withColumn(ch, F.lit("delete"))
+    )
+    updates = (
+        base.filter((F.col("o_orderkey") % 17 == 0) & (F.col("o_orderkey") % 13 != 0))
+        .select(
+            "o_orderkey",
+            "o_custkey",
+            "o_orderstatus",
+            (F.col("o_totalprice") + F.lit(100.0)).alias("o_totalprice"),
+        )
+        .withColumn(ch, F.lit("upsert"))
+    )
+    fact_delta = inserts.unionByName(deletes).unionByName(updates)
+    v1 = refresh_join_view(view, fact_delta, dim, ["o_orderkey"], ["o_custkey"])
+
+    dim_updates = (
+        cust.filter((F.col("c_custkey") % 10 == 0) & (F.col("c_custkey") % 997 != 0))
+        .select(
+            F.col("c_custkey").alias("o_custkey"),
+            F.lit("PREMIUM").alias("c_mktsegment"),
+        )
+        .withColumn(ch, F.lit("upsert"))
+    )
+    dim_deletes = cust.filter(F.col("c_custkey") % 997 == 0).select(
+        F.col("c_custkey").alias("o_custkey"), "c_mktsegment"
+    ).withColumn(ch, F.lit("delete"))
+    v2 = refresh_join_view_dim(
+        v1, dim_updates.unionByName(dim_deletes), ["o_custkey"], ["c_mktsegment"]
+    )
+
+    return (
+        v2.groupBy("c_mktsegment", "o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            exact_sum(F.col("o_totalprice"), "total_price"),
+        )
+        .orderBy("c_mktsegment", "o_orderstatus")
+    )

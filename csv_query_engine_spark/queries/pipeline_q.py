@@ -3590,3 +3590,96 @@ def customer_k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return k_anonymity_audit(src, ["city", "segment", "bal_band"], k=5).orderBy(
         "city", "segment", "bal_band"
     )
+
+
+def _hll_overlap_oracle() -> str:
+    from csv_query_engine_spark.pipeline.sketches import sql_hll_overlap
+
+    key = "CAST(user_id AS VARCHAR) || '@' || CAST(CAST(ts AS DATE) AS VARCHAR)"
+    ta = f"(SELECT {key} AS k FROM events WHERE event_type = 'click') ta"
+    tb = f"(SELECT {key} AS k FROM events WHERE event_type = 'purchase') tb"
+    ov = sql_hll_overlap(ta, tb, "k")
+    return f"""
+    WITH ov AS ({ov}),
+    ex AS (
+        SELECT CAST(COUNT(DISTINCT CASE WHEN has_a AND has_b THEN k END) AS BIGINT)
+                   AS exact_intersection,
+               CAST(COUNT(DISTINCT k) AS BIGINT) AS exact_union
+        FROM (
+            SELECT k, BOOL_OR(event_type = 'click') AS has_a,
+                   BOOL_OR(event_type = 'purchase') AS has_b
+            FROM (SELECT {key} AS k, event_type FROM events
+                  WHERE event_type IN ('click', 'purchase'))
+            GROUP BY k
+        )
+    )
+    SELECT est_a, est_b, est_union, est_intersection, jaccard_ppm,
+           exact_union, exact_intersection,
+           CAST(FLOOR(CAST(exact_intersection AS DOUBLE) * 1000000.0
+                      / CAST(exact_union AS DOUBLE)) AS BIGINT)
+               AS exact_jaccard_ppm
+    FROM ov CROSS JOIN ex
+    """
+
+
+@register("events_hll_session_overlap", _hll_overlap_oracle())
+def events_hll_session_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL set algebra (pipeline/sketches.py::hll_overlap): how much do
+    the (user, day) activity sets of two event types overlap?  One row:
+    both set estimates, the MAX-merged union estimate, the
+    inclusion–exclusion intersection, and Jaccard in exact-ppm FLOOR —
+    next to the exact answers, so the sketch's set-algebra error is
+    itself certified (the events_hll_type_cardinality convention).
+    The corpus-scale use is overlap screens between 100 TB key sets
+    (benchmark-vs-train contamination, cross-snapshot audience drift)
+    where each side is scanned once into 2^p register rows and all set
+    arithmetic happens on the sketches.
+
+    Oracle-paired bit-for-bit: registers ride the md5 recipe, the
+    union IS the MAX merge (the twin re-derives it from concatenated
+    keys — same registers by construction), and the only float ops are
+    two IEEE divisions on bigints.  The exact columns cost one extra
+    grouped pass here; at scale you would keep only the sketch side."""
+    from csv_query_engine_spark.pipeline.sketches import hll_overlap
+
+    e = load_tables(spark, sf_dir, ("events",))["events"]
+    key = F.concat(
+        F.col("user_id").cast("string"),
+        F.lit("@"),
+        F.col("ts").cast("date").cast("string"),
+    ).alias("k")
+    a = e.filter(F.col("event_type") == "click").select(key)
+    b = e.filter(F.col("event_type") == "purchase").select(key)
+    ov = hll_overlap(a, b, "k")
+
+    per_key = (
+        e.filter(F.col("event_type").isin("click", "purchase"))
+        .select(key, "event_type")
+        .groupBy("k")
+        .agg(
+            F.max(F.col("event_type") == "click").alias("has_a"),
+            F.max(F.col("event_type") == "purchase").alias("has_b"),
+        )
+    )
+    ex = per_key.agg(
+        F.count_distinct(
+            F.when(F.col("has_a") & F.col("has_b"), F.col("k"))
+        ).cast("bigint").alias("exact_intersection"),
+        F.count_distinct("k").cast("bigint").alias("exact_union"),
+    )
+    return ov.crossJoin(F.broadcast(ex)).select(
+        "est_a",
+        "est_b",
+        "est_union",
+        "est_intersection",
+        "jaccard_ppm",
+        "exact_union",
+        "exact_intersection",
+        F.floor(
+            F.col("exact_intersection").cast("double")
+            * F.lit(1000000.0)
+            / F.col("exact_union").cast("double")
+        )
+        .cast("bigint")
+        .alias("exact_jaccard_ppm"),
+    )

@@ -1642,3 +1642,187 @@ def orders_monthly_hdr_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("cents"),
     )
     return hdr_quantiles_by(hdr_buckets_by(src, ["g"], "cents"), ["g"], (0.5, 0.99))
+
+
+@register(
+    "lineitem_bloom_prefiltered_join",
+    f"""
+    SELECT p_brand,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           {_sql_exact_sum(REVENUE, 'revenue')}
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE p_size = 15
+    GROUP BY p_brand
+    ORDER BY p_brand
+    """,
+)
+def lineitem_bloom_prefiltered_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-prefiltered fact⋈dim join (operators/skew.py::
+    bloom_prefiltered_join): lineitem joined to the size-15 part
+    subset with the fact scan pre-filtered MAP-SIDE through the dim
+    key set's Bloom bitmap — the runtime-row-filter shape for the
+    middle regime where the dim is too big for a broadcast hash join
+    but its key set fits a bitmap.  The oracle is the PLAIN join: no
+    false negatives (Bloom guarantee) and the join removes false
+    positives, so the prefiltered plan must be row-equal — the whole
+    point of certifying an optimization that only changes WHERE rows
+    are dropped.
+
+    Scale: bitmap build is one explode + bit_or over dim keys
+    (decontam machinery, ≤ m/64 longs), probe is a 1-row broadcast +
+    codegen'd bit tests before the join's exchange — the shuffle moves
+    only matching-plus-fpp fact rows instead of the whole fact."""
+    from csv_query_engine_spark.operators.skew import bloom_prefiltered_join
+
+    t = load_tables(spark, sf_dir, ("lineitem", "part"))
+    li = t["lineitem"].select("l_partkey", "l_extendedprice", "l_discount")
+    pt = t["part"].filter(F.col("p_size") == 15).select("p_partkey", "p_brand")
+    joined = bloom_prefiltered_join(li, pt, "l_partkey", "p_partkey", expected_n=4096)
+    return (
+        joined.groupBy("p_brand")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            exact_sum(_revenue_col(), "revenue"),
+        )
+        .orderBy("p_brand")
+    )
+
+
+def _profile_oracle() -> str:
+    cols = {
+        "o_orderkey": "bigint",
+        "o_custkey": "bigint",
+        "o_orderstatus": "string",
+        "o_totalprice": "double",
+        "o_orderdate": "timestamp",
+        "o_orderpriority": "string",
+    }
+    parts = []
+    for c, dt in cols.items():
+        if dt in ("bigint", "double"):
+            mn = f"COALESCE(CAST(MIN({c}) AS DOUBLE), -1.0)"
+            mx = f"COALESCE(CAST(MAX({c}) AS DOUBLE), -1.0)"
+            ms, xs = "''", "''"
+        else:
+            mn, mx = "-1.0", "-1.0"
+            ms = f"COALESCE(CAST(MIN(CAST({c} AS VARCHAR)) AS VARCHAR), '')"
+            xs = f"COALESCE(CAST(MAX(CAST({c} AS VARCHAR)) AS VARCHAR), '')"
+        parts.append(
+            f"SELECT '{c}' AS column_name, '{dt}' AS data_type, "
+            f"CAST(COUNT({c}) AS BIGINT) AS n_nonnull, "
+            f"CAST(COUNT(*) - COUNT({c}) AS BIGINT) AS n_null, "
+            f"CAST(COUNT(DISTINCT {c}) AS BIGINT) AS n_distinct, "
+            f"{mn} AS min_num, {mx} AS max_num, "
+            f"{ms} AS min_str, {xs} AS max_str FROM orders"
+        )
+    return " UNION ALL ".join(parts) + " ORDER BY column_name"
+
+
+@register("orders_table_profile", _profile_oracle())
+def orders_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed table profiling (profiler.py::table_profile) — the
+    reference profiles a driver-side pandas frame per column
+    (reference csv_profiler.py:33-61); this emits the same per-column
+    census for a table of ANY size from ONE aggregation pass:
+    non-null/null/distinct counts plus typed min/max (raw values —
+    no float arithmetic anywhere, so every cell oracle-pairs
+    exactly).
+
+    Scale: a single partial+final aggregate over the scan; the
+    per-column unroll is a literal-struct inline on the 1-row result
+    (no shuffle, no collect).  COUNT(DISTINCT) across K columns is
+    one K-way Expand — exact mode is certified here; the
+    approx_count_distinct mode (exact_distinct=False) is the 100 TB
+    default."""
+    from csv_query_engine_spark.profiler import table_profile
+
+    o = load_tables(spark, sf_dir, ("orders",))["orders"]
+    return table_profile(o).orderBy("column_name")
+
+
+def _fk_rel_sql(rel: str, child_tbl: str, fk: str, parent_tbl: str, pk: str) -> str:
+    return f"""
+    SELECT '{rel}' AS relation,
+           CAST(COALESCE(SUM(CASE WHEN n IS NOT NULL THEN n END), 0) AS BIGINT)
+               AS n_child_rows,
+           CAST(SUM(CASE WHEN n IS NOT NULL AND ck_k IS NOT NULL THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_child_keys,
+           CAST(COALESCE(SUM(CASE WHEN n IS NOT NULL AND ck_k IS NULL THEN n END), 0)
+               AS BIGINT) AS n_null_fk_rows,
+           CAST(SUM(CASE WHEN n IS NOT NULL AND ck_k IS NOT NULL AND pk_k IS NULL
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_orphan_keys,
+           CAST(COALESCE(SUM(CASE WHEN n IS NOT NULL AND ck_k IS NOT NULL
+                                       AND pk_k IS NULL THEN n END), 0) AS BIGINT)
+               AS n_orphan_rows,
+           CAST(SUM(CASE WHEN pk_k IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_parent_keys,
+           CAST(SUM(CASE WHEN pk_k IS NOT NULL AND n IS NULL THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_childless_parents,
+           CAST(COALESCE(MAX(CASE WHEN pk_k IS NOT NULL THEN n END), 0) AS BIGINT)
+               AS max_fanout,
+           CAST(FLOOR(CAST(COALESCE(SUM(CASE WHEN n IS NOT NULL AND ck_k IS NOT NULL
+                                                 AND pk_k IS NULL THEN n END), 0)
+                           AS DOUBLE) * 1000000.0
+                      / CAST(GREATEST(COALESCE(SUM(CASE WHEN n IS NOT NULL THEN n END),
+                                               0), 1) AS DOUBLE)) AS BIGINT)
+               AS orphan_rows_ppm
+    FROM (
+        SELECT ck.k AS ck_k, ck.n, pk.k AS pk_k
+        FROM (SELECT {fk} AS k, COUNT(*) AS n FROM {child_tbl} GROUP BY {fk}) ck
+        FULL OUTER JOIN (SELECT DISTINCT {pk} AS k FROM {parent_tbl}) pk
+            ON ck.k = pk.k
+    )
+    """
+
+
+@register(
+    "orders_fk_integrity_audit",
+    _fk_rel_sql(
+        "lineitem.l_orderkey->orders.o_orderkey",
+        "lineitem",
+        "l_orderkey",
+        "orders",
+        "o_orderkey",
+    )
+    + " UNION ALL "
+    + _fk_rel_sql(
+        "orders.o_custkey->customer_subset.c_custkey",
+        "orders",
+        "o_custkey",
+        "(SELECT * FROM customer WHERE c_custkey % 7 <> 0) cs",
+        "c_custkey",
+    )
+    + " ORDER BY relation",
+)
+def orders_fk_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity audit (pipeline/validation.py::fk_audit)
+    — the CROSS-table quality-gate member next to the single-table
+    constraint suite: key census, orphan keys/rows (with NULL FKs
+    split out — missing links, not orphans), childless parents,
+    fan-out extremes and the orphan-ppm gate metric, for two FK
+    relationships in one verdict table.  The customer side is
+    deliberately subset (every 7th key dropped) so the audit proves it
+    FINDS planted orphans, not just passes clean data.
+
+    Scale: per relation, child rows collapse to per-key counts first
+    (the one fact-sized shuffle), the parent joins at KEY cardinality,
+    and every verdict aggregate runs over keys — a 100 TB fact audits
+    through one groupBy + one key join."""
+    from csv_query_engine_spark.pipeline.validation import fk_audit
+
+    t = load_tables(spark, sf_dir, ("orders", "customer", "lineitem"))
+    r1 = fk_audit(
+        t["lineitem"],
+        t["orders"],
+        "l_orderkey",
+        "o_orderkey",
+        "lineitem.l_orderkey->orders.o_orderkey",
+    )
+    r2 = fk_audit(
+        t["orders"],
+        t["customer"].filter(F.col("c_custkey") % 7 != 0),
+        "o_custkey",
+        "c_custkey",
+        "orders.o_custkey->customer_subset.c_custkey",
+    )
+    return r1.unionByName(r2).orderBy("relation")

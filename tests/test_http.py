@@ -171,3 +171,32 @@ def test_query_multi_table_flag(spark):
     assert "JOIN" in body["sql"] and body["row_count"] == 25
     r = c.post("/query", json={"question": "   ", "multi_table": True})
     assert r.status_code == 400
+
+
+def test_lint_endpoint_flags_and_clears(client):
+    up = client.post(
+        "/upload",
+        data={"file": (io.BytesIO(_incidents_csv_bytes()), "incidents.csv")},
+        content_type="multipart/form-data",
+    )
+    assert up.status_code == 200
+    # clean aggregate: plans only, no error findings
+    r = client.post("/lint", json={"sql": "SELECT City, COUNT(*) AS n FROM df GROUP BY City"})
+    assert r.status_code == 200
+    body = r.get_json()
+    assert body["ok"] is True
+    assert all(f["severity"] != "error" for f in body["findings"])
+    # unpartitioned window: flagged as an error without executing
+    r2 = client.post(
+        "/lint",
+        json={"sql": "SELECT City, ROW_NUMBER() OVER (ORDER BY City) AS rn FROM df"},
+    )
+    assert r2.status_code == 200
+    body2 = r2.get_json()
+    assert body2["ok"] is False
+    assert any(f["rule"] == "unpartitioned-window" for f in body2["findings"])
+    # validation still gates: non-SELECT rejected with the 400 envelope
+    r3 = client.post("/lint", json={"sql": "DROP TABLE df"})
+    assert r3.status_code == 400
+    # missing sql
+    assert client.post("/lint", json={}).status_code == 400

@@ -171,3 +171,72 @@ def test_refresh_aggregate_merge_equals_full_recompute(spark):
     got = sorted(map(tuple, after.collect()))
     want = sorted(t for t in map(tuple, full.collect()) if t[0] != 0)
     assert got == want
+
+
+# ----------------------------------------------------- join-view IVM
+
+
+def _ivm_fixture(spark):
+    fact = spark.createDataFrame(
+        [(1, 10, "A", 5.0), (2, 10, "B", 6.0), (3, 20, "A", 7.0), (4, 30, "C", 8.0)],
+        "fk int, dk int, st string, v double",
+    )
+    dim = spark.createDataFrame(
+        [(10, "x"), (20, "y"), (30, "z")], "dk int, seg string"
+    )
+    view = fact.join(dim, "dk").select("fk", "dk", "st", "v", "seg")
+    return fact, dim, view
+
+
+def test_refresh_join_view_equals_full_recompute(spark):
+    from csv_query_engine_spark.operators.merge import refresh_join_view
+
+    fact, dim, view = _ivm_fixture(spark)
+    # delete fk=2, update fk=3 (v -> 70), insert fk=5 (new dim key 20)
+    delta = spark.createDataFrame(
+        [
+            (2, 10, "B", 6.0, "delete"),
+            (3, 20, "A", 70.0, "upsert"),
+            (5, 20, "D", 9.0, "upsert"),
+        ],
+        "fk int, dk int, st string, v double, change_type string",
+    )
+    got = refresh_join_view(view, delta, dim, ["fk"], ["dk"])
+    new_fact = spark.createDataFrame(
+        [(1, 10, "A", 5.0), (3, 20, "A", 70.0), (4, 30, "C", 8.0), (5, 20, "D", 9.0)],
+        "fk int, dk int, st string, v double",
+    )
+    want = new_fact.join(dim, "dk").select(*got.columns)
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+
+
+def test_refresh_join_view_dim_update_delete_insert_ignored(spark):
+    from csv_query_engine_spark.operators.merge import refresh_join_view_dim
+
+    fact, dim, view = _ivm_fixture(spark)
+    delta = spark.createDataFrame(
+        [
+            (10, "X", "upsert"),   # attribute overwrite
+            (20, "y", "delete"),   # dim-key retraction drops view rows
+            (99, "q", "upsert"),   # insert of an unseen key: no-op (inner view)
+        ],
+        "dk int, seg string, change_type string",
+    )
+    got = refresh_join_view_dim(view, delta, ["dk"], ["seg"]).collect()
+    by_fk = {r["fk"]: r for r in got}
+    assert set(by_fk) == {1, 2, 4}          # fk=3 dropped with dk=20
+    assert by_fk[1]["seg"] == "X" and by_fk[2]["seg"] == "X"
+    assert by_fk[4]["seg"] == "z"            # untouched key carries through
+    assert all(r["dk"] != 99 for r in got)
+
+
+def test_refresh_join_view_no_cartesian(spark):
+    from csv_query_engine_spark.operators.merge import refresh_join_view
+
+    fact, dim, view = _ivm_fixture(spark)
+    delta = spark.createDataFrame(
+        [(2, 10, "B", 6.0, "delete")],
+        "fk int, dk int, st string, v double, change_type string",
+    )
+    plan = refresh_join_view(view, delta, dim, ["fk"], ["dk"])._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan

@@ -1,5 +1,7 @@
 from __future__ import annotations
 
+from pyspark.sql import functions as F
+
 from csv_query_engine_spark.profiler import (
     ColumnInfo,
     detect_semantic_type,
@@ -53,3 +55,39 @@ def test_profile_native_timestamp(spark):
     cols = {c.name: c for c in profile(df)}
     assert cols["created_at"].type == "date"
     assert cols["created_at"].semantic_type == "date"
+
+
+def test_table_profile_counts_nulls_and_minmax(spark):
+    from csv_query_engine_spark.profiler import table_profile
+
+    df = spark.createDataFrame(
+        [(1, "b", 2.5), (2, None, 1.5), (3, "a", None), (3, "c", 4.5)],
+        "k int, s string, v double",
+    )
+    rows = {r["column_name"]: r for r in table_profile(df).collect()}
+    assert rows["k"]["n_nonnull"] == 4 and rows["k"]["n_null"] == 0
+    assert rows["k"]["n_distinct"] == 3
+    assert rows["k"]["min_num"] == 1.0 and rows["k"]["max_num"] == 3.0
+    assert rows["k"]["min_str"] == "" and rows["k"]["max_str"] == ""
+    assert rows["s"]["n_nonnull"] == 3 and rows["s"]["n_null"] == 1
+    assert rows["s"]["min_str"] == "a" and rows["s"]["max_str"] == "c"
+    assert rows["s"]["min_num"] == -1.0  # sentinel, not NULL
+    assert rows["v"]["n_null"] == 1 and rows["v"]["min_num"] == 1.5
+    assert rows["v"]["max_num"] == 4.5
+
+
+def test_table_profile_one_pass_no_shuffle_after_agg(spark):
+    from csv_query_engine_spark.profiler import table_profile
+
+    df = spark.range(100).select(
+        F.col("id").alias("a"), (F.col("id") % 7).alias("b")
+    )
+    prof = table_profile(df)
+    plan = prof._jdf.queryExecution().executedPlan().toString()
+    # exact mode: one Expand for the K distinct aggs, no join, no UDF
+    assert "Expand" in plan
+    assert "Join" not in plan
+    assert "BatchEvalPython" not in plan
+    # approx mode: no Expand at all (single-pass mergeable sketches)
+    plan2 = table_profile(df, exact_distinct=False)._jdf.queryExecution().executedPlan().toString()
+    assert "Expand" not in plan2

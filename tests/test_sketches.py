@@ -189,3 +189,41 @@ def test_hll_rollup_merge_identity_and_error_bound(spark):
         assert abs(row["approx_users"] - exact[k]) <= max(3, 0.065 * exact[k]), (
             k, row["approx_users"], exact[k],
         )
+
+
+def test_hll_overlap_identity_and_disjoint(spark):
+    from csv_query_engine_spark.pipeline.sketches import hll_overlap
+
+    a = spark.range(0, 2000).select(F.col("id").cast("string").alias("k"))
+    # identical sets: union == both estimates, jaccard == 1e6 exactly
+    row = hll_overlap(a, a, "k").collect()[0]
+    assert row["est_a"] == row["est_b"] == row["est_union"]
+    assert row["est_intersection"] == row["est_a"]
+    assert row["jaccard_ppm"] == 1_000_000
+    # estimate within HLL's expected error (~1.04/sqrt(256) ≈ 6.5%; 4σ)
+    assert abs(row["est_a"] - 2000) / 2000 < 0.26
+
+    # disjoint sets: intersection estimate near zero relative to union
+    b = spark.range(10_000, 12_000).select(F.col("id").cast("string").alias("k"))
+    row2 = hll_overlap(a, b, "k").collect()[0]
+    assert row2["est_union"] >= max(row2["est_a"], row2["est_b"])
+    assert row2["est_intersection"] <= 0.2 * row2["est_union"]
+    assert row2["jaccard_ppm"] <= 200_000
+
+
+def test_hll_overlap_union_is_register_max_merge(spark):
+    """The 'u' estimate must equal hll_distinct over the concatenated
+    keys — MAX over combined rows IS the register merge (the property
+    the SQL twin relies on)."""
+    from csv_query_engine_spark.pipeline.sketches import hll_distinct, hll_overlap
+
+    a = spark.range(0, 1500).select(F.col("id").cast("string").alias("k"))
+    b = spark.range(1000, 2500).select(F.col("id").cast("string").alias("k"))
+    row = hll_overlap(a, b, "k").collect()[0]
+    u = (
+        hll_distinct(
+            a.unionAll(b).select(F.lit("u").alias("g"), "k"), "k", "g"
+        )
+        .collect()[0]["hll_estimate"]
+    )
+    assert row["est_union"] == u

@@ -126,3 +126,44 @@ def test_aqe_skew_join_splits_hot_partition(spark):
     finally:
         for k, v in prev.items():
             spark.conf.set(k, v)
+
+
+def test_bloom_prefiltered_join_matches_plain_join(spark):
+    from csv_query_engine_spark.operators.skew import bloom_prefiltered_join
+
+    fact = spark.range(0, 5000).select(
+        (F.col("id") % 500).alias("fk"), F.col("id").alias("v")
+    )
+    dim = spark.range(0, 100).select(
+        (F.col("id") * 7).alias("dk"), (F.col("id") % 3).alias("g")
+    )
+    got = bloom_prefiltered_join(fact, dim, "fk", "dk", expected_n=128)
+    want = fact.join(dim, fact["fk"] == dim["dk"])
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+
+
+def test_bloom_prefiltered_join_rejects_outer(spark):
+    import pytest
+
+    from csv_query_engine_spark.operators.skew import bloom_prefiltered_join
+
+    fact = spark.range(10).select(F.col("id").alias("fk"))
+    dim = spark.range(5).select(F.col("id").alias("dk"))
+    with pytest.raises(ValueError, match="inner/left_semi"):
+        bloom_prefiltered_join(fact, dim, "fk", "dk", expected_n=8, how="left")
+
+
+def test_bloom_prefilter_runs_before_join_no_extra_shuffle(spark):
+    from csv_query_engine_spark.operators.skew import bloom_prefiltered_join
+
+    fact = spark.range(0, 5000).select((F.col("id") % 500).alias("fk"))
+    dim = spark.range(0, 100).select((F.col("id") * 7).alias("dk"))
+    plan = bloom_prefiltered_join(
+        fact, dim, "fk", "dk", expected_n=128
+    )._jdf.queryExecution().executedPlan().toString()
+    # the probe's bit tests sit in a Filter on the fact side, below the
+    # join; the bitmap arrives via broadcast (BroadcastNestedLoopJoin on
+    # the 1-row packed table is the crossJoin-broadcast idiom)
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastExchange") >= 1
+    assert "bit_count" in plan or "&" in plan  # codegen'd bit tests present

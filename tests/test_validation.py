@@ -133,3 +133,32 @@ def test_split_plan_is_shuffle_free(spark):
     for side in (good, bad):
         plan = side._jdf.queryExecution().executedPlan().toString()
         assert "Exchange" not in plan and "EvalPython" not in plan
+
+
+def test_fk_audit_nulls_orphans_fanout(spark):
+    from csv_query_engine_spark.pipeline.validation import fk_audit
+
+    child = spark.createDataFrame(
+        [(1,), (1,), (2,), (9,), (None,), (None,)], "fk int"
+    )
+    parent = spark.createDataFrame([(1,), (2,), (3,)], "pk int")
+    r = fk_audit(child, parent, "fk", "pk").collect()[0]
+    assert r["n_child_rows"] == 6
+    assert r["n_child_keys"] == 3          # 1, 2, 9 (NULL excluded)
+    assert r["n_null_fk_rows"] == 2        # missing links, not orphans
+    assert r["n_orphan_keys"] == 1 and r["n_orphan_rows"] == 1  # fk=9
+    assert r["n_parent_keys"] == 3
+    assert r["n_childless_parents"] == 1   # pk=3
+    assert r["max_fanout"] == 2            # fk=1
+    assert r["orphan_rows_ppm"] == 166666  # floor(1e6/6)
+
+
+def test_fk_audit_empty_child(spark):
+    from csv_query_engine_spark.pipeline.validation import fk_audit
+
+    child = spark.createDataFrame([], "fk int")
+    parent = spark.createDataFrame([(1,), (2,)], "pk int")
+    r = fk_audit(child, parent, "fk", "pk").collect()[0]
+    assert r["n_child_rows"] == 0 and r["n_orphan_rows"] == 0
+    assert r["n_childless_parents"] == 2
+    assert r["orphan_rows_ppm"] == 0  # GREATEST(,1) guards the division
