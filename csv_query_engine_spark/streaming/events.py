@@ -1086,3 +1086,147 @@ def entity_admission_stream(
         .trigger(availableNow=True)
         .start()
     )
+
+
+# ------------------------------------------------ streaming join-view IVM
+
+def route_join_view_batch(
+    batch_df,
+    batch_id: int,
+    view_dir: str,
+    dim: DataFrame,
+    fact_pk: list[str],
+    join_keys: list[str],
+    n_buckets: int = 64,
+    change_col: str = "change_type",
+):
+    """One micro-batch of streaming JOIN-view maintenance — the
+    streaming face of operators/merge.py::refresh_join_view, stored as
+    bucket-partitioned parquet with COPY-ON-WRITE partition rewrites
+    (the plan a Delta/Iceberg MERGE executes underneath, made
+    explicit).  The view is partitioned by ``_b = pmod(xxhash64(pk),
+    n_buckets)``; a change batch touches only its keys' buckets:
+
+        out(touched) = (stored rows of touched buckets ANTI JOIN
+                        batch keys) ∪ (batch upserts ⋈ dim)
+
+    written with batch_id-free DYNAMIC partition overwrite — only
+    touched buckets rewrite; untouched buckets' files are never read
+    or written.  A touched bucket whose rows ALL disappeared produces
+    no output rows, and dynamic overwrite cannot rewrite a partition
+    it emits nothing for — those bucket directories are deleted
+    explicitly (idempotent: deleting an absent path is a no-op).
+
+    Replay contract: different from the batch_id-keyed stores — the
+    rewrite is IDEMPOTENT rather than keyed.  Upsert = delete-then-
+    reinsert on the pk, so routing the same batch twice leaves the
+    store row-identical whether the first write landed or not (the
+    second anti-join just deletes the rows the first one inserted and
+    reinserts the same values).  The dim must be stable across a
+    replay (static-dim contract; dim changes go through
+    refresh_join_view_dim in a batch job).
+
+    Scale: the anti join broadcasts the batch key set; the rewrite
+    reads/writes only touched buckets (the copy-on-write amplification
+    every CoW table format pays — size buckets so one bucket ≪ the
+    view); the store is never shuffled.  The touched-bucket collect is
+    ≤ n_buckets ints."""
+    from pyspark.errors import AnalysisException
+    from pyspark.storagelevel import StorageLevel
+
+    spark = batch_df.sparkSession
+    bucket = F.pmod(
+        F.xxhash64(*[F.col(k) for k in fact_pk]), F.lit(n_buckets)
+    ).cast("int")
+    delta = batch_df.persist(StorageLevel.MEMORY_AND_DISK)
+    try:
+        touched = sorted(
+            r["_b"] for r in delta.select(bucket.alias("_b")).distinct().collect()
+        )
+        if not touched:
+            return
+        upserts = delta.filter(F.col(change_col) != "delete").drop(change_col)
+        fresh = upserts.join(dim, join_keys, "inner").withColumn("_b", bucket)
+        try:
+            view = spark.read.schema(fresh.schema).parquet(view_dir)
+        except AnalysisException as e:
+            # ONLY missing-path reads as empty (first batch); anything
+            # else fails the batch so the checkpoint retries (the
+            # entity-store rule).
+            if "PATH_NOT_FOUND" in str(e) or "Path does not exist" in str(e):
+                view = fresh.limit(0)
+            else:
+                raise
+        keys = delta.select(*fact_pk).distinct()
+        kept = (
+            view.filter(F.col("_b").isin([int(b) for b in touched]))
+            .join(F.broadcast(keys), fact_pk, "left_anti")
+        )
+        out = kept.unionByName(fresh.select(*kept.columns)).persist(
+            StorageLevel.MEMORY_AND_DISK
+        )
+        try:
+            (
+                out.write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy("_b")
+                .parquet(view_dir)
+            )
+            written = {
+                r["_b"] for r in out.select("_b").distinct().collect()
+            }
+            emptied = [b for b in touched if b not in written]
+            if emptied:
+                jvm = spark._jvm
+                hconf = spark._jsc.hadoopConfiguration()
+                for b in emptied:
+                    p = jvm.org.apache.hadoop.fs.Path(f"{view_dir}/_b={int(b)}")
+                    p.getFileSystem(hconf).delete(p, True)
+        finally:
+            out.unpersist()
+    finally:
+        delta.unpersist()
+
+
+def join_view_stream(
+    stream: DataFrame,
+    view_dir: str,
+    dim: DataFrame,
+    fact_pk: list[str],
+    join_keys: list[str],
+    checkpoint: str,
+    n_buckets: int = 64,
+):
+    """Continuously-maintained materialized JOIN view: every fact-delta
+    micro-batch routes through :func:`route_join_view_batch`, so the
+    parquet view tracks fact ⋈ dim under upserts and deletes without
+    ever recomputing the base join.  Checkpoint offsets + the
+    idempotent copy-on-write rewrite give effectively-once
+    maintenance; read the view back with
+    :func:`read_join_view`."""
+
+    def route(batch_df, batch_id):
+        route_join_view_batch(
+            batch_df, batch_id, view_dir, dim, fact_pk, join_keys, n_buckets
+        )
+
+    return (
+        stream.writeStream.foreachBatch(route)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("update")
+    )
+
+
+def read_join_view(spark: SparkSession, view_dir: str, schema: str) -> DataFrame:
+    """The maintained view, with an EXPLICIT schema (the zero-row /
+    emptied-store lesson: a view whose every bucket was deleted has no
+    files to infer from).  ``schema`` must include the ``_b INT``
+    bucket column."""
+    from pyspark.errors import AnalysisException
+
+    try:
+        return spark.read.schema(schema).parquet(view_dir)
+    except AnalysisException as e:
+        if "PATH_NOT_FOUND" in str(e) or "Path does not exist" in str(e):
+            return spark.createDataFrame([], schema)
+        raise

@@ -1147,3 +1147,109 @@ def test_entity_admission_stream_verdicts_restart_and_replay(spark, tmp_path):
 
     leaked = _persistent_ids() - cached_before
     assert not leaked, f"admission cycle leaked persisted blocks: {leaked}"
+
+
+def test_join_view_stream_maintains_and_replays(spark, tmp_path):
+    """Streaming join-view IVM (round 10): copy-on-write bucket
+    rewrites track fact ⋈ dim under upserts/deletes, emptied buckets'
+    directories are removed, and replaying a batch is row-idempotent."""
+    from csv_query_engine_spark.streaming.events import (
+        read_join_view,
+        route_join_view_batch,
+    )
+
+    view_dir = str(tmp_path / "view")
+    dim = spark.createDataFrame(
+        [(10, "x"), (20, "y"), (30, "z")], "dk int, seg string"
+    )
+    schema = "fk int, dk int, v double, seg string, _b int"
+    n_buckets = 16
+
+    def fact_rows(rows):
+        return spark.createDataFrame(
+            rows, "fk int, dk int, v double, change_type string"
+        )
+
+    def view_rows():
+        return sorted(
+            (r["fk"], r["dk"], r["v"], r["seg"])
+            for r in read_join_view(spark, view_dir, schema).collect()
+        )
+
+    # batch 0: initial load (all upserts)
+    b0 = [(1, 10, 1.0, "upsert"), (2, 20, 2.0, "upsert"), (3, 30, 3.0, "upsert"),
+          (4, 10, 4.0, "upsert")]
+    route_join_view_batch(fact_rows(b0), 0, view_dir, dim, ["fk"], ["dk"], n_buckets)
+    assert view_rows() == [(1, 10, 1.0, "x"), (2, 20, 2.0, "y"),
+                           (3, 30, 3.0, "z"), (4, 10, 4.0, "x")]
+
+    # find a key ALONE in its bucket so its delete EMPTIES the bucket
+    from pyspark.sql import functions as SF
+
+    bdf = spark.createDataFrame([(k,) for k, *_ in b0], "fk int").select(
+        "fk", SF.pmod(SF.xxhash64("fk"), SF.lit(n_buckets)).cast("int").alias("_b")
+    )
+    counts = bdf.groupBy("_b").count().collect()
+    solo_buckets = {r["_b"] for r in counts if r["count"] == 1}
+    solo = [r["fk"] for r in bdf.collect() if r["_b"] in solo_buckets]
+    assert solo, "fixture must have at least one solo-bucket key"
+    gone = solo[0]
+    survivors = {(1, 10, 1.0, "x"), (2, 20, 2.0, "y"),
+                 (3, 30, 3.0, "z"), (4, 10, 4.0, "x")}
+    survivors = {t for t in survivors if t[0] != gone}
+
+    # batch 1: delete the solo key, update fk=2, insert fk=5
+    b1 = [(gone, 10, 0.0, "delete"), (2, 20, 22.0, "upsert"), (5, 30, 5.0, "upsert")]
+    expect = sorted(
+        ({t for t in survivors if t[0] != 2} | {(2, 20, 22.0, "y"), (5, 30, 5.0, "z")})
+        if gone != 2
+        else (survivors | {(2, 20, 22.0, "y"), (5, 30, 5.0, "z")})
+    )
+    route_join_view_batch(fact_rows(b1), 1, view_dir, dim, ["fk"], ["dk"], n_buckets)
+    assert view_rows() == expect
+    # the emptied bucket's directory is gone (when the delete emptied one)
+    import os
+
+    dirs = {d for d in os.listdir(view_dir) if d.startswith("_b=")}
+    live_buckets = {
+        r["_b"]
+        for r in read_join_view(spark, view_dir, schema).select("_b").distinct().collect()
+    }
+    assert dirs == {f"_b={b}" for b in live_buckets}
+
+    # replay batch 1 (at-least-once): row-identical store
+    route_join_view_batch(fact_rows(b1), 1, view_dir, dim, ["fk"], ["dk"], n_buckets)
+    assert view_rows() == expect
+
+
+def test_join_view_live_stream(spark, tmp_path):
+    """End-to-end through a file-source stream with a checkpoint: two
+    availableNow passes maintain the view exactly once each."""
+    from csv_query_engine_spark.streaming.events import join_view_stream, read_join_view
+
+    src = tmp_path / "src"
+    view_dir, ckpt = str(tmp_path / "view"), str(tmp_path / "ckpt")
+    dim = spark.createDataFrame([(10, "x"), (20, "y")], "dk int, seg string")
+    schema = "fk int, dk int, v double, seg string, _b int"
+    fschema = "fk int, dk int, v double, change_type string"
+    spark.createDataFrame(
+        [(1, 10, 1.0, "upsert"), (2, 20, 2.0, "upsert")], fschema
+    ).write.parquet(str(src))
+    stream = spark.readStream.schema(fschema).parquet(str(src))
+    q = join_view_stream(stream, view_dir, dim, ["fk"], ["dk"], ckpt).trigger(
+        availableNow=True
+    ).start()
+    q.awaitTermination(120)
+    got = {(r["fk"], r["v"], r["seg"]) for r in read_join_view(spark, view_dir, schema).collect()}
+    assert got == {(1, 1.0, "x"), (2, 2.0, "y")}
+
+    spark.createDataFrame(
+        [(1, 10, 0.0, "delete"), (3, 20, 3.0, "upsert")], fschema
+    ).write.mode("append").parquet(str(src))
+    stream = spark.readStream.schema(fschema).parquet(str(src))
+    q = join_view_stream(stream, view_dir, dim, ["fk"], ["dk"], ckpt).trigger(
+        availableNow=True
+    ).start()
+    q.awaitTermination(120)
+    got = {(r["fk"], r["v"], r["seg"]) for r in read_join_view(spark, view_dir, schema).collect()}
+    assert got == {(2, 2.0, "y"), (3, 3.0, "y")}
