@@ -132,3 +132,77 @@ def bloom_prefiltered_join(
     if fact_key == dim_key:
         return pre.join(dim, [fact_key], how)
     return pre.join(dim, pre[fact_key] == dim[dim_key], how)
+
+
+def skew_report(
+    df: DataFrame,
+    key_col: str,
+    top_k: int = 10,
+) -> DataFrame:
+    """Key-skew diagnosis for a prospective join/aggregation key — the
+    MEASURE step before reaching for :func:`salted_join` or AQE skew
+    handling: the ``top_k`` heaviest keys with exact counts, shares in
+    FLOOR-ppm and their dense position (``rnk``), alongside the
+    dataset-level summary every row repeats (total rows, key count,
+    ``skew_ratio_ppm`` = max/mean key count ×10⁶, and
+    ``suggested_salt`` = ⌈max/mean⌉ — the salt factor that splits the
+    hottest key into mean-sized slices).
+
+    Scale: ONE fact-sized groupBy (the same shuffle the join itself
+    would do), then everything is bounded: top-k via ordered LIMIT
+    (TakeOrdered — no global sort), rank via the triangular broadcast
+    self-join over ≤ top_k rows (never an unpartitioned window), and
+    the summary is a 1-row broadcast.  All derived numbers are integer
+    arithmetic or single IEEE ops on exact longs — oracle-pairable."""
+    per_key = (
+        df.select(F.col(key_col).cast("string").alias("key"))
+        .groupBy("key")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    summary = per_key.agg(
+        F.sum("n").cast("bigint").alias("total_rows"),
+        F.count(F.lit(1)).cast("bigint").alias("n_keys"),
+        F.max("n").cast("bigint").alias("max_n"),
+    )
+    topk = per_key.orderBy(F.col("n").desc(), F.col("key")).limit(top_k)
+    other = topk.select(
+        F.col("key").alias("_k2"), F.col("n").alias("_n2")
+    )
+    ranked = (
+        topk.join(
+            F.broadcast(other),
+            (F.col("_n2") > F.col("n"))
+            | ((F.col("_n2") == F.col("n")) & (F.col("_k2") <= F.col("key"))),
+        )
+        .groupBy("key", "n")
+        .agg(F.count(F.lit(1)).cast("int").alias("rnk"))
+    )
+    return (
+        ranked.crossJoin(F.broadcast(summary))
+        .select(
+            "key",
+            F.col("n").cast("bigint").alias("n"),
+            F.floor(
+                F.col("n").cast("double")
+                * F.lit(1000000.0)
+                / F.col("total_rows").cast("double")
+            )
+            .cast("bigint")
+            .alias("share_ppm"),
+            "rnk",
+            "total_rows",
+            "n_keys",
+            F.floor(
+                F.col("max_n").cast("double")
+                * F.lit(1000000.0)
+                * F.col("n_keys").cast("double")
+                / F.col("total_rows").cast("double")
+            )
+            .cast("bigint")
+            .alias("skew_ratio_ppm"),
+            F.expr(
+                "CAST((max_n * n_keys + total_rows - 1) DIV total_rows AS INT)"
+            ).alias("suggested_salt"),
+        )
+        .orderBy("rnk", "key")
+    )

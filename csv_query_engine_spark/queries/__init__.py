@@ -254,6 +254,7 @@ DRIVER_ORDER: list[str] = [
     "lineitem_bloom_prefiltered_join", # Bloom runtime join filter
     "orders_table_profile",            # distributed column census
     "orders_fk_integrity_audit",       # cross-table quality gate
+    "events_user_skew_report",         # skew diagnosis (salted-join feeder)
     # Round-10: the OPH MinHash LSH pipeline in reproducible-internals
     # mode (md5 recipe + literal band keys) — the end-to-end oracle
     # pairing of the dedup family's last rows-only major member; the

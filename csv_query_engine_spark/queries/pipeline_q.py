@@ -3683,3 +3683,46 @@ def events_hll_session_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("exact_jaccard_ppm"),
     )
+
+
+@register(
+    "events_user_skew_report",
+    """
+    WITH pk AS (SELECT CAST(user_id AS VARCHAR) AS key, COUNT(*) AS n
+                FROM events GROUP BY user_id),
+    s AS (SELECT CAST(SUM(n) AS BIGINT) AS total_rows,
+                 CAST(COUNT(*) AS BIGINT) AS n_keys,
+                 CAST(MAX(n) AS BIGINT) AS max_n
+          FROM pk),
+    t AS (SELECT key, n FROM pk ORDER BY n DESC, key LIMIT 10),
+    r AS (SELECT a.key, a.n, CAST(COUNT(*) AS INT) AS rnk
+          FROM t a JOIN t b ON (b.n > a.n) OR (b.n = a.n AND b.key <= a.key)
+          GROUP BY a.key, a.n)
+    SELECT key, CAST(n AS BIGINT) AS n,
+           CAST(FLOOR(CAST(n AS DOUBLE) * 1000000.0
+                      / CAST(total_rows AS DOUBLE)) AS BIGINT) AS share_ppm,
+           rnk, total_rows, n_keys,
+           CAST(FLOOR(CAST(max_n AS DOUBLE) * 1000000.0 * CAST(n_keys AS DOUBLE)
+                      / CAST(total_rows AS DOUBLE)) AS BIGINT) AS skew_ratio_ppm,
+           CAST((max_n * n_keys + total_rows - 1) // total_rows AS INT)
+               AS suggested_salt
+    FROM r CROSS JOIN s
+    ORDER BY rnk, key
+    """,
+)
+def events_user_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Key-skew diagnosis (operators/skew.py::skew_report) over the
+    event stream's user key — the MEASURE step before salted_join /
+    AQE skew handling: exact top-10 heavy keys with FLOOR-ppm shares,
+    triangular-broadcast ranks (no unpartitioned window — the bounded-
+    post-limit-ranking invariant), and the repeated dataset summary
+    with the max/mean skew ratio and the ⌈max/mean⌉ suggested salt in
+    pure integer arithmetic.
+
+    Scale: ONE fact-sized groupBy (the shuffle the diagnosed join
+    itself would pay), then ordered LIMIT + ≤k×k broadcast joins —
+    output bounded at top_k rows."""
+    from csv_query_engine_spark.operators.skew import skew_report
+
+    e = load_tables(spark, sf_dir, ("events",))["events"]
+    return skew_report(e, "user_id", top_k=10)

@@ -167,3 +167,32 @@ def test_bloom_prefilter_runs_before_join_no_extra_shuffle(spark):
     assert "CartesianProduct" not in plan
     assert plan.count("BroadcastExchange") >= 1
     assert "bit_count" in plan or "&" in plan  # codegen'd bit tests present
+
+
+def test_skew_report_planted_hot_key(spark):
+    from csv_query_engine_spark.operators.skew import skew_report
+
+    # 900 rows on key "hot", 10 keys with 10 rows each
+    hot = spark.range(900).select(F.lit("hot").alias("k"))
+    cold = spark.range(100).select((F.col("id") % 10).cast("string").alias("k"))
+    rep = skew_report(hot.unionAll(cold), "k", top_k=3).collect()
+    assert [r["key"] for r in rep] == ["hot", "0", "1"]
+    top = rep[0]
+    assert top["n"] == 900 and top["rnk"] == 1
+    assert top["share_ppm"] == 900000
+    assert top["total_rows"] == 1000 and top["n_keys"] == 11
+    # max/mean = 900 / (1000/11) = 9.9 -> ceil = 10
+    assert top["suggested_salt"] == 10
+    assert top["skew_ratio_ppm"] == 9900000
+    # uniform data suggests no salting
+    uni = skew_report(cold, "k", top_k=2).collect()[0]
+    assert uni["suggested_salt"] == 1
+
+
+def test_skew_report_no_window_in_plan(spark):
+    from csv_query_engine_spark.operators.skew import skew_report
+
+    df = spark.range(1000).select((F.col("id") % 13).cast("string").alias("k"))
+    plan = skew_report(df, "k")._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan
+    assert "CartesianProduct" not in plan
