@@ -65,3 +65,52 @@ def write_jdbc(
         df = df.coalesce(num_partitions)
     opts = {"batchsize": str(batchsize), **options}
     df.write.mode(mode).jdbc(url, table, properties=opts)
+
+
+def write_size_targeted_parquet(
+    df: DataFrame,
+    path: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+    partition_by: list[str] | None = None,
+    sample_rows: int = 2000,
+    mode: str = "overwrite",
+) -> dict:
+    """Parquet writer that targets a FILE SIZE instead of a task count —
+    the small-files / giant-files hygiene knob a 100 TB lake lives or
+    dies by (a million 1 MB files kill the driver's listing and every
+    scan's scheduling; 10 GB files kill task parallelism and
+    straggler recovery).
+
+    Mechanism: estimate bytes/row from a bounded driver-side sample
+    (Arrow-serialized size of ``sample_rows`` rows — a cheap,
+    compression-aware proxy), derive ``maxRecordsPerFile`` for the
+    target, and let every write task roll files at that row count.
+    ``maxRecordsPerFile`` bounds file SIZE without any repartition —
+    no extra shuffle; task counts stay whatever the upstream plan
+    produced, oversized tasks simply emit several files.
+
+    Returns the knobs used ``{bytes_per_row, max_records_per_file}``
+    so callers can log/audit them (the no-silent-caps rule).  The
+    estimate is a heuristic — parquet encodes columns, not rows, so
+    real files land within ~2× of target; exactness is not the point,
+    order-of-magnitude file sizing is."""
+    import io as _io
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    sample = df.limit(sample_rows).toArrow()
+    if sample.num_rows == 0:
+        bytes_per_row = 256.0  # empty input: any default works, nothing writes
+    else:
+        buf = _io.BytesIO()
+        pq.write_table(pa.table(sample), buf, compression="snappy")
+        bytes_per_row = max(buf.tell() / sample.num_rows, 1.0)
+    max_records = max(int(target_file_bytes / bytes_per_row), 1)
+    writer = (
+        df.write.mode(mode).option("maxRecordsPerFile", str(max_records))
+    )
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(path)
+    return {"bytes_per_row": bytes_per_row, "max_records_per_file": max_records}

@@ -103,3 +103,45 @@ def test_audited_csv_header_only_file_yields_empty_sides(spark, tmp_path):
     assert clean.count() == 0 and corrupt.count() == 0
     assert clean.columns == ["id", "city", "amount"]
     assert corrupt.columns == ["raw_line"]
+
+
+def test_size_targeted_writer_rolls_files(spark, tmp_path):
+    """write_size_targeted_parquet: a small byte target must roll the
+    output into multiple bounded files WITHOUT repartitioning, a large
+    target collapses to one file per task, and the returned knobs are
+    the audit trail."""
+    import glob
+
+    from pyspark.sql import functions as F
+
+    from csv_query_engine_spark.io.writers import write_size_targeted_parquet
+
+    df = spark.range(20_000).select(
+        "id", F.concat(F.lit("payload-"), F.col("id").cast("string")).alias("s")
+    ).coalesce(1)
+
+    small = str(tmp_path / "small")
+    knobs = write_size_targeted_parquet(df, small, target_file_bytes=16 * 1024)
+    files = glob.glob(f"{small}/*.parquet")
+    assert len(files) > 1, "16KB target over ~20k rows must roll several files"
+    assert knobs["max_records_per_file"] * knobs["bytes_per_row"] <= 16 * 1024 * 1.01
+    # every file honors the row cap
+    assert all(
+        spark.read.parquet(f).count() <= knobs["max_records_per_file"] for f in files
+    )
+
+    big = str(tmp_path / "big")
+    write_size_targeted_parquet(df, big, target_file_bytes=1 << 30)
+    assert len(glob.glob(f"{big}/*.parquet")) == 1  # one task, one file
+
+    # round-trip integrity
+    assert spark.read.parquet(small).count() == 20_000
+
+
+def test_size_targeted_writer_empty_input(spark, tmp_path):
+    from csv_query_engine_spark.io.writers import write_size_targeted_parquet
+
+    df = spark.range(0).select("id")
+    knobs = write_size_targeted_parquet(df, str(tmp_path / "empty"))
+    assert knobs["max_records_per_file"] >= 1
+    assert spark.read.parquet(str(tmp_path / "empty")).count() == 0
