@@ -18,6 +18,14 @@ CASES = sorted(REGISTRY.keys())
 def test_query_matches_oracle(spark, duck, name):
     fn, oracle = REGISTRY[name]
     df = fn(spark, SF_ORACLE)
+    # Repo-wide plan lint (round 10): no registered query may plan a
+    # CartesianProduct or an unpartitioned Window — the two hard scale
+    # errors (operators/lint.py); generalizes test_plans' per-query
+    # pins to every registry entry on every run.
+    from csv_query_engine_spark.operators.lint import lint_plan
+
+    hard = [f for f in lint_plan(df) if f["severity"] == "error"]
+    assert not hard, f"{name}: plan lint errors {hard}"
     if oracle is None:
         # Rows-only check for non-SQL-expressible ops.
         assert df.count() >= 0
