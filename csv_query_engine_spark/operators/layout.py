@@ -140,3 +140,58 @@ def compact_small_files(
         "bytes_after": int(after_bytes),
         "rows": spark.read.parquet(dst_dir).count(),
     }
+
+
+def global_row_numbers(
+    df: DataFrame,
+    order_cols: list[str],
+    ascending: bool = True,
+    n_partitions: int | None = None,
+) -> DataFrame:
+    """Globally-ordered dense row numbers (``global_rn`` starting at 1)
+    WITHOUT the unpartitioned-window shape the plan linter flags as a
+    hard error — the scale-safe ROW_NUMBER() OVER (ORDER BY ...):
+
+    1. ``repartitionByRange`` on the order columns — rows land in
+       range-disjoint partitions (equal keys co-locate; boundary
+       PLACEMENT is sampled and may vary run to run, but the final
+       numbering never depends on where boundaries fall).
+    2. a window partitioned by ``spark_partition_id()`` — every window
+       group IS one data partition, so the sorts run fully parallel.
+    3. per-partition row counts (≤ #partitions rows) cumulate into
+       offsets via the triangular broadcast idiom (the bounded-
+       post-limit-ranking rule — no window over the counts either);
+       ``global_rn = offset + local_rn``.
+
+    The LAST order column must make the ordering total (the repo's
+    unique-key tiebreaker invariant) or equal rows get an arbitrary —
+    though still consistent — relative order.
+
+    Scale: one range-exchange of the data (the same shuffle a global
+    sort pays), parallel per-partition sorts, and a ≤P-row broadcast —
+    contrast the single-task ``Window.orderBy(...)`` funnel.  Output
+    carries all input columns plus ``global_rn``."""
+    from pyspark.sql import Window as W
+
+    cols = [F.col(c) if ascending else F.col(c).desc() for c in order_cols]
+    parts = (
+        df.repartitionByRange(n_partitions, *cols)
+        if n_partitions
+        else df.repartitionByRange(*cols)
+    )
+    local = parts.withColumn("_pid", F.spark_partition_id()).withColumn(
+        "_rn",
+        F.row_number().over(W.partitionBy("_pid").orderBy(*cols)),
+    )
+    counts = local.groupBy("_pid").agg(F.count(F.lit(1)).alias("_n"))
+    other = counts.select(F.col("_pid").alias("_pid2"), F.col("_n").alias("_n2"))
+    offsets = (
+        counts.join(F.broadcast(other), F.col("_pid2") < F.col("_pid"), "left")
+        .groupBy("_pid")
+        .agg(F.coalesce(F.sum("_n2"), F.lit(0)).alias("_offset"))
+    )
+    return (
+        local.join(F.broadcast(offsets), "_pid")
+        .withColumn("global_rn", (F.col("_offset") + F.col("_rn")).cast("bigint"))
+        .drop("_pid", "_rn", "_offset")
+    )

@@ -1826,3 +1826,38 @@ def orders_fk_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         "orders.o_custkey->customer_subset.c_custkey",
     )
     return r1.unionByName(r2).orderBy("relation")
+
+
+@register(
+    "orders_global_row_numbers",
+    """
+    SELECT o_orderkey,
+           CAST(ROW_NUMBER() OVER (ORDER BY o_orderdate, o_orderkey) AS BIGINT)
+               AS global_rn
+    FROM orders
+    ORDER BY global_rn
+    """,
+)
+def orders_global_row_numbers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale-safe global ROW_NUMBER (operators/layout.py::
+    global_row_numbers): every order's dense position in
+    (o_orderdate, o_orderkey) order — computed WITHOUT the
+    unpartitioned window the linter hard-flags: range repartition +
+    per-partition parallel window (partitioned on
+    spark_partition_id()) + triangular-broadcast offsets.  The oracle
+    is DuckDB's actual ROW_NUMBER() OVER (ORDER BY ...), so the
+    equivalence of the distributed decomposition to the single-window
+    semantics is what gets certified, row by row.
+
+    Scale: one range exchange (what a global sort pays anyway),
+    parallel sorts, a ≤P-row offsets broadcast — the global-ordering
+    primitive for manifest building / curriculum ordering that
+    otherwise funnels through one task."""
+    from csv_query_engine_spark.operators.layout import global_row_numbers
+
+    o = load_tables(spark, sf_dir, ("orders",))["orders"]
+    return (
+        global_row_numbers(o, ["o_orderdate", "o_orderkey"])
+        .select("o_orderkey", "global_rn")
+        .orderBy("global_rn")
+    )

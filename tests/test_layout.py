@@ -125,3 +125,33 @@ def test_compact_with_sort_keeps_footer_stats_tight(spark, tmp_path):
     # within-file sort -> a selective id filter prunes via footer stats;
     # functional check: the data round-trips and stays complete
     assert spark.read.parquet(dst).filter("id < 100").count() == 100
+
+
+def test_global_row_numbers_dense_and_ordered(spark):
+    from pyspark.sql import functions as F
+
+    from csv_query_engine_spark.operators.layout import global_row_numbers
+
+    df = spark.range(10_000).select(
+        (F.col("id") * 37 % 1000).alias("k"), F.col("id").alias("uid")
+    )
+    out = global_row_numbers(df, ["k", "uid"], n_partitions=8).collect()
+    assert len(out) == 10_000
+    rns = sorted(r["global_rn"] for r in out)
+    assert rns == list(range(1, 10_001))  # dense, 1-based, no gaps/dups
+    by_rn = sorted(out, key=lambda r: r["global_rn"])
+    keys = [(r["k"], r["uid"]) for r in by_rn]
+    assert keys == sorted(keys)  # numbering follows the total order
+
+
+def test_global_row_numbers_descending_and_no_hard_lint(spark):
+    from pyspark.sql import functions as F
+
+    from csv_query_engine_spark.operators.lint import lint_plan
+    from csv_query_engine_spark.operators.layout import global_row_numbers
+
+    df = spark.range(500).select(F.col("id").alias("v"))
+    out = global_row_numbers(df, ["v"], ascending=False)
+    assert [f for f in lint_plan(out) if f["severity"] == "error"] == []
+    rows = sorted((r["global_rn"], r["v"]) for r in out.collect())
+    assert rows[0] == (1, 499) and rows[-1] == (500, 0)
