@@ -228,3 +228,59 @@ def table_profile(
             )
         )
     return one.select(F.inline(F.array(*rows)))
+
+
+def schema_drift(old: DataFrame, new: DataFrame) -> DataFrame:
+    """Cross-snapshot schema + distribution drift — the MONITORING face
+    of :func:`table_profile` (one census per side, full-outer joined on
+    the column name): per column a ``status`` ∈ {added, removed,
+    type_changed, ok}, both type labels, null rates in FLOOR-ppm and
+    distinct counts from each side — the ingest-contract check a
+    pipeline runs between yesterday's and today's snapshot before
+    downstream jobs bind to the schema.  Sentinels fill the missing
+    side ('' types, -1 counts/ppm — the nullable-output rule).
+
+    Scale: exactly two one-pass censuses (each a single aggregation —
+    see table_profile) + a ≤|columns|-row join; nothing here grows
+    with table size beyond the profile scans themselves."""
+    po = table_profile(old).select(
+        F.col("column_name"),
+        F.col("data_type").alias("_t_o"),
+        F.col("n_nonnull").alias("_nn_o"),
+        F.col("n_null").alias("_nl_o"),
+        F.col("n_distinct").alias("_nd_o"),
+    )
+    pn = table_profile(new).select(
+        F.col("column_name").alias("_c_n"),
+        F.col("data_type").alias("_t_n"),
+        F.col("n_nonnull").alias("_nn_n"),
+        F.col("n_null").alias("_nl_n"),
+        F.col("n_distinct").alias("_nd_n"),
+    )
+    j = po.join(pn, po["column_name"] == pn["_c_n"], "full_outer")
+    has_old = F.col("_t_o").isNotNull()
+    has_new = F.col("_t_n").isNotNull()
+
+    def _ppm(nl, nn):
+        total = F.col(nl) + F.col(nn)
+        return F.when(
+            total > 0,
+            F.floor(F.col(nl).cast("double") * F.lit(1000000.0) / total.cast("double")),
+        ).otherwise(F.lit(0)).cast("bigint")
+
+    status = (
+        F.when(~has_old, F.lit("added"))
+        .when(~has_new, F.lit("removed"))
+        .when(F.col("_t_o") != F.col("_t_n"), F.lit("type_changed"))
+        .otherwise(F.lit("ok"))
+    )
+    return j.select(
+        F.coalesce(F.col("column_name"), F.col("_c_n")).alias("column_name"),
+        status.alias("status"),
+        F.coalesce(F.col("_t_o"), F.lit("")).alias("type_old"),
+        F.coalesce(F.col("_t_n"), F.lit("")).alias("type_new"),
+        F.when(has_old, _ppm("_nl_o", "_nn_o")).otherwise(F.lit(-1)).cast("bigint").alias("null_ppm_old"),
+        F.when(has_new, _ppm("_nl_n", "_nn_n")).otherwise(F.lit(-1)).cast("bigint").alias("null_ppm_new"),
+        F.coalesce(F.col("_nd_o"), F.lit(-1)).cast("bigint").alias("ndv_old"),
+        F.coalesce(F.col("_nd_n"), F.lit(-1)).cast("bigint").alias("ndv_new"),
+    )

@@ -256,6 +256,7 @@ DRIVER_ORDER: list[str] = [
     "orders_fk_integrity_audit",       # cross-table quality gate
     "events_user_skew_report",         # skew diagnosis (salted-join feeder)
     "orders_global_row_numbers",       # window-free global row numbering
+    "orders_schema_drift_audit",       # cross-snapshot census drift
     # Round-10: the OPH MinHash LSH pipeline in reproducible-internals
     # mode (md5 recipe + literal band keys) — the end-to-end oracle
     # pairing of the dedup family's last rows-only major member; the

@@ -1861,3 +1861,92 @@ def orders_global_row_numbers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("o_orderkey", "global_rn")
         .orderBy("global_rn")
     )
+
+
+def _census_sql(table_expr: str, cols: dict) -> str:
+    parts = [
+        f"SELECT '{c}' AS column_name, '{dt}' AS data_type, "
+        f"CAST(COUNT({c}) AS BIGINT) AS n_nonnull, "
+        f"CAST(COUNT(*) - COUNT({c}) AS BIGINT) AS n_null, "
+        f"CAST(COUNT(DISTINCT {c}) AS BIGINT) AS n_distinct FROM {table_expr}"
+        for c, dt in cols.items()
+    ]
+    return " UNION ALL ".join(parts)
+
+
+def _drift_oracle() -> str:
+    old_cols = {
+        "o_orderkey": "bigint", "o_custkey": "bigint", "o_orderstatus": "string",
+        "o_totalprice": "double", "o_orderdate": "timestamp",
+        "o_orderpriority": "string",
+    }
+    new_cols = {
+        "o_orderkey": "bigint", "o_custkey": "double", "o_orderstatus": "string",
+        "o_totalprice": "double", "o_orderdate": "timestamp", "o_year": "int",
+    }
+    new_tbl = (
+        "(SELECT o_orderkey, CAST(o_custkey AS DOUBLE) AS o_custkey, "
+        "CASE WHEN o_orderstatus = 'P' THEN NULL ELSE o_orderstatus END "
+        "AS o_orderstatus, o_totalprice, o_orderdate, "
+        "CAST(year(o_orderdate) AS INT) AS o_year FROM orders) nt"
+    )
+
+    def ppm(nl, nn, t):
+        return (
+            f"CASE WHEN {t} IS NULL THEN -1 WHEN {nl} + {nn} > 0 THEN "
+            f"CAST(FLOOR(CAST({nl} AS DOUBLE) * 1000000.0 "
+            f"/ CAST({nl} + {nn} AS DOUBLE)) AS BIGINT) ELSE 0 END"
+        )
+
+    return f"""
+    WITH po AS ({_census_sql('orders', old_cols)}),
+    pn AS ({_census_sql(new_tbl, new_cols)}),
+    j AS (
+        SELECT po.column_name AS c_o, po.data_type AS t_o,
+               po.n_nonnull AS nn_o, po.n_null AS nl_o, po.n_distinct AS nd_o,
+               pn.column_name AS c_n, pn.data_type AS t_n,
+               pn.n_nonnull AS nn_n, pn.n_null AS nl_n, pn.n_distinct AS nd_n
+        FROM po FULL OUTER JOIN pn ON po.column_name = pn.column_name
+    )
+    SELECT COALESCE(c_o, c_n) AS column_name,
+           CASE WHEN t_o IS NULL THEN 'added'
+                WHEN t_n IS NULL THEN 'removed'
+                WHEN t_o <> t_n THEN 'type_changed'
+                ELSE 'ok' END AS status,
+           COALESCE(t_o, '') AS type_old,
+           COALESCE(t_n, '') AS type_new,
+           CAST({ppm('nl_o', 'nn_o', 't_o')} AS BIGINT) AS null_ppm_old,
+           CAST({ppm('nl_n', 'nn_n', 't_n')} AS BIGINT) AS null_ppm_new,
+           CAST(COALESCE(nd_o, -1) AS BIGINT) AS ndv_old,
+           CAST(COALESCE(nd_n, -1) AS BIGINT) AS ndv_new
+    FROM j ORDER BY column_name
+    """
+
+
+@register("orders_schema_drift_audit", _drift_oracle())
+def orders_schema_drift_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-snapshot schema + distribution drift (profiler.py::
+    schema_drift, composing two table_profile censuses): today's
+    orders snapshot is a planted mutation of yesterday's — a column
+    dropped (o_orderpriority → 'removed'), a column added (o_year →
+    'added'), a silent type widening (o_custkey bigint → double →
+    'type_changed'), and a null-rate regression ('P'-status rows
+    nulled, visible in null_ppm_new) — the ingest-contract check run
+    before downstream jobs bind to a schema.
+
+    Scale: two one-pass censuses + a ≤|columns|-row join; nothing
+    grows with table size beyond the two profile scans."""
+    from csv_query_engine_spark.profiler import schema_drift
+
+    o = load_tables(spark, sf_dir, ("orders",))["orders"]
+    new = o.select(
+        "o_orderkey",
+        F.col("o_custkey").cast("double").alias("o_custkey"),
+        F.when(F.col("o_orderstatus") == "P", F.lit(None))
+        .otherwise(F.col("o_orderstatus"))
+        .alias("o_orderstatus"),
+        "o_totalprice",
+        "o_orderdate",
+        F.year("o_orderdate").cast("int").alias("o_year"),
+    )
+    return schema_drift(o, new).orderBy("column_name")

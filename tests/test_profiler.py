@@ -91,3 +91,20 @@ def test_table_profile_one_pass_no_shuffle_after_agg(spark):
     # approx mode: no Expand at all (single-pass mergeable sketches)
     plan2 = table_profile(df, exact_distinct=False)._jdf.queryExecution().executedPlan().toString()
     assert "Expand" not in plan2
+
+
+def test_schema_drift_statuses_and_sentinels(spark):
+    from csv_query_engine_spark.profiler import schema_drift
+
+    old = spark.createDataFrame([(1, "a", 1.0), (2, None, 2.0)], "k int, s string, v double")
+    new = spark.createDataFrame([(1, 9, "x"), (2, 8, None)], "k int, v bigint, t string")
+    rows = {r["column_name"]: r for r in schema_drift(old, new).collect()}
+    assert rows["k"]["status"] == "ok"
+    assert rows["s"]["status"] == "removed" and rows["s"]["type_new"] == ""
+    assert rows["s"]["null_ppm_new"] == -1 and rows["s"]["ndv_new"] == -1
+    assert rows["t"]["status"] == "added" and rows["t"]["type_old"] == ""
+    assert rows["v"]["status"] == "type_changed"
+    assert rows["v"]["type_old"] == "double" and rows["v"]["type_new"] == "bigint"
+    # null rate: s has 1 null of 2 rows -> 500000 ppm on the old side
+    assert rows["s"]["null_ppm_old"] == 500000
+    assert rows["t"]["null_ppm_new"] == 500000
