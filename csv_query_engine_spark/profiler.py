@@ -243,14 +243,22 @@ def schema_drift(old: DataFrame, new: DataFrame) -> DataFrame:
     Scale: exactly two one-pass censuses (each a single aggregation —
     see table_profile) + a ≤|columns|-row join; nothing here grows
     with table size beyond the profile scans themselves."""
-    po = table_profile(old).select(
+    return census_drift(table_profile(old), table_profile(new))
+
+
+def census_drift(old_census: DataFrame, new_census: DataFrame) -> DataFrame:
+    """Drift verdicts from two ALREADY-BUILT censuses (the
+    :func:`table_profile` schema) — factored out so stored census
+    snapshots (e.g. the streaming per-batch census store) can be
+    compared without re-scanning the data that produced them."""
+    po = old_census.select(
         F.col("column_name"),
         F.col("data_type").alias("_t_o"),
         F.col("n_nonnull").alias("_nn_o"),
         F.col("n_null").alias("_nl_o"),
         F.col("n_distinct").alias("_nd_o"),
     )
-    pn = table_profile(new).select(
+    pn = new_census.select(
         F.col("column_name").alias("_c_n"),
         F.col("data_type").alias("_t_n"),
         F.col("n_nonnull").alias("_nn_n"),

@@ -1230,3 +1230,91 @@ def read_join_view(spark: SparkSession, view_dir: str, schema: str) -> DataFrame
         if "PATH_NOT_FOUND" in str(e) or "Path does not exist" in str(e):
             return spark.createDataFrame([], schema)
         raise
+
+
+# ------------------------------------------------ streaming census drift
+
+_CENSUS_SCHEMA = (
+    "column_name STRING, data_type STRING, n_nonnull BIGINT, n_null BIGINT, "
+    "n_distinct BIGINT, min_num DOUBLE, max_num DOUBLE, "
+    "min_str STRING, max_str STRING, batch_id BIGINT"
+)
+
+
+def route_census_batch(batch_df, batch_id: int, census_dir: str, cols=None):
+    """One micro-batch of the streaming data-census monitor: the
+    batch's OWN :func:`~csv_query_engine_spark.profiler.table_profile`
+    census (≤ |columns| rows — exact mode is fine, the batch is
+    bounded) written batch_id-keyed with dynamic partition overwrite —
+    the ACCUMULATED-state replay idiom (a replayed batch recomputes
+    the identical census and rewrites its own partition)."""
+    from csv_query_engine_spark.profiler import table_profile
+
+    prof = table_profile(batch_df, cols)
+    (
+        prof.withColumn("batch_id", F.lit(int(batch_id)))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("batch_id")
+        .parquet(census_dir)
+    )
+
+
+def census_stream(stream: DataFrame, census_dir: str, checkpoint: str, cols=None):
+    """Continuously-profiled stream: every micro-batch appends its
+    census snapshot; :func:`read_census_drift` turns the store into a
+    per-batch-transition drift timeline."""
+
+    def route(batch_df, batch_id):
+        route_census_batch(batch_df, batch_id, census_dir, cols)
+
+    return (
+        stream.writeStream.foreachBatch(route)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("update")
+    )
+
+
+def read_census_drift(spark: SparkSession, census_dir: str) -> DataFrame:
+    """Per-transition drift verdicts from the census store: for every
+    CONSECUTIVE pair of stored batch censuses, the
+    :func:`~csv_query_engine_spark.profiler.census_drift` verdict table
+    keyed by (from_batch, to_batch) — schema changes and null-rate /
+    cardinality shifts BETWEEN micro-batches, computed entirely from
+    the stored ≤|columns|-row snapshots (the data itself is never
+    re-read).  Explicit schema (the zero-batch-directory lesson);
+    batch ids in a structured-streaming checkpoint are dense, so
+    consecutive means ``to = from + 1``."""
+    from pyspark.errors import AnalysisException
+
+    from csv_query_engine_spark.profiler import census_drift
+
+    _EMPTY = (
+        "from_batch BIGINT, to_batch BIGINT, column_name STRING, status STRING, "
+        "type_old STRING, type_new STRING, null_ppm_old BIGINT, "
+        "null_ppm_new BIGINT, ndv_old BIGINT, ndv_new BIGINT"
+    )
+    try:
+        p = spark.read.schema(_CENSUS_SCHEMA).parquet(census_dir)
+    except AnalysisException as e:
+        # only a store that does not exist yet reads as empty (the
+        # entity-store rule); other failures must surface
+        if "PATH_NOT_FOUND" in str(e) or "Path does not exist" in str(e):
+            return spark.createDataFrame([], _EMPTY)
+        raise
+    out = None
+    pairs = (
+        p.select("batch_id").distinct().orderBy("batch_id").collect()
+    )  # bounded: one row per micro-batch
+    ids = [r["batch_id"] for r in pairs]
+    for a, b in zip(ids, ids[1:]):
+        d = census_drift(
+            p.filter(F.col("batch_id") == a).drop("batch_id"),
+            p.filter(F.col("batch_id") == b).drop("batch_id"),
+        ).select(
+            F.lit(a).alias("from_batch"), F.lit(b).alias("to_batch"), "*"
+        )
+        out = d if out is None else out.unionByName(d)
+    if out is None:
+        return spark.createDataFrame([], _EMPTY)
+    return out

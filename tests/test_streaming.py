@@ -1253,3 +1253,37 @@ def test_join_view_live_stream(spark, tmp_path):
     q.awaitTermination(120)
     got = {(r["fk"], r["v"], r["seg"]) for r in read_join_view(spark, view_dir, schema).collect()}
     assert got == {(2, 2.0, "y"), (3, 3.0, "y")}
+
+
+def test_census_stream_and_drift_timeline(spark, tmp_path):
+    """Streaming census monitor (round 10): per-batch table_profile
+    snapshots batch_id-keyed; the drift reader pairs consecutive
+    batches from the STORE alone (data never re-read) and flags the
+    planted null-rate regression and type change."""
+    from csv_query_engine_spark.streaming.events import (
+        read_census_drift,
+        route_census_batch,
+    )
+
+    census = str(tmp_path / "census")
+    b0 = spark.createDataFrame([(1, "a", 1.0), (2, "b", 2.0)], "k int, s string, v double")
+    route_census_batch(b0, 0, census)
+    # batch 1: null-rate regression in s, v widened... (schema change)
+    b1 = spark.createDataFrame([(3, None, 3), (4, "d", 4)], "k int, s string, v bigint")
+    route_census_batch(b1, 1, census)
+
+    drift = read_census_drift(spark, census).collect()
+    by = {(r["from_batch"], r["to_batch"], r["column_name"]): r for r in drift}
+    assert set(by) == {(0, 1, "k"), (0, 1, "s"), (0, 1, "v")}
+    assert by[(0, 1, "s")]["status"] == "ok"
+    assert by[(0, 1, "s")]["null_ppm_old"] == 0
+    assert by[(0, 1, "s")]["null_ppm_new"] == 500000
+    assert by[(0, 1, "v")]["status"] == "type_changed"
+
+    # replay batch 1: census recomputes identically, timeline unchanged
+    route_census_batch(b1, 1, census)
+    drift2 = sorted(map(tuple, read_census_drift(spark, census).collect()))
+    assert drift2 == sorted(map(tuple, drift))
+
+    # empty store reads as an empty, correctly-typed timeline
+    empty = read_census_drift(spark, str(tmp_path / "census2"))
