@@ -164,16 +164,23 @@ def create_app(engine: QueryEngine):
             return _err(str(e))
         except Exception as e:  # execution errors surface as 400 (reference query.py:64-66)
             return _err(f"Error executing query: {e}")
-        return jsonify(
-            {
-                "sql": res.sql,
-                "rows": [_jsonable(r) for r in res.rows],
-                "columns": res.columns,
-                "execution_time": res.execution_time,
-                "row_count": res.row_count,
-                "collapsed": res.collapsed,
-            }
-        )
+        payload = {
+            "sql": res.sql,
+            "rows": [_jsonable(r) for r in res.rows],
+            "columns": res.columns,
+            "execution_time": res.execution_time,
+            "row_count": res.row_count,
+            "collapsed": res.collapsed,
+        }
+        if body.get("lint"):
+            # round-10 opt-in: attach the plan-lint findings for the
+            # generated SQL alongside the results (planning only —
+            # the query above already executed)
+            try:
+                payload["lint_findings"] = engine.lint(res.sql)
+            except Exception:
+                payload["lint_findings"] = []
+        return jsonify(payload)
 
     @app.post("/lint")
     def lint():

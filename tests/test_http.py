@@ -200,3 +200,28 @@ def test_lint_endpoint_flags_and_clears(client):
     assert r3.status_code == 400
     # missing sql
     assert client.post("/lint", json={}).status_code == 400
+
+
+def test_query_lint_flag_attaches_findings(client):
+    up = client.post(
+        "/upload",
+        data={"file": (io.BytesIO(_incidents_csv_bytes()), "incidents.csv")},
+        content_type="multipart/form-data",
+    )
+    assert up.status_code == 200
+    r = client.post(
+        "/query",
+        json={"question": "Which services were affected in Mumbai last month?",
+              "use_ai": False, "lint": True},
+    )
+    assert r.status_code == 200
+    body = r.get_json()
+    assert "lint_findings" in body
+    assert all(f["severity"] != "error" for f in body["lint_findings"])
+    # without the flag the field is absent (envelope unchanged)
+    r2 = client.post(
+        "/query",
+        json={"question": "Which services were affected in Mumbai last month?",
+              "use_ai": False},
+    )
+    assert "lint_findings" not in r2.get_json()
