@@ -175,15 +175,22 @@ def table_profile(
     numeric pair on non-numeric columns, '' for the string pair on
     numeric ones.
 
-    ALL columns' statistics come from ONE aggregation pass over the
-    table; the per-column rows are then unrolled driver-free with
+    The plain statistics (counts, min/max) come from ONE aggregation
+    pass; the per-column rows are then unrolled driver-free with
     ``inline`` over a literal struct array (a 1-row plan, no shuffle).
-    ``exact_distinct=True`` uses COUNT(DISTINCT) — Catalyst compiles K
-    distinct aggregates into one Expand (K× row multiplication before
-    partial aggregation), exact but the heaviest shape here; pass
-    False for approx_count_distinct (one pass, no Expand, mergeable
-    HLL++ — the 100 TB default, rows-only for oracle purposes since
-    its registers are engine-internal)."""
+    ``exact_distinct=True`` runs the K COUNT(DISTINCT)s as a SECOND,
+    distinct-only aggregation pass crossJoined back as a 1-row
+    broadcast — measured 2.5× faster than mixing distinct and plain
+    aggregates in one agg (the mixed form's Expand multiplies every
+    input row (K+1)× through partial aggregation AND the wide mixed
+    HashAggregate falls off codegen: 3.1 s vs 1.2 s warm on 150k-row
+    orders, BASELINE.md round 10; the Expand factor grows with column
+    count, so the split widens its lead on wide tables).  Pass
+    ``exact_distinct=False`` for approx_count_distinct folded into the
+    single plain pass (no second scan, no Expand, mergeable HLL++ —
+    the 100 TB default where the scan itself is the dominant cost,
+    rows-only for oracle purposes since its registers are
+    engine-internal)."""
     cols = cols or df.columns
     numeric = {
         T.ByteType, T.ShortType, T.IntegerType, T.LongType,
@@ -194,9 +201,7 @@ def table_profile(
         dt = df.schema[c].dataType
         is_num[c] = type(dt) in numeric or isinstance(dt, T.DecimalType)
         aggs.append(F.count(F.col(c)).cast("bigint").alias(f"_nn_{c}"))
-        if exact_distinct:
-            aggs.append(F.count_distinct(F.col(c)).cast("bigint").alias(f"_nd_{c}"))
-        else:
+        if not exact_distinct:
             aggs.append(
                 F.approx_count_distinct(F.col(c)).cast("bigint").alias(f"_nd_{c}")
             )
@@ -207,6 +212,14 @@ def table_profile(
             aggs.append(F.min(F.col(c).cast("string")).alias(f"_mn_{c}"))
             aggs.append(F.max(F.col(c).cast("string")).alias(f"_mx_{c}"))
     one = df.agg(F.count(F.lit(1)).cast("bigint").alias("_n"), *aggs)
+    if exact_distinct:
+        nd = df.agg(
+            *[
+                F.count_distinct(F.col(c)).cast("bigint").alias(f"_nd_{c}")
+                for c in cols
+            ]
+        )
+        one = one.crossJoin(F.broadcast(nd))
     rows = []
     for c in cols:
         # census label: collapse Spark's tz-variant timestamp names

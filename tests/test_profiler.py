@@ -84,13 +84,16 @@ def test_table_profile_one_pass_no_shuffle_after_agg(spark):
     )
     prof = table_profile(df)
     plan = prof._jdf.queryExecution().executedPlan().toString()
-    # exact mode: one Expand for the K distinct aggs, no join, no UDF
+    # exact mode: plain pass + a SEPARATE distinct-only pass (its K
+    # distinct aggs still Expand) joined back as a 1-row broadcast —
+    # the measured-2.5x split (profiler docstring); no Python anywhere
     assert "Expand" in plan
-    assert "Join" not in plan
+    assert "BroadcastNestedLoopJoin" in plan  # the 1-row crossJoin idiom
     assert "BatchEvalPython" not in plan
-    # approx mode: no Expand at all (single-pass mergeable sketches)
+    # approx mode: single pass — no Expand, no join at all
     plan2 = table_profile(df, exact_distinct=False)._jdf.queryExecution().executedPlan().toString()
     assert "Expand" not in plan2
+    assert "Join" not in plan2
 
 
 def test_schema_drift_statuses_and_sentinels(spark):
