@@ -378,3 +378,57 @@ def aggregate_state(
         (s * F.count(F.lit(1))).alias(count_col),
         *[F.sum(s * _unscaled(e, scale)).alias(c) for c, e in sum_cols.items()],
     )
+
+
+def refresh_join_aggregate(
+    state: DataFrame,
+    view: DataFrame,
+    fact_delta: DataFrame,
+    dim: DataFrame,
+    fact_pk: list[str],
+    join_keys: list[str],
+    key_cols: list[str],
+    sum_cols: dict,
+    change_col: str = "change_type",
+    count_col: str = "n",
+    scale: int = 6,
+    broadcast_keys: bool = True,
+) -> DataFrame:
+    """The full IVM stack composed: maintain a GROUPED AGGREGATE over a
+    materialized ``fact ⋈ dim`` view under fact-side change batches —
+    join maintenance (:func:`refresh_join_view`) supplying the rows,
+    aggregate maintenance (:func:`refresh_aggregate`) folding them:
+
+        retract = agg_state(view ⋉ delta-keys, sign=-1)   -- OLD
+                  contributions, read from the VIEW (the base fact is
+                  never re-read; the view already carries every joined
+                  column the aggregate needs)
+        insert  = agg_state(upserts ⋈ dim,      sign=+1)   -- NEW
+        state'  = state ⊕ retract ⊕ insert
+
+    Because every buffer is an unscaled fixed-point long
+    (:func:`aggregate_state`), ⊕ is associative long addition and
+    ``state'`` is BIT-EQUAL to re-aggregating ``fact' ⋈ dim`` from
+    scratch — the oracle-checked trust property, now end-to-end
+    through a join.  Dim-side changes are out of scope here (apply
+    :func:`refresh_join_view_dim` to the view and rebuild the affected
+    groups' state the same retract/insert way).
+
+    Scale: the delta key set broadcasts into a semi join against the
+    view (co-partitioned/bucketed storage makes it one-sided); both
+    delta states aggregate delta-sized inputs; the merge aggregates
+    the tiny key-space union.  Nothing fact-sized moves."""
+    keys = fact_delta.select(*fact_pk).distinct()
+    if broadcast_keys:
+        keys = F.broadcast(keys)
+    touched = view.join(keys, fact_pk, "left_semi")
+    retract = aggregate_state(
+        touched, key_cols, sum_cols, count_col=count_col, scale=scale, sign=-1
+    )
+    upserts = fact_delta.filter(F.col(change_col) != "delete").drop(change_col)
+    fresh = upserts.join(dim, join_keys, "inner")
+    insert = aggregate_state(
+        fresh, key_cols, sum_cols, count_col=count_col, scale=scale, sign=1
+    )
+    merged = refresh_aggregate(state, retract, key_cols, list(sum_cols), count_col)
+    return refresh_aggregate(merged, insert, key_cols, list(sum_cols), count_col)

@@ -257,6 +257,7 @@ DRIVER_ORDER: list[str] = [
     "events_user_skew_report",         # skew diagnosis (salted-join feeder)
     "orders_global_row_numbers",       # window-free global row numbering
     "orders_schema_drift_audit",       # cross-snapshot census drift
+    "orders_customer_join_agg_ivm",    # full IVM stack: agg over join
     # Round-10: the OPH MinHash LSH pipeline in reproducible-internals
     # mode (md5 recipe + literal band keys) — the end-to-end oracle
     # pairing of the dedup family's last rows-only major member; the

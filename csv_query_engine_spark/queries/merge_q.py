@@ -473,3 +473,93 @@ def orders_customer_join_ivm(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("c_mktsegment", "o_orderstatus")
     )
+
+
+@register(
+    "orders_customer_join_agg_ivm",
+    """
+    WITH fact AS (
+        SELECT o_orderkey, o_custkey, o_orderstatus,
+               CASE WHEN o_orderdate < TIMESTAMP '1997-01-01'
+                         AND o_orderkey % 17 = 0 AND o_orderkey % 13 <> 0
+                    THEN o_totalprice + 100.0 ELSE o_totalprice
+               END AS o_totalprice
+        FROM orders
+        WHERE NOT (o_orderdate < TIMESTAMP '1997-01-01' AND o_orderkey % 13 = 0)
+    )
+    SELECT c_mktsegment, o_orderstatus,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS total_price
+    FROM fact JOIN customer ON o_custkey = c_custkey
+    GROUP BY c_mktsegment, o_orderstatus
+    ORDER BY c_mktsegment, o_orderstatus
+    """,
+)
+def orders_customer_join_agg_ivm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full IVM stack composed (operators/merge.py::
+    refresh_join_aggregate): a grouped revenue aggregate OVER the
+    materialized orders ⋈ customer view absorbs the same fact-side
+    change batch as orders_customer_join_ivm — retractions read the
+    OLD joined contributions from the VIEW (the base fact is never
+    re-read), insertions aggregate the delta ⋈ dim rows, and both fold
+    into the standing state as unscaled-long addition.  The oracle
+    re-aggregates fact' ⋈ customer from scratch; BIT-equality of the
+    maintained state to the full recompute — through a join — is the
+    property certified.
+
+    Scale: delta-key broadcast semi join against the view, delta-sized
+    aggregations, a key-space-sized merge.  Nothing fact-sized moves."""
+    from csv_query_engine_spark.operators.merge import (
+        aggregate_state,
+        refresh_join_aggregate,
+    )
+
+    t = load_tables(spark, sf_dir, ("orders", "customer"))
+    orders, cust = t["orders"], t["customer"]
+    fact_cols = ["o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"]
+    dim = cust.select(F.col("c_custkey").alias("o_custkey"), "c_mktsegment")
+    cutoff = F.lit("1997-01-01").cast("timestamp")
+    base = orders.filter(F.col("o_orderdate") < cutoff)
+    view = base.select(*fact_cols).join(dim, "o_custkey").select(
+        *fact_cols, "c_mktsegment"
+    )
+    keys = ["c_mktsegment", "o_orderstatus"]
+    sums = {"price_u": F.col("o_totalprice")}
+    state0 = aggregate_state(view, keys, sums)
+
+    ch = "change_type"
+    inserts = (
+        orders.filter(F.col("o_orderdate") >= cutoff)
+        .select(*fact_cols)
+        .withColumn(ch, F.lit("upsert"))
+    )
+    deletes = (
+        base.filter(F.col("o_orderkey") % 13 == 0)
+        .select(*fact_cols)
+        .withColumn(ch, F.lit("delete"))
+    )
+    updates = (
+        base.filter((F.col("o_orderkey") % 17 == 0) & (F.col("o_orderkey") % 13 != 0))
+        .select(
+            "o_orderkey",
+            "o_custkey",
+            "o_orderstatus",
+            (F.col("o_totalprice") + F.lit(100.0)).alias("o_totalprice"),
+        )
+        .withColumn(ch, F.lit("upsert"))
+    )
+    fact_delta = inserts.unionByName(deletes).unionByName(updates)
+    state = refresh_join_aggregate(
+        state0, view, fact_delta, dim, ["o_orderkey"], ["o_custkey"], keys, sums
+    )
+    return state.select(
+        "c_mktsegment",
+        "o_orderstatus",
+        F.col("n"),
+        (
+            F.col("price_u").cast("decimal(38,6)")
+            / F.lit(10**6).cast("decimal(12,0)")
+        )
+        .cast("double")
+        .alias("total_price"),
+    ).orderBy("c_mktsegment", "o_orderstatus")

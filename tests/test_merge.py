@@ -240,3 +240,40 @@ def test_refresh_join_view_no_cartesian(spark):
     )
     plan = refresh_join_view(view, delta, dim, ["fk"], ["dk"])._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
+
+
+def test_refresh_join_aggregate_equals_full_recompute(spark):
+    """The composed IVM stack: maintained agg-over-join state must be
+    BIT-equal to re-aggregating the refreshed join from scratch."""
+    from csv_query_engine_spark.operators.merge import (
+        aggregate_state,
+        refresh_aggregate,
+        refresh_join_aggregate,
+        refresh_join_view,
+    )
+
+    fact, dim, view = _ivm_fixture(spark)
+    state0 = aggregate_state(view, ["seg"], {"v_u": F.col("v")})
+    delta = spark.createDataFrame(
+        [
+            (2, 10, "B", 6.0, "delete"),
+            (3, 20, "A", 70.5, "upsert"),
+            (5, 20, "D", 9.25, "upsert"),
+        ],
+        "fk int, dk int, st string, v double, change_type string",
+    )
+    got = refresh_join_aggregate(
+        state0, view, delta, dim, ["fk"], ["dk"], ["seg"], {"v_u": F.col("v")}
+    )
+    new_view = refresh_join_view(view, delta, dim, ["fk"], ["dk"])
+    want = aggregate_state(new_view, ["seg"], {"v_u": F.col("v")})
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+    # a group whose every row retracted must drop out of the state
+    delta_all = spark.createDataFrame(
+        [(4, 30, "C", 8.0, "delete")],
+        "fk int, dk int, st string, v double, change_type string",
+    )
+    got2 = refresh_join_aggregate(
+        got, new_view, delta_all, dim, ["fk"], ["dk"], ["seg"], {"v_u": F.col("v")}
+    )
+    assert all(r["seg"] != "z" for r in got2.collect())
