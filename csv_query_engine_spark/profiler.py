@@ -305,3 +305,72 @@ def census_drift(old_census: DataFrame, new_census: DataFrame) -> DataFrame:
         F.coalesce(F.col("_nd_o"), F.lit(-1)).cast("bigint").alias("ndv_old"),
         F.coalesce(F.col("_nd_n"), F.lit(-1)).cast("bigint").alias("ndv_new"),
     )
+
+
+def table_profile_by(
+    df: DataFrame,
+    group_cols: list[str],
+    cols: list[str] | None = None,
+    exact_distinct: bool = True,
+) -> DataFrame:
+    """Per-group column census — :func:`table_profile` partitioned by
+    ``group_cols`` (per-tenant / per-day / per-source data-quality
+    segmentation): one row per (group, column) with the same statistics
+    and sentinel conventions as the global census.
+
+    Scale: the same split shape as the global census (measured 2.5×
+    faster than the mixed agg — see table_profile): ONE grouped plain
+    aggregation + (exact mode) ONE grouped distinct-only aggregation
+    joined back on the group key; both are partial+final aggregates
+    shuffling on the group key, and the per-column unroll is a
+    literal-struct ``inline`` over the per-group rows — output is
+    |groups| × |columns| rows, never data-sized."""
+    cols = cols or [c for c in df.columns if c not in group_cols]
+    numeric = {
+        T.ByteType, T.ShortType, T.IntegerType, T.LongType,
+        T.FloatType, T.DoubleType, T.DecimalType,
+    }
+    aggs, is_num = [], {}
+    for c in cols:
+        dt = df.schema[c].dataType
+        is_num[c] = type(dt) in numeric or isinstance(dt, T.DecimalType)
+        aggs.append(F.count(F.col(c)).cast("bigint").alias(f"_nn_{c}"))
+        if not exact_distinct:
+            aggs.append(
+                F.approx_count_distinct(F.col(c)).cast("bigint").alias(f"_nd_{c}")
+            )
+        if is_num[c]:
+            aggs.append(F.min(F.col(c)).cast("double").alias(f"_mn_{c}"))
+            aggs.append(F.max(F.col(c)).cast("double").alias(f"_mx_{c}"))
+        else:
+            aggs.append(F.min(F.col(c).cast("string")).alias(f"_mn_{c}"))
+            aggs.append(F.max(F.col(c).cast("string")).alias(f"_mx_{c}"))
+    one = df.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).cast("bigint").alias("_n"), *aggs
+    )
+    if exact_distinct:
+        nd = df.groupBy(*group_cols).agg(
+            *[
+                F.count_distinct(F.col(c)).cast("bigint").alias(f"_nd_{c}")
+                for c in cols
+            ]
+        )
+        one = one.join(nd, group_cols)
+    rows = []
+    for c in cols:
+        dt = df.schema[c].dataType.simpleString()
+        dt = "timestamp" if dt.startswith("timestamp") else dt
+        rows.append(
+            F.struct(
+                F.lit(c).alias("column_name"),
+                F.lit(dt).alias("data_type"),
+                F.col(f"_nn_{c}").alias("n_nonnull"),
+                (F.col("_n") - F.col(f"_nn_{c}")).cast("bigint").alias("n_null"),
+                F.col(f"_nd_{c}").alias("n_distinct"),
+                (F.coalesce(F.col(f"_mn_{c}"), F.lit(-1.0)) if is_num[c] else F.lit(-1.0)).alias("min_num"),
+                (F.coalesce(F.col(f"_mx_{c}"), F.lit(-1.0)) if is_num[c] else F.lit(-1.0)).alias("max_num"),
+                (F.lit("") if is_num[c] else F.coalesce(F.col(f"_mn_{c}"), F.lit(""))).alias("min_str"),
+                (F.lit("") if is_num[c] else F.coalesce(F.col(f"_mx_{c}"), F.lit(""))).alias("max_str"),
+            )
+        )
+    return one.select(*group_cols, F.inline(F.array(*rows)))

@@ -258,6 +258,7 @@ DRIVER_ORDER: list[str] = [
     "orders_global_row_numbers",       # window-free global row numbering
     "orders_schema_drift_audit",       # cross-snapshot census drift
     "orders_customer_join_agg_ivm",    # full IVM stack: agg over join
+    "orders_status_grouped_profile",   # per-group census
     # Round-10: the OPH MinHash LSH pipeline in reproducible-internals
     # mode (md5 recipe + literal band keys) — the end-to-end oracle
     # pairing of the dedup family's last rows-only major member; the

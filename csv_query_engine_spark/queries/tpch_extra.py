@@ -1950,3 +1950,53 @@ def orders_schema_drift_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.year("o_orderdate").cast("int").alias("o_year"),
     )
     return schema_drift(o, new).orderBy("column_name")
+
+
+def _grouped_profile_oracle() -> str:
+    cols = {
+        "o_orderkey": "bigint",
+        "o_custkey": "bigint",
+        "o_totalprice": "double",
+        "o_orderdate": "timestamp",
+        "o_orderpriority": "string",
+    }
+    parts = []
+    for c, dt in cols.items():
+        if dt in ("bigint", "double"):
+            mn = f"COALESCE(CAST(MIN({c}) AS DOUBLE), -1.0)"
+            mx = f"COALESCE(CAST(MAX({c}) AS DOUBLE), -1.0)"
+            ms, xs = "''", "''"
+        else:
+            mn, mx = "-1.0", "-1.0"
+            ms = f"COALESCE(CAST(MIN(CAST({c} AS VARCHAR)) AS VARCHAR), '')"
+            xs = f"COALESCE(CAST(MAX(CAST({c} AS VARCHAR)) AS VARCHAR), '')"
+        parts.append(
+            f"SELECT o_orderstatus, '{c}' AS column_name, '{dt}' AS data_type, "
+            f"CAST(COUNT({c}) AS BIGINT) AS n_nonnull, "
+            f"CAST(COUNT(*) - COUNT({c}) AS BIGINT) AS n_null, "
+            f"CAST(COUNT(DISTINCT {c}) AS BIGINT) AS n_distinct, "
+            f"{mn} AS min_num, {mx} AS max_num, "
+            f"{ms} AS min_str, {xs} AS max_str "
+            f"FROM orders GROUP BY o_orderstatus"
+        )
+    return " UNION ALL ".join(parts) + " ORDER BY o_orderstatus, column_name"
+
+
+@register("orders_status_grouped_profile", _grouped_profile_oracle())
+def orders_status_grouped_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group column census (profiler.py::table_profile_by) — the
+    data-quality segmentation face of the census family: every
+    (order-status, column) cell with counts, nulls, exact distincts
+    and typed min/max, the same sentinel conventions as the global
+    census.  Per-tenant/per-day profiling at 100 TB is this exact
+    shape with a higher-cardinality group key.
+
+    Scale: the measured split shape (plain grouped agg + distinct-only
+    grouped agg joined on the group key — both partial+final on one
+    shuffle key); output |groups|×|columns| rows, never data-sized."""
+    from csv_query_engine_spark.profiler import table_profile_by
+
+    o = load_tables(spark, sf_dir, ("orders",))["orders"]
+    return table_profile_by(o, ["o_orderstatus"]).orderBy(
+        "o_orderstatus", "column_name"
+    )

@@ -111,3 +111,21 @@ def test_schema_drift_statuses_and_sentinels(spark):
     # null rate: s has 1 null of 2 rows -> 500000 ppm on the old side
     assert rows["s"]["null_ppm_old"] == 500000
     assert rows["t"]["null_ppm_new"] == 500000
+
+
+def test_table_profile_by_groups_and_split_shape(spark):
+    from csv_query_engine_spark.profiler import table_profile_by
+
+    df = spark.createDataFrame(
+        [("a", 1, None), ("a", 2, "x"), ("b", 2, "y")], "g string, k int, s string"
+    )
+    rows = {(r["g"], r["column_name"]): r for r in table_profile_by(df, ["g"]).collect()}
+    assert rows[("a", "k")]["n_nonnull"] == 2 and rows[("a", "k")]["n_distinct"] == 2
+    assert rows[("a", "s")]["n_null"] == 1
+    assert rows[("b", "k")]["min_num"] == 2.0 and rows[("b", "k")]["max_num"] == 2.0
+    assert rows[("b", "s")]["min_str"] == "y"
+    plan = table_profile_by(df, ["g"])._jdf.queryExecution().executedPlan().toString()
+    # exact mode: the distinct-only half joins back on the GROUP key
+    # (equi join, not the 1-row broadcast) — and still no Python
+    assert "BatchEvalPython" not in plan
+    assert "CartesianProduct" not in plan
