@@ -49,11 +49,15 @@ DRIVER_ORDER: list[str] = [
     "json_props_extract",
     "array_funcs_embeddings",
     "q2_min_cost_supplier",
-    "q9_profit_proxy",
+    # round-10: the distributed census replaces r5-r9-certified q9
+    # (multi-join aggregation stays via q2/q11/flagship)
+    "orders_table_profile",
     "q11_important_parts",
     "q13_customer_order_distribution",
     "q19_disjunctive_revenue",
-    "q20_dominant_part_suppliers",
+    # round-10: the Bloom-prefiltered join replaces r6-r9-certified q20
+    # (EXISTS/semi stays via q22 + q2's correlated subquery)
+    "lineitem_bloom_prefiltered_join",
     "q22_dormant_customer_balance",
     "window_range_frame_moving_sum",
     # -- temporal joins
@@ -61,9 +65,10 @@ DRIVER_ORDER: list[str] = [
     # -- streaming batch twins + event analytics
     "events_window_heavy_hitters",
     "events_markov_transitions",
-    # -- write-side maintenance (MERGE family keeps the row; SCD2 +
-    #    incremental refresh are r7+r8-certified and rotate out)
-    "merge_upsert_customer_refresh",
+    # -- write-side maintenance (round-10: the composed agg-over-join
+    #    IVM replaces the r1-r9-certified type-1 MERGE — same
+    #    operators/merge.py family, nests refresh_aggregate)
+    "orders_customer_join_agg_ivm",
     # -- declarative quality gate + physical layout
     "orders_quality_constraints",
     "orders_zorder_layout_stats",
@@ -73,7 +78,10 @@ DRIVER_ORDER: list[str] = [
     #    r8-certified HLL merge identity (register-MAX merging stays
     #    covered by events_hll_type_cardinality's shared plumbing)
     "events_cm_user_counts",
-    "events_hll_type_cardinality",
+    # round-10: HLL set algebra replaces the r8+r9-certified per-type
+    # cardinality (same md5 registers + estimate fold; the union leg
+    # IS the register MAX-merge)
+    "events_hll_session_overlap",
     "orders_hdr_price_quantiles",
     "orders_monthly_hdr_quantiles",
     # -- iterative + traversal graph family (pagerank keeps the
@@ -126,6 +134,13 @@ DRIVER_ORDER: list[str] = [
     "docs_ngram_novelty",             # (r8,r9)    -> docs_pmi_collocations / docs_benchmark_decontamination (gram stats)
     "docs_hybrid_retrieval_rrf",      # (r8,r9)    -> embedding_retrieval_eval (retrieval eval nests the cosine leg)
     "privacy_erasure_audit",          # (r9)       -> customer_k_anonymity_audit (privacy family)
+    # Rotated OUT in round 10 (second wave — slots for four round-10
+    # headliners; certified rounds in parens; family keeper in the
+    # mapping test):
+    "merge_upsert_customer_refresh",  # (r1-r9) -> orders_customer_join_agg_ivm
+    "events_hll_type_cardinality",    # (r8,r9) -> events_hll_session_overlap
+    "q9_profit_proxy",                # (r5-r9) -> q2/q11/flagship (multi-join agg)
+    "q20_dominant_part_suppliers",    # (r6-r9) -> q22 + q2 (EXISTS/anti family)
     # Rotated OUT in round 9 (certified rounds in parens; in-window
     # family keeper in the mapping test):
     "percentiles_extprice_by_flag",   # (r1-r8) -> exact_quantiles_selection
@@ -249,15 +264,11 @@ DRIVER_ORDER: list[str] = [
     "customer_snapshot_cdc_diff",
     # Round-10 additions (oracle-verified locally at sf0.01+sf0.1;
     # outside the window until a future rotation):
-    "orders_customer_join_ivm",        # join-view IVM (merge family)
-    "events_hll_session_overlap",      # HLL set algebra (sketch family)
-    "lineitem_bloom_prefiltered_join", # Bloom runtime join filter
-    "orders_table_profile",            # distributed column census
+    "orders_customer_join_ivm",        # join-view IVM (agg face is in-window)
     "orders_fk_integrity_audit",       # cross-table quality gate
     "events_user_skew_report",         # skew diagnosis (salted-join feeder)
     "orders_global_row_numbers",       # window-free global row numbering
     "orders_schema_drift_audit",       # cross-snapshot census drift
-    "orders_customer_join_agg_ivm",    # full IVM stack: agg over join
     "orders_status_grouped_profile",   # per-group census
     # Round-10: the OPH MinHash LSH pipeline in reproducible-internals
     # mode (md5 recipe + literal band keys) — the end-to-end oracle

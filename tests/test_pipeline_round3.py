@@ -123,10 +123,15 @@ def test_registry_window_is_oracle_bearing(spark):
     window = names[:50]
     missing = [n for n in window if n not in oracles]
     assert not missing, f"non-oracle queries inside the driver window: {missing}"
-    # Round-10 rotations IN (round-9 verdict #1): the six round-9
-    # headliners, each fully oracle-paired, driver-certified for the
-    # first time this round.
+    # Round-10 rotations IN: the six round-9 headliners (round-9
+    # verdict #1) PLUS four round-10 headliners (second wave), each
+    # fully oracle-paired, driver-certified for the first time this
+    # round.
     for new in (
+        "orders_customer_join_agg_ivm",
+        "events_hll_session_overlap",
+        "orders_table_profile",
+        "lineitem_bloom_prefiltered_join",
         "orders_monthly_exact_quantiles",
         "customer_entity_resolution_pairs",
         "orders_hdr_price_quantiles",
@@ -138,7 +143,6 @@ def test_registry_window_is_oracle_bearing(spark):
         "orders_psi_price_drift",
         "graph_khop_trade_reach",
         "events_cm_user_counts",
-        "events_hll_type_cardinality",
         "docs_shard_manifest",
         "docs_dsir_selection",
         "embedding_jl_projection",
@@ -170,7 +174,6 @@ def test_registry_window_is_oracle_bearing(spark):
         "array_funcs_embeddings",
         "asof_join_last_order_before_event",
         "docs_sequence_packing",
-        "merge_upsert_customer_refresh",
         "orders_quality_constraints",
         "orders_zorder_layout_stats",
         "customer_order_gap_profile",
@@ -182,7 +185,12 @@ def test_registry_window_is_oracle_bearing(spark):
         # round-10 rotations out (the six slots for the round-9 set)
         ("orders_equidepth_histogram", "orders_exact_quantiles_selection"),
         ("docs_token_typo_pairs", "customer_entity_resolution_pairs"),
-        ("events_hll_daily_merge", "events_hll_type_cardinality"),
+        ("events_hll_daily_merge", "events_hll_session_overlap"),
+        # round-10 second-wave rotations out
+        ("merge_upsert_customer_refresh", "orders_customer_join_agg_ivm"),
+        ("events_hll_type_cardinality", "events_hll_session_overlap"),
+        ("q9_profit_proxy", "q2_min_cost_supplier"),
+        ("q20_dominant_part_suppliers", "q22_dormant_customer_balance"),
         ("docs_ngram_novelty", "docs_pmi_collocations"),
         ("docs_hybrid_retrieval_rrf", "embedding_retrieval_eval"),
         ("privacy_erasure_audit", "customer_k_anonymity_audit"),
@@ -190,8 +198,8 @@ def test_registry_window_is_oracle_bearing(spark):
         ("percentiles_extprice_by_flag", "orders_exact_quantiles_selection"),
         ("events_value_anomalies", "orders_psi_price_drift"),
         ("events_robust_anomalies", "orders_psi_price_drift"),
-        ("orders_incremental_agg_refresh", "merge_upsert_customer_refresh"),
-        ("scd2_customer_segment_history", "merge_upsert_customer_refresh"),
+        ("orders_incremental_agg_refresh", "orders_customer_join_agg_ivm"),
+        ("scd2_customer_segment_history", "orders_customer_join_agg_ivm"),
         ("graph_triangle_part_cooccurrence", "graph_khop_trade_reach"),
         ("docs_heavy_hitter_tokens", "events_cm_user_counts"),
         ("dedup_exact_docs", "dedup_containment_pairs"),
@@ -214,7 +222,7 @@ def test_registry_window_is_oracle_bearing(spark):
         ("events_funnel_steps", "events_markov_transitions"),
         # round-8 sibling swaps
         ("events_conversion_attribution", "events_window_heavy_hitters"),
-        ("scd2_snapshot_asof", "merge_upsert_customer_refresh"),
+        ("scd2_snapshot_asof", "orders_customer_join_agg_ivm"),
         ("docs_chunk_windows", "docs_sequence_packing"),
         # late round-7 sibling swaps
         ("docs_quality_filter", "docs_quality_classifier_scores"),
@@ -225,10 +233,10 @@ def test_registry_window_is_oracle_bearing(spark):
         ("join_kinds_outer", "q13_customer_order_distribution"),
         ("anti_join_parts_never_ordered", "q22_dormant_customer_balance"),
         ("correlated_scalar_subquery", "q2_min_cost_supplier"),
-        ("q4_priority_late_ship", "q20_dominant_part_suppliers"),
+        ("q4_priority_late_ship", "q22_dormant_customer_balance"),
         ("q6_forecast_revenue", "q19_disjunctive_revenue"),
-        ("q7_nation_trade_volume", "q9_profit_proxy"),
-        ("q8_market_share", "q9_profit_proxy"),
+        ("q7_nation_trade_volume", "q2_min_cost_supplier"),
+        ("q8_market_share", "q2_min_cost_supplier"),
         ("q15_top_supplier", "q11_important_parts"),
         ("q17_small_quantity_revenue", "q2_min_cost_supplier"),
         ("q18_volume_customers", "q3_shipping_priority"),
@@ -245,12 +253,12 @@ def test_registry_window_is_oracle_bearing(spark):
         ("embedding_centroids_by_label", "embedding_jl_projection"),
         ("docs_token_budget_mix", "docs_dsir_selection"),
         # late round-8 rotations out
-        ("q21_sole_late_shipper", "q20_dominant_part_suppliers"),
+        ("q21_sole_late_shipper", "q22_dormant_customer_balance"),
         ("range_join_shipments_within_month", "asof_join_last_order_before_event"),
         ("docs_udtf_sentences", "customer_order_gap_profile"),
         ("dedup_cluster_canonical", "dedup_semantic_pairs"),
         ("docs_shard_assignment", "docs_shard_manifest"),
-        ("customer_snapshot_cdc_diff", "merge_upsert_customer_refresh"),
+        ("customer_snapshot_cdc_diff", "orders_customer_join_agg_ivm"),
     ]:
         assert out not in window and kept in window, (out, kept)
 
