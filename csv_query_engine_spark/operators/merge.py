@@ -331,7 +331,10 @@ def refresh_join_view_dim(
 
     Contract: ``update_cols`` are the dim-owned view columns; rows with
     ``change_col='delete'`` retract the key, others carry the new
-    attribute values.  Dim-key INSERTS cannot add view rows here — an
+    attribute values.  Delta keys must be UNIQUE per batch (the
+    refresh_join_view contract — a duplicate key would multiply view
+    rows through the join; latest-wins collapse is the caller's job,
+    and a silent dropDuplicates here would hide that bug).  Dim-key INSERTS cannot add view rows here — an
     inner view holds no dangling fact rows to revive — so a delta that
     inserts new dim keys needs the fact-side path
     (:func:`refresh_join_view` with the affected fact rows); this

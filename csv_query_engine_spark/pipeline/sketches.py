@@ -409,7 +409,10 @@ def hll_overlap(
     :func:`hll_registers`) serves both its own estimate and, MAX-merged
     with the other side's, the union estimate — no second pass, and
     the same register tables could come off per-shard/streaming builds
-    (the batch_id-keyed store idiom).  All estimates are the
+    (the batch_id-keyed store idiom).  Caller contract: both inputs
+    non-empty — an empty side has no registers, so its estimate (and
+    everything derived) comes out NULL rather than 0; screen empty
+    sides out before sketching.  All estimates are the
     deterministic md5-recipe integers of :func:`hll_distinct`, and the
     Jaccard division is a single IEEE op on those integers, so the
     whole row oracle-pairs bit-for-bit (:func:`sql_hll_overlap`)."""

@@ -1275,7 +1275,9 @@ def census_stream(stream: DataFrame, census_dir: str, checkpoint: str, cols=None
     )
 
 
-def read_census_drift(spark: SparkSession, census_dir: str) -> DataFrame:
+def read_census_drift(
+    spark: SparkSession, census_dir: str, last_n: int | None = None
+) -> DataFrame:
     """Per-transition drift verdicts from the census store: for every
     CONSECUTIVE pair of stored batch censuses, the
     :func:`~csv_query_engine_spark.profiler.census_drift` verdict table
@@ -1284,7 +1286,10 @@ def read_census_drift(spark: SparkSession, census_dir: str) -> DataFrame:
     the stored ≤|columns|-row snapshots (the data itself is never
     re-read).  Explicit schema (the zero-batch-directory lesson);
     batch ids in a structured-streaming checkpoint are dense, so
-    consecutive means ``to = from + 1``."""
+    consecutive means ``to = from + 1``.  The union plan grows with
+    the number of transitions — pass ``last_n`` to bound a
+    long-running stream's timeline to its most recent N transitions
+    (dashboards rarely want more)."""
     from pyspark.errors import AnalysisException
 
     from csv_query_engine_spark.profiler import census_drift
@@ -1307,6 +1312,8 @@ def read_census_drift(spark: SparkSession, census_dir: str) -> DataFrame:
         p.select("batch_id").distinct().orderBy("batch_id").collect()
     )  # bounded: one row per micro-batch
     ids = [r["batch_id"] for r in pairs]
+    if last_n is not None and last_n >= 0:
+        ids = ids[-(last_n + 1):]
     for a, b in zip(ids, ids[1:]):
         d = census_drift(
             p.filter(F.col("batch_id") == a).drop("batch_id"),
