@@ -1099,6 +1099,7 @@ def route_join_view_batch(
     join_keys: list[str],
     n_buckets: int = 64,
     change_col: str = "change_type",
+    bucket_expr=None,
 ):
     """One micro-batch of streaming JOIN-view maintenance — the
     streaming face of operators/merge.py::refresh_join_view, stored as
@@ -1130,14 +1131,33 @@ def route_join_view_batch(
     reads/writes only touched buckets (the copy-on-write amplification
     every CoW table format pays — size buckets so one bucket ≪ the
     view); the store is never shuffled.  The touched-bucket collect is
-    ≤ n_buckets ints."""
+    bounded by the batch's distinct bucket values.
+
+    PARTITION LOCALITY — the knob that decides the write
+    amplification: the default hash bucket spreads UNIFORM deltas over
+    every bucket (a 10k-key uniform batch touches all 64 — a full
+    rewrite), which is fine for small views but defeats CoW pruning at
+    scale.  When deltas are time-correlated (the normal case — recent
+    keys change), pass ``bucket_expr`` = a Column computed from the
+    fact row with matching locality (e.g. the month of the order
+    date): a one-month delta then rewrites ONE partition no matter how
+    big the view is — exactly why real lakes partition CoW tables by
+    event time, not key hash.  Contract: the expression must be a
+    DETERMINISTIC function of the fact columns (the same row must land
+    in the same partition on replay) and its per-batch distinct-value
+    count must stay small (it drives the touched-value collect and the
+    partition count)."""
     from pyspark.errors import AnalysisException
     from pyspark.storagelevel import StorageLevel
 
     spark = batch_df.sparkSession
-    bucket = F.pmod(
-        F.xxhash64(*[F.col(k) for k in fact_pk]), F.lit(n_buckets)
-    ).cast("int")
+    bucket = (
+        bucket_expr
+        if bucket_expr is not None
+        else F.pmod(
+            F.xxhash64(*[F.col(k) for k in fact_pk]), F.lit(n_buckets)
+        ).cast("int")
+    )
     delta = batch_df.persist(StorageLevel.MEMORY_AND_DISK)
     try:
         touched = sorted(
@@ -1159,7 +1179,7 @@ def route_join_view_batch(
                 raise
         keys = delta.select(*fact_pk).distinct()
         kept = (
-            view.filter(F.col("_b").isin([int(b) for b in touched]))
+            view.filter(F.col("_b").isin(list(touched)))
             .join(F.broadcast(keys), fact_pk, "left_anti")
         )
         out = kept.unionByName(fresh.select(*kept.columns)).persist(
@@ -1180,7 +1200,7 @@ def route_join_view_batch(
                 jvm = spark._jvm
                 hconf = spark._jsc.hadoopConfiguration()
                 for b in emptied:
-                    p = jvm.org.apache.hadoop.fs.Path(f"{view_dir}/_b={int(b)}")
+                    p = jvm.org.apache.hadoop.fs.Path(f"{view_dir}/_b={b}")
                     p.getFileSystem(hconf).delete(p, True)
         finally:
             out.unpersist()
@@ -1196,6 +1216,7 @@ def join_view_stream(
     join_keys: list[str],
     checkpoint: str,
     n_buckets: int = 64,
+    bucket_expr=None,
 ):
     """Continuously-maintained materialized JOIN view: every fact-delta
     micro-batch routes through :func:`route_join_view_batch`, so the
@@ -1207,7 +1228,8 @@ def join_view_stream(
 
     def route(batch_df, batch_id):
         route_join_view_batch(
-            batch_df, batch_id, view_dir, dim, fact_pk, join_keys, n_buckets
+            batch_df, batch_id, view_dir, dim, fact_pk, join_keys, n_buckets,
+            bucket_expr=bucket_expr,
         )
 
     return (

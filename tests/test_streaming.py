@@ -1287,3 +1287,49 @@ def test_census_stream_and_drift_timeline(spark, tmp_path):
 
     # empty store reads as an empty, correctly-typed timeline
     empty = read_census_drift(spark, str(tmp_path / "census2"))
+
+
+def test_join_view_custom_bucket_locality(spark, tmp_path):
+    """bucket_expr locality: with a month-valued bucket, a one-month
+    delta rewrites ONLY that month's partition — the other partition's
+    files are untouched on disk (the CoW-pruning point of partitioning
+    by a delta-correlated column instead of key hash)."""
+    import os
+
+    from csv_query_engine_spark.streaming.events import (
+        read_join_view,
+        route_join_view_batch,
+    )
+
+    view_dir = str(tmp_path / "view")
+    dim = spark.createDataFrame([(10, "x"), (20, "y")], "dk int, seg string")
+    schema = "fk int, dk int, mon string, v double, seg string, _b string"
+    fschema = "fk int, dk int, mon string, v double, change_type string"
+    bexpr = F.col("mon")
+
+    b0 = spark.createDataFrame(
+        [(1, 10, "2024-01", 1.0, "upsert"), (2, 20, "2024-01", 2.0, "upsert"),
+         (3, 10, "2024-02", 3.0, "upsert"), (4, 20, "2024-02", 4.0, "upsert")],
+        fschema,
+    )
+    route_join_view_batch(b0, 0, view_dir, dim, ["fk"], ["dk"], bucket_expr=bexpr)
+    jan = f"{view_dir}/_b=2024-01"
+    feb = f"{view_dir}/_b=2024-02"
+    assert os.path.isdir(jan) and os.path.isdir(feb)
+    feb_files = {
+        f: os.path.getmtime(os.path.join(feb, f)) for f in os.listdir(feb)
+    }
+
+    # delta touches January only
+    b1 = spark.createDataFrame(
+        [(1, 10, "2024-01", 11.0, "upsert"), (2, 20, "2024-01", 0.0, "delete")],
+        fschema,
+    )
+    route_join_view_batch(b1, 1, view_dir, dim, ["fk"], ["dk"], bucket_expr=bexpr)
+    got = {(r["fk"], r["v"]) for r in read_join_view(spark, view_dir, schema).collect()}
+    assert got == {(1, 11.0), (3, 3.0), (4, 4.0)}
+    # February partition files are byte-untouched
+    feb_after = {
+        f: os.path.getmtime(os.path.join(feb, f)) for f in os.listdir(feb)
+    }
+    assert feb_after == feb_files
