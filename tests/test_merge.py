@@ -277,3 +277,18 @@ def test_refresh_join_aggregate_equals_full_recompute(spark):
         got, new_view, delta_all, dim, ["fk"], ["dk"], ["seg"], {"v_u": F.col("v")}
     )
     assert all(r["seg"] != "z" for r in got2.collect())
+
+
+def test_refresh_join_view_shuffled_keys_path(spark):
+    """broadcast_keys=False (backfill-sized deltas) must produce the
+    same rows through the shuffled anti join."""
+    from csv_query_engine_spark.operators.merge import refresh_join_view
+
+    fact, dim, view = _ivm_fixture(spark)
+    delta = spark.createDataFrame(
+        [(2, 10, "B", 6.0, "delete"), (5, 20, "D", 9.0, "upsert")],
+        "fk int, dk int, st string, v double, change_type string",
+    )
+    a = refresh_join_view(view, delta, dim, ["fk"], ["dk"], broadcast_keys=True)
+    b = refresh_join_view(view, delta, dim, ["fk"], ["dk"], broadcast_keys=False)
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))

@@ -1333,3 +1333,21 @@ def test_join_view_custom_bucket_locality(spark, tmp_path):
         f: os.path.getmtime(os.path.join(feb, f)) for f in os.listdir(feb)
     }
     assert feb_after == feb_files
+
+
+def test_join_view_first_batch_pure_delete_is_noop(spark, tmp_path):
+    """A deletes-only FIRST batch (store does not exist yet) must not
+    fail and must leave the view readable-as-empty."""
+    from csv_query_engine_spark.streaming.events import (
+        read_join_view,
+        route_join_view_batch,
+    )
+
+    view_dir = str(tmp_path / "view")
+    dim = spark.createDataFrame([(10, "x")], "dk int, seg string")
+    b0 = spark.createDataFrame(
+        [(1, 10, 1.0, "delete")], "fk int, dk int, v double, change_type string"
+    )
+    route_join_view_batch(b0, 0, view_dir, dim, ["fk"], ["dk"])
+    schema = "fk int, dk int, v double, seg string, _b int"
+    assert read_join_view(spark, view_dir, schema).count() == 0
