@@ -1146,7 +1146,16 @@ def route_join_view_batch(
     DETERMINISTIC function of the fact columns (the same row must land
     in the same partition on replay) and its per-batch distinct-value
     count must stay small (it drives the touched-value collect and the
-    partition count)."""
+    partition count).  HARD contract (same as a lake's partition
+    column): the bucket-determining columns are IMMUTABLE per pk — a
+    delta row must carry the STORED row's bucket value, because only
+    touched buckets are read: a delete/update whose bucket value
+    differs from the stored row's never sees it (the old row survives,
+    an update also inserts into the new bucket — a silent duplicate).
+    Moving a row across buckets requires an explicit delete carrying
+    the OLD bucket-determining values plus an insert with the new.
+    The default hash-of-pk bucket satisfies this automatically (the pk
+    is immutable by definition)."""
     from pyspark.errors import AnalysisException
     from pyspark.storagelevel import StorageLevel
 

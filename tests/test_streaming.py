@@ -1351,3 +1351,40 @@ def test_join_view_first_batch_pure_delete_is_noop(spark, tmp_path):
     route_join_view_batch(b0, 0, view_dir, dim, ["fk"], ["dk"])
     schema = "fk int, dk int, v double, seg string, _b int"
     assert read_join_view(spark, view_dir, schema).count() == 0
+
+
+def test_join_view_bucket_columns_are_immutable_contract(spark, tmp_path):
+    """The documented HARD contract: a delete whose bucket value
+    differs from the stored row's cannot remove it (only touched
+    buckets are read); the supported move is delete-with-OLD-values +
+    insert-with-new."""
+    from csv_query_engine_spark.streaming.events import (
+        read_join_view,
+        route_join_view_batch,
+    )
+
+    view_dir = str(tmp_path / "view")
+    dim = spark.createDataFrame([(10, "x")], "dk int, seg string")
+    schema = "fk int, dk int, mon string, v double, seg string, _b string"
+    fschema = "fk int, dk int, mon string, v double, change_type string"
+    bexpr = F.col("mon")
+    route_join_view_batch(
+        spark.createDataFrame([(1, 10, "2024-01", 1.0, "upsert")], fschema),
+        0, view_dir, dim, ["fk"], ["dk"], bucket_expr=bexpr,
+    )
+    # WRONG: delete carries a different month -> stored row survives
+    route_join_view_batch(
+        spark.createDataFrame([(1, 10, "2024-02", 1.0, "delete")], fschema),
+        1, view_dir, dim, ["fk"], ["dk"], bucket_expr=bexpr,
+    )
+    assert read_join_view(spark, view_dir, schema).count() == 1
+    # RIGHT: delete with the stored bucket value + insert into the new
+    route_join_view_batch(
+        spark.createDataFrame(
+            [(1, 10, "2024-01", 1.0, "delete"), (1, 10, "2024-02", 5.0, "upsert")],
+            fschema,
+        ),
+        2, view_dir, dim, ["fk"], ["dk"], bucket_expr=bexpr,
+    )
+    rows = read_join_view(spark, view_dir, schema).collect()
+    assert [(r["fk"], r["mon"], r["v"]) for r in rows] == [(1, "2024-02", 5.0)]
