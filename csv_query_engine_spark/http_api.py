@@ -178,8 +178,13 @@ def create_app(engine: QueryEngine):
             # the query above already executed)
             try:
                 payload["lint_findings"] = engine.lint(res.sql)
-            except Exception:
-                payload["lint_findings"] = []
+            except Exception as e:
+                # a lint FAILURE must stay distinguishable from a clean
+                # plan (ADVICE round 10): emit an explicit marker, never
+                # an empty list
+                payload["lint_findings"] = [
+                    {"rule": "lint-error", "severity": "info", "detail": str(e)}
+                ]
         return jsonify(payload)
 
     @app.post("/lint")

@@ -44,20 +44,74 @@ import re
 from pyspark.sql import DataFrame
 
 
-def _window_group_count(line: str) -> int:
-    """Number of top-level ``[...]`` groups after ``Window `` — 2 means
-    (exprs, order): no partition spec; 3 means partitioned."""
+_SORT_DIR = re.compile(r" (ASC|DESC) NULLS (FIRST|LAST)")
+
+
+def _window_groups(line: str) -> list[str]:
+    """Top-level ``[...]`` groups after ``Window `` as strings.  The plan
+    line prints (exprs[, partitionSpec][, orderSpec]) and OMITS an empty
+    spec, so 2 groups is ambiguous: ``Window [exprs], [g#1]`` is
+    partitioned-but-unordered (valid) while ``Window [exprs], [o#1 ASC
+    NULLS FIRST]`` is ordered-but-UNpartitioned (the single-task funnel).
+    Callers disambiguate via the sort-direction marker — an order spec
+    always prints ``ASC|DESC NULLS FIRST|LAST``, a partition spec never
+    does (empirically probed for all four spec shapes)."""
     tail = line.split("Window ", 1)[1]
     depth = 0
-    groups = 0
+    groups: list[str] = []
+    buf: list[str] = []
     for ch in tail:
         if ch == "[":
             if depth == 0:
-                groups += 1
+                buf = []
             depth += 1
+            if depth == 1:
+                continue
         elif ch == "]":
             depth -= 1
+            if depth == 0:
+                groups.append("".join(buf))
+                continue
+        if depth >= 1:
+            buf.append(ch)
     return groups
+
+
+def _window_is_unpartitioned(line: str) -> bool:
+    groups = _window_groups(line)
+    if len(groups) >= 3:
+        return False  # (exprs, partition, order)
+    if len(groups) <= 1:
+        return True  # exprs only: neither spec
+    # Two groups: order-only iff the trailing group carries sort markers.
+    return bool(_SORT_DIR.search(groups[-1]))
+
+
+_TREE_PREFIX = re.compile(r"^[ :+\-]*")
+
+
+def _node_start(line: str) -> int:
+    """Column where the node text begins, past the tree-drawing prefix
+    (spaces, ``+-``/``:-`` markers, ``:`` continuation bars)."""
+    return _TREE_PREFIX.match(line).end()
+
+
+def _ancestor_lines(lines: list[str], i: int, limit: int = 3) -> list[str]:
+    """The nearest ``limit`` ANCESTORS of line ``i`` in the rendered plan
+    tree — lines above whose node text starts strictly left of every
+    line between them and ``i``.  Lines at equal/deeper indent above
+    belong to sibling branches (the other side of a join) and are
+    skipped, so a sibling's Filter is never mis-attributed."""
+    out: list[str] = []
+    threshold = _node_start(lines[i])
+    for j in range(i - 1, -1, -1):
+        s = _node_start(lines[j])
+        if s < threshold:
+            out.append(lines[j])
+            threshold = s
+            if len(out) >= limit:
+                break
+    return out
 
 
 def lint_plan(df: DataFrame) -> list[dict]:
@@ -82,7 +136,7 @@ def lint_plan(df: DataFrame) -> list[dict]:
         )
 
     win_lines = [ln for ln in lines if re.search(r"\bWindow \[", ln)]
-    unpart = [ln for ln in win_lines if _window_group_count(ln) < 3]
+    unpart = [ln for ln in win_lines if _window_is_unpartitioned(ln)]
     if unpart:
         findings.append(
             {
@@ -119,10 +173,12 @@ def lint_plan(df: DataFrame) -> list[dict]:
             }
         )
 
-    # Filter immediately above a scan with empty PushedFilters.
+    # Filter among the scan's nearest ANCESTORS (tree-indent walk — raw
+    # line proximity would mis-attribute a sibling branch's Filter, e.g.
+    # the other side of a join rendered just above this scan).
     for i, ln in enumerate(lines):
         if "PushedFilters: []" in ln and "Scan" in ln:
-            above = "".join(lines[max(0, i - 3) : i])
+            above = "".join(_ancestor_lines(lines, i))
             if re.search(r"\bFilter \(", above) or re.search(r"\bFilter \[", above):
                 findings.append(
                     {

@@ -455,6 +455,149 @@ def minhash_lsh_pairs(
     )
 
 
+def minhash_dedup_funnel(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    **minhash_kwargs,
+) -> tuple[DataFrame, DataFrame]:
+    """Exact-dedup → MinHash funnel: collapse byte-identical (normalized)
+    texts to ONE representative each, then run banded MinHash LSH over
+    the representatives only.  Returns ``(pairs, groups)``:
+
+    * ``pairs`` — near-duplicate (id_a, id_b, jaccard) among
+      REPRESENTATIVE ids (every kwarg of :func:`minhash_lsh_pairs`
+      passes through);
+    * ``groups`` — one row per distinct normalized text:
+      (fingerprint, <id_col> = min member id, n_copies).  Members of a
+      group are jaccard-1.0 duplicates of their representative by
+      construction, so the funnel's full pair relation is
+      ``groups`` (within-group) ∪ ``pairs`` (across groups).
+
+    This is the composition every production pipeline runs, and the fix
+    for the one honest scale limit the 500k probe recorded (BASELINE.md
+    round 10): a template-dense corpus floods LSH buckets with
+    mass-IDENTICAL docs whose quadratic candidate volume (6.02e8 pairs
+    measured) is pure waste — exact dedup removes it for free in one
+    fingerprint-keyed shuffle, after which the same corpus's LSH tier
+    finishes in-box (round-11 probe tier, scripts/probe_guards.py).
+    At 100 TB the prepass is the cheapest stage in the funnel: one
+    map-side md5 + one 16-byte-keyed aggregate, no text movement after
+    the map side."""
+    base = df.select(
+        F.col(id_col), F.col(text_col), fingerprint(F.col(text_col)).alias("fingerprint")
+    )
+    groups = base.groupBy("fingerprint").agg(
+        F.min(id_col).alias(id_col), F.count(F.lit(1)).alias("n_copies")
+    )
+    reps = base.join(groups.select(id_col), id_col, "left_semi").select(
+        id_col, text_col
+    )
+    pairs = minhash_lsh_pairs(reps, id_col, text_col, **minhash_kwargs)
+    return pairs, groups
+
+
+def minhash_dedup_survivors(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_k: int = 5,
+    threshold: float = 0.5,
+    est_margin: float | None = 0.15,
+    hash_mode: str = "xxhash64",
+) -> DataFrame:
+    """Per-doc KEEP/DROP dedup verdicts with LINEAR candidate volume —
+    the 100-TB face of MinHash dedup (what production corpus pipelines
+    à la RefinedWeb/SlimPajama actually run): instead of materializing
+    every near-duplicate PAIR (inherently quadratic on a template-dense
+    corpus — the round-10 probe measured 6.0e8 genuine sub-cap
+    candidates at 500k docs, and round-11 measured that exact-dedup
+    and signature-level collapse remove only ~135/175 of them, so NO
+    prepass makes all-pairs linear), each doc is verified against AT
+    MOST ``bands`` candidates: the min-id member of each of its LSH
+    buckets.  Total exact-verify volume is ≤ bands × docs — linear —
+    and no ``max_bucket`` cap is needed at all (a bucket's min is O(1)
+    aggregate state; the 8192-identical-doc block that plain LSH must
+    DROP is handled exactly: every member verifies against the block
+    min and is marked duplicate).
+
+    Output: one row per input doc — (id_col, is_dup, dup_of,
+    dup_jaccard); ``dup_of`` = the SMALLEST verified bucket-min the doc
+    near-duplicates (sentinels -1 / -1.0 when none — the nullable-output
+    rule).  Survivors are the ``is_dup = false`` rows.
+
+    Semantics are ONE-PASS GREEDY: a doc is dropped iff it verifies
+    (exact Jaccard ≥ threshold) against a smaller-id doc sharing a
+    bucket.  Two near-dup docs that only ever share buckets whose min
+    is a third, non-matching doc both survive, and chains (C dups B,
+    B dups A) drop both B and C without testing C against A — the
+    standard greedy trade; use :func:`minhash_lsh_pairs` +
+    :func:`near_dup_clusters` when transitive-closure clusters are
+    required and the pair volume is affordable.
+
+    ``hash_mode="md5"`` makes the whole verdict pipeline reproducible
+    (the `dedup_minhash_survivors_rep` query's DuckDB twin replays it
+    end to end); xxhash64 stays the scale default."""
+    from pyspark.storagelevel import StorageLevel
+
+    hashed = _hashed_shingles(df, id_col, text_col, shingle_k, hash_mode).select(
+        "id", "hashes"
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    sig = _oph_signatures(
+        hashed, num_hashes, hash_bits=32 if hash_mode == "md5" else 64
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    be = _band_entries(sig, num_hashes, bands, hash_mode)
+    # Bucket representative = MIN id — O(1) aggregate state per bucket,
+    # so degenerate buckets cost nothing (no cap, no quadratic explode).
+    mins = be.groupBy("band", "bucket").agg(F.min("id").alias("cand"))
+    cand = _spread(
+        be.join(mins, ["band", "bucket"])
+        .filter(F.col("id") != F.col("cand"))
+        .select("id", "cand")
+        .distinct()
+    )
+    if est_margin is not None:
+        est = F.aggregate(
+            F.zip_with("sig_a", "sig_b", lambda x, y: (x == y).cast("int")),
+            F.lit(0),
+            lambda acc, x: acc + x,
+        ).cast("double") / F.lit(float(num_hashes))
+        cand = (
+            cand
+            .join(sig.select(F.col("id"), F.col("sig").alias("sig_a")), "id")
+            .join(sig.select(F.col("id").alias("cand"), F.col("sig").alias("sig_b")), "cand")
+            .filter(est >= F.lit(float(threshold - est_margin)))
+            .select("id", "cand")
+        )
+    verified = (
+        cand
+        .join(hashed.select(F.col("id"), F.col("hashes").alias("h_a")), "id")
+        .join(hashed.select(F.col("id").alias("cand"), F.col("hashes").alias("h_b")), "cand")
+        .select("id", "cand", jaccard(F.col("h_a"), F.col("h_b")).alias("j"))
+        .filter(F.col("j") >= threshold)
+    )
+    # Deterministic verdict: the smallest verified candidate wins (and
+    # carries its jaccard) — min over a (cand, j) struct orders by cand,
+    # which is unique per (id, cand) row.
+    dup = (
+        verified.groupBy("id")
+        .agg(F.min(F.struct(F.col("cand"), F.col("j"))).alias("m"))
+        .select("id", F.col("m.cand").alias("dup_of"), F.col("m.j").alias("dup_jaccard"))
+    )
+    return (
+        sig.select("id")
+        .join(dup, "id", "left")
+        .select(
+            F.col("id").alias(id_col),
+            F.col("dup_of").isNotNull().alias("is_dup"),
+            F.coalesce(F.col("dup_of"), F.lit(-1)).cast("bigint").alias("dup_of"),
+            F.coalesce(F.col("dup_jaccard"), F.lit(-1.0)).alias("dup_jaccard"),
+        )
+    )
+
+
 # ------------------------------------------------- clustering / components
 
 

@@ -158,6 +158,13 @@ def to_timestamp_any(col: F.Column) -> F.Column:
     return F.coalesce(*exprs)
 
 
+def _qcol(name: str) -> F.Column:
+    """Column reference by LITERAL name — backtick-quoted so headers
+    containing dots, spaces, or backticks (CSV ingests) resolve as one
+    column instead of parsing as struct access (ADVICE round 10)."""
+    return F.col("`" + name.replace("`", "``") + "`")
+
+
 def table_profile(
     df: DataFrame,
     cols: list[str] | None = None,
@@ -196,32 +203,36 @@ def table_profile(
         T.ByteType, T.ShortType, T.IntegerType, T.LongType,
         T.FloatType, T.DoubleType, T.DecimalType,
     }
+    # Internal aliases are POSITIONAL (`_nn_{i}`), never f-string-built
+    # from the column name: a name with a dot/space/backtick would break
+    # F.col resolution of the alias (ADVICE round 10).  Input refs go
+    # through _qcol for the same reason.
     aggs, is_num = [], {}
-    for c in cols:
+    for i, c in enumerate(cols):
         dt = df.schema[c].dataType
         is_num[c] = type(dt) in numeric or isinstance(dt, T.DecimalType)
-        aggs.append(F.count(F.col(c)).cast("bigint").alias(f"_nn_{c}"))
+        aggs.append(F.count(_qcol(c)).cast("bigint").alias(f"_nn_{i}"))
         if not exact_distinct:
             aggs.append(
-                F.approx_count_distinct(F.col(c)).cast("bigint").alias(f"_nd_{c}")
+                F.approx_count_distinct(_qcol(c)).cast("bigint").alias(f"_nd_{i}")
             )
         if is_num[c]:
-            aggs.append(F.min(F.col(c)).cast("double").alias(f"_mn_{c}"))
-            aggs.append(F.max(F.col(c)).cast("double").alias(f"_mx_{c}"))
+            aggs.append(F.min(_qcol(c)).cast("double").alias(f"_mn_{i}"))
+            aggs.append(F.max(_qcol(c)).cast("double").alias(f"_mx_{i}"))
         else:
-            aggs.append(F.min(F.col(c).cast("string")).alias(f"_mn_{c}"))
-            aggs.append(F.max(F.col(c).cast("string")).alias(f"_mx_{c}"))
+            aggs.append(F.min(_qcol(c).cast("string")).alias(f"_mn_{i}"))
+            aggs.append(F.max(_qcol(c).cast("string")).alias(f"_mx_{i}"))
     one = df.agg(F.count(F.lit(1)).cast("bigint").alias("_n"), *aggs)
     if exact_distinct:
         nd = df.agg(
             *[
-                F.count_distinct(F.col(c)).cast("bigint").alias(f"_nd_{c}")
-                for c in cols
+                F.count_distinct(_qcol(c)).cast("bigint").alias(f"_nd_{i}")
+                for i, c in enumerate(cols)
             ]
         )
         one = one.crossJoin(F.broadcast(nd))
     rows = []
-    for c in cols:
+    for i, c in enumerate(cols):
         # census label: collapse Spark's tz-variant timestamp names
         # (timestamp_ntz / timestamp_ltz) to plain 'timestamp' — the
         # cross-engine-stable label (DuckDB has only TIMESTAMP).
@@ -231,13 +242,13 @@ def table_profile(
             F.struct(
                 F.lit(c).alias("column_name"),
                 F.lit(dt).alias("data_type"),
-                F.col(f"_nn_{c}").alias("n_nonnull"),
-                (F.col("_n") - F.col(f"_nn_{c}")).cast("bigint").alias("n_null"),
-                F.col(f"_nd_{c}").alias("n_distinct"),
-                (F.coalesce(F.col(f"_mn_{c}"), F.lit(-1.0)) if is_num[c] else F.lit(-1.0)).alias("min_num"),
-                (F.coalesce(F.col(f"_mx_{c}"), F.lit(-1.0)) if is_num[c] else F.lit(-1.0)).alias("max_num"),
-                (F.lit("") if is_num[c] else F.coalesce(F.col(f"_mn_{c}"), F.lit(""))).alias("min_str"),
-                (F.lit("") if is_num[c] else F.coalesce(F.col(f"_mx_{c}"), F.lit(""))).alias("max_str"),
+                F.col(f"_nn_{i}").alias("n_nonnull"),
+                (F.col("_n") - F.col(f"_nn_{i}")).cast("bigint").alias("n_null"),
+                F.col(f"_nd_{i}").alias("n_distinct"),
+                (F.coalesce(F.col(f"_mn_{i}"), F.lit(-1.0)) if is_num[c] else F.lit(-1.0)).alias("min_num"),
+                (F.coalesce(F.col(f"_mx_{i}"), F.lit(-1.0)) if is_num[c] else F.lit(-1.0)).alias("max_num"),
+                (F.lit("") if is_num[c] else F.coalesce(F.col(f"_mn_{i}"), F.lit(""))).alias("min_str"),
+                (F.lit("") if is_num[c] else F.coalesce(F.col(f"_mx_{i}"), F.lit(""))).alias("max_str"),
             )
         )
     return one.select(F.inline(F.array(*rows)))
@@ -330,47 +341,55 @@ def table_profile_by(
         T.ByteType, T.ShortType, T.IntegerType, T.LongType,
         T.FloatType, T.DoubleType, T.DecimalType,
     }
+    # Positional internal aliases + _qcol input refs (same dotted-name
+    # rule as table_profile); group keys get safe `_g{j}` aliases so the
+    # exact-distinct join and the final select also survive odd headers.
     aggs, is_num = [], {}
-    for c in cols:
+    for i, c in enumerate(cols):
         dt = df.schema[c].dataType
         is_num[c] = type(dt) in numeric or isinstance(dt, T.DecimalType)
-        aggs.append(F.count(F.col(c)).cast("bigint").alias(f"_nn_{c}"))
+        aggs.append(F.count(_qcol(c)).cast("bigint").alias(f"_nn_{i}"))
         if not exact_distinct:
             aggs.append(
-                F.approx_count_distinct(F.col(c)).cast("bigint").alias(f"_nd_{c}")
+                F.approx_count_distinct(_qcol(c)).cast("bigint").alias(f"_nd_{i}")
             )
         if is_num[c]:
-            aggs.append(F.min(F.col(c)).cast("double").alias(f"_mn_{c}"))
-            aggs.append(F.max(F.col(c)).cast("double").alias(f"_mx_{c}"))
+            aggs.append(F.min(_qcol(c)).cast("double").alias(f"_mn_{i}"))
+            aggs.append(F.max(_qcol(c)).cast("double").alias(f"_mx_{i}"))
         else:
-            aggs.append(F.min(F.col(c).cast("string")).alias(f"_mn_{c}"))
-            aggs.append(F.max(F.col(c).cast("string")).alias(f"_mx_{c}"))
-    one = df.groupBy(*group_cols).agg(
+            aggs.append(F.min(_qcol(c).cast("string")).alias(f"_mn_{i}"))
+            aggs.append(F.max(_qcol(c).cast("string")).alias(f"_mx_{i}"))
+    gkeys = [_qcol(g).alias(f"_g{j}") for j, g in enumerate(group_cols)]
+    gnames = [f"_g{j}" for j in range(len(group_cols))]
+    one = df.groupBy(*gkeys).agg(
         F.count(F.lit(1)).cast("bigint").alias("_n"), *aggs
     )
     if exact_distinct:
-        nd = df.groupBy(*group_cols).agg(
+        nd = df.groupBy(*gkeys).agg(
             *[
-                F.count_distinct(F.col(c)).cast("bigint").alias(f"_nd_{c}")
-                for c in cols
+                F.count_distinct(_qcol(c)).cast("bigint").alias(f"_nd_{i}")
+                for i, c in enumerate(cols)
             ]
         )
-        one = one.join(nd, group_cols)
+        one = one.join(nd, gnames)
     rows = []
-    for c in cols:
+    for i, c in enumerate(cols):
         dt = df.schema[c].dataType.simpleString()
         dt = "timestamp" if dt.startswith("timestamp") else dt
         rows.append(
             F.struct(
                 F.lit(c).alias("column_name"),
                 F.lit(dt).alias("data_type"),
-                F.col(f"_nn_{c}").alias("n_nonnull"),
-                (F.col("_n") - F.col(f"_nn_{c}")).cast("bigint").alias("n_null"),
-                F.col(f"_nd_{c}").alias("n_distinct"),
-                (F.coalesce(F.col(f"_mn_{c}"), F.lit(-1.0)) if is_num[c] else F.lit(-1.0)).alias("min_num"),
-                (F.coalesce(F.col(f"_mx_{c}"), F.lit(-1.0)) if is_num[c] else F.lit(-1.0)).alias("max_num"),
-                (F.lit("") if is_num[c] else F.coalesce(F.col(f"_mn_{c}"), F.lit(""))).alias("min_str"),
-                (F.lit("") if is_num[c] else F.coalesce(F.col(f"_mx_{c}"), F.lit(""))).alias("max_str"),
+                F.col(f"_nn_{i}").alias("n_nonnull"),
+                (F.col("_n") - F.col(f"_nn_{i}")).cast("bigint").alias("n_null"),
+                F.col(f"_nd_{i}").alias("n_distinct"),
+                (F.coalesce(F.col(f"_mn_{i}"), F.lit(-1.0)) if is_num[c] else F.lit(-1.0)).alias("min_num"),
+                (F.coalesce(F.col(f"_mx_{i}"), F.lit(-1.0)) if is_num[c] else F.lit(-1.0)).alias("max_num"),
+                (F.lit("") if is_num[c] else F.coalesce(F.col(f"_mn_{i}"), F.lit(""))).alias("min_str"),
+                (F.lit("") if is_num[c] else F.coalesce(F.col(f"_mx_{i}"), F.lit(""))).alias("max_str"),
             )
         )
-    return one.select(*group_cols, F.inline(F.array(*rows)))
+    return one.select(
+        *[F.col(n).alias(g) for n, g in zip(gnames, group_cols)],
+        F.inline(F.array(*rows)),
+    )

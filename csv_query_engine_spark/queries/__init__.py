@@ -50,8 +50,11 @@ DRIVER_ORDER: list[str] = [
     "array_funcs_embeddings",
     "q2_min_cost_supplier",
     # round-10: the distributed census replaces r5-r9-certified q9
-    # (multi-join aggregation stays via q2/q11/flagship)
+    # (multi-join aggregation stays via q2/q11/flagship); round-11: its
+    # drift + grouped faces join it (profiler.py census family)
     "orders_table_profile",
+    "orders_schema_drift_audit",
+    "orders_status_grouped_profile",
     "q11_important_parts",
     "q13_customer_order_distribution",
     "q19_disjunctive_revenue",
@@ -62,16 +65,25 @@ DRIVER_ORDER: list[str] = [
     "window_range_frame_moving_sum",
     # -- temporal joins
     "asof_join_last_order_before_event",
-    # -- streaming batch twins + event analytics
+    # -- streaming batch twins + event analytics (round-11: the skew
+    #    diagnosis report joins — operators/skew.py, the feeder for the
+    #    in-window Bloom-prefiltered join)
     "events_window_heavy_hitters",
     "events_markov_transitions",
+    "events_user_skew_report",
     # -- write-side maintenance (round-10: the composed agg-over-join
     #    IVM replaces the r1-r9-certified type-1 MERGE — same
-    #    operators/merge.py family, nests refresh_aggregate)
+    #    operators/merge.py family, nests refresh_aggregate; round-11:
+    #    the plain join-view face joins it)
     "orders_customer_join_agg_ivm",
-    # -- declarative quality gate + physical layout
-    "orders_quality_constraints",
-    "orders_zorder_layout_stats",
+    "orders_customer_join_ivm",
+    # -- declarative quality gate (round-11: the cross-table FK audit
+    #    replaces the r6-r10-certified single-table constraint gate —
+    #    same validation.py family) + physical layout (round-11: the
+    #    window-free global row numbering replaces the r6-r10-certified
+    #    z-order stats — same operators/layout.py family)
+    "orders_fk_integrity_audit",
+    "orders_global_row_numbers",
     # -- reproducible-internals sketches: CM point counts + HLL
     #    cardinality keep the round-8-late rows; the round-9 HDR
     #    quantile sketch (global + per-month grouped face) replaces the
@@ -96,12 +108,15 @@ DRIVER_ORDER: list[str] = [
     "docs_dsir_selection",
     "embedding_jl_projection",
     "customer_order_gap_profile",
-    "docs_sequence_packing",
     "docs_shard_manifest",
     "docs_benchmark_decontamination",
     "dedup_semantic_pairs",
     "dedup_containment_pairs",
-    "dedup_simhash_pairs",
+    # round-11: the fully-oracle-paired OPH MinHash LSH pipeline
+    # (md5 reproducible-internals mode) replaces the r9+r10-certified
+    # SimHash row — the flagship dedup family's first end-to-end driver
+    # certification; hash-signature near-dup family keeps a member
+    "dedup_minhash_lsh_pairs_rep",
     # round-10: entity resolution replaces the r6-r8-certified typo
     # join it is built ON (same deletion-neighborhood machinery)
     "customer_entity_resolution_pairs",
@@ -110,7 +125,6 @@ DRIVER_ORDER: list[str] = [
     # round-10: retrieval-quality eval replaces the r8+r9-certified RRF
     # fusion (retrieval family; nests the shared brute-force cosine twin)
     "embedding_retrieval_eval",
-    "docs_duplicate_span_removal",
     # -- exact order statistics + distribution screens (selection
     #    descent + its equi-depth composition + PSI drift replace the
     #    ordered-set-agg percentiles and the two r7+r8-green anomaly
@@ -120,12 +134,21 @@ DRIVER_ORDER: list[str] = [
     # the equi-depth composition (both nest exact_quantile_values)
     "orders_monthly_exact_quantiles",
     "orders_psi_price_drift",
-    # -- multimodal closed-form-oracle family (video joins its phash /
-    #    audio siblings, all three sharing _banded_hamming_pairs)
-    "media_phash_dup_pairs",
-    "media_audio_dup_pairs",
+    # -- multimodal closed-form-oracle family (round-11: video keeps
+    #    the family seat — all three share _banded_hamming_pairs, so
+    #    one row certifies the shared join)
     "media_video_dup_pairs",
     # ==================== driver window ends at 50 ====================
+    # Rotated OUT in round 11 for the seven never-certified round-10
+    # headliners (certified rounds in parens; in-window family keeper
+    # in the mapping test):
+    "orders_quality_constraints",     # (r6-r10) -> orders_fk_integrity_audit (validation.py)
+    "orders_zorder_layout_stats",     # (r6-r10) -> orders_global_row_numbers (layout.py)
+    "docs_sequence_packing",          # (r3-r10) -> docs_shard_manifest (packing composition)
+    "docs_duplicate_span_removal",    # (r8-r10) -> docs_benchmark_decontamination (gram-window overlap)
+    "dedup_simhash_pairs",            # (r9,r10) -> dedup_minhash_lsh_pairs_rep (hash-signature near-dup)
+    "media_phash_dup_pairs",          # (r8-r10) -> media_video_dup_pairs (shared banded-Hamming join)
+    "media_audio_dup_pairs",          # (r8-r10) -> media_video_dup_pairs
     # Rotated OUT in round 10 for the six round-9 headliners (certified
     # rounds in parens; in-window family keeper in the mapping test):
     "orders_equidepth_histogram",     # (r9)       -> orders_exact_quantiles_selection + monthly (both nest the descent)
@@ -262,19 +285,9 @@ DRIVER_ORDER: list[str] = [
     "json_props_variant",
     # CDC diff (r6,r7-certified; MERGE family keeps the window row):
     "customer_snapshot_cdc_diff",
-    # Round-10 additions (oracle-verified locally at sf0.01+sf0.1;
+    # Round-11 additions (oracle-verified locally at sf0.01+sf0.1;
     # outside the window until a future rotation):
-    "orders_customer_join_ivm",        # join-view IVM (agg face is in-window)
-    "orders_fk_integrity_audit",       # cross-table quality gate
-    "events_user_skew_report",         # skew diagnosis (salted-join feeder)
-    "orders_global_row_numbers",       # window-free global row numbering
-    "orders_schema_drift_audit",       # cross-snapshot census drift
-    "orders_status_grouped_profile",   # per-group census
-    # Round-10: the OPH MinHash LSH pipeline in reproducible-internals
-    # mode (md5 recipe + literal band keys) — the end-to-end oracle
-    # pairing of the dedup family's last rows-only major member; the
-    # xxhash64 default above stays the scale path:
-    "dedup_minhash_lsh_pairs_rep",
+    "dedup_minhash_survivors_rep",     # greedy bucket-min KEEP/DROP verdicts (linear verify volume)
     # Rows-only ops (no SQL-expressible oracle; pytest covers recall/
     # precision/planted-neighbor properties):
     "dedup_minhash_lsh_pairs",

@@ -1090,6 +1090,26 @@ def entity_admission_stream(
 
 # ------------------------------------------------ streaming join-view IVM
 
+def _unescape_path_name(name: str) -> str:
+    """Decode Spark's partition-directory percent-escaping (the inverse
+    of ExternalCatalogUtils.escapePathName: ``%XX`` hex pairs for the
+    reserved/control characters, everything else literal)."""
+    out: list[str] = []
+    i = 0
+    while i < len(name):
+        c = name[i]
+        if c == "%" and i + 2 < len(name):
+            try:
+                out.append(chr(int(name[i + 1 : i + 3], 16)))
+                i += 3
+                continue
+            except ValueError:
+                pass
+        out.append(c)
+        i += 1
+    return "".join(out)
+
+
 def route_join_view_batch(
     batch_df,
     batch_id: int,
@@ -1169,9 +1189,19 @@ def route_join_view_batch(
     )
     delta = batch_df.persist(StorageLevel.MEMORY_AND_DISK)
     try:
-        touched = sorted(
-            r["_b"] for r in delta.select(bucket.alias("_b")).distinct().collect()
+        touched_rows = (
+            delta.select(bucket.alias("_b"), bucket.cast("string").alias("_bs"))
+            .distinct()
+            .collect()
         )
+        touched = sorted(r["_b"] for r in touched_rows)
+        # Partition-DIRECTORY matching happens on the string form (Spark
+        # names dirs from the value's string repr, percent-escaping
+        # special characters) — never on f-string interpolation of the
+        # raw Python value (ADVICE round 10: a bucket_expr value with
+        # ':' or ' ' built a path that missed the real escaped dir and
+        # the "deleted" rows resurfaced on the next read).
+        touched_strs = {r["_bs"] for r in touched_rows if r["_bs"] is not None}
         if not touched:
             return
         upserts = delta.filter(F.col(change_col) != "delete").drop(change_col)
@@ -1202,15 +1232,26 @@ def route_join_view_batch(
                 .parquet(view_dir)
             )
             written = {
-                r["_b"] for r in out.select("_b").distinct().collect()
+                r["_bs"]
+                for r in out.select(F.col("_b").cast("string").alias("_bs"))
+                .distinct()
+                .collect()
             }
-            emptied = [b for b in touched if b not in written]
+            emptied = touched_strs - written
             if emptied:
+                # Resolve emptied partitions by LISTING _b=* dirs and
+                # percent-DECODING their value part, so whatever escaping
+                # Spark applied when writing is matched exactly.
                 jvm = spark._jvm
                 hconf = spark._jsc.hadoopConfiguration()
-                for b in emptied:
-                    p = jvm.org.apache.hadoop.fs.Path(f"{view_dir}/_b={b}")
-                    p.getFileSystem(hconf).delete(p, True)
+                root = jvm.org.apache.hadoop.fs.Path(view_dir)
+                fs = root.getFileSystem(hconf)
+                for st in fs.listStatus(root):
+                    name = st.getPath().getName()
+                    if not (st.isDirectory() and name.startswith("_b=")):
+                        continue
+                    if _unescape_path_name(name[3:]) in emptied:
+                        fs.delete(st.getPath(), True)
         finally:
             out.unpersist()
     finally:

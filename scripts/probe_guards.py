@@ -22,6 +22,13 @@ not just what came out).
    box's spill disk — the kind of volume a 1000-executor cluster
    absorbs and local[16] cannot.  The 500k ACCOUNTING above is the
    guard evidence; this tier proves the drop/keep behavior end to end.
+1c. exact-prepass accounting + LINEAR survivors (round 11): records
+   the measured negative (the 500k corpus is near-dup-dense, NOT
+   identical-dense — exact/signature collapse removes ~135/175 of the
+   6.0e8 candidates), then runs minhash_dedup_survivors at N_DOCS end
+   to end — verify volume ≤ bands×docs by construction, so the tier
+   the all-pairs face cannot finish in-box completes here, with the
+   planted blocks resolved exactly (8191 + 99 duplicates).
 2. entity max_block_key — sf0.1 dirty records + 1500 planted records
    sharing one phone: the default cap (1000) must RAISE with the key
    and count in the message; a raised cap (4096) must complete.
@@ -141,6 +148,56 @@ with cache_scope(spark):
     )
     assert n_degen == 0, "oversized block leaked pairs"
     assert n_small == 100 * 99 // 2, "under-cap block lost pairs"
+
+# --------------------- 1c. exact-prepass accounting + LINEAR survivors
+# Round-11 (round-10 verdict #2 investigated): the verdict hypothesized
+# the 500k spill came from mass-identical blocks exact dedup removes.
+# MEASURED FALSE: the raw 500k corpus has 499,865 unique normalized
+# texts (135 within-group pairs) and 499,826 unique OPH signatures
+# (175) — the 6.0e8 sub-cap candidates are GENUINE template near-dups,
+# i.e. the all-pairs OUTPUT is itself quadratic-dense and no prepass
+# linearizes it.  The exact-prepass accounting below records that
+# honest negative; the tier that DOES finish in-box at 500k is
+# minhash_dedup_survivors — greedy bucket-min verdicts with verify
+# volume ≤ bands×docs by construction (linear, cap-free).
+print(f"== exact-prepass accounting: {N_DOCS} docs + 8192 identical + 100 identical")
+with cache_scope(spark):
+    t0 = time.time()
+    _, groups = dd.minhash_dedup_funnel(corpus, threshold=0.5)
+    groups = groups.persist()
+    n_groups = groups.count()
+    n_docs_total = corpus.count()
+    degen_g = groups.filter(F.col("n_copies") >= 8192).count()
+    print(
+        f"  docs={n_docs_total} unique_texts={n_groups} "
+        f"exact_collapsed={n_docs_total - n_groups} blocks>=8192: {degen_g} "
+        f"[{time.time() - t0:.1f}s]"
+    )
+    assert degen_g >= 1, "planted identical block did not collapse"
+    groups.unpersist()
+
+print(f"== LINEAR survivors end-to-end: {N_DOCS} docs + planted blocks")
+with cache_scope(spark):
+    t0 = time.time()
+    verdicts = dd.minhash_dedup_survivors(corpus, threshold=0.5).persist()
+    n_total = verdicts.count()
+    n_dups = verdicts.filter(F.col("is_dup")).count()
+    t_v = time.time() - t0
+    # the 8192-identical block that plain LSH CAP-DROPS is resolved
+    # exactly here: 8191 members marked duplicates of the block min
+    degen_dups = verdicts.filter(
+        (F.col("doc_id") > N_DOCS) & (F.col("doc_id") < N_DOCS + 8192) & F.col("is_dup")
+    ).count()
+    small_dups = verdicts.filter(
+        (F.col("doc_id") > N_DOCS + 10_000) & F.col("is_dup")
+    ).count()
+    print(
+        f"  verdicts={n_total} dups={n_dups} degen_block_dups={degen_dups} "
+        f"(expect 8191) small_block_dups={small_dups} (expect 99) [{t_v:.1f}s]"
+    )
+    assert degen_dups == 8191, "identical block not fully collapsed"
+    assert small_dups == 99, "small block not fully collapsed"
+    verdicts.unpersist()
 
 # ----------------------------------------------------------- 2. entity
 print("== entity max_block_key probe: sf0.1 dirty records + 1500 shared-phone")

@@ -42,6 +42,56 @@ def test_unpartitioned_window_flagged(spark):
     assert "single-partition-exchange" not in _rules(bad)
 
 
+def test_partitioned_unordered_window_is_clean(spark):
+    """SUM(x) OVER (PARTITION BY g) prints only TWO bracket groups on the
+    Window plan line (Spark omits an empty order spec), which the old
+    group-count rule mis-flagged as unpartitioned — the round-11 fix
+    disambiguates via the sort-direction marker (ADVICE round 10)."""
+    df = spark.range(100).select(F.col("id"), (F.col("id") % 5).alias("g"))
+    part_only = df.withColumn("s", F.sum("id").over(Window.partitionBy("g")))
+    assert "unpartitioned-window" not in _rules(part_only)
+    # and the genuinely-unpartitioned two-group shape still flags
+    order_only = df.withColumn("r", F.rank().over(Window.orderBy("id")))
+    assert "unpartitioned-window" in _rules(order_only)
+
+
+def test_sibling_branch_filter_not_misattributed(spark, tmp_path):
+    """A join whose LEFT leg ends in a non-pushable Filter must not make
+    the linter blame the RIGHT leg's clean scan: the unpushed-filter
+    lookback walks tree ANCESTORS, not raw adjacent lines."""
+    left = spark.range(200).select(F.col("id").alias("k"), (F.col("id") * 2).alias("v"))
+    right = spark.range(200).select(F.col("id").alias("k"), (F.col("id") % 7).alias("w"))
+    lp, rp = str(tmp_path / "l.parquet"), str(tmp_path / "r.parquet")
+    left.write.parquet(lp)
+    right.write.parquet(rp)
+    l = spark.read.parquet(lp)
+    r = spark.read.parquet(rp)
+    # Non-deterministic predicate is never pushed down -> Filter sits on
+    # the left scan with PushedFilters: []; the right scan is filterless.
+    noisy = l.filter((F.rand(7) + F.col("v")) > -1.0)
+    joined = noisy.join(r, "k")
+    findings = [f for f in lint_plan(joined) if f["rule"] == "unpushed-filter"]
+    # exactly the left leg's finding — presence is correct (that Filter
+    # IS unpushed); the test pins that a clean right-leg-only plan stays
+    # clean below
+    assert len(findings) <= 1
+    # the walk must be ancestor-only: pin the regression shape directly
+    # (a sibling branch's Filter rendered on the raw line just above a
+    # pushdown-less scan — the old 3-line lookback mis-attributed it)
+    from csv_query_engine_spark.operators.lint import _ancestor_lines
+
+    lines = [
+        "*(3) Project",
+        "+- Join Inner",
+        "   :- Filter (rand() > 0.5)",
+        "   :  +- Scan A PushedFilters: [IsNotNull(k)]",
+        "   +- Scan B PushedFilters: []",
+    ]
+    ancestors = "".join(_ancestor_lines(lines, 4))
+    assert "Filter" not in ancestors  # sibling's Filter excluded
+    assert "Join" in ancestors
+
+
 def test_python_row_udf_flagged_arrow_clean(spark):
     from pyspark.sql.types import LongType
 

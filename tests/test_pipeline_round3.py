@@ -123,11 +123,18 @@ def test_registry_window_is_oracle_bearing(spark):
     window = names[:50]
     missing = [n for n in window if n not in oracles]
     assert not missing, f"non-oracle queries inside the driver window: {missing}"
-    # Round-10 rotations IN: the six round-9 headliners (round-9
-    # verdict #1) PLUS four round-10 headliners (second wave), each
-    # fully oracle-paired, driver-certified for the first time this
-    # round.
+    # Round-11 rotations IN: the seven round-10 headliners that had
+    # never been driver-certified (round-10 verdict #1), each fully
+    # oracle-paired.
     for new in (
+        "orders_customer_join_ivm",
+        "orders_fk_integrity_audit",
+        "events_user_skew_report",
+        "orders_global_row_numbers",
+        "orders_schema_drift_audit",
+        "orders_status_grouped_profile",
+        "dedup_minhash_lsh_pairs_rep",
+        # round-10-certified rows that stay for a second round
         "orders_customer_join_agg_ivm",
         "events_hll_session_overlap",
         "orders_table_profile",
@@ -149,7 +156,6 @@ def test_registry_window_is_oracle_bearing(spark):
         "docs_pmi_collocations",
         "embedding_hard_negatives",
         "docs_benchmark_decontamination",
-        "dedup_simhash_pairs",
         "media_video_dup_pairs",
         # multi-round-certified rows that stay
         "events_window_heavy_hitters",
@@ -157,10 +163,7 @@ def test_registry_window_is_oracle_bearing(spark):
         "graph_pagerank_directed_purchases",
         "dedup_semantic_pairs",
         "docs_quality_classifier_scores",
-        "docs_duplicate_span_removal",
         "dedup_containment_pairs",
-        "media_phash_dup_pairs",
-        "media_audio_dup_pairs",
     ):
         assert new in window, new
     # Long-standing window anchors stay certified.
@@ -173,15 +176,20 @@ def test_registry_window_is_oracle_bearing(spark):
         "json_props_extract",
         "array_funcs_embeddings",
         "asof_join_last_order_before_event",
-        "docs_sequence_packing",
-        "orders_quality_constraints",
-        "orders_zorder_layout_stats",
         "customer_order_gap_profile",
     ):
         assert kept in window, kept
     # Every rotated-out sibling's capability family keeps an in-window
-    # row (cumulative round-6..10 mappings; see the DRIVER_ORDER notes).
+    # row (cumulative round-6..11 mappings; see the DRIVER_ORDER notes).
     for out, kept in [
+        # round-11 rotations out (the seven slots for the round-10 set)
+        ("orders_quality_constraints", "orders_fk_integrity_audit"),
+        ("orders_zorder_layout_stats", "orders_global_row_numbers"),
+        ("docs_sequence_packing", "docs_shard_manifest"),
+        ("docs_duplicate_span_removal", "docs_benchmark_decontamination"),
+        ("dedup_simhash_pairs", "dedup_minhash_lsh_pairs_rep"),
+        ("media_phash_dup_pairs", "media_video_dup_pairs"),
+        ("media_audio_dup_pairs", "media_video_dup_pairs"),
         # round-10 rotations out (the six slots for the round-9 set)
         ("orders_equidepth_histogram", "orders_exact_quantiles_selection"),
         ("docs_token_typo_pairs", "customer_entity_resolution_pairs"),
@@ -223,7 +231,7 @@ def test_registry_window_is_oracle_bearing(spark):
         # round-8 sibling swaps
         ("events_conversion_attribution", "events_window_heavy_hitters"),
         ("scd2_snapshot_asof", "orders_customer_join_agg_ivm"),
-        ("docs_chunk_windows", "docs_sequence_packing"),
+        ("docs_chunk_windows", "docs_shard_manifest"),
         # late round-7 sibling swaps
         ("docs_quality_filter", "docs_quality_classifier_scores"),
         ("docs_split_assignment", "docs_dsir_selection"),

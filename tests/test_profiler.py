@@ -129,3 +129,30 @@ def test_table_profile_by_groups_and_split_shape(spark):
     # (equi join, not the 1-row broadcast) — and still no Python
     assert "BatchEvalPython" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_table_profile_odd_column_names(spark):
+    """Headers with dots / spaces / backticks (CSV ingests) must profile
+    correctly: internal aliases are positional and input refs are
+    backtick-quoted, so 'a.b' never parses as struct access (ADVICE
+    round 10)."""
+    from csv_query_engine_spark.profiler import table_profile, table_profile_by
+
+    df = spark.createDataFrame(
+        [(1, "x", 2.0, "g1"), (2, None, 4.0, "g1"), (3, "y", None, "g2")],
+        ["a.b", "c d", "e`f", "grp.key"],
+    )
+    rows = {r["column_name"]: r for r in table_profile(df).collect()}
+    assert set(rows) == {"a.b", "c d", "e`f", "grp.key"}
+    assert rows["a.b"]["n_nonnull"] == 3 and rows["a.b"]["max_num"] == 3.0
+    assert rows["c d"]["n_null"] == 1 and rows["c d"]["max_str"] == "y"
+    assert rows["e`f"]["n_nonnull"] == 2 and rows["e`f"]["min_num"] == 2.0
+    # grouped face: dotted GROUP key + odd profiled columns
+    by = table_profile_by(df, ["grp.key"]).collect()
+    assert {r["grp.key"] for r in by} == {"g1", "g2"}
+    g1 = {r["column_name"]: r for r in by if r["grp.key"] == "g1"}
+    assert g1["a.b"]["n_nonnull"] == 2 and g1["a.b"]["n_distinct"] == 2
+    assert g1["e`f"]["max_num"] == 4.0
+    # approx mode resolves the same refs
+    approx = {r["column_name"] for r in table_profile(df, exact_distinct=False).collect()}
+    assert approx == {"a.b", "c d", "e`f", "grp.key"}

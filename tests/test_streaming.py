@@ -1353,6 +1353,48 @@ def test_join_view_first_batch_pure_delete_is_noop(spark, tmp_path):
     assert read_join_view(spark, view_dir, schema).count() == 0
 
 
+def test_join_view_emptied_bucket_with_escaped_partition_value(spark, tmp_path):
+    """Emptied-bucket cleanup must match Spark's percent-ESCAPED
+    partition dir names (ADVICE round 10): a bucket value containing
+    ':' writes to ``_b=...%3A...``, so an f-string path built from the
+    raw value misses it and 'deleted' rows resurface on the next read.
+    The fix lists ``_b=*`` dirs and percent-decodes before matching."""
+    import os
+
+    from csv_query_engine_spark.streaming.events import (
+        read_join_view,
+        route_join_view_batch,
+    )
+
+    view_dir = str(tmp_path / "view")
+    dim = spark.createDataFrame([(10, "x")], "dk int, seg string")
+    schema = "fk int, dk int, hr string, v double, seg string, _b string"
+    fschema = "fk int, dk int, hr string, v double, change_type string"
+    bexpr = F.col("hr")
+    route_join_view_batch(
+        spark.createDataFrame(
+            [(1, 10, "2024-01-01 10:00", 1.0, "upsert"),
+             (2, 10, "2024-01-01 11:00", 2.0, "upsert")],
+            fschema,
+        ),
+        0, view_dir, dim, ["fk"], ["dk"], bucket_expr=bexpr,
+    )
+    # Spark escapes ':' in partition dir names
+    dirs = {d for d in os.listdir(view_dir) if d.startswith("_b=")}
+    assert any("%3A" in d for d in dirs), dirs
+    # delete the ONLY row of the 10:00 bucket -> bucket must vanish
+    route_join_view_batch(
+        spark.createDataFrame(
+            [(1, 10, "2024-01-01 10:00", 1.0, "delete")], fschema
+        ),
+        1, view_dir, dim, ["fk"], ["dk"], bucket_expr=bexpr,
+    )
+    rows = read_join_view(spark, view_dir, schema).collect()
+    assert [(r["fk"], r["v"]) for r in rows] == [(2, 2.0)]
+    dirs_after = {d for d in os.listdir(view_dir) if d.startswith("_b=")}
+    assert len(dirs_after) == 1 and "11" in next(iter(dirs_after)), dirs_after
+
+
 def test_join_view_bucket_columns_are_immutable_contract(spark, tmp_path):
     """The documented HARD contract: a delete whose bucket value
     differs from the stored row's cannot remove it (only touched
