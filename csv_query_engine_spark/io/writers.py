@@ -67,6 +67,26 @@ def write_jdbc(
     df.write.mode(mode).jdbc(url, table, properties=opts)
 
 
+def estimate_bytes_per_row(df: DataFrame, sample_rows: int = 2000) -> float:
+    """Compression-aware bytes/row estimate from a BOUNDED driver-side
+    sample (the snappy-parquet-serialized size of ``sample_rows`` rows)
+    — the sizing primitive behind :func:`write_size_targeted_parquet`
+    and the CoW join-view compaction (streaming/events.py).  Never
+    scans more than the sample; an empty input returns a safe default
+    (nothing will be written anyway)."""
+    import io as _io
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    sample = df.limit(sample_rows).toArrow()
+    if sample.num_rows == 0:
+        return 256.0
+    buf = _io.BytesIO()
+    pq.write_table(pa.table(sample), buf, compression="snappy")
+    return max(buf.tell() / sample.num_rows, 1.0)
+
+
 def write_size_targeted_parquet(
     df: DataFrame,
     path: str,
@@ -94,18 +114,7 @@ def write_size_targeted_parquet(
     estimate is a heuristic — parquet encodes columns, not rows, so
     real files land within ~2× of target; exactness is not the point,
     order-of-magnitude file sizing is."""
-    import io as _io
-
-    import pyarrow as pa
-    import pyarrow.parquet as pq
-
-    sample = df.limit(sample_rows).toArrow()
-    if sample.num_rows == 0:
-        bytes_per_row = 256.0  # empty input: any default works, nothing writes
-    else:
-        buf = _io.BytesIO()
-        pq.write_table(pa.table(sample), buf, compression="snappy")
-        bytes_per_row = max(buf.tell() / sample.num_rows, 1.0)
+    bytes_per_row = estimate_bytes_per_row(df, sample_rows)
     max_records = max(int(target_file_bytes / bytes_per_row), 1)
     writer = (
         df.write.mode(mode).option("maxRecordsPerFile", str(max_records))

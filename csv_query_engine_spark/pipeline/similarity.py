@@ -46,6 +46,23 @@ def cosine(u: Column, v: Column) -> Column:
     return F.when(denom > 0, dot(u, v) / denom).otherwise(F.lit(0.0))
 
 
+def _bounded_query_rows(queries: DataFrame, cols: list, max_queries: int) -> list:
+    """Collect the query table under an ENFORCED bound — the
+    bounded-side contract the quantize-then-rescore operators ship in
+    their UDF closures (Q ≪ N) made self-enforcing instead of a
+    docstring convention (the max_block_key / max_bucket / direct_limit
+    rule: guards raise, never silently truncate).  The probe costs one
+    ``limit(max+1)`` count, never a full count of an oversized side."""
+    probe = queries.limit(max_queries + 1).count()
+    if probe > max_queries:
+        raise ValueError(
+            f"query side exceeds max_queries={max_queries} (the closure-"
+            "shipped bounded side); raise max_queries deliberately or "
+            "swap the sides — the corpus belongs on the distributed side"
+        )
+    return queries.select(*cols).collect()
+
+
 def brute_force_topk(
     embeddings: DataFrame,
     queries: DataFrame,
@@ -481,6 +498,7 @@ def quantized_topk(
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
     rounding: int | None = None,
+    max_queries: int = 100_000,
 ) -> DataFrame:
     """Approximate top-k via symmetric int8 scalar quantization (the
     SQ8 memory/bandwidth scale path, FAISS-flat-SQ style) with exact
@@ -504,7 +522,7 @@ def quantized_topk(
     """
     import numpy as np
 
-    qrows = queries.select(F.col(query_id_col), F.col(vec_col)).collect()
+    qrows = _bounded_query_rows(queries, [F.col(query_id_col), F.col(vec_col)], max_queries)
     if not qrows:
         # np.stack([]) raises an opaque ValueError before any Spark work;
         # an empty query set has a well-defined answer — no matches.
@@ -650,6 +668,7 @@ def pq_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
+    max_queries: int = 100_000,
 ) -> DataFrame:
     """Approximate top-k via PRODUCT QUANTIZATION with asymmetric
     distance computation (Jégou, Douze & Schmid, PAMI 2011 — the
@@ -674,7 +693,7 @@ def pq_topk(
     oversample) — the planted-neighbor pytest pins it."""
     import numpy as np
 
-    qrows = queries.select(F.col(query_id_col), F.col(vec_col)).collect()
+    qrows = _bounded_query_rows(queries, [F.col(query_id_col), F.col(vec_col)], max_queries)
     if not qrows:
         spark = embeddings.sparkSession
         schema = T.StructType(

@@ -1110,6 +1110,27 @@ def _unescape_path_name(name: str) -> str:
     return "".join(out)
 
 
+def _delete_emptied_buckets(spark: SparkSession, view_dir: str, emptied: set) -> None:
+    """Remove bucket directories whose every row disappeared (dynamic
+    overwrite cannot rewrite a partition it emits zero rows for).
+    Matching is on the percent-DECODED value part of listed ``_b=*``
+    directory names, so whatever escaping Spark applied when writing is
+    matched exactly (ADVICE round 10 — never f-string the raw value
+    into a path).  Idempotent: deleting an absent path is a no-op."""
+    if not emptied:
+        return
+    jvm = spark._jvm
+    hconf = spark._jsc.hadoopConfiguration()
+    root = jvm.org.apache.hadoop.fs.Path(view_dir)
+    fs = root.getFileSystem(hconf)
+    for st in fs.listStatus(root):
+        name = st.getPath().getName()
+        if not (st.isDirectory() and name.startswith("_b=")):
+            continue
+        if _unescape_path_name(name[3:]) in emptied:
+            fs.delete(st.getPath(), True)
+
+
 def route_join_view_batch(
     batch_df,
     batch_id: int,
@@ -1120,6 +1141,7 @@ def route_join_view_batch(
     n_buckets: int = 64,
     change_col: str = "change_type",
     bucket_expr=None,
+    target_file_bytes: int | None = None,
 ):
     """One micro-batch of streaming JOIN-view maintenance — the
     streaming face of operators/merge.py::refresh_join_view, stored as
@@ -1144,8 +1166,9 @@ def route_join_view_batch(
     store row-identical whether the first write landed or not (the
     second anti-join just deletes the rows the first one inserted and
     reinserts the same values).  The dim must be stable across a
-    replay (static-dim contract; dim changes go through
-    refresh_join_view_dim in a batch job).
+    replay of THIS batch; slowly-changing dims stream their own deltas
+    through :func:`route_join_view_dim_batch` (round 11), serialized
+    with the fact batches by the caller.
 
     Scale: the anti join broadcasts the batch key set; the rewrite
     reads/writes only touched buckets (the copy-on-write amplification
@@ -1225,33 +1248,30 @@ def route_join_view_batch(
             StorageLevel.MEMORY_AND_DISK
         )
         try:
-            (
+            writer = (
                 out.write.mode("overwrite")
                 .option("partitionOverwriteMode", "dynamic")
-                .partitionBy("_b")
-                .parquet(view_dir)
             )
+            if target_file_bytes is not None:
+                # file-size hygiene per rewrite (round 11): derive
+                # maxRecordsPerFile from a bounded Arrow sample of the
+                # (already persisted) output — bounds oversized files
+                # with no extra shuffle; pair with compact_join_view
+                # for files-per-bucket hygiene on long streams.
+                from csv_query_engine_spark.io.writers import estimate_bytes_per_row
+
+                bpr = estimate_bytes_per_row(out)
+                writer = writer.option(
+                    "maxRecordsPerFile", str(max(int(target_file_bytes / bpr), 1))
+                )
+            writer.partitionBy("_b").parquet(view_dir)
             written = {
                 r["_bs"]
                 for r in out.select(F.col("_b").cast("string").alias("_bs"))
                 .distinct()
                 .collect()
             }
-            emptied = touched_strs - written
-            if emptied:
-                # Resolve emptied partitions by LISTING _b=* dirs and
-                # percent-DECODING their value part, so whatever escaping
-                # Spark applied when writing is matched exactly.
-                jvm = spark._jvm
-                hconf = spark._jsc.hadoopConfiguration()
-                root = jvm.org.apache.hadoop.fs.Path(view_dir)
-                fs = root.getFileSystem(hconf)
-                for st in fs.listStatus(root):
-                    name = st.getPath().getName()
-                    if not (st.isDirectory() and name.startswith("_b=")):
-                        continue
-                    if _unescape_path_name(name[3:]) in emptied:
-                        fs.delete(st.getPath(), True)
+            _delete_emptied_buckets(spark, view_dir, touched_strs - written)
         finally:
             out.unpersist()
     finally:
@@ -1289,6 +1309,114 @@ def join_view_stream(
     )
 
 
+def route_join_view_dim_batch(
+    batch_df,
+    batch_id: int,
+    view_dir: str,
+    join_keys: list[str],
+    update_cols: list[str],
+    schema: str,
+    change_col: str = "change_type",
+) -> None:
+    """One micro-batch of DIM-side join-view maintenance — the
+    streaming face of operators/merge.py::refresh_join_view_dim,
+    closing the static-dim gap: slowly-changing dimension deltas
+    (attribute updates, key deletes) apply to the bucket store without
+    ever touching the fact stream or re-running the base join.
+
+    Plan: the delta keys broadcast against the view to find TOUCHED
+    buckets (left-semi on ``join_keys``); only those buckets are read
+    back, column-overwritten / retracted by ``refresh_join_view_dim``'s
+    broadcast plan, and rewritten with dynamic partition overwrite.
+    Buckets a delete emptied reuse the emptied-directory path.
+
+    Write amplification is BY DESIGN the opposite of the fact route: a
+    fact delta is bucket-local (time-correlated ``bucket_expr``), but a
+    dim attribute touches every bucket holding that key's fact rows —
+    potentially all of them.  That is why dims are the SMALL side and
+    dim changes the rare stream; the contract (and why the bucket
+    column may never be dim-derived: ``bucket_expr`` is a function of
+    FACT columns only) is inherited from route_join_view_batch.
+
+    Replay contract: idempotent, not batch_id-keyed — an attribute
+    overwrite applied twice writes the same values; a delete applied
+    twice deletes nothing more.  A crash between bucket rewrites heals
+    on re-run: already-updated rows still match their key and simply
+    re-receive the same values.  Fact and dim batches for the same view
+    must be SERIALIZED by the caller (two writers racing dynamic
+    overwrite on one directory is the same undefined behavior every
+    lake format forbids); dim INSERTS are a fact-side event (an inner
+    view has no dangling fact rows to revive — the
+    refresh_join_view_dim split)."""
+    from pyspark.storagelevel import StorageLevel
+
+    from csv_query_engine_spark.operators.merge import refresh_join_view_dim
+
+    spark = batch_df.sparkSession
+    delta = batch_df.persist(StorageLevel.MEMORY_AND_DISK)
+    try:
+        view = read_join_view(spark, view_dir, schema)
+        keys = delta.select(*join_keys).distinct()
+        touched_rows = (
+            view.join(F.broadcast(keys), join_keys, "left_semi")
+            .select(F.col("_b"), F.col("_b").cast("string").alias("_bs"))
+            .distinct()
+            .collect()
+        )
+        if not touched_rows:
+            return
+        touched = [r["_b"] for r in touched_rows]
+        touched_strs = {r["_bs"] for r in touched_rows if r["_bs"] is not None}
+        sub = view.filter(F.col("_b").isin(touched))
+        out = refresh_join_view_dim(
+            sub, delta, join_keys, update_cols, change_col
+        ).persist(StorageLevel.MEMORY_AND_DISK)
+        try:
+            (
+                out.write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy("_b")
+                .parquet(view_dir)
+            )
+            written = {
+                r["_bs"]
+                for r in out.select(F.col("_b").cast("string").alias("_bs"))
+                .distinct()
+                .collect()
+            }
+            _delete_emptied_buckets(spark, view_dir, touched_strs - written)
+        finally:
+            out.unpersist()
+    finally:
+        delta.unpersist()
+
+
+def join_view_dim_stream(
+    dim_stream: DataFrame,
+    view_dir: str,
+    join_keys: list[str],
+    update_cols: list[str],
+    schema: str,
+    checkpoint: str,
+):
+    """Continuous dim-side maintenance: every dim-delta micro-batch
+    routes through :func:`route_join_view_dim_batch`.  Run it and the
+    fact-side :func:`join_view_stream` with ``availableNow``/triggered
+    hand-offs (or a single orchestrating stream) so their batches never
+    interleave on the store — the serialization contract above."""
+
+    def route(batch_df, batch_id):
+        route_join_view_dim_batch(
+            batch_df, batch_id, view_dir, join_keys, update_cols, schema,
+        )
+
+    return (
+        dim_stream.writeStream.foreachBatch(route)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("update")
+    )
+
+
 def read_join_view(spark: SparkSession, view_dir: str, schema: str) -> DataFrame:
     """The maintained view, with an EXPLICIT schema (the zero-row /
     emptied-store lesson: a view whose every bucket was deleted has no
@@ -1302,6 +1430,97 @@ def read_join_view(spark: SparkSession, view_dir: str, schema: str) -> DataFrame
         if "PATH_NOT_FOUND" in str(e) or "Path does not exist" in str(e):
             return spark.createDataFrame([], schema)
         raise
+
+
+def join_view_file_census(spark: SparkSession, view_dir: str) -> dict[str, tuple[str, int]]:
+    """Per-bucket data-file census of a CoW join view: decoded bucket
+    value -> (escaped directory name, file count).  Pure listing — no
+    data read; the input to :func:`compact_join_view`'s hot-bucket
+    selection and the test pin on bounded files-per-bucket."""
+    jvm = spark._jvm
+    hconf = spark._jsc.hadoopConfiguration()
+    root = jvm.org.apache.hadoop.fs.Path(view_dir)
+    fs = root.getFileSystem(hconf)
+    if not fs.exists(root):
+        return {}
+    out: dict[str, tuple[str, int]] = {}
+    for st in fs.listStatus(root):
+        name = st.getPath().getName()
+        if not (st.isDirectory() and name.startswith("_b=")):
+            continue
+        n = sum(
+            1
+            for f in fs.listStatus(st.getPath())
+            if f.isFile() and not f.getPath().getName().startswith(("_", "."))
+        )
+        out[_unescape_path_name(name[3:])] = (name, n)
+    return out
+
+
+def compact_join_view(
+    spark: SparkSession,
+    view_dir: str,
+    schema: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+    max_files_per_bucket: int = 4,
+) -> dict:
+    """File-hygiene maintenance for the CoW join view (round 11 — the
+    long-stream fragmentation story): buckets whose data-file count
+    exceeds ``max_files_per_bucket`` are rewritten bucket-local
+    (repartition on ``_b`` → one writer task per bucket) with
+    ``maxRecordsPerFile`` derived from a bounded Arrow sample (the
+    :func:`~csv_query_engine_spark.io.writers.write_size_targeted_parquet`
+    sizing), so a hot bucket ends at ⌈bucket_bytes/target⌉ files.
+
+    Only the HOT buckets are read (direct ``_b=...`` paths under a
+    basePath, never a full-view scan) and only they are rewritten
+    (dynamic partition overwrite).  The hot rows are localCheckpoint'd
+    before the write — that truncates the file lineage so Spark allows
+    overwriting the directories it just read, and the blocks are
+    released on exit (cache_scope).  Run it from the maintenance slot
+    of the stream (e.g. every N batches inside foreachBatch, or a
+    side job while the stream is quiesced) — the rewrite is the same
+    idempotent bucket replacement the batch route performs, so a crash
+    mid-compaction is healed by re-running it.
+
+    Returns the audit knobs (no-silent-caps rule):
+    ``{buckets_total, buckets_compacted, files_before, files_after,
+    bytes_per_row, max_records_per_file}``."""
+    from csv_query_engine_spark.io.writers import estimate_bytes_per_row
+    from csv_query_engine_spark.pipeline import cache_scope
+
+    census = join_view_file_census(spark, view_dir)
+    hot = {v: (name, n) for v, (name, n) in census.items() if n > max_files_per_bucket}
+    audit = {
+        "buckets_total": len(census),
+        "buckets_compacted": len(hot),
+        "files_before": sum(n for _, n in hot.values()),
+        "files_after": 0,
+        "bytes_per_row": 0.0,
+        "max_records_per_file": 0,
+    }
+    if not hot:
+        return audit
+    paths = [f"{view_dir}/{name}" for name, _ in hot.values()]
+    rows = spark.read.option("basePath", view_dir).schema(schema).parquet(*paths)
+    with cache_scope(spark):
+        part = rows.repartition("_b").localCheckpoint()
+        bpr = estimate_bytes_per_row(part)
+        max_records = max(int(target_file_bytes / bpr), 1)
+        (
+            part.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .option("maxRecordsPerFile", str(max_records))
+            .partitionBy("_b")
+            .parquet(view_dir)
+        )
+    after = join_view_file_census(spark, view_dir)
+    audit["files_after"] = sum(
+        n for v, (_, n) in after.items() if v in hot
+    )
+    audit["bytes_per_row"] = bpr
+    audit["max_records_per_file"] = max_records
+    return audit
 
 
 # ------------------------------------------------ streaming census drift

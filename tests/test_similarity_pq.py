@@ -93,3 +93,20 @@ def test_sq8_storage_roundtrip_smaller_and_recall_preserved(spark, tmp_path):
         (r["query_id"], r["cand_id"]) for r in brute_force_topk(recon, q, k=5).collect()
     }
     assert len(exact & approx) / len(exact) >= 0.9
+
+
+def test_bounded_query_side_guard_raises(spark):
+    """The closure-shipped query side's Q<<N contract is ENFORCED
+    (round 11): past max_queries both quantize-then-rescore entry
+    points raise with the knob named, and a deliberate raise admits
+    the same set (the max_block_key guard convention)."""
+    import pytest
+
+    from csv_query_engine_spark.pipeline.similarity import pq_topk, quantized_topk
+
+    e = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet").select("vec_id", "embedding")
+    q = e.limit(8).select(F.col("vec_id").alias("query_id"), "embedding")
+    for fn in (quantized_topk, pq_topk):
+        with pytest.raises(ValueError, match="max_queries"):
+            fn(e, q, k=3, max_queries=7)
+        assert fn(e, q, k=3, max_queries=8).count() > 0

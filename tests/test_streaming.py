@@ -1395,6 +1395,132 @@ def test_join_view_emptied_bucket_with_escaped_partition_value(spark, tmp_path):
     assert len(dirs_after) == 1 and "11" in next(iter(dirs_after)), dirs_after
 
 
+def test_join_view_dim_batch_stream_equals_batch_and_replays(spark, tmp_path):
+    """Dim-side streaming maintenance (round 11): attribute updates
+    overwrite the dim-owned columns across every touched bucket,
+    equal to the BATCH refresh_join_view_dim over the same view;
+    untouched buckets' files stay byte-untouched; a replayed dim batch
+    is a no-op (idempotent); a dim-key delete retracts its rows and
+    removes buckets it empties."""
+    import os
+
+    from csv_query_engine_spark.operators.merge import refresh_join_view_dim
+    from csv_query_engine_spark.streaming.events import (
+        read_join_view,
+        route_join_view_batch,
+        route_join_view_dim_batch,
+    )
+
+    view_dir = str(tmp_path / "view")
+    dim = spark.createDataFrame([(10, "x"), (20, "y")], "dk int, seg string")
+    schema = "fk int, dk int, mon string, v double, seg string, _b string"
+    fschema = "fk int, dk int, mon string, v double, change_type string"
+    dschema = "dk int, seg string, change_type string"
+    bexpr = F.col("mon")
+    # jan holds dk 10+20, feb holds ONLY dk 20
+    b0 = spark.createDataFrame(
+        [(1, 10, "2024-01", 1.0, "upsert"), (2, 20, "2024-01", 2.0, "upsert"),
+         (3, 20, "2024-02", 3.0, "upsert"), (4, 20, "2024-02", 4.0, "upsert")],
+        fschema,
+    )
+    route_join_view_batch(b0, 0, view_dir, dim, ["fk"], ["dk"], bucket_expr=bexpr)
+    feb = f"{view_dir}/_b=2024-02"
+    feb_files = {f: os.path.getmtime(os.path.join(feb, f)) for f in os.listdir(feb)}
+
+    # batch-equivalence oracle computed BEFORE mutating the store
+    pre = read_join_view(spark, view_dir, schema)
+    d1 = spark.createDataFrame([(10, "x2", "update")], dschema)
+    expected = {
+        tuple(r)
+        for r in refresh_join_view_dim(pre, d1, ["dk"], ["seg"]).collect()
+    }
+    route_join_view_dim_batch(d1, 1, view_dir, ["dk"], ["seg"], schema)
+    got = {tuple(r) for r in read_join_view(spark, view_dir, schema).collect()}
+    assert got == expected
+    assert {r["seg"] for r in read_join_view(spark, view_dir, schema)
+            .filter(F.col("dk") == 10).collect()} == {"x2"}
+    # dk=10 lives only in jan -> feb untouched on disk
+    feb_after = {f: os.path.getmtime(os.path.join(feb, f)) for f in os.listdir(feb)}
+    assert feb_after == feb_files
+    # replay: same dim batch again -> store identical
+    route_join_view_dim_batch(d1, 1, view_dir, ["dk"], ["seg"], schema)
+    assert {tuple(r) for r in read_join_view(spark, view_dir, schema).collect()} == got
+    # delete dk=20: feb bucket fully emptied -> directory removed
+    d2 = spark.createDataFrame([(20, "", "delete")], dschema)
+    route_join_view_dim_batch(d2, 2, view_dir, ["dk"], ["seg"], schema)
+    rows = read_join_view(spark, view_dir, schema).collect()
+    assert {(r["fk"], r["seg"]) for r in rows} == {(1, "x2")}
+    assert not os.path.isdir(feb)
+    # replayed delete: still a no-op
+    route_join_view_dim_batch(d2, 2, view_dir, ["dk"], ["seg"], schema)
+    assert {(r["fk"],) for r in read_join_view(spark, view_dir, schema).collect()} == {(1,)}
+
+
+def test_join_view_compaction_bounds_files_per_bucket(spark, tmp_path):
+    """Long-stream file hygiene (round 11): many micro-batches fragment
+    a hot bucket; compact_join_view rewrites ONLY the hot buckets
+    bucket-local and bounds files-per-bucket, with the audit knobs
+    returned and the view contents byte-identical."""
+    import os
+
+    from csv_query_engine_spark.streaming.events import (
+        compact_join_view,
+        join_view_file_census,
+        read_join_view,
+        route_join_view_batch,
+    )
+
+    view_dir = str(tmp_path / "view")
+    dim = spark.createDataFrame([(10, "x")], "dk int, seg string")
+    schema = "fk int, dk int, mon string, v double, seg string, _b string"
+    fschema = "fk int, dk int, mon string, v double, change_type string"
+    bexpr = F.col("mon")
+    # 6 batches, each upserting NEW keys into the same month bucket —
+    # every rewrite re-reads kept rows and appends, and the multi-task
+    # union fragments the bucket a little more each time
+    for b in range(6):
+        batch = spark.createDataFrame(
+            [(b * 10 + i, 10, "2024-01", float(b * 10 + i), "upsert") for i in range(5)],
+            fschema,
+        ).repartition(4)
+        route_join_view_batch(batch, b, view_dir, dim, ["fk"], ["dk"], bucket_expr=bexpr)
+    census = join_view_file_census(spark, view_dir)
+    assert set(census) == {"2024-01"}
+    name, n_before = census["2024-01"]
+    assert n_before > 1  # fragmented
+    before = {(r["fk"], r["v"]) for r in read_join_view(spark, view_dir, schema).collect()}
+    assert len(before) == 30
+    audit = compact_join_view(spark, view_dir, schema, max_files_per_bucket=1)
+    assert audit["buckets_compacted"] == 1
+    assert audit["files_before"] == n_before
+    assert audit["files_after"] == 1  # one bucket-local writer task
+    assert audit["max_records_per_file"] >= 30
+    after = {(r["fk"], r["v"]) for r in read_join_view(spark, view_dir, schema).collect()}
+    assert after == before
+    # idempotent / no-op second run: nothing left over the threshold
+    audit2 = compact_join_view(spark, view_dir, schema, max_files_per_bucket=1)
+    assert audit2["buckets_compacted"] == 0
+    # per-batch maxRecordsPerFile threading: a tiny target forces the
+    # next rewrite to roll multiple small files (size knob reaches the
+    # CoW write path)
+    batch = spark.createDataFrame(
+        [(100 + i, 10, "2024-01", float(i), "upsert") for i in range(8)], fschema
+    )
+    route_join_view_batch(
+        batch, 7, view_dir, dim, ["fk"], ["dk"], bucket_expr=bexpr, target_file_bytes=1
+    )
+    _, n_tiny = join_view_file_census(spark, view_dir)["2024-01"]
+    assert n_tiny >= 38  # maxRecordsPerFile=1 -> one file per row
+    rows = read_join_view(spark, view_dir, schema)
+    assert rows.count() == 38
+    # and compaction heals the fragmentation it caused
+    audit3 = compact_join_view(spark, view_dir, schema, max_files_per_bucket=4)
+    assert audit3["files_after"] == 1
+    assert {r["fk"] for r in read_join_view(spark, view_dir, schema).collect()} == (
+        {r0 for r0, _ in before} | {100 + i for i in range(8)}
+    )
+
+
 def test_join_view_bucket_columns_are_immutable_contract(spark, tmp_path):
     """The documented HARD contract: a delete whose bucket value
     differs from the stored row's cannot remove it (only touched
