@@ -107,6 +107,73 @@ def stratified_fixed_sample(
     return df.withColumn("sample_rank", rank).filter(F.col("sample_rank") <= k)
 
 
+def stratified_fixed_sample_threshold(
+    df: DataFrame,
+    stratum: str,
+    key: Column,
+    k: int,
+    salt: str = "strat-",
+    margin: float = 4.0,
+) -> DataFrame:
+    """The large-``k`` scale path :func:`stratified_fixed_sample`'s
+    docstring promises — SAME output (bit-identical selection and
+    ``sample_rank``), different plan: instead of ranking every row, a
+    hash-threshold PREFILTER bounds the window's input to ~margin·k
+    rows per stratum, so a k in the millions never moves k·partitions
+    rows through the rank.
+
+    Two passes: (1) per-stratum counts (one agg); (2) rows whose
+    uniform-from-md5 position falls under ``margin·k/n`` survive the
+    prefilter (strata with n ≤ margin·k skip it entirely), then the
+    exact (hash, key) rank runs among survivors only.  The selection
+    equals the full ranking's top-k iff no stratum lost a true top-k
+    row to the prefilter; that holds unless the k-th smallest of n
+    uniform hashes exceeds margin·k/n — P ≤ exp(−k·(margin−1)²/(2·margin))
+    (Chernoff), ~1e-7 per stratum at k=32, margin=4 — and the
+    GUARD enforces it: any oversized stratum with fewer than
+    min(k, n) survivors RAISES (raise ``margin``), never a silently
+    short sample (the no-silent-caps rule).
+
+    Scale: pass 1 is a count agg; pass 2's shuffle carries only
+    survivors (~margin·k per stratum).  The md5 idiom keeps the
+    selection re-derivable cross-engine, so the oracle twin is the
+    plain ROW_NUMBER form."""
+    hexs = F.md5(F.concat(F.lit(salt), key.cast("string")))
+    # uniform position in [0, 1) from the first 8 hex chars (the module
+    # idiom) — used ONLY for the prefilter; the exact rank below orders
+    # by the full digest so the selection matches stratified_fixed_sample
+    u = F.conv(F.substring(hexs, 1, 8), 16, 10).cast("double") / F.lit(4294967296.0)
+    counts = df.groupBy(stratum).agg(F.count(F.lit(1)).alias("_n"))
+    thr = F.least(F.lit(1.0), F.lit(float(margin) * k) / F.col("_n").cast("double"))
+    pre = (
+        df.join(counts, stratum)
+        .withColumn("_u", u)
+        .filter((F.col("_n") <= F.lit(int(margin * k))) | (F.col("_u") < thr))
+    )
+    ranked = pre.withColumn(
+        "sample_rank",
+        F.row_number().over(W.partitionBy(stratum).orderBy(hexs, key)),
+    )
+    # guard: an oversized stratum must retain min(k, n) rows — count the
+    # survivors once (bounded: ≤ margin·k per stratum) and raise on any
+    # shortfall instead of emitting a silently short sample
+    short = (
+        ranked.groupBy(stratum, "_n")
+        .agg(F.count(F.lit(1)).alias("_kept"))
+        .filter(F.col("_kept") < F.least(F.lit(k), F.col("_n")))
+        .limit(1)
+        .collect()
+    )
+    if short:
+        r = short[0]
+        raise ValueError(
+            f"stratified_fixed_sample_threshold: stratum {r[stratum]!r} kept "
+            f"{r['_kept']} of the min(k={k}, n={r['_n']}) required survivors — "
+            f"the hash prefilter undershot; raise margin (={margin})"
+        )
+    return ranked.filter(F.col("sample_rank") <= k).drop("_n", "_u")
+
+
 def token_budget_sample(
     df: DataFrame,
     stratum: str,

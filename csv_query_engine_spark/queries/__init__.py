@@ -288,6 +288,7 @@ DRIVER_ORDER: list[str] = [
     # Round-11 additions (oracle-verified locally at sf0.01+sf0.1;
     # outside the window until a future rotation):
     "dedup_minhash_survivors_rep",     # greedy bucket-min KEEP/DROP verdicts (linear verify volume)
+    "docs_stratified_sample_threshold",  # two-pass bounded-window reservoir (same twin as the window form)
     # Rows-only ops (no SQL-expressible oracle; pytest covers recall/
     # precision/planted-neighbor properties):
     "dedup_minhash_lsh_pairs",

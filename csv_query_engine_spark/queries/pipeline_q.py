@@ -21,7 +21,7 @@ from csv_query_engine_spark.pipeline import multimodal as mm
 from csv_query_engine_spark.pipeline import sampling as smp
 from csv_query_engine_spark.pipeline import similarity as sim
 from csv_query_engine_spark.pipeline import text as tx
-from csv_query_engine_spark.queries import register
+from csv_query_engine_spark.queries import REGISTRY, register
 
 # SQL fragments mirroring pipeline.text (kept adjacent so drift is visible).
 _SQL_NORM = "trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))"
@@ -1104,6 +1104,28 @@ def docs_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_tables(spark, sf_dir, ("documents",))["documents"]
     return (
         smp.stratified_fixed_sample(d, "lang", F.col("doc_id"), 25, salt="strat-")
+        .select("doc_id", "lang", "sample_rank")
+        .orderBy("lang", "sample_rank")
+    )
+
+
+@register(
+    "docs_stratified_sample_threshold",
+    REGISTRY["docs_stratified_sample"][1],  # SAME selection -> same twin
+)
+def docs_stratified_sample_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The large-k TWO-PASS plan of the per-stratum reservoir sample
+    (round 11; pipeline/sampling.py::stratified_fixed_sample_threshold):
+    per-stratum counts, a hash-threshold prefilter bounding the window
+    input to ~margin·k rows per stratum, exact (hash, key) rank among
+    survivors, and a shortfall guard that raises instead of emitting a
+    short sample.  Oracle-certified against the SAME ROW_NUMBER twin as
+    `docs_stratified_sample` (fetched from the registry so the two can
+    never drift) — the certification is precisely that the bounded-
+    window plan selects identical rows with identical ranks."""
+    d = load_tables(spark, sf_dir, ("documents",))["documents"]
+    return (
+        smp.stratified_fixed_sample_threshold(d, "lang", F.col("doc_id"), 25, salt="strat-")
         .select("doc_id", "lang", "sample_rank")
         .orderBy("lang", "sample_rank")
     )

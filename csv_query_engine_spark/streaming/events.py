@@ -1287,20 +1287,40 @@ def join_view_stream(
     checkpoint: str,
     n_buckets: int = 64,
     bucket_expr=None,
+    target_file_bytes: int | None = None,
+    compact_every: int | None = None,
+    compact_schema: str | None = None,
+    max_files_per_bucket: int = 8,
 ):
     """Continuously-maintained materialized JOIN view: every fact-delta
     micro-batch routes through :func:`route_join_view_batch`, so the
     parquet view tracks fact ⋈ dim under upserts and deletes without
     ever recomputing the base join.  Checkpoint offsets + the
     idempotent copy-on-write rewrite give effectively-once
-    maintenance; read the view back with
-    :func:`read_join_view`."""
+    maintenance; read the view back with :func:`read_join_view`.
+
+    File hygiene (round 11): ``target_file_bytes`` bounds per-rewrite
+    file sizes, and ``compact_every=N`` runs :func:`compact_join_view`
+    after every Nth batch from the SAME foreachBatch slot (so it never
+    races the rewrites — the serialization contract for free);
+    ``compact_schema`` (the read_join_view schema string, ``_b``
+    included) is required when compaction is on.  A crash between the
+    rewrite and the compaction is safe: the replayed batch's rewrite is
+    idempotent and compaction is content-preserving whenever it runs."""
+    if compact_every is not None and not compact_schema:
+        raise ValueError("compact_every requires compact_schema")
 
     def route(batch_df, batch_id):
         route_join_view_batch(
             batch_df, batch_id, view_dir, dim, fact_pk, join_keys, n_buckets,
-            bucket_expr=bucket_expr,
+            bucket_expr=bucket_expr, target_file_bytes=target_file_bytes,
         )
+        if compact_every is not None and (batch_id + 1) % compact_every == 0:
+            compact_join_view(
+                batch_df.sparkSession, view_dir, compact_schema,
+                target_file_bytes=target_file_bytes or 128 * 1024 * 1024,
+                max_files_per_bucket=max_files_per_bucket,
+            )
 
     return (
         stream.writeStream.foreachBatch(route)

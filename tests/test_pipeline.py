@@ -516,6 +516,35 @@ def test_stratified_fixed_sample_exact_k_per_stratum(docs):
     assert sorted(ranks) == list(range(1, min(k, strata["en"]) + 1))
 
 
+def test_stratified_threshold_form_matches_window_form(spark, docs):
+    """The large-k two-pass threshold path (round 11) selects the SAME
+    rows with the SAME ranks as the full-ranking form, with the window
+    input bounded by the prefilter; an undershooting margin RAISES
+    instead of returning a short sample."""
+    import pytest
+
+    from csv_query_engine_spark.pipeline import sampling as smp
+
+    for k in (3, 7, 40):
+        win = {
+            (r["doc_id"], r["sample_rank"])
+            for r in smp.stratified_fixed_sample(docs, "lang", F.col("doc_id"), k).collect()
+        }
+        thr = {
+            (r["doc_id"], r["sample_rank"])
+            for r in smp.stratified_fixed_sample_threshold(
+                docs, "lang", F.col("doc_id"), k
+            ).collect()
+        }
+        assert thr == win, k
+    # deterministic undershoot on this fixture: margin 0.01 keeps ~k/100
+    # of the required survivors in the big strata
+    with pytest.raises(ValueError, match="raise margin"):
+        smp.stratified_fixed_sample_threshold(
+            docs, "lang", F.col("doc_id"), 50, margin=0.01
+        )
+
+
 def test_token_budget_sample_prefix_and_budget(spark):
     from csv_query_engine_spark.pipeline import sampling as smp
 

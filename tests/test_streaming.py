@@ -1255,6 +1255,50 @@ def test_join_view_live_stream(spark, tmp_path):
     assert got == {(2, 2.0, "y"), (3, 3.0, "y")}
 
 
+def test_join_view_live_stream_auto_compacts(spark, tmp_path):
+    """join_view_stream's maintenance slot (round 11): with
+    compact_every, the Nth batch's foreachBatch call compacts hot
+    buckets in the SAME serialized slot as the rewrites — files per
+    bucket stay bounded across a fragmenting availableNow pass and the
+    view contents are preserved."""
+    from csv_query_engine_spark.streaming.events import (
+        join_view_file_census,
+        join_view_stream,
+        read_join_view,
+    )
+
+    src = tmp_path / "src"
+    view_dir, ckpt = str(tmp_path / "view"), str(tmp_path / "ckpt")
+    dim = spark.createDataFrame([(10, "x")], "dk int, seg string")
+    schema = "fk int, dk int, mon string, v double, seg string, _b string"
+    fschema = "fk int, dk int, mon string, v double, change_type string"
+    # 4 source files -> 4 micro-batches (maxFilesPerTrigger=1), all into
+    # ONE month bucket; each batch's rows arrive 4-way repartitioned so
+    # every rewrite fragments the bucket
+    for b in range(4):
+        spark.createDataFrame(
+            [(b * 10 + i, 10, "2024-01", float(i), "upsert") for i in range(4)],
+            fschema,
+        ).repartition(4).write.mode("append").parquet(str(src / str(b)))
+    stream = (
+        spark.readStream.schema(fschema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src / "*"))
+    )
+    q = join_view_stream(
+        stream, view_dir, dim, ["fk"], ["dk"], ckpt,
+        bucket_expr=F.col("mon"),
+        compact_every=4, compact_schema=schema, max_files_per_bucket=1,
+    ).trigger(availableNow=True).start()
+    q.awaitTermination(180)
+    rows = read_join_view(spark, view_dir, schema)
+    assert rows.count() == 16
+    # the 4th batch's slot compacted: one file left in the hot bucket
+    census = join_view_file_census(spark, view_dir)
+    assert set(census) == {"2024-01"}
+    assert census["2024-01"][1] == 1, census
+
+
 def test_census_stream_and_drift_timeline(spark, tmp_path):
     """Streaming census monitor (round 10): per-batch table_profile
     snapshots batch_id-keyed; the drift reader pairs consecutive
