@@ -598,6 +598,51 @@ def minhash_dedup_survivors(
     )
 
 
+def survivor_clusters(verdicts: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Resolve :func:`minhash_dedup_survivors`'s greedy ``dup_of``
+    chains to their ROOT survivor — the cluster face of the linear
+    dedup family: every doc gets (id, cluster_root, is_dup) where
+    ``cluster_root`` is the surviving doc at the end of its pointer
+    chain (itself, for survivors).
+
+    ``dup_of`` is strictly decreasing (a bucket MIN over ids that
+    excludes the doc itself), so the verdict table is a FOREST: no
+    cycles, termination guaranteed.  Resolution is pointer JUMPING
+    (ptr ← ptr's ptr), which doubles resolved depth per round —
+    O(log max_chain_depth) rounds, each one shuffle keyed by the
+    pointer; state is localCheckpoint'd lazily every round with the
+    convergence aggregate as the materializing action (the
+    connected-components loop discipline — one job per round).  The
+    input verdicts are checkpointed FIRST so the loop never re-runs
+    the signature/verify pipeline that produced them."""
+    state = (
+        verdicts.select(
+            F.col(id_col).alias("id"),
+            F.when(F.col("is_dup").cast("boolean"), F.col("dup_of"))
+            .otherwise(F.col(id_col))
+            .cast("long")
+            .alias("ptr"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    prev = state.agg(F.sum("ptr")).collect()[0][0]
+    while True:
+        parents = state.select(F.col("id").alias("ptr"), F.col("ptr").alias("_p2"))
+        state = (
+            state.join(parents, "ptr")
+            .select("id", F.col("_p2").alias("ptr"))
+            .localCheckpoint(eager=False)
+        )
+        cur = state.agg(F.sum("ptr")).collect()[0][0]
+        if cur == prev:  # pointers strictly decrease until fixpoint
+            break
+        prev = cur
+    return verdicts.select(F.col(id_col), F.col("is_dup")).join(
+        state.select(F.col("id").alias(id_col), F.col("ptr").alias("cluster_root")),
+        id_col,
+    )
+
+
 # ------------------------------------------------- clustering / components
 
 

@@ -487,7 +487,10 @@ def dedup_minhash_lsh_pairs_rep(spark: SparkSession, sf_dir: str) -> DataFrame:
 # against its ≤16 bucket mins (estimate screen then exact Jaccard),
 # verdict = smallest verified candidate.  No bucket cap exists in this
 # pipeline (bucket state is a single MIN) — mirrored exactly Spark-side.
-_MINHASH_SURVIVORS_ORACLE = f"""{_MINHASH_REP_CTES},
+# Shared survivor-pipeline tail CTEs (bucket-min candidates -> greedy
+# verdicts); both the survivors twin and the recursive-CTE clusters
+# twin build on this one string so they cannot drift.
+_MINHASH_SURVIVOR_TAIL_CTES = f""",
     bmin AS (SELECT b, bkey, MIN(id) AS cand FROM bands GROUP BY b, bkey),
     cand AS (
         SELECT DISTINCT a.id AS id, m.cand AS cand
@@ -513,7 +516,9 @@ _MINHASH_SURVIVORS_ORACLE = f"""{_MINHASH_REP_CTES},
         JOIN hsets hb ON hb.id = s.cand
     ),
     hits AS (SELECT id, cand, j FROM vpos WHERE j >= 0.5),
-    dup AS (SELECT id, MIN(cand) AS dup_of FROM hits GROUP BY id)
+    dup AS (SELECT id, MIN(cand) AS dup_of FROM hits GROUP BY id)"""
+
+_MINHASH_SURVIVORS_ORACLE = f"""{_MINHASH_REP_CTES}{_MINHASH_SURVIVOR_TAIL_CTES}
     SELECT d.doc_id,
            CAST(CASE WHEN dup.dup_of IS NOT NULL THEN 1 ELSE 0 END AS INT) AS is_dup,
            CAST(COALESCE(dup.dup_of, -1) AS BIGINT) AS dup_of,
@@ -523,6 +528,58 @@ _MINHASH_SURVIVORS_ORACLE = f"""{_MINHASH_REP_CTES},
     LEFT JOIN hits v ON v.id = d.doc_id AND v.cand = dup.dup_of
     ORDER BY d.doc_id
     """
+
+
+# Greedy dup_of chains resolved to their root survivor with a RECURSIVE
+# CTE (dup_of is strictly decreasing -> a forest, so the recursion
+# terminates); the Spark side resolves the same chains by pointer
+# jumping.  `roots` keeps the chain element that is NOT itself a dup.
+_MINHASH_CLUSTERS_ORACLE = (
+    _MINHASH_REP_CTES.replace("WITH grams", "WITH RECURSIVE grams", 1)
+    + _MINHASH_SURVIVOR_TAIL_CTES
+    + """,
+    chase AS (
+        SELECT id, dup_of AS ptr FROM dup
+        UNION ALL
+        SELECT c.id, v.dup_of FROM chase c JOIN dup v ON v.id = c.ptr
+    ),
+    roots AS (
+        SELECT c.id, c.ptr AS root
+        FROM chase c
+        LEFT JOIN dup v ON v.id = c.ptr
+        WHERE v.id IS NULL
+    )
+    SELECT d.doc_id,
+           CAST(CASE WHEN r.root IS NOT NULL THEN 1 ELSE 0 END AS INT) AS is_dup,
+           CAST(COALESCE(r.root, d.doc_id) AS BIGINT) AS cluster_root
+    FROM documents d
+    LEFT JOIN roots r ON r.id = d.doc_id
+    ORDER BY d.doc_id
+    """
+)
+
+
+@register("dedup_minhash_survivor_clusters_rep", _MINHASH_CLUSTERS_ORACLE)
+def dedup_minhash_survivor_clusters_rep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The CLUSTER face of the linear dedup family (round 11):
+    :func:`~csv_query_engine_spark.pipeline.dedup.survivor_clusters`
+    resolves the greedy ``dup_of`` pointer forest to root survivors by
+    pointer jumping (O(log depth) rounds, localCheckpoint loop
+    discipline); the DuckDB twin follows the same chains with a
+    RECURSIVE CTE over the shared survivor-pipeline CTEs, so the whole
+    composition — signatures → banding → bucket-min verdicts → chain
+    resolution — is certified end to end."""
+    d = load_tables(spark, sf_dir, ("documents",))["documents"]
+    v = dd.minhash_dedup_survivors(d, threshold=0.5, hash_mode="md5")
+    return (
+        dd.survivor_clusters(v)
+        .select(
+            "doc_id",
+            F.col("is_dup").cast("int").alias("is_dup"),
+            F.col("cluster_root").cast("bigint").alias("cluster_root"),
+        )
+        .orderBy("doc_id")
+    )
 
 
 @register("dedup_minhash_survivors_rep", _MINHASH_SURVIVORS_ORACLE)

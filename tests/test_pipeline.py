@@ -255,6 +255,34 @@ def test_minhash_dedup_survivors_mass_identical_no_cap(spark):
                for i in range(1, 1000))
 
 
+def test_survivor_clusters_resolves_pointer_chains(spark, docs):
+    """Pointer-jumping root resolution (round 11): greedy dup_of chains
+    (C dups B, B dups A) resolve to the ROOT survivor in O(log depth)
+    rounds; survivors point to themselves."""
+    verdicts = spark.createDataFrame(
+        [
+            (1, False, -1, -1.0),
+            (2, False, -1, -1.0),
+            (3, True, 1, 0.9),
+            (4, True, 1, 0.8),
+            (5, True, 3, 0.7),   # chain: 5 -> 3 -> 1
+            (9, True, 5, 0.6),   # deeper: 9 -> 5 -> 3 -> 1
+        ],
+        "doc_id long, is_dup boolean, dup_of long, dup_jaccard double",
+    )
+    got = {r["doc_id"]: (r["is_dup"], r["cluster_root"])
+           for r in dd.survivor_clusters(verdicts).collect()}
+    assert got == {1: (False, 1), 2: (False, 2), 3: (True, 1),
+                   4: (True, 1), 5: (True, 1), 9: (True, 1)}
+    # integration: mass-identical docs cluster to the block-min root
+    rows = [(i, "the same exact document text repeated everywhere") for i in range(50)]
+    v = dd.minhash_dedup_survivors(
+        spark.createDataFrame(rows, "doc_id long, text string"), threshold=0.5
+    )
+    roots = {r["doc_id"]: r["cluster_root"] for r in dd.survivor_clusters(v).collect()}
+    assert roots == {i: 0 for i in range(50)}
+
+
 def test_embedding_near_dup_pairs_banded(spark, emb):
     """Planted near-identical vectors must surface as verified pairs;
     banding blocks candidates, exact cosine guarantees precision."""
