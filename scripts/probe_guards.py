@@ -197,6 +197,18 @@ with cache_scope(spark):
     )
     assert degen_dups == 8191, "identical block not fully collapsed"
     assert small_dups == 99, "small block not fully collapsed"
+    # cluster face at the same tier: pointer-jumping root resolution
+    t0 = time.time()
+    clusters = dd.survivor_clusters(verdicts)
+    n_roots = clusters.filter(~F.col("is_dup")).count()
+    degen_roots = clusters.filter(
+        (F.col("doc_id") >= N_DOCS) & (F.col("doc_id") < N_DOCS + 8192)
+    ).select("cluster_root").distinct().collect()
+    print(
+        f"  clusters: survivors={n_roots} degen_block_roots={[r[0] for r in degen_roots]} "
+        f"(expect [{N_DOCS}]) [{time.time() - t0:.1f}s]"
+    )
+    assert [r[0] for r in degen_roots] == [N_DOCS]
     verdicts.unpersist()
 
 # ----------------------------------------------------------- 2. entity
