@@ -1337,6 +1337,7 @@ def route_join_view_dim_batch(
     update_cols: list[str],
     schema: str,
     change_col: str = "change_type",
+    target_file_bytes: int | None = None,
 ) -> None:
     """One micro-batch of DIM-side join-view maintenance — the
     streaming face of operators/merge.py::refresh_join_view_dim,
@@ -1392,12 +1393,19 @@ def route_join_view_dim_batch(
             sub, delta, join_keys, update_cols, change_col
         ).persist(StorageLevel.MEMORY_AND_DISK)
         try:
-            (
+            writer = (
                 out.write.mode("overwrite")
                 .option("partitionOverwriteMode", "dynamic")
-                .partitionBy("_b")
-                .parquet(view_dir)
             )
+            if target_file_bytes is not None:
+                # same per-rewrite sizing as the fact route
+                from csv_query_engine_spark.io.writers import estimate_bytes_per_row
+
+                bpr = estimate_bytes_per_row(out)
+                writer = writer.option(
+                    "maxRecordsPerFile", str(max(int(target_file_bytes / bpr), 1))
+                )
+            writer.partitionBy("_b").parquet(view_dir)
             written = {
                 r["_bs"]
                 for r in out.select(F.col("_b").cast("string").alias("_bs"))

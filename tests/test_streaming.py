@@ -1498,6 +1498,25 @@ def test_join_view_dim_batch_stream_equals_batch_and_replays(spark, tmp_path):
     # replayed delete: still a no-op
     route_join_view_dim_batch(d2, 2, view_dir, ["dk"], ["seg"], schema)
     assert {(r["fk"],) for r in read_join_view(spark, view_dir, schema).collect()} == {(1,)}
+    # dim-route file sizing: a tiny target rolls one file per row on the
+    # rewritten bucket (the fact route's knob, threaded symmetrically)
+    import os as _os
+
+    route_join_view_batch(
+        spark.createDataFrame(
+            [(6, 10, "2024-01", 6.0, "upsert"), (7, 10, "2024-01", 7.0, "upsert")],
+            fschema,
+        ),
+        3, view_dir, dim, ["fk"], ["dk"], bucket_expr=bexpr,
+    )
+    route_join_view_dim_batch(
+        spark.createDataFrame([(10, "x3", "update")], dschema),
+        4, view_dir, ["dk"], ["seg"], schema, target_file_bytes=1,
+    )
+    jan = f"{view_dir}/_b=2024-01"
+    n_files = sum(1 for f in _os.listdir(jan) if not f.startswith(("_", ".")))
+    assert n_files >= 3  # one file per row under the tiny target
+    assert {r["seg"] for r in read_join_view(spark, view_dir, schema).collect()} == {"x3"}
 
 
 def test_join_view_compaction_bounds_files_per_bucket(spark, tmp_path):
