@@ -284,3 +284,40 @@ def test_scd2_current_rows_match_latest_wins_model(spark, changes):
         if len(winners) == 1:
             assert cur[k] == f"a{next(iter(winners))}", (k, lst, cur)
     assert out.filter(F.col("is_current")).groupBy("k").count().filter("count > 1").count() == 0
+
+
+@given(
+    parents=st.lists(st.integers(min_value=0, max_value=30), min_size=1, max_size=24),
+)
+@settings(max_examples=10, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_survivor_clusters_roots_match_python_oracle(spark, parents):
+    """Pointer-jumping chain resolution equals a driver-side walk on
+    RANDOM dup forests (round 11): node i+1 optionally points to any
+    smaller node (the strictly-decreasing dup_of contract), so chains
+    of arbitrary depth/shape appear; every root must match and every
+    survivor roots at itself."""
+    from csv_query_engine_spark.pipeline.dedup import survivor_clusters
+
+    # node 0 is always a survivor; node i (1-based) points to parents[i-1]
+    # clamped below i, or survives when the clamp hits itself
+    rows, ptr = [(0, False, -1, -1.0)], {0: 0}
+    for i, p in enumerate(parents, start=1):
+        dup_of = min(p, i - 1) if p < i else -1
+        if dup_of >= 0:
+            rows.append((i, True, dup_of, 0.9))
+            ptr[i] = dup_of
+        else:
+            rows.append((i, False, -1, -1.0))
+            ptr[i] = i
+
+    def root(i):
+        while ptr[i] != i:
+            i = ptr[i]
+        return i
+
+    want = {i: root(i) for i in ptr}
+    v = spark.createDataFrame(
+        rows, "doc_id long, is_dup boolean, dup_of long, dup_jaccard double"
+    )
+    got = {r["doc_id"]: r["cluster_root"] for r in survivor_clusters(v).collect()}
+    assert got == want
