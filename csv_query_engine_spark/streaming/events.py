@@ -1224,7 +1224,14 @@ def route_join_view_batch(
         # raw Python value (ADVICE round 10: a bucket_expr value with
         # ':' or ' ' built a path that missed the real escaped dir and
         # the "deleted" rows resurfaced on the next read).
-        touched_strs = {r["_bs"] for r in touched_rows if r["_bs"] is not None}
+        if any(r["_bs"] is None for r in touched_rows):
+            raise ValueError(
+                "join view: bucket expression produced NULL for some rows — "
+                "a NULL bucket writes __HIVE_DEFAULT_PARTITION__ and breaks "
+                "the emptied-bucket cleanup; make bucket_expr total over the "
+                "fact columns (COALESCE a sentinel)"
+            )
+        touched_strs = {r["_bs"] for r in touched_rows}
         if not touched:
             return
         upserts = delta.filter(F.col(change_col) != "delete").drop(change_col)
@@ -1387,7 +1394,14 @@ def route_join_view_dim_batch(
         if not touched_rows:
             return
         touched = [r["_b"] for r in touched_rows]
-        touched_strs = {r["_bs"] for r in touched_rows if r["_bs"] is not None}
+        if any(r["_bs"] is None for r in touched_rows):
+            raise ValueError(
+                "join view: bucket expression produced NULL for some rows — "
+                "a NULL bucket writes __HIVE_DEFAULT_PARTITION__ and breaks "
+                "the emptied-bucket cleanup; make bucket_expr total over the "
+                "fact columns (COALESCE a sentinel)"
+            )
+        touched_strs = {r["_bs"] for r in touched_rows}
         sub = view.filter(F.col("_b").isin(touched))
         out = refresh_join_view_dim(
             sub, delta, join_keys, update_cols, change_col

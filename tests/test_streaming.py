@@ -1584,6 +1584,27 @@ def test_join_view_compaction_bounds_files_per_bucket(spark, tmp_path):
     )
 
 
+def test_join_view_null_bucket_value_raises(spark, tmp_path):
+    """A bucket_expr that yields NULL must RAISE (round 11): a NULL
+    bucket writes __HIVE_DEFAULT_PARTITION__, which the string-matched
+    emptied-bucket cleanup can never target — totality is enforced,
+    never silently mis-stored."""
+    import pytest
+
+    from csv_query_engine_spark.streaming.events import route_join_view_batch
+
+    view_dir = str(tmp_path / "view")
+    dim = spark.createDataFrame([(10, "x")], "dk int, seg string")
+    b0 = spark.createDataFrame(
+        [(1, 10, None, 1.0, "upsert")],
+        "fk int, dk int, mon string, v double, change_type string",
+    )
+    with pytest.raises(ValueError, match="NULL"):
+        route_join_view_batch(
+            b0, 0, view_dir, dim, ["fk"], ["dk"], bucket_expr=F.col("mon")
+        )
+
+
 def test_join_view_bucket_columns_are_immutable_contract(spark, tmp_path):
     """The documented HARD contract: a delete whose bucket value
     differs from the stored row's cannot remove it (only touched
