@@ -110,6 +110,65 @@ def brute_force_topk(
     )
 
 
+def semantic_contamination(
+    corpus: DataFrame,
+    bench: DataFrame,
+    threshold: float = 0.9,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    bench_id_col: str = "vec_id",
+    rounding: int = 4,
+    max_bench: int = 100_000,
+) -> DataFrame:
+    """Embedding-level DECONTAMINATION screen (round 11) — the semantic
+    complement of the gram-based `benchmark decontamination`: per corpus
+    vector, the MAX cosine against the benchmark/eval set, with a
+    contamination verdict at ``threshold``.  Catches paraphrased or
+    re-tokenized eval leakage that exact n-gram overlap misses — the
+    screen modern training pipelines run next to the lexical one.
+
+    Scale: the benchmark set is the BOUNDED side (guarded by
+    ``max_bench`` — raises past it, the module convention) and ships as
+    a broadcast to a JVM-side zip_with/aggregate cosine against every
+    corpus partition — one pass over the corpus, no shuffle until the
+    per-vector max aggregation (map-side combined).  Scores round to
+    ``rounding`` dp BEFORE the argmax so float-order noise cannot flip
+    the matched id across engines; ties break to the smallest bench id.
+
+    Output: (id_col, contaminated 0/1, max_cosine, matched_bench_id) —
+    one row per corpus vector (sentinels never needed: a nonempty bench
+    set always yields a max)."""
+    probe = bench.limit(max_bench + 1).count()
+    if probe > max_bench:
+        raise ValueError(
+            f"bench side exceeds max_bench={max_bench} (the broadcast-"
+            "shipped bounded side); raise max_bench deliberately or use "
+            "the LSH/banded path for bench sets that are corpus-sized"
+        )
+    b = bench.select(
+        F.col(bench_id_col).alias("bench_id"), F.col(vec_col).alias("b_vec")
+    )
+    c = _spread(corpus).select(F.col(id_col), F.col(vec_col).alias("c_vec"))
+    score = F.round(cosine(F.col("c_vec"), F.col("b_vec")), rounding)
+    best = (
+        c.crossJoin(F.broadcast(b))
+        .select(
+            id_col,
+            F.struct(
+                score.alias("cos"), (-F.col("bench_id")).cast("long").alias("nbid")
+            ).alias("s"),
+        )
+        .groupBy(id_col)
+        .agg(F.max("s").alias("m"))
+    )
+    return best.select(
+        F.col(id_col),
+        (F.col("m.cos") >= F.lit(float(threshold))).cast("int").alias("contaminated"),
+        F.col("m.cos").alias("max_cosine"),
+        (-F.col("m.nbid")).cast("bigint").alias("matched_bench_id"),
+    )
+
+
 def _hyperplanes(n_planes: int, dim: int) -> list[list[float]]:
     """Deterministic pseudo-random unit hyperplanes: components derived
     from md5 of (plane, coordinate) — reproducible across runs/processes

@@ -290,6 +290,7 @@ DRIVER_ORDER: list[str] = [
     "dedup_minhash_survivors_rep",     # greedy bucket-min KEEP/DROP verdicts (linear verify volume)
     "docs_stratified_sample_threshold",  # two-pass bounded-window reservoir (same twin as the window form)
     "dedup_minhash_survivor_clusters_rep",  # dup_of pointer forest -> root survivors (recursive-CTE twin)
+    "embedding_semantic_contamination",  # eval-set leakage screen in embedding space (quadratic twin)
     # Rows-only ops (no SQL-expressible oracle; pytest covers recall/
     # precision/planted-neighbor properties):
     "dedup_minhash_lsh_pairs",

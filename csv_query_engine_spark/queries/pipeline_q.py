@@ -737,6 +737,51 @@ def _sql_brute_cosine_topk(exclude_same_label: bool) -> str:
     """
 
 
+_COS_E = """CASE WHEN sqrt(list_dot_product(b.b_vec, b.b_vec))
+                      * sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[]))) > 0
+                 THEN list_dot_product(b.b_vec, CAST(e.embedding AS DOUBLE[]))
+                      / (sqrt(list_dot_product(b.b_vec, b.b_vec))
+                         * sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[]))))
+                 ELSE 0.0 END"""
+
+_SEMANTIC_CONTAM_ORACLE = f"""
+    WITH b AS (SELECT vec_id AS bench_id, CAST(embedding AS DOUBLE[]) AS b_vec
+               FROM embeddings WHERE vec_id % 37 = 0),
+         scored AS (
+           SELECT e.vec_id, b.bench_id, ROUND({_COS_E}, 4) AS cos
+           FROM embeddings e CROSS JOIN b
+         ),
+         best AS (SELECT vec_id, MAX(cos) AS max_cosine FROM scored GROUP BY vec_id),
+         m AS (
+           SELECT s.vec_id, MIN(s.bench_id) AS matched_bench_id
+           FROM scored s JOIN best USING (vec_id)
+           WHERE s.cos = best.max_cosine
+           GROUP BY s.vec_id
+         )
+    SELECT best.vec_id,
+           CAST(CASE WHEN best.max_cosine >= 0.9 THEN 1 ELSE 0 END AS INT) AS contaminated,
+           best.max_cosine,
+           CAST(m.matched_bench_id AS BIGINT) AS matched_bench_id
+    FROM best JOIN m USING (vec_id)
+    ORDER BY best.vec_id
+    """
+
+
+@register("embedding_semantic_contamination", _SEMANTIC_CONTAM_ORACLE)
+def embedding_semantic_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-level decontamination screen (round 11) — the semantic
+    complement of gram-based `docs_benchmark_decontamination`: every
+    corpus vector's max cosine against the broadcast benchmark subset
+    (vec_id % 37), verdict at 0.9, deterministic matched id (rounded
+    scores, smallest-id tiebreak).  The oracle is the deliberately
+    QUADRATIC cross join (the media-twin precedent — never imitate that
+    shape Spark-side); the Spark plan is one corpus pass against a
+    broadcast plus a map-side-combined max."""
+    e = load_tables(spark, sf_dir, ("embeddings",))["embeddings"]
+    bench = e.filter(F.col("vec_id") % 37 == 0)
+    return sim.semantic_contamination(e, bench, threshold=0.9).orderBy("vec_id")
+
+
 @register("embedding_topk_bruteforce", _sql_brute_cosine_topk(False))
 def embedding_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact cosine top-5 for each query vector (vec_id % 100 == 0):

@@ -110,3 +110,38 @@ def test_bounded_query_side_guard_raises(spark):
         with pytest.raises(ValueError, match="max_queries"):
             fn(e, q, k=3, max_queries=7)
         assert fn(e, q, k=3, max_queries=8).count() > 0
+
+
+def test_semantic_contamination_verdicts_and_guard(spark):
+    """Embedding-level decontamination (round 11): planted bench members
+    score exactly 1.0 and are verdicted contaminated; a scaled copy of a
+    bench vector (cosine-invariant) is caught too; the bounded bench-side
+    guard raises past max_bench."""
+    import pytest
+
+    from csv_query_engine_spark.pipeline.similarity import semantic_contamination
+
+    e = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet").select("vec_id", "embedding")
+    bench = e.filter(F.col("vec_id") % 37 == 0)
+    # plant a scaled copy of a bench vector as a NEW corpus row
+    src = bench.limit(1).collect()[0]
+    copy = spark.createDataFrame(
+        [(9_000_000, [x * 3.0 for x in src["embedding"]])],
+        "vec_id long, embedding array<float>",
+    )
+    out = {
+        r["vec_id"]: r
+        for r in semantic_contamination(
+            e.unionByName(copy), bench, threshold=0.9
+        ).collect()
+    }
+    assert len(out) == e.count() + 1
+    for r in bench.collect():  # bench members ARE in the corpus: cos 1.0
+        v = out[r["vec_id"]]
+        assert v["contaminated"] == 1 and v["max_cosine"] == 1.0
+        assert v["matched_bench_id"] == r["vec_id"]
+    planted = out[9_000_000]
+    assert planted["contaminated"] == 1 and planted["max_cosine"] == 1.0
+    assert planted["matched_bench_id"] == src["vec_id"]
+    with pytest.raises(ValueError, match="max_bench"):
+        semantic_contamination(e, bench, max_bench=2)
