@@ -1593,6 +1593,72 @@ def route_census_batch(batch_df, batch_id: int, census_dir: str, cols=None):
     )
 
 
+_CONTAM_SCHEMA = (
+    "vec_id BIGINT, contaminated INT, max_cosine DOUBLE, "
+    "matched_bench_id BIGINT, batch_id BIGINT"
+)
+
+
+def route_contamination_batch(
+    batch_df, batch_id: int, verdict_dir: str, bench: DataFrame,
+    threshold: float = 0.9, id_col: str = "vec_id", vec_col: str = "embedding",
+):
+    """One micro-batch of the STREAMING semantic-decontamination screen:
+    the batch's embeddings score against the (static, bounded,
+    broadcast) benchmark set via
+    :func:`~csv_query_engine_spark.pipeline.similarity.semantic_contamination`
+    and the verdicts write batch_id-keyed with dynamic partition
+    overwrite — the ACCUMULATED-state replay idiom (a replayed batch
+    recomputes identical verdicts and rewrites its own partition
+    byte-identically; the bench set must be stable across a replay,
+    the stream-static contract)."""
+    from csv_query_engine_spark.pipeline.similarity import semantic_contamination
+
+    v = semantic_contamination(
+        batch_df, bench, threshold=threshold, id_col=id_col, vec_col=vec_col
+    )
+    (
+        v.withColumn("batch_id", F.lit(int(batch_id)))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("batch_id")
+        .parquet(verdict_dir)
+    )
+
+
+def contamination_stream(
+    stream: DataFrame, verdict_dir: str, bench: DataFrame, checkpoint: str,
+    threshold: float = 0.9, id_col: str = "vec_id", vec_col: str = "embedding",
+):
+    """Continuously-screened embedding stream: every micro-batch's
+    contamination verdicts land in the batch_id-keyed store; read the
+    accumulated verdicts back with :func:`read_contamination_verdicts`."""
+
+    def route(batch_df, batch_id):
+        route_contamination_batch(
+            batch_df, batch_id, verdict_dir, bench, threshold, id_col, vec_col
+        )
+
+    return (
+        stream.writeStream.foreachBatch(route)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("update")
+    )
+
+
+def read_contamination_verdicts(spark: SparkSession, verdict_dir: str) -> DataFrame:
+    """The accumulated verdict store, explicit schema (the zero-batch
+    directory lesson); only PATH_NOT_FOUND reads as empty."""
+    from pyspark.errors import AnalysisException
+
+    try:
+        return spark.read.schema(_CONTAM_SCHEMA).parquet(verdict_dir)
+    except AnalysisException as e:
+        if "PATH_NOT_FOUND" in str(e) or "Path does not exist" in str(e):
+            return spark.createDataFrame([], _CONTAM_SCHEMA)
+        raise
+
+
 def census_stream(stream: DataFrame, census_dir: str, checkpoint: str, cols=None):
     """Continuously-profiled stream: every micro-batch appends its
     census snapshot; :func:`read_census_drift` turns the store into a

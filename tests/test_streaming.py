@@ -1299,6 +1299,46 @@ def test_join_view_live_stream_auto_compacts(spark, tmp_path):
     assert census["2024-01"][1] == 1, census
 
 
+def test_contamination_stream_equals_batch_and_replays(spark, tmp_path):
+    """Streaming semantic-decontamination (round 11): per-batch verdicts
+    accumulated batch_id-keyed equal the one-shot batch screen over the
+    union, and a replayed batch rewrites its partition identically (the
+    accumulated-state idiom)."""
+    from csv_query_engine_spark.pipeline.similarity import semantic_contamination
+    from csv_query_engine_spark.streaming.events import (
+        read_contamination_verdicts,
+        route_contamination_batch,
+    )
+
+    e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    bench = e.filter(F.col("vec_id") % 37 == 0)
+    b0 = e.filter(F.col("vec_id") % 2 == 0)
+    b1 = e.filter(F.col("vec_id") % 2 == 1)
+    vdir = str(tmp_path / "verdicts")
+    route_contamination_batch(b0, 0, vdir, bench)
+    route_contamination_batch(b1, 1, vdir, bench)
+    got = {
+        r["vec_id"]: (r["contaminated"], r["max_cosine"], r["matched_bench_id"])
+        for r in read_contamination_verdicts(spark, vdir).collect()
+    }
+    want = {
+        r["vec_id"]: (r["contaminated"], r["max_cosine"], r["matched_bench_id"])
+        for r in semantic_contamination(e, bench, threshold=0.9).collect()
+    }
+    assert got == want
+    # replay batch 1: store unchanged
+    route_contamination_batch(b1, 1, vdir, bench)
+    again = {
+        r["vec_id"]: (r["contaminated"], r["max_cosine"], r["matched_bench_id"])
+        for r in read_contamination_verdicts(spark, vdir).collect()
+    }
+    assert again == want
+    # empty store reads empty, other paths raise
+    assert read_contamination_verdicts(spark, str(tmp_path / "nope")).count() == 0
+
+
 def test_census_stream_and_drift_timeline(spark, tmp_path):
     """Streaming census monitor (round 10): per-batch table_profile
     snapshots batch_id-keyed; the drift reader pairs consecutive
