@@ -376,6 +376,102 @@ def embedding_near_dup_pairs(
     )
 
 
+def semantic_contamination_banded(
+    corpus: DataFrame,
+    bench: DataFrame,
+    threshold: float = 0.9,
+    n_planes: int = 64,
+    n_bands: int = 4,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    bench_id_col: str = "vec_id",
+    rounding: int = 4,
+    max_bucket: int = 4096,
+) -> DataFrame:
+    """The CORPUS-SIZED-bench decontamination path the exact screen's
+    ``max_bench`` guard points at: banded hyperplane-signature blocking
+    (the :func:`embedding_near_dup_pairs` machinery) restricted to
+    CROSS (corpus × bench) candidates, exact cosine verification, one
+    verdict row per FLAGGED corpus vector — (id_col, max_cosine,
+    matched_bench_id), max over the verified candidates with the
+    smallest-id tiebreak on rounded scores.
+
+    Versus :func:`semantic_contamination`: neither side broadcasts or
+    collects — both sides shuffle once on (band, bucket) and candidates
+    are near-linear (cross-bucket products, noise ≈ bands·|C|·|B|/2^band_bits),
+    so a benchmark UNION (all eval sets together, millions of rows)
+    screens a 100 TB corpus without a bounded side.  Recall is the
+    banded-LSH trade (high near cosine 1, decaying toward the
+    threshold — same curve as embedding_near_dup_pairs, recall-tested);
+    un-flagged corpus rows are ABSENT (no spine: at corpus scale the
+    flagged set is the useful, bounded output).  Oversized buckets on
+    EITHER side are dropped under ``max_bucket`` (degenerate clusters;
+    the no-silent-caps accounting is the per-side bucket censuses any
+    caller can re-run with the same band keys)."""
+    from pyspark.storagelevel import StorageLevel
+
+    band_bits = n_planes // n_bands
+    mask = (1 << band_bits) - 1
+    planes = _hyperplanes(n_planes, dim)
+
+    def _side(df, idc, out):
+        v = (
+            _spread(df)
+            .select(F.col(idc).alias(out), F.col(vec_col).alias(f"vec_{out}"))
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        )
+        s = v.select(out, signature_udf(planes)(F.col(f"vec_{out}")).alias("sig"))
+        b = s.select(
+            out,
+            F.explode(
+                F.array(*[
+                    F.struct(
+                        F.lit(k).alias("band"),
+                        F.shiftrightunsigned("sig", k * band_bits)
+                        .bitwiseAND(F.lit(mask))
+                        .alias("bucket"),
+                    )
+                    for k in range(n_bands)
+                ])
+            ).alias("be"),
+        ).select(out, F.col("be.band").alias("band"), F.col("be.bucket").alias("bucket"))
+        # drop degenerate buckets on this side (bounded aggregate state)
+        ok = (
+            b.groupBy("band", "bucket")
+            .agg(F.count(F.lit(1)).alias("_n"))
+            .filter(F.col("_n") <= max_bucket)
+            .select("band", "bucket")
+        )
+        return v, b.join(ok, ["band", "bucket"], "left_semi")
+
+    vc, bc = _side(corpus, id_col, "cid")
+    vb, bb = _side(bench, bench_id_col, "bid")
+    p = corpus.sparkSession.sparkContext.defaultParallelism
+    cand = (
+        bc.join(bb, ["band", "bucket"])
+        .select("cid", "bid")
+        .repartition(p, "cid", "bid")
+        .dropDuplicates()
+    )
+    score = F.round(cosine(F.col("vec_cid"), F.col("vec_bid")), rounding)
+    hits = (
+        cand.join(vc, "cid")
+        .join(vb, "bid")
+        .select("cid", "bid", score.alias("cos"))
+        .filter(F.col("cos") >= F.lit(float(threshold)))
+    )
+    return (
+        hits.groupBy("cid")
+        .agg(F.max(F.struct(F.col("cos"), (-F.col("bid")).cast("long").alias("nbid"))).alias("m"))
+        .select(
+            F.col("cid").alias(id_col),
+            F.col("m.cos").alias("max_cosine"),
+            (-F.col("m.nbid")).cast("bigint").alias("matched_bench_id"),
+        )
+    )
+
+
 # ------------------------------------------------------------------- IVF
 
 

@@ -294,6 +294,7 @@ DRIVER_ORDER: list[str] = [
     # Rows-only ops (no SQL-expressible oracle; pytest covers recall/
     # precision/planted-neighbor properties):
     "dedup_minhash_lsh_pairs",
+    "embedding_contamination_banded",  # cross-set banded screen (approximate recall)
     "embedding_lsh_topk",
     "embedding_near_dup_pairs",
     "embedding_ivf_topk",

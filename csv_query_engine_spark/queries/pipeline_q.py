@@ -820,6 +820,23 @@ def embedding_near_dup_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim.embedding_near_dup_pairs(e).orderBy("id_a", "id_b")
 
 
+@register("embedding_contamination_banded", None)
+def embedding_contamination_banded_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The corpus-sized-bench decontamination path (round 11): banded
+    hyperplane blocking restricted to cross (corpus × bench)
+    candidates, exact cosine verification — neither side broadcasts,
+    so a benchmark UNION in the millions screens a 100 TB corpus.
+    Approximate recall by construction (banded LSH) → rows-only;
+    precision-1.0 / planted-copy / recall-vs-exact properties pinned
+    in tests/test_similarity_pq.py.  The flagged rows on the harness
+    tables are the bench members themselves (cosine 1.0) plus any
+    verified near-bench vectors — compare `embedding_semantic_contamination`
+    (the exact, bounded-bench face, fully oracle-paired)."""
+    e = load_tables(spark, sf_dir, ("embeddings",))["embeddings"]
+    bench = e.filter(F.col("vec_id") % 37 == 0)
+    return sim.semantic_contamination_banded(e, bench, threshold=0.9).orderBy("vec_id")
+
+
 @register(
     "embedding_centroids_by_label",
     """

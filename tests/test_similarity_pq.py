@@ -145,3 +145,43 @@ def test_semantic_contamination_verdicts_and_guard(spark):
     assert planted["matched_bench_id"] == src["vec_id"]
     with pytest.raises(ValueError, match="max_bench"):
         semantic_contamination(e, bench, max_bench=2)
+
+
+def test_semantic_contamination_banded_recall_and_precision(spark):
+    """Banded cross-set decontamination (round 11): every flagged row is
+    a TRUE positive (matches the exact screen's verdict), planted
+    scaled bench copies (cosine ~1) are all caught, and recall vs the
+    exact screen stays high away from the threshold boundary."""
+    from csv_query_engine_spark.pipeline.similarity import (
+        semantic_contamination,
+        semantic_contamination_banded,
+    )
+
+    e = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet").select("vec_id", "embedding")
+    bench = e.filter(F.col("vec_id") % 37 == 0)
+    planted = bench.select(
+        (F.col("vec_id") + 9_000_000).alias("vec_id"),
+        F.transform(F.col("embedding"), lambda x: x * F.lit(2.0)).alias("embedding"),
+    )
+    corpus = e.unionByName(planted)
+    exact = {
+        r["vec_id"]: (r["max_cosine"], r["matched_bench_id"])
+        for r in semantic_contamination(corpus, bench, threshold=0.9).collect()
+        if r["contaminated"] == 1
+    }
+    banded = {
+        r["vec_id"]: (r["max_cosine"], r["matched_bench_id"])
+        for r in semantic_contamination_banded(corpus, bench, threshold=0.9).collect()
+    }
+    # precision 1.0: every banded verdict has an exact counterpart with
+    # cosine at-or-above it (banded max is over a candidate SUBSET)
+    for vid, (cos, _) in banded.items():
+        assert vid in exact and exact[vid][0] >= cos
+    # the cosine-1.0 rows (bench members in corpus + scaled plants) are
+    # near-identical in signature space: all caught
+    sure = {vid for vid, (cos, _) in exact.items() if cos == 1.0}
+    assert sure <= set(banded)
+    for vid in sure:
+        assert banded[vid] == exact[vid]
+    # overall recall against the exact screen
+    assert len(set(banded) & set(exact)) / len(exact) >= 0.8
