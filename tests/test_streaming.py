@@ -1477,6 +1477,27 @@ def test_join_view_emptied_bucket_with_escaped_partition_value(spark, tmp_path):
     assert [(r["fk"], r["v"]) for r in rows] == [(2, 2.0)]
     dirs_after = {d for d in os.listdir(view_dir) if d.startswith("_b=")}
     assert len(dirs_after) == 1 and "11" in next(iter(dirs_after)), dirs_after
+    # compaction must also resolve ESCAPED dir names: fragment the
+    # surviving ':'-valued bucket, then compact it back to one file
+    from csv_query_engine_spark.streaming.events import (
+        compact_join_view,
+        join_view_file_census,
+    )
+
+    for b in (2, 3):
+        route_join_view_batch(
+            spark.createDataFrame(
+                [(100 + b * 10 + i, 10, "2024-01-01 11:00", 1.0, "upsert") for i in range(3)],
+                fschema,
+            ).repartition(3),
+            b, view_dir, dim, ["fk"], ["dk"], bucket_expr=bexpr,
+        )
+    val = "2024-01-01 11:00"
+    assert join_view_file_census(spark, view_dir)[val][1] > 1
+    audit = compact_join_view(spark, view_dir, schema, max_files_per_bucket=1)
+    assert audit["buckets_compacted"] == 1 and audit["files_after"] == 1
+    assert join_view_file_census(spark, view_dir)[val][1] == 1
+    assert read_join_view(spark, view_dir, schema).count() == 7
 
 
 def test_join_view_dim_batch_stream_equals_batch_and_replays(spark, tmp_path):
