@@ -483,10 +483,17 @@ def minhash_dedup_funnel(
     finishes in-box (round-11 probe tier, scripts/probe_guards.py).
     At 100 TB the prepass is the cheapest stage in the funnel: one
     map-side md5 + one 16-byte-keyed aggregate, no text movement after
-    the map side."""
+    the map side.
+
+    ``base`` (the normalize+fingerprint scan) feeds BOTH the groups
+    aggregate and the reps semi-join, so it persists per the module's
+    multi-consumer discipline (ADVICE round 11).  Cache lifetime is
+    CALLER-OWNED — wrap in ``pipeline.cache_scope``."""
+    from pyspark.storagelevel import StorageLevel
+
     base = df.select(
         F.col(id_col), F.col(text_col), fingerprint(F.col(text_col)).alias("fingerprint")
-    )
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     groups = base.groupBy("fingerprint").agg(
         F.min(id_col).alias(id_col), F.count(F.lit(1)).alias("n_copies")
     )

@@ -137,7 +137,16 @@ def stratified_fixed_sample_threshold(
     Scale: pass 1 is a count agg; pass 2's shuffle carries only
     survivors (~margin·k per stratum).  The md5 idiom keeps the
     selection re-derivable cross-engine, so the oracle twin is the
-    plain ROW_NUMBER form."""
+    plain ROW_NUMBER form.
+
+    ``ranked`` persists before the shortfall-guard collect — the guard
+    is a materializing action over the full prefilter+window pipeline,
+    and without the persist the caller's execution re-ran it from
+    scratch, doubling the cost of the scale path (ADVICE round 11; the
+    exact_quantile_values persisted-descent pattern).  Cache lifetime
+    is CALLER-OWNED — wrap in ``pipeline.cache_scope``."""
+    from pyspark.storagelevel import StorageLevel
+
     hexs = F.md5(F.concat(F.lit(salt), key.cast("string")))
     # uniform position in [0, 1) from the first 8 hex chars (the module
     # idiom) — used ONLY for the prefilter; the exact rank below orders
@@ -153,7 +162,7 @@ def stratified_fixed_sample_threshold(
     ranked = pre.withColumn(
         "sample_rank",
         F.row_number().over(W.partitionBy(stratum).orderBy(hexs, key)),
-    )
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     # guard: an oversized stratum must retain min(k, n) rows — count the
     # survivors once (bounded: ≤ margin·k per stratum) and raise on any
     # shortfall instead of emitting a silently short sample

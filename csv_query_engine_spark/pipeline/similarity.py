@@ -46,6 +46,15 @@ def cosine(u: Column, v: Column) -> Column:
     return F.when(denom > 0, dot(u, v) / denom).otherwise(F.lit(0.0))
 
 
+def _floor_quantize(x: Column, digits: int) -> Column:
+    """Pure-IEEE half-up quantization FLOOR(x·10^d + 0.5)/10^d — the
+    CLAUDE.md rounding idiom for values that feed cross-engine verdicts
+    or argmax-equality tiebreaks (engine ROUND diverges: Spark rounds
+    the BigDecimal string repr, DuckDB the scaled double)."""
+    s = float(10**digits)
+    return F.floor(x * F.lit(s) + F.lit(0.5)) / F.lit(s)
+
+
 def _bounded_query_rows(queries: DataFrame, cols: list, max_queries: int) -> list:
     """Collect the query table under an ENFORCED bound — the
     bounded-side contract the quantize-then-rescore operators ship in
@@ -131,9 +140,22 @@ def semantic_contamination(
     ``max_bench`` — raises past it, the module convention) and ships as
     a broadcast to a JVM-side zip_with/aggregate cosine against every
     corpus partition — one pass over the corpus, no shuffle until the
-    per-vector max aggregation (map-side combined).  Scores round to
+    per-vector max aggregation (map-side combined).  Scores quantize to
     ``rounding`` dp BEFORE the argmax so float-order noise cannot flip
     the matched id across engines; ties break to the smallest bench id.
+    Quantization is the pinned pure-IEEE form FLOOR(cos·10^r + 0.5)/10^r
+    — NEVER engine ROUND: the quantized value feeds both the >=
+    threshold verdict and the argmax-equality tiebreak, and Spark/DuckDB
+    ROUND disagree systematically at boundaries (CLAUDE.md; the
+    pagerank precedent showed a flip can hide at two sweep tiers).
+
+    Bench sets past ~10⁵ rows belong on
+    :func:`semantic_contamination_banded` — decide BEFORE sizing
+    ``max_bench`` up: this screen pays |corpus|·|bench| cosine folds by
+    design (each corpus vector scores the full broadcast bench), so a
+    10⁶-row bench costs 10× the default's work per corpus vector, while
+    the banded path shuffles both sides once on (band, bucket) and
+    verifies only co-bucketed candidates.
 
     Output: (id_col, contaminated 0/1, max_cosine, matched_bench_id) —
     one row per corpus vector (sentinels never needed: a nonempty bench
@@ -149,7 +171,7 @@ def semantic_contamination(
         F.col(bench_id_col).alias("bench_id"), F.col(vec_col).alias("b_vec")
     )
     c = _spread(corpus).select(F.col(id_col), F.col(vec_col).alias("c_vec"))
-    score = F.round(cosine(F.col("c_vec"), F.col("b_vec")), rounding)
+    score = _floor_quantize(cosine(F.col("c_vec"), F.col("b_vec")), rounding)
     best = (
         c.crossJoin(F.broadcast(b))
         .select(
@@ -228,6 +250,67 @@ def signature_udf(planes: list[list[float]]):
         return _pd.Series(out)
 
     return sig
+
+
+def _quantized_planes(n_planes: int, dim: int, scale: int = 6) -> list[list[int]]:
+    """Scale-``scale`` fixed-point INTEGER hyperplanes: each float
+    component of :func:`_hyperplanes` quantized with the pure-IEEE
+    FLOOR(p·10^s + 0.5) — driver-side ints a DuckDB twin can emit as
+    literals, so every sign decision downstream is exact integer
+    arithmetic (the kmeans/semantic-dedup precedent applied to LSH
+    signatures — round-11 verdict #3)."""
+    import math as _math
+
+    return [
+        [int(_math.floor(p * float(10**scale) + 0.5)) for p in plane]
+        for plane in _hyperplanes(n_planes, dim)
+    ]
+
+
+def quantized_band_buckets_udf(planes_q: list[list[int]], n_bands: int):
+    """Arrow-batched band-bucket computation over QUANTIZED planes:
+    vector coordinates quantize to scale-6 longs (float64
+    floor(x·1e6+0.5) — bit-equal to the engine/DuckDB expression), the
+    plane dots are one exact int64 matmul per batch (|pq|≤1e6, |xq|
+    bounded by the coordinate range, 64 dims → |dot| ≪ 2⁶³), and each
+    band's bucket id packs that band's sign bits little-endian.
+    Returns array<int> of length n_bands — per-band bucket ids a SQL
+    twin reproduces with SUM(pq·xq)>=0 bits and bit-shifts, no
+    two's-complement assembly needed (buckets stay ≤ band_bits ≤ 16
+    bits, unlike the packed 64-bit signature)."""
+    import numpy as np
+
+    mat = np.asarray(planes_q, dtype=np.int64).T  # dim × n_planes
+    n_planes = mat.shape[1]
+    band_bits = n_planes // n_bands
+    w = (1 << np.arange(band_bits, dtype=np.int64))
+
+    @F.pandas_udf(T.ArrayType(T.IntegerType()))
+    def buckets(col):
+        import numpy as _np
+        import pandas as _pd
+
+        if len(col) == 0:
+            return _pd.Series([], dtype=object)
+        m = _np.stack([_np.asarray(v, dtype=_np.float64) for v in col])
+        q = _np.floor(m * 1e6 + 0.5).astype(_np.int64)
+        bits = (q @ mat) >= 0  # B × n_planes, exact int64 dots
+        out = _np.empty((len(col), n_bands), dtype=_np.int32)
+        for b in range(n_bands):
+            seg = bits[:, b * band_bits : (b + 1) * band_bits].astype(_np.int64)
+            out[:, b] = (seg * w).sum(axis=1).astype(_np.int32)
+        return _pd.Series([row.tolist() for row in out])
+
+    return buckets
+
+
+def _quantized_norm(vec: Column) -> Column:
+    """Σ q(x)² as an exact long over scale-6 quantized coordinates."""
+    return F.aggregate(
+        vec,
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + _km_quant(x) * _km_quant(x),
+    )
 
 
 def lsh_bucket_topk(
@@ -388,6 +471,7 @@ def semantic_contamination_banded(
     bench_id_col: str = "vec_id",
     rounding: int = 4,
     max_bucket: int = 4096,
+    quantized: bool = False,
 ) -> DataFrame:
     """The CORPUS-SIZED-bench decontamination path the exact screen's
     ``max_bench`` guard points at: banded hyperplane-signature blocking
@@ -408,34 +492,61 @@ def semantic_contamination_banded(
     flagged set is the useful, bounded output).  Oversized buckets on
     EITHER side are dropped under ``max_bucket`` (degenerate clusters;
     the no-silent-caps accounting is the per-side bucket censuses any
-    caller can re-run with the same band keys)."""
+    caller can re-run with the same band keys).
+
+    ``quantized=True`` makes the WHOLE pipeline reproducible (round-11
+    verdict #3, the `embedding_contamination_banded` oracle upgrade):
+    plane components and vector coordinates quantize to scale-6
+    integers (:func:`_quantized_planes`, the kmeans precedent), so
+    every sign decision is exact int64 arithmetic, band keys match a
+    DuckDB twin bit-for-bit, and the verify cosine is the
+    semantic-dedup integer form FLOOR(dotq/√(na·nb)·1e6+0.5)/1e6 —
+    :func:`sql_contamination_banded` emits the identical computation.
+    Float mode (default) keeps the cheaper float32 signature matmul
+    for production; the two modes differ only where a plane dot sits
+    within quantization distance of zero.
+
+    Both vector tables persist (each feeds its signature scan AND the
+    exact-verify join).  Cache lifetime is CALLER-OWNED — wrap the call
+    in ``pipeline.cache_scope(spark)`` to release the blocks on exit
+    (the library-wide convention; long-lived sessions and foreachBatch
+    reuse leak otherwise — round-11 verdict nit)."""
     from pyspark.storagelevel import StorageLevel
 
     band_bits = n_planes // n_bands
     mask = (1 << band_bits) - 1
     planes = _hyperplanes(n_planes, dim)
+    buckets_udf = (
+        quantized_band_buckets_udf(_quantized_planes(n_planes, dim), n_bands)
+        if quantized
+        else None
+    )
 
     def _side(df, idc, out):
-        v = (
-            _spread(df)
-            .select(F.col(idc).alias(out), F.col(vec_col).alias(f"vec_{out}"))
-            .persist(StorageLevel.MEMORY_AND_DISK)
-        )
-        s = v.select(out, signature_udf(planes)(F.col(f"vec_{out}")).alias("sig"))
-        b = s.select(
-            out,
-            F.explode(
-                F.array(*[
-                    F.struct(
-                        F.lit(k).alias("band"),
-                        F.shiftrightunsigned("sig", k * band_bits)
-                        .bitwiseAND(F.lit(mask))
-                        .alias("bucket"),
-                    )
-                    for k in range(n_bands)
-                ])
-            ).alias("be"),
-        ).select(out, F.col("be.band").alias("band"), F.col("be.bucket").alias("bucket"))
+        cols = [F.col(idc).alias(out), F.col(vec_col).alias(f"vec_{out}")]
+        if quantized:
+            cols.append(_quantized_norm(F.col(vec_col)).alias(f"nq_{out}"))
+        v = _spread(df).select(*cols).persist(StorageLevel.MEMORY_AND_DISK)
+        if quantized:
+            b = v.select(
+                out, F.posexplode(buckets_udf(F.col(f"vec_{out}"))).alias("band", "bucket")
+            )
+        else:
+            s = v.select(out, signature_udf(planes)(F.col(f"vec_{out}")).alias("sig"))
+            b = s.select(
+                out,
+                F.explode(
+                    F.array(*[
+                        F.struct(
+                            F.lit(k).alias("band"),
+                            F.shiftrightunsigned("sig", k * band_bits)
+                            .bitwiseAND(F.lit(mask))
+                            .alias("bucket"),
+                        )
+                        for k in range(n_bands)
+                    ])
+                ).alias("be"),
+            ).select(out, F.col("be.band").alias("band"), F.col("be.bucket").alias("bucket"))
         # drop degenerate buckets on this side (bounded aggregate state)
         ok = (
             b.groupBy("band", "bucket")
@@ -454,7 +565,21 @@ def semantic_contamination_banded(
         .repartition(p, "cid", "bid")
         .dropDuplicates()
     )
-    score = F.round(cosine(F.col("vec_cid"), F.col("vec_bid")), rounding)
+    if quantized:
+        dotq = F.aggregate(
+            F.zip_with(
+                F.col("vec_cid"), F.col("vec_bid"), lambda a, b: _km_quant(a) * _km_quant(b)
+            ),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        )
+        den = F.sqrt(F.col("nq_cid").cast("double") * F.col("nq_bid").cast("double"))
+        score = F.when(
+            (F.col("nq_cid") > 0) & (F.col("nq_bid") > 0),
+            F.floor(dotq.cast("double") / den * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6),
+        ).otherwise(F.lit(0.0))
+    else:
+        score = _floor_quantize(cosine(F.col("vec_cid"), F.col("vec_bid")), rounding)
     hits = (
         cand.join(vc, "cid")
         .join(vb, "bid")
@@ -470,6 +595,113 @@ def semantic_contamination_banded(
             (-F.col("m.nbid")).cast("bigint").alias("matched_bench_id"),
         )
     )
+
+
+def sql_contamination_banded(
+    threshold: float = 0.9,
+    n_planes: int = 64,
+    n_bands: int = 4,
+    dim: int = 64,
+    max_bucket: int = 4096,
+    corpus_table: str = "embeddings",
+    bench_table: str = "(SELECT * FROM embeddings WHERE vec_id % 37 = 0) bt",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> str:
+    """DuckDB twin of :func:`semantic_contamination_banded` with
+    ``quantized=True`` — replays the ENTIRE pipeline in exact integer
+    arithmetic: the scale-6 plane literals (:func:`_quantized_planes`,
+    emitted as VALUES rows), per-(id, plane) sign bits from integer
+    dots, per-band little-endian bucket packing, the per-SIDE
+    ``max_bucket`` cap, the cross-set bucket join, and the
+    semantic-dedup integer cosine FLOOR(dotq/√(na·nb)·1e6+0.5)/1e6 with
+    the max-cos / smallest-bench-id verdict.  Derived bench inputs ride
+    the parenthesized-aliased-subquery convention (the HDR precedent).
+
+    The twin's bucket join is near-linear like the Spark side's (band
+    keys bound collisions), but the bit computation is |rows|×n_planes
+    ×dim — fine at driver tiers, never a Spark-side shape."""
+    band_bits = n_planes // n_bands
+    planes_q = _quantized_planes(n_planes, dim)
+    vals = ",\n               ".join(
+        f"({p}, [{','.join(str(x) for x in plane)}])" for p, plane in enumerate(planes_q)
+    )
+
+    def _dims(src, out):
+        return f"""(
+        SELECT {id_col} AS {out},
+               generate_subscripts({vec_col}, 1) - 1 AS pos,
+               CAST(FLOOR(CAST(unnest({vec_col}) AS DOUBLE) * 1e6 + 0.5) AS BIGINT) AS xq
+        FROM {src}
+    )"""
+
+    def _buckets(dims, out):
+        return f"""(
+        SELECT {out}, plane // {band_bits} AS band,
+               CAST(SUM(CAST(bit AS BIGINT) << CAST(plane % {band_bits} AS INT)) AS INT) AS bucket
+        FROM (
+            SELECT d.{out}, p.plane,
+                   CASE WHEN SUM(p.pq * d.xq) >= 0 THEN 1 ELSE 0 END AS bit
+            FROM {dims} d JOIN planes p USING (pos)
+            GROUP BY d.{out}, p.plane
+        )
+        GROUP BY {out}, plane // {band_bits}
+    )"""
+
+    return f"""
+    WITH planes AS (
+        SELECT plane, generate_subscripts(pv, 1) - 1 AS pos, unnest(pv) AS pq
+        FROM (VALUES {vals}) pl(plane, pv)
+    ),
+    cdims AS {_dims(corpus_table, "cid")},
+    bdims AS {_dims(bench_table, "bid")},
+    cbuck AS {_buckets("cdims", "cid")},
+    bbuck AS {_buckets("bdims", "bid")},
+    cok AS (SELECT band, bucket FROM cbuck GROUP BY band, bucket
+            HAVING COUNT(*) <= {max_bucket}),
+    bok AS (SELECT band, bucket FROM bbuck GROUP BY band, bucket
+            HAVING COUNT(*) <= {max_bucket}),
+    cand AS (
+        SELECT DISTINCT c.cid, b.bid
+        FROM cbuck c
+        JOIN cok USING (band, bucket)
+        JOIN bbuck b ON b.band = c.band AND b.bucket = c.bucket
+        JOIN bok ON bok.band = b.band AND bok.bucket = b.bucket
+    ),
+    cnorm AS (SELECT cid, CAST(SUM(xq * xq) AS BIGINT) AS nq FROM cdims GROUP BY cid),
+    bnorm AS (SELECT bid, CAST(SUM(xq * xq) AS BIGINT) AS nq FROM bdims GROUP BY bid),
+    dots AS (
+        SELECT cand.cid, cand.bid, CAST(SUM(a.xq * b.xq) AS BIGINT) AS dotq
+        FROM cand
+        JOIN cdims a ON a.cid = cand.cid
+        JOIN bdims b ON b.bid = cand.bid AND b.pos = a.pos
+        GROUP BY cand.cid, cand.bid
+    ),
+    flt AS (
+        SELECT * FROM (
+            SELECT d.cid, d.bid,
+                   CASE WHEN na.nq > 0 AND nb.nq > 0
+                        THEN FLOOR(CAST(d.dotq AS DOUBLE)
+                                   / sqrt(CAST(na.nq AS DOUBLE) * CAST(nb.nq AS DOUBLE))
+                                   * 1e6 + 0.5) / 1e6
+                        ELSE 0.0 END AS cos
+            FROM dots d
+            JOIN cnorm na ON na.cid = d.cid
+            JOIN bnorm nb ON nb.bid = d.bid
+        ) WHERE cos >= CAST({threshold!r} AS DOUBLE)
+    ),
+    best AS (SELECT cid, MAX(cos) AS max_cosine FROM flt GROUP BY cid),
+    m AS (
+        SELECT f.cid, MIN(f.bid) AS matched_bench_id
+        FROM flt f JOIN best USING (cid)
+        WHERE f.cos = best.max_cosine
+        GROUP BY f.cid
+    )
+    SELECT best.cid AS {id_col}, best.max_cosine,
+           CAST(m.matched_bench_id AS BIGINT) AS matched_bench_id
+    FROM best JOIN m USING (cid)
+    ORDER BY {id_col}
+    """
 
 
 # ------------------------------------------------------------------- IVF

@@ -96,9 +96,11 @@ DRIVER_ORDER: list[str] = [
     "events_hll_session_overlap",
     "orders_hdr_price_quantiles",
     "orders_monthly_hdr_quantiles",
-    # -- iterative + traversal graph family (pagerank keeps the
-    #    iterative row; k-hop BFS replaces r1-r8-green triangles)
-    "graph_pagerank_directed_purchases",
+    # -- traversal graph family (round-12: k-hop BFS keeps the graph
+    #    seat; the r7-r10-certified directed pagerank rotates out for
+    #    the survivor-cluster row, which keeps the ITERATIVE-loop
+    #    family certified — pointer jumping under the same
+    #    localCheckpoint-per-round discipline)
     "graph_khop_trade_reach",
     # -- privacy (round-10: the k-anonymity release audit replaces the
     #    r9-certified erasure audit — same pipeline/privacy.py family)
@@ -110,8 +112,19 @@ DRIVER_ORDER: list[str] = [
     "customer_order_gap_profile",
     "docs_shard_manifest",
     "docs_benchmark_decontamination",
-    "dedup_semantic_pairs",
-    "dedup_containment_pairs",
+    # round-12 rotation (round-11 verdict #1): the four never-certified
+    # round-11 headliners take the seats of four multi-round-certified
+    # siblings (mapping pinned in the round3 window test):
+    #   dedup_semantic_pairs (r7-r10)      -> embedding_semantic_contamination
+    #   dedup_containment_pairs (r8-r10)   -> dedup_minhash_lsh_pairs_rep
+    #   graph_pagerank_directed (r7-r10)   -> dedup_minhash_survivor_clusters_rep
+    #   embedding_hard_negatives (r9,r10)  -> embedding_retrieval_eval
+    # The linear dedup face (survivors + its recursive-CTE cluster twin)
+    # is the repo's best scale argument — certification makes it literal.
+    "dedup_minhash_survivors_rep",
+    "dedup_minhash_survivor_clusters_rep",
+    "docs_stratified_sample_threshold",
+    "embedding_semantic_contamination",
     # round-11: the fully-oracle-paired OPH MinHash LSH pipeline
     # (md5 reproducible-internals mode) replaces the r9+r10-certified
     # SimHash row — the flagship dedup family's first end-to-end driver
@@ -121,7 +134,6 @@ DRIVER_ORDER: list[str] = [
     # join it is built ON (same deletion-neighborhood machinery)
     "customer_entity_resolution_pairs",
     "docs_pmi_collocations",
-    "embedding_hard_negatives",
     # round-10: retrieval-quality eval replaces the r8+r9-certified RRF
     # fusion (retrieval family; nests the shared brute-force cosine twin)
     "embedding_retrieval_eval",
@@ -139,6 +151,13 @@ DRIVER_ORDER: list[str] = [
     #    one row certifies the shared join)
     "media_video_dup_pairs",
     # ==================== driver window ends at 50 ====================
+    # Rotated OUT in round 12 for the four never-certified round-11
+    # headliners (certified rounds in parens; in-window family keeper
+    # in the mapping test):
+    "dedup_semantic_pairs",            # (r7-r10) -> embedding_semantic_contamination (embedding-cosine verdicts)
+    "dedup_containment_pairs",         # (r8-r10) -> dedup_minhash_lsh_pairs_rep (gram-candidate + exact-verify join)
+    "graph_pagerank_directed_purchases",  # (r7-r10) -> graph_khop_trade_reach (graph) + survivor_clusters (iterative loop)
+    "embedding_hard_negatives",        # (r9,r10) -> embedding_retrieval_eval (brute-force-cosine ranking family)
     # Rotated OUT in round 11 for the seven never-certified round-10
     # headliners (certified rounds in parens; in-window family keeper
     # in the mapping test):
@@ -285,16 +304,14 @@ DRIVER_ORDER: list[str] = [
     "json_props_variant",
     # CDC diff (r6,r7-certified; MERGE family keeps the window row):
     "customer_snapshot_cdc_diff",
-    # Round-11 additions (oracle-verified locally at sf0.01+sf0.1;
-    # outside the window until a future rotation):
-    "dedup_minhash_survivors_rep",     # greedy bucket-min KEEP/DROP verdicts (linear verify volume)
-    "docs_stratified_sample_threshold",  # two-pass bounded-window reservoir (same twin as the window form)
-    "dedup_minhash_survivor_clusters_rep",  # dup_of pointer forest -> root survivors (recursive-CTE twin)
-    "embedding_semantic_contamination",  # eval-set leakage screen in embedding space (quadratic twin)
+    # (Round-11 additions all rotated INTO the window in round 12.)
+    # Round-12 oracle upgrade: the banded screen's registered form runs
+    # quantized (scale-6 integer planes/coordinates) and carries a full
+    # DuckDB twin — no longer rows-only:
+    "embedding_contamination_banded",
     # Rows-only ops (no SQL-expressible oracle; pytest covers recall/
     # precision/planted-neighbor properties):
     "dedup_minhash_lsh_pairs",
-    "embedding_contamination_banded",  # cross-set banded screen (approximate recall)
     "embedding_lsh_topk",
     "embedding_near_dup_pairs",
     "embedding_ivf_topk",

@@ -748,7 +748,10 @@ _SEMANTIC_CONTAM_ORACLE = f"""
     WITH b AS (SELECT vec_id AS bench_id, CAST(embedding AS DOUBLE[]) AS b_vec
                FROM embeddings WHERE vec_id % 37 = 0),
          scored AS (
-           SELECT e.vec_id, b.bench_id, ROUND({_COS_E}, 4) AS cos
+           -- FLOOR(x*1e4 + 0.5)/1e4, never engine ROUND: the quantized
+           -- value feeds the >= 0.9 verdict and the argmax-equality
+           -- tiebreak (CLAUDE.md rounding invariant)
+           SELECT e.vec_id, b.bench_id, FLOOR(({_COS_E}) * 1e4 + 0.5) / 1e4 AS cos
            FROM embeddings e CROSS JOIN b
          ),
          best AS (SELECT vec_id, MAX(cos) AS max_cosine FROM scored GROUP BY vec_id),
@@ -820,21 +823,30 @@ def embedding_near_dup_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim.embedding_near_dup_pairs(e).orderBy("id_a", "id_b")
 
 
-@register("embedding_contamination_banded", None)
+@register("embedding_contamination_banded", sim.sql_contamination_banded())
 def embedding_contamination_banded_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The corpus-sized-bench decontamination path (round 11): banded
     hyperplane blocking restricted to cross (corpus × bench)
     candidates, exact cosine verification — neither side broadcasts,
     so a benchmark UNION in the millions screens a 100 TB corpus.
-    Approximate recall by construction (banded LSH) → rows-only;
-    precision-1.0 / planted-copy / recall-vs-exact properties pinned
-    in tests/test_similarity_pq.py.  The flagged rows on the harness
-    tables are the bench members themselves (cosine 1.0) plus any
-    verified near-bench vectors — compare `embedding_semantic_contamination`
-    (the exact, bounded-bench face, fully oracle-paired)."""
+
+    FULLY ORACLE-PAIRED as of round 12 (was rows-only): the registered
+    form runs ``quantized=True`` — scale-6 integer planes and
+    coordinates make every sign decision and the verify cosine exact
+    integer/IEEE arithmetic, so the DuckDB twin
+    (sql_contamination_banded) replays signatures → banding → per-side
+    caps → candidate join → integer-cosine verify → argmax verdict
+    bit-for-bit, approximate RECALL included (the Bloom-decontamination
+    precedent: a reproducible pipeline can certify its own false-
+    negative trade).  Float-mode recall/precision/planted-copy
+    properties stay pinned in tests/test_similarity_pq.py; compare
+    `embedding_semantic_contamination` (the exact, bounded-bench
+    face)."""
     e = load_tables(spark, sf_dir, ("embeddings",))["embeddings"]
     bench = e.filter(F.col("vec_id") % 37 == 0)
-    return sim.semantic_contamination_banded(e, bench, threshold=0.9).orderBy("vec_id")
+    return sim.semantic_contamination_banded(
+        e, bench, threshold=0.9, quantized=True
+    ).orderBy("vec_id")
 
 
 @register(

@@ -669,6 +669,239 @@ def dedup_admission_stream(
     )
 
 
+def _read_store_or_empty(spark: SparkSession, path: str, schema: str) -> DataFrame:
+    """Explicit-schema store read where ONLY a missing path reads as
+    empty (the first batch); any other AnalysisException fails the
+    batch so the checkpoint retries (round-9 store-reader rule)."""
+    from pyspark.errors import AnalysisException
+
+    try:
+        return spark.read.schema(schema).parquet(path)
+    except AnalysisException as e:
+        if "PATH_NOT_FOUND" in str(e) or "Path does not exist" in str(e):
+            return spark.createDataFrame([], schema)
+        raise
+
+
+def route_minhash_admission_batch(
+    batch_df,
+    batch_id: int,
+    store_dir: str,
+    threshold: float = 0.5,
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_k: int = 5,
+    hash_mode: str = "xxhash64",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+):
+    """One micro-batch of streaming MINHASH admission — the incremental
+    face of :func:`~csv_query_engine_spark.pipeline.dedup.
+    minhash_dedup_survivors` (round-11 verdict #3): the store keeps one
+    MIN-mergeable row per (band, bucket) — the third aggregate store
+    after SUM (CM/HDR) and MAX (HLL) — so each incoming doc verifies
+    against AT MOST ``bands`` candidates no matter how large the
+    admitted corpus grows.  Linear KEEP/DROP against everything seen in
+    earlier batches, with no per-key stream state and no pair table.
+
+    Per batch: OPH signatures + band entries for the batch docs; bucket
+    mins MERGED from the pre-batch store (``batch_id < current`` — the
+    replay read guard) and the batch's own entries (so within-batch
+    dups resolve exactly like the batch operator); candidates = each
+    doc's merged bucket mins (≠ self, ≤ ``bands`` per doc); exact
+    Jaccard verification re-shingles ONLY the candidate docs
+    (semi-joined from the docs store — linear in batch size).  Verdict
+    = smallest verified candidate (is_dup, dup_of, dup_jaccard — the
+    batch operator's exact output columns and sentinels).
+
+    Store layout under ``store_dir`` (all batch_id-keyed dynamic
+    overwrite — every table is a deterministic function of the batch,
+    so a replay rewrites its own partitions byte-identically):
+
+    * ``docs``     — (doc_id, text): ALL batch docs, dup or not —
+      bucket mins come from every doc (a dup still occupies its
+      buckets, exactly as in the batch operator), and later batches
+      re-shingle candidates from here;
+    * ``mins``     — (band, bucket, min_id): the batch's OWN bucket
+      mins; the read side MIN-merges across batches
+      (:func:`read_minhash_bucket_mins`);
+    * ``verdicts`` — (doc_id, is_dup, dup_of, dup_jaccard).
+
+    Stream==batch contract: when batches arrive in ASCENDING doc-id
+    order (the replay/backfill layout), every doc's merged bucket min
+    equals the whole-corpus bucket min at verification time, so the
+    accumulated verdicts EQUAL ``minhash_dedup_survivors(corpus,
+    est_margin=None)`` run on the union — pinned in
+    tests/test_streaming.py.  Under arbitrary arrival order a doc may
+    verify before its global bucket min arrives (verdicts remain valid
+    greedy smaller-id verdicts — the doc admits where the batch
+    operator might drop it); the signature-agreement estimate screen is
+    deliberately absent (it exists to cut candidate volume, which the
+    bucket-MIN bound already caps at ``bands``/doc).
+
+    Scale: batch work is one shingle scan over the batch + ``bands``
+    bucket-min lookups/doc against a store that is O(distinct buckets)
+    — never O(corpus); candidate re-shingling touches ≤ bands×|batch|
+    store docs via a broadcastable id semi-join."""
+    from pyspark.storagelevel import StorageLevel
+
+    from csv_query_engine_spark.pipeline.dedup import (
+        _band_entries,
+        _hashed_shingles,
+        _oph_signatures,
+        jaccard,
+    )
+
+    spark = batch_df.sparkSession
+    bucket_sql_type = "STRING" if hash_mode == "md5" else "BIGINT"
+    mins_schema = f"band INT, bucket {bucket_sql_type}, min_id BIGINT, batch_id BIGINT"
+    docs_schema = "doc_id BIGINT, text STRING, batch_id BIGINT"
+
+    batch = batch_df.select(
+        F.col(id_col).cast("long").alias("doc_id"), F.col(text_col).alias("text")
+    )
+    # hashed shingles feed the band build AND the verify join (and the
+    # batch feeds docs-store write) — persist once, release in finally
+    hashed_b = (
+        _hashed_shingles(batch, "doc_id", "text", shingle_k, hash_mode)
+        .select("id", "hashes")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    try:
+        sig_b = _oph_signatures(
+            hashed_b, num_hashes, hash_bits=32 if hash_mode == "md5" else 64
+        )
+        be_b = _band_entries(sig_b, num_hashes, bands, hash_mode).persist(
+            StorageLevel.MEMORY_AND_DISK
+        )
+        batch_mins = be_b.groupBy("band", "bucket").agg(F.min("id").alias("min_id"))
+        prev_mins = (
+            _read_store_or_empty(spark, f"{store_dir}/mins", mins_schema)
+            .filter(F.col("batch_id") < int(batch_id))
+            .select("band", "bucket", "min_id")
+        )
+        merged = (
+            prev_mins.unionByName(batch_mins)
+            .groupBy("band", "bucket")
+            .agg(F.min("min_id").alias("min_id"))
+        )
+        cand = (
+            be_b.join(merged, ["band", "bucket"])
+            .filter(F.col("id") != F.col("min_id"))
+            .select("id", F.col("min_id").alias("cand"))
+            .distinct()
+        )
+        # candidate shingles: within-batch candidates from hashed_b;
+        # earlier-batch candidates re-shingled from the docs store,
+        # restricted to the (bounded, ≤ bands×|batch|) candidate id set
+        prev_docs = (
+            _read_store_or_empty(spark, f"{store_dir}/docs", docs_schema)
+            .filter(F.col("batch_id") < int(batch_id))
+            .select("doc_id", "text")
+            .join(
+                F.broadcast(cand.select(F.col("cand").alias("doc_id")).distinct()),
+                "doc_id",
+                "left_semi",
+            )
+        )
+        cand_hashes = hashed_b.unionByName(
+            _hashed_shingles(prev_docs, "doc_id", "text", shingle_k, hash_mode).select(
+                "id", "hashes"
+            )
+        )
+        verified = (
+            cand.join(hashed_b.select(F.col("id"), F.col("hashes").alias("h_a")), "id")
+            .join(
+                cand_hashes.select(F.col("id").alias("cand"), F.col("hashes").alias("h_b")),
+                "cand",
+            )
+            .select("id", "cand", jaccard(F.col("h_a"), F.col("h_b")).alias("j"))
+            .filter(F.col("j") >= threshold)
+        )
+        dup = (
+            verified.groupBy("id")
+            .agg(F.min(F.struct(F.col("cand"), F.col("j"))).alias("m"))
+            .select(
+                "id", F.col("m.cand").alias("dup_of"), F.col("m.j").alias("dup_jaccard")
+            )
+        )
+        verdicts = (
+            batch.select("doc_id")
+            .join(dup.withColumnRenamed("id", "doc_id"), "doc_id", "left")
+            .select(
+                "doc_id",
+                F.col("dup_of").isNotNull().alias("is_dup"),
+                F.coalesce(F.col("dup_of"), F.lit(-1)).cast("bigint").alias("dup_of"),
+                F.coalesce(F.col("dup_jaccard"), F.lit(-1.0)).alias("dup_jaccard"),
+            )
+        )
+        for side, sub in ((batch, "docs"), (batch_mins, "mins"), (verdicts, "verdicts")):
+            (
+                side.withColumn("batch_id", F.lit(int(batch_id)))
+                .write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy("batch_id")
+                .parquet(f"{store_dir}/{sub}")
+            )
+    finally:
+        hashed_b.unpersist()
+        try:
+            be_b.unpersist()
+        except NameError:
+            pass
+
+
+def minhash_admission_stream(
+    stream: DataFrame,
+    store_dir: str,
+    checkpoint: str,
+    threshold: float = 0.5,
+    **kwargs,
+):
+    """Streaming MinHash admission: foreachBatch routes every
+    micro-batch through :func:`route_minhash_admission_batch` — the
+    linear (bucket-MIN) dedup face running continuously, completing the
+    family's batch/streaming symmetry (CM/HLL/HDR/BM25/census/
+    contamination all have both faces).  Checkpoint offsets +
+    batch_id-keyed dynamic overwrite + the pre-batch read guard make it
+    effectively-once under replay."""
+
+    def route(batch_df, batch_id):
+        route_minhash_admission_batch(
+            batch_df, batch_id, store_dir, threshold=threshold, **kwargs
+        )
+
+    return (
+        stream.writeStream.foreachBatch(route)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def read_minhash_bucket_mins(
+    spark: SparkSession, store_dir: str, hash_mode: str = "xxhash64"
+) -> DataFrame:
+    """MIN-merge every batch's bucket-min partition into the current
+    admission state (the mergeable contract — MIN is the third
+    aggregate in the store family after SUM and MAX; compacting old
+    batch partitions into one is the same MIN)."""
+    t = "STRING" if hash_mode == "md5" else "BIGINT"
+    mins = _read_store_or_empty(
+        spark, f"{store_dir}/mins", f"band INT, bucket {t}, min_id BIGINT, batch_id BIGINT"
+    )
+    return mins.groupBy("band", "bucket").agg(F.min("min_id").alias("min_id"))
+
+
+def read_minhash_verdicts(spark: SparkSession, store_dir: str) -> DataFrame:
+    """All admission verdicts accumulated so far (one row per doc)."""
+    return _read_store_or_empty(
+        spark,
+        f"{store_dir}/verdicts",
+        "doc_id BIGINT, is_dup BOOLEAN, dup_of BIGINT, dup_jaccard DOUBLE, batch_id BIGINT",
+    )
+
+
 def route_cm_batch(
     batch_df, batch_id: int, key_col: str, cells_path: str, depth: int = 4, width: int = 64
 ):
@@ -1217,13 +1450,9 @@ def route_join_view_batch(
             .distinct()
             .collect()
         )
-        touched = sorted(r["_b"] for r in touched_rows)
-        # Partition-DIRECTORY matching happens on the string form (Spark
-        # names dirs from the value's string repr, percent-escaping
-        # special characters) — never on f-string interpolation of the
-        # raw Python value (ADVICE round 10: a bucket_expr value with
-        # ':' or ' ' built a path that missed the real escaped dir and
-        # the "deleted" rows resurfaced on the next read).
+        # NULL check FIRST: sorted() over a mixed None/non-None batch
+        # raises TypeError before the intended diagnostic (ADVICE round
+        # 11 — only the all-NULL single-row case reached the ValueError).
         if any(r["_bs"] is None for r in touched_rows):
             raise ValueError(
                 "join view: bucket expression produced NULL for some rows — "
@@ -1231,6 +1460,13 @@ def route_join_view_batch(
                 "the emptied-bucket cleanup; make bucket_expr total over the "
                 "fact columns (COALESCE a sentinel)"
             )
+        touched = sorted(r["_b"] for r in touched_rows)
+        # Partition-DIRECTORY matching happens on the string form (Spark
+        # names dirs from the value's string repr, percent-escaping
+        # special characters) — never on f-string interpolation of the
+        # raw Python value (ADVICE round 10: a bucket_expr value with
+        # ':' or ' ' built a path that missed the real escaped dir and
+        # the "deleted" rows resurfaced on the next read).
         touched_strs = {r["_bs"] for r in touched_rows}
         if not touched:
             return

@@ -123,10 +123,15 @@ def test_registry_window_is_oracle_bearing(spark):
     window = names[:50]
     missing = [n for n in window if n not in oracles]
     assert not missing, f"non-oracle queries inside the driver window: {missing}"
-    # Round-11 rotations IN: the seven round-10 headliners that had
-    # never been driver-certified (round-10 verdict #1), each fully
+    # Round-12 rotations IN: the four round-11 headliners that had
+    # never been driver-certified (round-11 verdict #1), each fully
     # oracle-paired.
     for new in (
+        "dedup_minhash_survivors_rep",
+        "dedup_minhash_survivor_clusters_rep",
+        "docs_stratified_sample_threshold",
+        "embedding_semantic_contamination",
+        # Round-11 rotations that stay for a second round
         "orders_customer_join_ivm",
         "orders_fk_integrity_audit",
         "events_user_skew_report",
@@ -154,16 +159,12 @@ def test_registry_window_is_oracle_bearing(spark):
         "docs_dsir_selection",
         "embedding_jl_projection",
         "docs_pmi_collocations",
-        "embedding_hard_negatives",
         "docs_benchmark_decontamination",
         "media_video_dup_pairs",
         # multi-round-certified rows that stay
         "events_window_heavy_hitters",
         "events_markov_transitions",
-        "graph_pagerank_directed_purchases",
-        "dedup_semantic_pairs",
         "docs_quality_classifier_scores",
-        "dedup_containment_pairs",
     ):
         assert new in window, new
     # Long-standing window anchors stay certified.
@@ -182,6 +183,13 @@ def test_registry_window_is_oracle_bearing(spark):
     # Every rotated-out sibling's capability family keeps an in-window
     # row (cumulative round-6..11 mappings; see the DRIVER_ORDER notes).
     for out, kept in [
+        # round-12 rotations out (the four slots for the round-11 set)
+        ("dedup_semantic_pairs", "embedding_semantic_contamination"),
+        ("dedup_containment_pairs", "dedup_minhash_lsh_pairs_rep"),
+        ("graph_pagerank_directed_purchases", "graph_khop_trade_reach"),
+        # the iterative-loop family keeps a certified member too:
+        ("graph_pagerank_directed_purchases", "dedup_minhash_survivor_clusters_rep"),
+        ("embedding_hard_negatives", "embedding_retrieval_eval"),
         # round-11 rotations out (the seven slots for the round-10 set)
         ("orders_quality_constraints", "orders_fk_integrity_audit"),
         ("orders_zorder_layout_stats", "orders_global_row_numbers"),
@@ -210,7 +218,7 @@ def test_registry_window_is_oracle_bearing(spark):
         ("scd2_customer_segment_history", "orders_customer_join_agg_ivm"),
         ("graph_triangle_part_cooccurrence", "graph_khop_trade_reach"),
         ("docs_heavy_hitter_tokens", "events_cm_user_counts"),
-        ("dedup_exact_docs", "dedup_containment_pairs"),
+        ("dedup_exact_docs", "dedup_collapse_returnflags"),
         ("q16_supplier_part_variety", "q13_customer_order_distribution"),
         ("q12_ship_lag_priority", "q19_disjunctive_revenue"),
         # retrieval eval scores the BM25/cosine stack (r10 keeper move)
@@ -221,11 +229,11 @@ def test_registry_window_is_oracle_bearing(spark):
         ("docs_group_holdout_split", "docs_dsir_selection"),
         # round-7 rotations out (keepers updated where the round-9
         # rotation moved the family row)
-        ("graph_pagerank_trade_network", "graph_pagerank_directed_purchases"),
+        ("graph_pagerank_trade_network", "graph_khop_trade_reach"),
         ("docs_lang_id", "docs_quality_classifier_scores"),
         ("docs_unigram_lm_scores", "docs_pmi_collocations"),
         ("docs_bigram_lm_scores", "docs_pmi_collocations"),
-        ("embedding_topk_bruteforce", "embedding_hard_negatives"),
+        ("embedding_topk_bruteforce", "embedding_retrieval_eval"),
         ("events_hourly_counts", "events_window_heavy_hitters"),
         ("events_funnel_steps", "events_markov_transitions"),
         # round-8 sibling swaps
@@ -236,7 +244,7 @@ def test_registry_window_is_oracle_bearing(spark):
         ("docs_quality_filter", "docs_quality_classifier_scores"),
         ("docs_split_assignment", "docs_dsir_selection"),
         ("docs_vocab_coverage", "embedding_retrieval_eval"),
-        ("dedup_allpairs_jaccard", "dedup_containment_pairs"),
+        ("dedup_allpairs_jaccard", "dedup_minhash_lsh_pairs_rep"),
         # round-6 rotations out (families unchanged)
         ("join_kinds_outer", "q13_customer_order_distribution"),
         ("anti_join_parts_never_ordered", "q22_dormant_customer_balance"),
@@ -256,7 +264,7 @@ def test_registry_window_is_oracle_bearing(spark):
         ("docs_repetition_stats", "docs_quality_classifier_scores"),
         ("docs_char_entropy", "docs_quality_classifier_scores"),
         ("docs_tfidf_top_terms", "docs_pmi_collocations"),
-        ("dedup_incremental_admission", "dedup_semantic_pairs"),
+        ("dedup_incremental_admission", "dedup_minhash_survivors_rep"),
         ("docs_dataset_card", "docs_quality_classifier_scores"),
         ("embedding_centroids_by_label", "embedding_jl_projection"),
         ("docs_token_budget_mix", "docs_dsir_selection"),
@@ -264,7 +272,7 @@ def test_registry_window_is_oracle_bearing(spark):
         ("q21_sole_late_shipper", "q22_dormant_customer_balance"),
         ("range_join_shipments_within_month", "asof_join_last_order_before_event"),
         ("docs_udtf_sentences", "customer_order_gap_profile"),
-        ("dedup_cluster_canonical", "dedup_semantic_pairs"),
+        ("dedup_cluster_canonical", "dedup_minhash_survivor_clusters_rep"),
         ("docs_shard_assignment", "docs_shard_manifest"),
         ("customer_snapshot_cdc_diff", "orders_customer_join_agg_ivm"),
     ]:

@@ -185,3 +185,30 @@ def test_semantic_contamination_banded_recall_and_precision(spark):
         assert banded[vid] == exact[vid]
     # overall recall against the exact screen
     assert len(set(banded) & set(exact)) / len(exact) >= 0.8
+
+
+def test_banded_contamination_cache_scope_releases_blocks(spark):
+    """The banded screen persists both vector tables with CALLER-OWNED
+    lifetime (round-11 verdict nit): wrapping the call in cache_scope
+    must leave NO new persistent blocks behind — the round-9 leak-pin
+    precedent applied to this operator."""
+    from csv_query_engine_spark.pipeline import cache_scope
+    from csv_query_engine_spark.pipeline.similarity import semantic_contamination_banded
+
+    sc = spark.sparkContext
+    jsc = sc._jsc.sc()
+
+    def n_persistent():
+        return len(
+            sc._jvm.scala.collection.JavaConverters.mapAsJavaMap(
+                jsc.getPersistentRDDs()
+            )
+        )
+
+    e = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet").select("vec_id", "embedding")
+    bench = e.filter(F.col("vec_id") % 37 == 0)
+    before = n_persistent()
+    with cache_scope(spark):
+        semantic_contamination_banded(e, bench, threshold=0.9).count()
+        assert n_persistent() > before  # the operator did persist
+    assert n_persistent() == before  # ...and the scope released it all

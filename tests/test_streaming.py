@@ -1664,6 +1664,17 @@ def test_join_view_null_bucket_value_raises(spark, tmp_path):
         route_join_view_batch(
             b0, 0, view_dir, dim, ["fk"], ["dk"], bucket_expr=F.col("mon")
         )
+    # MIXED NULL/non-NULL batch (ADVICE round 11): sorted() over the
+    # touched values used to raise TypeError ('<' vs NoneType) BEFORE
+    # the diagnostic — the NULL check must run first.
+    b1 = spark.createDataFrame(
+        [(1, 10, "2024-01", 1.0, "upsert"), (2, 10, None, 2.0, "upsert")],
+        "fk int, dk int, mon string, v double, change_type string",
+    )
+    with pytest.raises(ValueError, match="NULL"):
+        route_join_view_batch(
+            b1, 0, view_dir, dim, ["fk"], ["dk"], bucket_expr=F.col("mon")
+        )
 
 
 def test_join_view_bucket_columns_are_immutable_contract(spark, tmp_path):
