@@ -305,6 +305,9 @@ DRIVER_ORDER: list[str] = [
     # CDC diff (r6,r7-certified; MERGE family keeps the window row):
     "customer_snapshot_cdc_diff",
     # (Round-11 additions all rotated INTO the window in round 12.)
+    # Round-12 additions (oracle-verified locally at sf0.01+sf0.1;
+    # outside the window until a future rotation):
+    "dedup_funnel_rep_pairs",   # exact-prepass -> LSH over representatives (shared rep-pairs twin)
     # Round-12 oracle upgrade: the banded screen's registered form runs
     # quantized (scale-6 integer planes/coordinates) and carries a full
     # DuckDB twin — no longer rows-only:

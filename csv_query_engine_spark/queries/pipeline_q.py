@@ -399,13 +399,20 @@ _SQL_MH_GRAMS = f"""list_distinct(list_transform(
 # 16 bands keyed by the literal 4-slot signature strings, bucket cap,
 # estimate screen at 64ths, exact Jaccard on the DISTINCT hash sets.
 # The CTE prefix (shingles → signatures → bands) is SHARED with the
-# survivors twin below so the two oracles cannot drift apart.
-_MINHASH_REP_CTES = f"""
+# survivors twin below so the two oracles cannot drift apart — and
+# parameterized over the input table so the funnel twin (round 12) can
+# run the identical pipeline over the exact-dedup REPRESENTATIVES
+# (a parenthesized aliased subquery, the HDR convention).
+def _minhash_rep_ctes(table: str = "documents") -> str:
+    return f"""
     WITH grams AS (
         SELECT id, unnest(g) AS g FROM (
-            SELECT doc_id AS id, {_SQL_MH_GRAMS} AS g FROM documents
+            SELECT doc_id AS id, {_SQL_MH_GRAMS} AS g FROM {table}
         )
-    ),
+    ),""" + _MH_PIPELINE_CTES
+
+
+_MH_PIPELINE_CTES = """
     h AS (
         SELECT id, CAST(('0x' || substring(md5('mh-' || g), 1, 8)) AS BIGINT) AS gh
         FROM grams
@@ -432,7 +439,11 @@ _MINHASH_REP_CTES = f"""
         FROM sigs s CROSS JOIN range(0, 16) tb(b)
     )"""
 
-_MINHASH_REP_ORACLE = f"""{_MINHASH_REP_CTES},
+_MINHASH_REP_CTES = _minhash_rep_ctes()
+
+# Banded pairs tail (bucket cap → estimate screen → exact verify) —
+# shared by the plain rep-pairs twin and the funnel twin (round 12).
+_MINHASH_REP_TAIL = f""",
     bsz AS (SELECT b, bkey, COUNT(*) AS n FROM bands GROUP BY b, bkey),
     cand AS (
         SELECT DISTINCT a.id AS id_a, b.id AS id_b
@@ -463,6 +474,19 @@ _MINHASH_REP_ORACLE = f"""{_MINHASH_REP_CTES},
     ORDER BY id_a, id_b
     """
 
+_MINHASH_REP_ORACLE = _MINHASH_REP_CTES + _MINHASH_REP_TAIL
+
+# Funnel twin (round 12): the IDENTICAL banded pipeline over the
+# exact-dedup REPRESENTATIVES only — docs that are the min doc_id of
+# their normalized-text fingerprint group.
+_FUNNEL_REPS_TABLE = f"""(
+        SELECT d.doc_id, d.text FROM documents d
+        JOIN (SELECT MIN(doc_id) AS doc_id FROM documents
+              GROUP BY md5({_SQL_NORM})) r USING (doc_id)
+    ) reps"""
+
+_MINHASH_FUNNEL_ORACLE = _minhash_rep_ctes(_FUNNEL_REPS_TABLE) + _MINHASH_REP_TAIL
+
 
 @register("dedup_minhash_lsh_pairs_rep", _MINHASH_REP_ORACLE)
 def dedup_minhash_lsh_pairs_rep(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -480,6 +504,27 @@ def dedup_minhash_lsh_pairs_rep(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dd.minhash_lsh_pairs(d, threshold=0.5, hash_mode="md5").orderBy(
         "id_a", "id_b"
     )
+
+
+@register("dedup_funnel_rep_pairs", _MINHASH_FUNNEL_ORACLE)
+def dedup_funnel_rep_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The exact-dedup → MinHash FUNNEL (pipeline/dedup.py::
+    minhash_dedup_funnel, round 11) registered as a query (round 12):
+    byte-identical normalized texts collapse to one representative in a
+    single fingerprint-keyed shuffle, then the banded OPH pipeline runs
+    over representatives only — the composition every production
+    pipeline runs, and the fix for template-dense corpora whose
+    mass-identical blocks would otherwise flood LSH buckets (BASELINE.md
+    rounds 10-11).  md5 reproducible-internals mode: the DuckDB twin is
+    the SHARED rep-pairs pipeline (_minhash_rep_ctes + _MINHASH_REP_TAIL
+    — the two oracles cannot drift) instantiated over the exact-dedup
+    representatives subquery.  The funnel's full pair relation is these
+    cross-group rep pairs UNION the within-group jaccard-1.0 members —
+    the groups face is certified separately by `dedup_exact_docs`'s
+    fingerprint GROUP BY twin (identical aggregation)."""
+    d = load_tables(spark, sf_dir, ("documents",))["documents"]
+    pairs, _groups = dd.minhash_dedup_funnel(d, threshold=0.5, hash_mode="md5")
+    return pairs.select("id_a", "id_b", "jaccard").orderBy("id_a", "id_b")
 
 
 # Greedy bucket-min survivor verdicts on the SAME shared CTE prefix:

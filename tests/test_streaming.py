@@ -763,6 +763,110 @@ def test_dedup_admission_batches_and_replay(spark, tmp_path):
     assert spark.read.parquet(rej).count() == 3
 
 
+def test_minhash_admission_stream_matches_batch_and_replay(spark, tmp_path):
+    """Streaming MinHash admission (round 12): on an ascending-id batch
+    split the accumulated verdicts EQUAL minhash_dedup_survivors
+    (est_margin=None) over the union — the bucket-MIN store is the
+    incremental face of the linear dedup operator — and re-routing the
+    last batch under its recorded batch_id leaves every store table
+    byte-identical (MIN-mergeable accumulated-state idiom)."""
+    from csv_query_engine_spark.pipeline.dedup import minhash_dedup_survivors
+    from csv_query_engine_spark.streaming.events import (
+        read_minhash_bucket_mins,
+        read_minhash_verdicts,
+        route_minhash_admission_batch,
+    )
+
+    docs = (
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        .select("doc_id", "text")
+    )
+    # plant a cross-batch near-dup and an exact dup so the equality is
+    # never vacuous: ids above the corpus max land in the LAST batch
+    first = docs.orderBy("doc_id").limit(1).collect()[0]
+    plants = spark.createDataFrame(
+        [
+            (9_000_000, first["text"]),  # exact dup of the smallest doc
+            (9_000_001, first["text"] + " zz"),  # near-dup
+        ],
+        "doc_id long, text string",
+    )
+    corpus = docs.unionByName(plants)
+    ids = sorted(r["doc_id"] for r in corpus.select("doc_id").collect())
+    cut1, cut2 = ids[len(ids) // 3], ids[2 * len(ids) // 3]
+    store = str(tmp_path / "mh")
+    batches = [
+        corpus.filter(F.col("doc_id") < cut1),
+        corpus.filter((F.col("doc_id") >= cut1) & (F.col("doc_id") < cut2)),
+        corpus.filter(F.col("doc_id") >= cut2),
+    ]
+    for i, b in enumerate(batches):
+        route_minhash_admission_batch(b, i, store, threshold=0.5)
+    got = {
+        r["doc_id"]: (r["is_dup"], r["dup_of"], r["dup_jaccard"])
+        for r in read_minhash_verdicts(spark, store).collect()
+    }
+    want = {
+        r["doc_id"]: (r["is_dup"], r["dup_of"], r["dup_jaccard"])
+        for r in minhash_dedup_survivors(
+            corpus, threshold=0.5, est_margin=None
+        ).collect()
+    }
+    assert got == want
+    assert got[9_000_000][0] and got[9_000_000][1] == first["doc_id"]
+    assert got[9_000_001][0]  # the near-dup dropped too (non-vacuous)
+    # merged bucket mins equal the batch operator's global bucket mins
+    mins_before = sorted(
+        (r["band"], r["bucket"], r["min_id"])
+        for r in read_minhash_bucket_mins(spark, store).collect()
+    )
+    verd_before = sorted(map(tuple, spark.read.parquet(f"{store}/verdicts").collect()))
+    # replay the LAST batch under its recorded batch_id: byte-identical
+    route_minhash_admission_batch(batches[2], 2, store, threshold=0.5)
+    assert sorted(
+        (r["band"], r["bucket"], r["min_id"])
+        for r in read_minhash_bucket_mins(spark, store).collect()
+    ) == mins_before
+    assert sorted(map(tuple, spark.read.parquet(f"{store}/verdicts").collect())) == verd_before
+
+
+def test_minhash_admission_live_stream_restart(spark, tmp_path):
+    """End-to-end through a real file-source stream: two availableNow
+    passes over a growing directory; the second pass folds only the new
+    file and its docs verdict against the first pass's bucket mins."""
+    from csv_query_engine_spark.streaming.events import (
+        minhash_admission_stream,
+        read_minhash_verdicts,
+    )
+
+    src = tmp_path / "src"
+    store, ckpt = str(tmp_path / "mh"), str(tmp_path / "ckpt")
+    spark.createDataFrame(
+        [(1, BASE_DOC), (2, "other text entirely unrelated words")],
+        "doc_id long, text string",
+    ).write.parquet(str(src))
+    stream = spark.readStream.schema("doc_id long, text string").parquet(str(src))
+    q = minhash_admission_stream(stream, store, ckpt, threshold=0.5)
+    q.awaitTermination(120)
+    v0 = {r["doc_id"]: r["is_dup"] for r in read_minhash_verdicts(spark, store).collect()}
+    assert v0 == {1: False, 2: False}
+    # second slice: a near-copy of doc 1 plus a novel doc
+    near = BASE_DOC.replace("oscar", "sierra")
+    spark.createDataFrame(
+        [(3, near), (4, "brand new words nothing shared here at all")],
+        "doc_id long, text string",
+    ).write.mode("append").parquet(str(src))
+    stream = spark.readStream.schema("doc_id long, text string").parquet(str(src))
+    q = minhash_admission_stream(stream, store, ckpt, threshold=0.5)
+    q.awaitTermination(120)
+    v1 = {
+        r["doc_id"]: (r["is_dup"], r["dup_of"])
+        for r in read_minhash_verdicts(spark, store).collect()
+    }
+    assert v1[3] == (True, 1) and v1[4] == (False, -1)
+    assert len(v1) == 4
+
+
 def test_dedup_admission_live_stream(spark, tmp_path):
     """End-to-end through a real file-source stream: two availableNow
     passes over a growing directory land in the admitted store exactly
