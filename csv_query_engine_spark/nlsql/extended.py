@@ -46,6 +46,12 @@ canonical questions imply but its grammar can't parse:
                                      first date column (round 9;
                                      yields to explicit bounds)
 * ``last month`` .................... inherited range rule (A9)
+* ``... <VALUE> ...`` ............... value-equality from profiled
+                                     low-cardinality value sets
+                                     (round 12 — the A8 city-list rule
+                                     generalized to the data's own
+                                     categories; binds on bridge
+                                     tables of a multi-hop plan too)
 
 Column words fold trailing-'s' plurals exactly like the base grammar's
 which-X rule, so "orders per priority" resolves against an ``order``
@@ -126,6 +132,7 @@ def generate_sql_extended(
     from_clause: str | None = None,
     metrics: dict[str, str] | None = None,
     force_group_col: str | None = None,
+    column_values: dict[str, list] | None = None,
 ) -> str:
     """NL -> one Spark-SQL SELECT using the extended schema-driven
     grammar. ``columns`` is profiler output (name/type/semantic_type).
@@ -139,7 +146,19 @@ def generate_sql_extended(
     expression with the metric word as the alias.  Columns take
     precedence over metrics on a name clash.  ``force_group_col``
     (multi-table path) pins the grouping key the table-mention
-    inference chose, bypassing the word→column matcher."""
+    inference chose, bypassing the word→column matcher.
+
+    ``column_values`` (round 12 — the A8 generalization: the reference
+    binds city equality from a HARD-CODED keyword list,
+    sql_generator.py:56-63; here the list is the data's own
+    low-cardinality value sets, profiler.low_cardinality_values) maps
+    column → known values: any ORIGINAL-case question token that
+    matches a known value of exactly one column adds an equality
+    filter ("revenue per nation for segment BUILDING" →
+    ``c_mktsegment = 'BUILDING'``).  Tokens that resolve as column
+    words, metric names, or grammar numbers never value-match (the
+    grammar-disjointness invariant); a token matching values of TWO
+    columns raises rather than mis-binding."""
 
     def _get(c, k):
         return c[k] if isinstance(c, dict) else getattr(c, k)
@@ -162,10 +181,13 @@ def generate_sql_extended(
             agg_fn, agg_metric = _AGG_WORDS[m.group(1)], m.group(2)
             break
     if agg_fn is None and metrics:
-        # a bare "by/per <metric>" ("top 5 nations by revenue") implies
-        # the additive default SUM over the metric expression
-        mm = re.search(
-            r"\b(?:by|per) (" + "|".join(map(re.escape, sorted(metrics))) + r")\b", q
+        # a bare metric next to a grouping phrase implies the additive
+        # default SUM over the metric expression: "top 5 nations by
+        # revenue" (metric after by/per) and "revenue per nation"
+        # (metric BEFORE the grouping phrase — round 12)
+        alts = "|".join(map(re.escape, sorted(metrics)))
+        mm = re.search(rf"\b(?:by|per) ({alts})\b", q) or re.search(
+            rf"\b({alts}) (?:by|per|for each)\b", q
         )
         if mm and resolve(mm.group(1)) is None:
             agg_fn, agg_metric = "SUM", mm.group(1)
@@ -219,6 +241,39 @@ def generate_sql_extended(
         col = resolve(m.group(1).lower())
         if col is not None and col not in (agg_col,):
             where.append(f"{quote_identifier(col)} = '{m.group(2)}'")
+
+    # value-equality filters (round 12): ORIGINAL-case tokens matched
+    # verbatim against profiled low-cardinality value sets — the A8
+    # city-list rule generalized to the data's own categories.  Tokens
+    # already consumed by the grammar (column words, metric names,
+    # digits, explicit is/equals values) are excluded first so the two
+    # equality rules stay disjoint.
+    if column_values:
+        eq_values = {
+            m.group(2)
+            for m in re.finditer(
+                r"(\w+) (?:is|equals|=) '?([\w.-]+)'?", question, re.IGNORECASE
+            )
+        }
+        seen_tokens: set[str] = set()
+        for tok in re.findall(r"[\w.-]+", question):
+            if (
+                tok in seen_tokens
+                or tok in eq_values
+                or tok.isdigit()
+                or resolve(tok.lower()) is not None
+                or tok.lower() in metrics
+            ):
+                continue
+            seen_tokens.add(tok)
+            hits = sorted(c for c, vals in column_values.items() if tok in vals)
+            if len(hits) > 1:
+                raise ValueError(
+                    f"value {tok!r} matches more than one column "
+                    f"({', '.join(hits)}): cannot bind the filter safely"
+                )
+            if hits:
+                where.append(f"{quote_identifier(hits[0])} = '{tok}'")
 
     # numeric comparison filters: "X over/above/greater than N"
     for m in re.finditer(
@@ -377,6 +432,7 @@ def generate_sql_multi_table(
     tables: dict[str, list],
     now: dt.date | None = None,
     metrics: dict[str, tuple[str, list[str]]] | None = None,
+    column_values: dict[str, dict[str, list]] | None = None,
 ) -> str:
     """NL -> one SELECT over profiled tables joined along an inferred
     star-schema path — the schema-driven join inference the
@@ -411,6 +467,15 @@ def generate_sql_multi_table(
     table's name-like column (first ``…name`` column, else its first
     string column), producing the reference flagship's
     join+GROUP+ORDER+LIMIT shape from one sentence.
+
+    ``column_values`` (round 12) maps table → column → known values
+    (profiler.low_cardinality_values per table): value tokens bind
+    equality filters on ANY table of the chosen join PATH — bridge
+    tables included, safely, because path-wide column-name uniqueness
+    is already enforced ("revenue per nation for segment BUILDING last
+    month" filters the customer bridge's c_mktsegment).  A value token
+    whose owning table is NOT on the plan raises — a filter must bind
+    or fail, never silently vanish (the round-8 type-label lesson).
 
     Raises ``ValueError`` when referenced columns span tables with no
     inferable join path — never a silently wrong query.  Output always
@@ -482,6 +547,44 @@ def generate_sql_multi_table(
                 break
 
     flat_metrics = {mn: expr for mn, (expr, _) in metrics.items()}
+    column_values = column_values or {}
+
+    def _plan_values(plan_tables: tuple[str, ...]) -> dict[str, list] | None:
+        """Merged value sets for the chosen plan's tables (bridges
+        included — path-wide name uniqueness is enforced before use).
+        A value token owned only by OFF-plan tables raises: the filter
+        must bind or fail, never silently vanish."""
+        if not column_values:
+            return None
+        merged: dict[str, list] = {}
+        for t in plan_tables:
+            merged.update(column_values.get(t, {}))
+        eq_values = {
+            m.group(2)
+            for m in re.finditer(
+                r"(\w+) (?:is|equals|=) '?([\w.-]+)'?", question, re.IGNORECASE
+            )
+        }
+        for tok in set(re.findall(r"[\w.-]+", question)):
+            if (
+                tok in eq_values
+                or tok.isdigit()
+                or tok.lower() in flat_metrics
+                or any(r(tok.lower()) is not None for r in resolvers.values())
+                or any(tok in vals for vals in merged.values())
+            ):
+                continue
+            off = sorted(
+                t
+                for t, cvs in column_values.items()
+                if t not in plan_tables and any(tok in vals for vals in cvs.values())
+            )
+            if off:
+                raise ValueError(
+                    f"value {tok!r} belongs to {', '.join(off)}, which the "
+                    "inferred join plan does not reach: cannot bind the filter"
+                )
+        return merged or None
 
     # smallest covering set: try singles, then pairs (deterministic order)
     def covers(ts: tuple[str, ...]) -> bool:
@@ -499,7 +602,11 @@ def generate_sql_multi_table(
     for t in sorted(tables):
         if covers((t,)):
             return generate_sql_extended(
-                question, tables[t], table=t, **_kwargs((t,))
+                question,
+                tables[t],
+                table=t,
+                column_values=_plan_values((t,)),
+                **_kwargs((t,)),
             )
 
     # join graph over the profiled tables (sorted — deterministic)
@@ -546,7 +653,12 @@ def generate_sql_multi_table(
         for prev, nxt in zip(path, path[1:]):
             fc += f" JOIN {nxt} ON {_edge(prev, nxt)}"
         return generate_sql_extended(
-            question, combined, table=t1, from_clause=fc, **_kwargs((t1, t2))
+            question,
+            combined,
+            table=t1,
+            from_clause=fc,
+            column_values=_plan_values(tuple(path)),
+            **_kwargs((t1, t2)),
         )
     raise ValueError(
         "question references columns from more than two joinable tables"

@@ -150,6 +150,52 @@ def profile(df: DataFrame, sample_rows: int = DEFAULT_SAMPLE_ROWS) -> list[Colum
     return out
 
 
+def low_cardinality_values(
+    df: DataFrame, max_distinct: int = 50, columns: list[str] | None = None
+) -> dict[str, list[str]]:
+    """``{column: sorted distinct values}`` for every STRING column
+    whose cardinality is ≤ ``max_distinct`` — the data-derived
+    generalization of the reference's hard-coded city keyword list
+    (sql_generator.py:56-63): the NL grammar's value-equality rule
+    (nlsql/extended.py, round 12) matches question tokens against these
+    value sets instead of one baked-in list.
+
+    Scale: pass 1 is ONE aggregate of approx_count_distinct over all
+    string columns (map-side combined, no value materialization); only
+    columns passing the approx prefilter (with 2× headroom for the
+    sketch's error) reach pass 2, a single aggregate of capped
+    sort_array(collect_set(...)) whose state is bounded by the
+    prefilter.  Columns whose exact distinct count still exceeds the
+    cap are dropped — the value list must be complete or absent, never
+    truncated (a partial list would silently miss filters)."""
+    cols = [
+        f.name
+        for f in df.schema.fields
+        if _base_type(f.dataType) == "string" and (columns is None or f.name in columns)
+    ]
+    if not cols:
+        return {}
+    approx = df.agg(
+        *[F.approx_count_distinct(F.col(c)).alias(f"_a_{i}") for i, c in enumerate(cols)]
+    ).collect()[0]
+    keep = [c for i, c in enumerate(cols) if approx[f"_a_{i}"] <= 2 * max_distinct]
+    if not keep:
+        return {}
+    row = df.agg(
+        *[
+            F.slice(
+                F.sort_array(F.collect_set(F.col(c))), 1, max_distinct + 1
+            ).alias(f"_v_{i}")
+            for i, c in enumerate(keep)
+        ]
+    ).collect()[0]
+    return {
+        c: list(row[f"_v_{i}"])
+        for i, c in enumerate(keep)
+        if len(row[f"_v_{i}"]) <= max_distinct
+    }
+
+
 def to_timestamp_any(col: F.Column) -> F.Column:
     """Best-effort string->timestamp over the probe formats (used when a
     string column typed 'date' participates in a range filter)."""
