@@ -256,6 +256,7 @@ def generate_sql_extended(
             )
         }
         seen_tokens: set[str] = set()
+        by_col: dict[str, list[str]] = {}
         for tok in re.findall(r"[\w.-]+", question):
             if (
                 tok in seen_tokens
@@ -273,7 +274,15 @@ def generate_sql_extended(
                     f"({', '.join(hits)}): cannot bind the filter safely"
                 )
             if hits:
-                where.append(f"{quote_identifier(hits[0])} = '{tok}'")
+                by_col.setdefault(hits[0], []).append(tok)
+        # several values of ONE column ("segment BUILDING or MACHINERY")
+        # mean membership, not an always-empty AND of equalities
+        for col, toks in by_col.items():
+            if len(toks) == 1:
+                where.append(f"{quote_identifier(col)} = '{toks[0]}'")
+            else:
+                vals = ", ".join(f"'{t}'" for t in toks)
+                where.append(f"{quote_identifier(col)} IN ({vals})")
 
     # numeric comparison filters: "X over/above/greater than N"
     for m in re.finditer(

@@ -902,6 +902,90 @@ def read_minhash_verdicts(spark: SparkSession, store_dir: str) -> DataFrame:
     )
 
 
+def compact_batch_store(
+    spark: SparkSession,
+    store_path: str,
+    schema: str,
+    key_cols: list[str],
+    value_col: str,
+    agg: str,
+    upto_batch: int | None = None,
+) -> int:
+    """Fold every batch partition with ``batch_id <= upto_batch`` into
+    ONE partition keyed by ``upto_batch`` — the maintenance face of the
+    mergeable-store idiom (each read-side merge is over O(batches)
+    partitions otherwise; compaction IS the same merge, made durable).
+    Returns the number of partitions removed (0 = nothing to compact).
+
+    MIN/MAX stores ONLY (minhash bucket mins, HLL registers), because
+    the whole protocol is crash-safe by IDEMPOTENCE: after the merged
+    partition is written, the not-yet-deleted old partitions change
+    nothing (MIN/MAX of duplicates is the same value), so a crash
+    between the write and any deletion — or a replayed old batch
+    rewriting its partition afterwards — leaves every read correct.
+    SUM stores (CM cells, HDR buckets) are REFUSED: the same crash
+    window would double-count (merged total + surviving originals),
+    and fixing that needs an atomic swap (a table format's commit), not
+    a plain-parquet protocol.
+
+    ``upto_batch`` defaults to everything below the NEWEST batch — the
+    only batch a foreachBatch replay can still target is the last
+    uncommitted one, so compacting strictly below it is safe even
+    mid-stream.  The merged frame is localCheckpoint'd BEFORE the
+    in-place dynamic overwrite (the round-11 compaction rule: truncate
+    the file lineage Spark's overwrite-path check walks)."""
+    if agg not in ("min", "max"):
+        raise ValueError(
+            f"compact_batch_store supports min/max stores only (got {agg!r}): "
+            "SUM stores double-count in the crash window between the merged "
+            "write and the old-partition deletes — compact those through an "
+            "atomic-commit table format instead"
+        )
+    store = _read_store_or_empty(spark, store_path, schema)
+    batches = sorted(r[0] for r in store.select("batch_id").distinct().collect())
+    if upto_batch is None:
+        if len(batches) < 2:
+            return 0
+        upto_batch = batches[-2]
+    todo = [b for b in batches if b <= upto_batch]
+    if len(todo) < 2:
+        return 0
+    fn = F.min if agg == "min" else F.max
+    merged = (
+        store.filter(F.col("batch_id") <= int(upto_batch))
+        .groupBy(*key_cols)
+        .agg(fn(value_col).alias(value_col))
+        .withColumn("batch_id", F.lit(int(upto_batch)))
+        .localCheckpoint(eager=True)
+    )
+    try:
+        (
+            merged.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(store_path)
+        )
+    finally:
+        merged.unpersist()
+    # idempotent cleanup: each deletion is individually safe (survivors
+    # merge to the same values); decoded-name matching per the round-11
+    # partition-dir rule even though batch ids never escape
+    jvm = spark._jvm
+    hconf = spark._jsc.hadoopConfiguration()
+    root = jvm.org.apache.hadoop.fs.Path(store_path)
+    fs = root.getFileSystem(hconf)
+    gone = {str(b) for b in todo if b != upto_batch}
+    removed = 0
+    for st in fs.listStatus(root):
+        name = st.getPath().getName()
+        if not (st.isDirectory() and name.startswith("batch_id=")):
+            continue
+        if _unescape_path_name(name[len("batch_id="):]) in gone:
+            fs.delete(st.getPath(), True)
+            removed += 1
+    return removed
+
+
 def route_cm_batch(
     batch_df, batch_id: int, key_col: str, cells_path: str, depth: int = 4, width: int = 64
 ):

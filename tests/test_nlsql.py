@@ -834,3 +834,29 @@ def test_multi_table_value_equality_on_bridge_executes_equal(spark):
             {**tabs, "supplier": _profiled_tables(spark, ("supplier",))["supplier"]},
             column_values=cvals,
         )
+
+
+def test_value_equality_multiple_values_one_column_is_in_list(spark):
+    """Two value tokens of the SAME column ('BUILDING or MACHINERY')
+    must bind ONE membership filter, never an always-empty AND of
+    equalities."""
+    from csv_query_engine_spark.io.readers import load_tables
+    from csv_query_engine_spark.nlsql.extended import generate_sql_multi_table
+    from csv_query_engine_spark.nlsql.validator import validate_sql
+    from csv_query_engine_spark.profiler import low_cardinality_values
+
+    tabs = _profiled_tables(spark, ("customer",))
+    cust = load_tables(spark, "/root/testdata/sf0.001", ("customer",), register=False)[
+        "customer"
+    ]
+    cvals = {"customer": low_cardinality_values(cust)}
+    sql = generate_sql_multi_table(
+        "how many customers for segment BUILDING or MACHINERY",
+        tabs,
+        column_values=cvals,
+    )
+    validate_sql(sql, spark)
+    assert "`c_mktsegment` IN ('BUILDING', 'MACHINERY')" in sql
+    got = spark.sql(sql).collect()[0][0]
+    want = cust.filter(cust["c_mktsegment"].isin("BUILDING", "MACHINERY")).count()
+    assert got == want and got > 0

@@ -1816,3 +1816,98 @@ def test_join_view_bucket_columns_are_immutable_contract(spark, tmp_path):
     )
     rows = read_join_view(spark, view_dir, schema).collect()
     assert [(r["fk"], r["mon"], r["v"]) for r in rows] == [(1, "2024-02", 5.0)]
+
+
+def test_compact_batch_store_min_and_max_stores(spark, tmp_path):
+    """Round-12 store maintenance: compacting a MIN store (minhash
+    bucket mins) folds old batch partitions into one with the merged
+    reads unchanged, later batches still screen against it, re-running
+    is a no-op, and SUM stores are refused (crash-window double-count)."""
+    import pytest
+
+    from csv_query_engine_spark.streaming.events import (
+        compact_batch_store,
+        read_minhash_bucket_mins,
+        read_minhash_verdicts,
+        route_minhash_admission_batch,
+    )
+
+    store = str(tmp_path / "mh")
+    near = BASE_DOC.replace("papa", "quebec")
+    route_minhash_admission_batch(
+        spark.createDataFrame([(1, BASE_DOC)], "doc_id long, text string"), 0, store
+    )
+    route_minhash_admission_batch(
+        spark.createDataFrame(
+            [(2, "totally different words one two three four five six")],
+            "doc_id long, text string",
+        ),
+        1,
+        store,
+    )
+    route_minhash_admission_batch(
+        spark.createDataFrame([(3, "yet another unrelated doc")], "doc_id long, text string"),
+        2,
+        store,
+    )
+    mins_schema = "band INT, bucket BIGINT, min_id BIGINT, batch_id BIGINT"
+    before = sorted(
+        map(tuple, read_minhash_bucket_mins(spark, store).collect())
+    )
+    removed = compact_batch_store(
+        spark, f"{store}/mins", mins_schema, ["band", "bucket"], "min_id", "min"
+    )
+    assert removed == 1  # batches 0 and 1 folded into partition 1
+    assert sorted(map(tuple, read_minhash_bucket_mins(spark, store).collect())) == before
+    batches = {
+        r["batch_id"]
+        for r in spark.read.schema(mins_schema).parquet(f"{store}/mins").collect()
+    }
+    assert batches == {1, 2}
+    # a later batch still screens against the compacted state
+    route_minhash_admission_batch(
+        spark.createDataFrame([(4, near)], "doc_id long, text string"), 3, store
+    )
+    v = {r["doc_id"]: (r["is_dup"], r["dup_of"]) for r in read_minhash_verdicts(spark, store).collect()}
+    assert v[4] == (True, 1)
+    # idempotent: nothing below the chosen bound remains
+    assert (
+        compact_batch_store(
+            spark, f"{store}/mins", mins_schema, ["band", "bucket"], "min_id", "min",
+            upto_batch=1,
+        )
+        == 0
+    )
+    # SUM stores are refused with the rationale
+    with pytest.raises(ValueError, match="min/max"):
+        compact_batch_store(
+            spark, f"{store}/mins", mins_schema, ["band", "bucket"], "min_id", "sum"
+        )
+
+
+def test_compact_batch_store_hll_registers(spark, tmp_path):
+    """The MAX face: HLL register partitions compact with estimates
+    unchanged (register MAX-merge is the sketch's own contract)."""
+    from csv_query_engine_spark.streaming.events import (
+        compact_batch_store,
+        read_hll_registers,
+        route_hll_batch,
+    )
+
+    regs = str(tmp_path / "regs")
+    for b in range(3):
+        df = spark.range(b * 100, (b + 1) * 100).select(
+            F.col("id").alias("user_id"), F.lit("t").alias("type")
+        )
+        route_hll_batch(df, b, "user_id", "type", regs)
+    before = sorted(map(tuple, read_hll_registers(spark, regs, "type").collect()))
+    removed = compact_batch_store(
+        spark,
+        regs,
+        "type STRING, b BIGINT, mb INT, batch_id BIGINT",
+        ["type", "b"],
+        "mb",
+        "max",
+    )
+    assert removed == 1
+    assert sorted(map(tuple, read_hll_registers(spark, regs, "type").collect())) == before
