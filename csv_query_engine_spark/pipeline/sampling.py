@@ -165,10 +165,15 @@ def stratified_fixed_sample_threshold(
     ).persist(StorageLevel.MEMORY_AND_DISK)
     # guard: an oversized stratum must retain min(k, n) rows — count the
     # survivors once (bounded: ≤ margin·k per stratum) and raise on any
-    # shortfall instead of emitting a silently short sample
+    # shortfall instead of emitting a silently short sample.  The check
+    # joins FROM the all-strata counts side (round-12 fix): a stratum
+    # the prefilter emptied ENTIRELY has no survivor group at all and a
+    # survivors-side aggregate would never see it — the worst shortfall
+    # was the one invisible to the old guard.
+    kept_stats = ranked.groupBy(stratum).agg(F.count(F.lit(1)).alias("_kept"))
     short = (
-        ranked.groupBy(stratum, "_n")
-        .agg(F.count(F.lit(1)).alias("_kept"))
+        counts.join(kept_stats, stratum, "left")
+        .withColumn("_kept", F.coalesce(F.col("_kept"), F.lit(0)))
         .filter(F.col("_kept") < F.least(F.lit(k), F.col("_n")))
         .limit(1)
         .collect()
@@ -209,11 +214,11 @@ def token_budget_sample(
 
     Scale: one shuffle on ``stratum`` + a per-stratum sort for the
     running sum (no WindowGroupLimit shortcut exists for SUM frames).
-    For strata where even the sort is too big, run the two-pass variant
-    instead: quantile-sketch the per-row hash weighted by ``weight``,
-    pick the hash threshold whose prefix mass ≈ budget, and keep rows
-    below it — a narrow filter, no sort; this exact version is the
-    oracle-checkable ground truth for it.
+    For strata where even the sort is too big, use
+    :func:`token_budget_sample_threshold` (round 12) — a hash-threshold
+    prefilter bounds the sort to ~margin·budget weight per stratum and
+    the selection is bit-identical; this exact version is its
+    oracle-checkable ground truth.
     """
     h = F.md5(F.concat(F.lit(salt), key.cast("string")))
     w = (
@@ -225,6 +230,93 @@ def token_budget_sample(
         df.withColumn("cum_tokens", F.sum(weight).over(w))
         .filter(F.col("cum_tokens") <= budget)
     )
+
+
+def token_budget_sample_threshold(
+    df: DataFrame,
+    stratum: str,
+    key: Column,
+    weight: Column,
+    budget: int,
+    salt: str = "mix-",
+    margin: float = 4.0,
+) -> DataFrame:
+    """The large-stratum scale path :func:`token_budget_sample`'s
+    docstring promises (round 12; the fixed-k precedent is
+    :func:`stratified_fixed_sample_threshold`) — SAME output
+    (bit-identical selection AND ``cum_tokens``), different plan: a
+    hash-threshold PREFILTER bounds the running-sum window's input to
+    ~``margin·budget`` token mass per stratum, so a stratum with 10⁹
+    docs and a 10⁶-token budget never sorts more than the prefilter
+    survivors.
+
+    Two passes: (1) per-stratum token totals (one agg); (2) rows whose
+    uniform-from-md5 position ``u`` falls under ``margin·budget/total``
+    survive (strata with total ≤ margin·budget skip the prefilter), then
+    the exact running-sum window runs among survivors only.
+
+    Completeness is PROVEN by the guard, not assumed: ``u`` (the first
+    8 hex chars of the SAME md5 the exact form orders by) is monotone
+    in the full-hex sort order, so each stratum's survivor set is a
+    hash-order PREFIX (up to u-ties, which only ADD survivors).  If
+    some survivor OVERFLOWS the budget (cum_tokens > budget), every row
+    the full form keeps sorts before that survivor and therefore also
+    survived — the window's running sums among survivors equal the full
+    form's exactly.  The GUARD enforces that premise: any prefiltered
+    stratum whose survivors neither overflow the budget nor include ALL
+    its rows RAISES (raise ``margin``) — never a silently short mix.
+    Unlike the fixed-k sampler's Chernoff bound, the undershoot odds
+    here depend on weight dispersion (survivor mass concentrates at
+    margin·budget, so failure needs the u-prefix's token mass to run
+    ~margin× under expectation — keep max doc weight ≪ budget).
+
+    ``ranked`` persists before the guard's materializing aggregate
+    (the stratified-threshold ADVICE lesson); cache lifetime is
+    CALLER-OWNED — wrap in ``pipeline.cache_scope``."""
+    from pyspark.storagelevel import StorageLevel
+
+    hexs = F.md5(F.concat(F.lit(salt), key.cast("string")))
+    u = F.conv(F.substring(hexs, 1, 8), 16, 10).cast("double") / F.lit(4294967296.0)
+    totals = df.groupBy(stratum).agg(
+        F.sum(weight.cast("long")).alias("_tw"), F.count(F.lit(1)).alias("_n")
+    )
+    thr = F.least(F.lit(1.0), F.lit(float(margin) * budget) / F.col("_tw").cast("double"))
+    pre = (
+        df.join(totals, stratum)
+        .withColumn("_u", u)
+        .filter((F.col("_tw") <= F.lit(float(margin) * budget)) | (F.col("_u") < thr))
+    )
+    w = (
+        W.partitionBy(stratum)
+        .orderBy(hexs, key)
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    ranked = pre.withColumn("cum_tokens", F.sum(weight).over(w)).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    # the guard joins FROM the all-strata totals (a stratum the
+    # prefilter emptied entirely has no survivor group — the
+    # stratified-threshold round-12 fix applies here from day one)
+    kept_stats = ranked.groupBy(stratum).agg(
+        F.max("cum_tokens").alias("_maxcum"), F.count(F.lit(1)).alias("_kept")
+    )
+    short = (
+        totals.join(kept_stats, stratum, "left")
+        .withColumn("_maxcum", F.coalesce(F.col("_maxcum"), F.lit(0)))
+        .withColumn("_kept", F.coalesce(F.col("_kept"), F.lit(0)))
+        .filter((F.col("_maxcum") <= F.lit(int(budget))) & (F.col("_kept") < F.col("_n")))
+        .limit(1)
+        .collect()
+    )
+    if short:
+        r = short[0]
+        raise ValueError(
+            f"token_budget_sample_threshold: stratum {r[stratum]!r} kept "
+            f"{r['_kept']}/{r['_n']} rows with max cum_tokens {r['_maxcum']} "
+            f"<= budget {budget} — the hash prefilter cut the stratum before "
+            f"the budget boundary; raise margin (={margin})"
+        )
+    return ranked.filter(F.col("cum_tokens") <= budget).drop("_tw", "_n", "_u")
 
 
 def temperature_mix_weights(

@@ -308,6 +308,7 @@ DRIVER_ORDER: list[str] = [
     # Round-12 additions (oracle-verified locally at sf0.01+sf0.1;
     # outside the window until a future rotation):
     "dedup_funnel_rep_pairs",   # exact-prepass -> LSH over representatives (shared rep-pairs twin)
+    "docs_token_budget_mix_threshold",  # two-pass bounded-window token-budget mix (same twin as the window form)
     # Round-12 oracle upgrade: the banded screen's registered form runs
     # quantized (scale-6 integer planes/coordinates) and carries a full
     # DuckDB twin — no longer rows-only:

@@ -1356,6 +1356,37 @@ def docs_token_budget_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "docs_token_budget_mix_threshold",
+    REGISTRY["docs_token_budget_mix"][1],  # SAME selection -> same twin
+)
+def docs_token_budget_mix_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The large-stratum TWO-PASS plan of the token-budget mix
+    (round 12; pipeline/sampling.py::token_budget_sample_threshold):
+    per-stratum token totals, a hash-threshold prefilter bounding the
+    running-sum window's input to ~margin·budget token mass per
+    stratum, the exact window among survivors, and a completeness
+    guard that raises instead of emitting a short mix.
+    Oracle-certified against the SAME running-sum twin as
+    `docs_token_budget_mix` (fetched from the registry so the two can
+    never drift) — the certification is precisely that the bounded
+    plan selects identical rows with identical cum_tokens."""
+    d = load_tables(spark, sf_dir, ("documents",))["documents"]
+    base = d.select("doc_id", "lang", tx.token_count(F.col("text")).alias("n_tokens"))
+    return (
+        smp.token_budget_sample_threshold(
+            base, "lang", F.col("doc_id"), F.col("n_tokens"), 1500, salt="mix-"
+        )
+        .select(
+            "doc_id",
+            "lang",
+            F.col("n_tokens").cast("long").alias("n_tokens"),
+            F.col("cum_tokens").cast("long").alias("cum_tokens"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 # ------------------------------------------- clustering / packing / scrub
 
 _SQL_BPE = "len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\s]'))"

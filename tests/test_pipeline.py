@@ -791,3 +791,65 @@ def test_hard_negative_topk_excludes_same_label(spark):
     assert [r["rank"] for r in out] == [1, 2, 3]
     assert all(labels[r["cand_id"]] != 0 for r in out)
     assert out[0]["cand_id"] == 2
+
+
+def test_token_budget_threshold_form_matches_window_form(spark, docs):
+    """Round 12: the two-pass hash-threshold token-budget plan selects
+    the SAME rows with the SAME cum_tokens as the full window form; an
+    undershooting margin RAISES instead of returning a short mix."""
+    import pytest
+
+    from csv_query_engine_spark.pipeline import sampling as smp
+    from csv_query_engine_spark.pipeline.text import token_count
+
+    base = docs.select("doc_id", "lang", token_count(F.col("text")).alias("n_tokens"))
+    for budget in (300, 1500, 10**9):
+        win = {
+            (r["doc_id"], r["cum_tokens"])
+            for r in smp.token_budget_sample(
+                base, "lang", F.col("doc_id"), F.col("n_tokens"), budget
+            ).collect()
+        }
+        thr = {
+            (r["doc_id"], r["cum_tokens"])
+            for r in smp.token_budget_sample_threshold(
+                base, "lang", F.col("doc_id"), F.col("n_tokens"), budget
+            ).collect()
+        }
+        assert thr == win, budget
+        assert win  # never vacuous
+    # the prefilter actually cuts rows at a small budget (scale claim)
+    totals = {r["lang"]: r["n"] for r in base.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    kept = smp.token_budget_sample_threshold(
+        base, "lang", F.col("doc_id"), F.col("n_tokens"), 300, margin=4.0
+    )
+    # survivors of the prefilter are bounded well below the strata sizes:
+    # re-derive the prefilter input size via the internal plan shape by
+    # checking the OUTPUT is correct while strata are much larger
+    assert kept.count() < sum(totals.values())
+    # deterministic undershoot: a sub-1 margin cuts before the boundary
+    with pytest.raises(ValueError, match="raise margin"):
+        smp.token_budget_sample_threshold(
+            base, "lang", F.col("doc_id"), F.col("n_tokens"), 300, margin=0.05
+        )
+
+
+def test_threshold_guards_catch_fully_emptied_strata(spark, docs):
+    """Round-12 guard fix: a margin small enough that the prefilter
+    empties a stratum ENTIRELY must still raise — the survivors-side
+    aggregate never saw such strata (the worst shortfall was invisible
+    to the old guard)."""
+    import pytest
+
+    from csv_query_engine_spark.pipeline import sampling as smp
+    from csv_query_engine_spark.pipeline.text import token_count
+
+    with pytest.raises(ValueError, match="raise margin"):
+        smp.stratified_fixed_sample_threshold(
+            docs, "lang", F.col("doc_id"), 50, margin=1e-7
+        )
+    base = docs.select("doc_id", "lang", token_count(F.col("text")).alias("n_tokens"))
+    with pytest.raises(ValueError, match="raise margin"):
+        smp.token_budget_sample_threshold(
+            base, "lang", F.col("doc_id"), F.col("n_tokens"), 300, margin=1e-7
+        )
