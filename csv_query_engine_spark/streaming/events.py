@@ -1913,6 +1913,160 @@ def route_census_batch(batch_df, batch_id: int, census_dir: str, cols=None):
     )
 
 
+_CENTROID_SCHEMA = "label STRING, dim INT, sum_units BIGINT, n_vecs BIGINT, batch_id BIGINT"
+
+
+def route_centroid_batch(
+    batch_df,
+    batch_id: int,
+    store_dir: str,
+    label_col: str = "label",
+    vec_col: str = "embedding",
+):
+    """One micro-batch of the streaming EMBEDDING-CENTROID monitor —
+    the embedding-space sibling of the census store: the batch's own
+    per-(label, dim) quantized component sums (label, dim, sum_units,
+    n_vecs), where ``sum_units`` is the exact long sum of
+    FLOOR(x·1e6 + 0.5) per coordinate.  The label_centroids
+    quantize-before-cross-row-sum invariant makes this state EXACTLY
+    SUM-mergeable (long addition is associative — no float
+    partition-order drift), so the merged whole-stream centroid equals
+    the one-shot batch computation bit-for-bit
+    (:func:`read_merged_centroids`).  batch_id-keyed dynamic overwrite:
+    the state is a deterministic function of the batch, so a replay
+    rewrites its partition byte-identically (the accumulated-state
+    idiom; SUM-merge on read is safe because replays REWRITE, never
+    append).
+
+    Scale: the explode is linear (|batch|×dim small numeric rows, the
+    vector never shuffles as an array); state is |labels|×dim rows per
+    batch."""
+    dims = batch_df.select(
+        F.col(label_col).cast("string").alias("label"),
+        F.posexplode(vec_col).alias("dim", "_x"),
+    ).select(
+        "label",
+        "dim",
+        F.floor(F.col("_x").cast("double") * F.lit(1e6) + F.lit(0.5))
+        .cast("long")
+        .alias("_q"),
+    )
+    state = dims.groupBy("label", "dim").agg(
+        F.sum("_q").alias("sum_units"), F.count(F.lit(1)).alias("n_vecs")
+    )
+    (
+        state.withColumn("batch_id", F.lit(int(batch_id)))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("batch_id")
+        .parquet(store_dir)
+    )
+
+
+def centroid_stream(
+    stream: DataFrame,
+    store_dir: str,
+    checkpoint: str,
+    label_col: str = "label",
+    vec_col: str = "embedding",
+):
+    """Streaming per-label centroid maintenance via foreachBatch →
+    :func:`route_centroid_batch`; effectively-once under replay (the
+    idiom)."""
+
+    def route(batch_df, batch_id):
+        route_centroid_batch(batch_df, batch_id, store_dir, label_col, vec_col)
+
+    return (
+        stream.writeStream.foreachBatch(route)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def read_merged_centroids(spark: SparkSession, store_dir: str) -> DataFrame:
+    """SUM-merge every batch's centroid state into exact whole-stream
+    per-label centroids — BIT-IDENTICAL to
+    ``pipeline.similarity.label_centroids`` over the union of the
+    batches (same quantization, same long sums, same op order
+    sum→double→/1e6→/n), pinned in tests."""
+    p = _read_store_or_empty(spark, store_dir, _CENTROID_SCHEMA)
+    return (
+        p.groupBy("label", "dim")
+        .agg(F.sum("sum_units").alias("_su"), F.sum("n_vecs").alias("_n"))
+        .select(
+            "label",
+            F.col("dim").cast("int").alias("dim"),
+            (F.col("_su").cast("double") / F.lit(1e6) / F.col("_n")).alias("centroid"),
+            F.col("_n").cast("long").alias("n_vecs"),
+        )
+    )
+
+
+def read_centroid_drift(
+    spark: SparkSession, store_dir: str, last_n: int | None = None
+) -> DataFrame:
+    """Per-transition per-LABEL centroid shift between consecutive
+    stored batches — the embedding-space complement of
+    :func:`read_census_drift` (embedding-model swaps, source-mix
+    changes, and upstream featurization drift move centroids long
+    before scalar stats notice): for every consecutive batch pair and
+    every label present in BOTH, the L2 shift and cosine of the two
+    per-batch centroid vectors, computed entirely from the stored
+    |labels|×dim state (vectors are never re-read).  Labels appearing
+    or vanishing between batches are census territory (n_vecs_old/new
+    carry the sizes for labels present in both).  ``last_n`` bounds the
+    timeline like the census reader's."""
+    _EMPTY = (
+        "from_batch BIGINT, to_batch BIGINT, label STRING, l2_shift DOUBLE, "
+        "cosine DOUBLE, n_vecs_old BIGINT, n_vecs_new BIGINT"
+    )
+    p = _read_store_or_empty(spark, store_dir, _CENTROID_SCHEMA)
+    ids = [r["batch_id"] for r in p.select("batch_id").distinct().orderBy("batch_id").collect()]
+    if last_n is not None and last_n >= 0:
+        ids = ids[-(last_n + 1):]
+    c = F.col("sum_units").cast("double") / F.lit(1e6) / F.col("n_vecs")
+    out = None
+    for a, b in zip(ids, ids[1:]):
+        ca = p.filter(F.col("batch_id") == a).select(
+            "label", "dim", c.alias("_ca"), F.col("n_vecs").alias("_na")
+        )
+        cb = p.filter(F.col("batch_id") == b).select(
+            "label", "dim", c.alias("_cb"), F.col("n_vecs").alias("_nb")
+        )
+        d = (
+            ca.join(cb, ["label", "dim"])
+            .groupBy("label")
+            .agg(
+                F.sqrt(F.sum((F.col("_cb") - F.col("_ca")) * (F.col("_cb") - F.col("_ca")))).alias("l2_shift"),
+                F.sum(F.col("_ca") * F.col("_cb")).alias("_dot"),
+                F.sqrt(F.sum(F.col("_ca") * F.col("_ca"))).alias("_no"),
+                F.sqrt(F.sum(F.col("_cb") * F.col("_cb"))).alias("_nn"),
+                F.max("_na").alias("n_vecs_old"),
+                F.max("_nb").alias("n_vecs_new"),
+            )
+            .select(
+                F.lit(a).cast("bigint").alias("from_batch"),
+                F.lit(b).cast("bigint").alias("to_batch"),
+                "label",
+                "l2_shift",
+                F.when(
+                    (F.col("_no") > 0) & (F.col("_nn") > 0),
+                    F.col("_dot") / (F.col("_no") * F.col("_nn")),
+                )
+                .otherwise(F.lit(0.0))
+                .alias("cosine"),
+                "n_vecs_old",
+                "n_vecs_new",
+            )
+        )
+        out = d if out is None else out.unionByName(d)
+    if out is None:
+        return spark.createDataFrame([], _EMPTY)
+    return out
+
+
 _CONTAM_SCHEMA = (
     "vec_id BIGINT, contaminated INT, max_cosine DOUBLE, "
     "matched_bench_id BIGINT, batch_id BIGINT"

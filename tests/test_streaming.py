@@ -1911,3 +1911,67 @@ def test_compact_batch_store_hll_registers(spark, tmp_path):
     )
     assert removed == 1
     assert sorted(map(tuple, read_hll_registers(spark, regs, "type").collect())) == before
+
+
+def test_centroid_store_merge_drift_and_replay(spark, tmp_path):
+    """Round-12 embedding-centroid monitor: the SUM-merged store equals
+    label_centroids over the union BIT-FOR-BIT (quantize-before-sum
+    makes the state exactly mergeable), identical consecutive batches
+    show zero L2 shift, a planted +0.5 shift on dim 0 shows up in the
+    next transition, and a replayed batch rewrites its partition
+    byte-identically."""
+    from csv_query_engine_spark.pipeline.similarity import label_centroids
+    from csv_query_engine_spark.streaming.events import (
+        read_centroid_drift,
+        read_merged_centroids,
+        route_centroid_batch,
+    )
+
+    store = str(tmp_path / "cent")
+    e = (
+        spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        .select("label", "embedding")
+        .limit(200)
+    )
+    shifted = e.select(
+        "label",
+        F.concat(
+            F.array(F.element_at("embedding", 1) + F.lit(0.5)),
+            F.slice("embedding", 2, 63),
+        ).alias("embedding"),
+    )
+    route_centroid_batch(e, 0, store)
+    route_centroid_batch(e, 1, store)        # identical batch
+    route_centroid_batch(shifted, 2, store)  # planted dim-0 shift
+    # merged == label_centroids on the union, exactly
+    # the store casts labels to STRING on write (the HLL group-cast
+    # convention) — align the batch twin's key type for the comparison
+    union = (
+        e.unionByName(e)
+        .unionByName(shifted)
+        .withColumn("label", F.col("label").cast("string"))
+    )
+    want = {
+        (r["label"], r["dim"]): (r["centroid"], r["n_vecs"])
+        for r in label_centroids(union).collect()
+    }
+    got = {
+        (r["label"], r["dim"]): (r["centroid"], r["n_vecs"])
+        for r in read_merged_centroids(spark, store).collect()
+    }
+    assert got == want
+    drift = {
+        (r["from_batch"], r["to_batch"], r["label"]): r
+        for r in read_centroid_drift(spark, store).collect()
+    }
+    labels = {lbl for (_, _, lbl) in drift}
+    for lbl in labels:
+        r01 = drift[(0, 1, lbl)]
+        assert r01["l2_shift"] == 0.0 and abs(r01["cosine"] - 1.0) < 1e-12
+        r12 = drift[(1, 2, lbl)]
+        assert abs(r12["l2_shift"] - 0.5) < 1e-5  # the planted dim-0 shift
+        assert r12["n_vecs_old"] == r12["n_vecs_new"]
+    # replay: re-route batch 2 under its recorded id — store byte-identical
+    before = sorted(map(tuple, spark.read.parquet(store).collect()))
+    route_centroid_batch(shifted, 2, store)
+    assert sorted(map(tuple, spark.read.parquet(store).collect())) == before
