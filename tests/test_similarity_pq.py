@@ -212,3 +212,42 @@ def test_banded_contamination_cache_scope_releases_blocks(spark):
         semantic_contamination_banded(e, bench, threshold=0.9).count()
         assert n_persistent() > before  # the operator did persist
     assert n_persistent() == before  # ...and the scope released it all
+
+
+def test_banded_contamination_quantized_mode_catches_plants(spark):
+    """The quantized (oracle-paired) banded mode keeps the screen's
+    semantics: planted scaled bench copies are caught with integer-
+    exact verdicts, every flagged row is a true positive vs the exact
+    screen, and bench members in the corpus score cosine ~1."""
+    from csv_query_engine_spark.pipeline.similarity import (
+        semantic_contamination,
+        semantic_contamination_banded,
+    )
+
+    e = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet").select("vec_id", "embedding")
+    bench = e.filter(F.col("vec_id") % 37 == 0)
+    planted = bench.select(
+        (F.col("vec_id") + 9_000_000).alias("vec_id"),
+        F.transform(F.col("embedding"), lambda x: x * F.lit(2.0)).alias("embedding"),
+    )
+    corpus = e.unionByName(planted)
+    got = {
+        r["vec_id"]: (r["max_cosine"], r["matched_bench_id"])
+        for r in semantic_contamination_banded(
+            corpus, bench, threshold=0.9, quantized=True
+        ).collect()
+    }
+    exact = {
+        r["vec_id"]: r["max_cosine"]
+        for r in semantic_contamination(corpus, bench, threshold=0.9).collect()
+        if r["contaminated"] == 1
+    }
+    # precision: every quantized-banded verdict has an exact counterpart
+    # (scale-6 vs scale-4 quantization differ below 1e-4 — allow that)
+    for vid, (cos, _) in got.items():
+        assert vid in exact and exact[vid] >= cos - 1e-4, vid
+    # bench members (cosine 1) and their scaled plants are all caught
+    for r in bench.collect():
+        assert got[r["vec_id"]][1] == r["vec_id"]
+        assert got[r["vec_id"]][0] >= 0.999
+        assert r["vec_id"] + 9_000_000 in got
