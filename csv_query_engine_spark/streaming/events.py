@@ -2067,6 +2067,122 @@ def read_centroid_drift(
     return out
 
 
+_VOCAB_SCHEMA = "bucket INT, n BIGINT, batch_id BIGINT"
+
+
+def route_vocab_batch(
+    batch_df,
+    batch_id: int,
+    store_dir: str,
+    text_col: str = "text",
+    n_buckets: int = 1024,
+):
+    """One micro-batch of the streaming VOCABULARY-drift monitor — the
+    text-space member of the drift triad (census = tabular, centroids =
+    embeddings, this = token distribution): the batch's token counts
+    folded into a FIXED-WIDTH hashed histogram (bucket =
+    pmod(xxhash64(token), n_buckets) — the gram-shuffle hashing rule;
+    only counts surface, so collisions just merge mass) written
+    batch_id-keyed with dynamic overwrite.  State is ≤ n_buckets rows
+    per batch no matter the vocabulary size — the bounded-state answer
+    where a per-token store would grow with the corpus — and counts are
+    SUM-mergeable across batches/shards (replays REWRITE their
+    partition, so the SUM-on-read stays exact)."""
+    from csv_query_engine_spark.pipeline.text import tokens
+
+    tok = batch_df.select(F.explode(tokens(F.col(text_col))).alias("_t"))
+    hist = (
+        tok.select(F.pmod(F.xxhash64("_t"), F.lit(n_buckets)).cast("int").alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    (
+        hist.withColumn("batch_id", F.lit(int(batch_id)))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("batch_id")
+        .parquet(store_dir)
+    )
+
+
+def vocab_stream(
+    stream: DataFrame,
+    store_dir: str,
+    checkpoint: str,
+    text_col: str = "text",
+    n_buckets: int = 1024,
+):
+    """Streaming vocabulary-histogram maintenance via foreachBatch →
+    :func:`route_vocab_batch`; effectively-once under replay."""
+
+    def route(batch_df, batch_id):
+        route_vocab_batch(batch_df, batch_id, store_dir, text_col, n_buckets)
+
+    return (
+        stream.writeStream.foreachBatch(route)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def read_vocab_drift(
+    spark: SparkSession, store_dir: str, last_n: int | None = None
+) -> DataFrame:
+    """Per-transition Jensen-Shannon divergence between CONSECUTIVE
+    stored token histograms — a template change, language-mix shift, or
+    crawl-source swap moves token mass across hash buckets long before
+    document counts or lengths notice.  Computed entirely from the
+    ≤ n_buckets-row snapshots (text never re-read): for each adjacent
+    batch pair, JS(p, q) = ½KL(p‖m) + ½KL(q‖m) with m = ½(p+q), over
+    the bucket distributions (absent buckets are zero mass; the
+    0·log(0) terms drop).  JS ∈ [0, ln 2]; 0 ⟺ identical bucket
+    distributions.  Hash-bucketing makes this a drift PROXY (mass that
+    moves within one bucket is invisible — collision odds are the
+    gram-shuffle rule's), which is exactly the monitoring contract;
+    per-token forensics belong to vocab_coverage on the raw text."""
+    _EMPTY = (
+        "from_batch BIGINT, to_batch BIGINT, js_divergence DOUBLE, "
+        "tokens_old BIGINT, tokens_new BIGINT"
+    )
+    p = _read_store_or_empty(spark, store_dir, _VOCAB_SCHEMA)
+    ids = [r["batch_id"] for r in p.select("batch_id").distinct().orderBy("batch_id").collect()]
+    if last_n is not None and last_n >= 0:
+        ids = ids[-(last_n + 1):]
+    out = None
+    for a, b in zip(ids, ids[1:]):
+        ha = p.filter(F.col("batch_id") == a).select("bucket", F.col("n").alias("_na"))
+        hb = p.filter(F.col("batch_id") == b).select("bucket", F.col("n").alias("_nb"))
+        j = ha.join(hb, "bucket", "full_outer").select(
+            F.coalesce(F.col("_na"), F.lit(0)).alias("_na"),
+            F.coalesce(F.col("_nb"), F.lit(0)).alias("_nb"),
+        )
+        tots = j.agg(F.sum("_na").alias("_ta"), F.sum("_nb").alias("_tb")).collect()[0]
+        ta, tb = int(tots["_ta"] or 0), int(tots["_tb"] or 0)
+        if ta == 0 or tb == 0:
+            d = spark.createDataFrame(
+                [(a, b, float("nan"), ta, tb)], _EMPTY
+            )
+        else:
+            pa = F.col("_na").cast("double") / F.lit(float(ta))
+            pb = F.col("_nb").cast("double") / F.lit(float(tb))
+            m = (pa + pb) / F.lit(2.0)
+            term = F.when(pa > 0, pa * F.log(pa / m)).otherwise(F.lit(0.0)) + F.when(
+                pb > 0, pb * F.log(pb / m)
+            ).otherwise(F.lit(0.0))
+            d = j.agg((F.sum(term) / F.lit(2.0)).alias("js")).select(
+                F.lit(a).cast("bigint").alias("from_batch"),
+                F.lit(b).cast("bigint").alias("to_batch"),
+                F.col("js").alias("js_divergence"),
+                F.lit(ta).cast("bigint").alias("tokens_old"),
+                F.lit(tb).cast("bigint").alias("tokens_new"),
+            )
+        out = d if out is None else out.unionByName(d)
+    if out is None:
+        return spark.createDataFrame([], _EMPTY)
+    return out
+
+
 _CONTAM_SCHEMA = (
     "vec_id BIGINT, contaminated INT, max_cosine DOUBLE, "
     "matched_bench_id BIGINT, batch_id BIGINT"

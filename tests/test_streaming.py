@@ -1975,3 +1975,59 @@ def test_centroid_store_merge_drift_and_replay(spark, tmp_path):
     before = sorted(map(tuple, spark.read.parquet(store).collect()))
     route_centroid_batch(shifted, 2, store)
     assert sorted(map(tuple, spark.read.parquet(store).collect())) == before
+
+
+def test_vocab_drift_store_js_and_replay(spark, tmp_path):
+    """Round-12 vocabulary-drift monitor: identical consecutive batches
+    score JS 0, a planted template/vocabulary swap scores JS far above
+    the identical-batch noise floor, the SUM-merged histogram equals
+    the one-shot batch histogram over the union, and a replayed batch
+    rewrites its partition byte-identically."""
+    from csv_query_engine_spark.streaming.events import (
+        read_vocab_drift,
+        route_vocab_batch,
+    )
+
+    store = str(tmp_path / "vocab")
+    docs = (
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        .select("doc_id", "text")
+        .limit(200)
+    )
+    swapped = spark.createDataFrame(
+        [(i, "completely different vocabulary about rockets and telescopes") for i in range(200)],
+        "doc_id long, text string",
+    )
+    route_vocab_batch(docs, 0, store)
+    route_vocab_batch(docs, 1, store)     # identical distribution
+    route_vocab_batch(swapped, 2, store)  # planted vocabulary swap
+    drift = {
+        (r["from_batch"], r["to_batch"]): r for r in read_vocab_drift(spark, store).collect()
+    }
+    assert drift[(0, 1)]["js_divergence"] == 0.0
+    assert drift[(1, 2)]["js_divergence"] > 0.3  # ln 2 ~ 0.693 is the max
+    assert drift[(0, 1)]["tokens_old"] == drift[(0, 1)]["tokens_new"] > 0
+    # merged histogram equals the one-shot histogram over the union
+    from csv_query_engine_spark.pipeline.text import tokens as _tokens
+
+    union = docs.unionByName(docs).unionByName(swapped)
+    want = {
+        r["bucket"]: r["n"]
+        for r in union.select(F.explode(_tokens(F.col("text"))).alias("_t"))
+        .select(F.pmod(F.xxhash64("_t"), F.lit(1024)).cast("int").alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    got = {
+        r["bucket"]: r["n"]
+        for r in spark.read.parquet(store)
+        .groupBy("bucket")
+        .agg(F.sum("n").alias("n"))
+        .collect()
+    }
+    assert got == want
+    # replay: byte-identical partition rewrite
+    before = sorted(map(tuple, spark.read.parquet(store).collect()))
+    route_vocab_batch(swapped, 2, store)
+    assert sorted(map(tuple, spark.read.parquet(store).collect())) == before
