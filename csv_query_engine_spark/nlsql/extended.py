@@ -90,6 +90,25 @@ _NUM_TYPES = {
     "number", "numeric",
 }
 
+# Grammar keywords never value-match (round 13): a lowercase
+# low-cardinality value spelled like a grammar word ("top", "or",
+# "count") would otherwise bind a spurious equality filter whenever the
+# question uses the word grammatically.  Matching is on tok.lower() —
+# the conservative side of the disjointness invariant (an UPPER-case
+# data value like 'TOP' also stays unbound, documented here).
+_GRAMMAR_STOPWORDS = frozenset(
+    set(_AGG_WORDS)
+    | {
+        "count", "how", "many", "distinct", "different", "unique",
+        "top", "with", "more", "than", "at", "least", "over", "sorted",
+        "ordered", "order", "by", "descending", "desc", "ascending",
+        "asc", "is", "equals", "above", "greater", "under", "below",
+        "less", "fewer", "containing", "contains", "like", "between",
+        "and", "or", "since", "in", "last", "month", "for", "each",
+        "per", "of", "show", "which", "the",
+    }
+)
+
 
 def _word_folds(word: str) -> list[str]:
     folds = [word, word.rstrip("s"), word + "s"]
@@ -249,11 +268,16 @@ def generate_sql_extended(
     # digits, explicit is/equals values) are excluded first so the two
     # equality rules stay disjoint.
     if column_values:
+        # Only values the explicit rule actually CONSUMED are excluded:
+        # an 'X is Y' phrase whose X resolves to no column emitted no
+        # filter, so Y must stay eligible for value matching or the
+        # filter silently vanishes (bind-or-fail; round-13 ADVICE fix).
         eq_values = {
             m.group(2)
             for m in re.finditer(
                 r"(\w+) (?:is|equals|=) '?([\w.-]+)'?", question, re.IGNORECASE
             )
+            if resolve(m.group(1).lower()) is not None
         }
         seen_tokens: set[str] = set()
         by_col: dict[str, list[str]] = {}
@@ -262,6 +286,7 @@ def generate_sql_extended(
                 tok in seen_tokens
                 or tok in eq_values
                 or tok.isdigit()
+                or tok.lower() in _GRAMMAR_STOPWORDS
                 or resolve(tok.lower()) is not None
                 or tok.lower() in metrics
             ):
@@ -568,16 +593,20 @@ def generate_sql_multi_table(
         merged: dict[str, list] = {}
         for t in plan_tables:
             merged.update(column_values.get(t, {}))
+        # mirror of the single-table rule: only CONSUMED explicit
+        # values are excluded (X must resolve on some plan table)
         eq_values = {
             m.group(2)
             for m in re.finditer(
                 r"(\w+) (?:is|equals|=) '?([\w.-]+)'?", question, re.IGNORECASE
             )
+            if any(r(m.group(1).lower()) is not None for r in resolvers.values())
         }
         for tok in set(re.findall(r"[\w.-]+", question)):
             if (
                 tok in eq_values
                 or tok.isdigit()
+                or tok.lower() in _GRAMMAR_STOPWORDS
                 or tok.lower() in flat_metrics
                 or any(r(tok.lower()) is not None for r in resolvers.values())
                 or any(tok in vals for vals in merged.values())

@@ -825,8 +825,15 @@ def route_minhash_admission_batch(
                 "id", F.col("m.cand").alias("dup_of"), F.col("m.j").alias("dup_jaccard")
             )
         )
+        # verdict SPINE = docs that produced ≥1 shingle — exactly the
+        # batch operator's sig-derived spine (a doc shorter than
+        # shingle_k has no signature row there, so it must have no
+        # verdict row here either or the pinned stream==batch equality
+        # diverges on degenerate inputs; round-13 ADVICE fix).  The
+        # docs store still keeps EVERY batch doc.
         verdicts = (
-            batch.select("doc_id")
+            hashed_b.filter(F.size("hashes") > 0)
+            .select(F.col("id").alias("doc_id"))
             .join(dup.withColumnRenamed("id", "doc_id"), "doc_id", "left")
             .select(
                 "doc_id",
@@ -947,6 +954,17 @@ def compact_batch_store(
         if len(batches) < 2:
             return 0
         upto_batch = batches[-2]
+    elif batches and upto_batch >= batches[-1]:
+        # the NEWEST batch may still be an uncommitted foreachBatch: a
+        # replay would rewrite its batch_id partition with batch-only
+        # rows AFTER the older partitions were deleted — silent loss of
+        # merged MIN/MAX state.  Guard, don't clamp (the repo's
+        # guard-everything convention; round-13 ADVICE fix).
+        raise ValueError(
+            f"upto_batch={upto_batch} includes the newest stored batch "
+            f"({batches[-1]}), which a foreachBatch replay can still rewrite "
+            "— compact strictly below it (default: batches[-2])"
+        )
     todo = [b for b in batches if b <= upto_batch]
     if len(todo) < 2:
         return 0
@@ -1951,8 +1969,12 @@ def route_centroid_batch(
         .cast("long")
         .alias("_q"),
     )
+    # count NON-NULL coordinates (F.count("_q"), not count(*)) — SUM
+    # already skips NULL _q, and label_centroids divides by F.count(v);
+    # counting exploded rows would break the bit-identical merge
+    # contract on NULL coordinates (round-13 ADVICE fix)
     state = dims.groupBy("label", "dim").agg(
-        F.sum("_q").alias("sum_units"), F.count(F.lit(1)).alias("n_vecs")
+        F.sum("_q").alias("sum_units"), F.count("_q").alias("n_vecs")
     )
     (
         state.withColumn("batch_id", F.lit(int(batch_id)))

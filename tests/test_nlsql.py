@@ -860,3 +860,60 @@ def test_value_equality_multiple_values_one_column_is_in_list(spark):
     got = spark.sql(sql).collect()[0][0]
     want = cust.filter(cust["c_mktsegment"].isin("BUILDING", "MACHINERY")).count()
     assert got == want and got > 0
+
+
+def test_value_equality_binds_when_explicit_rule_missed(spark):
+    """Round-13 ADVICE fix: 'X is VALUE' where X resolves to NO column
+    must leave VALUE eligible for value-equality binding (the explicit
+    rule consumed nothing, so excluding the token made the filter
+    silently vanish — violating bind-or-fail)."""
+    from csv_query_engine_spark.io.readers import load_tables
+    from csv_query_engine_spark.nlsql.extended import generate_sql_multi_table
+    from csv_query_engine_spark.nlsql.validator import validate_sql
+    from csv_query_engine_spark.profiler import low_cardinality_values
+
+    tabs = _profiled_tables(spark, ("customer",))
+    cust = load_tables(spark, "/root/testdata/sf0.001", ("customer",), register=False)[
+        "customer"
+    ]
+    cvals = {"customer": low_cardinality_values(cust)}
+    # "category" resolves to no customer column; BUILDING must still bind
+    sql = generate_sql_multi_table(
+        "how many customers where category is BUILDING",
+        tabs,
+        column_values=cvals,
+    )
+    validate_sql(sql, spark)
+    assert "`c_mktsegment` = 'BUILDING'" in sql
+    got = spark.sql(sql).collect()[0][0]
+    want = cust.filter(cust["c_mktsegment"] == "BUILDING").count()
+    assert got == want and got > 0
+
+    # control: when X DOES resolve, the explicit rule owns the token and
+    # the value rule must not double-bind (exactly one equality emitted)
+    sql2 = generate_sql_multi_table(
+        "how many customers where mktsegment is BUILDING",
+        tabs,
+        column_values=cvals,
+    )
+    validate_sql(sql2, spark)
+    assert sql2.count("BUILDING") == 1
+
+
+def test_value_equality_grammar_stopwords_never_bind(spark):
+    """Round-13 ADVICE fix: a low-cardinality value spelled like a
+    grammar word ('top', 'or', 'count') must never value-bind — the
+    grammar-disjointness invariant extended to the stop-word set."""
+    from csv_query_engine_spark.nlsql.extended import generate_sql_multi_table
+    from csv_query_engine_spark.nlsql.validator import validate_sql
+
+    tabs = _profiled_tables(spark, ("customer",))
+    # plant lowercase grammar words as legitimate-looking values
+    cvals = {"customer": {"c_mktsegment": ["top", "or", "count", "BUILDING"]}}
+    sql = generate_sql_multi_table(
+        "top 3 customers by acctbal",
+        tabs,
+        column_values=cvals,
+    )
+    validate_sql(sql, spark)
+    assert "c_mktsegment" not in sql  # no spurious filter from 'top'/'by'

@@ -2031,3 +2031,120 @@ def test_vocab_drift_store_js_and_replay(spark, tmp_path):
     before = sorted(map(tuple, spark.read.parquet(store).collect()))
     route_vocab_batch(swapped, 2, store)
     assert sorted(map(tuple, spark.read.parquet(store).collect())) == before
+
+
+def test_minhash_admission_degenerate_doc_matches_batch_spine(spark, tmp_path):
+    """Round-13 ADVICE fix: the streaming verdict spine is now DERIVED
+    from the same hashed-shingle table the signatures come from, so it
+    is structurally identical to the batch operator's sig-based spine.
+    In this implementation NO input is spine-degenerate — short text
+    yields one whole-string gram via the greatest(...,1) guard and
+    even NULL text hashes to one element ([xxhash64(NULL)]) — so the
+    pin is stream==batch INCLUDING NULL-text docs, which both sides
+    must carry as non-dup singletons."""
+    from csv_query_engine_spark.pipeline.dedup import minhash_dedup_survivors
+    from csv_query_engine_spark.streaming.events import (
+        read_minhash_verdicts,
+        route_minhash_admission_batch,
+    )
+
+    corpus = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog again"),
+            (2, "the quick brown fox jumps over the lazy dog again zz"),
+            (3, None),  # NULL text: zero shingle hashes, no signature
+        ],
+        "doc_id long, text string",
+    )
+    store = str(tmp_path / "mh_degen")
+    route_minhash_admission_batch(
+        corpus.filter(F.col("doc_id") <= 2), 0, store, threshold=0.5
+    )
+    route_minhash_admission_batch(
+        corpus.filter(F.col("doc_id") == 3), 1, store, threshold=0.5
+    )
+    got = {
+        r["doc_id"]: (r["is_dup"], r["dup_of"])
+        for r in read_minhash_verdicts(spark, store).collect()
+    }
+    want = {
+        r["doc_id"]: (r["is_dup"], r["dup_of"])
+        for r in minhash_dedup_survivors(
+            corpus, threshold=0.5, est_margin=None
+        ).collect()
+    }
+    assert got == want
+    assert got[3] == (False, -1)  # NULL-text doc: singleton on BOTH sides
+    assert got[2] == (True, 1)  # non-vacuous: the near-dup still drops
+
+
+def test_compact_batch_store_refuses_newest_batch(spark, tmp_path):
+    """Round-13 ADVICE fix: an explicit upto_batch at (or past) the
+    NEWEST stored batch raises — that batch's foreachBatch may still
+    replay and would rewrite the merged partition with batch-only rows
+    after the older partitions were deleted."""
+    from csv_query_engine_spark.streaming.events import (
+        compact_batch_store,
+        route_minhash_admission_batch,
+    )
+
+    store = str(tmp_path / "mh_guard")
+    txt = "the quick brown fox jumps over the lazy dog number %d end"
+    for i in range(3):
+        route_minhash_admission_batch(
+            spark.createDataFrame([(i, txt % i)], "doc_id long, text string"),
+            i,
+            store,
+        )
+    mins_schema = "band INT, bucket BIGINT, min_id BIGINT, batch_id BIGINT"
+    with pytest.raises(ValueError, match="newest stored batch"):
+        compact_batch_store(
+            spark, f"{store}/mins", mins_schema, ["band", "bucket"], "min_id",
+            "min", upto_batch=2,
+        )
+    with pytest.raises(ValueError, match="newest stored batch"):
+        compact_batch_store(
+            spark, f"{store}/mins", mins_schema, ["band", "bucket"], "min_id",
+            "min", upto_batch=99,
+        )
+    # strictly below the newest is still fine
+    assert (
+        compact_batch_store(
+            spark, f"{store}/mins", mins_schema, ["band", "bucket"], "min_id",
+            "min", upto_batch=1,
+        )
+        == 1
+    )
+
+
+def test_centroid_batch_null_coordinate_matches_label_centroids(spark, tmp_path):
+    """Round-13 ADVICE fix: a NULL vector coordinate must not break the
+    bit-identical merge contract — route_centroid_batch now counts
+    non-NULL coordinates (F.count('_q')) exactly like label_centroids'
+    F.count(v)."""
+    from csv_query_engine_spark.pipeline.similarity import label_centroids
+    from csv_query_engine_spark.streaming.events import (
+        read_merged_centroids,
+        route_centroid_batch,
+    )
+
+    e = spark.createDataFrame(
+        [
+            ("a", [1.0, None, 3.0]),
+            ("a", [2.0, 5.0, None]),
+            ("b", [0.5, 0.25, 0.125]),
+        ],
+        "label string, embedding array<double>",
+    )
+    store = str(tmp_path / "cent_null")
+    route_centroid_batch(e, 0, store)
+    want = {
+        (r["label"], r["dim"]): (r["centroid"], r["n_vecs"])
+        for r in label_centroids(e).collect()
+    }
+    got = {
+        (r["label"], r["dim"]): (r["centroid"], r["n_vecs"])
+        for r in read_merged_centroids(spark, store).collect()
+    }
+    assert got == want
+    assert got[("a", 1)][1] == 1  # the NULL coordinate is NOT counted
