@@ -107,8 +107,16 @@ DRIVER_ORDER: list[str] = [
     "customer_k_anonymity_audit",
     # -- LLM-pipeline: text analysis / dedup / retrieval / embeddings
     "docs_quality_classifier_scores",
-    "docs_dsir_selection",
-    "embedding_jl_projection",
+    # round-13 rotation (round-12 verdict #1): the three never-certified
+    # round-12 rows take the seats of three certified siblings (family
+    # mapping pinned in the round3 window test):
+    #   docs_dsir_selection (r9-r12)        -> docs_token_budget_mix_threshold
+    #   embedding_jl_projection (r8L-r12)   -> embedding_contamination_banded
+    #   dedup_minhash_survivor_clusters_rep (r12) -> dedup_funnel_rep_pairs
+    # The banded screen is the repo's flagship corpus-scale
+    # decontamination claim — certification makes it literal.
+    "docs_token_budget_mix_threshold",
+    "embedding_contamination_banded",
     "customer_order_gap_profile",
     "docs_shard_manifest",
     "docs_benchmark_decontamination",
@@ -122,7 +130,10 @@ DRIVER_ORDER: list[str] = [
     # The linear dedup face (survivors + its recursive-CTE cluster twin)
     # is the repo's best scale argument — certification makes it literal.
     "dedup_minhash_survivors_rep",
-    "dedup_minhash_survivor_clusters_rep",
+    # round-13: the exact-prepass funnel (shared rep-pairs twin) takes
+    # the r12-certified recursive-CTE cluster row's seat — survivors_rep
+    # keeps the linear-dedup family certified and nests the same CTEs
+    "dedup_funnel_rep_pairs",
     "docs_stratified_sample_threshold",
     "embedding_semantic_contamination",
     # round-11: the fully-oracle-paired OPH MinHash LSH pipeline
@@ -151,6 +162,12 @@ DRIVER_ORDER: list[str] = [
     #    one row certifies the shared join)
     "media_video_dup_pairs",
     # ==================== driver window ends at 50 ====================
+    # Rotated OUT in round 13 for the three never-certified round-12
+    # rows (certified rounds in parens; in-window family keeper in the
+    # mapping test):
+    "dedup_minhash_survivor_clusters_rep",  # (r12) -> dedup_minhash_survivors_rep (nests it; recursive-CTE twin stays sweep-verified)
+    "docs_dsir_selection",                  # (r9-r12) -> docs_stratified_sample_threshold (md5-threshold selection/sampling)
+    "embedding_jl_projection",              # (r8L-r12) -> embedding_contamination_banded (md5-sign random projections)
     # Rotated OUT in round 12 for the four never-certified round-11
     # headliners (certified rounds in parens; in-window family keeper
     # in the mapping test):
@@ -304,15 +321,8 @@ DRIVER_ORDER: list[str] = [
     "json_props_variant",
     # CDC diff (r6,r7-certified; MERGE family keeps the window row):
     "customer_snapshot_cdc_diff",
-    # (Round-11 additions all rotated INTO the window in round 12.)
-    # Round-12 additions (oracle-verified locally at sf0.01+sf0.1;
-    # outside the window until a future rotation):
-    "dedup_funnel_rep_pairs",   # exact-prepass -> LSH over representatives (shared rep-pairs twin)
-    "docs_token_budget_mix_threshold",  # two-pass bounded-window token-budget mix (same twin as the window form)
-    # Round-12 oracle upgrade: the banded screen's registered form runs
-    # quantized (scale-6 integer planes/coordinates) and carries a full
-    # DuckDB twin — no longer rows-only:
-    "embedding_contamination_banded",
+    # (Round-11 additions all rotated INTO the window in round 12;
+    # round-12 additions all rotated INTO the window in round 13.)
     # Rows-only ops (no SQL-expressible oracle; pytest covers recall/
     # precision/planted-neighbor properties):
     "dedup_minhash_lsh_pairs",

@@ -123,12 +123,15 @@ def test_registry_window_is_oracle_bearing(spark):
     window = names[:50]
     missing = [n for n in window if n not in oracles]
     assert not missing, f"non-oracle queries inside the driver window: {missing}"
-    # Round-12 rotations IN: the four round-11 headliners that had
-    # never been driver-certified (round-11 verdict #1), each fully
+    # Round-13 rotations IN: the three round-12 rows that had never
+    # been driver-certified (round-12 verdict #1), each fully
     # oracle-paired.
     for new in (
+        "dedup_funnel_rep_pairs",
+        "docs_token_budget_mix_threshold",
+        "embedding_contamination_banded",
+        # Round-12 rotations that stay for a second round
         "dedup_minhash_survivors_rep",
-        "dedup_minhash_survivor_clusters_rep",
         "docs_stratified_sample_threshold",
         "embedding_semantic_contamination",
         # Round-11 rotations that stay for a second round
@@ -156,8 +159,6 @@ def test_registry_window_is_oracle_bearing(spark):
         "graph_khop_trade_reach",
         "events_cm_user_counts",
         "docs_shard_manifest",
-        "docs_dsir_selection",
-        "embedding_jl_projection",
         "docs_pmi_collocations",
         "docs_benchmark_decontamination",
         "media_video_dup_pairs",
@@ -183,12 +184,18 @@ def test_registry_window_is_oracle_bearing(spark):
     # Every rotated-out sibling's capability family keeps an in-window
     # row (cumulative round-6..11 mappings; see the DRIVER_ORDER notes).
     for out, kept in [
+        # round-13 rotations out (the three slots for the round-12 set)
+        ("dedup_minhash_survivor_clusters_rep", "dedup_minhash_survivors_rep"),
+        ("docs_dsir_selection", "docs_stratified_sample_threshold"),
+        ("embedding_jl_projection", "embedding_contamination_banded"),
+        # families the round-13 out-rows were keepers FOR, remapped:
+        ("embedding_kmeans_clusters", "embedding_semantic_contamination"),
+        ("docs_group_holdout_split", "docs_stratified_sample_threshold"),
+        ("docs_split_assignment", "docs_stratified_sample_threshold"),
         # round-12 rotations out (the four slots for the round-11 set)
         ("dedup_semantic_pairs", "embedding_semantic_contamination"),
         ("dedup_containment_pairs", "dedup_minhash_lsh_pairs_rep"),
         ("graph_pagerank_directed_purchases", "graph_khop_trade_reach"),
-        # the iterative-loop family keeps a certified member too:
-        ("graph_pagerank_directed_purchases", "dedup_minhash_survivor_clusters_rep"),
         ("embedding_hard_negatives", "embedding_retrieval_eval"),
         # round-11 rotations out (the seven slots for the round-10 set)
         ("orders_quality_constraints", "orders_fk_integrity_audit"),
@@ -224,9 +231,7 @@ def test_registry_window_is_oracle_bearing(spark):
         # retrieval eval scores the BM25/cosine stack (r10 keeper move)
         ("docs_bm25_top_docs", "embedding_retrieval_eval"),
         ("customer_pseudonymized_export", "customer_k_anonymity_audit"),
-        ("embedding_kmeans_clusters", "embedding_jl_projection"),
         ("docs_kneser_ney_scores", "docs_pmi_collocations"),
-        ("docs_group_holdout_split", "docs_dsir_selection"),
         # round-7 rotations out (keepers updated where the round-9
         # rotation moved the family row)
         ("graph_pagerank_trade_network", "graph_khop_trade_reach"),
@@ -242,7 +247,6 @@ def test_registry_window_is_oracle_bearing(spark):
         ("docs_chunk_windows", "docs_shard_manifest"),
         # late round-7 sibling swaps
         ("docs_quality_filter", "docs_quality_classifier_scores"),
-        ("docs_split_assignment", "docs_dsir_selection"),
         ("docs_vocab_coverage", "embedding_retrieval_eval"),
         ("dedup_allpairs_jaccard", "dedup_minhash_lsh_pairs_rep"),
         # round-6 rotations out (families unchanged)
@@ -266,13 +270,13 @@ def test_registry_window_is_oracle_bearing(spark):
         ("docs_tfidf_top_terms", "docs_pmi_collocations"),
         ("dedup_incremental_admission", "dedup_minhash_survivors_rep"),
         ("docs_dataset_card", "docs_quality_classifier_scores"),
-        ("embedding_centroids_by_label", "embedding_jl_projection"),
-        ("docs_token_budget_mix", "docs_dsir_selection"),
+        ("embedding_centroids_by_label", "embedding_semantic_contamination"),
+        ("docs_token_budget_mix", "docs_token_budget_mix_threshold"),
         # late round-8 rotations out
         ("q21_sole_late_shipper", "q22_dormant_customer_balance"),
         ("range_join_shipments_within_month", "asof_join_last_order_before_event"),
         ("docs_udtf_sentences", "customer_order_gap_profile"),
-        ("dedup_cluster_canonical", "dedup_minhash_survivor_clusters_rep"),
+        ("dedup_cluster_canonical", "dedup_minhash_survivors_rep"),
         ("docs_shard_assignment", "docs_shard_manifest"),
         ("customer_snapshot_cdc_diff", "orders_customer_join_agg_ivm"),
     ]:
