@@ -316,12 +316,25 @@ def schema_drift(old: DataFrame, new: DataFrame) -> DataFrame:
     return census_drift(table_profile(old), table_profile(new))
 
 
-def census_drift(old_census: DataFrame, new_census: DataFrame) -> DataFrame:
+def census_drift(
+    old_census: DataFrame,
+    new_census: DataFrame,
+    key_cols: list[str] | None = None,
+) -> DataFrame:
     """Drift verdicts from two ALREADY-BUILT censuses (the
     :func:`table_profile` schema) — factored out so stored census
     snapshots (e.g. the streaming per-batch census store) can be
-    compared without re-scanning the data that produced them."""
+    compared without re-scanning the data that produced them.
+
+    ``key_cols`` (round 13): extra join keys carried by BOTH inputs —
+    the lagged-self-join face used by the streaming drift reader to
+    compare EVERY consecutive snapshot pair in one job (keys =
+    from_batch/to_batch) instead of one driver round-trip per
+    transition.  Output carries the keys first, coalesced across the
+    full-outer join exactly like ``column_name``."""
+    keys = list(key_cols or [])
     po = old_census.select(
+        *[F.col(k) for k in keys],
         F.col("column_name"),
         F.col("data_type").alias("_t_o"),
         F.col("n_nonnull").alias("_nn_o"),
@@ -329,13 +342,20 @@ def census_drift(old_census: DataFrame, new_census: DataFrame) -> DataFrame:
         F.col("n_distinct").alias("_nd_o"),
     )
     pn = new_census.select(
+        *[F.col(k).alias(f"_k_n_{i}") for i, k in enumerate(keys)],
         F.col("column_name").alias("_c_n"),
         F.col("data_type").alias("_t_n"),
         F.col("n_nonnull").alias("_nn_n"),
         F.col("n_null").alias("_nl_n"),
         F.col("n_distinct").alias("_nd_n"),
     )
-    j = po.join(pn, po["column_name"] == pn["_c_n"], "full_outer")
+    cond = po["column_name"] == pn["_c_n"]
+    for i, k in enumerate(keys):
+        cond = cond & (po[k] == pn[f"_k_n_{i}"])
+    j = po.join(pn, cond, "full_outer")
+    key_out = [
+        F.coalesce(po[k], pn[f"_k_n_{i}"]).alias(k) for i, k in enumerate(keys)
+    ]
     has_old = F.col("_t_o").isNotNull()
     has_new = F.col("_t_n").isNotNull()
 
@@ -353,6 +373,7 @@ def census_drift(old_census: DataFrame, new_census: DataFrame) -> DataFrame:
         .otherwise(F.lit("ok"))
     )
     return j.select(
+        *key_out,
         F.coalesce(F.col("column_name"), F.col("_c_n")).alias("column_name"),
         status.alias("status"),
         F.coalesce(F.col("_t_o"), F.lit("")).alias("type_old"),

@@ -2039,7 +2039,14 @@ def read_centroid_drift(
     |labels|×dim state (vectors are never re-read).  Labels appearing
     or vanishing between batches are census territory (n_vecs_old/new
     carry the sizes for labels present in both).  ``last_n`` bounds the
-    timeline like the census reader's."""
+    timeline like the census reader's.
+
+    One Spark job regardless of snapshot count (round-13 — the round-12
+    verdict's per-transition collect loop replaced): the batch ids are
+    collected ONCE (bounded — one row per micro-batch), turned into a
+    broadcast (from_batch, to_batch) pair table, and every transition
+    aggregates in a single lagged self-join keyed by (pair, label,
+    dim)."""
     _EMPTY = (
         "from_batch BIGINT, to_batch BIGINT, label STRING, l2_shift DOUBLE, "
         "cosine DOUBLE, n_vecs_old BIGINT, n_vecs_new BIGINT"
@@ -2048,45 +2055,47 @@ def read_centroid_drift(
     ids = [r["batch_id"] for r in p.select("batch_id").distinct().orderBy("batch_id").collect()]
     if last_n is not None and last_n >= 0:
         ids = ids[-(last_n + 1):]
-    c = F.col("sum_units").cast("double") / F.lit(1e6) / F.col("n_vecs")
-    out = None
-    for a, b in zip(ids, ids[1:]):
-        ca = p.filter(F.col("batch_id") == a).select(
-            "label", "dim", c.alias("_ca"), F.col("n_vecs").alias("_na")
-        )
-        cb = p.filter(F.col("batch_id") == b).select(
-            "label", "dim", c.alias("_cb"), F.col("n_vecs").alias("_nb")
-        )
-        d = (
-            ca.join(cb, ["label", "dim"])
-            .groupBy("label")
-            .agg(
-                F.sqrt(F.sum((F.col("_cb") - F.col("_ca")) * (F.col("_cb") - F.col("_ca")))).alias("l2_shift"),
-                F.sum(F.col("_ca") * F.col("_cb")).alias("_dot"),
-                F.sqrt(F.sum(F.col("_ca") * F.col("_ca"))).alias("_no"),
-                F.sqrt(F.sum(F.col("_cb") * F.col("_cb"))).alias("_nn"),
-                F.max("_na").alias("n_vecs_old"),
-                F.max("_nb").alias("n_vecs_new"),
-            )
-            .select(
-                F.lit(a).cast("bigint").alias("from_batch"),
-                F.lit(b).cast("bigint").alias("to_batch"),
-                "label",
-                "l2_shift",
-                F.when(
-                    (F.col("_no") > 0) & (F.col("_nn") > 0),
-                    F.col("_dot") / (F.col("_no") * F.col("_nn")),
-                )
-                .otherwise(F.lit(0.0))
-                .alias("cosine"),
-                "n_vecs_old",
-                "n_vecs_new",
-            )
-        )
-        out = d if out is None else out.unionByName(d)
-    if out is None:
+    if len(ids) < 2:
         return spark.createDataFrame([], _EMPTY)
-    return out
+    pairs = spark.createDataFrame(
+        [(int(a), int(b)) for a, b in zip(ids, ids[1:])],
+        "from_batch BIGINT, to_batch BIGINT",
+    )
+    c = F.col("sum_units").cast("double") / F.lit(1e6) / F.col("n_vecs")
+    ca = p.join(F.broadcast(pairs), p["batch_id"] == pairs["from_batch"]).select(
+        "from_batch", "to_batch", "label", "dim",
+        c.alias("_ca"), F.col("n_vecs").alias("_na"),
+    )
+    cb = p.join(F.broadcast(pairs), p["batch_id"] == pairs["to_batch"]).select(
+        "from_batch", "to_batch", "label", "dim",
+        c.alias("_cb"), F.col("n_vecs").alias("_nb"),
+    )
+    return (
+        ca.join(cb, ["from_batch", "to_batch", "label", "dim"])
+        .groupBy("from_batch", "to_batch", "label")
+        .agg(
+            F.sqrt(F.sum((F.col("_cb") - F.col("_ca")) * (F.col("_cb") - F.col("_ca")))).alias("l2_shift"),
+            F.sum(F.col("_ca") * F.col("_cb")).alias("_dot"),
+            F.sqrt(F.sum(F.col("_ca") * F.col("_ca"))).alias("_no"),
+            F.sqrt(F.sum(F.col("_cb") * F.col("_cb"))).alias("_nn"),
+            F.max("_na").alias("n_vecs_old"),
+            F.max("_nb").alias("n_vecs_new"),
+        )
+        .select(
+            F.col("from_batch").cast("bigint").alias("from_batch"),
+            F.col("to_batch").cast("bigint").alias("to_batch"),
+            "label",
+            "l2_shift",
+            F.when(
+                (F.col("_no") > 0) & (F.col("_nn") > 0),
+                F.col("_dot") / (F.col("_no") * F.col("_nn")),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("cosine"),
+            "n_vecs_old",
+            "n_vecs_new",
+        )
+    )
 
 
 _VOCAB_SCHEMA = "bucket INT, n BIGINT, batch_id BIGINT"
@@ -2162,7 +2171,13 @@ def read_vocab_drift(
     distributions.  Hash-bucketing makes this a drift PROXY (mass that
     moves within one bucket is invisible — collision odds are the
     gram-shuffle rule's), which is exactly the monitoring contract;
-    per-token forensics belong to vocab_coverage on the raw text."""
+    per-token forensics belong to vocab_coverage on the raw text.
+
+    One Spark job regardless of snapshot count (round-13): the batch
+    ids are collected once, a broadcast (from_batch, to_batch) pair
+    table keys the lagged self-join, per-pair totals join back
+    (broadcast — one row per transition), and every JS aggregates in a
+    single pass."""
     _EMPTY = (
         "from_batch BIGINT, to_batch BIGINT, js_divergence DOUBLE, "
         "tokens_old BIGINT, tokens_new BIGINT"
@@ -2171,38 +2186,54 @@ def read_vocab_drift(
     ids = [r["batch_id"] for r in p.select("batch_id").distinct().orderBy("batch_id").collect()]
     if last_n is not None and last_n >= 0:
         ids = ids[-(last_n + 1):]
-    out = None
-    for a, b in zip(ids, ids[1:]):
-        ha = p.filter(F.col("batch_id") == a).select("bucket", F.col("n").alias("_na"))
-        hb = p.filter(F.col("batch_id") == b).select("bucket", F.col("n").alias("_nb"))
-        j = ha.join(hb, "bucket", "full_outer").select(
-            F.coalesce(F.col("_na"), F.lit(0)).alias("_na"),
-            F.coalesce(F.col("_nb"), F.lit(0)).alias("_nb"),
-        )
-        tots = j.agg(F.sum("_na").alias("_ta"), F.sum("_nb").alias("_tb")).collect()[0]
-        ta, tb = int(tots["_ta"] or 0), int(tots["_tb"] or 0)
-        if ta == 0 or tb == 0:
-            d = spark.createDataFrame(
-                [(a, b, float("nan"), ta, tb)], _EMPTY
-            )
-        else:
-            pa = F.col("_na").cast("double") / F.lit(float(ta))
-            pb = F.col("_nb").cast("double") / F.lit(float(tb))
-            m = (pa + pb) / F.lit(2.0)
-            term = F.when(pa > 0, pa * F.log(pa / m)).otherwise(F.lit(0.0)) + F.when(
-                pb > 0, pb * F.log(pb / m)
-            ).otherwise(F.lit(0.0))
-            d = j.agg((F.sum(term) / F.lit(2.0)).alias("js")).select(
-                F.lit(a).cast("bigint").alias("from_batch"),
-                F.lit(b).cast("bigint").alias("to_batch"),
-                F.col("js").alias("js_divergence"),
-                F.lit(ta).cast("bigint").alias("tokens_old"),
-                F.lit(tb).cast("bigint").alias("tokens_new"),
-            )
-        out = d if out is None else out.unionByName(d)
-    if out is None:
+    if len(ids) < 2:
         return spark.createDataFrame([], _EMPTY)
-    return out
+    pairs = spark.createDataFrame(
+        [(int(a), int(b)) for a, b in zip(ids, ids[1:])],
+        "from_batch BIGINT, to_batch BIGINT",
+    )
+    ha = p.join(F.broadcast(pairs), p["batch_id"] == pairs["from_batch"]).select(
+        "from_batch", "to_batch", "bucket", F.col("n").alias("_na")
+    )
+    hb = p.join(F.broadcast(pairs), p["batch_id"] == pairs["to_batch"]).select(
+        "from_batch", "to_batch", "bucket", F.col("n").alias("_nb")
+    )
+    j = ha.join(hb, ["from_batch", "to_batch", "bucket"], "full_outer").select(
+        "from_batch",
+        "to_batch",
+        F.coalesce(F.col("_na"), F.lit(0)).alias("_na"),
+        F.coalesce(F.col("_nb"), F.lit(0)).alias("_nb"),
+    )
+    tots = j.groupBy("from_batch", "to_batch").agg(
+        F.sum("_na").alias("_ta"), F.sum("_nb").alias("_tb")
+    )
+    j2 = j.join(F.broadcast(tots), ["from_batch", "to_batch"])
+    # guard the per-row shares so a zero-total side contributes 0 (the
+    # final select emits NaN for those transitions, matching the old
+    # per-pair Python branch)
+    pa = F.when(F.col("_ta") > 0, F.col("_na").cast("double") / F.col("_ta").cast("double")).otherwise(F.lit(0.0))
+    pb = F.when(F.col("_tb") > 0, F.col("_nb").cast("double") / F.col("_tb").cast("double")).otherwise(F.lit(0.0))
+    m = (pa + pb) / F.lit(2.0)
+    term = F.when(pa > 0, pa * F.log(pa / m)).otherwise(F.lit(0.0)) + F.when(
+        pb > 0, pb * F.log(pb / m)
+    ).otherwise(F.lit(0.0))
+    return (
+        j2.groupBy("from_batch", "to_batch")
+        .agg(
+            (F.sum(term) / F.lit(2.0)).alias("_js"),
+            F.max("_ta").alias("_ta"),
+            F.max("_tb").alias("_tb"),
+        )
+        .select(
+            F.col("from_batch").cast("bigint").alias("from_batch"),
+            F.col("to_batch").cast("bigint").alias("to_batch"),
+            F.when((F.col("_ta") == 0) | (F.col("_tb") == 0), F.lit(float("nan")))
+            .otherwise(F.col("_js"))
+            .alias("js_divergence"),
+            F.col("_ta").cast("bigint").alias("tokens_old"),
+            F.col("_tb").cast("bigint").alias("tokens_new"),
+        )
+    )
 
 
 _CONTAM_SCHEMA = (
@@ -2297,10 +2328,11 @@ def read_census_drift(
     the stored ≤|columns|-row snapshots (the data itself is never
     re-read).  Explicit schema (the zero-batch-directory lesson);
     batch ids in a structured-streaming checkpoint are dense, so
-    consecutive means ``to = from + 1``.  The union plan grows with
-    the number of transitions — pass ``last_n`` to bound a
-    long-running stream's timeline to its most recent N transitions
-    (dashboards rarely want more)."""
+    consecutive means ``to = from + 1``.  One Spark job regardless of
+    snapshot count (round-13 — the per-transition union loop replaced
+    by a broadcast pair table keying census_drift's full-outer column
+    join); pass ``last_n`` to bound a long-running stream's timeline
+    to its most recent N transitions (dashboards rarely want more)."""
     from pyspark.errors import AnalysisException
 
     from csv_query_engine_spark.profiler import census_drift
@@ -2318,21 +2350,25 @@ def read_census_drift(
         if "PATH_NOT_FOUND" in str(e) or "Path does not exist" in str(e):
             return spark.createDataFrame([], _EMPTY)
         raise
-    out = None
-    pairs = (
-        p.select("batch_id").distinct().orderBy("batch_id").collect()
-    )  # bounded: one row per micro-batch
-    ids = [r["batch_id"] for r in pairs]
+    ids = [
+        r["batch_id"]
+        for r in p.select("batch_id").distinct().orderBy("batch_id").collect()
+    ]  # bounded: one row per micro-batch
     if last_n is not None and last_n >= 0:
         ids = ids[-(last_n + 1):]
-    for a, b in zip(ids, ids[1:]):
-        d = census_drift(
-            p.filter(F.col("batch_id") == a).drop("batch_id"),
-            p.filter(F.col("batch_id") == b).drop("batch_id"),
-        ).select(
-            F.lit(a).alias("from_batch"), F.lit(b).alias("to_batch"), "*"
-        )
-        out = d if out is None else out.unionByName(d)
-    if out is None:
+    if len(ids) < 2:
         return spark.createDataFrame([], _EMPTY)
-    return out
+    # one lagged self-join over ALL transitions (round-13 — replaces
+    # the per-transition union loop): the broadcast pair table keys
+    # census_drift's full-outer column join per (from_batch, to_batch)
+    pairs = spark.createDataFrame(
+        [(int(a), int(b)) for a, b in zip(ids, ids[1:])],
+        "from_batch BIGINT, to_batch BIGINT",
+    )
+    old = p.join(F.broadcast(pairs), p["batch_id"] == pairs["from_batch"]).drop(
+        "batch_id"
+    )
+    new = p.join(F.broadcast(pairs), p["batch_id"] == pairs["to_batch"]).drop(
+        "batch_id"
+    )
+    return census_drift(old, new, key_cols=["from_batch", "to_batch"])
