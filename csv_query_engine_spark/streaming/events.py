@@ -945,8 +945,8 @@ def compact_batch_store(
         raise ValueError(
             f"compact_batch_store supports min/max stores only (got {agg!r}): "
             "SUM stores double-count in the crash window between the merged "
-            "write and the old-partition deletes — compact those through an "
-            "atomic-commit table format instead"
+            "write and the old-partition deletes — use compact_sum_store "
+            "(two-phase-commit generation swap) for those"
         )
     store = _read_store_or_empty(spark, store_path, schema)
     batches = sorted(r[0] for r in store.select("batch_id").distinct().collect())
@@ -1001,6 +1001,137 @@ def compact_batch_store(
         if _unescape_path_name(name[len("batch_id="):]) in gone:
             fs.delete(st.getPath(), True)
             removed += 1
+    return removed
+
+
+def _store_fs(spark: SparkSession, path: str):
+    jvm = spark._jvm
+    p = jvm.org.apache.hadoop.fs.Path(path)
+    return p.getFileSystem(spark._jsc.hadoopConfiguration()), p, jvm
+
+
+def _latest_committed_gen(spark: SparkSession, store_path: str) -> int | None:
+    """Largest generation under ``{store}/_gen/`` that carries its
+    ``_COMMITTED`` marker (marker-latest-wins — the JsonlShardSink
+    two-phase-commit idiom applied to a directory swap).  Staged but
+    uncommitted generations are invisible.  The ``_gen`` prefix starts
+    with an underscore, so Spark's own listing of the raw store never
+    sees it."""
+    fs, _, jvm = _store_fs(spark, store_path)
+    gen_root = jvm.org.apache.hadoop.fs.Path(f"{store_path}/_gen")
+    if not fs.exists(gen_root):
+        return None
+    best = None
+    for st in fs.listStatus(gen_root):
+        name = st.getPath().getName()
+        if not (st.isDirectory() and name.isdigit()):
+            continue
+        if fs.exists(jvm.org.apache.hadoop.fs.Path(f"{store_path}/_gen/{name}/_COMMITTED")):
+            g = int(name)
+            best = g if best is None or g > best else best
+    return best
+
+
+def read_sum_store(spark: SparkSession, store_path: str, schema: str) -> DataFrame:
+    """Generation-aware read of a batch_id-keyed SUM store: the latest
+    COMMITTED compaction generation (rows representing every batch
+    ``<= gen``) unioned with the raw batch partitions ``batch_id >
+    gen``.  The read-side exclusion of raw partitions at-or-below the
+    generation is what makes the swap crash-safe for SUM state: after
+    the marker lands, not-yet-deleted old partitions are simply never
+    read, so the crash window between marker and deletes cannot
+    double-count (the window the plain delete-after-merge protocol —
+    ``compact_batch_store`` — is only safe for MIN/MAX in)."""
+    raw = _read_store_or_empty(spark, store_path, schema)
+    g = _latest_committed_gen(spark, store_path)
+    if g is None:
+        return raw
+    gen_df = spark.read.schema(schema).parquet(f"{store_path}/_gen/{g}/data")
+    return gen_df.unionByName(raw.filter(F.col("batch_id") > g))
+
+
+def compact_sum_store(
+    spark: SparkSession,
+    store_path: str,
+    schema: str,
+    key_cols: list[str],
+    value_col: str,
+    upto_batch: int | None = None,
+) -> int:
+    """Fold every batch partition with ``batch_id <= upto_batch`` of a
+    SUM-mergeable store (CM cells, HDR buckets) into ONE committed
+    generation — the atomic-commit compaction ``compact_batch_store``
+    refuses for SUM aggregates (round-12 verdict #3).  Returns the
+    number of raw batch partitions removed (0 = nothing to compact).
+
+    Two-phase-commit swap (the JsonlShardSink ``_commit-<id>`` idiom
+    applied to a staged directory):
+
+    1. SUM-merge the CURRENT read view at ``batch_id <= upto_batch``
+       (previous generation + newer raw partitions) and write it to
+       the staged dir ``{store}/_gen/{upto}/data`` — invisible to
+       readers (no marker yet; re-staging after a crash just
+       overwrites).
+    2. Create the ``_COMMITTED`` marker (one atomic file create).
+       From this instant :func:`read_sum_store` serves the new
+       generation and IGNORES raw partitions ``<= upto_batch``.
+    3. Delete the superseded raw partitions and older generations —
+       each deletion individually safe because step 2 already removed
+       them from every read.
+
+    Crash between 1 and 2: readers keep the old view (exact).  Crash
+    between 2 and 3: readers use the new generation; stale partitions
+    are dead weight, never double-counted.  A replayed foreachBatch can
+    only target the NEWEST batch, which the same guard as the MIN/MAX
+    path keeps strictly above ``upto_batch`` — its rewrite lands in a
+    raw partition the reader still consumes exactly once."""
+    raw = _read_store_or_empty(spark, store_path, schema)
+    raw_ids = sorted(r[0] for r in raw.select("batch_id").distinct().collect())
+    prev_gen = _latest_committed_gen(spark, store_path)
+    newest = max(raw_ids) if raw_ids else prev_gen
+    if newest is None:
+        return 0
+    if upto_batch is None:
+        candidates = [b for b in raw_ids if b < newest]
+        if prev_gen is not None:
+            candidates = [b for b in candidates if b > prev_gen]
+        if not candidates:
+            return 0
+        upto_batch = candidates[-1]
+    if upto_batch >= newest:
+        raise ValueError(
+            f"upto_batch={upto_batch} includes the newest stored batch "
+            f"({newest}), which a foreachBatch replay can still rewrite — "
+            "compact strictly below it"
+        )
+    if prev_gen is not None and upto_batch <= prev_gen:
+        return 0
+    view = read_sum_store(spark, store_path, schema)
+    merged = (
+        view.filter(F.col("batch_id") <= int(upto_batch))
+        .groupBy(*key_cols)
+        .agg(F.sum(value_col).cast("bigint").alias(value_col))
+        .withColumn("batch_id", F.lit(int(upto_batch)).cast("bigint"))
+    )
+    staged = f"{store_path}/_gen/{int(upto_batch)}"
+    merged.write.mode("overwrite").parquet(f"{staged}/data")
+    fs, root, jvm = _store_fs(spark, store_path)
+    fs.create(jvm.org.apache.hadoop.fs.Path(f"{staged}/_COMMITTED"), True).close()
+    # post-commit cleanup — every step idempotent and read-invisible
+    gone = {str(b) for b in raw_ids if b <= upto_batch}
+    removed = 0
+    for st in fs.listStatus(root):
+        name = st.getPath().getName()
+        if not (st.isDirectory() and name.startswith("batch_id=")):
+            continue
+        if _unescape_path_name(name[len("batch_id="):]) in gone:
+            fs.delete(st.getPath(), True)
+            removed += 1
+    gen_root = jvm.org.apache.hadoop.fs.Path(f"{store_path}/_gen")
+    for st in fs.listStatus(gen_root):
+        name = st.getPath().getName()
+        if st.isDirectory() and name.isdigit() and int(name) < int(upto_batch):
+            fs.delete(st.getPath(), True)
     return removed
 
 
@@ -1061,9 +1192,11 @@ def read_cm_cells(spark: SparkSession, cells_path: str) -> DataFrame:
     """SUM-merge every batch's cell partition into one sketch (the
     mergeable contract; works the same for cross-shard or cross-day
     merges). Explicit schema — a zero-batch directory has no partitions
-    to infer from (the read_csv_audited lesson)."""
-    cells = spark.read.schema("r INT, c BIGINT, cnt BIGINT, batch_id BIGINT").parquet(
-        cells_path
+    to infer from (the read_csv_audited lesson).  Generation-aware
+    (round 13): a :func:`compact_sum_store` generation replaces the
+    partitions it folded."""
+    cells = read_sum_store(
+        spark, cells_path, "r INT, c BIGINT, cnt BIGINT, batch_id BIGINT"
     )
     return cells.groupBy("r", "c").agg(F.sum("cnt").cast("bigint").alias("cnt"))
 
@@ -1254,9 +1387,11 @@ def hdr_sketch_stream(
 
 def read_hdr_buckets(spark: SparkSession, buckets_path: str) -> DataFrame:
     """SUM-merge every batch's bucket partition into one sketch
-    (explicit schema — the zero-batch-directory lesson)."""
-    b = spark.read.schema("e INT, sb BIGINT, cnt BIGINT, batch_id BIGINT").parquet(
-        buckets_path
+    (explicit schema — the zero-batch-directory lesson).
+    Generation-aware (round 13): a :func:`compact_sum_store` generation
+    replaces the partitions it folded."""
+    b = read_sum_store(
+        spark, buckets_path, "e INT, sb BIGINT, cnt BIGINT, batch_id BIGINT"
     )
     return b.groupBy("e", "sb").agg(F.sum("cnt").cast("bigint").alias("cnt"))
 

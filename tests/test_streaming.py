@@ -2181,3 +2181,106 @@ def test_drift_readers_job_count_independent_of_snapshots(spark, tmp_path):
     # identical per-batch data -> identical plan shape; AQE stage
     # materializations give a constant, snapshot-independent job count
     assert j8 <= j3 + 1, (j3, j8)
+
+
+def test_compact_sum_store_two_phase_commit_swap(spark, tmp_path):
+    """Round-13 (round-12 verdict #3): SUM stores compact through the
+    two-phase-commit generation swap — merged state equals the uncompacted
+    SUM in EVERY crash window (staged-without-marker, marker-without-
+    deletes) and under a replayed newest batch; raw partition count is
+    bounded afterwards."""
+    import glob
+
+    from pyspark.sql import types as T
+
+    from csv_query_engine_spark.streaming.events import (
+        _latest_committed_gen,
+        compact_sum_store,
+        read_cm_cells,
+        route_cm_batch,
+    )
+
+    schema = T.StructType([T.StructField("user_id", T.LongType())])
+    cells_p = str(tmp_path / "cells")
+    batches = [
+        [(i % 5,) for i in range(40)],
+        [(i % 7,) for i in range(30)],
+        [(i % 3,) for i in range(20)],
+        [(i % 11,) for i in range(25)],
+    ]
+    for b, rows in enumerate(batches):
+        route_cm_batch(spark.createDataFrame(rows, schema), b, "user_id", cells_p, 4, 8)
+    want = {(r["r"], r["c"]): r["cnt"] for r in read_cm_cells(spark, cells_p).collect()}
+    cm_schema = "r INT, c BIGINT, cnt BIGINT, batch_id BIGINT"
+
+    # guard: the newest batch is refused (replay could rewrite it)
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="newest stored batch"):
+        compact_sum_store(spark, cells_p, cm_schema, ["r", "c"], "cnt", upto_batch=3)
+
+    # crash window 1: staged data, NO marker -> invisible to readers
+    spark.createDataFrame([(0, 0, 99999, 1)], cm_schema).write.mode(
+        "overwrite"
+    ).parquet(f"{cells_p}/_gen/1/data")
+    got = {(r["r"], r["c"]): r["cnt"] for r in read_cm_cells(spark, cells_p).collect()}
+    assert got == want
+    assert _latest_committed_gen(spark, cells_p) is None
+
+    # real compaction up to batch 2 (re-stages over the crashed attempt's dir tree)
+    removed = compact_sum_store(spark, cells_p, cm_schema, ["r", "c"], "cnt", upto_batch=2)
+    assert removed == 3
+    assert _latest_committed_gen(spark, cells_p) == 2
+    got = {(r["r"], r["c"]): r["cnt"] for r in read_cm_cells(spark, cells_p).collect()}
+    assert got == want
+    raw_parts = glob.glob(f"{cells_p}/batch_id=*")
+    assert len(raw_parts) == 1 and raw_parts[0].endswith("batch_id=3")
+
+    # crash window 2: a stale raw partition at-or-below the committed
+    # generation (deletes never ran) must NOT double-count
+    route_cm_batch(spark.createDataFrame(batches[1], schema), 1, "user_id", cells_p, 4, 8)
+    got = {(r["r"], r["c"]): r["cnt"] for r in read_cm_cells(spark, cells_p).collect()}
+    assert got == want
+
+    # replayed NEWEST batch: rewrites its raw partition, read unchanged
+    route_cm_batch(spark.createDataFrame(batches[3], schema), 3, "user_id", cells_p, 4, 8)
+    got = {(r["r"], r["c"]): r["cnt"] for r in read_cm_cells(spark, cells_p).collect()}
+    assert got == want
+
+    # idempotent: nothing below the committed generation remains
+    assert compact_sum_store(spark, cells_p, cm_schema, ["r", "c"], "cnt", upto_batch=2) == 0
+
+    # a later batch + second compaction folds generation + newer raws
+    route_cm_batch(spark.createDataFrame([(i % 2,) for i in range(10)], schema), 4, "user_id", cells_p, 4, 8)
+    want2 = {(r["r"], r["c"]): r["cnt"] for r in read_cm_cells(spark, cells_p).collect()}
+    assert compact_sum_store(spark, cells_p, cm_schema, ["r", "c"], "cnt") > 0
+    assert _latest_committed_gen(spark, cells_p) == 3
+    got = {(r["r"], r["c"]): r["cnt"] for r in read_cm_cells(spark, cells_p).collect()}
+    assert got == want2
+
+
+def test_compact_sum_store_hdr_quantiles_unchanged(spark, tmp_path):
+    """The HDR face of the SUM swap: quantile estimates are identical
+    before and after compaction."""
+    from pyspark.sql import types as T
+
+    from csv_query_engine_spark.streaming.events import (
+        compact_sum_store,
+        read_hdr_buckets,
+        route_hdr_batch,
+    )
+
+    schema = T.StructType([T.StructField("price", T.DoubleType())])
+    p = str(tmp_path / "hdr")
+    import random
+
+    rnd = random.Random(13)
+    for b in range(3):
+        rows = [(rnd.uniform(1.0, 1000.0),) for _ in range(200)]
+        route_hdr_batch(spark.createDataFrame(rows, schema), b, "price", p)
+    before = sorted(map(tuple, read_hdr_buckets(spark, p).collect()))
+    assert compact_sum_store(
+        spark, p, "e INT, sb BIGINT, cnt BIGINT, batch_id BIGINT", ["e", "sb"], "cnt"
+    ) == 2
+    after = sorted(map(tuple, read_hdr_buckets(spark, p).collect()))
+    assert after == before
