@@ -725,6 +725,11 @@ def route_minhash_admission_batch(
     * ``mins``     — (band, bucket, min_id): the batch's OWN bucket
       mins; the read side MIN-merges across batches
       (:func:`read_minhash_bucket_mins`);
+    * ``entries``  — (doc_id, band, bucket): every doc's band entries
+      (round 13) — what lets :func:`reconcile_minhash_admission`
+      find the docs a LATE-arriving smaller bucket min affects
+      without re-shingling the corpus; ≤ ``bands`` small rows per
+      doc, dwarfed by the docs store itself;
     * ``verdicts`` — (doc_id, is_dup, dup_of, dup_jaccard).
 
     Stream==batch contract: when batches arrive in ASCENDING doc-id
@@ -735,9 +740,12 @@ def route_minhash_admission_batch(
     tests/test_streaming.py.  Under arbitrary arrival order a doc may
     verify before its global bucket min arrives (verdicts remain valid
     greedy smaller-id verdicts — the doc admits where the batch
-    operator might drop it); the signature-agreement estimate screen is
-    deliberately absent (it exists to cut candidate volume, which the
-    bucket-MIN bound already caps at ``bands``/doc).
+    operator might drop it); :func:`reconcile_minhash_admission`
+    (round 13) closes exactly that gap as a bounded maintenance pass,
+    restoring stream==batch under ANY arrival order.  The
+    signature-agreement estimate screen is deliberately absent (it
+    exists to cut candidate volume, which the bucket-MIN bound already
+    caps at ``bands``/doc).
 
     Scale: batch work is one shingle scan over the batch + ``bands``
     bucket-min lookups/doc against a store that is O(distinct buckets)
@@ -842,7 +850,13 @@ def route_minhash_admission_batch(
                 F.coalesce(F.col("dup_jaccard"), F.lit(-1.0)).alias("dup_jaccard"),
             )
         )
-        for side, sub in ((batch, "docs"), (batch_mins, "mins"), (verdicts, "verdicts")):
+        entries = be_b.select(F.col("id").alias("doc_id"), "band", "bucket")
+        for side, sub in (
+            (batch, "docs"),
+            (batch_mins, "mins"),
+            (entries, "entries"),
+            (verdicts, "verdicts"),
+        ):
             (
                 side.withColumn("batch_id", F.lit(int(batch_id)))
                 .write.mode("overwrite")
@@ -850,6 +864,12 @@ def route_minhash_admission_batch(
                 .partitionBy("batch_id")
                 .parquet(f"{store_dir}/{sub}")
             )
+        # a (re)written batch at or below the reconciliation watermark
+        # carries fresh GREEDY verdicts — invalidate the watermark so
+        # the next reconcile_minhash_admission re-detects from scratch
+        wm = _read_reconcile_watermark(spark, store_dir)
+        if wm is not None and int(batch_id) <= wm:
+            _drop_reconcile_watermark(spark, store_dir)
     finally:
         hashed_b.unpersist()
         try:
@@ -907,6 +927,224 @@ def read_minhash_verdicts(spark: SparkSession, store_dir: str) -> DataFrame:
         f"{store_dir}/verdicts",
         "doc_id BIGINT, is_dup BOOLEAN, dup_of BIGINT, dup_jaccard DOUBLE, batch_id BIGINT",
     )
+
+
+def _read_reconcile_watermark(spark: SparkSession, store_dir: str) -> int | None:
+    """Largest ``_reconciled_upto=<W>`` marker under the store root —
+    the store's verdicts are batch-consistent with every min that had
+    arrived by batch ``W``.  Integer-named empty files (no content
+    read-back through py4j; no escaping — ids are digits)."""
+    fs, root, _ = _store_fs(spark, store_dir)
+    if not fs.exists(root):
+        return None
+    best = None
+    for st in fs.listStatus(root):
+        name = st.getPath().getName()
+        if name.startswith("_reconciled_upto="):
+            v = name.split("=", 1)[1]
+            if v.isdigit():
+                best = int(v) if best is None or int(v) > best else best
+    return best
+
+
+def _write_reconcile_watermark(spark: SparkSession, store_dir: str, upto: int) -> None:
+    fs, root, jvm = _store_fs(spark, store_dir)
+    for st in fs.listStatus(root):
+        name = st.getPath().getName()
+        if name.startswith("_reconciled_upto=") and name != f"_reconciled_upto={upto}":
+            fs.delete(st.getPath(), True)
+    fs.create(
+        jvm.org.apache.hadoop.fs.Path(f"{store_dir}/_reconciled_upto={int(upto)}"), True
+    ).close()
+
+
+def _drop_reconcile_watermark(spark: SparkSession, store_dir: str) -> None:
+    fs, root, _ = _store_fs(spark, store_dir)
+    if not fs.exists(root):
+        return
+    for st in fs.listStatus(root):
+        if st.getPath().getName().startswith("_reconciled_upto="):
+            fs.delete(st.getPath(), True)
+
+
+def reconcile_minhash_admission(
+    spark: SparkSession,
+    store_dir: str,
+    threshold: float = 0.5,
+    shingle_k: int = 5,
+    hash_mode: str = "xxhash64",
+) -> int:
+    """Re-verdict the docs a LATE-arriving smaller bucket min affects —
+    the maintenance pass that closes the arrival-order gap (round-12
+    verdict #4): after it runs, the accumulated verdicts equal
+    ``minhash_dedup_survivors(union, est_margin=None)`` under ANY
+    arrival order, not just ascending ids.  Returns the number of docs
+    re-verdicted (0 = store already consistent).
+
+    Which docs can diverge?  A doc verified at batch ``t`` saw, for
+    each of its buckets, the min over batches ``<= t``; bucket mins
+    only ever DECREASE, so its candidate set changed since iff some
+    bucket's FINAL min is strictly below its running min at ``t``.
+    Both sides of that comparison live in the stored per-batch ``mins``
+    table, and the stored ``entries`` table maps the flagged
+    (band, bucket, batch) triples back to doc ids — no corpus scan.
+    The affected docs (plus their ≤ ``bands`` candidate mins) are
+    re-shingled via a semi-join on the bounded id set, re-verified with
+    the exact Jaccard, and their verdict rows rewritten in place:
+    per-batch dynamic overwrite touching ONLY the affected batch
+    partitions (keep = old rows anti-joined, plus the new rows — the
+    CoW delete-then-reinsert idempotence, so a crashed reconciliation
+    just re-runs).
+
+    Run on a QUIESCENT store (no concurrent foreachBatch).  Successful
+    passes record a ``_reconciled_upto=<W>`` watermark (W = the newest
+    batch folded in), so the next pass only chases mins that arrived
+    AFTER W — repeated maintenance is incremental and a clean second
+    pass returns 0.  A REPLAY of a batch at or below the watermark
+    recomputes greedy verdicts for that batch, so the route DROPS the
+    watermark when it writes such a batch — the next reconciliation
+    re-detects from scratch and restores equality."""
+    from pyspark.sql.window import Window
+    from pyspark.storagelevel import StorageLevel
+
+    from csv_query_engine_spark.pipeline.dedup import _hashed_shingles, jaccard
+
+    bucket_sql_type = "STRING" if hash_mode == "md5" else "BIGINT"
+    mins = _read_store_or_empty(
+        spark,
+        f"{store_dir}/mins",
+        f"band INT, bucket {bucket_sql_type}, min_id BIGINT, batch_id BIGINT",
+    )
+    entries = _read_store_or_empty(
+        spark,
+        f"{store_dir}/entries",
+        f"doc_id BIGINT, band INT, bucket {bucket_sql_type}, batch_id BIGINT",
+    )
+    wm = _read_reconcile_watermark(spark, store_dir)
+    newest = mins.agg(F.max("batch_id")).collect()[0][0]
+    if newest is None:
+        return 0
+    # running (inclusive) vs final min per bucket — both windows are
+    # partitioned by the bucket key, never global.  A doc verified at
+    # batch t diverges iff its bucket's FINAL min undercuts the min it
+    # saw; after a watermark W, docs at t <= W were consistent as of W,
+    # so their effective view is the (smaller) running min AT W.
+    wb = Window.partitionBy("band", "bucket")
+    run_min = F.min("min_id").over(wb.orderBy("batch_id").rowsBetween(Window.unboundedPreceding, 0))
+    fin_min = F.min("min_id").over(wb)
+    with_runs = mins.select(
+        "band", "bucket", "batch_id",
+        run_min.alias("_run"), fin_min.alias("_fin"),
+    )
+    if wm is not None:
+        run_at_wm = (
+            mins.filter(F.col("batch_id") <= int(wm))
+            .groupBy("band", "bucket")
+            .agg(F.min("min_id").alias("_run_wm"))
+        )
+        with_runs = with_runs.join(run_at_wm, ["band", "bucket"], "left").select(
+            "band", "bucket", "batch_id", "_fin",
+            F.when(
+                F.col("batch_id") <= int(wm),
+                F.coalesce(F.col("_run_wm"), F.col("_run")),
+            )
+            .otherwise(F.col("_run"))
+            .alias("_run"),
+        )
+    flagged = with_runs.filter(F.col("_fin") < F.col("_run")).select(
+        "band", "bucket", "batch_id"
+    )
+    affected = (
+        entries.join(flagged, ["band", "bucket", "batch_id"], "left_semi")
+        .select("doc_id", "batch_id")
+        .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    try:
+        n_affected = affected.count()
+        if n_affected == 0:
+            _write_reconcile_watermark(spark, store_dir, int(newest))
+            return 0
+        finals = mins.groupBy("band", "bucket").agg(F.min("min_id").alias("cand"))
+        cand = (
+            entries.join(affected.select("doc_id"), "doc_id", "left_semi")
+            .join(finals, ["band", "bucket"])
+            .filter(F.col("doc_id") != F.col("cand"))
+            .select("doc_id", "cand")
+            .distinct()
+        )
+        docs_schema = "doc_id BIGINT, text STRING, batch_id BIGINT"
+        need_ids = (
+            affected.select("doc_id")
+            .unionByName(cand.select(F.col("cand").alias("doc_id")))
+            .distinct()
+        )
+        need_docs = (
+            _read_store_or_empty(spark, f"{store_dir}/docs", docs_schema)
+            .select("doc_id", "text")
+            .join(need_ids, "doc_id", "left_semi")
+        )
+        hashed = (
+            _hashed_shingles(need_docs, "doc_id", "text", shingle_k, hash_mode)
+            .select("id", "hashes")
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        )
+        try:
+            verified = (
+                cand.withColumnRenamed("doc_id", "id")
+                .join(hashed.select("id", F.col("hashes").alias("h_a")), "id")
+                .join(
+                    hashed.select(F.col("id").alias("cand"), F.col("hashes").alias("h_b")),
+                    "cand",
+                )
+                .select("id", "cand", jaccard(F.col("h_a"), F.col("h_b")).alias("j"))
+                .filter(F.col("j") >= threshold)
+            )
+            dup = (
+                verified.groupBy("id")
+                .agg(F.min(F.struct(F.col("cand"), F.col("j"))).alias("m"))
+                .select(
+                    F.col("id").alias("doc_id"),
+                    F.col("m.cand").alias("_dup_of"),
+                    F.col("m.j").alias("_dup_j"),
+                )
+            )
+            new_rows = (
+                affected.join(dup, "doc_id", "left")
+                .select(
+                    "doc_id",
+                    F.col("_dup_of").isNotNull().alias("is_dup"),
+                    F.coalesce(F.col("_dup_of"), F.lit(-1)).cast("bigint").alias("dup_of"),
+                    F.coalesce(F.col("_dup_j"), F.lit(-1.0)).alias("dup_jaccard"),
+                    "batch_id",
+                )
+            )
+            verdicts_schema = (
+                "doc_id BIGINT, is_dup BOOLEAN, dup_of BIGINT, "
+                "dup_jaccard DOUBLE, batch_id BIGINT"
+            )
+            old = (
+                _read_store_or_empty(spark, f"{store_dir}/verdicts", verdicts_schema)
+                .join(affected.select("batch_id").distinct(), "batch_id", "left_semi")
+                .join(affected.select("doc_id"), "doc_id", "left_anti")
+                .select("doc_id", "is_dup", "dup_of", "dup_jaccard", "batch_id")
+            )
+            out = old.unionByName(new_rows).localCheckpoint(eager=True)
+            try:
+                (
+                    out.write.mode("overwrite")
+                    .option("partitionOverwriteMode", "dynamic")
+                    .partitionBy("batch_id")
+                    .parquet(f"{store_dir}/verdicts")
+                )
+            finally:
+                out.unpersist()
+        finally:
+            hashed.unpersist()
+        _write_reconcile_watermark(spark, store_dir, int(newest))
+        return n_affected
+    finally:
+        affected.unpersist()
 
 
 def compact_batch_store(
