@@ -52,6 +52,13 @@ canonical questions imply but its grammar can't parse:
                                      generalized to the data's own
                                      categories; binds on bridge
                                      tables of a multi-hop plan too)
+* ``top N <entity> per <group> [by <metric>]``
+                                     per-group top-N (round 13):
+                                     rank entities INSIDE each group
+                                     via a PARTITIONED row_number
+                                     window, entity as tiebreaker;
+                                     falls back to whole-group top-N
+                                     when either word doesn't bind
 
 Column words fold trailing-'s' plurals exactly like the base grammar's
 which-X rule, so "orders per priority" resolves against an ``order``
@@ -152,6 +159,7 @@ def generate_sql_extended(
     metrics: dict[str, str] | None = None,
     force_group_col: str | None = None,
     column_values: dict[str, list] | None = None,
+    force_entity_col: str | None = None,
 ) -> str:
     """NL -> one Spark-SQL SELECT using the extended schema-driven
     grammar. ``columns`` is profiler output (name/type/semantic_type).
@@ -234,6 +242,22 @@ def generate_sql_extended(
 
     # top-N
     topm = re.search(r"\btop (\d+)\b", q)
+
+    # per-group top-N (round 13): "top 3 <entity> per <group> [by
+    # <metric>]" ranks entities WITHIN each group — compiled to a
+    # PARTITIONED row_number window (never unpartitioned; the lint
+    # contract) with the entity as the deterministic tiebreaker.  Fires
+    # only when BOTH words bind to distinct columns (the multi-table
+    # wrapper resolves table words to name columns via
+    # force_entity_col/force_group_col); otherwise the phrase falls
+    # through to the existing whole-group top-N rules unchanged.
+    pg_entity = pg_group = None
+    pgm = re.search(r"\btop (\d+) (\w+) (?:per|for each) (\w+)\b", q)
+    if pgm is not None:
+        pg_entity = force_entity_col or resolve(pgm.group(2))
+        pg_group = resolve(pgm.group(3)) or force_group_col
+        if pg_entity is None or pg_group is None or pg_entity == pg_group:
+            pg_entity = pg_group = None
 
     # HAVING on the grouped count: "with more than / at least N ..."
     having = None
@@ -376,7 +400,33 @@ def generate_sql_extended(
             y = int(ym.group(1))
             where.append(f"{d} >= '{y}-01-01' AND {d} < '{y + 1}-01-01'")
 
-    # assemble
+    # assemble — per-group top-N first (it owns the whole statement)
+    tbl_expr = from_clause or (table if table.isidentifier() else quote_identifier(table))
+    if pg_entity is not None:
+        if agg_metric is not None:
+            metric_sql = f"{agg_fn}({metrics[agg_metric]})"
+            alias = quote_identifier(agg_metric)
+        elif agg_fn is not None:
+            metric_sql = f"{agg_fn}({quote_identifier(agg_col)})"
+            alias = quote_identifier(f"{agg_fn.lower()}_{agg_col}")
+        elif distinct_col is not None:
+            metric_sql = f"COUNT(DISTINCT {quote_identifier(distinct_col)})"
+            alias = quote_identifier(f"distinct_{distinct_col}")
+        else:
+            metric_sql = "COUNT(*)"
+            alias = "`count`"
+        g, e = quote_identifier(pg_group), quote_identifier(pg_entity)
+        inner = f"SELECT {g}, {e}, {metric_sql} AS {alias}, ROW_NUMBER() OVER (PARTITION BY {g} ORDER BY {metric_sql} DESC, {e}) AS `_rnk` FROM {tbl_expr}"
+        if where:
+            inner += " WHERE " + " AND ".join(where)
+        inner += f" GROUP BY {g}, {e}"
+        if having is not None:
+            inner += f" HAVING {having}"
+        return (
+            f"SELECT {g}, {e}, {alias} FROM ({inner}) "
+            f"WHERE `_rnk` <= {int(pgm.group(1))} ORDER BY {g}, `_rnk`"
+        )
+
     select_parts: list[str] = []
     order_metric = None
     if group_col is not None:
@@ -404,8 +454,7 @@ def generate_sql_extended(
     if not select_parts:
         select_parts = ["*"]
 
-    tbl = table if table.isidentifier() else quote_identifier(table)
-    sql = f"SELECT {', '.join(select_parts)} FROM {from_clause or tbl}"
+    sql = f"SELECT {', '.join(select_parts)} FROM {tbl_expr}"
     if where:
         sql += " WHERE " + " AND ".join(where)
     # grouped whenever the select list carries ANY metric next to the
@@ -558,27 +607,53 @@ def generate_sql_multi_table(
         if ts:
             owners[w] = ts
 
+    def _name_col(t: str) -> str | None:
+        named = [c for c in sorted(colnames[t]) if c.lower().endswith("name")]
+        strs = [
+            c
+            for c in colnames[t]
+            if "string" in coltypes[t][c.lower()]
+            or "varchar" in coltypes[t][c.lower()]
+        ]
+        return (named or strs or [None])[0]
+
+    def _word_col(w: str) -> str | None:
+        """Column for a grouping/entity word: a column word resolves
+        directly (unique across the plan's resolvers); a table word
+        falls back to that table's name-like column."""
+        hits = {r(w) for r in resolvers.values() if r(w) is not None}
+        if len(hits) == 1:
+            return next(iter(hits))
+        if not hits:
+            t = _table_for(w)
+            if t is not None:
+                return _name_col(t)
+        return None
+
+    # per-group top-N (round 13): "top 3 <entity> per <group>" — both
+    # words bind (column word, or table word -> its name column) and
+    # the pinned-tables mechanics already force the covering join plan
+    force_entity = force_group = None
+    pgm = re.search(r"\btop \d+ (\w+) (?:per|for each) (\w+)\b", q)
+    if pgm is not None:
+        ec, gc = _word_col(pgm.group(1)), _word_col(pgm.group(2))
+        if ec is not None and gc is not None and ec != gc:
+            force_entity, force_group = ec, gc
+
     # table-mention grouping: "top 5 nations by revenue" / "revenue per
     # nation" — a table word in a grouping position that is NOT also a
     # column word groups by that table's name-like column
-    force_group = None
-    for w in set(words):
-        t = _table_for(w)
-        if t is None or any(r(w) is not None for r in resolvers.values()):
-            continue
-        if re.search(rf"\btop \d+ {re.escape(w)}\b", q) or re.search(
-            rf"\b(?:by|per|for each) {re.escape(w)}\b", q
-        ):
-            named = [c for c in sorted(colnames[t]) if c.lower().endswith("name")]
-            strs = [
-                c
-                for c in colnames[t]
-                if "string" in coltypes[t][c.lower()]
-                or "varchar" in coltypes[t][c.lower()]
-            ]
-            if named or strs:
-                force_group = (named or strs)[0]
-                break
+    if force_entity is None:
+        for w in set(words):
+            t = _table_for(w)
+            if t is None or any(r(w) is not None for r in resolvers.values()):
+                continue
+            if re.search(rf"\btop \d+ {re.escape(w)}\b", q) or re.search(
+                rf"\b(?:by|per|for each) {re.escape(w)}\b", q
+            ):
+                if _name_col(t) is not None:
+                    force_group = _name_col(t)
+                    break
 
     flat_metrics = {mn: expr for mn, (expr, _) in metrics.items()}
     column_values = column_values or {}
@@ -635,7 +710,18 @@ def generate_sql_multi_table(
             and any(force_group in colnames[t] for t in tset)
             else None
         )
-        return {"now": now, "metrics": flat_metrics, "force_group_col": fg}
+        fe = (
+            force_entity
+            if force_entity is not None
+            and any(force_entity in colnames[t] for t in tset)
+            else None
+        )
+        return {
+            "now": now,
+            "metrics": flat_metrics,
+            "force_group_col": fg,
+            "force_entity_col": fe,
+        }
 
     for t in sorted(tables):
         if covers((t,)):
@@ -698,6 +784,47 @@ def generate_sql_multi_table(
             column_values=_plan_values(tuple(path)),
             **_kwargs((t1, t2)),
         )
+    # three owner tables (round 13 — "top N <entity-table> per
+    # <group-table> by <metric>" spans entity + group + fact): stitch
+    # two shortest paths through a shared middle and take the SHORTEST
+    # total path over all permutations — the fact table's own foreign
+    # key beats a longer bridge route (supplier via l_suppkey, never
+    # via customer->nation->supplier), ties broken lexicographically.
+    best = None
+    for trio in itertools.combinations(sorted(tables), 3):
+        if not covers(trio):
+            continue
+        for perm in itertools.permutations(trio):
+            p1 = _shortest_path(perm[0], perm[1])
+            p2 = _shortest_path(perm[1], perm[2]) if p1 else None
+            if p1 is None or p2 is None:
+                continue
+            path = p1 + p2[1:]
+            if len(set(path)) != len(path):
+                continue
+            cand = (len(path), path, trio)
+            if best is None or cand < best:
+                best = cand
+    if best is not None:
+        _, path, trio = best
+        combined = [c for t in trio for c in tables[t]]
+        path_names = [n.lower() for t in path for n in colnames[t]]
+        if len(set(path_names)) != len(path_names):
+            raise ValueError(
+                f"ambiguous columns across {' -> '.join(path)}: "
+                "cannot bind the question safely"
+            )
+        fc = path[0]
+        for prev, nxt in zip(path, path[1:]):
+            fc += f" JOIN {nxt} ON {_edge(prev, nxt)}"
+        return generate_sql_extended(
+            question,
+            combined,
+            table=path[0],
+            from_clause=fc,
+            column_values=_plan_values(tuple(path)),
+            **_kwargs(trio),
+        )
     raise ValueError(
-        "question references columns from more than two joinable tables"
+        "question references columns from more than three joinable tables"
     )

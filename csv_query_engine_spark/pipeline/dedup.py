@@ -514,6 +514,7 @@ def minhash_dedup_survivors(
     threshold: float = 0.5,
     est_margin: float | None = 0.15,
     hash_mode: str = "xxhash64",
+    screen_partitions: int | str | None = None,
 ) -> DataFrame:
     """Per-doc KEEP/DROP dedup verdicts with LINEAR candidate volume —
     the 100-TB face of MinHash dedup (what production corpus pipelines
@@ -546,7 +547,18 @@ def minhash_dedup_survivors(
 
     ``hash_mode="md5"`` makes the whole verdict pipeline reproducible
     (the `dedup_minhash_survivors_rep` query's DuckDB twin replays it
-    end to end); xxhash64 stays the scale default."""
+    end to end); xxhash64 stays the scale default.
+
+    ``screen_partitions`` (round 13 — the lever the round-12 magnitude
+    probe named for the 2M wall): the estimate-screen signature-attach
+    join shuffles ~``candidates × 2 × num_hashes`` longs, and at 2M
+    docs that is ~24 GB over the session's default shuffle partitions
+    (375 MB/partition at 64 → spill).  ``"auto"`` sizes the screen's
+    exchanges from the measured doc count (one cheap count on the
+    already-persisted signature table) targeting ~128 MB per shuffle
+    partition; an int pins it; ``None`` (default) keeps the session
+    setting — correctness is identical in all modes (same rows, same
+    verdicts), only the exchange partitioning changes."""
     from pyspark.storagelevel import StorageLevel
 
     hashed = _hashed_shingles(df, id_col, text_col, shingle_k, hash_mode).select(
@@ -571,10 +583,35 @@ def minhash_dedup_survivors(
             F.lit(0),
             lambda acc, x: acc + x,
         ).cast("double") / F.lit(float(num_hashes))
+        n_screen = None
+        if screen_partitions == "auto":
+            # one cheap count on the persisted signatures (it forces the
+            # materialization the first downstream action pays anyway);
+            # candidate rows are bounded by bands/doc and each carries
+            # two num_hashes-slot long arrays through the attach joins
+            n_docs_m = sig.count()
+            row_bytes = 2 * 8 * num_hashes + 32
+            n_screen = max(
+                int(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "200")),
+                min(4096, -(-n_docs_m * bands * row_bytes // (128 << 20))),
+            )
+        elif screen_partitions is not None:
+            n_screen = int(screen_partitions)
+        screened = cand
+        sig_a = sig.select(F.col("id"), F.col("sig").alias("sig_a"))
+        sig_b = sig.select(F.col("id").alias("cand"), F.col("sig").alias("sig_b"))
+        if n_screen is not None:
+            # explicit hash exchanges on the join keys: ensureRequirements
+            # aligns the other side to the same partitioning, so these ARE
+            # the joins' shuffles (no extra exchange), just wider
+            screened = screened.repartition(n_screen, "id")
+            sig_a = sig_a.repartition(n_screen, "id")
+        cand = screened.join(sig_a, "id")
+        if n_screen is not None:
+            cand = cand.repartition(n_screen, "cand")
+            sig_b = sig_b.repartition(n_screen, "cand")
         cand = (
-            cand
-            .join(sig.select(F.col("id"), F.col("sig").alias("sig_a")), "id")
-            .join(sig.select(F.col("id").alias("cand"), F.col("sig").alias("sig_b")), "cand")
+            cand.join(sig_b, "cand")
             .filter(est >= F.lit(float(threshold - est_margin)))
             .select("id", "cand")
         )

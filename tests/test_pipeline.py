@@ -853,3 +853,32 @@ def test_threshold_guards_catch_fully_emptied_strata(spark, docs):
         smp.token_budget_sample_threshold(
             base, "lang", F.col("doc_id"), F.col("n_tokens"), 300, margin=1e-7
         )
+
+
+def test_minhash_survivors_screen_partitions_modes_agree(spark):
+    """Round-13: screen_partitions only changes exchange partitioning —
+    verdicts are identical across None / int / auto modes."""
+    from csv_query_engine_spark.pipeline.dedup import minhash_dedup_survivors
+
+    docs = (
+        spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+        .select("doc_id", "text")
+        .limit(400)
+    )
+    base = {
+        tuple(r)
+        for r in minhash_dedup_survivors(docs, threshold=0.5).collect()
+    }
+    pinned = {
+        tuple(r)
+        for r in minhash_dedup_survivors(
+            docs, threshold=0.5, screen_partitions=8
+        ).collect()
+    }
+    auto = {
+        tuple(r)
+        for r in minhash_dedup_survivors(
+            docs, threshold=0.5, screen_partitions="auto"
+        ).collect()
+    }
+    assert base == pinned == auto and len(base) == 400
