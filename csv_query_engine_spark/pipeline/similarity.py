@@ -906,6 +906,17 @@ def quantized_topk(
 
     Zero vectors quantize to all-zero and score 0 against everything
     (matching :func:`cosine`'s zero-vector convention).
+
+    REPRODUCIBLE BY CONSTRUCTION (round 13 — what lets the registered
+    query carry a DuckDB twin): the quantizer is the pure-IEEE half-up
+    form ``floor(x·127/max|x| + 0.5)`` with pinned op order
+    ``(x·127.0)/maxabs + 0.5`` (np.rint's half-to-even has no DuckDB
+    equivalent), the approximate score is an EXACT-integer dot (|q|≤127
+    → |dot| ≤ 64·127² ≪ 2⁵³, exact in double) over deterministic
+    sqrt/multiply/divide, so shortlist membership and order are
+    bit-identical across engines with no quantization needed, and
+    ``rounding`` applies the FLOOR idiom (``_floor_quantize``), never
+    engine ROUND, to the rescored cosine that feeds the final rank.
     """
     import numpy as np
 
@@ -925,9 +936,11 @@ def quantized_topk(
         return spark.createDataFrame([], schema)
     q_ids = [r[0] for r in qrows]
     qmat = np.stack([np.asarray(r[1], dtype=np.float64) for r in qrows])
-    qscale = np.abs(qmat).max(axis=1, keepdims=True) / 127.0
-    qscale[qscale == 0.0] = 1.0
-    q_int = np.rint(qmat / qscale).astype(np.int32)
+    qmax = np.abs(qmat).max(axis=1, keepdims=True)
+    qmax[qmax == 0.0] = 1.0
+    # half-up floor with the pinned op order (x*127.0)/max + 0.5 — the
+    # twin's floor(x * 127.0 / mx + 0.5) parses to the same three ops
+    q_int = np.floor(qmat * 127.0 / qmax + 0.5).astype(np.int32)
     q_norms = np.sqrt((q_int.astype(np.int64) ** 2).sum(axis=1)).astype(np.float64)
     q_norms[q_norms == 0.0] = 1.0
 
@@ -939,9 +952,9 @@ def quantized_topk(
         if len(col) == 0:
             return _pd.Series([], dtype="object")
         m = _np.stack([_np.asarray(v, dtype=_np.float64) for v in col])
-        scale = _np.abs(m).max(axis=1, keepdims=True) / 127.0
-        scale[scale == 0.0] = 1.0
-        c_int = _np.rint(m / scale).astype(_np.int32)
+        mx = _np.abs(m).max(axis=1, keepdims=True)
+        mx[mx == 0.0] = 1.0
+        c_int = _np.floor(m * 127.0 / mx + 0.5).astype(_np.int32)
         c_norms = _np.sqrt((c_int.astype(_np.int64) ** 2).sum(axis=1))
         c_norms[c_norms == 0.0] = 1.0
         # int8-range matmul in int32/int64 accumulation, then normalize
@@ -965,7 +978,9 @@ def quantized_topk(
     q = queries.select(F.col(query_id_col).alias("query_id"), F.col(vec_col).alias("q_vec"))
     score = cosine(F.col("q_vec"), F.col("c_vec"))
     if rounding is not None:
-        score = F.round(score, rounding)
+        # FLOOR idiom, never engine ROUND: the value feeds the final
+        # rank ordering the DuckDB twin must reproduce (CLAUDE.md)
+        score = _floor_quantize(score, rounding)
     rescored = shortlist.join(F.broadcast(q), "query_id").select(
         "query_id", "cand_id", score.alias("cosine")
     )

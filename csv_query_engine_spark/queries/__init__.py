@@ -323,13 +323,16 @@ DRIVER_ORDER: list[str] = [
     "customer_snapshot_cdc_diff",
     # (Round-11 additions all rotated INTO the window in round 12;
     # round-12 additions all rotated INTO the window in round 13.)
+    # Round-13 oracle upgrade: the SQ8 quantize->shortlist->rescore
+    # pipeline is reproducible (half-up-floor quantizer, exact-integer
+    # approx dot, FLOOR-quantized rescore) and carries a full twin:
+    "embedding_quantized_topk",
     # Rows-only ops (no SQL-expressible oracle; pytest covers recall/
     # precision/planted-neighbor properties):
     "dedup_minhash_lsh_pairs",
     "embedding_lsh_topk",
     "embedding_near_dup_pairs",
     "embedding_ivf_topk",
-    "embedding_quantized_topk",
     "embedding_pq_topk",
     "sketch_approx_aggregates",
     "sketch_user_rollup",

@@ -1568,15 +1568,77 @@ def docs_pii_scrub_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("embedding_quantized_topk", None)
+_QUANTIZED_TOPK_ORACLE = """
+    WITH q0 AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS v
+                FROM embeddings WHERE vec_id % 100 = 0),
+         c0 AS (SELECT vec_id AS cand_id, CAST(embedding AS DOUBLE[]) AS v
+                FROM embeddings),
+         -- int8 quantization, pinned op order (x*127.0)/max + 0.5 — the
+         -- operator's half-up floor exactly (np.rint's half-even would
+         -- NOT be expressible here; the operator uses floor by design)
+         qq AS (SELECT query_id, v,
+                       list_transform(v, x -> floor(x * 127.0 / mx + 0.5)) AS qi
+                FROM (SELECT query_id, v,
+                             CASE WHEN list_max(list_transform(v, x -> abs(x))) = 0
+                                  THEN 1.0
+                                  ELSE list_max(list_transform(v, x -> abs(x))) END AS mx
+                      FROM q0)),
+         cc AS (SELECT cand_id, v,
+                       list_transform(v, x -> floor(x * 127.0 / mx + 0.5)) AS qi
+                FROM (SELECT cand_id, v,
+                             CASE WHEN list_max(list_transform(v, x -> abs(x))) = 0
+                                  THEN 1.0
+                                  ELSE list_max(list_transform(v, x -> abs(x))) END AS mx
+                      FROM c0)),
+         -- approximate score: EXACT-integer dot in double (|dot| <=
+         -- 64*127^2 << 2^53) over deterministic sqrt/mul/div — NO
+         -- quantization needed for bit-identical shortlist order
+         approx AS (
+           SELECT q.query_id, c.cand_id, q.v AS q_vec, c.v AS c_vec,
+                  CASE WHEN sqrt(list_dot_product(c.qi, c.qi))
+                            * sqrt(list_dot_product(q.qi, q.qi)) > 0
+                       THEN list_dot_product(c.qi, q.qi)
+                            / (sqrt(list_dot_product(c.qi, c.qi))
+                               * sqrt(list_dot_product(q.qi, q.qi)))
+                       ELSE 0.0 END AS a
+           FROM cc c JOIN qq q ON c.cand_id <> q.query_id
+         ),
+         short AS (
+           SELECT query_id, cand_id, q_vec, c_vec,
+                  ROW_NUMBER() OVER (PARTITION BY query_id
+                                     ORDER BY a DESC, cand_id) AS srnk
+           FROM approx
+         ),
+         resc AS (
+           SELECT query_id, cand_id,
+                  FLOOR((CASE WHEN sqrt(list_dot_product(q_vec, q_vec))
+                                   * sqrt(list_dot_product(c_vec, c_vec)) > 0
+                              THEN list_dot_product(q_vec, c_vec)
+                                   / (sqrt(list_dot_product(q_vec, q_vec))
+                                      * sqrt(list_dot_product(c_vec, c_vec)))
+                              ELSE 0.0 END) * 1e4 + 0.5) / 1e4 AS cosine
+           FROM short WHERE srnk <= 15
+         )
+    SELECT query_id, cand_id, cosine,
+           ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, cand_id) AS rank
+    FROM resc
+    QUALIFY rank <= 5
+    ORDER BY query_id, rank
+    """
+
+
+@register("embedding_quantized_topk", _QUANTIZED_TOPK_ORACLE)
 def embedding_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Int8 scalar-quantized approximate top-k with exact rescoring
     (pipeline.similarity.quantized_topk) — the SQ8 bandwidth scale path.
-    Approximate shortlist -> no SQL oracle; recall vs brute force
-    asserted in tests."""
+    Oracle-paired in round 13 (round-12 verdict #7): the half-up-floor
+    quantizer, exact-integer approximate dot, and FLOOR-quantized
+    rescore make the whole quantize->shortlist->rescore pipeline
+    reproducible; the twin replays it end to end (quadratic join —
+    driver-tier-only shape, the media-twin precedent)."""
     e = load_tables(spark, sf_dir, ("embeddings",))["embeddings"]
     q = e.filter(F.col("vec_id") % 100 == 0).select(F.col("vec_id").alias("query_id"), F.col("embedding"))
-    return sim.quantized_topk(e, q, k=5, rounding=6).orderBy("query_id", "rank")
+    return sim.quantized_topk(e, q, k=5, rounding=4).orderBy("query_id", "rank")
 
 
 @register(
