@@ -313,6 +313,45 @@ def _quantized_norm(vec: Column) -> Column:
     )
 
 
+# --- shared DuckDB CTE builders for the quantized banded-LSH twins ---
+# (the `_minhash_rep_ctes` drift rule applied to the embedding family:
+# every twin that replays _quantized_planes/quantized_band_buckets_udf
+# builds on THESE, never on re-inlined CTE text)
+
+
+def _sql_planes_values(planes_q: list[list[int]]) -> str:
+    """VALUES rows for the scale-6 integer plane literals."""
+    return ",\n               ".join(
+        f"({p}, [{','.join(str(x) for x in plane)}])" for p, plane in enumerate(planes_q)
+    )
+
+
+def _sql_quantized_dims(src: str, out: str, id_col: str, vec_col: str) -> str:
+    """Parenthesized subquery: per-(id, pos) scale-6 quantized coords."""
+    return f"""(
+        SELECT {id_col} AS {out},
+               generate_subscripts({vec_col}, 1) - 1 AS pos,
+               CAST(FLOOR(CAST(unnest({vec_col}) AS DOUBLE) * 1e6 + 0.5) AS BIGINT) AS xq
+        FROM {src}
+    )"""
+
+
+def _sql_band_buckets(dims: str, out: str, band_bits: int) -> str:
+    """Parenthesized subquery: per-(id, band) little-endian bucket ids
+    from exact integer plane dots (requires a `planes` CTE in scope)."""
+    return f"""(
+        SELECT {out}, plane // {band_bits} AS band,
+               CAST(SUM(CAST(bit AS BIGINT) << CAST(plane % {band_bits} AS INT)) AS INT) AS bucket
+        FROM (
+            SELECT d.{out}, p.plane,
+                   CASE WHEN SUM(p.pq * d.xq) >= 0 THEN 1 ELSE 0 END AS bit
+            FROM {dims} d JOIN planes p USING (pos)
+            GROUP BY d.{out}, p.plane
+        )
+        GROUP BY {out}, plane // {band_bits}
+    )"""
+
+
 def lsh_bucket_topk(
     embeddings: DataFrame,
     queries: DataFrame,
@@ -623,30 +662,13 @@ def sql_contamination_banded(
     ×dim — fine at driver tiers, never a Spark-side shape."""
     band_bits = n_planes // n_bands
     planes_q = _quantized_planes(n_planes, dim)
-    vals = ",\n               ".join(
-        f"({p}, [{','.join(str(x) for x in plane)}])" for p, plane in enumerate(planes_q)
-    )
+    vals = _sql_planes_values(planes_q)
 
     def _dims(src, out):
-        return f"""(
-        SELECT {id_col} AS {out},
-               generate_subscripts({vec_col}, 1) - 1 AS pos,
-               CAST(FLOOR(CAST(unnest({vec_col}) AS DOUBLE) * 1e6 + 0.5) AS BIGINT) AS xq
-        FROM {src}
-    )"""
+        return _sql_quantized_dims(src, out, id_col, vec_col)
 
     def _buckets(dims, out):
-        return f"""(
-        SELECT {out}, plane // {band_bits} AS band,
-               CAST(SUM(CAST(bit AS BIGINT) << CAST(plane % {band_bits} AS INT)) AS INT) AS bucket
-        FROM (
-            SELECT d.{out}, p.plane,
-                   CASE WHEN SUM(p.pq * d.xq) >= 0 THEN 1 ELSE 0 END AS bit
-            FROM {dims} d JOIN planes p USING (pos)
-            GROUP BY d.{out}, p.plane
-        )
-        GROUP BY {out}, plane // {band_bits}
-    )"""
+        return _sql_band_buckets(dims, out, band_bits)
 
     return f"""
     WITH planes AS (
@@ -700,6 +722,243 @@ def sql_contamination_banded(
     SELECT best.cid AS {id_col}, best.max_cosine,
            CAST(m.matched_bench_id AS BIGINT) AS matched_bench_id
     FROM best JOIN m USING (cid)
+    ORDER BY {id_col}
+    """
+
+
+def semantic_dedup_survivors(
+    embeddings: DataFrame,
+    threshold: float = 0.92,
+    n_planes: int = 64,
+    n_bands: int = 8,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Per-vector KEEP/DROP semantic-dedup verdicts with LINEAR
+    candidate volume — the embedding-space sibling of
+    :func:`~csv_query_engine_spark.pipeline.dedup.minhash_dedup_survivors`
+    (the round-11 lesson generalized: on a near-dup-dense corpus the
+    PAIR face — :func:`semantic_dedup_pairs` — is quadratic by nature,
+    and the scale form is a verdict table): each vector is verified
+    against AT MOST ``n_bands`` candidates, the min-id member of each
+    of its quantized hyperplane-LSH buckets.  Exact-verify volume is
+    ≤ n_bands × vectors, bucket state is one MIN (no ``max_bucket``
+    cap needed — a degenerate cluster of 10⁶ copies verifies every
+    member against the cluster min and drops them all, exactly the
+    case plain banded LSH must cap away).
+
+    Output: one row per input vector — (id_col, is_dup, dup_of,
+    dup_cosine); ``dup_of`` = the SMALLEST verified bucket-min with
+    quantized cosine ≥ threshold (sentinels -1 / -1.0 — the
+    nullable-output rule).  Semantics are ONE-PASS GREEDY, the same
+    trade `minhash_dedup_survivors` documents: two near-dups sharing
+    only buckets whose min is a third non-matching vector both
+    survive; recall near the threshold follows the banded-LSH curve.
+
+    Fully REPRODUCIBLE by construction (no float mode): plane
+    components and coordinates quantize to scale-6 integers
+    (:func:`_quantized_planes` — the round-12 banded-contamination
+    recipe), every sign decision and dot is exact int64, and the
+    verify cosine is FLOOR(dotq/√(na·nb)·1e6+0.5)/1e6 —
+    :func:`sql_semantic_survivors` replays the pipeline end to end.
+
+    Scale: the vector table persists once (bucket scan + two verify
+    joins + the verdict spine — cache lifetime CALLER-OWNED via
+    ``pipeline.cache_scope``); buckets shuffle once on (band, bucket)
+    for the MIN; candidates shuffle once per attach join, each row
+    carrying one ``dim``-float payload (no signature arrays — the
+    est-screen stage MinHash needs has no analogue here, so the
+    round-12 2M wall's shuffle-payload shape never appears)."""
+    from pyspark.storagelevel import StorageLevel
+
+    buckets_udf = quantized_band_buckets_udf(_quantized_planes(n_planes, dim), n_bands)
+    v = (
+        _spread(embeddings)
+        .select(
+            F.col(id_col).alias("id"),
+            F.col(vec_col).alias("vec"),
+            _quantized_norm(F.col(vec_col)).alias("nq"),
+        )
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    b = v.select("id", F.posexplode(buckets_udf(F.col("vec"))).alias("band", "bucket"))
+    mins = b.groupBy("band", "bucket").agg(F.min("id").alias("cand"))
+    cand = (
+        b.join(mins, ["band", "bucket"])
+        .filter(F.col("cand") < F.col("id"))
+        .select("id", "cand")
+        .distinct()
+    )
+    dotq = F.aggregate(
+        F.zip_with(F.col("vec_a"), F.col("vec_b"), lambda a, c: _km_quant(a) * _km_quant(c)),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    den = F.sqrt(F.col("na").cast("double") * F.col("nb").cast("double"))
+    score = F.when(
+        (F.col("na") > 0) & (F.col("nb") > 0),
+        F.floor(dotq.cast("double") / den * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6),
+    ).otherwise(F.lit(0.0))
+    scored = (
+        cand.join(v.select("id", F.col("vec").alias("vec_a"), F.col("nq").alias("na")), "id")
+        .join(
+            v.select(
+                F.col("id").alias("cand"), F.col("vec").alias("vec_b"), F.col("nq").alias("nb")
+            ),
+            "cand",
+        )
+        .select("id", "cand", score.alias("cos"))
+    )
+    # Deterministic verdict (the minhash_dedup_survivors convention):
+    # the smallest verified candidate wins and carries its cosine —
+    # min over a (cand, cos) struct orders by cand, unique per row.
+    dup = (
+        scored.filter(F.col("cos") >= F.lit(float(threshold)))
+        .groupBy("id")
+        .agg(F.min(F.struct(F.col("cand"), F.col("cos"))).alias("m"))
+        .select("id", F.col("m.cand").alias("dup_of"), F.col("m.cos").alias("dup_cosine"))
+    )
+    return (
+        v.select("id")
+        .join(dup, "id", "left")
+        .select(
+            F.col("id").alias(id_col),
+            F.col("dup_of").isNotNull().alias("is_dup"),
+            F.coalesce(F.col("dup_of"), F.lit(-1)).cast("bigint").alias("dup_of"),
+            F.coalesce(F.col("dup_cosine"), F.lit(-1.0)).alias("dup_cosine"),
+        )
+    )
+
+
+def _sql_semantic_survivor_ctes(
+    threshold: float,
+    n_planes: int,
+    n_bands: int,
+    dim: int,
+    table: str,
+    id_col: str,
+    vec_col: str,
+) -> str:
+    """The WITH-body CTE prefix (planes → dims → buckets → bucket MINs
+    → candidates → integer-cosine verify → `dup` verdicts) shared by
+    :func:`sql_semantic_survivors` and
+    :func:`sql_semantic_survivor_clusters` — the `_MINHASH_REP_CTES`
+    drift rule: variants append to THIS builder, never copy the CTE
+    text."""
+    band_bits = n_planes // n_bands
+    planes_q = _quantized_planes(n_planes, dim)
+    vals = _sql_planes_values(planes_q)
+    dims = _sql_quantized_dims(table, "id", id_col, vec_col)
+    bucks = _sql_band_buckets("dims", "id", band_bits)
+    return f"""
+    WITH planes AS (
+        SELECT plane, generate_subscripts(pv, 1) - 1 AS pos, unnest(pv) AS pq
+        FROM (VALUES {vals}) pl(plane, pv)
+    ),
+    dims AS {dims},
+    buck AS {bucks},
+    mins AS (SELECT band, bucket, MIN(id) AS cand FROM buck GROUP BY band, bucket),
+    cand AS (
+        SELECT DISTINCT b.id, m.cand
+        FROM buck b JOIN mins m USING (band, bucket)
+        WHERE m.cand < b.id
+    ),
+    nrm AS (SELECT id, CAST(SUM(xq * xq) AS BIGINT) AS nq FROM dims GROUP BY id),
+    dots AS (
+        SELECT cand.id, cand.cand, CAST(SUM(a.xq * b.xq) AS BIGINT) AS dotq
+        FROM cand
+        JOIN dims a ON a.id = cand.id
+        JOIN dims b ON b.id = cand.cand AND b.pos = a.pos
+        GROUP BY cand.id, cand.cand
+    ),
+    scored AS (
+        SELECT d.id, d.cand,
+               CASE WHEN na.nq > 0 AND nb.nq > 0
+                    THEN FLOOR(CAST(d.dotq AS DOUBLE)
+                               / sqrt(CAST(na.nq AS DOUBLE) * CAST(nb.nq AS DOUBLE))
+                               * 1e6 + 0.5) / 1e6
+                    ELSE 0.0 END AS cos
+        FROM dots d
+        JOIN nrm na ON na.id = d.id
+        JOIN nrm nb ON nb.id = d.cand
+    ),
+    dup AS (
+        SELECT id, MIN(cand) AS dup_of
+        FROM scored WHERE cos >= CAST({threshold!r} AS DOUBLE)
+        GROUP BY id
+    )"""
+
+
+def sql_semantic_survivors(
+    threshold: float = 0.92,
+    n_planes: int = 64,
+    n_bands: int = 8,
+    dim: int = 64,
+    table: str = "embeddings",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> str:
+    """DuckDB twin of :func:`semantic_dedup_survivors` — replays the
+    whole verdict pipeline in exact integer arithmetic on the shared
+    CTE builders (:func:`_sql_planes_values` /
+    :func:`_sql_quantized_dims` / :func:`_sql_band_buckets` /
+    :func:`_sql_semantic_survivor_ctes` — the drift rule): quantized
+    plane literals, per-band bucket ids, bucket MINs, the < id
+    candidate filter, integer-cosine verify with the FLOOR idiom, and
+    the smallest-matching-candidate verdict with -1/-1.0 sentinels.
+    The threshold rides the decimal-literal rule (Python repr CAST AS
+    DOUBLE)."""
+    ctes = _sql_semantic_survivor_ctes(
+        threshold, n_planes, n_bands, dim, table, id_col, vec_col
+    )
+    return f"""{ctes}
+    SELECT {id_col},
+           d.dup_of IS NOT NULL AS is_dup,
+           CAST(COALESCE(d.dup_of, -1) AS BIGINT) AS dup_of,
+           COALESCE(s.cos, -1.0) AS dup_cosine
+    FROM {table}
+    LEFT JOIN dup d ON d.id = {id_col}
+    LEFT JOIN scored s ON s.id = d.id AND s.cand = d.dup_of
+    ORDER BY {id_col}
+    """
+
+
+def sql_semantic_survivor_clusters(
+    threshold: float = 0.92,
+    n_planes: int = 64,
+    n_bands: int = 8,
+    dim: int = 64,
+    table: str = "embeddings",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> str:
+    """DuckDB twin of ``survivor_clusters(semantic_dedup_survivors(...),
+    id_col=...)`` — the greedy ``dup_of`` pointer forest resolved to
+    root survivors with a RECURSIVE CTE over the SHARED survivor CTE
+    prefix (WITH → WITH RECURSIVE swap on the builder output, the
+    minhash-clusters precedent; dup_of is strictly decreasing so the
+    recursion terminates)."""
+    ctes = _sql_semantic_survivor_ctes(
+        threshold, n_planes, n_bands, dim, table, id_col, vec_col
+    ).replace("WITH planes", "WITH RECURSIVE planes", 1)
+    return f"""{ctes},
+    chase AS (
+        SELECT id, dup_of AS ptr FROM dup
+        UNION ALL
+        SELECT c.id, v.dup_of FROM chase c JOIN dup v ON v.id = c.ptr
+    ),
+    roots AS (
+        SELECT c.id, c.ptr AS root
+        FROM chase c
+        LEFT JOIN dup v ON v.id = c.ptr
+        WHERE v.id IS NULL
+    )
+    SELECT {id_col},
+           r.root IS NOT NULL AS is_dup,
+           CAST(COALESCE(r.root, {id_col}) AS BIGINT) AS cluster_root
+    FROM {table}
+    LEFT JOIN roots r ON r.id = {id_col}
     ORDER BY {id_col}
     """
 

@@ -327,6 +327,16 @@ DRIVER_ORDER: list[str] = [
     # pipeline is reproducible (half-up-floor quantizer, exact-integer
     # approx dot, FLOOR-quantized rescore) and carries a full twin:
     "embedding_quantized_topk",
+    # Round-13 addition: the linear verdict face of semantic dedup
+    # (bucket-min greedy over quantized banded LSH, planted-copy
+    # input) — oracle-paired end to end; round-14 rotation candidate:
+    "dedup_semantic_survivors",
+    # ... and its cluster face (survivor_clusters over the semantic
+    # verdict forest; recursive-CTE twin on the shared CTE prefix):
+    "dedup_semantic_survivor_clusters",
+    # Round-13 addition: flat-cap water-filling mix design (all-integer
+    # level search over domain-cardinality state) — oracle-paired:
+    "docs_token_budget_waterfill",
     # Rows-only ops (no SQL-expressible oracle; pytest covers recall/
     # precision/planted-neighbor properties):
     "dedup_minhash_lsh_pairs",

@@ -894,6 +894,65 @@ def embedding_contamination_banded_q(spark: SparkSession, sf_dir: str) -> DataFr
     ).orderBy("vec_id")
 
 
+_SEMSURV_TABLE = (
+    "(SELECT vec_id, embedding FROM embeddings "
+    "UNION ALL SELECT vec_id + 1000000 AS vec_id, embedding FROM embeddings "
+    "WHERE vec_id % 37 = 0) se"
+)
+
+
+def _semsurv_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The planted-copy corpus both semantic-survivor queries share
+    (Spark face of `_SEMSURV_TABLE` — keep the two in lockstep)."""
+    e = load_tables(spark, sf_dir, ("embeddings",))["embeddings"]
+    planted = e.filter(F.col("vec_id") % 37 == 0).select(
+        (F.col("vec_id") + 1000000).alias("vec_id"), "embedding"
+    )
+    return e.select("vec_id", "embedding").unionAll(planted)
+
+
+@register(
+    "dedup_semantic_survivors",
+    sim.sql_semantic_survivors(threshold=0.92, table=_SEMSURV_TABLE),
+)
+def dedup_semantic_survivors_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The LINEAR verdict face of semantic dedup (round 13;
+    pipeline/similarity.py::semantic_dedup_survivors) — the embedding
+    sibling of `dedup_minhash_survivors_rep`: per-vector KEEP/DROP
+    against at most n_bands quantized-LSH bucket-min candidates, so a
+    paraphrase-dense corpus gets a verdict table instead of the
+    quadratic pair output `dedup_semantic_pairs` materializes.
+
+    The harness corpus has no natural near-dups (max bucket-min cosine
+    ≈ 0.45 measured), so the registered input plants exact copies of
+    the vec_id % 37 subset at shifted ids — the dedup scenario proper;
+    copies that share a bucket whose min IS their source drop with
+    dup_cosine = 1.0 (12/14/17 at the three tiers), the rest survive
+    (the documented greedy bucket-min trade).  Fully oracle-paired end
+    to end: quantized planes, band buckets, bucket MINs, integer-cosine
+    verify, smallest-candidate verdict."""
+    return sim.semantic_dedup_survivors(
+        _semsurv_corpus(spark, sf_dir), threshold=0.92
+    ).orderBy("vec_id")
+
+
+@register(
+    "dedup_semantic_survivor_clusters",
+    sim.sql_semantic_survivor_clusters(threshold=0.92, table=_SEMSURV_TABLE),
+)
+def dedup_semantic_survivor_clusters_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The CLUSTER face of semantic survivors (round 13): the SAME
+    pointer-jumping resolver the minhash family uses
+    (pipeline/dedup.py::survivor_clusters — the forest shape is
+    identical, dup_of strictly decreasing) over the semantic verdict
+    table; the DuckDB twin appends the recursive chain-chase to the
+    SHARED survivor CTE prefix
+    (similarity.py::_sql_semantic_survivor_ctes, WITH → WITH RECURSIVE
+    — the minhash-clusters precedent)."""
+    v = sim.semantic_dedup_survivors(_semsurv_corpus(spark, sf_dir), threshold=0.92)
+    return dd.survivor_clusters(v, id_col="vec_id").orderBy("vec_id")
+
+
 @register(
     "embedding_centroids_by_label",
     """
@@ -1384,6 +1443,69 @@ def docs_token_budget_mix_threshold(spark: SparkSession, sf_dir: str) -> DataFra
             F.col("cum_tokens").cast("long").alias("cum_tokens"),
         )
         .orderBy("doc_id")
+    )
+
+
+@register(
+    "docs_token_budget_waterfill",
+    f"""
+    WITH g AS (
+        SELECT lang AS _g, CAST(SUM({_SQL_NTOK}) AS BIGINT) AS n
+        FROM documents GROUP BY lang
+    ),
+    r AS (
+        SELECT a._g, a.n,
+               CAST(COUNT(*) AS BIGINT) AS i, CAST(SUM(b.n) AS BIGINT) AS pfx
+        FROM g a JOIN g b
+          ON (b.n < a.n) OR (b.n = a.n AND b._g <= a._g)
+        GROUP BY a._g, a.n
+    ),
+    t AS (SELECT CAST(COUNT(*) AS BIGINT) AS gg, CAST(MAX(n) AS BIGINT) AS mx FROM g),
+    c AS (
+        SELECT r._g, r.n, r.i, t.mx,
+               CASE WHEN 20000 - (r.pfx - r.n) < 0 THEN CAST(-1 AS BIGINT)
+                    ELSE CAST((20000 - (r.pfx - r.n)) // (t.gg - r.i + 1) AS BIGINT)
+               END AS cand
+        FROM r, t
+    ),
+    lv AS (
+        SELECT COALESCE(
+            (SELECT cand FROM c WHERE cand < n ORDER BY i LIMIT 1),
+            (SELECT mx FROM t)
+        ) AS level
+    )
+    SELECT c._g AS lang,
+           c.n AS n_tokens,
+           CAST(lv.level AS BIGINT) AS level,
+           CAST(LEAST(c.n, lv.level) AS BIGINT) AS allocated,
+           c.n > lv.level AS capped
+    FROM c, lv
+    ORDER BY lang
+    """,
+)
+def docs_token_budget_waterfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Water-filling mix design (round 13; pipeline/sampling.py::
+    token_budget_waterfill): the largest shared per-language token
+    level L with Σ min(n_lang, L) ≤ 20000, and each language's
+    allocation min(n_lang, L) — the flat-cap answer to "spend this
+    budget without letting `en` dominate".  All-integer arithmetic end
+    to end (long sums, clamp-then-integer-divide segment candidates,
+    first-valid-segment minimum), so the DuckDB twin replays it
+    exactly.  Scale: one corpus-row aggregate; everything after is
+    domain-cardinality (triangular broadcast prefix sums + two 1-row
+    broadcasts — never an unpartitioned window)."""
+    d = load_tables(spark, sf_dir, ("documents",))["documents"]
+    base = d.select("lang", tx.token_count(F.col("text")).alias("n_tokens"))
+    return (
+        smp.token_budget_waterfill(base, "lang", F.col("n_tokens"), 20000)
+        .select(
+            "lang",
+            F.col("n_tokens").cast("long").alias("n_tokens"),
+            F.col("level").cast("long").alias("level"),
+            F.col("allocated").cast("long").alias("allocated"),
+            F.col("capped").alias("capped"),
+        )
+        .orderBy("lang")
     )
 
 

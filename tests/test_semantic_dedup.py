@@ -92,3 +92,68 @@ def test_plan_scale_properties(planted):
     assert "InMemoryTableScan" in plan, "dims/assign cache not in plan"
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+# ------------------- semantic_dedup_survivors (round 13, linear face)
+
+
+@pytest.fixture(scope="module")
+def with_copies(spark, planted):
+    """The planted corpus plus EXACT copies of ids 0, 101 and 904 at
+    +10000 — the dedup scenario the verdict face exists for.  The copy
+    of id 0 is the deterministic anchor: 0 is the GLOBAL min id, so
+    every bucket holding the copy also holds id 0 and the bucket min
+    IS the matching source (cosine exactly 1.0 after scale-6
+    quantization of identical coordinates)."""
+    from pyspark.sql import functions as F
+
+    copies = planted.filter(F.col("vec_id").isin(0, 101, 904)).select(
+        (F.col("vec_id") + 10000).alias("vec_id"), "embedding"
+    )
+    return planted.unionAll(copies)
+
+
+def test_survivors_verdict_spine_and_sentinels(with_copies):
+    from csv_query_engine_spark.pipeline.similarity import semantic_dedup_survivors
+
+    rows = semantic_dedup_survivors(with_copies, threshold=0.92).collect()
+    assert len(rows) == with_copies.count(), "one verdict row per input vector"
+    for r in rows:
+        if r["is_dup"]:
+            assert r["dup_of"] < r["vec_id"], "dup_of is a smaller-id bucket min"
+            assert r["dup_cosine"] >= 0.92
+        else:
+            assert r["dup_of"] == -1 and r["dup_cosine"] == -1.0
+
+
+def test_survivors_copy_of_global_min_always_drops(with_copies):
+    from csv_query_engine_spark.pipeline.similarity import semantic_dedup_survivors
+
+    verdicts = {
+        r["vec_id"]: r for r in semantic_dedup_survivors(with_copies, threshold=0.92).collect()
+    }
+    anchor = verdicts[10000]  # copy of the global-min id
+    assert anchor["is_dup"] and anchor["dup_of"] == 0 and anchor["dup_cosine"] == 1.0
+    # the source itself survives (nothing smaller can match it)
+    assert not verdicts[0]["is_dup"]
+
+
+def test_survivor_clusters_resolve_semantic_verdicts(with_copies):
+    """The dup_of pointer forest is the same shape minhash survivors
+    emit, so dedup.survivor_clusters resolves semantic chains too."""
+    from csv_query_engine_spark.pipeline.dedup import survivor_clusters
+    from csv_query_engine_spark.pipeline.similarity import semantic_dedup_survivors
+
+    v = semantic_dedup_survivors(with_copies, threshold=0.92)
+    roots = {r["vec_id"]: r["cluster_root"] for r in survivor_clusters(v, id_col="vec_id").collect()}
+    assert roots[10000] == 0
+    assert roots[0] == 0
+
+
+def test_survivors_plan_scale_properties(with_copies):
+    from csv_query_engine_spark.pipeline.similarity import semantic_dedup_survivors
+
+    df = semantic_dedup_survivors(with_copies, threshold=0.92)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "InMemoryTableScan" in plan, "vector table cache not in plan"
+    assert "CartesianProduct" not in plan
