@@ -511,3 +511,94 @@ def group_holdout_split(
         .select("split", "n_docs", "n_groups", "n_spanning_groups")
         .orderBy("split")
     )
+
+
+def token_budget_waterfill(
+    df: DataFrame,
+    group_col: str,
+    weight: Column,
+    budget: int,
+) -> DataFrame:
+    """Per-group token caps by WATER-FILLING: the largest integer level
+    L such that Σ_g min(n_g, L) ≤ budget, then each group is allocated
+    min(n_g, L) — the mix-design primitive that answers "given a total
+    token budget, how much of each domain do we take so no domain
+    dominates?" (proportional-to-cap allocation; small domains keep
+    everything, big domains are clipped at one shared level — the
+    flat-cap companion to :func:`temperature_mix_weights`' smooth
+    reweighting).  One row per group: (group_col, n_tokens, level,
+    allocated, capped); when budget ≥ Σ n_g the level is max(n_g) and
+    nothing is capped.
+
+    Determinism/cross-engine: everything is exact integer arithmetic —
+    per-group totals are long sums, the per-segment candidate level is
+    integer division of non-negative longs (negative numerators clamp
+    to -1 BEFORE the division on both engines, so Spark's
+    truncate-toward-zero ``DIV`` and DuckDB's ``//`` only ever see the
+    agreeing non-negative domain), and the chosen level is the
+    first-valid-segment minimum — no floats anywhere.
+
+    Scale: one shuffle for the per-group totals (map-side combine; the
+    output is DOMAIN-cardinality, not corpus-cardinality); the prefix
+    sums over the bounded group table ride the triangular broadcast
+    self-join (the vocab_coverage idiom — never an unpartitioned
+    window), and the level is a 1-row broadcast back onto the groups.
+    Nothing downstream of the first aggregate touches corpus rows; to
+    APPLY the caps, join the (group, allocated) output back and run
+    :func:`token_budget_sample` per group with its allocation.  The
+    group table feeds four consumers (two triangular legs, the totals
+    aggregate, the level scan) → persisted once; cache lifetime is
+    CALLER-OWNED via ``pipeline.cache_scope`` (the library-wide
+    convention)."""
+    from pyspark.storagelevel import StorageLevel
+
+    g = (
+        df.groupBy(F.col(group_col).alias("_g"))
+        .agg(F.sum(weight).cast("long").alias("n"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    # prefix sums over the bounded group table: for each group, the
+    # inclusive prefix `pfx` and rank `i` in (n, group) order via the
+    # triangular broadcast self-join (strict total order — `i` IS
+    # row_number, the vocab_coverage precedent)
+    before = (F.col("b.n") < F.col("a.n")) | (
+        (F.col("b.n") == F.col("a.n")) & (F.col("b._g") <= F.col("a._g"))
+    )
+    ranked = (
+        g.alias("a")
+        .join(F.broadcast(g.alias("b")), before)
+        .groupBy(F.col("a._g").alias("_g"), F.col("a.n").alias("n"))
+        .agg(F.count(F.lit(1)).alias("i"), F.sum("b.n").alias("pfx"))
+    )
+    totals = g.agg(F.count(F.lit(1)).alias("gg"), F.max("n").alias("mx"))
+    c = ranked.crossJoin(F.broadcast(totals)).select(
+        "_g",
+        "n",
+        "i",
+        "mx",
+        (F.lit(int(budget)).cast("long") - (F.col("pfx") - F.col("n"))).alias("_num"),
+        (F.col("gg") - F.col("i") + F.lit(1)).cast("long").alias("_rem"),
+    )
+    # segment i's unconstrained level: floor((budget - prefix_before) /
+    # groups_remaining); valid iff it undercuts the segment's own n —
+    # the FIRST valid segment is the true water level (smaller i wins
+    # via the (i, level) struct-min; empty → NULL → budget covers all)
+    cand = F.when(F.col("_num") < 0, F.lit(-1).cast("long")).otherwise(
+        F.expr("_num DIV _rem")
+    )
+    lvl = (
+        c.filter(cand < F.col("n"))
+        .agg(F.min(F.struct(F.col("i"), cand.alias("lv"))).alias("m"))
+        .select(F.col("m.lv").alias("_level"))
+    )
+    level = F.coalesce(F.col("_level"), F.col("mx"))
+    return (
+        c.crossJoin(F.broadcast(lvl))  # 1-row broadcast
+        .select(
+            F.col("_g").alias(group_col),
+            F.col("n").alias("n_tokens"),
+            level.alias("level"),
+            F.least(F.col("n"), level).alias("allocated"),
+            (F.col("n") > level).alias("capped"),
+        )
+    )

@@ -882,3 +882,63 @@ def test_minhash_survivors_screen_partitions_modes_agree(spark):
         ).collect()
     }
     assert base == pinned == auto and len(base) == 400
+
+
+def test_token_budget_waterfill_level_and_allocations(spark):
+    """Hand-computed water level plus the MAXIMALITY property: the
+    level spends ≤ budget and level+1 would overspend."""
+    from csv_query_engine_spark.pipeline import sampling as smp
+
+    df = spark.createDataFrame(
+        [("a", 100), ("b", 300), ("c", 1000), ("d", 50)],
+        "lang string, n int",
+    )
+    out = {
+        r["lang"]: r
+        for r in smp.token_budget_waterfill(df, "lang", F.col("n"), 600).collect()
+    }
+    # sorted n: d=50, a=100, b=300, c=1000; f(L)=Σmin(n,L):
+    # f(225)=50+100+225+225=600 ≤ 600; f(226)=602 > 600 → level 225
+    assert all(r["level"] == 225 for r in out.values())
+    assert out["d"]["allocated"] == 50 and not out["d"]["capped"]
+    assert out["a"]["allocated"] == 100 and not out["a"]["capped"]
+    assert out["b"]["allocated"] == 225 and out["b"]["capped"]
+    assert out["c"]["allocated"] == 225 and out["c"]["capped"]
+    spent = sum(r["allocated"] for r in out.values())
+    assert spent <= 600
+    assert sum(min(r["n_tokens"], 226) for r in out.values()) > 600
+
+
+def test_token_budget_waterfill_budget_covers_everything(spark):
+    from csv_query_engine_spark.pipeline import sampling as smp
+
+    df = spark.createDataFrame(
+        [("a", 100), ("b", 300)], "lang string, n int"
+    )
+    rows = smp.token_budget_waterfill(df, "lang", F.col("n"), 1000).collect()
+    assert all(r["allocated"] == r["n_tokens"] and not r["capped"] for r in rows)
+    assert all(r["level"] == 300 for r in rows)  # max(n) when uncapped
+
+
+def test_token_budget_waterfill_zero_budget(spark):
+    from csv_query_engine_spark.pipeline import sampling as smp
+
+    df = spark.createDataFrame(
+        [("a", 100), ("b", 300)], "lang string, n int"
+    )
+    rows = smp.token_budget_waterfill(df, "lang", F.col("n"), 0).collect()
+    assert all(r["level"] == 0 and r["allocated"] == 0 and r["capped"] for r in rows)
+
+
+def test_token_budget_waterfill_no_unpartitioned_window(spark):
+    from csv_query_engine_spark.pipeline import sampling as smp
+
+    df = spark.createDataFrame(
+        [("a", 100), ("b", 300)], "lang string, n int"
+    )
+    plan = (
+        smp.token_budget_waterfill(df, "lang", F.col("n"), 100)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Window" not in plan
+    assert "CartesianProduct" not in plan
