@@ -313,6 +313,26 @@ def _quantized_norm(vec: Column) -> Column:
     )
 
 
+def quantized_cosine(vec_a: Column, vec_b: Column, na: Column, nb: Column) -> Column:
+    """THE verify cosine of the quantized embedding family: exact
+    int64 dot over scale-6 quantized coordinates, then the single-IEEE
+    FLOOR(dotq/√(na·nb)·1e6+0.5)/1e6 (never engine ROUND), 0.0 when
+    either norm is zero.  `semantic_dedup_survivors`, the quantized
+    banded contamination screen, and the streaming semantic admission
+    all build on this — never re-inline the expression (the
+    `features._hash32` drift rule applied to the cosine)."""
+    dotq = F.aggregate(
+        F.zip_with(vec_a, vec_b, lambda a, c: _km_quant(a) * _km_quant(c)),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    den = F.sqrt(na.cast("double") * nb.cast("double"))
+    return F.when(
+        (na > 0) & (nb > 0),
+        F.floor(dotq.cast("double") / den * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6),
+    ).otherwise(F.lit(0.0))
+
+
 # --- shared DuckDB CTE builders for the quantized banded-LSH twins ---
 # (the `_minhash_rep_ctes` drift rule applied to the embedding family:
 # every twin that replays _quantized_planes/quantized_band_buckets_udf
@@ -605,18 +625,9 @@ def semantic_contamination_banded(
         .dropDuplicates()
     )
     if quantized:
-        dotq = F.aggregate(
-            F.zip_with(
-                F.col("vec_cid"), F.col("vec_bid"), lambda a, b: _km_quant(a) * _km_quant(b)
-            ),
-            F.lit(0).cast("long"),
-            lambda acc, x: acc + x,
+        score = quantized_cosine(
+            F.col("vec_cid"), F.col("vec_bid"), F.col("nq_cid"), F.col("nq_bid")
         )
-        den = F.sqrt(F.col("nq_cid").cast("double") * F.col("nq_bid").cast("double"))
-        score = F.when(
-            (F.col("nq_cid") > 0) & (F.col("nq_bid") > 0),
-            F.floor(dotq.cast("double") / den * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6),
-        ).otherwise(F.lit(0.0))
     else:
         score = _floor_quantize(cosine(F.col("vec_cid"), F.col("vec_bid")), rounding)
     hits = (
@@ -790,16 +801,7 @@ def semantic_dedup_survivors(
         .select("id", "cand")
         .distinct()
     )
-    dotq = F.aggregate(
-        F.zip_with(F.col("vec_a"), F.col("vec_b"), lambda a, c: _km_quant(a) * _km_quant(c)),
-        F.lit(0).cast("long"),
-        lambda acc, x: acc + x,
-    )
-    den = F.sqrt(F.col("na").cast("double") * F.col("nb").cast("double"))
-    score = F.when(
-        (F.col("na") > 0) & (F.col("nb") > 0),
-        F.floor(dotq.cast("double") / den * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6),
-    ).otherwise(F.lit(0.0))
+    score = quantized_cosine(F.col("vec_a"), F.col("vec_b"), F.col("na"), F.col("nb"))
     scored = (
         cand.join(v.select("id", F.col("vec").alias("vec_a"), F.col("nq").alias("na")), "id")
         .join(

@@ -967,6 +967,68 @@ def _drop_reconcile_watermark(spark: SparkSession, store_dir: str) -> None:
             fs.delete(st.getPath(), True)
 
 
+def _stale_min_affected(
+    spark: SparkSession,
+    store_dir: str,
+    mins: DataFrame,
+    entries: DataFrame,
+    id_name: str,
+):
+    """Shared arrival-order divergence detector of the bucket-MIN
+    admission family (minhash AND semantic — the drift rule applied to
+    the reconciliation logic): a doc/vector verified at batch ``t``
+    diverges iff some of its buckets' FINAL min strictly undercuts the
+    running min it saw at ``t`` (watermark-adjusted: rows at/below a
+    ``_reconciled_upto`` watermark were already consistent as of W, so
+    their effective view is the smaller running min AT W).  Both sides
+    of the comparison live in the stored per-batch ``mins``; ``entries``
+    maps flagged (band, bucket, batch) triples back to ids — no corpus
+    scan.  Returns (affected (id, batch_id) rows PERSISTED — caller
+    unpersists — , newest batch id), or (None, None) on an empty store.
+    Running/final windows partition by the bucket key, never global."""
+    from pyspark.sql.window import Window
+    from pyspark.storagelevel import StorageLevel
+
+    wm = _read_reconcile_watermark(spark, store_dir)
+    newest = mins.agg(F.max("batch_id")).collect()[0][0]
+    if newest is None:
+        return None, None
+    wb = Window.partitionBy("band", "bucket")
+    run_min = F.min("min_id").over(
+        wb.orderBy("batch_id").rowsBetween(Window.unboundedPreceding, 0)
+    )
+    fin_min = F.min("min_id").over(wb)
+    with_runs = mins.select(
+        "band", "bucket", "batch_id",
+        run_min.alias("_run"), fin_min.alias("_fin"),
+    )
+    if wm is not None:
+        run_at_wm = (
+            mins.filter(F.col("batch_id") <= int(wm))
+            .groupBy("band", "bucket")
+            .agg(F.min("min_id").alias("_run_wm"))
+        )
+        with_runs = with_runs.join(run_at_wm, ["band", "bucket"], "left").select(
+            "band", "bucket", "batch_id", "_fin",
+            F.when(
+                F.col("batch_id") <= int(wm),
+                F.coalesce(F.col("_run_wm"), F.col("_run")),
+            )
+            .otherwise(F.col("_run"))
+            .alias("_run"),
+        )
+    flagged = with_runs.filter(F.col("_fin") < F.col("_run")).select(
+        "band", "bucket", "batch_id"
+    )
+    affected = (
+        entries.join(flagged, ["band", "bucket", "batch_id"], "left_semi")
+        .select(id_name, "batch_id")
+        .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    return affected, int(newest)
+
+
 def reconcile_minhash_admission(
     spark: SparkSession,
     store_dir: str,
@@ -1004,7 +1066,6 @@ def reconcile_minhash_admission(
     recomputes greedy verdicts for that batch, so the route DROPS the
     watermark when it writes such a batch — the next reconciliation
     re-detects from scratch and restores equality."""
-    from pyspark.sql.window import Window
     from pyspark.storagelevel import StorageLevel
 
     from csv_query_engine_spark.pipeline.dedup import _hashed_shingles, jaccard
@@ -1020,46 +1081,9 @@ def reconcile_minhash_admission(
         f"{store_dir}/entries",
         f"doc_id BIGINT, band INT, bucket {bucket_sql_type}, batch_id BIGINT",
     )
-    wm = _read_reconcile_watermark(spark, store_dir)
-    newest = mins.agg(F.max("batch_id")).collect()[0][0]
-    if newest is None:
+    affected, newest = _stale_min_affected(spark, store_dir, mins, entries, "doc_id")
+    if affected is None:
         return 0
-    # running (inclusive) vs final min per bucket — both windows are
-    # partitioned by the bucket key, never global.  A doc verified at
-    # batch t diverges iff its bucket's FINAL min undercuts the min it
-    # saw; after a watermark W, docs at t <= W were consistent as of W,
-    # so their effective view is the (smaller) running min AT W.
-    wb = Window.partitionBy("band", "bucket")
-    run_min = F.min("min_id").over(wb.orderBy("batch_id").rowsBetween(Window.unboundedPreceding, 0))
-    fin_min = F.min("min_id").over(wb)
-    with_runs = mins.select(
-        "band", "bucket", "batch_id",
-        run_min.alias("_run"), fin_min.alias("_fin"),
-    )
-    if wm is not None:
-        run_at_wm = (
-            mins.filter(F.col("batch_id") <= int(wm))
-            .groupBy("band", "bucket")
-            .agg(F.min("min_id").alias("_run_wm"))
-        )
-        with_runs = with_runs.join(run_at_wm, ["band", "bucket"], "left").select(
-            "band", "bucket", "batch_id", "_fin",
-            F.when(
-                F.col("batch_id") <= int(wm),
-                F.coalesce(F.col("_run_wm"), F.col("_run")),
-            )
-            .otherwise(F.col("_run"))
-            .alias("_run"),
-        )
-    flagged = with_runs.filter(F.col("_fin") < F.col("_run")).select(
-        "band", "bucket", "batch_id"
-    )
-    affected = (
-        entries.join(flagged, ["band", "bucket", "batch_id"], "left_semi")
-        .select("doc_id", "batch_id")
-        .distinct()
-        .persist(StorageLevel.MEMORY_AND_DISK)
-    )
     try:
         n_affected = affected.count()
         if n_affected == 0:
@@ -1141,6 +1165,364 @@ def reconcile_minhash_admission(
                 out.unpersist()
         finally:
             hashed.unpersist()
+        _write_reconcile_watermark(spark, store_dir, int(newest))
+        return n_affected
+    finally:
+        affected.unpersist()
+
+
+def route_semantic_admission_batch(
+    batch_df,
+    batch_id: int,
+    store_dir: str,
+    threshold: float = 0.92,
+    n_planes: int = 64,
+    n_bands: int = 8,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+):
+    """One micro-batch of streaming SEMANTIC admission — the
+    incremental face of :func:`~csv_query_engine_spark.pipeline.
+    similarity.semantic_dedup_survivors` (round 13): the bucket-MIN
+    store idiom instantiated for EMBEDDING space, so each incoming
+    vector verifies against at most ``n_bands`` candidates (the merged
+    min of each of its quantized-hyperplane-LSH buckets) no matter how
+    large the admitted corpus grows — the paraphrase-catching sibling
+    of :func:`route_minhash_admission_batch`, sharing its replay
+    protocol, its reconciliation machinery, and its store layout.
+
+    Store layout under ``store_dir`` (all batch_id-keyed dynamic
+    overwrite — every table is a deterministic function of the batch,
+    so a replay rewrites its own partitions byte-identically):
+
+    * ``vecs``     — (vec_id, embedding): ALL batch vectors (dups
+      still occupy their buckets, exactly as in the batch operator);
+      later batches re-read ONLY candidate vectors from here via a
+      bounded id semi-join;
+    * ``mins``     — (band, bucket, min_id): the batch's own bucket
+      mins; reads MIN-merge (:func:`read_semantic_bucket_mins`);
+    * ``entries``  — (vec_id, band, bucket): ≤ ``n_bands`` rows per
+      vector, what lets :func:`reconcile_semantic_admission` find the
+      vectors a late-arriving smaller min affects without a corpus
+      scan;
+    * ``verdicts`` — (vec_id, is_dup, dup_of, dup_cosine): the batch
+      operator's exact output columns and -1/-1.0 sentinels.
+
+    Stream==batch contract: under ASCENDING-id arrival the accumulated
+    verdicts EQUAL ``semantic_dedup_survivors(union)`` (pinned in
+    tests/test_streaming.py); under arbitrary arrival
+    :func:`reconcile_semantic_admission` closes the gap — the same
+    watermarked maintenance pass as the minhash family, on the shared
+    :func:`_stale_min_affected` detector.
+
+    Scale: batch work is one Arrow-batched signature pass over the
+    batch + ``n_bands`` bucket-min lookups/vector against a store that
+    is O(distinct buckets); candidate vectors re-read ≤
+    n_bands×|batch| store rows via a broadcastable id semi-join; the
+    verify join carries one ``dim``-float payload per side (no
+    estimate screen needed — the bucket-MIN bound already caps
+    candidates, and the round-13 scale probe measured the batch face
+    wall-free at 2M vectors)."""
+    from pyspark.storagelevel import StorageLevel
+
+    from csv_query_engine_spark.pipeline import similarity as sim
+
+    spark = batch_df.sparkSession
+    mins_schema = "band INT, bucket INT, min_id BIGINT, batch_id BIGINT"
+    vecs_schema = "vec_id BIGINT, embedding ARRAY<FLOAT>, batch_id BIGINT"
+
+    buckets_udf = sim.quantized_band_buckets_udf(
+        sim._quantized_planes(n_planes, dim), n_bands
+    )
+    batch = batch_df.select(
+        F.col(id_col).cast("long").alias("vec_id"),
+        F.col(vec_col).cast("array<float>").alias("embedding"),
+    )
+    # the vector table feeds the bucket scan, the verify join (both
+    # sides' batch half) and the vecs-store write — persist once
+    v = batch.select(
+        "vec_id",
+        "embedding",
+        sim._quantized_norm(F.col("embedding")).alias("nq"),
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    try:
+        be = v.select(
+            "vec_id", F.posexplode(buckets_udf(F.col("embedding"))).alias("band", "bucket")
+        ).persist(StorageLevel.MEMORY_AND_DISK)
+        batch_mins = be.groupBy("band", "bucket").agg(F.min("vec_id").alias("min_id"))
+        prev_mins = (
+            _read_store_or_empty(spark, f"{store_dir}/mins", mins_schema)
+            .filter(F.col("batch_id") < int(batch_id))
+            .select("band", "bucket", "min_id")
+        )
+        merged = (
+            prev_mins.unionByName(batch_mins)
+            .groupBy("band", "bucket")
+            .agg(F.min("min_id").alias("min_id"))
+        )
+        cand = (
+            be.join(merged, ["band", "bucket"])
+            .filter(F.col("min_id") != F.col("vec_id"))
+            .select("vec_id", F.col("min_id").alias("cand"))
+            .distinct()
+        )
+        prev_vecs = (
+            _read_store_or_empty(spark, f"{store_dir}/vecs", vecs_schema)
+            .filter(F.col("batch_id") < int(batch_id))
+            .select("vec_id", "embedding")
+            .join(
+                F.broadcast(cand.select(F.col("cand").alias("vec_id")).distinct()),
+                "vec_id",
+                "left_semi",
+            )
+        )
+        cand_vecs = v.select("vec_id", "embedding", "nq").unionByName(
+            prev_vecs.select(
+                "vec_id",
+                "embedding",
+                sim._quantized_norm(F.col("embedding")).alias("nq"),
+            )
+        )
+        score = sim.quantized_cosine(
+            F.col("vec_a"), F.col("vec_b"), F.col("na"), F.col("nb")
+        )
+        scored = (
+            cand.join(
+                v.select(
+                    "vec_id", F.col("embedding").alias("vec_a"), F.col("nq").alias("na")
+                ),
+                "vec_id",
+            )
+            .join(
+                cand_vecs.select(
+                    F.col("vec_id").alias("cand"),
+                    F.col("embedding").alias("vec_b"),
+                    F.col("nq").alias("nb"),
+                ),
+                "cand",
+            )
+            .select("vec_id", "cand", score.alias("cos"))
+            .filter(F.col("cos") >= F.lit(float(threshold)))
+        )
+        dup = (
+            scored.groupBy("vec_id")
+            .agg(F.min(F.struct(F.col("cand"), F.col("cos"))).alias("m"))
+            .select(
+                "vec_id",
+                F.col("m.cand").alias("dup_of"),
+                F.col("m.cos").alias("dup_cosine"),
+            )
+        )
+        # spine = every batch vector (the batch operator's spine is the
+        # vector table itself — unlike shingles, every vector buckets)
+        verdicts = (
+            v.select("vec_id")
+            .join(dup, "vec_id", "left")
+            .select(
+                "vec_id",
+                F.col("dup_of").isNotNull().alias("is_dup"),
+                F.coalesce(F.col("dup_of"), F.lit(-1)).cast("bigint").alias("dup_of"),
+                F.coalesce(F.col("dup_cosine"), F.lit(-1.0)).alias("dup_cosine"),
+            )
+        )
+        entries = be.select("vec_id", "band", "bucket")
+        for side, sub in (
+            (batch, "vecs"),
+            (batch_mins, "mins"),
+            (entries, "entries"),
+            (verdicts, "verdicts"),
+        ):
+            (
+                side.withColumn("batch_id", F.lit(int(batch_id)))
+                .write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy("batch_id")
+                .parquet(f"{store_dir}/{sub}")
+            )
+        wm = _read_reconcile_watermark(spark, store_dir)
+        if wm is not None and int(batch_id) <= wm:
+            _drop_reconcile_watermark(spark, store_dir)
+    finally:
+        v.unpersist()
+        try:
+            be.unpersist()
+        except NameError:
+            pass
+
+
+def semantic_admission_stream(
+    stream: DataFrame,
+    store_dir: str,
+    checkpoint: str,
+    threshold: float = 0.92,
+    **kwargs,
+):
+    """Streaming semantic admission: foreachBatch routes every
+    micro-batch through :func:`route_semantic_admission_batch` — the
+    embedding dedup family's streaming face, completing its
+    batch/streaming symmetry the way :func:`minhash_admission_stream`
+    did for token space.  Checkpoint offsets + batch_id-keyed dynamic
+    overwrite + the pre-batch read guard make it effectively-once
+    under replay."""
+
+    def route(batch_df, batch_id):
+        route_semantic_admission_batch(
+            batch_df, batch_id, store_dir, threshold=threshold, **kwargs
+        )
+
+    return (
+        stream.writeStream.foreachBatch(route)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def read_semantic_bucket_mins(spark: SparkSession, store_dir: str) -> DataFrame:
+    """MIN-merge every batch's bucket-min partition into the current
+    semantic-admission state (the MIN-mergeable contract shared with
+    the minhash store; :func:`compact_batch_store` applies)."""
+    mins = _read_store_or_empty(
+        spark, f"{store_dir}/mins", "band INT, bucket INT, min_id BIGINT, batch_id BIGINT"
+    )
+    return mins.groupBy("band", "bucket").agg(F.min("min_id").alias("min_id"))
+
+
+def read_semantic_verdicts(spark: SparkSession, store_dir: str) -> DataFrame:
+    """All semantic-admission verdicts accumulated so far."""
+    return _read_store_or_empty(
+        spark,
+        f"{store_dir}/verdicts",
+        "vec_id BIGINT, is_dup BOOLEAN, dup_of BIGINT, dup_cosine DOUBLE, batch_id BIGINT",
+    )
+
+
+def reconcile_semantic_admission(
+    spark: SparkSession,
+    store_dir: str,
+    threshold: float = 0.92,
+    n_planes: int = 64,
+    n_bands: int = 8,
+    dim: int = 64,
+) -> int:
+    """Re-verdict the vectors a LATE-arriving smaller bucket min
+    affects — :func:`reconcile_minhash_admission`'s semantics applied
+    to the semantic store, on the SHARED :func:`_stale_min_affected`
+    detector (the drift rule): after it runs, accumulated verdicts
+    equal ``semantic_dedup_survivors(union)`` under ANY arrival order.
+    Returns the number of vectors re-verdicted (0 = store already
+    consistent).  Run on a QUIESCENT store; passes are watermarked
+    (``_reconciled_upto=``) and the route drops the watermark when a
+    batch at/below it replays — identical protocol, identical crash
+    story (per-batch delete-then-reinsert idempotence)."""
+    from pyspark.storagelevel import StorageLevel
+
+    from csv_query_engine_spark.pipeline import similarity as sim
+
+    mins = _read_store_or_empty(
+        spark, f"{store_dir}/mins", "band INT, bucket INT, min_id BIGINT, batch_id BIGINT"
+    )
+    entries = _read_store_or_empty(
+        spark,
+        f"{store_dir}/entries",
+        "vec_id BIGINT, band INT, bucket INT, batch_id BIGINT",
+    )
+    affected, newest = _stale_min_affected(spark, store_dir, mins, entries, "vec_id")
+    if affected is None:
+        return 0
+    try:
+        n_affected = affected.count()
+        if n_affected == 0:
+            _write_reconcile_watermark(spark, store_dir, int(newest))
+            return 0
+        finals = mins.groupBy("band", "bucket").agg(F.min("min_id").alias("cand"))
+        cand = (
+            entries.join(affected.select("vec_id"), "vec_id", "left_semi")
+            .join(finals, ["band", "bucket"])
+            .filter(F.col("vec_id") != F.col("cand"))
+            .select("vec_id", "cand")
+            .distinct()
+        )
+        vecs_schema = "vec_id BIGINT, embedding ARRAY<FLOAT>, batch_id BIGINT"
+        need_ids = (
+            affected.select("vec_id")
+            .unionByName(cand.select(F.col("cand").alias("vec_id")))
+            .distinct()
+        )
+        need_vecs = (
+            _read_store_or_empty(spark, f"{store_dir}/vecs", vecs_schema)
+            .select("vec_id", "embedding")
+            .join(need_ids, "vec_id", "left_semi")
+            .select(
+                "vec_id",
+                "embedding",
+                sim._quantized_norm(F.col("embedding")).alias("nq"),
+            )
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        )
+        try:
+            score = sim.quantized_cosine(
+                F.col("vec_a"), F.col("vec_b"), F.col("na"), F.col("nb")
+            )
+            verified = (
+                cand.join(
+                    need_vecs.select(
+                        "vec_id",
+                        F.col("embedding").alias("vec_a"),
+                        F.col("nq").alias("na"),
+                    ),
+                    "vec_id",
+                )
+                .join(
+                    need_vecs.select(
+                        F.col("vec_id").alias("cand"),
+                        F.col("embedding").alias("vec_b"),
+                        F.col("nq").alias("nb"),
+                    ),
+                    "cand",
+                )
+                .select("vec_id", "cand", score.alias("cos"))
+                .filter(F.col("cos") >= F.lit(float(threshold)))
+            )
+            dup = (
+                verified.groupBy("vec_id")
+                .agg(F.min(F.struct(F.col("cand"), F.col("cos"))).alias("m"))
+                .select(
+                    "vec_id",
+                    F.col("m.cand").alias("_dup_of"),
+                    F.col("m.cos").alias("_dup_c"),
+                )
+            )
+            new_rows = affected.join(dup, "vec_id", "left").select(
+                "vec_id",
+                F.col("_dup_of").isNotNull().alias("is_dup"),
+                F.coalesce(F.col("_dup_of"), F.lit(-1)).cast("bigint").alias("dup_of"),
+                F.coalesce(F.col("_dup_c"), F.lit(-1.0)).alias("dup_cosine"),
+                "batch_id",
+            )
+            verdicts_schema = (
+                "vec_id BIGINT, is_dup BOOLEAN, dup_of BIGINT, "
+                "dup_cosine DOUBLE, batch_id BIGINT"
+            )
+            old = (
+                _read_store_or_empty(spark, f"{store_dir}/verdicts", verdicts_schema)
+                .join(affected.select("batch_id").distinct(), "batch_id", "left_semi")
+                .join(affected.select("vec_id"), "vec_id", "left_anti")
+                .select("vec_id", "is_dup", "dup_of", "dup_cosine", "batch_id")
+            )
+            out = old.unionByName(new_rows).localCheckpoint(eager=True)
+            try:
+                (
+                    out.write.mode("overwrite")
+                    .option("partitionOverwriteMode", "dynamic")
+                    .partitionBy("batch_id")
+                    .parquet(f"{store_dir}/verdicts")
+                )
+            finally:
+                out.unpersist()
+        finally:
+            need_vecs.unpersist()
         _write_reconcile_watermark(spark, store_dir, int(newest))
         return n_affected
     finally:

@@ -2374,3 +2374,212 @@ def test_minhash_admission_reconcile_noop_on_ascending_arrival(spark, tmp_path):
     before = sorted(map(tuple, read_minhash_verdicts(spark, store).collect()))
     assert reconcile_minhash_admission(spark, store) == 0
     assert sorted(map(tuple, read_minhash_verdicts(spark, store).collect())) == before
+
+
+# ---------------- streaming SEMANTIC admission (round 13, bucket-MIN)
+
+
+def _sem_unit(vec):
+    import math
+
+    n = math.sqrt(sum(x * x for x in vec)) or 1.0
+    return [x / n for x in vec]
+
+
+def _sem_vec(seed, dim=64):
+    import hashlib
+
+    def h(i, d):
+        return (
+            int.from_bytes(hashlib.md5(f"{i}:{d}".encode()).digest()[:4], "big")
+            / float(1 << 31)
+            - 1.0
+        )
+
+    return _sem_unit([h(seed, d) for d in range(dim)])
+
+
+def test_semantic_admission_stream_matches_batch_and_replay(spark, tmp_path):
+    """Streaming semantic admission (round 13): on an ascending-id
+    batch split the accumulated verdicts EQUAL semantic_dedup_survivors
+    over the union, and re-routing the last batch under its recorded
+    batch_id leaves every store table byte-identical (the MIN-mergeable
+    accumulated-state idiom, embedding face)."""
+    from csv_query_engine_spark.pipeline.similarity import semantic_dedup_survivors
+    from csv_query_engine_spark.streaming.events import (
+        read_semantic_bucket_mins,
+        read_semantic_verdicts,
+        route_semantic_admission_batch,
+    )
+
+    e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    first = e.orderBy("vec_id").limit(1).collect()[0]
+    plants = spark.createDataFrame(
+        [(9_000_000, [float(x) for x in first["embedding"]])],
+        "vec_id long, embedding array<float>",
+    )
+    corpus = e.unionByName(plants)
+    ids = sorted(r["vec_id"] for r in corpus.select("vec_id").collect())
+    cut1, cut2 = ids[len(ids) // 3], ids[2 * len(ids) // 3]
+    store = str(tmp_path / "sem")
+    batches = [
+        corpus.filter(F.col("vec_id") < cut1),
+        corpus.filter((F.col("vec_id") >= cut1) & (F.col("vec_id") < cut2)),
+        corpus.filter(F.col("vec_id") >= cut2),
+    ]
+    for i, b in enumerate(batches):
+        route_semantic_admission_batch(b, i, store, threshold=0.92)
+    got = {
+        r["vec_id"]: (r["is_dup"], r["dup_of"], r["dup_cosine"])
+        for r in read_semantic_verdicts(spark, store).collect()
+    }
+    want = {
+        r["vec_id"]: (r["is_dup"], r["dup_of"], r["dup_cosine"])
+        for r in semantic_dedup_survivors(corpus, threshold=0.92).collect()
+    }
+    assert got == want
+    assert got[9_000_000] == (True, first["vec_id"], 1.0)  # non-vacuous
+    mins_before = sorted(
+        (r["band"], r["bucket"], r["min_id"])
+        for r in read_semantic_bucket_mins(spark, store).collect()
+    )
+    verd_before = sorted(map(tuple, spark.read.parquet(f"{store}/verdicts").collect()))
+    route_semantic_admission_batch(batches[2], 2, store, threshold=0.92)
+    assert sorted(
+        (r["band"], r["bucket"], r["min_id"])
+        for r in read_semantic_bucket_mins(spark, store).collect()
+    ) == mins_before
+    assert sorted(map(tuple, spark.read.parquet(f"{store}/verdicts").collect())) == verd_before
+
+
+def test_semantic_admission_reconcile_closes_arrival_order_gap(spark, tmp_path):
+    """Under reversed arrival the cluster min lands LAST, so earlier
+    copies verified against larger mins (greedy admits);
+    reconcile_semantic_admission re-verdicts exactly the affected
+    vectors on the shared _stale_min_affected detector and restores
+    stream==batch, watermark semantics included."""
+    from csv_query_engine_spark.pipeline.similarity import semantic_dedup_survivors
+    from csv_query_engine_spark.streaming.events import (
+        read_semantic_verdicts,
+        reconcile_semantic_admission,
+        route_semantic_admission_batch,
+    )
+
+    base = _sem_vec(7)
+    rows = [
+        (1, base),              # global min of the copy cluster
+        (50, base),
+        (51, base),
+        (80, _sem_vec(99)),     # unrelated
+        (81, base),
+    ]
+    corpus = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    store = str(tmp_path / "sem_rec")
+    arrival = [[80, 81], [50, 51], [1]]
+    for b, ids in enumerate(arrival):
+        route_semantic_admission_batch(
+            corpus.filter(F.col("vec_id").isin(ids)), b, store, threshold=0.92
+        )
+    want = {
+        r["vec_id"]: (r["is_dup"], r["dup_of"])
+        for r in semantic_dedup_survivors(corpus, threshold=0.92).collect()
+    }
+    got_greedy = {
+        r["vec_id"]: (r["is_dup"], r["dup_of"])
+        for r in read_semantic_verdicts(spark, store).collect()
+    }
+    assert got_greedy != want  # the order gap is real on this corpus
+    n = reconcile_semantic_admission(spark, store, threshold=0.92)
+    assert n > 0
+    got = {
+        r["vec_id"]: (r["is_dup"], r["dup_of"])
+        for r in read_semantic_verdicts(spark, store).collect()
+    }
+    assert got == want
+    assert want[50] == (True, 1) and want[81] == (True, 1)  # non-vacuous
+    assert reconcile_semantic_admission(spark, store, threshold=0.92) == 0
+    # replay of a reconciled batch -> greedy verdicts return, watermark
+    # drops, the next pass restores equality
+    route_semantic_admission_batch(
+        corpus.filter(F.col("vec_id").isin([50, 51])), 1, store, threshold=0.92
+    )
+    assert {
+        r["vec_id"]: (r["is_dup"], r["dup_of"])
+        for r in read_semantic_verdicts(spark, store).collect()
+    } != want
+    assert reconcile_semantic_admission(spark, store, threshold=0.92) > 0
+    assert {
+        r["vec_id"]: (r["is_dup"], r["dup_of"])
+        for r in read_semantic_verdicts(spark, store).collect()
+    } == want
+
+
+def test_semantic_admission_reconcile_noop_on_ascending_arrival(spark, tmp_path):
+    from csv_query_engine_spark.streaming.events import (
+        read_semantic_verdicts,
+        reconcile_semantic_admission,
+        route_semantic_admission_batch,
+    )
+
+    base = _sem_vec(7)
+    corpus = spark.createDataFrame(
+        [(1, base), (2, base), (3, _sem_vec(42))],
+        "vec_id long, embedding array<float>",
+    )
+    store = str(tmp_path / "sem_asc")
+    route_semantic_admission_batch(corpus.filter(F.col("vec_id") <= 2), 0, store)
+    route_semantic_admission_batch(corpus.filter(F.col("vec_id") == 3), 1, store)
+    before = sorted(map(tuple, read_semantic_verdicts(spark, store).collect()))
+    assert reconcile_semantic_admission(spark, store) == 0
+    assert sorted(map(tuple, read_semantic_verdicts(spark, store).collect())) == before
+
+
+def test_semantic_admission_live_stream_restart(spark, tmp_path):
+    """End-to-end through a real file-source stream: two availableNow
+    passes over a growing directory; the second pass folds only the new
+    file and the accumulated verdicts equal the batch operator over
+    everything seen."""
+    from csv_query_engine_spark.pipeline.similarity import semantic_dedup_survivors
+    from csv_query_engine_spark.streaming.events import (
+        read_semantic_verdicts,
+        semantic_admission_stream,
+    )
+
+    src = tmp_path / "src"
+    src.mkdir()
+    base = _sem_vec(7)
+    part1 = spark.createDataFrame(
+        [(1, base), (2, _sem_vec(11))], "vec_id long, embedding array<float>"
+    )
+    part1.write.parquet(str(src / "p1"))
+    store = str(tmp_path / "store")
+    ckpt = str(tmp_path / "ckpt")
+
+    def run_pass():
+        stream = (
+            spark.readStream.schema("vec_id long, embedding array<float>")
+            .option("maxFilesPerTrigger", "1")
+            .parquet(str(src / "*"))
+        )
+        q = semantic_admission_stream(stream, store, ckpt, threshold=0.92)
+        q.awaitTermination(120)
+
+    run_pass()
+    part2 = spark.createDataFrame(
+        [(10, base), (11, _sem_vec(23))], "vec_id long, embedding array<float>"
+    )
+    part2.write.parquet(str(src / "p2"))
+    run_pass()
+    corpus = part1.unionByName(part2)
+    got = {
+        r["vec_id"]: (r["is_dup"], r["dup_of"], r["dup_cosine"])
+        for r in read_semantic_verdicts(spark, store).collect()
+    }
+    want = {
+        r["vec_id"]: (r["is_dup"], r["dup_of"], r["dup_cosine"])
+        for r in semantic_dedup_survivors(corpus, threshold=0.92).collect()
+    }
+    assert got == want
+    assert got[10] == (True, 1, 1.0)  # cross-pass dup caught
