@@ -602,3 +602,47 @@ def token_budget_waterfill(
             (F.col("n") > level).alias("capped"),
         )
     )
+
+
+def token_budget_sample_allocated(
+    df: DataFrame,
+    stratum: str,
+    key: Column,
+    weight: Column,
+    allocations: DataFrame,
+    salt: str = "mix-",
+) -> DataFrame:
+    """:func:`token_budget_sample` with PER-STRATUM budgets — the
+    application half of :func:`token_budget_waterfill`: feed it the
+    waterfill output (``allocations`` = any (stratum, allocated)
+    DataFrame, one row per stratum) and the selection realizes the mix
+    design end to end ("spend this total budget without letting any
+    domain dominate" becomes an executable corpus filter).
+
+    Selection semantics are identical to the scalar form per stratum —
+    deterministic (content hash, key) order, running sum ≤ the
+    stratum's own ``allocated`` — so each stratum's kept set equals
+    ``token_budget_sample(df_stratum, ..., budget=allocated)``
+    (pinned).  Strata ABSENT from ``allocations`` keep nothing (the
+    complete-or-absent rule: a missing allocation is a decision, not a
+    default).
+
+    Scale: one shuffle on ``stratum`` + the per-stratum sort the
+    scalar form already pays; the allocation table is
+    domain-cardinality and broadcast onto the windowed rows — no
+    second corpus pass."""
+    h = F.md5(F.concat(F.lit(salt), key.cast("string")))
+    w = (
+        W.partitionBy(stratum)
+        .orderBy(h, key)
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    alloc = allocations.select(
+        F.col(stratum).alias(stratum), F.col("allocated").cast("long").alias("_alloc")
+    )
+    return (
+        df.withColumn("cum_tokens", F.sum(weight).over(w))
+        .join(F.broadcast(alloc), stratum)
+        .filter(F.col("cum_tokens") <= F.col("_alloc"))
+        .drop("_alloc")
+    )

@@ -335,8 +335,11 @@ DRIVER_ORDER: list[str] = [
     # verdict forest; recursive-CTE twin on the shared CTE prefix):
     "dedup_semantic_survivor_clusters",
     # Round-13 addition: flat-cap water-filling mix design (all-integer
-    # level search over domain-cardinality state) — oracle-paired:
+    # level search over domain-cardinality state) — oracle-paired,
+    # plus its APPLICATION (per-stratum allocated budgets feeding the
+    # running-sum selection; twin nests the registry-fetched oracle):
     "docs_token_budget_waterfill",
+    "docs_waterfill_mix",
     # Rows-only ops (no SQL-expressible oracle; pytest covers recall/
     # precision/planted-neighbor properties):
     "dedup_minhash_lsh_pairs",

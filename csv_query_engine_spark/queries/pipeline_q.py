@@ -1366,9 +1366,10 @@ def docs_stratified_sample_threshold(spark: SparkSession, sf_dir: str) -> DataFr
     )
 
 
-@register(
-    "docs_token_budget_mix",
-    f"""
+# The running-sum CTE prefix shared by the scalar mix twin, its
+# threshold form (same twin fetched from the registry) and the
+# waterfill-mix twin — the drift rule applied to the mix family.
+_SQL_MIX_CTES = f"""
     WITH d AS (
         SELECT doc_id, lang, {_SQL_NTOK} AS n_tokens,
                md5(concat('mix-', CAST(doc_id AS VARCHAR))) AS h
@@ -1381,7 +1382,12 @@ def docs_stratified_sample_threshold(spark: SparkSession, sf_dir: str) -> DataFr
                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
                ) AS cum_tokens
         FROM d
-    )
+    )"""
+
+
+@register(
+    "docs_token_budget_mix",
+    f"""{_SQL_MIX_CTES}
     SELECT doc_id, lang,
            CAST(n_tokens AS BIGINT) AS n_tokens,
            CAST(cum_tokens AS BIGINT) AS cum_tokens
@@ -1506,6 +1512,53 @@ def docs_token_budget_waterfill(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("capped").alias("capped"),
         )
         .orderBy("lang")
+    )
+
+
+@register(
+    "docs_waterfill_mix",
+    f"""{_SQL_MIX_CTES},
+    wf AS (
+        SELECT lang, allocated
+        FROM ({{waterfill}}) x
+    )
+    SELECT w.doc_id, w.lang,
+           CAST(w.n_tokens AS BIGINT) AS n_tokens,
+           CAST(w.cum_tokens AS BIGINT) AS cum_tokens
+    FROM w JOIN wf ON wf.lang = w.lang
+    WHERE w.cum_tokens <= wf.allocated
+    ORDER BY w.doc_id
+    """.format(waterfill=REGISTRY["docs_token_budget_waterfill"][1]),
+)
+def docs_waterfill_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The waterfill mix design APPLIED (round 13): per-language
+    allocations from `docs_token_budget_waterfill` feed
+    pipeline/sampling.py::token_budget_sample_allocated — the
+    per-stratum-budget form of the running-sum selection — so the
+    whole "spend 20000 tokens without letting `en` dominate" design
+    executes end to end as one reproducible corpus filter.  The twin
+    NESTS the registry-fetched waterfill oracle (the no-drift nesting
+    rule) inside the shared `_SQL_MIX_CTES` running-sum prefix.
+
+    Scale: two corpus passes (the waterfill totals aggregate, then the
+    windowed selection — the threshold-sampler precedent) plus a
+    domain-cardinality broadcast of the allocations onto the window."""
+    d = load_tables(spark, sf_dir, ("documents",))["documents"]
+    base = d.select("doc_id", "lang", tx.token_count(F.col("text")).alias("n_tokens"))
+    alloc = smp.token_budget_waterfill(base, "lang", F.col("n_tokens"), 20000).select(
+        "lang", "allocated"
+    )
+    return (
+        smp.token_budget_sample_allocated(
+            base, "lang", F.col("doc_id"), F.col("n_tokens"), alloc, salt="mix-"
+        )
+        .select(
+            "doc_id",
+            "lang",
+            F.col("n_tokens").cast("long").alias("n_tokens"),
+            F.col("cum_tokens").cast("long").alias("cum_tokens"),
+        )
+        .orderBy("doc_id")
     )
 
 

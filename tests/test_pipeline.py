@@ -942,3 +942,37 @@ def test_token_budget_waterfill_no_unpartitioned_window(spark):
     )
     assert "Window" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_token_budget_sample_allocated_equals_scalar_per_stratum(spark):
+    """The per-stratum-budget form: each stratum's kept set equals the
+    scalar form run on that stratum alone with its own budget, and a
+    stratum absent from the allocations keeps NOTHING (the
+    complete-or-absent rule)."""
+    from csv_query_engine_spark.pipeline import sampling as smp
+
+    df = spark.createDataFrame(
+        [(i, "en" if i % 2 == 0 else "fr", 10 + i) for i in range(40)],
+        "doc_id long, lang string, n_tokens int",
+    )
+    alloc = spark.createDataFrame([("en", 120), ("fr", 60)], "lang string, allocated long")
+    got = smp.token_budget_sample_allocated(
+        df, "lang", F.col("doc_id"), F.col("n_tokens"), alloc
+    )
+    for lang, budget in (("en", 120), ("fr", 60)):
+        want = smp.token_budget_sample(
+            df.filter(F.col("lang") == lang), "lang", F.col("doc_id"),
+            F.col("n_tokens"), budget,
+        )
+        g = sorted(
+            (r["doc_id"], r["cum_tokens"])
+            for r in got.filter(F.col("lang") == lang).collect()
+        )
+        w = sorted((r["doc_id"], r["cum_tokens"]) for r in want.collect())
+        assert g == w, lang
+    # absent stratum keeps nothing
+    part = smp.token_budget_sample_allocated(
+        df, "lang", F.col("doc_id"), F.col("n_tokens"),
+        spark.createDataFrame([("en", 120)], "lang string, allocated long"),
+    )
+    assert part.filter(F.col("lang") == "fr").count() == 0
