@@ -518,6 +518,7 @@ def token_budget_waterfill(
     group_col: str,
     weight: Column,
     budget: int,
+    max_groups: int = 4096,
 ) -> DataFrame:
     """Per-group token caps by WATER-FILLING: the largest integer level
     L such that Σ_g min(n_g, L) ≤ budget, then each group is allocated
@@ -545,11 +546,20 @@ def token_budget_waterfill(
     window), and the level is a 1-row broadcast back onto the groups.
     Nothing downstream of the first aggregate touches corpus rows; to
     APPLY the caps, join the (group, allocated) output back and run
-    :func:`token_budget_sample` per group with its allocation.  The
+    :func:`token_budget_sample_allocated` with the output.  The
     group table feeds four consumers (two triangular legs, the totals
     aggregate, the level scan) → persisted once; cache lifetime is
     CALLER-OWNED via ``pipeline.cache_scope`` (the library-wide
-    convention)."""
+    convention).
+
+    The triangular prefix join is O(G²) pairs, so ``max_groups``
+    guards it (RAISES past the bound via a limit probe — the
+    `_bounded_query_rows` convention, never a silent truncate): the op
+    is a mix DESIGNER over domains/languages/sources, not a per-key
+    aggregate; pre-aggregate finer keys before asking for a level
+    across millions of groups (at G=4096 the join is ~1.7e7 pairs on a
+    broadcast table — trivial; at G=10⁶ it would be 10¹² — wrong
+    shape)."""
     from pyspark.storagelevel import StorageLevel
 
     g = (
@@ -557,6 +567,15 @@ def token_budget_waterfill(
         .agg(F.sum(weight).cast("long").alias("n"))
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
+    probe = g.limit(max_groups + 1).count()
+    if probe > max_groups:
+        g.unpersist()
+        raise ValueError(
+            f"token_budget_waterfill: more than max_groups={max_groups} distinct "
+            f"'{group_col}' groups — the O(G²) triangular prefix join is the wrong "
+            "shape at this cardinality; pre-aggregate to coarser domains or raise "
+            "max_groups deliberately."
+        )
     # prefix sums over the bounded group table: for each group, the
     # inclusive prefix `pfx` and rank `i` in (n, group) order via the
     # triangular broadcast self-join (strict total order — `i` IS

@@ -976,3 +976,17 @@ def test_token_budget_sample_allocated_equals_scalar_per_stratum(spark):
         spark.createDataFrame([("en", 120)], "lang string, allocated long"),
     )
     assert part.filter(F.col("lang") == "fr").count() == 0
+
+
+def test_token_budget_waterfill_group_cardinality_guard(spark):
+    import pytest
+
+    from csv_query_engine_spark.pipeline import sampling as smp
+
+    df = spark.createDataFrame(
+        [(i, f"g{i}", 10) for i in range(6)], "doc_id long, lang string, n int"
+    )
+    with pytest.raises(ValueError, match="max_groups"):
+        smp.token_budget_waterfill(df, "lang", F.col("n"), 100, max_groups=4)
+    # at the bound it still runs
+    assert smp.token_budget_waterfill(df, "lang", F.col("n"), 100, max_groups=6).count() == 6
