@@ -52,6 +52,14 @@ canonical questions imply but its grammar can't parse:
                                      generalized to the data's own
                                      categories; binds on bridge
                                      tables of a multi-hop plan too)
+* ``<N> most recent|latest|newest`` / ``<N> oldest|earliest``
+                                     recency top-N (round 13): ORDER
+                                     BY the first date-typed column
+                                     DESC/ASC with a unique *key/*id
+                                     tiebreak, LIMIT N; yields to an
+                                     explicit "sorted by" and to any
+                                     GROUP BY (digit-adjacent keyword
+                                     keeps it disjoint from "top N")
 * ``top N <entity> per <group> [by <metric>]``
                                      per-group top-N (round 13):
                                      rank entities INSIDE each group
@@ -113,6 +121,7 @@ _GRAMMAR_STOPWORDS = frozenset(
         "less", "fewer", "containing", "contains", "like", "between",
         "and", "or", "since", "in", "last", "month", "for", "each",
         "per", "of", "show", "which", "the",
+        "most", "recent", "latest", "newest", "oldest", "earliest",
     }
 )
 
@@ -242,6 +251,19 @@ def generate_sql_extended(
 
     # top-N
     topm = re.search(r"\btop (\d+)\b", q)
+
+    # recency (round 13): "<N> most recent|latest|newest <rows>" (DESC)
+    # / "<N> oldest|earliest" (ASC) — ORDER BY the first date-typed
+    # column with a unique-key tiebreak, LIMIT N.  Applies only to the
+    # ungrouped, un-ordered shape (an explicit "sorted by"/GROUP BY
+    # wins); the digit must sit immediately before the keyword so the
+    # rule stays disjoint from "top N".
+    recm = re.search(r"\b(\d+) (?:most recent|latest|newest|oldest|earliest)\b", q)
+    rec_dir = (
+        None
+        if recm is None
+        else ("ASC" if re.search(r"\b\d+ (?:oldest|earliest)\b", q) else "DESC")
+    )
 
     # per-group top-N (round 13): "top 3 <entity> per <group> [by
     # <metric>]" ranks entities WITHIN each group — compiled to a
@@ -474,6 +496,17 @@ def generate_sql_extended(
         sql += f" ORDER BY {quote_identifier(order_col)} {order_dir}"
         if topm:
             sql += f" LIMIT {int(topm.group(1))}"
+    elif rec_dir is not None and not grouped and date_cols:
+        # unique-key tiebreak (the LIMIT-determinism invariant): the
+        # first *key/*id column of the (combined) schema
+        key = next(
+            (names[c] for c in names if c.endswith("key") or c.endswith("id")), None
+        )
+        tie = f", {quote_identifier(key)} {rec_dir}" if key else ""
+        sql += (
+            f" ORDER BY {quote_identifier(date_cols[0])} {rec_dir}{tie}"
+            f" LIMIT {int(recm.group(1))}"
+        )
     elif topm and order_metric is not None:
         tie = f", {quote_identifier(group_col)}" if group_col is not None else ""
         sql += f" ORDER BY {order_metric} DESC{tie} LIMIT {int(topm.group(1))}"

@@ -1007,3 +1007,47 @@ def test_per_group_topn_falls_back_when_entity_unbound(spark):
     )
     assert "ROW_NUMBER" not in sql
     assert "GROUP BY `c_mktsegment`" in sql and "LIMIT 3" in sql
+
+
+def test_extended_recency_compiles_with_tiebreak():
+    from csv_query_engine_spark.nlsql.extended import generate_sql_extended
+
+    sql = generate_sql_extended("10 most recent orders", ORDERS_COLS, table="orders")
+    assert sql == (
+        "SELECT * FROM orders ORDER BY `o_orderdate` DESC, `o_orderkey` DESC LIMIT 10"
+    )
+    sql = generate_sql_extended("5 earliest orders", ORDERS_COLS, table="orders")
+    assert sql == (
+        "SELECT * FROM orders ORDER BY `o_orderdate` ASC, `o_orderkey` ASC LIMIT 5"
+    )
+    # an explicit "sorted by" wins over the recency phrasing
+    sql = generate_sql_extended(
+        "10 most recent orders sorted by o_totalprice descending",
+        ORDERS_COLS,
+        table="orders",
+    )
+    assert "ORDER BY `o_totalprice` DESC" in sql and "o_orderdate" not in sql
+    # a grouped question never date-orders (invalid under GROUP BY)
+    sql = generate_sql_extended(
+        "3 most recent orders per o_orderstatus", ORDERS_COLS, table="orders"
+    )
+    assert "GROUP BY `o_orderstatus`" in sql and "o_orderdate" not in sql
+
+
+def test_extended_recency_executes(spark):
+    from csv_query_engine_spark.io.readers import load_tables
+    from csv_query_engine_spark.nlsql.extended import generate_sql_extended
+    from csv_query_engine_spark.nlsql.validator import validate_sql
+
+    t = load_tables(spark, "/root/testdata/sf0.001", ("orders",))
+    t["orders"].createOrReplaceTempView("orders")
+    sql = generate_sql_extended("10 most recent orders", ORDERS_COLS, table="orders")
+    validate_sql(sql, spark)
+    rows = spark.sql(sql).collect()
+    assert len(rows) == 10
+    dates = [r["o_orderdate"] for r in rows]
+    assert dates == sorted(dates, reverse=True)
+    want = spark.sql(
+        "SELECT * FROM orders ORDER BY o_orderdate DESC, o_orderkey DESC LIMIT 10"
+    ).collect()
+    assert rows == want

@@ -893,10 +893,13 @@ def test_token_budget_waterfill_level_and_allocations(spark):
         [("a", 100), ("b", 300), ("c", 1000), ("d", 50)],
         "lang string, n int",
     )
-    out = {
-        r["lang"]: r
-        for r in smp.token_budget_waterfill(df, "lang", F.col("n"), 600).collect()
-    }
+    from csv_query_engine_spark.pipeline import cache_scope
+
+    with cache_scope(df.sparkSession):
+        out = {
+            r["lang"]: r
+            for r in smp.token_budget_waterfill(df, "lang", F.col("n"), 600).collect()
+        }
     # sorted n: d=50, a=100, b=300, c=1000; f(L)=Σmin(n,L):
     # f(225)=50+100+225+225=600 ≤ 600; f(226)=602 > 600 → level 225
     assert all(r["level"] == 225 for r in out.values())
@@ -915,7 +918,10 @@ def test_token_budget_waterfill_budget_covers_everything(spark):
     df = spark.createDataFrame(
         [("a", 100), ("b", 300)], "lang string, n int"
     )
-    rows = smp.token_budget_waterfill(df, "lang", F.col("n"), 1000).collect()
+    from csv_query_engine_spark.pipeline import cache_scope
+
+    with cache_scope(df.sparkSession):
+        rows = smp.token_budget_waterfill(df, "lang", F.col("n"), 1000).collect()
     assert all(r["allocated"] == r["n_tokens"] and not r["capped"] for r in rows)
     assert all(r["level"] == 300 for r in rows)  # max(n) when uncapped
 
@@ -926,7 +932,10 @@ def test_token_budget_waterfill_zero_budget(spark):
     df = spark.createDataFrame(
         [("a", 100), ("b", 300)], "lang string, n int"
     )
-    rows = smp.token_budget_waterfill(df, "lang", F.col("n"), 0).collect()
+    from csv_query_engine_spark.pipeline import cache_scope
+
+    with cache_scope(df.sparkSession):
+        rows = smp.token_budget_waterfill(df, "lang", F.col("n"), 0).collect()
     assert all(r["level"] == 0 and r["allocated"] == 0 and r["capped"] for r in rows)
 
 
@@ -986,7 +995,13 @@ def test_token_budget_waterfill_group_cardinality_guard(spark):
     df = spark.createDataFrame(
         [(i, f"g{i}", 10) for i in range(6)], "doc_id long, lang string, n int"
     )
-    with pytest.raises(ValueError, match="max_groups"):
-        smp.token_budget_waterfill(df, "lang", F.col("n"), 100, max_groups=4)
-    # at the bound it still runs
-    assert smp.token_budget_waterfill(df, "lang", F.col("n"), 100, max_groups=6).count() == 6
+    from csv_query_engine_spark.pipeline import cache_scope
+
+    with cache_scope(df.sparkSession):
+        with pytest.raises(ValueError, match="max_groups"):
+            smp.token_budget_waterfill(df, "lang", F.col("n"), 100, max_groups=4)
+        # at the bound it still runs
+        assert (
+            smp.token_budget_waterfill(df, "lang", F.col("n"), 100, max_groups=6).count()
+            == 6
+        )

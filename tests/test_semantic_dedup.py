@@ -114,9 +114,11 @@ def with_copies(spark, planted):
 
 
 def test_survivors_verdict_spine_and_sentinels(with_copies):
+    from csv_query_engine_spark.pipeline import cache_scope
     from csv_query_engine_spark.pipeline.similarity import semantic_dedup_survivors
 
-    rows = semantic_dedup_survivors(with_copies, threshold=0.92).collect()
+    with cache_scope(with_copies.sparkSession):
+        rows = semantic_dedup_survivors(with_copies, threshold=0.92).collect()
     assert len(rows) == with_copies.count(), "one verdict row per input vector"
     for r in rows:
         if r["is_dup"]:
@@ -127,11 +129,14 @@ def test_survivors_verdict_spine_and_sentinels(with_copies):
 
 
 def test_survivors_copy_of_global_min_always_drops(with_copies):
+    from csv_query_engine_spark.pipeline import cache_scope
     from csv_query_engine_spark.pipeline.similarity import semantic_dedup_survivors
 
-    verdicts = {
-        r["vec_id"]: r for r in semantic_dedup_survivors(with_copies, threshold=0.92).collect()
-    }
+    with cache_scope(with_copies.sparkSession):
+        verdicts = {
+            r["vec_id"]: r
+            for r in semantic_dedup_survivors(with_copies, threshold=0.92).collect()
+        }
     anchor = verdicts[10000]  # copy of the global-min id
     assert anchor["is_dup"] and anchor["dup_of"] == 0 and anchor["dup_cosine"] == 1.0
     # the source itself survives (nothing smaller can match it)
@@ -144,8 +149,14 @@ def test_survivor_clusters_resolve_semantic_verdicts(with_copies):
     from csv_query_engine_spark.pipeline.dedup import survivor_clusters
     from csv_query_engine_spark.pipeline.similarity import semantic_dedup_survivors
 
-    v = semantic_dedup_survivors(with_copies, threshold=0.92)
-    roots = {r["vec_id"]: r["cluster_root"] for r in survivor_clusters(v, id_col="vec_id").collect()}
+    from csv_query_engine_spark.pipeline import cache_scope
+
+    with cache_scope(with_copies.sparkSession):
+        v = semantic_dedup_survivors(with_copies, threshold=0.92)
+        roots = {
+            r["vec_id"]: r["cluster_root"]
+            for r in survivor_clusters(v, id_col="vec_id").collect()
+        }
     assert roots[10000] == 0
     assert roots[0] == 0
 
