@@ -382,32 +382,68 @@ def lsh_bucket_topk(
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
     multiprobe_hamming: int = 1,
+    quantized: bool = False,
 ) -> DataFrame:
     """Approximate top-k: exact cosine rescoring restricted to candidates
     whose hyperplane signature is within ``multiprobe_hamming`` bits of
     the query's signature (multi-probe raises recall without touching
-    more than (1 + n_planes) buckets per query)."""
-    planes = _hyperplanes(n_planes, dim)
-    sig = signature_udf(planes)
-    c = _spread(embeddings).select(
-        F.col(id_col).alias("cand_id"),
-        F.col(vec_col).alias("c_vec"),
-        sig(F.col(vec_col)).alias("c_sig"),
-    )
-    q = queries.select(
-        F.col(query_id_col).alias("query_id"),
-        F.col(vec_col).alias("q_vec"),
-        sig(F.col(vec_col)).alias("q_sig"),
-    )
+    more than (1 + n_planes) buckets per query).
+
+    ``quantized=True`` (round 13 — the `quantized_topk` graduation
+    precedent applied to LSH): signatures come from the scale-6 integer
+    planes (:func:`quantized_band_buckets_udf` with ONE band — the
+    packed signature IS a single band bucket), so every sign decision
+    is exact int64 arithmetic, and the rescore is
+    :func:`quantized_cosine` — the whole candidates→rescore→rank
+    pipeline then replays in DuckDB (:func:`sql_lsh_topk`), recall
+    trade included.  Float mode stays the production default."""
+    if quantized:
+        buckets_udf = quantized_band_buckets_udf(
+            _quantized_planes(n_planes, dim), n_bands=1
+        )
+
+        def sig(col):
+            return F.element_at(buckets_udf(col), 1)
+
+        c = _spread(embeddings).select(
+            F.col(id_col).alias("cand_id"),
+            F.col(vec_col).alias("c_vec"),
+            sig(F.col(vec_col)).alias("c_sig"),
+            _quantized_norm(F.col(vec_col)).alias("c_nq"),
+        )
+        q = queries.select(
+            F.col(query_id_col).alias("query_id"),
+            F.col(vec_col).alias("q_vec"),
+            sig(F.col(vec_col)).alias("q_sig"),
+            _quantized_norm(F.col(vec_col)).alias("q_nq"),
+        )
+        score = quantized_cosine(
+            F.col("q_vec"), F.col("c_vec"), F.col("q_nq"), F.col("c_nq")
+        )
+    else:
+        planes = _hyperplanes(n_planes, dim)
+        sigf = signature_udf(planes)
+        c = _spread(embeddings).select(
+            F.col(id_col).alias("cand_id"),
+            F.col(vec_col).alias("c_vec"),
+            sigf(F.col(vec_col)).alias("c_sig"),
+        )
+        q = queries.select(
+            F.col(query_id_col).alias("query_id"),
+            F.col(vec_col).alias("q_vec"),
+            sigf(F.col(vec_col)).alias("q_sig"),
+        )
+        score = cosine(F.col("q_vec"), F.col("c_vec"))
     # probe buckets: the query signature and its Hamming-1 neighbors
     probes = [F.col("q_sig")]
     if multiprobe_hamming >= 1:
         probes += [F.col("q_sig").bitwiseXOR(F.lit(1 << b)) for b in range(n_planes)]
-    q_probed = q.select("query_id", "q_vec", F.explode(F.array(*probes)).alias("probe_sig"))
+    q_cols = ["query_id", "q_vec"] + (["q_nq"] if quantized else [])
+    q_probed = q.select(*q_cols, F.explode(F.array(*probes)).alias("probe_sig"))
 
     scored = (
         c.join(F.broadcast(q_probed), (F.col("c_sig") == F.col("probe_sig")) & (F.col("cand_id") != F.col("query_id")))
-        .select("query_id", "cand_id", cosine(F.col("q_vec"), F.col("c_vec")).alias("cosine"))
+        .select("query_id", "cand_id", score.alias("cosine"))
         .distinct()
     )
     w = W.partitionBy("query_id").orderBy(F.desc("cosine"), "cand_id")
@@ -416,6 +452,80 @@ def lsh_bucket_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "cand_id", "cosine", "rank")
     )
+
+
+def sql_lsh_topk(
+    k: int = 5,
+    n_planes: int = 8,
+    dim: int = 64,
+    corpus_table: str = "embeddings",
+    query_table: str = "(SELECT * FROM embeddings WHERE vec_id % 100 = 0) qt",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> str:
+    """DuckDB twin of :func:`lsh_bucket_topk` with ``quantized=True``
+    and Hamming-1 multi-probe — built on the shared quantized-LSH CTE
+    builders (the drift rule): the packed ``n_planes``-bit signature is
+    one band of :func:`_sql_band_buckets` (band_bits = n_planes), probe
+    buckets are the signature plus its ``n_planes`` single-bit XOR
+    flips, candidates dedupe across probes, the rescore is the
+    integer-cosine FLOOR form, and the per-query rank is a PARTITIONED
+    ROW_NUMBER with the candidate id as tiebreaker."""
+    planes_q = _quantized_planes(n_planes, dim)
+    vals = _sql_planes_values(planes_q)
+    cdims = _sql_quantized_dims(corpus_table, "cid", id_col, vec_col)
+    qdims = _sql_quantized_dims(query_table, "qid", id_col, vec_col)
+    cbuck = _sql_band_buckets("cdims", "cid", n_planes)
+    qbuck = _sql_band_buckets("qdims", "qid", n_planes)
+    return f"""
+    WITH planes AS (
+        SELECT plane, generate_subscripts(pv, 1) - 1 AS pos, unnest(pv) AS pq
+        FROM (VALUES {vals}) pl(plane, pv)
+    ),
+    cdims AS {cdims},
+    qdims AS {qdims},
+    cbuck AS {cbuck},
+    qbuck AS {qbuck},
+    probes AS (
+        SELECT qid, bucket FROM qbuck
+        UNION ALL
+        SELECT qid, xor(bucket, CAST(1 AS INTEGER) << b) AS bucket
+        FROM qbuck, (SELECT unnest(generate_series(0, {n_planes - 1})) AS b)
+    ),
+    cand AS (
+        SELECT DISTINCT p.qid, c.cid
+        FROM probes p JOIN cbuck c ON c.bucket = p.bucket
+        WHERE c.cid <> p.qid
+    ),
+    cnrm AS (SELECT cid, CAST(SUM(xq * xq) AS BIGINT) AS nq FROM cdims GROUP BY cid),
+    qnrm AS (SELECT qid, CAST(SUM(xq * xq) AS BIGINT) AS nq FROM qdims GROUP BY qid),
+    dots AS (
+        SELECT cand.qid, cand.cid, CAST(SUM(a.xq * b.xq) AS BIGINT) AS dotq
+        FROM cand
+        JOIN qdims a ON a.qid = cand.qid
+        JOIN cdims b ON b.cid = cand.cid AND b.pos = a.pos
+        GROUP BY cand.qid, cand.cid
+    ),
+    scored AS (
+        SELECT d.qid, d.cid,
+               CASE WHEN qn.nq > 0 AND cn.nq > 0
+                    THEN FLOOR(CAST(d.dotq AS DOUBLE)
+                               / sqrt(CAST(qn.nq AS DOUBLE) * CAST(cn.nq AS DOUBLE))
+                               * 1e6 + 0.5) / 1e6
+                    ELSE 0.0 END AS cosine
+        FROM dots d
+        JOIN qnrm qn ON qn.qid = d.qid
+        JOIN cnrm cn ON cn.cid = d.cid
+    ),
+    ranked AS (
+        SELECT qid, cid, cosine,
+               ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cosine DESC, cid) AS rank
+        FROM scored
+    )
+    SELECT qid AS query_id, cid AS cand_id, cosine, CAST(rank AS INT) AS rank
+    FROM ranked WHERE rank <= {k}
+    ORDER BY query_id, rank
+    """
 
 
 def embedding_near_dup_pairs(

@@ -842,14 +842,22 @@ def embedding_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.orderBy("query_id", "rank")
 
 
-@register("embedding_lsh_topk", None)
+@register("embedding_lsh_topk", sim.sql_lsh_topk())
 def embedding_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """LSH-bucketed approximate top-k (random hyperplanes, multi-probe).
-    Approximate by construction -> no SQL oracle; recall vs brute force
-    asserted in tests."""
+    """LSH-bucketed approximate top-k (hyperplane signatures, Hamming-1
+    multi-probe, exact rescore inside the probed buckets).
+
+    ORACLE-PAIRED as of round 13 (was rows-only since round 1 — the
+    `quantized_topk` graduation applied to LSH): the registered form
+    runs ``quantized=True``, so signatures are exact int64 sign
+    decisions over the scale-6 planes, probe buckets are integer XOR
+    flips, and the rescore is the FLOOR-quantized integer cosine —
+    sql_lsh_topk replays candidates → rescore → partitioned rank
+    bit-for-bit, the approximate RECALL trade included.  Float-mode
+    recall vs brute force stays asserted in tests."""
     e = load_tables(spark, sf_dir, ("embeddings",))["embeddings"]
     q = e.filter(F.col("vec_id") % 100 == 0).select(F.col("vec_id").alias("query_id"), F.col("embedding"))
-    return sim.lsh_bucket_topk(e, q, k=5).orderBy("query_id", "rank")
+    return sim.lsh_bucket_topk(e, q, k=5, quantized=True).orderBy("query_id", "rank")
 
 
 @register("embedding_near_dup_pairs", None)
