@@ -537,11 +537,19 @@ def embedding_near_dup_pairs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     max_bucket: int = 4096,
+    quantized: bool = False,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs: BANDED hyperplane-signature
     blocking (SimHash-style — a pair is a candidate if ANY band of the
     signature matches exactly), then exact cosine verification, so every
     emitted pair is a true positive.
+
+    ``quantized=True`` (round 13): band buckets come from the scale-6
+    integer planes (:func:`quantized_band_buckets_udf`) and the verify
+    cosine is :func:`quantized_cosine`, so the whole
+    banding → cap → pair → verify pipeline replays in DuckDB
+    (:func:`sql_embedding_near_dup_pairs`) — the same graduation the
+    banded contamination screen got in round 12.
 
     Scale design (vs the earlier single-12-bit-bucket form, which capped
     the bucket space at 4096 and collect_list'ed (id, VECTOR) structs —
@@ -581,25 +589,36 @@ def embedding_near_dup_pairs(
     # CACHE LIFETIME IS CALLER-OWNED — wrap in pipeline.cache_scope.
     from pyspark.storagelevel import StorageLevel
 
+    vec_cols = [F.col(id_col).alias("id"), F.col(vec_col).alias("vec")]
+    if quantized:
+        vec_cols.append(_quantized_norm(F.col(vec_col)).alias("nq"))
     vecs = (
         _spread(embeddings)
-        .select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
+        .select(*vec_cols)
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    sigs = vecs.select("id", signature_udf(planes)(F.col("vec")).alias("sig"))
-    mask = (1 << band_bits) - 1
-    bands = sigs.select(
-        "id",
-        F.explode(
-            F.array(*[
-                F.struct(
-                    F.lit(b).alias("band"),
-                    F.shiftrightunsigned("sig", b * band_bits).bitwiseAND(F.lit(mask)).alias("bucket"),
-                )
-                for b in range(n_bands)
-            ])
-        ).alias("be"),
-    ).select("id", F.col("be.band").alias("band"), F.col("be.bucket").alias("bucket"))
+    if quantized:
+        buckets_udf = quantized_band_buckets_udf(
+            _quantized_planes(n_planes, dim), n_bands
+        )
+        bands = vecs.select(
+            "id", F.posexplode(buckets_udf(F.col("vec"))).alias("band", "bucket")
+        )
+    else:
+        sigs = vecs.select("id", signature_udf(planes)(F.col("vec")).alias("sig"))
+        mask = (1 << band_bits) - 1
+        bands = sigs.select(
+            "id",
+            F.explode(
+                F.array(*[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.shiftrightunsigned("sig", b * band_bits).bitwiseAND(F.lit(mask)).alias("bucket"),
+                    )
+                    for b in range(n_bands)
+                ])
+            ).alias("be"),
+        ).select("id", F.col("be.band").alias("band"), F.col("be.bucket").alias("bucket"))
 
     # One shuffle does pair-dedup AND verify-stage spreading: an explicit
     # hash repartition on the pair key satisfies dropDuplicates'
@@ -620,12 +639,86 @@ def embedding_near_dup_pairs(
         .repartition(p, "id_a", "id_b")
         .dropDuplicates()
     )
+    if quantized:
+        a = vecs.select(
+            F.col("id").alias("id_a"), F.col("vec").alias("vec_a"), F.col("nq").alias("na")
+        )
+        b = vecs.select(
+            F.col("id").alias("id_b"), F.col("vec").alias("vec_b"), F.col("nq").alias("nb")
+        )
+        score = quantized_cosine(F.col("vec_a"), F.col("vec_b"), F.col("na"), F.col("nb"))
+    else:
+        a = vecs.select(F.col("id").alias("id_a"), F.col("vec").alias("vec_a"))
+        b = vecs.select(F.col("id").alias("id_b"), F.col("vec").alias("vec_b"))
+        score = cosine(F.col("vec_a"), F.col("vec_b"))
     return (
-        cand.join(vecs.select(F.col("id").alias("id_a"), F.col("vec").alias("vec_a")), "id_a")
-        .join(vecs.select(F.col("id").alias("id_b"), F.col("vec").alias("vec_b")), "id_b")
-        .select("id_a", "id_b", cosine(F.col("vec_a"), F.col("vec_b")).alias("cosine"))
+        cand.join(a, "id_a")
+        .join(b, "id_b")
+        .select("id_a", "id_b", score.alias("cosine"))
         .filter(F.col("cosine") >= threshold)
     )
+
+
+def sql_embedding_near_dup_pairs(
+    threshold: float = 0.95,
+    n_planes: int = 64,
+    n_bands: int = 4,
+    dim: int = 64,
+    max_bucket: int = 4096,
+    table: str = "embeddings",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> str:
+    """DuckDB twin of :func:`embedding_near_dup_pairs` with
+    ``quantized=True`` — the shared quantized-LSH CTE builders replay
+    banding (band_bits-wide buckets), the 2..max_bucket bucket window,
+    upper-triangle in-bucket pairs deduped across bands, and the
+    integer-cosine FLOOR verify with the threshold as a
+    CAST-double literal."""
+    band_bits = n_planes // n_bands
+    planes_q = _quantized_planes(n_planes, dim)
+    vals = _sql_planes_values(planes_q)
+    dims = _sql_quantized_dims(table, "id", id_col, vec_col)
+    bucks = _sql_band_buckets("dims", "id", band_bits)
+    return f"""
+    WITH planes AS (
+        SELECT plane, generate_subscripts(pv, 1) - 1 AS pos, unnest(pv) AS pq
+        FROM (VALUES {vals}) pl(plane, pv)
+    ),
+    dims AS {dims},
+    buck AS {bucks},
+    ok AS (
+        SELECT band, bucket FROM buck GROUP BY band, bucket
+        HAVING COUNT(*) >= 2 AND COUNT(*) <= {max_bucket}
+    ),
+    cand AS (
+        SELECT DISTINCT a.id AS id_a, b.id AS id_b
+        FROM buck a
+        JOIN ok ON ok.band = a.band AND ok.bucket = a.bucket
+        JOIN buck b ON b.band = a.band AND b.bucket = a.bucket AND b.id > a.id
+    ),
+    nrm AS (SELECT id, CAST(SUM(xq * xq) AS BIGINT) AS nq FROM dims GROUP BY id),
+    dots AS (
+        SELECT cand.id_a, cand.id_b, CAST(SUM(a.xq * b.xq) AS BIGINT) AS dotq
+        FROM cand
+        JOIN dims a ON a.id = cand.id_a
+        JOIN dims b ON b.id = cand.id_b AND b.pos = a.pos
+        GROUP BY cand.id_a, cand.id_b
+    )
+    SELECT * FROM (
+        SELECT d.id_a, d.id_b,
+               CASE WHEN na.nq > 0 AND nb.nq > 0
+                    THEN FLOOR(CAST(d.dotq AS DOUBLE)
+                               / sqrt(CAST(na.nq AS DOUBLE) * CAST(nb.nq AS DOUBLE))
+                               * 1e6 + 0.5) / 1e6
+                    ELSE 0.0 END AS cosine
+        FROM dots d
+        JOIN nrm na ON na.id = d.id_a
+        JOIN nrm nb ON nb.id = d.id_b
+    )
+    WHERE cosine >= CAST({threshold!r} AS DOUBLE)
+    ORDER BY id_a, id_b
+    """
 
 
 def semantic_contamination_banded(

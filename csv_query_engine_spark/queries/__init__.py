@@ -340,13 +340,15 @@ DRIVER_ORDER: list[str] = [
     # running-sum selection; twin nests the registry-fetched oracle):
     "docs_token_budget_waterfill",
     "docs_waterfill_mix",
-    # Round-13 late: the LSH top-k graduated rows-only -> oracle-paired
-    # (quantized signatures + integer-XOR probes + FLOOR-cosine rescore):
+    # Round-13 late: the LSH top-k and the banded near-dup pairs
+    # graduated rows-only -> oracle-paired (quantized signatures +
+    # integer probes/pairs + FLOOR-cosine verify; the pairs ride the
+    # planted-copy corpus so the pairing is non-vacuous):
     "embedding_lsh_topk",
+    "embedding_near_dup_pairs",
     # Rows-only ops (no SQL-expressible oracle; pytest covers recall/
     # precision/planted-neighbor properties):
     "dedup_minhash_lsh_pairs",
-    "embedding_near_dup_pairs",
     "embedding_ivf_topk",
     "embedding_pq_topk",
     "sketch_approx_aggregates",

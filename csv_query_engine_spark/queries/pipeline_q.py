@@ -860,20 +860,45 @@ def embedding_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim.lsh_bucket_topk(e, q, k=5, quantized=True).orderBy("query_id", "rank")
 
 
-@register("embedding_near_dup_pairs", None)
-def embedding_near_dup_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-duplicates (signature blocking + exact
-    verification ≥ 0.95).
+_SEMSURV_TABLE = (
+    "(SELECT vec_id, embedding FROM embeddings "
+    "UNION ALL SELECT vec_id + 1000000 AS vec_id, embedding FROM embeddings "
+    "WHERE vec_id % 37 = 0) se"
+)
 
-    Zero rows on the harness tables is the HONEST answer, not a
-    vacuous one: the synthetic embeddings are near-orthogonal (ground
-    truth via brute-force on a 2000-vector sf0.1 sample: max
-    off-diagonal cosine 0.601 — no pair clears 0.8, let alone 0.95).
-    Real recall/precision behavior is covered by the planted-pair
-    pytest (tests/test_pipeline.py), same pattern as the PII scan's
-    honest zeros."""
+
+def _semsurv_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The planted-copy corpus the semantic-survivor and near-dup-pair
+    queries share (Spark face of `_SEMSURV_TABLE` — keep the two in
+    lockstep)."""
     e = load_tables(spark, sf_dir, ("embeddings",))["embeddings"]
-    return sim.embedding_near_dup_pairs(e).orderBy("id_a", "id_b")
+    planted = e.filter(F.col("vec_id") % 37 == 0).select(
+        (F.col("vec_id") + 1000000).alias("vec_id"), "embedding"
+    )
+    return e.select("vec_id", "embedding").unionAll(planted)
+
+
+@register(
+    "embedding_near_dup_pairs",
+    sim.sql_embedding_near_dup_pairs(threshold=0.95, table=_SEMSURV_TABLE),
+)
+def embedding_near_dup_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicates (banded signature blocking +
+    exact verification ≥ 0.95).
+
+    ORACLE-PAIRED as of round 13 (was rows-only): the registered form
+    runs ``quantized=True`` over the planted-copy corpus
+    (`_semsurv_corpus` — the raw harness embeddings are
+    near-orthogonal, max off-diagonal cosine 0.601 measured, so the
+    raw-corpus result is an honest zero; the planted copies make the
+    pairing non-vacuous: every (source, copy) pair emits with cosine
+    exactly 1.0).  sql_embedding_near_dup_pairs replays banding →
+    bucket caps → in-bucket pairs → integer-cosine verify.  Float-mode
+    recall/precision behavior stays covered by the planted-pair pytest
+    (tests/test_pipeline.py)."""
+    return sim.embedding_near_dup_pairs(
+        _semsurv_corpus(spark, sf_dir), quantized=True
+    ).orderBy("id_a", "id_b")
 
 
 @register("embedding_contamination_banded", sim.sql_contamination_banded())
@@ -900,23 +925,6 @@ def embedding_contamination_banded_q(spark: SparkSession, sf_dir: str) -> DataFr
     return sim.semantic_contamination_banded(
         e, bench, threshold=0.9, quantized=True
     ).orderBy("vec_id")
-
-
-_SEMSURV_TABLE = (
-    "(SELECT vec_id, embedding FROM embeddings "
-    "UNION ALL SELECT vec_id + 1000000 AS vec_id, embedding FROM embeddings "
-    "WHERE vec_id % 37 = 0) se"
-)
-
-
-def _semsurv_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The planted-copy corpus both semantic-survivor queries share
-    (Spark face of `_SEMSURV_TABLE` — keep the two in lockstep)."""
-    e = load_tables(spark, sf_dir, ("embeddings",))["embeddings"]
-    planted = e.filter(F.col("vec_id") % 37 == 0).select(
-        (F.col("vec_id") + 1000000).alias("vec_id"), "embedding"
-    )
-    return e.select("vec_id", "embedding").unionAll(planted)
 
 
 @register(
