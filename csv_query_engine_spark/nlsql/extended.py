@@ -56,10 +56,13 @@ canonical questions imply but its grammar can't parse:
                                      recency top-N (round 13): ORDER
                                      BY the first date-typed column
                                      DESC/ASC with a unique *key/*id
-                                     tiebreak, LIMIT N; yields to an
-                                     explicit "sorted by" and to any
-                                     GROUP BY (digit-adjacent keyword
-                                     keeps it disjoint from "top N")
+                                     tiebreak, LIMIT N; with a ``per
+                                     <group>`` phrase it becomes a
+                                     PARTITIONED row_number per-group
+                                     recency instead; yields to an
+                                     explicit "sorted by" (digit-
+                                     adjacent keyword keeps it
+                                     disjoint from "top N")
 * ``top N <entity> per <group> [by <metric>]``
                                      per-group top-N (round 13):
                                      rank entities INSIDE each group
@@ -447,6 +450,36 @@ def generate_sql_extended(
         return (
             f"SELECT {g}, {e}, {alias} FROM ({inner}) "
             f"WHERE `_rnk` <= {int(pgm.group(1))} ORDER BY {g}, `_rnk`"
+        )
+
+    # per-group recency (round 13, late): "<N> most recent <rows> per
+    # <group>" — the per-group top-N machinery applied to recency: a
+    # PARTITIONED row_number over the date column with the unique-key
+    # tiebreak; owns the whole statement (explicit "sorted by" and the
+    # metric per-group form still win via their guards)
+    if (
+        rec_dir is not None
+        and group_col is not None
+        and date_cols
+        and order_col is None
+        and pg_entity is None
+    ):
+        g = quote_identifier(group_col)
+        d = quote_identifier(date_cols[0])
+        key = next(
+            (names[c] for c in names if c.endswith("key") or c.endswith("id")), None
+        )
+        tie = f", {quote_identifier(key)} {rec_dir}" if key else ""
+        cols = ", ".join(quote_identifier(n) for n in names.values())
+        inner = (
+            f"SELECT {cols}, ROW_NUMBER() OVER (PARTITION BY {g} "
+            f"ORDER BY {d} {rec_dir}{tie}) AS `_rnk` FROM {tbl_expr}"
+        )
+        if where:
+            inner += " WHERE " + " AND ".join(where)
+        return (
+            f"SELECT {cols} FROM ({inner}) WHERE `_rnk` <= {int(recm.group(1))} "
+            f"ORDER BY {g}, `_rnk`"
         )
 
     select_parts: list[str] = []

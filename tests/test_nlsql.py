@@ -1027,11 +1027,14 @@ def test_extended_recency_compiles_with_tiebreak():
         table="orders",
     )
     assert "ORDER BY `o_totalprice` DESC" in sql and "o_orderdate" not in sql
-    # a grouped question never date-orders (invalid under GROUP BY)
+    # a grouped recency question compiles to the PARTITIONED row_number
+    # form (round-13 late), never an unpartitioned window or an invalid
+    # date ORDER BY under GROUP BY
     sql = generate_sql_extended(
         "3 most recent orders per o_orderstatus", ORDERS_COLS, table="orders"
     )
-    assert "GROUP BY `o_orderstatus`" in sql and "o_orderdate" not in sql
+    assert "PARTITION BY `o_orderstatus` ORDER BY `o_orderdate` DESC, `o_orderkey` DESC" in sql
+    assert "`_rnk` <= 3" in sql and "GROUP BY" not in sql
 
 
 def test_extended_recency_executes(spark):
@@ -1051,3 +1054,33 @@ def test_extended_recency_executes(spark):
         "SELECT * FROM orders ORDER BY o_orderdate DESC, o_orderkey DESC LIMIT 10"
     ).collect()
     assert rows == want
+
+
+def test_extended_per_group_recency_executes(spark):
+    from csv_query_engine_spark.io.readers import load_tables
+    from csv_query_engine_spark.nlsql.extended import generate_sql_extended
+    from csv_query_engine_spark.nlsql.validator import validate_sql
+
+    t = load_tables(spark, "/root/testdata/sf0.001", ("orders",))
+    t["orders"].createOrReplaceTempView("orders")
+    sql = generate_sql_extended(
+        "3 most recent orders per o_orderstatus", ORDERS_COLS, table="orders"
+    )
+    validate_sql(sql, spark)
+    got = [tuple(r) for r in spark.sql(sql).collect()]
+    want = [
+        tuple(r)
+        for r in spark.sql(
+            """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+                      o_orderdate, o_orderpriority
+               FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY o_orderstatus
+                         ORDER BY o_orderdate DESC, o_orderkey DESC) AS rnk
+                     FROM orders)
+               WHERE rnk <= 3 ORDER BY o_orderstatus, rnk"""
+        ).collect()
+    ]
+    assert got == want
+    statuses = {r[2] for r in got}
+    assert len(statuses) > 1 and all(
+        sum(1 for r in got if r[2] == s) <= 3 for s in statuses
+    )
