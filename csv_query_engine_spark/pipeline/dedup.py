@@ -672,18 +672,26 @@ def survivor_clusters(verdicts: DataFrame, id_col: str = "doc_id") -> DataFrame:
     but it means total latency carries O(log max_chain_depth) driver
     round-trips; at extreme chain depths prefer batching more pointer
     doublings per convergence check before reaching for anything
-    fancier (round-11 verdict note)."""
-    state = (
-        verdicts.select(
-            F.col(id_col).alias("id"),
-            F.when(F.col("is_dup").cast("boolean"), F.col("dup_of"))
-            .otherwise(F.col(id_col))
-            .cast("long")
-            .alias("ptr"),
-        )
-        .localCheckpoint(eager=True)
-    )
-    prev = state.agg(F.sum("ptr")).collect()[0][0]
+    fancier (round-11 verdict note).
+
+    The whole result is derived from the ONE checkpointed state table:
+    ``is_dup`` ≡ (initial ptr ≠ id) — ``dup_of`` is a bucket MIN that
+    excludes the doc itself, so it is strictly smaller than ``id`` for
+    dups and the initial pointer equals ``id`` exactly for survivors.
+    The earlier form joined the final state back to the *unpersisted*
+    ``verdicts`` plan for ``is_dup``, which re-ran the entire upstream
+    signature/verify pipeline a second time (measured ~2× the whole
+    query at sf0.1, and a full second corpus pass at the 508k tier) —
+    round-14 fix."""
+    state0 = verdicts.select(
+        F.col(id_col).alias("id"),
+        F.when(F.col("is_dup").cast("boolean"), F.col("dup_of"))
+        .otherwise(F.col(id_col))
+        .cast("long")
+        .alias("ptr"),
+    ).localCheckpoint(eager=False)
+    state = state0
+    prev = state.agg(F.sum("ptr")).collect()[0][0]  # materializes state0
     while True:
         parents = state.select(F.col("id").alias("ptr"), F.col("ptr").alias("_p2"))
         state = (
@@ -695,7 +703,9 @@ def survivor_clusters(verdicts: DataFrame, id_col: str = "doc_id") -> DataFrame:
         if cur == prev:  # pointers strictly decrease until fixpoint
             break
         prev = cur
-    return verdicts.select(F.col(id_col), F.col("is_dup")).join(
+    return state0.select(
+        F.col("id").alias(id_col), (F.col("ptr") != F.col("id")).alias("is_dup")
+    ).join(
         state.select(F.col("id").alias(id_col), F.col("ptr").alias("cluster_root")),
         id_col,
     )
