@@ -240,10 +240,21 @@ def repetition_stats(df: DataFrame, id_col: str = "doc_id", text_col: str = "tex
     partial aggregation — linear in corpus tokens, no quadratics, no
     driver state; the final assembly is two small per-doc joins.
     Single-token docs COALESCE the bigram fraction to 0 on both sides.
+
+    ``base`` (the tokenize scan) feeds THREE consumers — the token
+    explode, the bigram explode, and the final join spine (which reads
+    ``toks`` for the distinct ratio) — so it persists once per the
+    module-wide multi-consumer rule (round-14: the unpersisted form ran
+    the tokenize scan three times).  Cache lifetime is CALLER-OWNED —
+    wrap in ``pipeline.cache_scope(spark)``.
     """
+    from pyspark.storagelevel import StorageLevel
+
     base = _spread(df.select(F.col(id_col).alias("id"), F.col(text_col).alias("_t"))).select(
         "id", tokens(F.col("_t")).alias("toks")
-    ).select("id", "toks", F.size("toks").alias("n_tokens"))
+    ).select("id", "toks", F.size("toks").alias("n_tokens")).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
     # Group on 8-byte hashes of the exploded grams instead of the
     # strings — same shuffle-shrink trick as duplicate_span_stats; the
     # max-count result is hash-insensitive up to within-doc collisions
