@@ -70,6 +70,13 @@ def pagerank(edges: DataFrame, iterations: int = 4, damping: float = 0.85) -> Da
     round (contribution join + dangling anti-join) and the plan would
     otherwise double per iteration (CLAUDE.md exponential-replan
     rule)."""
+    # Persist the INPUT edge projection first: deg, e and dsts each
+    # consume it in separate jobs (their persists materialize under
+    # different actions, so exchange reuse never applies) — an expensive
+    # caller subtree (e.g. the orders×lineitem distinct the trade-graph
+    # queries feed in) otherwise re-runs once per consumer (round-14;
+    # the triangle_count input persist is the same rule).
+    edges = edges.select("src", "dst").persist(StorageLevel.MEMORY_AND_DISK)
     deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg")).persist(
         StorageLevel.MEMORY_AND_DISK
     )
@@ -330,10 +337,12 @@ def triangle_count(edges: DataFrame) -> DataFrame:
         F.col("u").alias("v"), F.col("v").alias("w"), F.lit(1).alias("_hit")
     )
     tris = wedges.join(closing, ["v", "w"]).select("u", "v", "w")
-    corners = (
-        tris.select(F.col("u").alias("node"))
-        .unionByName(tris.select(F.col("v").alias("node")))
-        .unionByName(tris.select(F.col("w").alias("node")))
+    # ONE pass over the triangle set: explode the three corners per row
+    # instead of a 3-leg self-union — the union form re-ran the whole
+    # wedge join once per leg (round-14; the wedge join is the O(m^1.5)
+    # stage, so tripling it dominated the operator).
+    corners = tris.select(
+        F.explode(F.array(F.col("u"), F.col("v"), F.col("w"))).alias("node")
     )
     return corners.groupBy("node").agg(F.count(F.lit(1)).alias("tri_count"))
 
@@ -359,18 +368,34 @@ def bfs_khop(edges: DataFrame, seeds: DataFrame, max_hops: int = 3) -> DataFrame
     raise max_hops past ~6, the CC lesson).
 
     Scale: every join keys on the node id; the visited set is one row
-    per reached node; nothing is ever collected."""
-    frontier = seeds.select(F.col("node").cast("long").alias("node")).distinct()
-    visited = frontier.select("node", F.lit(0).alias("dist"))
-    e = edges.select(F.col("src").cast("long").alias("src"), F.col("dst").cast("long").alias("dst"))
+    per reached node; nothing is ever collected.
+
+    Every per-hop table persists LAZILY (round-14): ``visited`` and
+    ``frontier`` are each referenced twice per hop (the anti join + the
+    union / the next hop's join), so the unrolled single-job plan
+    otherwise TRIPLES its subtree count per hop — measured 154 parquet
+    scans in the 3-hop plan over a join-derived edge table.  The lazy
+    persists keep the whole unroll ONE job (no extra actions): the
+    cache rewrite collapses every repeated subtree to one evaluation +
+    InMemoryTableScans (8 scans after).  Cache lifetime is
+    CALLER-OWNED — wrap in ``pipeline.cache_scope(spark)``."""
+    from pyspark.storagelevel import StorageLevel
+
+    lvl = StorageLevel.MEMORY_AND_DISK
+    frontier = seeds.select(F.col("node").cast("long").alias("node")).distinct().persist(lvl)
+    visited = frontier.select("node", F.lit(0).alias("dist")).persist(lvl)
+    e = edges.select(
+        F.col("src").cast("long").alias("src"), F.col("dst").cast("long").alias("dst")
+    ).persist(lvl)
     for h in range(1, max_hops + 1):
         nxt = (
             frontier.join(e, frontier["node"] == e["src"])
             .select(F.col("dst").alias("node"))
             .distinct()
             .join(visited.select("node"), "node", "left_anti")
+            .persist(lvl)
         )
-        visited = visited.unionByName(nxt.select("node", F.lit(h).alias("dist")))
+        visited = visited.unionByName(nxt.select("node", F.lit(h).alias("dist"))).persist(lvl)
         frontier = nxt
     return visited
 

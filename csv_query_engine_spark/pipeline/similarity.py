@@ -809,6 +809,12 @@ def semantic_contamination_banded(
                     ])
                 ).alias("be"),
             ).select(out, F.col("be.band").alias("band"), F.col("be.bucket").alias("bucket"))
+        # the band table feeds TWO consumers (the degenerate-bucket
+        # aggregate and the semi-join's probe side) — persist it or the
+        # signature stage (quantized mode: the Arrow-batched bucket UDF)
+        # pays a second full pass over this side (round-14, the
+        # semantic-survivors alignment)
+        b = b.persist(StorageLevel.MEMORY_AND_DISK)
         # drop degenerate buckets on this side (bounded aggregate state)
         ok = (
             b.groupBy("band", "bucket")
@@ -996,7 +1002,14 @@ def semantic_dedup_survivors(
         )
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    b = v.select("id", F.posexplode(buckets_udf(F.col("vec"))).alias("band", "bucket"))
+    # the bucket table feeds TWO consumers (the MIN aggregate and the
+    # candidate attach join) — persist it or the Arrow-batched bucket
+    # UDF pays a second full pass over the corpus (the plan showed two
+    # ArrowEvalPython nodes; the streaming route events.py already
+    # persists its `be` for exactly this reason — round-14 alignment)
+    b = v.select(
+        "id", F.posexplode(buckets_udf(F.col("vec"))).alias("band", "bucket")
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     mins = b.groupBy("band", "bucket").agg(F.min("id").alias("cand"))
     cand = (
         b.join(mins, ["band", "bucket"])

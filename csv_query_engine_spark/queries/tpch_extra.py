@@ -1291,7 +1291,12 @@ def graph_triangle_part_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFr
         .filter(F.col("_w") >= 2)
         .select("x", "y")
     )
-    per_node = triangle_count(edges)
+    # per_node feeds the global-count aggregate AND the final join —
+    # persist once (round-14: the unpersisted form re-ran the whole
+    # wedge-join pipeline per consumer); ≤ one row per triangle corner.
+    from pyspark.storagelevel import StorageLevel
+
+    per_node = triangle_count(edges).persist(StorageLevel.MEMORY_AND_DISK)
     total = per_node.agg(
         (F.sum("tri_count") / F.lit(3)).cast("bigint").alias("total_triangles")
     )
