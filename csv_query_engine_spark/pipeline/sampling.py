@@ -342,13 +342,18 @@ def temperature_mix_weights(
 
     Scale: one partial+final aggregate on the stratum key; the share
     normalization is a broadcast of the one-row total."""
+    from pyspark.storagelevel import StorageLevel
+
     masses = df.groupBy(stratum).agg(
         F.sum(weight.cast("long")).alias("stratum_mass")
     )
+    # the stratum-sized powered-mass table feeds the denominator
+    # aggregate AND the share projection — persist (tiny: one row per
+    # stratum) or the corpus mass aggregate runs twice (round-14)
     q = masses.withColumn(
         "_q",
         F.floor(F.pow(F.col("stratum_mass").cast("double"), F.lit(alpha)) * F.lit(1e6) + F.lit(0.5)),
-    )
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     denom = q.agg(F.sum("_q").alias("_d"))
     out = q.crossJoin(F.broadcast(denom)).select(
         stratum,
@@ -488,11 +493,17 @@ def group_holdout_split(
     known to exist."""
     from csv_query_engine_spark.pipeline.text import normalize_text
 
+    from pyspark.storagelevel import StorageLevel
+
     fp = df.select(
         F.col(id_col).alias("id"),
         F.md5(normalize_text(F.col(text_col))).alias("fp"),
     )
-    bucketed = fp.select("id", "fp", assign_split(F.col("fp"), salt=salt))
+    # feeds the per-split aggregate AND the spanning proof — persist
+    # once or the normalize+md5 projection runs twice (round-14)
+    bucketed = fp.select("id", "fp", assign_split(F.col("fp"), salt=salt)).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
     per_split = bucketed.groupBy("split").agg(
         F.count(F.lit(1)).cast("long").alias("n_docs"),
         F.countDistinct("fp").cast("long").alias("n_groups"),

@@ -566,7 +566,15 @@ def hdr_quantiles(
     The bucket table is BOUNDED (≤ 63·2^sub_bits + 1 rows), so the
     cumulative walk is the triangular broadcast self-join idiom (no
     unpartitioned window), and the per-q pick is a min-struct
-    aggregate over the broadcast cum table."""
+    aggregate over the broadcast cum table.
+
+    ``buckets`` is usually a corpus AGGREGATE (hdr_buckets) and is
+    consumed three times here (total + both triangular-join aliases) —
+    persist the bounded table once so the upstream scan/aggregate runs
+    once, not three times (round-14)."""
+    from pyspark.storagelevel import StorageLevel
+
+    buckets = buckets.persist(StorageLevel.MEMORY_AND_DISK)
     tot = buckets.agg(F.sum("cnt").cast("long").alias("n"))
     before = (F.col("b.e") < F.col("a.e")) | (
         (F.col("b.e") == F.col("a.e")) & (F.col("b.sb") <= F.col("a.sb"))
@@ -672,8 +680,13 @@ def hdr_quantiles_by(
     the defect exact percentile has); the per-(group, q) pick is a
     min-struct aggregate."""
     from pyspark.sql import Window as W
+    from pyspark.storagelevel import StorageLevel
 
     g = list(group_cols)
+    # two consumers of the (usually aggregate-derived) sketch table —
+    # the cumulative window and the per-group totals; persist once
+    # (round-14, same as hdr_quantiles)
+    buckets = buckets.persist(StorageLevel.MEMORY_AND_DISK)
     w = W.partitionBy(*g).orderBy("e", "sb")
     cum = buckets.withColumn("cum", F.sum("cnt").over(w))
     tot = buckets.groupBy(*g).agg(F.sum("cnt").cast("long").alias("n"))

@@ -192,10 +192,17 @@ def tfidf_top_terms(
     no global window.
     """
     from pyspark.sql import Window as W
+    from pyspark.storagelevel import StorageLevel
 
     toks = df.select(F.col(id_col).alias("id"), tokens(F.col(text_col)).alias("_toks"))
     terms = toks.select("id", F.explode("_toks").alias("term")).filter(F.col("term") != "")
-    tf = terms.groupBy("id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    # tf feeds the document-frequency aggregate AND the scoring join —
+    # persist once or the tokenize+explode+(doc,term) shuffle runs
+    # twice (round-14; the multi-consumer rule).  Cache lifetime is
+    # CALLER-OWNED — wrap in ``pipeline.cache_scope(spark)``.
+    tf = terms.groupBy("id", "term").agg(F.count(F.lit(1)).alias("tf")).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
     dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("dfq"))
     n_docs = df.select(F.count(F.lit(1)).alias("n_docs"))
     w = W.partitionBy("id").orderBy(F.desc("tfidf"), "term")
@@ -517,10 +524,18 @@ def vocab_coverage(df: DataFrame, text_col: str = "text", top_k: int = 20) -> Da
     is TakeOrdered (no full sort); the ranking window runs over K rows
     only, AFTER the limit; corpus totals ride along as a broadcast
     scalar. Ties break on the token string for determinism."""
+    from pyspark.storagelevel import StorageLevel
+
     toks = _spread(df.select(tokens(F.col(text_col)).alias("_toks"))).select(
         F.explode("_toks").alias("term")
     ).filter(F.col("term") != "")
-    counts = toks.groupBy("term").agg(F.count(F.lit(1)).alias("n_occ"))
+    # the vocabulary-sized count table feeds FOUR consumers (the corpus
+    # total, and the top-K head evaluated once per triangular-join
+    # alias) — persist once or the corpus explode+aggregate re-runs per
+    # consumer (round-14; the multi-consumer rule)
+    counts = toks.groupBy("term").agg(F.count(F.lit(1)).alias("n_occ")).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
     totals = counts.agg(F.sum("n_occ").alias("total_occ"))
     top = counts.orderBy(F.desc("n_occ"), "term").limit(top_k)
     # Rank + running share over the K-row head via a triangular
