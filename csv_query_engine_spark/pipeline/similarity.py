@@ -1694,6 +1694,83 @@ def _km_quant(x: Column) -> Column:
     return F.floor(x.cast("double") * F.lit(1e6) + F.lit(0.5)).cast("long")
 
 
+def _make_km_stats(cents_lists: list[list[int]], k: int, dim: int):
+    """Worker closure factory (round-8 invariant: module-level _make_*
+    so cloudpickle ships it by value): one mapInArrow pass over packed
+    (v) batches that quantizes, assigns each vector to its nearest
+    centroid (exact int64 distances, argmin = lowest cid on ties) and
+    accumulates per-(cid, pos) coordinate sums + counts, yielding ONE
+    k·dim-row partial batch per task. All arithmetic is int64 — the
+    partials are partition-order independent, so the merged stats are
+    bit-deterministic under any physical partitioning."""
+
+    def _stats(it):
+        import numpy as np
+        import pyarrow as pa
+
+        c = np.asarray(cents_lists, dtype=np.int64)
+        su = np.zeros((k, dim), dtype=np.int64)
+        cnt = np.zeros(k, dtype=np.int64)
+        for batch in it:
+            col = batch.column(0)
+            n = len(col)
+            if n == 0:
+                continue
+            # widen float32 storage to float64 BEFORE quantizing — the
+            # engine form casts to double first (_km_quant); float32
+            # (x*1e6) drifts the FLOOR boundary
+            x = (
+                col.flatten()
+                .to_numpy(zero_copy_only=False)
+                .astype(np.float64)
+                .reshape(n, dim)
+            )
+            q = np.floor(x * 1e6 + 0.5).astype(np.int64)
+            d = ((q[:, None, :] - c[None, :, :]) ** 2).sum(axis=2)
+            cid = d.argmin(axis=1)
+            for j in range(k):
+                m = cid == j
+                if m.any():
+                    su[j] += q[m].sum(axis=0)
+                    cnt[j] += int(m.sum())
+        yield pa.RecordBatch.from_pydict(
+            {
+                "cid": np.repeat(np.arange(k, dtype=np.int32), dim),
+                "pos": np.tile(np.arange(dim, dtype=np.int32), k),
+                "su": su.reshape(-1),
+                "cnt": np.repeat(cnt, dim),
+            }
+        )
+
+    return _stats
+
+
+def _make_km_assign(cents_lists: list[list[int]]):
+    """Worker closure factory for the final assignment: vectorized
+    quantize + exact-int64 distance argmin per Arrow batch. Bit-equal
+    to the former dims⨝broadcast-centroid join (numpy float64 floor ==
+    the engine FLOOR over the same doubles; int64 sums exact)."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("struct<cid:int,d:long>")
+    def _assign(v):  # pd.Series of ndarray -> pd.DataFrame
+        import numpy as np
+        import pandas as pd
+
+        if len(v) == 0:
+            return pd.DataFrame({"cid": pd.Series(dtype="int32"), "d": pd.Series(dtype="int64")})
+        c = np.asarray(cents_lists, dtype=np.int64)
+        x = np.stack([np.asarray(r, dtype=np.float64) for r in v])
+        q = np.floor(x * 1e6 + 0.5).astype(np.int64)
+        d = ((q[:, None, :] - c[None, :, :]) ** 2).sum(axis=2)
+        cid = d.argmin(axis=1)
+        return pd.DataFrame(
+            {"cid": cid.astype("int32"), "d": d[np.arange(len(cid)), cid]}
+        )
+
+    return _assign
+
+
 def kmeans_clusters(
     embeddings: DataFrame,
     k: int = 8,
@@ -1701,7 +1778,6 @@ def kmeans_clusters(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     salt: str = "km-",
-    _dims: DataFrame | None = None,
 ) -> DataFrame:
     """(vec_id, cluster_id, sq_dist_units): Lloyd's k-means with
     CROSS-ENGINE-EXACT arithmetic — the PageRank treatment applied to
@@ -1709,36 +1785,41 @@ def kmeans_clusters(
     (:func:`sql_kmeans` emits the identical computation as unrolled
     DuckDB CTEs):
 
-    - coordinates quantize ONCE to scale-6 longs (:func:`_km_quant`);
-      every distance is then an exact integer Σ(xq−cq)² and the argmin
-      (tie-break: lowest cluster id) is bit-deterministic;
+    - coordinates quantize ONCE to scale-6 longs (:func:`_km_quant`'s
+      FLOOR(x·10⁶ + 0.5), applied in numpy over the same float64
+      values — bit-identical); every distance is then an exact integer
+      Σ(xq−cq)² and the argmin (tie-break: lowest cluster id) is
+      bit-deterministic;
     - seeds are the k vectors with the smallest cross-engine md5 hash
       (the sampling.py idiom), cluster ids in that hash order;
     - centroid updates are integer sums + one FLOOR(su/cnt + 0.5) per
       coordinate (su < 2⁵³, so the double division is exact on both
       engines); empty clusters keep their previous centroid.
 
-    Scale: the per-iteration work is one codegen'd integer join —
-    exploded (id, pos, xq) dims against the BROADCAST k×dim centroid
-    table — and one (cid, pos) partial+final aggregate; no Python in
-    the hot path (contrast: the IVF probe UDF exists because its
-    centroids stay float — here quantization makes integer codegen
-    possible). Centroids are the one legitimately driver-sized object
-    (k×dim longs), collected once per iteration; the dims table
-    persists once and feeds every round (callers that already hold the
-    quantized dims — semantic_dedup_pairs — pass them via ``_dims`` so
-    the explode+persist isn't paid twice).
-    Cache lifetime is CALLER-OWNED — wrap the call in
-    ``pipeline.cache_scope(spark)`` to release the persisted
-    intermediates on exit (the one library-wide convention)."""
+    PERF (round 14, measured at sf0.1): the per-iteration work is ONE
+    Arrow-batched numpy pass over the packed vectors — quantize, one
+    (batch×k×dim) int64 distance tensor, argmin, per-(cid, pos) partial
+    sums — yielding k·dim partial rows per task, merged by a tiny
+    aggregate; the final assignment is the same argmin as a pandas UDF.
+    The previous form (exploded (id, pos, xq) dims ⨝ broadcast k×dim
+    centroids + two-level aggregate, all-JVM) evaluated a k-times-
+    multiplied row stream per iteration and measured 6.8 s warm vs
+    3.6 s for the numpy form (same-session A/B, bit-equal outputs) —
+    the round-11 simhash lesson again: a vectorized C-kernel Arrow
+    stage beats a k-fanout JVM join even with whole-stage codegen.
+    Determinism is unchanged: every step is int64 (partition- and
+    batch-order independent), locked by the numpy-replay pytest and
+    the partitioning-invariance pytest. For very large k the per-batch
+    distance tensor wants chunking (k·dim·batch ints) — the same
+    blowup the old join form carried as k-fanout rows.
+
+    Centroids are the one legitimately driver-sized object (k×dim
+    longs), collected once per iteration. Cache lifetime is
+    CALLER-OWNED — wrap the call in ``pipeline.cache_scope(spark)`` to
+    release the persisted packed-vector table on exit (the one
+    library-wide convention)."""
     from pyspark.storagelevel import StorageLevel
 
-    dims = _dims if _dims is not None else (
-        _spread(embeddings)
-        .select(F.col(id_col).alias("id"), F.posexplode(vec_col).alias("pos", "x"))
-        .select("id", "pos", _km_quant(F.col("x")).alias("xq"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
-    )
     h = F.conv(
         F.substring(F.md5(F.concat(F.lit(salt), F.col(id_col).cast("string"))), 1, 8),
         16,
@@ -1757,41 +1838,31 @@ def kmeans_clusters(
     cents: list[list[int]] = [
         [int(math.floor(float(x) * 1e6 + 0.5)) for x in r["v"]] for r in seed_rows
     ]
+    dim = len(cents[0])
 
-    def assign(cent_df: DataFrame) -> DataFrame:
-        d = (
-            dims.join(F.broadcast(cent_df), "pos")
-            .groupBy("id", "cid")
-            .agg(F.sum((F.col("xq") - F.col("cq")) * (F.col("xq") - F.col("cq"))).alias("d"))
-        )
-        return d.groupBy("id").agg(F.min(F.struct("d", "cid")).alias("_m")).select(
-            "id", F.col("_m.cid").alias("cid"), F.col("_m.d").alias("sq_dist_units")
-        )
-
-    spark = embeddings.sparkSession
-
-    def cent_df_from(c: list[list[int]]) -> DataFrame:
-        rows = [(cid, pos, cq) for cid, vec in enumerate(c) for pos, cq in enumerate(vec)]
-        return spark.createDataFrame(rows, "cid int, pos int, cq long")
+    base = _spread(
+        embeddings.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+    ).persist(StorageLevel.MEMORY_AND_DISK)
 
     for _ in range(iterations):
-        a = assign(cent_df_from(cents))
         stats = (
-            dims.join(a.select("id", "cid"), "id")
+            base.select("v")
+            .mapInArrow(_make_km_stats(cents, k, dim), "cid int, pos int, su long, cnt long")
             .groupBy("cid", "pos")
-            .agg(F.sum("xq").alias("su"), F.count(F.lit(1)).alias("cnt"))
+            .agg(F.sum("su").alias("su"), F.sum("cnt").alias("cnt"))
             .collect()
         )
         nxt = [list(c) for c in cents]  # empty clusters keep previous
         for r in stats:
-            # exact double division (su < 2^53), FLOOR(x + 0.5) rounding
-            nxt[r["cid"]][r["pos"]] = int(math.floor(r["su"] / r["cnt"] + 0.5))
+            if r["cnt"]:
+                # exact double division (su < 2^53), FLOOR(x + 0.5) rounding
+                nxt[r["cid"]][r["pos"]] = int(math.floor(r["su"] / r["cnt"] + 0.5))
         cents = nxt
 
-    return assign(cent_df_from(cents)).select(
+    return base.select("id", _make_km_assign(cents)(F.col("v")).alias("_a")).select(
         F.col("id").alias(id_col),
-        F.col("cid").cast("int").alias("cluster_id"),
-        "sq_dist_units",
+        F.col("_a.cid").cast("int").alias("cluster_id"),
+        F.col("_a.d").alias("sq_dist_units"),
     )
 
 
@@ -1897,8 +1968,9 @@ def semantic_dedup_pairs(
     (:func:`sql_semantic_pairs`), making this a fully ORACLE-PAIRED
     dedup member (MinHash/SimHash are rows-only).
 
-    Consumers/persists per CLAUDE.md: `dims` feeds k-means AND the pair
-    join (persisted once, shared with kmeans_clusters via `_dims`); the
+    Consumers/persists per CLAUDE.md: `dims` feeds the norms aggregate
+    AND the pair join (persisted once; k-means no longer consumes
+    exploded dims — its round-14 numpy form scans packed vectors); the
     final assignment is consumed by both join legs (persisted —
     re-running 3 Lloyd iterations per leg otherwise); the joined
     (dims × assignment) table `da` ALSO persists — both pair-join legs
@@ -1919,7 +1991,7 @@ def semantic_dedup_pairs(
     assign = (
         kmeans_clusters(
             embeddings, k=k, iterations=iterations, id_col=id_col,
-            vec_col=vec_col, salt=salt, _dims=dims,
+            vec_col=vec_col, salt=salt,
         )
         .select(F.col(id_col).alias("id"), "cluster_id")
         .persist(StorageLevel.MEMORY_AND_DISK)

@@ -358,16 +358,17 @@ def test_kneser_ney_single_scan_cached_tables(spark):
     spark.catalog.clearCache()
 
 
-def test_kmeans_final_assign_cached_dims_broadcast_centroids(spark):
-    """k-means: the exploded dims table reads from cache and the k×dim
-    centroid table broadcasts; the whole assignment stays JVM-side
-    (integer codegen — no Python in the hot path, unlike IVF's float
-    probe UDF)."""
+def test_kmeans_final_assign_cached_vectors_arrow_batched(spark):
+    """k-means (round-14 numpy form): the final assignment is ONE
+    Arrow-batched vectorized stage over the cached packed-vector table —
+    no join, no exchange, no row-at-a-time Python (BatchEvalPython).
+    The former all-JVM dims⨝broadcast-centroid join measured 1.9×
+    slower (same-session A/B, bit-equal; similarity.py docstring)."""
     plan = _plan(spark, "embedding_kmeans_clusters")
     assert plan.count("InMemoryTableScan") >= 1, plan
-    assert "BroadcastHashJoin" in plan, plan
-    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan, plan
-    assert "MapInPandas" not in plan, plan
+    assert "ArrowEvalPython" in plan, plan
+    assert "BatchEvalPython" not in plan, plan
+    assert "Join" not in plan, plan
     spark.catalog.clearCache()
 
 
