@@ -689,6 +689,13 @@ def phash_dup_pairs(
     ph = perceptual_hashes(media_df, id_col, media_col).persist(
         StorageLevel.MEMORY_AND_DISK
     )
+    # Materialize the cache BEFORE wiring the dependent plan: AQE
+    # launches the bucket-size broadcast build and the two join-leg
+    # exchanges as CONCURRENT jobs, and a cold cache is raced — every
+    # job re-ran the encode+hash Python chain (3× the mapInPandas work,
+    # ~96 concurrent Python workers, measured 3-22 s swings on a ~2 s
+    # query). One count() pins the single Python pass.
+    ph.count()
     return _banded_hamming_pairs(ph, "phash", max_hamming, max_bucket)
 
 
@@ -725,19 +732,20 @@ def _banded_hamming_pairs(
     )
     left = bands.select("band", "val", F.col("doc_id").alias("doc_id_a"), F.col(hash_col).alias("pa"))
     right = bands.select("band", "val", F.col("doc_id").alias("doc_id_b"), F.col(hash_col).alias("pb"))
-    cand = (
+    # popcount-verify BEFORE the dedup shuffle: hamming is a pure
+    # function of (doc_id_a, doc_id_b), so filtering first is
+    # equivalent and the distinct shuffles only verified pairs
+    # (≤ output size) instead of every in-bucket candidate row.
+    return (
         left.join(right, ["band", "val"])
         .filter(F.col("doc_id_a") < F.col("doc_id_b"))
-        .select("doc_id_a", "doc_id_b", "pa", "pb")
-        .distinct()
-    )
-    return (
-        cand.select(
+        .select(
             "doc_id_a",
             "doc_id_b",
             F.expr("bit_count(pa ^ pb)").cast("int").alias("hamming"),
         )
         .filter(F.col("hamming") <= max_hamming)
+        .distinct()
         .orderBy("doc_id_a", "doc_id_b")
     )
 
@@ -848,6 +856,9 @@ def audio_dup_pairs(
     fp = audio_fingerprints(media_df, id_col, media_col).select("doc_id", "afp").persist(
         StorageLevel.MEMORY_AND_DISK
     )
+    # Eager materialization — see phash_dup_pairs: AQE's concurrent
+    # leaf-exchange jobs race a cold cache and re-run the Python chain.
+    fp.count()
     return _banded_hamming_pairs(fp, "afp", max_hamming, max_bucket)
 
 
@@ -973,6 +984,9 @@ def video_dup_pairs(
         .distinct()
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
+    # Eager materialization — see phash_dup_pairs: AQE's concurrent
+    # leaf-exchange jobs race a cold cache and re-run the Python chain.
+    fh.count()
     sizes = fh.groupBy("fhash").agg(F.count(F.lit(1)).alias("_n"))
     fh_b = fh.join(
         F.broadcast(sizes.filter(F.col("_n") <= max_bucket).select("fhash")), "fhash"
