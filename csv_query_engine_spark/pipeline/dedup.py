@@ -185,6 +185,9 @@ def minhash_with_grams(
     from pyspark.storagelevel import StorageLevel
 
     base = _hashed_shingles(df, id_col, text_col, shingle_k).persist(StorageLevel.MEMORY_AND_DISK)
+    # Pin the cache before the join fans out into two leaf jobs (the
+    # cache-race rule): both legs would re-run the shingle scan cold.
+    base.count()
     return base.join(_oph_signatures(base, num_hashes), "id").select(
         "id", "grams", "hashes", "sig"
     )
@@ -394,6 +397,15 @@ def minhash_lsh_pairs(
     sig = _oph_signatures(
         hashed, num_hashes, hash_bits=32 if hash_mode == "md5" else 64
     ).persist(StorageLevel.MEMORY_AND_DISK)
+    # Materialize the caches BEFORE wiring dependent branches: the
+    # est-screen and verify joins' four attach legs are independent
+    # leaf jobs under AQE (broadcast futures at bench scale, concurrent
+    # exchange materializations on a cluster) and a cold cache is
+    # raced — each leg re-ran the full shingle/signature pipeline (the
+    # media dup-pairs lesson). sig.count() pipelines over the cached
+    # `hashed`, so the pin costs one cached pass.
+    hashed.count()
+    sig.count()
 
     band_entries = _band_entries(sig, num_hashes, bands, hash_mode)
 
@@ -494,6 +506,10 @@ def minhash_dedup_funnel(
     base = df.select(
         F.col(id_col), F.col(text_col), fingerprint(F.col(text_col)).alias("fingerprint")
     ).persist(StorageLevel.MEMORY_AND_DISK)
+    # Pin before the groups aggregate and the reps semi-join fan out as
+    # independent leaf jobs (the cache-race rule): each would re-run
+    # the normalize+fingerprint scan on a cold cache.
+    base.count()
     groups = base.groupBy("fingerprint").agg(
         F.min(id_col).alias(id_col), F.count(F.lit(1)).alias("n_copies")
     )
@@ -574,6 +590,12 @@ def minhash_dedup_survivors(
     sig = _oph_signatures(
         hashed, num_hashes, hash_bits=32 if hash_mode == "md5" else 64
     ).persist(StorageLevel.MEMORY_AND_DISK)
+    # Pin both caches before the dependent branches fan out (the
+    # minhash_lsh_pairs / media dup-pairs cache-race lesson): the
+    # screen/verify attach legs and the final id spine are independent
+    # leaf jobs that would each re-run the pipeline on a cold cache.
+    hashed.count()
+    sig.count()
     be = _band_entries(sig, num_hashes, bands, hash_mode)
     # Bucket representative = MIN id — O(1) aggregate state per bucket,
     # so degenerate buckets cost nothing (no cap, no quadratic explode).
@@ -1034,6 +1056,7 @@ def near_dup_clusters(
     toks = _spread(df.select(F.col(id_col).alias("id"), tokens(F.col(text_col)).alias("toks"))).persist(
         StorageLevel.MEMORY_AND_DISK
     )
+    toks.count()  # pin before the span/gram branches fan out (cache-race rule)
     cand = _span_candidates_from_toks(toks, span_n, max_span_docs)
     grams = (
         _ngram_rows(toks, ngram_n)
@@ -1042,6 +1065,7 @@ def near_dup_clusters(
         .agg(F.collect_set("gh").alias("grams"))
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
+    grams.count()  # pin: both verify-join legs are independent leaf jobs
     edges = (
         cand.join(grams.select(F.col("id").alias("id_a"), F.col("grams").alias("grams_a")), "id_a")
         .join(grams.select(F.col("id").alias("id_b"), F.col("grams").alias("grams_b")), "id_b")
@@ -1237,6 +1261,10 @@ def simhash_near_dup_pairs(
     sigs = _spread(df).select(F.col(id_col).alias("id"), simhash_column().alias("sig")).persist(
         StorageLevel.MEMORY_AND_DISK
     )
+    # Pin before the band explode and the two hash join-back legs fan
+    # out (cache-race rule): a cold cache re-runs the Arrow simhash UDF
+    # once per leaf job.
+    sigs.count()
     bands = sigs.select(
         "id",
         F.explode(
@@ -1331,6 +1359,10 @@ def incremental_dedup(
     cor_toks = cor.select("id", tokens(F.col("_t")).alias("toks")).persist(
         StorageLevel.MEMORY_AND_DISK
     )
+    # Pin both token caches before the span/gram branches fan out as
+    # independent leaf jobs (cache-race rule).
+    inc_toks.count()
+    cor_toks.count()
     # Span join keyed on xxhash64(gram) — 8-byte keys, same collision
     # math as _span_candidates_from_toks.
     inc_spans = _ngram_rows(inc_toks, span_n).select("id", F.xxhash64("g").alias("g")).distinct()
@@ -1344,6 +1376,9 @@ def incremental_dedup(
         .distinct()
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
+    # Pin: `cand` feeds two semi-join prunes plus the verify join — all
+    # independent leaf jobs that re-ran the span pipeline cold.
+    cand.count()
     # Build hashed gram arrays (explode-index + codegen'd concat_ws +
     # collect_set — not the interpreted per-row transform) ONLY for docs
     # that appear in a candidate pair: a semi-join first, so the gram
@@ -1438,6 +1473,11 @@ def allpairs_jaccard_pairs(
         .select("id", F.xxhash64("_g").alias("gh"))
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
+    # Pin: `g` feeds the gram-count aggregate, the doc-size aggregate,
+    # the prefix join and the candidate join-back — four independent
+    # leaf jobs that each re-ran the tokenize+explode cold (cache-race
+    # rule).
+    g.count()
     cnt = g.groupBy("gh").agg(F.count(F.lit(1)).alias("_c"))
     sizes = g.groupBy("id").agg(F.count(F.lit(1)).alias("_sz"))
     prefix_len = F.col("_sz") - F.ceil(F.lit(threshold) * F.col("_sz")) + 1
@@ -1512,6 +1552,11 @@ def containment_pairs(
         .select("id", F.xxhash64("_g").alias("gh"))
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
+    # Pin: `g` feeds the gram-count aggregate, the doc-size aggregate,
+    # the prefix join and the candidate join-back — four independent
+    # leaf jobs that each re-ran the tokenize+explode cold (cache-race
+    # rule).
+    g.count()
     cnt = g.groupBy("gh").agg(F.count(F.lit(1)).alias("_c"))
     sizes = g.groupBy("id").agg(F.count(F.lit(1)).alias("_sz"))
     prefix_len = F.col("_sz") - F.ceil(F.lit(threshold) * F.col("_sz")) + 1

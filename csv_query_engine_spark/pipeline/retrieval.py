@@ -105,6 +105,10 @@ def bm25_topk_from_postings(
     from pyspark.storagelevel import StorageLevel
 
     tf = postings.select("id", "token", "tf").persist(StorageLevel.MEMORY_AND_DISK)
+    # Pin: `tf` feeds the doc-length aggregate, the document-frequency
+    # aggregate and the scoring join — three independent leaf jobs that
+    # re-ran the tokenize+postings aggregate on a cold cache.
+    tf.count()
     doclen = tf.groupBy("id").agg(F.sum("tf").cast("long").alias("dl"))
     dfreq = tf.groupBy("token").agg(F.count(F.lit(1)).cast("long").alias("df"))
     qterms = dfreq.orderBy(F.col("df").desc(), "token").limit(n_terms)
@@ -219,6 +223,10 @@ def hybrid_rrf_topk(
         .select(F.col(id_col).alias("id"), "bm25_score")
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
+    # Pin: both triangular-rank legs (probe + broadcast build) are
+    # independent leaf jobs; a cold cache re-ran the whole BM25
+    # pipeline per leg. The list is ≤ list_n rows — the count is free.
+    lex_list.count()
     # Rank the bounded lexical list with a triangular broadcast
     # self-join (count of rows at-or-before in the (score desc, id)
     # strict order) — same values as ROW_NUMBER, no single-task
@@ -256,6 +264,7 @@ def hybrid_rrf_topk(
         .limit(list_n)
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
+    vec_list.count()  # pin — same rationale as lex_list
     vbefore = (F.col("b.cosine") > F.col("a.cosine")) | (
         (F.col("b.cosine") == F.col("a.cosine")) & (F.col("b.id") <= F.col("a.id"))
     )

@@ -354,6 +354,10 @@ def temperature_mix_weights(
         "_q",
         F.floor(F.pow(F.col("stratum_mass").cast("double"), F.lit(alpha)) * F.lit(1e6) + F.lit(0.5)),
     ).persist(StorageLevel.MEMORY_AND_DISK)
+    # pin: the denominator broadcast build and the share projection are
+    # independent leaf jobs; a cold cache re-ran the corpus mass
+    # aggregate per job (the table is one row per stratum — free count)
+    q.count()
     denom = q.agg(F.sum("_q").alias("_d"))
     out = q.crossJoin(F.broadcast(denom)).select(
         stratum,

@@ -597,6 +597,7 @@ def embedding_near_dup_pairs(
         .select(*vec_cols)
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
+    vecs.count()  # pin before the band/verify branches fan out (cache-race rule)
     if quantized:
         buckets_udf = quantized_band_buckets_udf(
             _quantized_planes(n_planes, dim), n_bands
@@ -815,6 +816,12 @@ def semantic_contamination_banded(
         # pays a second full pass over this side (round-14, the
         # semantic-survivors alignment)
         b = b.persist(StorageLevel.MEMORY_AND_DISK)
+        # pin both caches before the aggregate/probe branches fan out as
+        # independent leaf jobs (cache-race rule); b.count() reads the
+        # just-cached v, so the pair costs one vector pass + one bucket
+        # pass
+        v.count()
+        b.count()
         # drop degenerate buckets on this side (bounded aggregate state)
         ok = (
             b.groupBy("band", "bucket")
@@ -1010,6 +1017,10 @@ def semantic_dedup_survivors(
     b = v.select(
         "id", F.posexplode(buckets_udf(F.col("vec"))).alias("band", "bucket")
     ).persist(StorageLevel.MEMORY_AND_DISK)
+    # pin both caches before the MIN aggregate / attach branches fan
+    # out as independent leaf jobs (cache-race rule)
+    v.count()
+    b.count()
     mins = b.groupBy("band", "bucket").agg(F.min("id").alias("cand"))
     cand = (
         b.join(mins, ["band", "bucket"])
@@ -1997,6 +2008,9 @@ def semantic_dedup_pairs(
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
     da = dims.join(assign, "id").persist(StorageLevel.MEMORY_AND_DISK)
+    # Pin: both pair-join legs read `da` as independent leaf jobs; the
+    # single count() job also populates the dims/assign caches race-free.
+    da.count()
     left = da.select(
         "cluster_id", F.col("id").alias("id_a"), "pos", F.col("xq").alias("xa")
     )
