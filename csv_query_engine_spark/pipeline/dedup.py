@@ -24,6 +24,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from csv_query_engine_spark.pipeline.common import pin as _pin
 from csv_query_engine_spark.pipeline.common import spread as _spread
 from csv_query_engine_spark.pipeline.text import fingerprint, normalize_text, tokens
 
@@ -187,7 +188,7 @@ def minhash_with_grams(
     base = _hashed_shingles(df, id_col, text_col, shingle_k).persist(StorageLevel.MEMORY_AND_DISK)
     # Pin the cache before the join fans out into two leaf jobs (the
     # cache-race rule): both legs would re-run the shingle scan cold.
-    base.count()
+    _pin(base)
     return base.join(_oph_signatures(base, num_hashes), "id").select(
         "id", "grams", "hashes", "sig"
     )
@@ -404,8 +405,8 @@ def minhash_lsh_pairs(
     # raced — each leg re-ran the full shingle/signature pipeline (the
     # media dup-pairs lesson). sig.count() pipelines over the cached
     # `hashed`, so the pin costs one cached pass.
-    hashed.count()
-    sig.count()
+    _pin(hashed)
+    _pin(sig)
 
     band_entries = _band_entries(sig, num_hashes, bands, hash_mode)
 
@@ -509,7 +510,7 @@ def minhash_dedup_funnel(
     # Pin before the groups aggregate and the reps semi-join fan out as
     # independent leaf jobs (the cache-race rule): each would re-run
     # the normalize+fingerprint scan on a cold cache.
-    base.count()
+    _pin(base)
     groups = base.groupBy("fingerprint").agg(
         F.min(id_col).alias(id_col), F.count(F.lit(1)).alias("n_copies")
     )
@@ -594,8 +595,8 @@ def minhash_dedup_survivors(
     # minhash_lsh_pairs / media dup-pairs cache-race lesson): the
     # screen/verify attach legs and the final id spine are independent
     # leaf jobs that would each re-run the pipeline on a cold cache.
-    hashed.count()
-    sig.count()
+    _pin(hashed)
+    _pin(sig)
     be = _band_entries(sig, num_hashes, bands, hash_mode)
     # Bucket representative = MIN id — O(1) aggregate state per bucket,
     # so degenerate buckets cost nothing (no cap, no quadratic explode).
@@ -1056,7 +1057,7 @@ def near_dup_clusters(
     toks = _spread(df.select(F.col(id_col).alias("id"), tokens(F.col(text_col)).alias("toks"))).persist(
         StorageLevel.MEMORY_AND_DISK
     )
-    toks.count()  # pin before the span/gram branches fan out (cache-race rule)
+    _pin(toks)  # pin before the span/gram branches fan out (cache-race rule)
     cand = _span_candidates_from_toks(toks, span_n, max_span_docs)
     grams = (
         _ngram_rows(toks, ngram_n)
@@ -1065,7 +1066,7 @@ def near_dup_clusters(
         .agg(F.collect_set("gh").alias("grams"))
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    grams.count()  # pin: both verify-join legs are independent leaf jobs
+    _pin(grams)  # pin: both verify-join legs are independent leaf jobs
     edges = (
         cand.join(grams.select(F.col("id").alias("id_a"), F.col("grams").alias("grams_a")), "id_a")
         .join(grams.select(F.col("id").alias("id_b"), F.col("grams").alias("grams_b")), "id_b")
@@ -1264,7 +1265,7 @@ def simhash_near_dup_pairs(
     # Pin before the band explode and the two hash join-back legs fan
     # out (cache-race rule): a cold cache re-runs the Arrow simhash UDF
     # once per leaf job.
-    sigs.count()
+    _pin(sigs)
     bands = sigs.select(
         "id",
         F.explode(
@@ -1361,8 +1362,8 @@ def incremental_dedup(
     )
     # Pin both token caches before the span/gram branches fan out as
     # independent leaf jobs (cache-race rule).
-    inc_toks.count()
-    cor_toks.count()
+    _pin(inc_toks)
+    _pin(cor_toks)
     # Span join keyed on xxhash64(gram) — 8-byte keys, same collision
     # math as _span_candidates_from_toks.
     inc_spans = _ngram_rows(inc_toks, span_n).select("id", F.xxhash64("g").alias("g")).distinct()
@@ -1378,7 +1379,7 @@ def incremental_dedup(
     )
     # Pin: `cand` feeds two semi-join prunes plus the verify join — all
     # independent leaf jobs that re-ran the span pipeline cold.
-    cand.count()
+    _pin(cand)
     # Build hashed gram arrays (explode-index + codegen'd concat_ws +
     # collect_set — not the interpreted per-row transform) ONLY for docs
     # that appear in a candidate pair: a semi-join first, so the gram
@@ -1477,7 +1478,7 @@ def allpairs_jaccard_pairs(
     # the prefix join and the candidate join-back — four independent
     # leaf jobs that each re-ran the tokenize+explode cold (cache-race
     # rule).
-    g.count()
+    _pin(g)
     cnt = g.groupBy("gh").agg(F.count(F.lit(1)).alias("_c"))
     sizes = g.groupBy("id").agg(F.count(F.lit(1)).alias("_sz"))
     prefix_len = F.col("_sz") - F.ceil(F.lit(threshold) * F.col("_sz")) + 1
@@ -1556,7 +1557,7 @@ def containment_pairs(
     # the prefix join and the candidate join-back — four independent
     # leaf jobs that each re-ran the tokenize+explode cold (cache-race
     # rule).
-    g.count()
+    _pin(g)
     cnt = g.groupBy("gh").agg(F.count(F.lit(1)).alias("_c"))
     sizes = g.groupBy("id").agg(F.count(F.lit(1)).alias("_sz"))
     prefix_len = F.col("_sz") - F.ceil(F.lit(threshold) * F.col("_sz")) + 1

@@ -30,6 +30,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from csv_query_engine_spark.pipeline.common import pin as _pin
 from csv_query_engine_spark.pipeline.common import spread as _spread
 from csv_query_engine_spark.pipeline.text import tokens
 
@@ -108,7 +109,7 @@ def bm25_topk_from_postings(
     # Pin: `tf` feeds the doc-length aggregate, the document-frequency
     # aggregate and the scoring join — three independent leaf jobs that
     # re-ran the tokenize+postings aggregate on a cold cache.
-    tf.count()
+    _pin(tf)
     doclen = tf.groupBy("id").agg(F.sum("tf").cast("long").alias("dl"))
     dfreq = tf.groupBy("token").agg(F.count(F.lit(1)).cast("long").alias("df"))
     qterms = dfreq.orderBy(F.col("df").desc(), "token").limit(n_terms)
@@ -226,7 +227,7 @@ def hybrid_rrf_topk(
     # Pin: both triangular-rank legs (probe + broadcast build) are
     # independent leaf jobs; a cold cache re-ran the whole BM25
     # pipeline per leg. The list is ≤ list_n rows — the count is free.
-    lex_list.count()
+    _pin(lex_list)
     # Rank the bounded lexical list with a triangular broadcast
     # self-join (count of rows at-or-before in the (score desc, id)
     # strict order) — same values as ROW_NUMBER, no single-task
@@ -264,7 +265,7 @@ def hybrid_rrf_topk(
         .limit(list_n)
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    vec_list.count()  # pin — same rationale as lex_list
+    _pin(vec_list)  # pin — same rationale as lex_list
     vbefore = (F.col("b.cosine") > F.col("a.cosine")) | (
         (F.col("b.cosine") == F.col("a.cosine")) & (F.col("b.id") <= F.col("a.id"))
     )

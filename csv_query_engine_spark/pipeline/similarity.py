@@ -22,8 +22,21 @@ from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from csv_query_engine_spark.pipeline.common import pin as _pin
 from csv_query_engine_spark.pipeline.common import spread as _spread
 from csv_query_engine_spark.pipeline.dedup import _in_bucket_pairs
+
+# Data-proportional partition sizing for the packed-vector Arrow/numpy
+# stages in this module (guide §2/§4; round-14 scaling block: the Arrow
+# family ran 2-7x faster on 8 cores than 32 at sf0.1 because per-stage
+# Python worker fan-out tracked cores, not data). ~2 MB of vectors per
+# partition keeps numpy batches large; at cluster scale the scan
+# arrives at session parallelism and spread passes through unchanged.
+_VEC_BPP = 2 << 20
+
+
+def _spread_v(df):
+    return _spread(df, _VEC_BPP)
 
 
 def dot(u: Column, v: Column) -> Column:
@@ -102,6 +115,10 @@ def brute_force_topk(
         ccols.append(F.col(exclude_same_label_col).alias("c_label"))
         cond = cond & (F.col("c_label") != F.col("q_label"))
     q = queries.select(*qcols)
+    # core-count spread, NOT data-proportional: per-row work here is Q
+    # interpreted zip_with/aggregate cosine folds (heavy per row) — the
+    # round-15 A/B measured the bytes-sized form 3.8x WORSE on the
+    # sibling semantic_contamination screen
     c = _spread(embeddings).select(*ccols)
     score = cosine(F.col("q_vec"), F.col("c_vec"))
     if rounding is not None:
@@ -170,6 +187,9 @@ def semantic_contamination(
     b = bench.select(
         F.col(bench_id_col).alias("bench_id"), F.col(vec_col).alias("b_vec")
     )
+    # core-count spread, NOT data-proportional: each corpus row pays
+    # |bench| interpreted cosine folds (heavy per row) — measured 3.8x
+    # worse when sized by bytes (round-15 A/B)
     c = _spread(corpus).select(F.col(id_col), F.col(vec_col).alias("c_vec"))
     score = _floor_quantize(cosine(F.col("c_vec"), F.col("b_vec")), rounding)
     best = (
@@ -405,7 +425,7 @@ def lsh_bucket_topk(
         def sig(col):
             return F.element_at(buckets_udf(col), 1)
 
-        c = _spread(embeddings).select(
+        c = _spread_v(embeddings).select(
             F.col(id_col).alias("cand_id"),
             F.col(vec_col).alias("c_vec"),
             sig(F.col(vec_col)).alias("c_sig"),
@@ -423,7 +443,7 @@ def lsh_bucket_topk(
     else:
         planes = _hyperplanes(n_planes, dim)
         sigf = signature_udf(planes)
-        c = _spread(embeddings).select(
+        c = _spread_v(embeddings).select(
             F.col(id_col).alias("cand_id"),
             F.col(vec_col).alias("c_vec"),
             sigf(F.col(vec_col)).alias("c_sig"),
@@ -593,11 +613,11 @@ def embedding_near_dup_pairs(
     if quantized:
         vec_cols.append(_quantized_norm(F.col(vec_col)).alias("nq"))
     vecs = (
-        _spread(embeddings)
+        _spread_v(embeddings)
         .select(*vec_cols)
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    vecs.count()  # pin before the band/verify branches fan out (cache-race rule)
+    _pin(vecs)  # pin before the band/verify branches fan out (cache-race rule)
     if quantized:
         buckets_udf = quantized_band_buckets_udf(
             _quantized_planes(n_planes, dim), n_bands
@@ -626,11 +646,11 @@ def embedding_near_dup_pairs(
     # clustering requirement (no second exchange), and the fixed
     # partition count keeps AQE from coalescing the few-MB pair set to
     # ~1 partition and serializing the exact cosine verification (the
-    # earlier `.distinct()` + `_spread(cand)` form paid an extra shuffle
+    # earlier `.distinct()` + `_spread_v(cand)` form paid an extra shuffle
     # + stage for the same result).
     p = embeddings.sparkSession.sparkContext.defaultParallelism
     cand = (
-        _spread(
+        _spread_v(
             bands.groupBy("band", "bucket")
             .agg(F.sort_array(F.collect_list("id")).alias("ids"))
             .filter((F.size("ids") > 1) & (F.size("ids") <= max_bucket))
@@ -789,7 +809,7 @@ def semantic_contamination_banded(
         cols = [F.col(idc).alias(out), F.col(vec_col).alias(f"vec_{out}")]
         if quantized:
             cols.append(_quantized_norm(F.col(vec_col)).alias(f"nq_{out}"))
-        v = _spread(df).select(*cols).persist(StorageLevel.MEMORY_AND_DISK)
+        v = _spread_v(df).select(*cols).persist(StorageLevel.MEMORY_AND_DISK)
         if quantized:
             b = v.select(
                 out, F.posexplode(buckets_udf(F.col(f"vec_{out}"))).alias("band", "bucket")
@@ -820,8 +840,8 @@ def semantic_contamination_banded(
         # independent leaf jobs (cache-race rule); b.count() reads the
         # just-cached v, so the pair costs one vector pass + one bucket
         # pass
-        v.count()
-        b.count()
+        _pin(v)
+        _pin(b)
         # drop degenerate buckets on this side (bounded aggregate state)
         ok = (
             b.groupBy("band", "bucket")
@@ -1001,7 +1021,7 @@ def semantic_dedup_survivors(
 
     buckets_udf = quantized_band_buckets_udf(_quantized_planes(n_planes, dim), n_bands)
     v = (
-        _spread(embeddings)
+        _spread_v(embeddings)
         .select(
             F.col(id_col).alias("id"),
             F.col(vec_col).alias("vec"),
@@ -1019,8 +1039,8 @@ def semantic_dedup_survivors(
     ).persist(StorageLevel.MEMORY_AND_DISK)
     # pin both caches before the MIN aggregate / attach branches fan
     # out as independent leaf jobs (cache-race rule)
-    v.count()
-    b.count()
+    _pin(v)
+    _pin(b)
     mins = b.groupBy("band", "bucket").agg(F.min("id").alias("cand"))
     cand = (
         b.join(mins, ["band", "bucket"])
@@ -1295,11 +1315,11 @@ def ivf_topk(
     centroids) where hyperplane LSH is data-oblivious.
     """
     seeds = _centroid_seeds(embeddings, n_centroids, id_col, vec_col)
-    cents = _refine_centroids(_spread(embeddings), seeds, id_col, vec_col) if refine else seeds
+    cents = _refine_centroids(_spread_v(embeddings), seeds, id_col, vec_col) if refine else seeds
 
     assign = _probe_udf(cents, 1)
     multi = _probe_udf(cents, nprobe)
-    c = _spread(embeddings).select(
+    c = _spread_v(embeddings).select(
         F.col(id_col).alias("cand_id"),
         F.col(vec_col).alias("c_vec"),
         assign(F.col(vec_col))[0].alias("cid"),
@@ -1353,7 +1373,7 @@ def label_centroids(
     v = F.col("_v").cast("double")
     unscaled = F.floor(v * F.lit(float(10**scale)) + F.lit(0.5)).cast("long")
     return (
-        _spread(df.select(F.col(label_col).alias("label"), F.col(vec_col).alias("_vec")))
+        _spread_v(df.select(F.col(label_col).alias("label"), F.col(vec_col).alias("_vec")))
         .select("label", F.posexplode("_vec").alias("dim", "_v"))
         .groupBy("label", "dim")
         .agg(
@@ -1449,7 +1469,7 @@ def quantized_topk(
         sims = (c_int @ q_int.T).astype(_np.float64) / _np.outer(c_norms, q_norms)
         return _pd.Series(list(sims))
 
-    c = _spread(embeddings).select(F.col(id_col).alias("cand_id"), F.col(vec_col).alias("c_vec"))
+    c = _spread_v(embeddings).select(F.col(id_col).alias("cand_id"), F.col(vec_col).alias("c_vec"))
     qid_map = F.array(*[F.lit(i) for i in q_ids])
     # Drop self-matches BEFORE the shortlist cut: each query's own vector
     # scores ~1.0 and would otherwise burn one of the k×oversample
@@ -1530,7 +1550,7 @@ def _pq_codebooks(
             out[:, j] = _np.argmin(d2, axis=1)
         return _pd.Series(list(out))
 
-    assigned = _spread(embeddings).select(
+    assigned = _spread_v(embeddings).select(
         F.col(vec_col).alias("vec"), all_codes(F.col(vec_col)).alias("codes")
     )
     dims = assigned.select(
@@ -1638,7 +1658,7 @@ def pq_topk(
         sims /= _np.outer(recon, q_norms)
         return _pd.Series(list(sims))
 
-    c = _spread(embeddings).select(F.col(id_col).alias("cand_id"), F.col(vec_col).alias("c_vec"))
+    c = _spread_v(embeddings).select(F.col(id_col).alias("cand_id"), F.col(vec_col).alias("c_vec"))
     qid_map = F.array(*[F.lit(i) for i in q_ids])
     scored = c.select(
         "cand_id", "c_vec", F.posexplode(adc_scores(F.col("c_vec"))).alias("q_idx", "approx")
@@ -1789,6 +1809,7 @@ def kmeans_clusters(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     salt: str = "km-",
+    prebuilt_base: DataFrame | None = None,
 ) -> DataFrame:
     """(vec_id, cluster_id, sq_dist_units): Lloyd's k-means with
     CROSS-ENGINE-EXACT arithmetic — the PageRank treatment applied to
@@ -1828,16 +1849,33 @@ def kmeans_clusters(
     longs), collected once per iteration. Cache lifetime is
     CALLER-OWNED — wrap the call in ``pipeline.cache_scope(spark)`` to
     release the persisted packed-vector table on exit (the one
-    library-wide convention)."""
+    library-wide convention).
+
+    ``prebuilt_base`` (round 15): a caller that ALSO consumes the
+    packed (id, v) corpus (semantic_dedup_pairs' pair join) passes its
+    own persisted ``select(id_col AS id, vec_col AS v)`` table so the
+    corpus is materialized ONCE — the round-14 Arrow port had dropped
+    the `_dims` sharing and the composite persisted the corpus twice
+    (8.2 s warm vs ~4.5 across rounds 11-13). The seed collect reads
+    the base table (same (id, v) values, so seeds are bit-identical)
+    and is the action that populates the cache — one parquet scan
+    total instead of a separate seed scan + a first-iteration scan."""
     from pyspark.storagelevel import StorageLevel
 
+    if prebuilt_base is not None:
+        base = prebuilt_base  # caller-persisted (id, v)
+    else:
+        base = _spread_v(
+            embeddings.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+        ).persist(StorageLevel.MEMORY_AND_DISK)
+
     h = F.conv(
-        F.substring(F.md5(F.concat(F.lit(salt), F.col(id_col).cast("string"))), 1, 8),
+        F.substring(F.md5(F.concat(F.lit(salt), F.col("id").cast("string"))), 1, 8),
         16,
         10,
     ).cast("long")
     seed_rows = (
-        embeddings.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"), h.alias("_h"))
+        base.select("id", "v", h.alias("_h"))
         .orderBy("_h", "id")
         .limit(k)
         .collect()
@@ -1850,10 +1888,6 @@ def kmeans_clusters(
         [int(math.floor(float(x) * 1e6 + 0.5)) for x in r["v"]] for r in seed_rows
     ]
     dim = len(cents[0])
-
-    base = _spread(
-        embeddings.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
-    ).persist(StorageLevel.MEMORY_AND_DISK)
 
     for _ in range(iterations):
         stats = (
@@ -1979,38 +2013,43 @@ def semantic_dedup_pairs(
     (:func:`sql_semantic_pairs`), making this a fully ORACLE-PAIRED
     dedup member (MinHash/SimHash are rows-only).
 
-    Consumers/persists per CLAUDE.md: `dims` feeds the norms aggregate
-    AND the pair join (persisted once; k-means no longer consumes
-    exploded dims — its round-14 numpy form scans packed vectors); the
-    final assignment is consumed by both join legs (persisted —
-    re-running 3 Lloyd iterations per leg otherwise); the joined
-    (dims × assignment) table `da` ALSO persists — both pair-join legs
-    read it, and caching the joined rows beat re-joining per leg
-    9.5 → 5.9 s warm at sf0.1 (same-host A/B); norms are two cheap
-    aggregates over the cached dims.
+    Consumers/persists per CLAUDE.md (round-15 form — ONE corpus
+    materialization): the packed (id, v) `base` persists once and feeds
+    k-means (``prebuilt_base`` — seeds, Lloyd iterations, assignment
+    all read the cache; the round-14 Arrow port had un-shared this and
+    the composite persisted the corpus twice, 8.2 s warm vs ~4.5 in
+    rounds 11-13); the final assignment persists (both pair-join legs —
+    re-running 3 Lloyd iterations per leg otherwise); `da` joins assign
+    to the PACKED base first and explodes after (guide §3.3 — the old
+    form joined N·dim exploded rows) and persists — both pair-join legs
+    AND the norms aggregate read it (norms = Σxq² per id needs exactly
+    da's rows, so the old separately-persisted `dims` table is gone).
     Cache lifetime is CALLER-OWNED — wrap the call in
     ``pipeline.cache_scope(spark)`` to release the persisted
     intermediates on exit (the one library-wide convention)."""
     from pyspark.storagelevel import StorageLevel
 
-    dims = (
-        _spread(embeddings)
-        .select(F.col(id_col).alias("id"), F.posexplode(vec_col).alias("pos", "x"))
-        .select("id", "pos", _km_quant(F.col("x")).alias("xq"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
-    )
+    base = _spread_v(
+        embeddings.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     assign = (
         kmeans_clusters(
             embeddings, k=k, iterations=iterations, id_col=id_col,
-            vec_col=vec_col, salt=salt,
+            vec_col=vec_col, salt=salt, prebuilt_base=base,
         )
         .select(F.col(id_col).alias("id"), "cluster_id")
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    da = dims.join(assign, "id").persist(StorageLevel.MEMORY_AND_DISK)
-    # Pin: both pair-join legs read `da` as independent leaf jobs; the
-    # single count() job also populates the dims/assign caches race-free.
-    da.count()
+    da = (
+        base.join(assign, "id")
+        .select("cluster_id", "id", F.posexplode("v").alias("pos", "x"))
+        .select("cluster_id", "id", "pos", _km_quant(F.col("x")).alias("xq"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    # Pin: both pair-join legs and the norms aggregate read `da` as
+    # independent leaf jobs; the single count() job also populates the
+    # assign cache race-free (base is already cached by the seed pass).
+    _pin(da)
     left = da.select(
         "cluster_id", F.col("id").alias("id_a"), "pos", F.col("xq").alias("xa")
     )
@@ -2023,7 +2062,7 @@ def semantic_dedup_pairs(
         .groupBy("cluster_id", "id_a", "id_b")
         .agg(F.sum(F.col("xa") * F.col("xb")).alias("dotq"))
     )
-    norms = dims.groupBy("id").agg(F.sum(F.col("xq") * F.col("xq")).alias("nq"))
+    norms = da.groupBy("id").agg(F.sum(F.col("xq") * F.col("xq")).alias("nq"))
     na = norms.select(F.col("id").alias("id_a"), F.col("nq").alias("na"))
     nb = norms.select(F.col("id").alias("id_b"), F.col("nq").alias("nb"))
     # na, nb < 2^53 so their double casts are exact; product/sqrt/divide
@@ -2136,7 +2175,7 @@ def random_projection_sketch(
     64-agg-column codegen cliff documented in CLAUDE.md). No joins, no
     Python, no shuffle beyond the (id) aggregation."""
     signs = jl_signs(out_dims, in_dims, salt)
-    rows = _spread(df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("_v"))).select(
+    rows = _spread_v(df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("_v"))).select(
         "id", F.posexplode("_v").alias("_j", "_x")
     )
     q = rows.select(

@@ -20,6 +20,7 @@ STOPWORDS_DE = ("der", "die", "das", "und", "oder", "von", "zu", "im", "ist", "e
 STOPWORDS_FR = ("le", "la", "les", "de", "et", "ou", "en", "est", "un", "une", "pour", "avec", "dans", "sur", "du")
 
 
+from csv_query_engine_spark.pipeline.common import pin as _pin
 from csv_query_engine_spark.pipeline.common import spread as _spread
 
 
@@ -203,7 +204,7 @@ def tfidf_top_terms(
     tf = terms.groupBy("id", "term").agg(F.count(F.lit(1)).alias("tf")).persist(
         StorageLevel.MEMORY_AND_DISK
     )
-    tf.count()  # pin before the dfreq aggregate / scoring join fan out (cache-race rule)
+    _pin(tf)  # pin before the dfreq aggregate / scoring join fan out (cache-race rule)
     dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("dfq"))
     n_docs = df.select(F.count(F.lit(1)).alias("n_docs"))
     w = W.partitionBy("id").orderBy(F.desc("tfidf"), "term")
@@ -263,7 +264,7 @@ def repetition_stats(df: DataFrame, id_col: str = "doc_id", text_col: str = "tex
     ).select("id", "toks", F.size("toks").alias("n_tokens")).persist(
         StorageLevel.MEMORY_AND_DISK
     )
-    base.count()  # pin before the token/bigram/spine branches fan out (cache-race rule)
+    _pin(base)  # pin before the token/bigram/spine branches fan out (cache-race rule)
     # Group on 8-byte hashes of the exploded grams instead of the
     # strings — same shuffle-shrink trick as duplicate_span_stats; the
     # max-count result is hash-insensitive up to within-doc collisions
@@ -423,7 +424,7 @@ def duplicate_span_stats(
     )
     # Pin: `spans` feeds the per-gram doc-count aggregate and the
     # join-back — independent leaf jobs (cache-race rule).
-    spans.count()
+    _pin(spans)
     span_docs = spans.groupBy("g").agg(F.count(F.lit(1)).alias("n_docs"))
     stats = (
         spans.join(span_docs, "g")
@@ -541,7 +542,7 @@ def vocab_coverage(df: DataFrame, text_col: str = "text", top_k: int = 20) -> Da
     counts = toks.groupBy("term").agg(F.count(F.lit(1)).alias("n_occ")).persist(
         StorageLevel.MEMORY_AND_DISK
     )
-    counts.count()  # pin before the four consumer branches fan out (cache-race rule)
+    _pin(counts)  # pin before the four consumer branches fan out (cache-race rule)
     totals = counts.agg(F.sum("n_occ").alias("total_occ"))
     top = counts.orderBy(F.desc("n_occ"), "term").limit(top_k)
     # Rank + running share over the K-row head via a triangular
@@ -727,7 +728,7 @@ def unigram_lm_scores(df: DataFrame, id_col: str = "doc_id", text_col: str = "te
     # Pin: `tok` feeds the count aggregate and the scoring join-back —
     # independent leaf jobs that re-ran the tokenize+explode on a cold
     # cache (cache-race rule; the media dup-pairs lesson).
-    tok.count()
+    _pin(tok)
     counts = tok.groupBy("_h").agg(F.count(F.lit(1)).alias("_c"))
     total = counts.agg(F.sum("_c").alias("_n"))
     surprisal = F.round(-F.log(F.col("_c") / F.col("_n")), 6)
@@ -792,7 +793,7 @@ def bigram_lm_scores(df: DataFrame, id_col: str = "doc_id", text_col: str = "tex
         )
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    big.count()  # pin before the count aggregate / scoring join fan out
+    _pin(big)  # pin before the count aggregate / scoring join fan out
     pair_counts = big.groupBy("_h1", "_h12").agg(F.count(F.lit(1)).alias("_c12"))
     prefix_counts = pair_counts.groupBy("_h1").agg(F.sum("_c12").alias("_c1"))
     counts = pair_counts.join(prefix_counts, "_h1").select("_h12", "_c12", "_c1")
@@ -870,7 +871,7 @@ def kneser_ney_scores(
         )
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    big.count()  # pin before the pair aggregate / scoring join fan out
+    _pin(big)  # pin before the pair aggregate / scoring join fan out
     pair_counts = (
         big.groupBy("_h1", "_h2", "_h12")
         .agg(F.count(F.lit(1)).alias("_c12"))
@@ -878,7 +879,7 @@ def kneser_ney_scores(
     )
     # Pin: pair_counts feeds the prefix/predecessor/type aggregates and
     # the scoring join — four independent leaf jobs (cache-race rule).
-    pair_counts.count()
+    _pin(pair_counts)
     # prefix totals AND distinct-successor counts from ONE h1 aggregate
     pre = pair_counts.groupBy("_h1").agg(
         F.sum("_c12").alias("_c1"), F.count(F.lit(1)).alias("_nsucc")
@@ -952,7 +953,7 @@ def ngram_novelty(
         .distinct()
         .persist()
     )
-    pairs.count()  # pin before the first-id aggregate / join-back fan out (cache-race rule)
+    _pin(pairs)  # pin before the first-id aggregate / join-back fan out (cache-race rule)
     first = pairs.groupBy("g").agg(F.min("id").alias("first_id"))
     per_doc = (
         pairs.join(first, "g")
@@ -1028,7 +1029,7 @@ def remove_duplicate_spans(
         .select("id", tokens(F.col("_t")).alias("toks"))
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    base.count()  # pin before the gram/token/length branches fan out (cache-race rule)
+    _pin(base)  # pin before the gram/token/length branches fan out (cache-race rule)
     # gram positions (1-based), gram built codegen-side then hashed
     cnt = F.size("toks") - F.lit(n - 1)
     idx = F.when(cnt >= 1, F.sequence(F.lit(1), cnt)).otherwise(F.array().cast("array<int>"))
@@ -1038,7 +1039,7 @@ def remove_duplicate_spans(
         .select("id", "pos", F.xxhash64(gram).alias("g"))
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    gpos.count()  # pin: feeds the occurrence count and the covered-position join
+    _pin(gpos)  # pin: feeds the occurrence count and the covered-position join
     dupg = gpos.groupBy("g").agg(F.count(F.lit(1)).alias("_c")).filter(F.col("_c") >= min_count).select("g")
     covered = (
         gpos.join(dupg, "g")
@@ -1152,7 +1153,7 @@ def pmi_top_pairs(
     base = _spread(
         df.select(F.col(id_col).alias("id"), tokens(F.col(text_col)).alias("toks"))
     ).persist(StorageLevel.MEMORY_AND_DISK)
-    base.count()  # pin before the unigram/bigram branches fan out (cache-race rule)
+    _pin(base)  # pin before the unigram/bigram branches fan out (cache-race rule)
     uni = (
         base.select(F.explode("toks").alias("t"))
         .filter(F.col("t") != "")
