@@ -591,12 +591,6 @@ def minhash_dedup_survivors(
     sig = _oph_signatures(
         hashed, num_hashes, hash_bits=32 if hash_mode == "md5" else 64
     ).persist(StorageLevel.MEMORY_AND_DISK)
-    # Pin both caches before the dependent branches fan out (the
-    # minhash_lsh_pairs / media dup-pairs cache-race lesson): the
-    # screen/verify attach legs and the final id spine are independent
-    # leaf jobs that would each re-run the pipeline on a cold cache.
-    _pin(hashed)
-    _pin(sig)
     be = _band_entries(sig, num_hashes, bands, hash_mode)
     # Bucket representative = MIN id — O(1) aggregate state per bucket,
     # so degenerate buckets cost nothing (no cap, no quadratic explode).
@@ -1057,7 +1051,6 @@ def near_dup_clusters(
     toks = _spread(df.select(F.col(id_col).alias("id"), tokens(F.col(text_col)).alias("toks"))).persist(
         StorageLevel.MEMORY_AND_DISK
     )
-    _pin(toks)  # pin before the span/gram branches fan out (cache-race rule)
     cand = _span_candidates_from_toks(toks, span_n, max_span_docs)
     grams = (
         _ngram_rows(toks, ngram_n)
@@ -1066,7 +1059,6 @@ def near_dup_clusters(
         .agg(F.collect_set("gh").alias("grams"))
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    _pin(grams)  # pin: both verify-join legs are independent leaf jobs
     edges = (
         cand.join(grams.select(F.col("id").alias("id_a"), F.col("grams").alias("grams_a")), "id_a")
         .join(grams.select(F.col("id").alias("id_b"), F.col("grams").alias("grams_b")), "id_b")
@@ -1262,10 +1254,6 @@ def simhash_near_dup_pairs(
     sigs = _spread(df).select(F.col(id_col).alias("id"), simhash_column().alias("sig")).persist(
         StorageLevel.MEMORY_AND_DISK
     )
-    # Pin before the band explode and the two hash join-back legs fan
-    # out (cache-race rule): a cold cache re-runs the Arrow simhash UDF
-    # once per leaf job.
-    _pin(sigs)
     bands = sigs.select(
         "id",
         F.explode(
@@ -1553,11 +1541,6 @@ def containment_pairs(
         .select("id", F.xxhash64("_g").alias("gh"))
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    # Pin: `g` feeds the gram-count aggregate, the doc-size aggregate,
-    # the prefix join and the candidate join-back — four independent
-    # leaf jobs that each re-ran the tokenize+explode cold (cache-race
-    # rule).
-    _pin(g)
     cnt = g.groupBy("gh").agg(F.count(F.lit(1)).alias("_c"))
     sizes = g.groupBy("id").agg(F.count(F.lit(1)).alias("_sz"))
     prefix_len = F.col("_sz") - F.ceil(F.lit(threshold) * F.col("_sz")) + 1

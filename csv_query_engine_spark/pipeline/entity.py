@@ -43,7 +43,6 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from csv_query_engine_spark.pipeline.common import pin as _pin
 from csv_query_engine_spark.pipeline.common import spread as _spread
 from csv_query_engine_spark.pipeline.fuzzy import deletion_neighborhood
 
@@ -380,13 +379,11 @@ def entity_match_pairs(
             ],
         )
     ).persist(StorageLevel.MEMORY_AND_DISK)
-    _pin(recs)  # pin before the variant/key/verify branches fan out (cache-race rule)
     rec_var = (
         record_variants(recs, id_col="id", name_col=name_col, block_dist=block_dist)
         .withColumnRenamed("rec_id", "id")
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    _pin(rec_var)  # pin: both variant self-join legs are independent leaf jobs
     name_cand = (
         rec_var.select(F.col("id").alias("id_a"), "variant")
         .join(rec_var.select(F.col("id").alias("id_b"), "variant"), "variant")

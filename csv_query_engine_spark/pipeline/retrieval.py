@@ -224,10 +224,6 @@ def hybrid_rrf_topk(
         .select(F.col(id_col).alias("id"), "bm25_score")
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    # Pin: both triangular-rank legs (probe + broadcast build) are
-    # independent leaf jobs; a cold cache re-ran the whole BM25
-    # pipeline per leg. The list is ≤ list_n rows — the count is free.
-    _pin(lex_list)
     # Rank the bounded lexical list with a triangular broadcast
     # self-join (count of rows at-or-before in the (score desc, id)
     # strict order) — same values as ROW_NUMBER, no single-task
@@ -265,7 +261,6 @@ def hybrid_rrf_topk(
         .limit(list_n)
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    _pin(vec_list)  # pin — same rationale as lex_list
     vbefore = (F.col("b.cosine") > F.col("a.cosine")) | (
         (F.col("b.cosine") == F.col("a.cosine")) & (F.col("b.id") <= F.col("a.id"))
     )

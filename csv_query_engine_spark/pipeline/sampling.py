@@ -24,7 +24,6 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
-from csv_query_engine_spark.pipeline.common import pin as _pin
 
 __all__ = [
     "hash_bucket",
@@ -355,10 +354,6 @@ def temperature_mix_weights(
         "_q",
         F.floor(F.pow(F.col("stratum_mass").cast("double"), F.lit(alpha)) * F.lit(1e6) + F.lit(0.5)),
     ).persist(StorageLevel.MEMORY_AND_DISK)
-    # pin: the denominator broadcast build and the share projection are
-    # independent leaf jobs; a cold cache re-ran the corpus mass
-    # aggregate per job (the table is one row per stratum — free count)
-    _pin(q)
     denom = q.agg(F.sum("_q").alias("_d"))
     out = q.crossJoin(F.broadcast(denom)).select(
         stratum,

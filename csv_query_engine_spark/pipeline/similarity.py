@@ -836,12 +836,6 @@ def semantic_contamination_banded(
         # pays a second full pass over this side (round-14, the
         # semantic-survivors alignment)
         b = b.persist(StorageLevel.MEMORY_AND_DISK)
-        # pin both caches before the aggregate/probe branches fan out as
-        # independent leaf jobs (cache-race rule); b.count() reads the
-        # just-cached v, so the pair costs one vector pass + one bucket
-        # pass
-        _pin(v)
-        _pin(b)
         # drop degenerate buckets on this side (bounded aggregate state)
         ok = (
             b.groupBy("band", "bucket")
@@ -1037,10 +1031,6 @@ def semantic_dedup_survivors(
     b = v.select(
         "id", F.posexplode(buckets_udf(F.col("vec"))).alias("band", "bucket")
     ).persist(StorageLevel.MEMORY_AND_DISK)
-    # pin both caches before the MIN aggregate / attach branches fan
-    # out as independent leaf jobs (cache-race rule)
-    _pin(v)
-    _pin(b)
     mins = b.groupBy("band", "bucket").agg(F.min("id").alias("cand"))
     cand = (
         b.join(mins, ["band", "bucket"])
@@ -1503,6 +1493,53 @@ def quantized_topk(
 # -------------------------------------------------- product quantization
 
 
+def _make_pq_refine(sd_list: list, m: int, n_codes: int, d_sub: int):
+    """Worker closure factory (round-8 invariant: module-level _make_*
+    ships by value): ONE mapInArrow pass that assigns every vector its
+    m subspace codes and accumulates per-(subspace, code, pos) float
+    sums + counts, yielding one m·n_codes·d_sub-row partial batch per
+    task. Replaces the round-13 form (pandas-UDF assign + posexplode to
+    n·dim rows + groupBy avg) — guide §2.3 'aggregate before you
+    shuffle': the shuffle now carries tasks·m·n_codes·d_sub partial
+    rows instead of n·dim exploded coordinate rows."""
+
+    def _refine(it):
+        import numpy as np
+        import pyarrow as pa
+
+        sd = np.asarray(sd_list, dtype=np.float64)  # (m, n_codes, d_sub)
+        sdn = (sd**2).sum(axis=2)
+        su = np.zeros((m, n_codes, d_sub), dtype=np.float64)
+        cnt = np.zeros((m, n_codes), dtype=np.int64)
+        for batch in it:
+            col = batch.column(0)
+            n = len(col)
+            if n == 0:
+                continue
+            x = (
+                col.flatten()
+                .to_numpy(zero_copy_only=False)
+                .astype(np.float64)
+                .reshape(n, m, d_sub)
+            )
+            for j in range(m):
+                d2 = -2.0 * (x[:, j, :] @ sd[j].T) + sdn[j]
+                c = d2.argmin(axis=1)
+                np.add.at(su[j], c, x[:, j, :])
+                cnt[j] += np.bincount(c, minlength=n_codes)
+        yield pa.RecordBatch.from_pydict(
+            {
+                "j": np.repeat(np.arange(m, dtype=np.int32), n_codes * d_sub),
+                "c": np.tile(np.repeat(np.arange(n_codes, dtype=np.int32), d_sub), m),
+                "pos": np.tile(np.arange(d_sub, dtype=np.int32), m * n_codes),
+                "su": su.reshape(-1),
+                "cnt": np.repeat(cnt.reshape(-1), d_sub),
+            }
+        )
+
+    return _refine
+
+
 def _pq_codebooks(
     embeddings: DataFrame,
     m: int,
@@ -1517,8 +1554,11 @@ def _pq_codebooks(
     and at small-SF the ~2m driver round-trips dominated the whole
     operator (measured 8.9 s warm; single-pass form ~2 s). One seed
     collect slices every subspace's seeds from the same n_codes rows;
-    one Arrow-batched pass assigns all m codes per vector; one
-    (subspace, code, pos) mean aggregation refines every book at once.
+    one mapInArrow pass assigns all m codes per vector AND accumulates
+    per-(subspace, code, pos) partial sums in-task (round 15 — the
+    k-means _make_km_stats shape; previously a pandas-UDF assign +
+    n·dim-row posexplode + groupBy avg paid a coordinate-level
+    shuffle), so the merge aggregate sees tasks·m·n_codes·d_sub rows.
     Driver holds m × n_codes × dim/m floats — the PQ index's entire
     driver footprint."""
     import numpy as np
@@ -1532,40 +1572,100 @@ def _pq_codebooks(
     )
     seed_mat = np.stack([np.asarray(r["vec"], dtype=np.float64) for r in rows])
     seeds = seed_mat.reshape(len(rows), m, d_sub).transpose(1, 0, 2)  # (m, n, d_sub)
-    sd = seeds.copy()
 
-    @F.pandas_udf(T.ArrayType(T.IntegerType()))
-    def all_codes(col):
-        import numpy as _np
-        import pandas as _pd
-
-        if len(col) == 0:
-            return _pd.Series([], dtype="object")
-        x = _np.stack([_np.asarray(v, dtype=_np.float64) for v in col]).reshape(
-            len(col), m, d_sub
+    sd_list = [[list(map(float, c)) for c in seeds[j]] for j in range(m)]
+    partials = (
+        _spread_v(embeddings)
+        .select(F.col(vec_col).alias("vec"))
+        .mapInArrow(
+            _make_pq_refine(sd_list, m, n_codes, d_sub),
+            "j int, c int, pos int, su double, cnt long",
         )
-        out = _np.empty((len(col), m), dtype=_np.int32)
-        for j in range(m):
-            d2 = -2.0 * (x[:, j, :] @ sd[j].T) + (sd[j] ** 2).sum(axis=1)
-            out[:, j] = _np.argmin(d2, axis=1)
-        return _pd.Series(list(out))
-
-    assigned = _spread_v(embeddings).select(
-        F.col(vec_col).alias("vec"), all_codes(F.col(vec_col)).alias("codes")
+        .groupBy("j", "c", "pos")
+        .agg(F.sum("su").alias("su"), F.sum("cnt").alias("cnt"))
+        .collect()
     )
-    dims = assigned.select(
-        F.posexplode("vec").alias("p", "x"), F.col("codes")
-    ).select(
-        (F.col("p") / d_sub).cast("int").alias("j"),
-        F.element_at(F.col("codes"), (F.col("p") / d_sub).cast("int") + 1).alias("c"),
-        (F.col("p") % d_sub).alias("pos"),
-        "x",
-    )
-    means = dims.groupBy("j", "c", "pos").agg(F.avg("x").alias("mv")).collect()
     books = seeds.copy()  # empty clusters keep their seed
-    for r in means:
-        books[r["j"], r["c"], r["pos"]] = float(r["mv"])
+    for r in partials:
+        if r["cnt"]:
+            books[r["j"], r["c"], r["pos"]] = float(r["su"]) / float(r["cnt"])
     return [[list(map(float, c)) for c in books[j]] for j in range(m)]
+
+
+def _make_pq_adc(
+    cb_list: list,
+    lut_flat: list,
+    q_ids: list,
+    q_norms: list,
+    m: int,
+    d_sub: int,
+    shortlist_n: int,
+):
+    """Worker closure factory for the ADC scoring pass: per Arrow batch,
+    encode candidates to their m codes, score ALL queries via the LUT
+    (identical arithmetic to the round-13 form), and fold into per-query
+    running top-``shortlist_n`` lists ordered by (approx DESC, cand_id)
+    — numpy lexsort, the exact window comparator — emitting one bounded
+    batch per task. Self-pairs (cand_id == query id) are excluded before
+    the fold, matching the old post-explode filter. Candidate ids must
+    be integral (the repo-wide vec_id contract)."""
+
+    def _adc(it):
+        import numpy as np
+        import pyarrow as pa
+
+        cb = np.asarray(cb_list, dtype=np.float64)  # (m, n_codes, d_sub)
+        cbn = (cb**2).sum(axis=2)
+        Q = len(q_ids)
+        lut = np.asarray(lut_flat, dtype=np.float64).reshape(Q, m, -1)
+        qn = np.asarray(q_norms, dtype=np.float64)
+        qid = np.asarray(q_ids, dtype=np.int64)
+        run_s = [np.empty(0, dtype=np.float64) for _ in range(Q)]
+        run_i = [np.empty(0, dtype=np.int64) for _ in range(Q)]
+        for batch in it:
+            ids = batch.column(0).to_numpy(zero_copy_only=False).astype(np.int64)
+            col = batch.column(1)
+            n = len(ids)
+            if n == 0:
+                continue
+            x = (
+                col.flatten()
+                .to_numpy(zero_copy_only=False)
+                .astype(np.float64)
+                .reshape(n, m, d_sub)
+            )
+            codes = np.empty((n, m), dtype=np.int64)
+            recon2 = np.zeros(n, dtype=np.float64)
+            for j in range(m):
+                # ||sub - c||^2 = ||sub||^2 - 2 sub·c + ||c||^2; ||sub||^2
+                # is constant per row for the argmin
+                d2 = -2.0 * (x[:, j, :] @ cb[j].T) + cbn[j]
+                codes[:, j] = d2.argmin(axis=1)
+                recon2 += cbn[j][codes[:, j]]
+            recon = np.sqrt(recon2)
+            recon[recon == 0.0] = 1.0
+            sims = np.zeros((n, Q), dtype=np.float64)
+            for j in range(m):
+                sims += lut[:, j, codes[:, j]].T  # (Q, n).T
+            sims /= np.outer(recon, qn)
+            for qi in range(Q):
+                mask = ids != qid[qi]
+                s2 = np.concatenate([run_s[qi], sims[mask, qi]])
+                i2 = np.concatenate([run_i[qi], ids[mask]])
+                order = np.lexsort((i2, -s2))[:shortlist_n]
+                run_s[qi] = s2[order]
+                run_i[qi] = i2[order]
+        yield pa.RecordBatch.from_pydict(
+            {
+                "q_idx": np.concatenate(
+                    [np.full(len(run_i[qi]), qi, dtype=np.int32) for qi in range(Q)]
+                ),
+                "cand_id": np.concatenate(run_i),
+                "approx": np.concatenate(run_s),
+            }
+        )
+
+    return _adc
 
 
 def pq_topk(
@@ -1595,10 +1695,14 @@ def pq_topk(
     reconstruction norm ‖x̂‖ from the per-code norm table (subspaces
     are orthogonal slices, so the squared norms add).
 
-    Scale: codebook training is m bounded Lloyd passes; encoding +
-    ADC scoring is ONE Arrow-batched pandas UDF over the corpus
-    (codebooks + query LUTs ship in the closure — Q ≪ N, the SQ8
-    contract); shortlist and exact-rescore stages are identical to
+    Scale: codebook training is ONE seed collect + ONE mapInArrow
+    refinement pass (per-task partial sums — guide §2.3); encoding +
+    ADC scoring + per-query top-(k·oversample) shortlisting is ONE
+    mapInArrow pass over the corpus (codebooks + query LUTs ship in
+    the closure — Q ≪ N, the SQ8 contract) emitting bounded per-task
+    rows, so no n·Q exploded rows and no candidate-vector payload ever
+    shuffle; candidate vectors re-attach via a broadcast join of the
+    bounded shortlist. Exact rescore is identical to
     :func:`quantized_topk`. Recall is governed by (m, n_codes,
     oversample) — the planted-neighbor pytest pins it."""
     import numpy as np
@@ -1615,14 +1719,15 @@ def pq_topk(
             ]
         )
         return spark.createDataFrame([], schema)
-    first = embeddings.select(F.size(F.col(vec_col)).alias("d")).first()
-    dim = int(first["d"])
+    # dim from the already-collected query rows (queries and corpus
+    # share the embedding space by contract) — saves the round-13
+    # first() probe job over the corpus
+    dim = len(qrows[0][1])
     if dim % m != 0:
         raise ValueError(f"embedding dim {dim} not divisible by m={m}")
     d_sub = dim // m
     books = _pq_codebooks(embeddings, m, n_codes, dim, id_col, vec_col)
     cb = np.asarray(books, dtype=np.float64)  # (m, n_codes, d_sub)
-    cb_norm2 = (cb**2).sum(axis=2)  # (m, n_codes)
 
     q_ids = [r[0] for r in qrows]
     qmat = np.stack([np.asarray(r[1], dtype=np.float64) for r in qrows])  # (Q, dim)
@@ -1632,45 +1737,42 @@ def pq_topk(
     qsub = qmat.reshape(len(q_ids), m, d_sub)
     lut = np.einsum("qjd,jcd->qjc", qsub, cb)
 
-    @F.pandas_udf(T.ArrayType(T.DoubleType()))
-    def adc_scores(col):
-        import numpy as _np
-        import pandas as _pd
-
-        if len(col) == 0:
-            return _pd.Series([], dtype="object")
-        x = _np.stack([_np.asarray(v, dtype=_np.float64) for v in col])  # (B, dim)
-        xs = x.reshape(len(x), m, d_sub)
-        codes = _np.empty((len(x), m), dtype=_np.int64)
-        recon2 = _np.zeros(len(x), dtype=_np.float64)
-        for j in range(m):
-            # ||sub - c||^2 = ||sub||^2 - 2 sub·c + ||c||^2; ||sub||^2 is
-            # constant per row for the argmin
-            d2 = -2.0 * (xs[:, j, :] @ cb[j].T) + cb_norm2[j]
-            codes[:, j] = _np.argmin(d2, axis=1)
-            recon2 += cb_norm2[j][codes[:, j]]
-        recon = _np.sqrt(recon2)
-        recon[recon == 0.0] = 1.0
-        # scores[b, q] = sum_j lut[q, j, codes[b, j]]
-        sims = _np.zeros((len(x), len(q_ids)), dtype=_np.float64)
-        for j in range(m):
-            sims += lut[:, j, codes[:, j]].T  # (Q, B).T
-        sims /= _np.outer(recon, q_norms)
-        return _pd.Series(list(sims))
-
-    c = _spread_v(embeddings).select(F.col(id_col).alias("cand_id"), F.col(vec_col).alias("c_vec"))
-    qid_map = F.array(*[F.lit(i) for i in q_ids])
-    scored = c.select(
-        "cand_id", "c_vec", F.posexplode(adc_scores(F.col("c_vec"))).alias("q_idx", "approx")
-    ).filter(F.get(qid_map, F.col("q_idx")) != F.col("cand_id"))
+    # Per-task top-(k·oversample) shortlisting inside the Arrow kernel
+    # (round 15, guide §2.3 'aggregate before you shuffle'): the
+    # round-13 form exploded an (n, Q) score array to n·Q rows — each
+    # CARRYING the full candidate vector — through an unbounded window
+    # shuffle. The kernel now emits ≤ Q·k·oversample (q_idx, cand_id,
+    # approx) rows per task; the global window ranks tasks·Q·k·os tiny
+    # rows, and candidate vectors re-attach via a broadcast semi-join
+    # of the bounded shortlist against the corpus (no payload shuffle).
+    shortlist_n = k * oversample
+    scored = (
+        embeddings.select(F.col(id_col).alias("cand_id"), F.col(vec_col).alias("c_vec"))
+        .mapInArrow(
+            _make_pq_adc(
+                [[list(map(float, c_)) for c_ in cb[j]] for j in range(m)],
+                [list(map(float, r)) for r in lut.reshape(len(q_ids), -1)],
+                list(q_ids),
+                [float(x) for x in q_norms],
+                m,
+                d_sub,
+                shortlist_n,
+            ),
+            "q_idx int, cand_id long, approx double",
+        )
+    )
     w = W.partitionBy("q_idx").orderBy(F.desc("approx"), "cand_id")
+    qid_map = F.array(*[F.lit(i) for i in q_ids])
     shortlist = (
         scored.withColumn("shortlist_rank", F.row_number().over(w))
-        .filter(F.col("shortlist_rank") <= k * oversample)
-        .select(F.get(qid_map, F.col("q_idx")).alias("query_id"), "cand_id", "c_vec")
+        .filter(F.col("shortlist_rank") <= shortlist_n)
+        .select(F.get(qid_map, F.col("q_idx")).alias("query_id"), "cand_id")
     )
+    cand_vecs = embeddings.select(
+        F.col(id_col).alias("cand_id"), F.col(vec_col).alias("c_vec")
+    ).join(F.broadcast(shortlist), "cand_id")
     q = queries.select(F.col(query_id_col).alias("query_id"), F.col(vec_col).alias("q_vec"))
-    rescored = shortlist.join(F.broadcast(q), "query_id").select(
+    rescored = cand_vecs.join(F.broadcast(q), "query_id").select(
         "query_id", "cand_id", cosine(F.col("q_vec"), F.col("c_vec")).alias("cosine")
     )
     w2 = W.partitionBy("query_id").orderBy(F.desc("cosine"), "cand_id")

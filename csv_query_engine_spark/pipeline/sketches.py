@@ -38,7 +38,6 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from csv_query_engine_spark.pipeline.text import tokens
-from csv_query_engine_spark.pipeline.common import pin as _pin
 
 
 def _mg_summaries(k: int):
@@ -576,11 +575,6 @@ def hdr_quantiles(
     from pyspark.storagelevel import StorageLevel
 
     buckets = buckets.persist(StorageLevel.MEMORY_AND_DISK)
-    # pin before the total and the two triangular aliases fan out as
-    # independent leaf jobs (cache-race rule): each re-ran the upstream
-    # scan+bucket aggregate on a cold cache; the table is bounded
-    # (≤ ~2k cells) so the count is free
-    _pin(buckets)
     tot = buckets.agg(F.sum("cnt").cast("long").alias("n"))
     before = (F.col("b.e") < F.col("a.e")) | (
         (F.col("b.e") == F.col("a.e")) & (F.col("b.sb") <= F.col("a.sb"))
@@ -693,7 +687,6 @@ def hdr_quantiles_by(
     # the cumulative window and the per-group totals; persist once
     # (round-14, same as hdr_quantiles)
     buckets = buckets.persist(StorageLevel.MEMORY_AND_DISK)
-    _pin(buckets)  # pin before the window/totals branches fan out (cache-race rule)
     w = W.partitionBy(*g).orderBy("e", "sb")
     cum = buckets.withColumn("cum", F.sum("cnt").over(w))
     tot = buckets.groupBy(*g).agg(F.sum("cnt").cast("long").alias("n"))

@@ -204,7 +204,6 @@ def tfidf_top_terms(
     tf = terms.groupBy("id", "term").agg(F.count(F.lit(1)).alias("tf")).persist(
         StorageLevel.MEMORY_AND_DISK
     )
-    _pin(tf)  # pin before the dfreq aggregate / scoring join fan out (cache-race rule)
     dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("dfq"))
     n_docs = df.select(F.count(F.lit(1)).alias("n_docs"))
     w = W.partitionBy("id").orderBy(F.desc("tfidf"), "term")
@@ -264,7 +263,6 @@ def repetition_stats(df: DataFrame, id_col: str = "doc_id", text_col: str = "tex
     ).select("id", "toks", F.size("toks").alias("n_tokens")).persist(
         StorageLevel.MEMORY_AND_DISK
     )
-    _pin(base)  # pin before the token/bigram/spine branches fan out (cache-race rule)
     # Group on 8-byte hashes of the exploded grams instead of the
     # strings — same shuffle-shrink trick as duplicate_span_stats; the
     # max-count result is hash-insensitive up to within-doc collisions
@@ -542,7 +540,6 @@ def vocab_coverage(df: DataFrame, text_col: str = "text", top_k: int = 20) -> Da
     counts = toks.groupBy("term").agg(F.count(F.lit(1)).alias("n_occ")).persist(
         StorageLevel.MEMORY_AND_DISK
     )
-    _pin(counts)  # pin before the four consumer branches fan out (cache-race rule)
     totals = counts.agg(F.sum("n_occ").alias("total_occ"))
     top = counts.orderBy(F.desc("n_occ"), "term").limit(top_k)
     # Rank + running share over the K-row head via a triangular
@@ -725,10 +722,6 @@ def unigram_lm_scores(df: DataFrame, id_col: str = "doc_id", text_col: str = "te
         .select("id", F.xxhash64("_t").alias("_h"))
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    # Pin: `tok` feeds the count aggregate and the scoring join-back —
-    # independent leaf jobs that re-ran the tokenize+explode on a cold
-    # cache (cache-race rule; the media dup-pairs lesson).
-    _pin(tok)
     counts = tok.groupBy("_h").agg(F.count(F.lit(1)).alias("_c"))
     total = counts.agg(F.sum("_c").alias("_n"))
     surprisal = F.round(-F.log(F.col("_c") / F.col("_n")), 6)
@@ -793,7 +786,6 @@ def bigram_lm_scores(df: DataFrame, id_col: str = "doc_id", text_col: str = "tex
         )
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    _pin(big)  # pin before the count aggregate / scoring join fan out
     pair_counts = big.groupBy("_h1", "_h12").agg(F.count(F.lit(1)).alias("_c12"))
     prefix_counts = pair_counts.groupBy("_h1").agg(F.sum("_c12").alias("_c1"))
     counts = pair_counts.join(prefix_counts, "_h1").select("_h12", "_c12", "_c1")
@@ -871,15 +863,11 @@ def kneser_ney_scores(
         )
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    _pin(big)  # pin before the pair aggregate / scoring join fan out
     pair_counts = (
         big.groupBy("_h1", "_h2", "_h12")
         .agg(F.count(F.lit(1)).alias("_c12"))
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    # Pin: pair_counts feeds the prefix/predecessor/type aggregates and
-    # the scoring join — four independent leaf jobs (cache-race rule).
-    _pin(pair_counts)
     # prefix totals AND distinct-successor counts from ONE h1 aggregate
     pre = pair_counts.groupBy("_h1").agg(
         F.sum("_c12").alias("_c1"), F.count(F.lit(1)).alias("_nsucc")
@@ -953,7 +941,6 @@ def ngram_novelty(
         .distinct()
         .persist()
     )
-    _pin(pairs)  # pin before the first-id aggregate / join-back fan out (cache-race rule)
     first = pairs.groupBy("g").agg(F.min("id").alias("first_id"))
     per_doc = (
         pairs.join(first, "g")
@@ -1153,7 +1140,6 @@ def pmi_top_pairs(
     base = _spread(
         df.select(F.col(id_col).alias("id"), tokens(F.col(text_col)).alias("toks"))
     ).persist(StorageLevel.MEMORY_AND_DISK)
-    _pin(base)  # pin before the unigram/bigram branches fan out (cache-race rule)
     uni = (
         base.select(F.explode("toks").alias("t"))
         .filter(F.col("t") != "")
