@@ -43,7 +43,13 @@ from pyspark.sql import functions as F
 from pyspark.storagelevel import StorageLevel
 
 
-def pagerank(edges: DataFrame, iterations: int = 4, damping: float = 0.85) -> DataFrame:
+def pagerank(
+    edges: DataFrame,
+    iterations: int = 4,
+    damping: float = 0.85,
+    dangling: bool | None = None,
+    source_only: bool | None = None,
+) -> DataFrame:
     """(node, pagerank) after `iterations` power steps over directed
     `edges` (src, dst), with the standard dangling-mass redistribution:
     nodes = src ∪ dst, and each round the rank mass sitting on nodes
@@ -67,9 +73,24 @@ def pagerank(edges: DataFrame, iterations: int = 4, damping: float = 0.85) -> Da
     bit-equal output since D = 0); only genuinely sinked graphs pay
     the dangling aggregate, and there the rank state lazy-
     localCheckpoints each round because r is referenced twice per
-    round (contribution join + dangling anti-join) and the plan would
+    round (contribution join + dangling sum) and the plan would
     otherwise double per iteration (CLAUDE.md exponential-replan
-    rule)."""
+    rule).
+
+    Round-15 job-count work (guide §8 — use what you know that the
+    optimizer does not; under AQE each per-round localCheckpoint plans
+    eagerly at build time, so every probe/join is a real driver-visible
+    job): (a) the node table carries a STATIC ``_dg`` (dangling) flag
+    computed once in the setup join, so the per-round dangling mass is
+    a filter+sum over the checkpointed rank state instead of an
+    anti-join against the out-node set (same rows summed — int64 sums
+    are order-independent, bit-equal); (b) callers may pass
+    construction-derived graph knowledge: ``dangling``/``source_only``
+    skip the corresponding probe jobs. ``dangling=True`` is always
+    safe (the general loop is bit-equal on sink-free graphs, D = 0);
+    ``dangling=False`` / ``source_only=False`` are CLAIMS and must
+    hold by construction (e.g. a symmetrized edge set has neither) —
+    a false claim changes results. ``None`` probes as before."""
     # Persist the INPUT edge projection first: deg, e and dsts each
     # consume it in separate jobs (their persists materialize under
     # different actions, so exchange reuse never applies) — an expensive
@@ -87,21 +108,33 @@ def pagerank(edges: DataFrame, iterations: int = 4, damping: float = 0.85) -> Da
         .distinct()
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    nodes = outs.unionByName(dsts).distinct().persist(StorageLevel.MEMORY_AND_DISK)
+    # node set WITH the static dangling flag (no out-edges), computed in
+    # the same setup job that materializes the node cache: the per-round
+    # dangling mass then filters the checkpointed rank state instead of
+    # anti-joining the out-node set every round.
+    nodes = (
+        outs.unionByName(dsts)
+        .distinct()
+        .join(outs.select("node", F.lit(1).alias("_o")), "node", "left")
+        .select("node", F.col("_o").isNull().alias("_dg"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
     n = nodes.count()  # bounded driver scalar: one long
-    # static graph property from the two persisted node-sized sets
-    # (early-out anti join — no extra edge-scale work beyond the dst
-    # distinct that `nodes` needed anyway): dangling = no out-edges
-    # (needs the redistribution loop). The companion source-only probe
-    # (no in-edges → constant rank after round 1) is evaluated lazily
-    # on the sink-free branch — its result is consumed nowhere else.
-    has_dangling = dsts.join(outs, "node", "left_anti").limit(1).count() > 0
+    # static graph property: dangling = no out-edges (needs the
+    # redistribution loop). Caller-supplied knowledge skips the probe
+    # job; otherwise one cached-read filter probe (no join — the flag
+    # is already on the cached node table).
+    has_dangling = (
+        dangling
+        if dangling is not None
+        else nodes.filter(F.col("_dg")).limit(1).count() > 0
+    )
 
     def quant(x):  # FLOOR(x*1e9 + 0.5): IEEE-only scale-9 quantization
         return F.floor(x * F.lit(1e9) + F.lit(0.5))
 
     # rank state: unscaled long at scale 9 ("_ru")
-    r = nodes.select("node", quant(F.lit(1.0) / F.lit(float(n))).alias("_ru"))
+    r = nodes.select("node", quant(F.lit(1.0) / F.lit(float(n))).alias("_ru"), "_dg")
     base = F.lit(1.0 - damping) / F.lit(float(n))
     if not has_dangling:
         # FUSED loop (the fast path; measured vs the per-round node
@@ -112,8 +145,14 @@ def pagerank(edges: DataFrame, iterations: int = 4, damping: float = 0.85) -> Da
         # rank is the CONSTANT quant(base + d·0) from round 1 on — a
         # static union row, not a per-round join. The src-only probe
         # runs only on this branch: dangling graphs never consume it,
-        # so they don't pay the anti-join count job.
-        has_src_only = outs.join(dsts, "node", "left_anti").limit(1).count() > 0
+        # so they don't pay the anti-join count job; caller-supplied
+        # knowledge (source_only=False for symmetrized edge sets)
+        # skips it entirely.
+        has_src_only = (
+            source_only
+            if source_only is not None
+            else outs.join(dsts, "node", "left_anti").limit(1).count() > 0
+        )
         src_only = (
             outs.join(dsts, "node", "left_anti").select(
                 "node",
@@ -143,8 +182,11 @@ def pagerank(edges: DataFrame, iterations: int = 4, damping: float = 0.85) -> Da
         csum = contrib.groupBy(F.col("dst").alias("node")).agg(
             F.sum("_cu").alias("_cs")
         )
+        # dangling mass: filter+sum over the checkpointed rank state via
+        # the static _dg flag — no per-round anti-join (same rows
+        # summed; int64 sums are order-independent, bit-equal)
         dang = (
-            r.join(outs, "node", "left_anti")
+            r.filter(F.col("_dg"))
             .agg(F.coalesce(F.sum("_ru"), F.lit(0)).cast("long").alias("_du"))
             .select(
                 quant((F.col("_du") / F.lit(1e9)) / F.lit(float(n))).alias("_dsh")
@@ -166,6 +208,7 @@ def pagerank(edges: DataFrame, iterations: int = 4, damping: float = 0.85) -> Da
                         / F.lit(1e9)
                     )
                 ).alias("_ru"),
+                "_dg",
             )
             # truncate lineage: r is referenced twice next round
             .localCheckpoint(eager=False)

@@ -1187,7 +1187,11 @@ def graph_pagerank_trade_network(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = pairs.select(F.col("c").alias("src"), F.col("s").alias("dst")).unionByName(
         pairs.select(F.col("s").alias("src"), F.col("c").alias("dst"))
     )
-    return pagerank(edges, iterations=4, damping=0.85).orderBy("node")
+    # symmetrized edge set: every node has out- AND in-edges by
+    # construction -> skip both structure probes (operators/graph.py)
+    return pagerank(
+        edges, iterations=4, damping=0.85, dangling=False, source_only=False
+    ).orderBy("node")
 
 
 def _pagerank_directed_oracle() -> str:
@@ -1225,7 +1229,9 @@ def graph_pagerank_directed_purchases(spark: SparkSession, sf_dir: str) -> DataF
         )
         .distinct()
     )
-    return pagerank(edges, iterations=4, damping=0.85).orderBy("node")
+    # suppliers are pure sinks by construction -> the dangling loop is
+    # statically known (True is always-safe: bit-equal even if no sink)
+    return pagerank(edges, iterations=4, damping=0.85, dangling=True).orderBy("node")
 
 
 @register(
