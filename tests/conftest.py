@@ -8,6 +8,16 @@ import pytest
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+# Test-session wall-time: the suite runs thousands of tiny shuffles
+# (streaming micro-batches especially, where stateful operators use the
+# raw shuffle-partition count with no AQE coalescing), and each extra
+# task is pure scheduling overhead at test data sizes. 8 partitions
+# measured ~25% faster on the heaviest streaming/property tests with
+# identical results (every pinned invariant is partition-count
+# independent; the partitioning-invariance tests repartition
+# explicitly). setdefault honors an explicit override.
+os.environ.setdefault("SPARK_GRAFT_SHUFFLE_PARTITIONS", "8")
+
 from csv_query_engine_spark.session import get_spark
 
 SF_SMOKE = "/root/testdata/sf0.001"
